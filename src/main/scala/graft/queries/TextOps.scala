@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators: the reference's sentence/offset/alignment ETL
+  * stages (SURVEY.md §2 F1, W2, W4, J3, A7) re-expressed over
+  * `documents`, plus the text-analysis tier a large-scale training-data
+  * pipeline needs (token counting, quality scoring, language ID,
+  * fingerprinting).
+  *
+  * The testdata corpus has no sentence punctuation, so the oracle-checked
+  * sentence segmentation uses fixed-width word groups (10 words); the
+  * punctuation/regex tokenizer (reference `lambda_5.py:84-87`, NLTK punkt)
+  * is `Tokenize.sentences` and is exercised by fixture-based specs.
+  *
+  * Every emitted float is an IEEE division of exact integer counts —
+  * bit-identical across engines, no rounding (see Dashboard.q6 note).
+  */
+object TextOps {
+
+  /** Words per synthetic "sentence" for the oracle-checked splitter. */
+  val SentenceWords = 10
+
+  /** (doc_id, pos, word) — the tokenizer's exploded output (reference
+    * `lambda_5.py:84-87` tokenize + `lambda_71.py:74-89` positional index
+    * W4). posexplode gives the 0-based position = sentence_index source.
+    * Scale: narrow projection before the explode; the explode is
+    * codegen'd (`Generate`) and never shuffles.
+    */
+  def words(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
+
+  /** F1/W4/A7 — sentence segmentation with ordered re-assembly:
+    * group words into 10-word sentences, re-join in word order
+    * (order made deterministic via array_sort over (pos, word) structs,
+    * the A7 pattern from `lambda_5.py:71-81` — never bare collect_list).
+    * Shuffles (doc_id, sentence_index) groups — scales linearly.
+    */
+  def sentenceSplit(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir)
+      .groupBy(
+        col("doc_id"),
+        floor(col("pos") / SentenceWords).as("sentence_index"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")),
+          " ").as("sentence"))
+      .orderBy(col("doc_id"), col("sentence_index"))
+
+  /** W2 — running character offsets: each sentence's (start, end) span in
+    * the newline-joined document text, end exclusive of the trailing
+    * newline; next start = end + 1 (reference `lambda_72.py:66-71`: the
+    * `+1` counts the appended '\n', `lambda_72.py:60`).
+    * Running sum over an int column partitioned by doc — exact, and the
+    * window is per-document (parallel across docs), unlike Q6's global
+    * window.
+    */
+  def charOffsets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("sentence_index"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sentenceSplit(spark, dir)
+      .withColumn("len", length(col("sentence")).cast("long"))
+      .withColumn(
+        "span_start",
+        coalesce(sum(col("len") + 1).over(w), lit(0L)))
+      .withColumn("span_end", col("span_start") + col("len"))
+      .select(
+        col("doc_id"), col("sentence_index"), col("span_start"),
+        col("span_end"))
+      .orderBy(col("doc_id"), col("sentence_index"))
+  }
+
+  /** J3 — entity-offset → sentence alignment as a range join: an entity
+    * beginning at char `begin` belongs to the last sentence whose span has
+    * begun and not been passed — `begin >= span_start AND
+    * begin < span_end + 1` (the `+1` is the newline slot; "messy capture"
+    * straddles land on the sentence where they begin, reference
+    * `lambda_72.py:92-118`). Synthetic entities probe at 1/4, 1/2, 3/4 of
+    * each doc's char length.
+    *
+    * Scale: the join condition carries a `doc_id` equi-key, so Catalyst
+    * plans a hash/sort-merge join on doc_id with the range predicate as a
+    * residual filter — NOT a nested-loop cross product; this survives
+    * 100 TB because spans and probes co-partition by doc_id.
+    */
+  def entityAlignment(spark: SparkSession, dir: String): DataFrame = {
+    val probes = documents(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(
+          array(
+            floor(col("n_chars") / 4).cast("long"),
+            floor(col("n_chars") / 2).cast("long"),
+            floor(col("n_chars") * 3 / 4).cast("long"))).as("begin_off"))
+    val spans = charOffsets(spark, dir)
+    probes
+      .join(
+        spans,
+        probes("doc_id") === spans("doc_id") &&
+          col("begin_off") >= col("span_start") &&
+          col("begin_off") < col("span_end") + 1)
+      .select(probes("doc_id"), col("begin_off"), col("sentence_index"))
+      .orderBy(col("doc_id"), col("begin_off"))
+  }
+
+  /** Token counting (training-data pipeline tier): whitespace tokens +
+    * a word-shaped BPE-ish token estimate (runs of letters/digits).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(filter(
+          split(lower(col("text")), "[^a-z0-9]+"),
+          w => w =!= "")).cast("long").as("n_word_tokens"),
+        length(col("text")).cast("long").as("n_chars_text"))
+      .orderBy(col("doc_id"))
+
+  /** Stopword lexicon shared with quality scoring / language ID. */
+  val EnStop: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality scoring (training-data pipeline tier): length stats,
+    * stopword ratio, type-token ratio — the length/punct/stopword family
+    * of heuristics. All ratios are int/int IEEE divisions (exact).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    words(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("word"))).as("sum_len"),
+        sum(when(col("word").isin(EnStop: _*), 1L).otherwise(0L))
+          .as("n_stop"),
+        countDistinct(col("word")).as("n_distinct"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("sum_len").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+          .as("stopword_ratio"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Tiny marker lexicons for the language-ID heuristic. */
+  val LangLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "en", "por"))
+
+  /** Language ID (training-data pipeline tier): marker-word hit counts
+    * per language, argmax with a fixed preference order for ties —
+    * deterministic, engine-agnostic. One hash agg over the word rows.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val hitCols = LangLexicons.map { case (lang, lex) =>
+      sum(when(col("word").isin(lex: _*), 1L).otherwise(0L))
+        .as(s"hits_$lang")
+    }
+    val hits = words(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(hitCols.head, hitCols.tail: _*)
+    // argmax via strict-greater chain = first maximum in lexicon order
+    val predicted = LangLexicons
+      .map(_._1)
+      .foldRight(lit("und"): Column) { (lang, rest) =>
+        val mine = col(s"hits_$lang")
+        val others = LangLexicons.map(_._1).filter(_ != lang)
+          .map(o => col(s"hits_$o"))
+        val isMax = others.foldLeft(lit(true))((acc, o) => acc && mine >= o)
+        when(isMax && mine > 0, lit(lang)).otherwise(rest)
+      }
+    hits
+      .select(
+        (col("doc_id") +: LangLexicons.map(l => col(s"hits_${l._1}"))) :+
+          predicted.as("predicted_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting (training-data pipeline tier): md5 of the
+    * whitespace-normalized lowercased text — the exact-dedup key.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")
+          .cast("binary")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_sentence_split" -> sentenceSplit,
+    "t2_char_offsets" -> charOffsets,
+    "t3_entity_alignment" -> entityAlignment,
+    "t4_token_counts" -> tokenCounts,
+    "t5_quality_score" -> qualityScore,
+    "t6_lang_id" -> langId,
+    "t7_fingerprint" -> fingerprint)
+
+  private val wordsCte =
+    """words AS (
+         SELECT doc_id,
+                generate_subscripts(string_split_regex(lower(text), '\s+'), 1) - 1 AS pos,
+                unnest(string_split_regex(lower(text), '\s+')) AS word
+         FROM documents)"""
+
+  private val sentencesCte =
+    s"""$wordsCte,
+        sentences AS (
+          SELECT doc_id, pos // 10 AS sentence_index,
+                 string_agg(word, ' ' ORDER BY pos) AS sentence
+          FROM words GROUP BY doc_id, pos // 10)"""
+
+  private val spansCte =
+    s"""$sentencesCte,
+        spans AS (
+          SELECT doc_id, sentence_index,
+                 COALESCE(CAST(SUM(CAST(LENGTH(sentence) AS BIGINT) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY sentence_index
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS span_start,
+                 CAST(LENGTH(sentence) AS BIGINT) AS len
+          FROM sentences)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_sentence_split" ->
+      s"""WITH $sentencesCte
+          SELECT doc_id, sentence_index, sentence FROM sentences
+          ORDER BY doc_id, sentence_index""",
+    "t2_char_offsets" ->
+      s"""WITH $spansCte
+          SELECT doc_id, sentence_index, span_start,
+                 span_start + len AS span_end
+          FROM spans ORDER BY doc_id, sentence_index""",
+    "t3_entity_alignment" ->
+      s"""WITH $spansCte,
+          probes AS (
+            SELECT doc_id, unnest([
+              CAST(FLOOR(n_chars / 4.0) AS BIGINT),
+              CAST(FLOOR(n_chars / 2.0) AS BIGINT),
+              CAST(FLOOR(n_chars * 3.0 / 4.0) AS BIGINT)]) AS begin_off
+            FROM documents)
+          SELECT p.doc_id, p.begin_off, s.sentence_index
+          FROM probes p JOIN spans s
+            ON p.doc_id = s.doc_id
+           AND p.begin_off >= s.span_start AND p.begin_off < s.span_start + s.len + 1
+          ORDER BY p.doc_id, p.begin_off""",
+    "t4_token_counts" ->
+      """SELECT doc_id,
+                CAST(LEN(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+                CAST(LEN(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  w -> w <> '')) AS BIGINT) AS n_word_tokens,
+                CAST(LENGTH(text) AS BIGINT) AS n_chars_text
+         FROM documents ORDER BY doc_id""",
+    "t5_quality_score" ->
+      s"""WITH $wordsCte
+          SELECT doc_id,
+                 COUNT(*) AS n_tokens,
+                 CAST(SUM(LENGTH(word)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_token_len,
+                 CAST(SUM(CASE WHEN word IN (${TextOps.inList(EnStop)}) THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS stopword_ratio,
+                 CAST(COUNT(DISTINCT word) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
+          FROM words GROUP BY doc_id ORDER BY doc_id""",
+    "t6_lang_id" -> {
+      val hitExprs = LangLexicons.map { case (lang, lex) =>
+        s"CAST(SUM(CASE WHEN word IN (${TextOps.inList(lex)}) THEN 1 ELSE 0 END) AS BIGINT) AS hits_$lang"
+      }.mkString(",\n                 ")
+      val langs = LangLexicons.map(_._1)
+      val caseExpr = langs.map { lang =>
+        val geAll = langs.filter(_ != lang)
+          .map(o => s"hits_$lang >= hits_$o").mkString(" AND ")
+        s"WHEN $geAll AND hits_$lang > 0 THEN '$lang'"
+      }.mkString("\n                   ")
+      s"""WITH $wordsCte,
+          hits AS (
+            SELECT doc_id,
+                 $hitExprs
+            FROM words GROUP BY doc_id)
+          SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
+                 CASE $caseExpr ELSE 'und' END AS predicted_lang
+          FROM hits ORDER BY doc_id"""
+    },
+    "t7_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents ORDER BY doc_id""")
+
+  private[queries] def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+}
