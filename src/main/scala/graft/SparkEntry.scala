@@ -16,12 +16,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Dashboard.queries ++
-      graft.queries.TextOps.queries
+      graft.queries.TextOps.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Dashboard.oracleSql ++
-      graft.queries.TextOps.oracleSql
+      graft.queries.TextOps.oracleSql ++
+      graft.queries.Dedup.oracleSql ++
+      graft.queries.Similarity.oracleSql
 }

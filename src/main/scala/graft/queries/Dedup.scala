@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication tier for a large-scale training-data pipeline: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. All hash functions are md5-derived so the
+  * DuckDB oracle computes the identical values; every similarity score
+  * emitted is an exact int/int IEEE division.
+  *
+  * Scale design: everything here is shuffle-on-key dataflow — no
+  * driver-side state, no collect. The LSH band join is the 100 TB path:
+  * candidate generation is an equi-join on (band, band_key), so work is
+  * proportional to true collisions, never all-pairs. The all-pairs
+  * variants (Jaccard over shared shingles, cosine top-pairs) are
+  * small-side/broadcast demos of the same semantics.
+  */
+object Dedup {
+
+  /** Number of MinHash hash functions and LSH bands (2 rows/band). */
+  val NumHashes = 8
+  val NumBands = 4
+
+  /** Exact dedup (hash-groupBy on normalized-text fingerprint): one
+    * surviving doc_id per distinct content + multiplicity. The groupBy
+    * key is the md5, not the text — 100 TB shuffles 32-byte keys, not
+    * documents.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast("binary"))
+          .as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct 3-word shingles per document (the n-gram dedup unit).
+    * lead() windows are per-doc partitions — parallel across docs;
+    * concat is null-propagating, so tail positions drop out exactly as
+    * the oracle's `||` does.
+    */
+  def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    TextOps.words(spark, dir)
+      .withColumn(
+        "sh",
+        concat(
+          col("word"), lit(" "),
+          lead(col("word"), 1).over(w), lit(" "),
+          lead(col("word"), 2).over(w)))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), col("sh"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup: pairs sharing >= 1 shingle, scored
+    * |A∩B| / |A∪B|, kept at >= 0.5. The pair join is an equi-join on the
+    * shingle (inverted-index pattern) — candidate work scales with shared
+    * shingles, not with the document count squared.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingles(spark, dir)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = s.select(col("doc_id").as("a_id"), col("sh"))
+    val b = s.select(col("doc_id").as("b_id"), col("sh"))
+    val inter = a
+      .join(b, a("sh") === b("sh") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), "b_id")
+      .select(
+        col("a_id"), col("b_id"), col("inter"),
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** MinHash signatures: for h in 0..7, min over shingles of
+    * md5(h || '|' || shingle). Lexicographic min over hex digests is a
+    * valid uniform min-hash and is engine-portable.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .withColumn("h", explode(sequence(lit(0), lit(NumHashes - 1))))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(
+        min(md5(concat(col("h").cast("string"), lit("|"), col("sh"))
+          .cast("binary"))).as("mh"))
+
+  /** MinHash + LSH near-dup (the 100 TB dedup path): band the 8-hash
+    * signature into 4 bands of 2, bucket-join on (band, band_key) to get
+    * candidates, then estimate similarity as matching signature
+    * positions / 8. Candidate generation never compares non-colliding
+    * documents.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val bands = sigs
+      .groupBy(col("doc_id"), (col("h") / lit(2)).cast("long").as("band"))
+      .agg(
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("h"), col("mh")))),
+            x => x.getField("mh")),
+          "|").cast("binary")).as("bkey"))
+    val ba = bands.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+    val bb = bands.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+    val cand = ba
+      .join(bb, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("a_id"), col("h"), col("mh").as("mha"))
+    val sb = sigs.select(col("doc_id").as("b_id"), col("h"), col("mh").as("mhb"))
+    cand
+      .join(sa, "a_id")
+      .join(sb, Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(when(col("mha") === col("mhb"), 1L).otherwise(0L)).as("m"))
+      .filter(col("m") >= NumHashes / 2)
+      .select(
+        col("a_id"), col("b_id"),
+        (col("m").cast("double") / NumHashes).as("est_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** SimHash document signature: 60-bit token hashes from md5 hex
+    * (portable across engines), per-bit +1/-1 vote over the document's
+    * tokens, sign of the vote = signature bit. Emitted as a 60-char
+    * bitstring (bit 0 first). Near-dup = small Hamming distance; banding
+    * the bitstring gives the same LSH bucket-join scale path as MinHash.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    TextOps.words(spark, dir)
+      .withColumn(
+        "th",
+        conv(substring(md5(col("word").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("b", explode(sequence(lit(0), lit(59))))
+      .withColumn(
+        "contrib",
+        when(expr("(th >> b) & 1") === 1, 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("vote"))
+      .withColumn("bit", when(col("vote") >= 0, lit("1")).otherwise(lit("0")))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("b"), col("bit")))),
+            x => x.getField("bit")),
+          "").as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Embedding-cosine near-dup: top-50 most similar vector pairs.
+    * Brute-force all-pairs via a broadcast non-equi join — correct at
+    * benchmark scale; the 100 TB path is Similarity.ivfTopK (bucketed
+    * candidates). Scores rounded to 6 dp for cross-engine stability.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn(
+        "nrm",
+        sqrt(aggregate(
+          transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x)))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn(
+        "dot",
+        aggregate(
+          zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x))
+      .select(
+        col("a_id"), col("b_id"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> exactDedup,
+    "d2_ngram_jaccard" -> ngramJaccard,
+    "d3_minhash_lsh" -> minhashLsh,
+    "d4_simhash" -> simhash,
+    "d5_embedding_neardup" -> embeddingNearDup)
+
+  private val wordsCte =
+    """words AS (
+         SELECT doc_id,
+                generate_subscripts(string_split_regex(lower(text), '\s+'), 1) - 1 AS pos,
+                unnest(string_split_regex(lower(text), '\s+')) AS word
+         FROM documents)"""
+
+  private val shinglesCte =
+    s"""$wordsCte,
+        sh0 AS (
+          SELECT doc_id,
+                 word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS sh
+          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        shingles AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL)"""
+
+  private val sigsCte =
+    s"""$shinglesCte,
+        sigs AS (
+          SELECT doc_id, h,
+                 MIN(md5(CAST(h AS VARCHAR) || '|' || sh)) AS mh
+          FROM shingles
+          CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS h)
+          GROUP BY doc_id, h)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+                MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "d2_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+            FROM shingles a JOIN shingles b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT a_id, b_id, inter,
+                 CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+          ORDER BY a_id, b_id""",
+    "d3_minhash_lsh" ->
+      s"""WITH $sigsCte,
+          bands AS (
+            SELECT doc_id, h // 2 AS band,
+                   md5(string_agg(mh, '|' ORDER BY h)) AS bkey
+            FROM sigs GROUP BY doc_id, h // 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          sim AS (
+            SELECT c.a_id, c.b_id,
+                   SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+            FROM cand c
+            JOIN sigs x ON x.doc_id = c.a_id
+            JOIN sigs y ON y.doc_id = c.b_id AND y.h = x.h
+            GROUP BY 1, 2)
+          SELECT a_id, b_id, CAST(m AS DOUBLE) / $NumHashes AS est_sim
+          FROM sim WHERE m >= ${NumHashes / 2} ORDER BY a_id, b_id""",
+    "d4_simhash" ->
+      s"""WITH $wordsCte,
+          votes AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) >> b) & 1 = 1
+                       THEN 1 ELSE -1 END) AS vote
+            FROM words
+            CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+            GROUP BY doc_id, b)
+          SELECT doc_id,
+                 string_agg(CASE WHEN vote >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+          FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    "d5_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         ORDER BY cos_sim DESC, a_id, b_id LIMIT 50""")
+}

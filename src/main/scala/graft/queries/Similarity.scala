@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (`Array[Float]`, 64-dim):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * bucketed variant as the 100 TB scale path (probe one bucket instead
+  * of the full corpus).
+  *
+  * Dot products / norms use `zip_with` + `aggregate` over doubles —
+  * codegen-free higher-order functions but sequential left-folds, which
+  * is exactly what the DuckDB oracle's `list_dot_product` computes, so
+  * scores match bit-for-bit before the 6-dp rounding.
+  */
+object Similarity {
+
+  /** Number of query vectors (vec_id < NumQueries) and of IVF seed
+    * centroids (vec_id < NumCentroids — deterministic seeds; a real
+    * deployment would k-means these).
+    */
+  val NumQueries = 5
+  val NumCentroids = 8
+  val TopK = 10
+
+  /** Embeddings with precomputed L2 norms, as doubles. */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn(
+        "nrm",
+        sqrt(aggregate(
+          transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x)))
+
+  private def cosine(va: String, na: String, vb: String, nb: String) =
+    round(
+      aggregate(
+        zip_with(col(va), col(vb), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (col(na) * col(nb)),
+      6)
+
+  /** Brute-force cosine top-k: each query vector (vec_id < 5) against
+    * the whole corpus. The query side is tiny → broadcast; the scan side
+    * streams. Rank is deterministic: (rounded cosine desc, vec_id).
+    * At 100 TB this is the exact-recall baseline you run on a sample;
+    * the production path is ivfTopK.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val joined = broadcast(q)
+      .join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine("qv", "qn", "v", "nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF bucket assignment: every vector goes to its nearest of 8 seed
+    * centroids (cosine, ties → lowest centroid id). One broadcast join
+    * against 8 centroids + a per-vector top-1 window — linear scan,
+    * no all-pairs.
+    */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val c = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("centroid_id"))
+    e.crossJoin(broadcast(c))
+      .withColumn("cos_sim", cosine("cv", "cn", "v", "nrm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF top-k search (nprobe=1): a query only scores vectors assigned
+    * to its own centroid's bucket — the candidate set shrinks by ~the
+    * bucket count; recall is approximate by design. This is the shape
+    * that survives 100 TB: bucket assignment partitions the corpus, and
+    * the probe is an equi-join on centroid_id.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssign(spark, dir)
+      .select(col("vec_id"), col("centroid_id"))
+    val e = vectors(spark, dir).join(assign, "vec_id")
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("centroid_id"))
+    val joined = broadcast(q)
+      .join(e, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine("qv", "qn", "v", "nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("centroid_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> bruteForceTopK,
+    "s2_ivf_assign" -> ivfAssign,
+    "s3_ivf_topk" -> ivfTopK)
+
+  private val vecCte =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
+
+  private def cosSql(a: String, b: String) =
+    s"""ROUND(list_dot_product($a.v, $b.v)
+        / (sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v))), 6)"""
+
+  private val assignCte =
+    s"""$vecCte,
+        assign AS (
+          SELECT vec_id, centroid_id, cos_sim FROM (
+            SELECT e.vec_id, c.vec_id AS centroid_id,
+                   ${cosSql("e", "c")} AS cos_sim,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosSql("e", "c")} DESC, c.vec_id) AS rn
+            FROM e CROSS JOIN e c WHERE c.vec_id < $NumCentroids)
+          WHERE rn = 1)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_cosine_topk" ->
+      s"""WITH $vecCte
+          SELECT q_id, vec_id, cos_sim, rank FROM (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   ${cosSql("q", "e")} AS cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS BIGINT) AS rank
+            FROM e q CROSS JOIN e
+            WHERE q.vec_id < $NumQueries AND q.vec_id <> e.vec_id)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
+    "s2_ivf_assign" ->
+      s"""WITH $assignCte
+          SELECT vec_id, centroid_id, cos_sim FROM assign ORDER BY vec_id""",
+    "s3_ivf_topk" ->
+      s"""WITH $assignCte,
+          ec AS (SELECT e.vec_id, e.v, a.centroid_id
+                 FROM e JOIN assign a ON a.vec_id = e.vec_id)
+          SELECT q_id, centroid_id, vec_id, cos_sim, rank FROM (
+            SELECT q.vec_id AS q_id, q.centroid_id, e.vec_id,
+                   ${cosSql("q", "e")} AS cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS BIGINT) AS rank
+            FROM ec q JOIN ec e ON q.centroid_id = e.centroid_id
+            WHERE q.vec_id < $NumQueries AND q.vec_id <> e.vec_id)
+          WHERE rank <= $TopK ORDER BY q_id, rank""")
+}
