@@ -1,0 +1,45 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** E6/J4/E13 write semantics per reference `lambda_2.py:205-238`,
+  * `lambda_3.py:127-133`.
+  */
+class WarehouseWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("insertIgnore drops existing keys and in-batch duplicates") {
+    val existing = Seq((1L, "old")).toDF("k", "v")
+    val incoming = Seq((1L, "new"), (2L, "a"), (2L, "b")).toDF("k", "v")
+    val out = WarehouseWriter
+      .insertIgnore(existing, incoming, Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "old"), (2L, "a"))) // k=1 keeps existing; k=2 keeps first
+  }
+
+  test("insertIgnore is idempotent (at-least-once replay safety)") {
+    val existing = Seq((1L, "old")).toDF("k", "v")
+    val incoming = Seq((2L, "a"), (3L, "c")).toDF("k", "v")
+    val once = WarehouseWriter.insertIgnore(existing, incoming, Seq("k"), Seq("v"))
+    val twice = WarehouseWriter.insertIgnore(once, incoming, Seq("k"), Seq("v"))
+    assert(once.count() == twice.count())
+    assert(once.except(twice).count() == 0)
+  }
+
+  test("pointUpdate patches only matched keys (E13)") {
+    val episodes = Seq(
+      (1L, false, 0), (2L, false, 0)).toDF("episode_id", "downloaded", "num_chunks")
+    val updates = Seq((1L, true, 7)).toDF("episode_id", "downloaded", "num_chunks")
+    val out = WarehouseWriter.pointUpdate(episodes, updates, "episode_id")
+      .orderBy("episode_id").collect()
+    assert(out(0).getAs[Boolean]("downloaded") && out(0).getAs[Int]("num_chunks") == 7)
+    assert(!out(1).getAs[Boolean]("downloaded") && out(1).getAs[Int]("num_chunks") == 0)
+  }
+
+  test("appendFacts never dedups (reference entity-table hazard)") {
+    val a = Seq((1L, "x")).toDF("k", "v")
+    assert(WarehouseWriter.appendFacts(a, a).count() == 2)
+  }
+}
