@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Dashboard.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++
-      graft.queries.Similarity.queries
+      graft.queries.Similarity.queries ++
+      graft.queries.EventWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Dashboard.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.Dedup.oracleSql ++
-      graft.queries.Similarity.oracleSql
+      graft.queries.Similarity.oracleSql ++
+      graft.queries.EventWindows.oracleSql
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table — the streaming-shaped
+  * semantics the reference's event-driven micro-batches imply
+  * (SURVEY.md §2.10), checked in batch form against the DuckDB oracle.
+  * The true Structured Streaming variants (watermark + window, stateful
+  * barrier) are in `graft.streaming` and spec-tested — a streaming query
+  * has no SQL oracle.
+  *
+  * `ts` reads as epoch-nanos BIGINT (see Verify's nanosAsLong conf), so
+  * all bucketing is exact integer math in both engines; value averages
+  * use the integer-cents pattern (see Dashboard.q6).
+  */
+object EventWindows {
+
+  private val UsPerSec = 1000000L
+  val TumbleSec = 300L
+  val SlideSec = 300L
+  val SlideSizeSec = 600L
+  val SessionGapSec = 1800L
+
+  /** Tumbling 5-minute windows per event type: count + exact mean.
+    * Batch equivalent of `groupBy(window($"ts", "5 minutes"), ...)`.
+    * One hash agg; bucketing is a projection (no pre-shuffle).
+    */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      // All time math runs in epoch-MICROseconds: DuckDB truncates
+      // TIMESTAMP_NS to µs at read, so µs is the shared exact domain.
+      // `div` = exact integer division (a double `/` would round ts —
+      // 1.7e18 ns exceeds double's 53-bit mantissa).
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn(
+        "window_start",
+        expr(s"tus div ${TumbleSec * UsPerSec}") * TumbleSec)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .select(
+        col("window_start"), col("event_type"), col("n_events"),
+        (col("sum_cents").cast("double") /
+          (lit(100.0) * col("n_events").cast("double"))).as("avg_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sliding windows (10-minute size, 5-minute slide): each event lands
+    * in 2 windows — the standard explode-over-offsets expansion Spark's
+    * `window()` performs internally, written out so the oracle can
+    * reproduce it.
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn(
+        "bucket",
+        expr(s"tus div ${SlideSec * UsPerSec}") * SlideSec)
+      .withColumn(
+        "window_start",
+        explode(array(col("bucket"), col("bucket") - SlideSec)))
+      .filter(
+        expr(s"tus div $UsPerSec") >= col("window_start") &&
+          expr(s"tus div $UsPerSec") < col("window_start") + SlideSizeSec)
+      .groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("window_start"))
+
+  /** Session windows per user (30-minute inactivity gap): the classic
+    * lag-flag + running-sum sessionization. Windows are per-user
+    * partitions — parallel across users, the 100 TB-safe shape.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    events(spark, dir)
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_tus").isNull ||
+            col("tus") - col("prev_tus") > SessionGapSec * UsPerSec,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("tus")).as("session_start_us"),
+        max(col("tus")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_tumbling" -> tumbling,
+    "w2_sliding" -> sliding,
+    "w3_sessions" -> sessions)
+
+  val oracleSql: Map[String, String] = Map(
+    "w1_tumbling" ->
+      s"""SELECT window_start, event_type, n_events,
+                 CAST(sum_cents AS DOUBLE) / (100.0 * CAST(n_events AS DOUBLE)) AS avg_value
+          FROM (
+            SELECT epoch_us(ts) // ${TumbleSec * UsPerSec} * $TumbleSec AS window_start,
+                   event_type, COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY 1, 2)
+          ORDER BY window_start, event_type""",
+    "w2_sliding" ->
+      s"""SELECT window_start, COUNT(*) AS n_events FROM (
+            SELECT epoch_us(ts) AS tus,
+                   unnest([epoch_us(ts) // ${SlideSec * UsPerSec} * $SlideSec,
+                           epoch_us(ts) // ${SlideSec * UsPerSec} * $SlideSec - $SlideSec])
+                     AS window_start
+            FROM events)
+          WHERE tus // $UsPerSec >= window_start
+            AND tus // $UsPerSec < window_start + $SlideSizeSec
+          GROUP BY window_start ORDER BY window_start""",
+    "w3_sessions" ->
+      s"""WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > ${SessionGapSec * UsPerSec}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+          sess AS (
+            SELECT user_id, tus,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS session_id
+            FROM flagged)
+          SELECT user_id, session_id,
+                 MIN(tus) AS session_start_us,
+                 MAX(tus) AS session_end_us,
+                 COUNT(*) AS n_events
+          FROM sess GROUP BY user_id, session_id
+          ORDER BY user_id, session_id""")
+}

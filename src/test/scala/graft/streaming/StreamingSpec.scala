@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming behavior: watermarked windows + the stateful
+  * chunk barrier (SURVEY §2.10), driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("tumbling window with watermark aggregates by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = in.toDF.toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.tumblingCounts(df).writeStream
+      .format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L, "a", 1.0), (ts(1), 1L, "a", 2.0), (ts(6), 2L, "b", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      in.addData((ts(30), 3L, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.length == 2) // [10:00,10:05) a=2 events; [10:05,10:10) b=1
+      assert(rows(0).getAs[Long]("n_events") == 2)
+      assert(rows(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("chunk barrier emits exactly once, when all chunks arrived") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[ChunkBarrier.ChunkEvent]
+    val q = ChunkBarrier(in.toDS()).writeStream
+      .format("memory").queryName("barrier_out")
+      .outputMode("append").start()
+    try {
+      // chunks arrive out of order, across micro-batches
+      in.addData(ChunkBarrier.ChunkEvent(1L, 2, "world.", 2))
+      q.processAllAvailable()
+      assert(spark.table("barrier_out").count() == 0) // incomplete → held
+      in.addData(ChunkBarrier.ChunkEvent(1L, 1, "Hello", 2))
+      q.processAllAvailable()
+      val out = spark.table("barrier_out").as[ChunkBarrier.Transcript].collect()
+      assert(out.toSeq == Seq(ChunkBarrier.Transcript(1L, "Hello world.")))
+      // replay a chunk (at-least-once delivery) → no second emission
+      in.addData(ChunkBarrier.ChunkEvent(1L, 1, "Hello", 2))
+      q.processAllAvailable()
+      assert(spark.table("barrier_out").count() == 1)
+    } finally q.stop()
+  }
+
+  test("session window groups by inactivity gap per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = in.toDF.toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.sessionCounts(df).writeStream
+      .format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(0), 1L, "a", 1.0), (ts(5), 1L, "a", 1.0)) // one session
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "a", 1.0))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 9L, "a", 1.0))
+      q.processAllAvailable() // advance watermark to close earlier sessions
+      val rows = spark.table("session_out").orderBy("session_start").collect()
+      assert(rows.length >= 2) // the two-event session closed separately
+      assert(rows(0).getAs[Long]("n_events") == 2)
+    } finally q.stop()
+  }
+}
