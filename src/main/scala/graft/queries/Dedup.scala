@@ -64,7 +64,10 @@ object Dedup {
     * shingles, not with the document count squared.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val s = shingles(spark, dir)
+    // The shingle set feeds three plan branches (sizes + both join
+    // sides); persist it once instead of recomputing the per-doc lead
+    // windows 3× (ContextCleaner reclaims it when unreferenced).
+    val s = shingles(spark, dir).persist()
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = s.select(col("doc_id").as("a_id"), col("sh"))
     val b = s.select(col("doc_id").as("b_id"), col("sh"))
@@ -103,7 +106,9 @@ object Dedup {
     * documents.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+    // sigs feeds bands + both sides of the similarity join — persist
+    // (same reuse-across-stages rationale as ngramJaccard).
+    val sigs = minhashSignatures(spark, dir).persist()
     val bands = sigs
       .groupBy(col("doc_id"), (col("h") / lit(2)).cast("long").as("band"))
       .agg(
@@ -167,26 +172,19 @@ object Dedup {
     * candidates). Scores rounded to 6 dp for cross-engine stability.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vecDot, vecNorm}
     val e = embeddings(spark, dir)
       .select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn(
-        "nrm",
-        sqrt(aggregate(
-          transform(col("v"), x => x * x),
-          lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", vecNorm(col("v")))
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn(
-        "dot",
-        aggregate(
-          zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x))
       .select(
         col("a_id"), col("b_id"),
-        round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+        round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
       .limit(50)
   }

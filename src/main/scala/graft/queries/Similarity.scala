@@ -25,24 +25,21 @@ object Similarity {
   val NumCentroids = 8
   val TopK = 10
 
-  /** Embeddings with precomputed L2 norms, as doubles. */
+  import graft.functions.VectorFunctions.{vecDot, vecNorm}
+
+  /** Embeddings with precomputed L2 norms, as doubles. The dot products
+    * use the codegen'd DotProduct expression (graft.functions) — same
+    * left-to-right summation as the oracle's list_dot_product.
+    */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn(
-        "nrm",
-        sqrt(aggregate(
-          transform(col("v"), x => x * x),
-          lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", vecNorm(col("v")))
 
   private def cosine(va: String, na: String, vb: String, nb: String) =
-    round(
-      aggregate(
-        zip_with(col(va), col(vb), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) / (col(na) * col(nb)),
-      6)
+    round(vecDot(col(va), col(vb)) / (col(na) * col(nb)), 6)
 
   /** Brute-force cosine top-k: each query vector (vec_id < 5) against
     * the whole corpus. The query side is tiny → broadcast; the scan side

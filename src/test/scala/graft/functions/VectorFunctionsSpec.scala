@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DotProduct expression: interpreted + codegen paths, fold parity. */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot matches the higher-order fold bit-for-bit") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, 0.2), Seq(0.3, 0.7)),
+      (Seq.empty[Double], Seq.empty[Double]))
+      .toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.vecDot($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("slow"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("vec_dot registers as a SQL function") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(r == 11.0)
+  }
+
+  test("nulls propagate") {
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    val r = df.select(VectorFunctions.vecDot($"a", $"b")).collect()
+    assert(r.head.isNullAt(0))
+  }
+}

@@ -26,6 +26,11 @@ def eq(a, b):
     return a == b
 
 def main(sf_dir, out_dir):
+    import time
+    age = time.time() - os.path.getmtime(f"{out_dir}/oracle_sql.json")
+    if age > 1800:
+        print(f"WARNING: verify output is {age/60:.0f} min old — "
+              "a failed runMain leaves stale dumps that pass vacuously")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
