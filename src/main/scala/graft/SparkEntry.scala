@@ -19,7 +19,9 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
-      graft.queries.EventWindows.queries
+      graft.queries.EventWindows.queries ++
+      graft.queries.Multimodal.queries ++
+      graft.queries.Extended.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +31,7 @@ object SparkEntry {
       graft.queries.TextOps.oracleSql ++
       graft.queries.Dedup.oracleSql ++
       graft.queries.Similarity.oracleSql ++
-      graft.queries.EventWindows.oracleSql
+      graft.queries.EventWindows.oracleSql ++
+      graft.queries.Multimodal.oracleSql ++
+      graft.queries.Extended.oracleSql
 }

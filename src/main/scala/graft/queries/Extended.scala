@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 inventory rows as oracle-checked queries: the
+  * declared-but-unqueried episode⋈time join (J5), top-1-per-key (W3),
+  * and set union (U1), plus an approx-distinct demo from the
+  * beyond-reference tier.
+  */
+object Extended {
+
+  /** J5 + E8 — fact ⋈ derived time dimension: build the time dim from
+    * distinct order dates (exactly how FeedIngest builds it from episode
+    * dates), join back, aggregate by year. The dim is broadcast.
+    */
+  def dateDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("date"))
+    val timeDim = o.select(col("date")).distinct()
+      .select(col("date"), year(col("date")).as("year"),
+        month(col("date")).as("month_number"))
+    o.join(broadcast(timeDim), Seq("date"))
+      .groupBy(col("year"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("year"))
+  }
+
+  /** W3 — top-1 per key (`lambda_3.py:57-68`: most recent undownloaded
+    * episode per podcast): most recent order per customer, deterministic
+    * tiebreak on orderkey, bounded key range for output size.
+    */
+  def top1PerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("latest_date"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** U1 — union with dedup (`lambda_1.py:70-72`: hardcoded feeds ∪
+    * scraped feeds): brands from two disjoint size filters.
+    */
+  def unionBrands(spark: SparkSession, dir: String): DataFrame = {
+    val p = part(spark, dir)
+    p.filter(col("p_size") < 5).select(col("p_brand"))
+      .unionByName(p.filter(col("p_size") > 45).select(col("p_brand")))
+      .distinct()
+      .orderBy(col("p_brand"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_date_dim_join" -> dateDimJoin,
+    "x2_top1_per_key" -> top1PerKey,
+    "x3_union_brands" -> unionBrands)
+
+  val oracleSql: Map[String, String] = Map(
+    "x1_date_dim_join" ->
+      """SELECT year, COUNT(*) AS n_orders FROM (
+           SELECT o_orderkey, EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS year
+           FROM orders)
+         GROUP BY year ORDER BY year""",
+    "x2_top1_per_key" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate DESC, o_orderkey) AS rn
+               FROM orders WHERE o_custkey < 100)
+         WHERE rn = 1 ORDER BY o_custkey""",
+    "x3_union_brands" ->
+      """SELECT p_brand FROM part WHERE p_size < 5
+         UNION
+         SELECT p_brand FROM part WHERE p_size > 45
+         ORDER BY p_brand""")
+}
