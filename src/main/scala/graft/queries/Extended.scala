@@ -56,10 +56,25 @@ object Extended {
       .orderBy(col("p_brand"))
   }
 
+  /** Distinct aggregates (beyond-reference §7: the exact baseline for
+    * sketch-based `approx_count_distinct`, which has no cross-engine
+    * oracle — HLL implementations differ, so the approx variant is
+    * exposed on the API but the gate checks the exact form).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_date_dim_join" -> dateDimJoin,
     "x2_top1_per_key" -> top1PerKey,
-    "x3_union_brands" -> unionBrands)
+    "x3_union_brands" -> unionBrands,
+    "x4_distinct_counts" -> distinctCounts)
 
   val oracleSql: Map[String, String] = Map(
     "x1_date_dim_join" ->
@@ -78,5 +93,11 @@ object Extended {
       """SELECT p_brand FROM part WHERE p_size < 5
          UNION
          SELECT p_brand FROM part WHERE p_size > 45
-         ORDER BY p_brand""")
+         ORDER BY p_brand""",
+    "x4_distinct_counts" ->
+      """SELECT l_returnflag,
+                COUNT(DISTINCT l_partkey) AS n_parts,
+                COUNT(DISTINCT l_suppkey) AS n_supps,
+                COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
