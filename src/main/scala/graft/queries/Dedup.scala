@@ -87,50 +87,60 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** MinHash signatures: for h in 0..7, min over shingles of
-    * md5(h || '|' || shingle). Lexicographic min over hex digests is a
-    * valid uniform min-hash and is engine-portable.
+  /** MinHash signatures, columnar: ONE groupBy pass computes all 8
+    * minhashes as columns `mh0..mh7` (min over shingles of
+    * md5(h || '|' || shingle) — lexicographic min over hex digests is a
+    * valid uniform min-hash and engine-portable). Compared to the
+    * explode-by-h formulation this removes an 8× row blowup and a
+    * (doc, h) shuffle: one narrow row per document.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val minCols = (0 until NumHashes).map { h =>
+      min(md5(concat(lit(h.toString), lit("|"), col("sh")).cast("binary")))
+        .as(s"mh$h")
+    }
     shingles(spark, dir)
-      .withColumn("h", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(
-        min(md5(concat(col("h").cast("string"), lit("|"), col("sh"))
-          .cast("binary"))).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+  }
 
   /** MinHash + LSH near-dup (the 100 TB dedup path): band the 8-hash
     * signature into 4 bands of 2, bucket-join on (band, band_key) to get
     * candidates, then estimate similarity as matching signature
-    * positions / 8. Candidate generation never compares non-colliding
+    * positions / 8 — a pure column comparison on the two signature rows,
+    * no third join. Candidate generation never compares non-colliding
     * documents.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // sigs feeds bands + both sides of the similarity join — persist
-    // (same reuse-across-stages rationale as ngramJaccard).
+    // sigs feeds the band explode + both sides of the estimate join —
+    // persist (reuse-across-stages, see ngramJaccard).
     val sigs = minhashSignatures(spark, dir).persist()
+    val bandKeys = (0 until NumBands).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
+        md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}"))
+          .cast("binary")).as("bkey"))
+    }
     val bands = sigs
-      .groupBy(col("doc_id"), (col("h") / lit(2)).cast("long").as("band"))
-      .agg(
-        md5(array_join(
-          transform(
-            array_sort(collect_list(struct(col("h"), col("mh")))),
-            x => x.getField("mh")),
-          "|").cast("binary")).as("bkey"))
-    val ba = bands.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
-    val bb = bands.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
-    val cand = ba
-      .join(bb, Seq("band", "bkey"))
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    val sa = sigs.select(col("doc_id").as("a_id"), col("h"), col("mh").as("mha"))
-    val sb = sigs.select(col("doc_id").as("b_id"), col("h"), col("mh").as("mhb"))
+    def renamed(prefix: String, idCol: String) =
+      (0 until NumHashes).foldLeft(sigs.withColumnRenamed("doc_id", idCol)) {
+        (df, h) => df.withColumnRenamed(s"mh$h", s"$prefix$h")
+      }
+    val matches = (0 until NumHashes)
+      .map(h => when(col(s"a$h") === col(s"b$h"), 1L).otherwise(0L))
+      .reduce(_ + _)
     cand
-      .join(sa, "a_id")
-      .join(sb, Seq("b_id", "h"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(when(col("mha") === col("mhb"), 1L).otherwise(0L)).as("m"))
+      .join(renamed("a", "a_id"), "a_id")
+      .join(renamed("b", "b_id"), "b_id")
+      .withColumn("m", matches)
       .filter(col("m") >= NumHashes / 2)
       .select(
         col("a_id"), col("b_id"),

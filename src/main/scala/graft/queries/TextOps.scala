@@ -68,8 +68,15 @@ object TextOps {
       .partitionBy(col("doc_id"))
       .orderBy(col("sentence_index"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    sentenceSplit(spark, dir)
-      .withColumn("len", length(col("sentence")).cast("long"))
+    // span length = Σ word lengths + (n-1) separators — identical to
+    // length(re-joined sentence) without materializing the strings, so
+    // the agg shuffles two longs per sentence instead of the text.
+    words(spark, dir)
+      .groupBy(
+        col("doc_id"),
+        floor(col("pos") / SentenceWords).as("sentence_index"))
+      .agg((sum(length(col("word"))) + count(lit(1)) - 1)
+        .cast("long").as("len"))
       .withColumn(
         "span_start",
         coalesce(sum(col("len") + 1).over(w), lit(0L)))
@@ -202,7 +209,30 @@ object TextOps {
           .cast("binary")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF (training-data pipeline tier): term frequency per (doc,
+    * word), document frequency per word, and tf·ln(N/df). The only
+    * transcendental emitted anywhere — computed from identical exact
+    * integers in both engines, rounded to 6 dp.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = words(spark, dir)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = documents(spark, dir).select(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("word"), col("tf"), col("df"),
+        round(
+          col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")),
+          6).as("tfidf"))
+      .orderBy(col("doc_id"), col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_tfidf" -> tfidf,
     "t1_sentence_split" -> sentenceSplit,
     "t2_char_offsets" -> charOffsets,
     "t3_entity_alignment" -> entityAlignment,
@@ -237,6 +267,16 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    "t8_tfidf" ->
+      s"""WITH $wordsCte,
+          tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+          dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+          n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+          SELECT doc_id, word, tf, df,
+                 ROUND(CAST(tf AS DOUBLE)
+                   * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+          FROM tf JOIN dfreq USING (word) CROSS JOIN n
+          ORDER BY doc_id, word""",
     "t1_sentence_split" ->
       s"""WITH $sentencesCte
           SELECT doc_id, sentence_index, sentence FROM sentences
