@@ -1,0 +1,80 @@
+package graft
+
+import graft.etl.{Entities, Transcripts, WarehouseWriter}
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based invariants (SURVEY.md §5 item 3) over the ETL
+  * operators, on arbitrary generated inputs:
+  * offsets partition exactly, ordered concat is order-insensitive to
+  * input arrival, INSERT IGNORE is idempotent, alignment is total.
+  */
+object InvariantProps extends Properties("graft.invariants") {
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val word: Gen[String] =
+    Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo", "spark", "x")
+  private val sentenceGen: Gen[String] =
+    Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  property("W2: spans partition the newline-joined text exactly") =
+    Prop.forAll(Gen.nonEmptyListOf(sentenceGen)) { sents =>
+      val df = sents.zipWithIndex
+        .map { case (s, i) => (1L, i, s) }
+        .toDF("episode_id", "sentence_index", "sentence_text")
+      val rows = Entities.sentenceSpans(df)
+        .orderBy("sentence_index").collect()
+      val contiguous = rows.sliding(2).forall {
+        case Array(a, b) =>
+          b.getAs[Long]("span_start") == a.getAs[Long]("span_end") + 1
+        case _ => true
+      }
+      val lengthsMatch = rows.zip(sents).forall { case (r, s) =>
+        r.getAs[Long]("span_end") - r.getAs[Long]("span_start") == s.length
+      }
+      rows.head.getAs[Long]("span_start") == 0L && contiguous && lengthsMatch
+    }
+
+  property("A7: ordered concat is invariant to chunk arrival order") =
+    Prop.forAll(Gen.nonEmptyListOf(sentenceGen)) { texts =>
+      val inOrder = texts.zipWithIndex.map { case (t, i) => (1L, i, t) }
+      val shuffled = inOrder.reverse // worst-case arrival order
+      def reduce(rows: Seq[(Long, Int, String)]) =
+        Transcripts.reduceTranscripts(
+          rows.toDF("episode_id", "chunk_num", "text"))
+          .select("text").as[String].head()
+      reduce(inOrder) == texts.mkString(" ") &&
+        reduce(shuffled) == texts.mkString(" ")
+    }
+
+  property("E6: insertIgnore is idempotent and never loses existing rows") =
+    Prop.forAll(
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 9L), Gen.alphaStr)),
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 9L), Gen.alphaStr))) { (ex, in) =>
+      val existing = (("sentinel", -1L) :: Nil)
+        .map(_.swap).++(ex).toDF("k", "v").dropDuplicates("k")
+      val incoming = in.toDF("k", "v")
+      val once = WarehouseWriter.insertIgnore(existing, incoming, Seq("k"), Seq("v"))
+      val twice = WarehouseWriter.insertIgnore(once, incoming, Seq("k"), Seq("v"))
+      once.count() == twice.count() &&
+        once.except(twice).count() == 0 &&
+        existing.join(once, Seq("k"), "left_anti").count() == 0
+    }
+
+  property("J3: every in-range offset aligns to exactly one sentence") =
+    Prop.forAll(Gen.nonEmptyListOf(sentenceGen)) { sents =>
+      val df = sents.zipWithIndex
+        .map { case (s, i) => (1L, i, s) }
+        .toDF("episode_id", "sentence_index", "sentence_text")
+      val spans = Entities.sentenceSpans(df)
+      val total = sents.map(_.length + 1).sum
+      val probes = (0 until total)
+        .map(b => (1L, s"e$b", "PERSON", b.toLong))
+        .toDF("episode_id", "entity_text", "entity_type", "begin_off")
+      Entities.align(probes, spans).count() == total.toLong
+    }
+}
