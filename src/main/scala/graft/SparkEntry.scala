@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.EventWindows.queries ++
       graft.queries.Multimodal.queries ++
-      graft.queries.Extended.queries
+      graft.queries.Extended.queries ++
+      graft.queries.WarehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

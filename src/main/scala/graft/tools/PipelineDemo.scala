@@ -20,7 +20,7 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val expected = Seq((1L, 3), (2L, 2)).toDF("episode_id", "num_chunks")
+    val expected = Seq((1L, 3), (2L, 2), (3L, 1)).toDF("episode_id", "num_chunks")
     val wh = Pipeline.run(spark, feeds, chunks, expected)
     Seq(
       "time_dimension" -> wh.time, "podcast_dimension" -> wh.podcast,

@@ -8,13 +8,13 @@ class PipelineSpec extends SparkSpec {
 
   lazy val wh: Pipeline.Warehouse = Pipeline.run(
     spark, res("feeds"), res("chunks"),
-    Seq((1L, 3), (2L, 2)).toDF("episode_id", "num_chunks"))
+    Seq((1L, 3), (2L, 2), (3L, 1)).toDF("episode_id", "num_chunks"))
 
   test("all five warehouse tables materialize") {
     assert(wh.podcast.count() == 2)
     assert(wh.episode.count() == 4)
     assert(wh.time.count() == 2)
-    assert(wh.sentence.count() == 6)
+    assert(wh.sentence.count() == 8) // episodes 1 (6) + 3 (2); 2 is incomplete
     assert(wh.entity.count() > 0)
   }
 

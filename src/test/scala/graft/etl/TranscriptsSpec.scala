@@ -12,7 +12,7 @@ class TranscriptsSpec extends SparkSpec {
     Seq((1L, 3), (2L, 2)).toDF("episode_id", "num_chunks")
 
   test("chunk source parses episode/chunk ids from the path (S3/S4)") {
-    assert(chunks.count() == 4)
+    assert(chunks.count() == 5)
     assert(chunks.filter($"episode_id" === 1L).count() == 3)
   }
 
