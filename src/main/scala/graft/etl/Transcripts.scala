@@ -72,6 +72,27 @@ object Transcripts {
         posexplode(split(col("text"), "(?<=[.!?])\\s+"))
           .as(Seq("sentence_index", "sentence_text")))
 
+  /** E12 — the sentence sinks (`lambda_5.py:88-98`): one sentence per
+    * line (Comprehend's ONE_DOC_PER_LINE input, `lambda_6.py:33`) and a
+    * JSON array-per-episode variant. Line order = sentence order (the
+    * offsets and the positional join both depend on it).
+    */
+  def writeSentenceText(sentences: DataFrame, path: String): Unit =
+    sentences
+      .orderBy(col("episode_id"), col("sentence_index"))
+      .select(col("sentence_text"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+
+  def writeSentenceJson(sentences: DataFrame, path: String): Unit =
+    sentences
+      .groupBy(col("episode_id"))
+      .agg(transform(
+        array_sort(collect_list(
+          struct(col("sentence_index"), col("sentence_text")))),
+        x => x.getField("sentence_text")).as("sentences"))
+      .write.mode("overwrite").json(path)
+
   /** Full sentence path: barrier → reduce → tokenize → sentiment stub →
     * sentence_dimension rows (`lambda_71.py:74-121` zip-by-index +
     * load). sentence_id = xxhash64(episode_id, sentence_index) — the
