@@ -50,6 +50,21 @@ object WarehouseWriter {
   def appendFacts(existing: DataFrame, incoming: DataFrame): DataFrame =
     existing.unionByName(incoming)
 
+  /** Data co-location (reference path layout
+    * `{podcast}/{episode_id}/chunk_{n}` — `lambda_3.py:92,107-108`,
+    * SURVEY §4's co-location row): hive-style partitioned parquet, so
+    * per-episode reads prune to one directory and downstream joins on
+    * the partition key skip non-matching files entirely.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Point update (`lambda_3.py:127-133`: `UPDATE episode_dimension SET
     * downloaded=TRUE, num_chunks=? WHERE episode_id=?`): no in-place
     * update in parquet — left-join the updates and coalesce per column.

@@ -231,8 +231,26 @@ object TextOps {
       .orderBy(col("doc_id"), col("word"))
   }
 
+  /** Bigram frequency (n-gram generation tier): adjacent word pairs per
+    * the shingle pattern (lead window, null-propagating concat), top
+    * 100 under a total order.
+    */
+  def bigramFreq(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    words(spark, dir)
+      .withColumn(
+        "bigram",
+        concat(col("word"), lit(" "), lead(col("word"), 1).over(w)))
+      .filter(col("bigram").isNotNull)
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t8_tfidf" -> tfidf,
+    "t9_bigram_freq" -> bigramFreq,
     "t1_sentence_split" -> sentenceSplit,
     "t2_char_offsets" -> charOffsets,
     "t3_entity_alignment" -> entityAlignment,
@@ -267,6 +285,14 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    "t9_bigram_freq" ->
+      s"""WITH $wordsCte,
+          bg AS (
+            SELECT word || ' ' || lead(word) OVER
+              (PARTITION BY doc_id ORDER BY pos) AS bigram
+            FROM words)
+          SELECT bigram, COUNT(*) AS cnt FROM bg WHERE bigram IS NOT NULL
+          GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100""",
     "t8_tfidf" ->
       s"""WITH $wordsCte,
           tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),

@@ -22,11 +22,22 @@ object WarehouseQueries {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Pipeline.Warehouse]()
 
+  /** Fixture roots resolve against CWD first, then the repo's absolute
+    * location — the driver may invoke Verify from elsewhere.
+    */
+  private def fixture(rel: String): String = {
+    val cwd = new java.io.File(rel)
+    if (cwd.isDirectory) cwd.getAbsolutePath
+    else s"/root/repo/$rel"
+  }
+
   private def wh(spark: SparkSession): Pipeline.Warehouse =
     cache.computeIfAbsent(spark, { s =>
       import s.implicits._
       val w = Pipeline.run(
-        s, "src/test/resources/feeds", "src/test/resources/chunks",
+        s,
+        fixture("src/test/resources/feeds"),
+        fixture("src/test/resources/chunks"),
         Seq((1L, 3), (2L, 2), (3L, 1)).toDF("episode_id", "num_chunks"))
       Pipeline.Warehouse(
         w.time.persist(), w.podcast.persist(), w.episode.persist(),

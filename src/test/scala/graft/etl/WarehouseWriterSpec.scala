@@ -42,4 +42,18 @@ class WarehouseWriterSpec extends SparkSpec {
     val a = Seq((1L, "x")).toDF("k", "v")
     assert(WarehouseWriter.appendFacts(a, a).count() == 2)
   }
+
+  test("partitioned write lays out per-key directories and prunes reads") {
+    val dir = java.nio.file.Files.createTempDirectory("colo").toString
+    val df = Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "c"))
+      .toDF("episode_id", "chunk_num", "v")
+    WarehouseWriter.writePartitioned(df, dir, Seq("episode_id"))
+    assert(new java.io.File(s"$dir/episode_id=1").isDirectory)
+    val pruned = spark.read.parquet(dir).filter(col("episode_id") === 1L)
+    assert(pruned.count() == 2)
+    // partition filter reaches the scan (pruning, not a full read)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") ||
+      scan.contains("episode_id=1") || pruned.inputFiles.length == 1)
+  }
 }
