@@ -199,7 +199,52 @@ object Dedup {
       .limit(50)
   }
 
+  /** SimHash signature as a 60-bit integer (same votes as `simhash`,
+    * packed) — the joinable form.
+    */
+  def simhashValues(spark: SparkSession, dir: String): DataFrame =
+    TextOps.words(spark, dir)
+      .withColumn(
+        "th",
+        conv(substring(md5(col("word").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("b", explode(sequence(lit(0), lit(59))))
+      .withColumn(
+        "contrib",
+        when(expr("(th >> b) & 1") === 1, 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(
+        when(col("vote") >= 0, expr("shiftleft(cast(1 as bigint), b)"))
+          .otherwise(0L)).as("sv"))
+
+  /** SimHash near-dup pairs (LSH over the signature): band the 60-bit
+    * value into 4×15-bit keys, bucket-join candidates, keep pairs at
+    * Hamming distance <= 8 (bit_count of xor — exact in both engines).
+    * Same scale shape as MinHash LSH: candidate work ∝ band collisions.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sv = simhashValues(spark, dir).persist()
+    val bands = sv.withColumn("k", explode(sequence(lit(0), lit(3))))
+      .withColumn("bandval", expr("(sv >> (15 * k)) & 32767"))
+    val cand = bands
+      .select(col("doc_id").as("a_id"), col("sv").as("sa"), col("k"), col("bandval"))
+      .join(
+        bands.select(col("doc_id").as("b_id"), col("sv").as("sb"), col("k"), col("bandval")),
+        Seq("k", "bandval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
+      .filter(col("hamming") <= 8)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d6_simhash_neardup" -> simhashNearDup,
     "d1_exact_dedup" -> exactDedup,
     "d2_ngram_jaccard" -> ngramJaccard,
     "d3_minhash_lsh" -> minhashLsh,
@@ -231,6 +276,30 @@ object Dedup {
           GROUP BY doc_id, h)"""
 
   val oracleSql: Map[String, String] = Map(
+    "d6_simhash_neardup" ->
+      s"""WITH $wordsCte,
+          votes AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) >> b) & 1 = 1
+                       THEN 1 ELSE -1 END) AS vote
+            FROM words
+            CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b)
+            GROUP BY doc_id, b),
+          sh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN vote >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sv
+            FROM votes GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, sv, k, (sv >> (15 * k)) & 32767 AS bandval
+            FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                   a.sv AS sa, b.sv AS sb
+            FROM bands a JOIN bands b
+              ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id)
+          SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+          FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+          ORDER BY a_id, b_id""",
     "d1_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
                 MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
