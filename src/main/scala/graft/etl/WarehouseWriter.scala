@@ -1,8 +1,9 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** The reference's idempotent warehouse write patterns (SURVEY.md §2.1
   * E6/E13, §2.3 J4), re-expressed for an append-only columnar store:
@@ -49,6 +50,22 @@ object WarehouseWriter {
     */
   def appendFacts(existing: DataFrame, incoming: DataFrame): DataFrame =
     existing.unionByName(incoming)
+
+  /** E8 — idempotent DDL (`lambda_2.py:24-88,148-151`: five
+    * `CREATE TABLE IF NOT EXISTS` issued on every metadata load): an
+    * empty table with the declared schema registers in the session
+    * catalog only if absent — repeat calls are no-ops, matching the
+    * reference's every-invocation DDL.
+    */
+  def createTableIfNotExists(
+      spark: SparkSession,
+      name: String,
+      schema: StructType): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+        .write.saveAsTable(name)
+    }
 
   /** Data co-location (reference path layout
     * `{podcast}/{episode_id}/chunk_{n}` — `lambda_3.py:92,107-108`,

@@ -43,6 +43,19 @@ class WarehouseWriterSpec extends SparkSpec {
     assert(WarehouseWriter.appendFacts(a, a).count() == 2)
   }
 
+  test("createTableIfNotExists is idempotent with the declared schema (E8)") {
+    import graft.schema.Schemas
+    spark.sql("DROP TABLE IF EXISTS podcast_dimension_spec")
+    WarehouseWriter.createTableIfNotExists(
+      spark, "podcast_dimension_spec", Schemas.podcastDimension)
+    WarehouseWriter.createTableIfNotExists(
+      spark, "podcast_dimension_spec", Schemas.podcastDimension) // no-op
+    assert(spark.catalog.tableExists("podcast_dimension_spec"))
+    assert(spark.table("podcast_dimension_spec").schema.fieldNames.toSeq ==
+      Schemas.podcastDimension.fieldNames.toSeq)
+    spark.sql("DROP TABLE podcast_dimension_spec")
+  }
+
   test("partitioned write lays out per-key directories and prunes reads") {
     val dir = java.nio.file.Files.createTempDirectory("colo").toString
     val df = Seq((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "c"))
