@@ -94,14 +94,34 @@ object Dedup {
     * explode-by-h formulation this removes an 8× row blowup and a
     * (doc, h) shuffle: one narrow row per document.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesFrom(shingles(spark, dir))
+
+  private def signaturesFrom(sh: DataFrame): DataFrame = {
     val minCols = (0 until NumHashes).map { h =>
       min(md5(concat(lit(h.toString), lit("|"), col("sh")).cast("binary")))
         .as(s"mh$h")
     }
-    shingles(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH band-bucket candidate pairs from a signature DataFrame. */
+  private def candidatesFrom(sigs: DataFrame): DataFrame = {
+    val bandKeys = (0 until NumBands).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
+        md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}"))
+          .cast("binary")).as("bkey"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    bands.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
   }
 
   /** MinHash + LSH near-dup (the 100 TB dedup path): band the 8-hash
@@ -115,21 +135,7 @@ object Dedup {
     // sigs feeds the band explode + both sides of the estimate join —
     // persist (reuse-across-stages, see ngramJaccard).
     val sigs = minhashSignatures(spark, dir).persist()
-    val bandKeys = (0 until NumBands).map { b =>
-      struct(
-        lit(b.toLong).as("band"),
-        md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}"))
-          .cast("binary")).as("bkey"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
-      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct()
+    val cand = candidatesFrom(sigs)
     def renamed(prefix: String, idCol: String) =
       (0 until NumHashes).foldLeft(sigs.withColumnRenamed("doc_id", idCol)) {
         (df, h) => df.withColumnRenamed(s"mh$h", s"$prefix$h")
@@ -243,8 +249,36 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The production dedup pattern at 100 TB: LSH candidates → EXACT
+    * Jaccard rescoring on just those pairs. Candidate generation is the
+    * cheap bucket join; the expensive exact set intersection runs only
+    * on the (tiny) candidate list — broadcast the pairs, intersect via
+    * the inverted index restricted to them. Compare d2 (exact over all
+    * colliding pairs) and d3 (estimate only).
+    */
+  def lshRescore(spark: SparkSession, dir: String): DataFrame = {
+    val s = shingles(spark, dir).persist()
+    val cand = candidatesFrom(signaturesFrom(s))
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = broadcast(cand)
+      .join(s.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), "b_id")
+      .select(
+        col("a_id"), col("b_id"), col("inter"),
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_simhash_neardup" -> simhashNearDup,
+    "d7_lsh_rescore" -> lshRescore,
     "d1_exact_dedup" -> exactDedup,
     "d2_ngram_jaccard" -> ngramJaccard,
     "d3_minhash_lsh" -> minhashLsh,
@@ -276,6 +310,29 @@ object Dedup {
           GROUP BY doc_id, h)"""
 
   val oracleSql: Map[String, String] = Map(
+    "d7_lsh_rescore" ->
+      s"""WITH $sigsCte,
+          bands AS (
+            SELECT doc_id, h // 2 AS band,
+                   md5(string_agg(mh, '|' ORDER BY h)) AS bkey
+            FROM sigs GROUP BY doc_id, h // 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+          inter AS (
+            SELECT c.a_id, c.b_id, COUNT(*) AS inter
+            FROM cand c
+            JOIN shingles x ON x.doc_id = c.a_id
+            JOIN shingles y ON y.doc_id = c.b_id AND y.sh = x.sh
+            GROUP BY 1, 2)
+          SELECT a_id, b_id, inter,
+                 CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          ORDER BY a_id, b_id""",
     "d6_simhash_neardup" ->
       s"""WITH $wordsCte,
           votes AS (

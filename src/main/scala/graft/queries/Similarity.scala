@@ -109,10 +109,43 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF top-k with nprobe=2: each query scans its TWO nearest
+    * centroids' buckets — the standard recall/latency knob (nprobe=1 in
+    * ivfTopK trades recall for a k× smaller candidate set; higher
+    * nprobe converges on brute force).
+    */
+  def ivfTopKNprobe2(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfAssign(spark, dir)
+      .select(col("vec_id"), col("centroid_id"))
+    val e = vectors(spark, dir).join(assign, "vec_id")
+    val c = vectors(spark, dir).filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val probeRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    val probes = vectors(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(c))
+      .withColumn("c_sim", cosine("cv", "cn", "qv", "qn"))
+      .withColumn("pr", row_number().over(probeRank))
+      .filter(col("pr") <= 2)
+      .select(col("q_id"), col("qv"), col("qn"), col("centroid_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    broadcast(probes)
+      .join(e, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine("qv", "qn", "v", "nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> bruteForceTopK,
     "s2_ivf_assign" -> ivfAssign,
-    "s3_ivf_topk" -> ivfTopK)
+    "s3_ivf_topk" -> ivfTopK,
+    "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2)
 
   private val vecCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
@@ -157,5 +190,27 @@ object Similarity {
                      ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS BIGINT) AS rank
             FROM ec q JOIN ec e ON q.centroid_id = e.centroid_id
             WHERE q.vec_id < $NumQueries AND q.vec_id <> e.vec_id)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
+    "s4_ivf_topk_nprobe2" ->
+      s"""WITH $assignCte,
+          qprobe AS (
+            SELECT q_id, centroid_id FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS centroid_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS pr
+              FROM e q CROSS JOIN e c
+              WHERE c.vec_id < $NumCentroids AND q.vec_id < $NumQueries)
+            WHERE pr <= 2),
+          ec AS (SELECT e.vec_id, e.v, a.centroid_id
+                 FROM e JOIN assign a ON a.vec_id = e.vec_id)
+          SELECT q_id, vec_id, cos_sim, rank FROM (
+            SELECT p.q_id, ec.vec_id,
+                   ${cosSql("q", "ec")} AS cos_sim,
+                   CAST(row_number() OVER (PARTITION BY p.q_id
+                     ORDER BY ${cosSql("q", "ec")} DESC, ec.vec_id) AS BIGINT) AS rank
+            FROM qprobe p
+            JOIN ec ON ec.centroid_id = p.centroid_id
+            JOIN e q ON q.vec_id = p.q_id
+            WHERE p.q_id <> ec.vec_id)
           WHERE rank <= $TopK ORDER BY q_id, rank""")
 }
