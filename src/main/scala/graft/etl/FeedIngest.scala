@@ -40,9 +40,17 @@ object FeedIngest {
         col("it.enclosure._url").as("link"),
         // RFC-822 parse, null on failure (S9). Spark's post-3.0 parser
         // rejects EEE in parse patterns — strip the weekday prefix.
-        try_to_timestamp(
-          regexp_replace(col("it.pubDate"), "^[A-Za-z]{3},\\s*", ""),
-          lit("dd MMM yyyy HH:mm:ss Z"))
+        // Legal RFC-822 varies: single-digit days ('5 Jun') and named
+        // zones ('GMT', 'EST') — coalesce over the pattern matrix
+        // ('d' also matches 2-digit days; 'zzz' the zone names), still
+        // null when nothing matches.
+        coalesce(
+          Seq("d MMM yyyy HH:mm:ss Z", "d MMM yyyy HH:mm:ss zzz",
+              "d MMM yyyy HH:mm Z", "d MMM yyyy HH:mm zzz").map { p =>
+            try_to_timestamp(
+              regexp_replace(col("it.pubDate"), "^[A-Za-z]{3},\\s*", ""),
+              lit(p))
+          }: _*)
           .cast("date").as("episode_release_date"),
         col("it.title").as("episode_title"),
         col("it.description").as("episode_description"))

@@ -17,29 +17,48 @@ object FeedList {
     * dropped (`lambda_2.py:157`).
     */
   def read(spark: SparkSession, path: String): DataFrame =
-    // rows are JSON arrays, not objects — whole-doc read + from_json
+    // rows are JSON arrays, not objects — whole-doc read + from_json.
+    // The header is POSITIONAL (always the first pair, `lambda_1.py:74`):
+    // drop element 0, not rows whose name happens to equal the header
+    // text (a feed literally named "podcast_name", or a null name, is a
+    // legal data row).
     spark.read
       .option("wholetext", true)
       .text(path)
-      .select(explode(from_json(
+      .select(posexplode(from_json(
         col("value"),
-        org.apache.spark.sql.types.DataType.fromDDL("array<array<string>>")))
-        .as("pair"))
+        org.apache.spark.sql.types.DataType.fromDDL("array<array<string>>"))))
+      .filter(col("pos") > 0)
       .select(
-        element_at(col("pair"), 1).as("podcast_name"),
-        element_at(col("pair"), 2).as("rss_feed"))
-      .filter(col("podcast_name") =!= "podcast_name")
+        element_at(col("col"), 1).as("podcast_name"),
+        element_at(col("col"), 2).as("rss_feed"))
 
   /** E3 — write the same wire format (header pair first,
     * `lambda_1.py:74-76`). Driver-side single-doc JSON: the feed list
     * is tiny control metadata (tens of rows), not data — collect is
     * intentional and bounded.
     */
+  /** JSON string escape (quote/backslash/control chars) — naked
+    * interpolation would emit an invalid wire file for names containing
+    * quotes.
+    */
+  private def jstr(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def write(df: DataFrame, path: String): Unit = {
     val rows = df
       .select(col("podcast_name"), col("rss_feed"))
       .collect()
-      .map(r => s"""["${r.getString(0)}","${r.getString(1)}"]""")
+      .map(r => s"[${jstr(r.getString(0))},${jstr(r.getString(1))}]")
     val json =
       ("""["podcast_name","rss_feed"]""" +: rows).mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)

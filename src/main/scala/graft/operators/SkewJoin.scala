@@ -23,8 +23,15 @@ object SkewJoin {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // The salt must be a pure function of row CONTENT: a positional
+    // source (monotonically_increasing_id) is not stable under task
+    // retry / upstream-shuffle recomputation (the SPARK-23207 class of
+    // bug) — a retried partition would re-salt rows differently and
+    // duplicate or drop join output. Hash of all big-side columns is
+    // retry-stable and spreads hot keys as long as the non-key columns
+    // vary (identical full rows co-locate, which is harmless).
     val saltedBig = big.withColumn(
-      "__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      "__salt", pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
     val replicatedSmall = small.withColumn(
       "__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig

@@ -65,20 +65,26 @@ object Similarity {
 
   /** IVF bucket assignment: every vector goes to its nearest of 8 seed
     * centroids (cosine, ties → lowest centroid id). One broadcast join
-    * against 8 centroids + a per-vector top-1 window — linear scan,
-    * no all-pairs.
+    * against 8 centroids + a `max_by` hash aggregate — linear scan, no
+    * all-pairs, and (vs the round-1 row_number window) no shuffle+sort
+    * of every (vector × centroid) row: top-1-per-key is an aggregation,
+    * not a ranking. Tie-break on the rounded cosine goes to the lowest
+    * centroid_id via the negated id in the ordering struct.
     */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     val c = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("centroid_id"))
     e.crossJoin(broadcast(c))
       .withColumn("cos_sim", cosine("cv", "cn", "v", "nrm"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("cos_sim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("centroid_id"), col("cos_sim")),
+        struct(col("cos_sim"), (-col("centroid_id")).as("neg_id"))).as("best"))
+      .select(
+        col("vec_id"),
+        col("best.centroid_id").as("centroid_id"),
+        col("best.cos_sim").as("cos_sim"))
       .orderBy(col("vec_id"))
   }
 
@@ -120,15 +126,25 @@ object Similarity {
     val e = vectors(spark, dir).join(assign, "vec_id")
     val c = vectors(spark, dir).filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val probeRank = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id"))
+    // top-2 centroids per query without a ranking window: aggregate the
+    // 8 per-centroid scores into a sorted array and slice — one hash
+    // agg, no sort exchange. Order inside the struct: (-c_sim, id) asc
+    // ≡ (c_sim desc, id asc), same as the round-1 row_number ordering.
     val probes = vectors(spark, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       .crossJoin(broadcast(c))
       .withColumn("c_sim", cosine("cv", "cn", "qv", "qn"))
-      .withColumn("pr", row_number().over(probeRank))
-      .filter(col("pr") <= 2)
-      .select(col("q_id"), col("qv"), col("qn"), col("centroid_id"))
+      .groupBy(col("q_id"))
+      .agg(
+        first(col("qv")).as("qv"),
+        first(col("qn")).as("qn"),
+        slice(
+          array_sort(collect_list(
+            struct((-col("c_sim")).as("neg_sim"), col("centroid_id")))),
+          1, 2).as("top2"))
+      .select(
+        col("q_id"), col("qv"), col("qn"),
+        explode(col("top2").getField("centroid_id")).as("centroid_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     broadcast(probes)
