@@ -34,5 +34,6 @@ object SparkEntry {
       graft.queries.Similarity.oracleSql ++
       graft.queries.EventWindows.oracleSql ++
       graft.queries.Multimodal.oracleSql ++
-      graft.queries.Extended.oracleSql
+      graft.queries.Extended.oracleSql ++
+      graft.queries.WarehouseQueries.oracleSql
 }

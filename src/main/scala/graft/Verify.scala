@@ -19,6 +19,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Materialize the warehouse parquet the wh_* oracle SQL reads
+    // (WarehouseQueries.DumpPath) — must land before the driver's
+    // DuckDB pass runs oracle_sql.json.
+    try graft.queries.WarehouseQueries.dumpWarehouse(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] warehouse dump failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
