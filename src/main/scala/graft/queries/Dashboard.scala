@@ -91,10 +91,10 @@ object Dashboard {
     * time order, `event_id` as the total-order tiebreak (SURVEY §2.5 W1
     * determinism note).
     *
-    * Scale note: the reference semantics are a single global ordering, so
-    * the window is unpartitioned — inherently one ordered stream. At
-    * 100 TB the equivalent op would be partitioned by entity/episode; the
-    * partitioned variant is `TextOps`' per-document windows.
+    * Scale note: the reference semantics are a single global ordering.
+    * Round 1 implemented it as one unpartitioned window (single-task
+    * sort); this is the two-phase range-partitioned formulation — same
+    * exact results, every stage partition-parallel.
     *
     * Exactness: `round(avg, k)` diverges between engines at decimal
     * midpoints (observed at sf0.001). The testdata values are exact
@@ -103,12 +103,53 @@ object Dashboard {
     * division of identical integers is bit-identical. No rounding needed.
     */
   def q6RollingSentiment(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
-    events(spark, dir)
+    // Two-phase rolling window — no single-partition Window.orderBy
+    // (round 1 shipped the naive global window: one task sorts and
+    // scans ALL rows, the 100×-scale bottleneck).
+    //
+    //   rolling_sum(i) = prefix(i) - prefix(i-50)   [prefix(j<=0) = 0]
+    //
+    // Phase 1: range-partition on the window key, per-PARTITION prefix
+    // sums (parallel). Phase 2: per-partition (count, sum) totals —
+    // P rows, not data rows — get cumulative offsets and broadcast back,
+    // making per-partition prefixes global. The prefix 50 rows back then
+    // comes from an equi-join on the global index (shuffle on idx,
+    // partition-parallel). All sums are exact integer cents; the final
+    // division is the same IEEE op as before, so values are unchanged.
+    val base = events(spark, dir)
       .select(col("event_id"), col("ts"), col("value"))
       .withColumn("cents", round(col("value") * 100).cast("long"))
-      .withColumn("sum_cents", sum(col("cents")).over(w))
-      .withColumn("cnt", count(col("cents")).over(w))
+      .repartitionByRange(col("ts"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("ts"), col("event_id"))))
+      .withColumn("lsum", sum(col("cents")).over(wLocal))
+    // cumulative offsets over the P partition totals (P = one row per
+    // range partition, not data rows): a triangular broadcast join —
+    // sum every earlier partition's totals — keeps the whole q6 plan
+    // free of unpartitioned WindowExec nodes
+    val totals = local.groupBy(col("pid"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val stats = totals.select(col("pid"))
+      .join(
+        broadcast(totals.select(col("pid").as("p2"), col("n"), col("s"))),
+        col("p2") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("row_off"),
+        coalesce(sum(col("s")), lit(0L)).as("sum_off"))
+    val glob = local.join(broadcast(stats), "pid")
+      .withColumn("gidx", col("lrn") + col("row_off"))
+      .withColumn("gpre", col("lsum") + col("sum_off"))
+    val back50 = glob.select(
+      (col("gidx") + 50).as("pidx"), col("gpre").as("ppre"))
+    glob.join(back50, col("gidx") === col("pidx"), "left")
+      .withColumn("sum_cents", col("gpre") - coalesce(col("ppre"), lit(0L)))
+      .withColumn("cnt", least(col("gidx"), lit(50L)))
       .withColumn(
         "rolling_avg",
         col("sum_cents").cast("double") / (lit(100.0) * col("cnt").cast("double")))
