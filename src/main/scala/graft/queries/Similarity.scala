@@ -157,11 +157,117 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Cosine assignment of every vector in `vecs` (vec_id, v, nrm) to
+    * its nearest centroid in `cents` (centroid_id, cv, cn) — broadcast
+    * join + max_by hash agg, the shape shared by ivfAssign and the
+    * k-means iterations. Raw (unrounded) cosine; ties → lowest id.
+    */
+  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("cos_sim", vecDot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("v")).as("v"),
+        max_by(
+          struct(col("centroid_id"), col("cos_sim")),
+          struct(col("cos_sim"), (-col("centroid_id")).as("neg_id"))).as("best"))
+      .select(
+        col("vec_id"), col("v"),
+        col("best.centroid_id").as("centroid_id"),
+        col("best.cos_sim").as("cos_sim"))
+
+  /** Lloyd's k-means over an embedding DataFrame (vec_id, v): seed with
+    * the k lowest vec_ids (the deterministic seeds the oracle-checked
+    * s2–s4 entries use), then `iters` rounds of distributed
+    * assign-and-mean. Per round: one broadcast-join assignment (cosine)
+    * and one per-dimension hash aggregate for the new means — both
+    * partition-parallel; the only driver state is the k×d centroid
+    * matrix itself (bounded control data, the same shape MLlib's KMeans
+    * keeps on the driver).
+    *
+    * Returns (centroid_id, cv). Empty clusters keep their previous
+    * centroid. The k-means objective (mean assignment cosine) is
+    * monotonically non-decreasing — asserted in the spec; on corpora
+    * with real cluster structure that is what turns into IVF recall
+    * (see KMeansSpec; the uniform-random testdata embeddings have no
+    * such structure by construction).
+    */
+  def kmeansFit(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val base = vecs.select(col("vec_id"), col("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    var centroids: Seq[(Long, Seq[Double])] = base
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().toSeq.zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+    for (_ <- 1 to iters) {
+      val cdf = centroids.toDF("centroid_id", "cv")
+        .withColumn("cn", vecNorm(col("cv")))
+      val means = assignTo(base, cdf)
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("centroid_id"), col("d"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("m")))),
+          e => e.getField("m")).as("cv"))
+        .as[(Long, Seq[Double])]
+        .collect().toMap
+      centroids = centroids.map { case (id, old) =>
+        (id, means.getOrElse(id, old))
+      }
+    }
+    centroids.toDF("centroid_id", "cv")
+  }
+
+  /** Mean assignment cosine — the spherical k-means objective — of
+    * `vecs` against `cents` (centroid_id, cv). Spec-facing.
+    */
+  def kmeansObjective(vecs: DataFrame, cents: DataFrame): Double =
+    assignTo(
+      vecs.select(col("vec_id"), col("v")).withColumn("nrm", vecNorm(col("v"))),
+      cents.withColumn("cn", vecNorm(col("cv"))))
+      .agg(avg(col("cos_sim"))).head().getDouble(0)
+
+  /** IVF top-k (nprobe=1) over k-means centroids (3 Lloyd's rounds):
+    * the production bucketing — better quantization than raw seeds on
+    * clustered corpora. No cross-engine oracle (iterative distributed
+    * float means are summation-order-sensitive in the last ulp, so an
+    * independent engine can legitimately flip a boundary assignment) —
+    * registry entry is rows-only; semantics are spec-checked and the
+    * seed-centroid variants s2–s4 stay the oracle-checked entries.
+    */
+  def kmeansIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents = kmeansFit(e, NumCentroids, iters = 3)
+      .withColumn("cn", vecNorm(col("cv")))
+    val assign = assignTo(e, cents)
+      .select(col("vec_id"), col("centroid_id"))
+    val ec = e.join(assign, "vec_id")
+    val q = ec.filter(col("vec_id") < NumQueries)
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("centroid_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    broadcast(q)
+      .join(ec, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine("qv", "qn", "v", "nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> bruteForceTopK,
     "s2_ivf_assign" -> ivfAssign,
     "s3_ivf_topk" -> ivfTopK,
-    "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2)
+    "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2,
+    "s5_kmeans_ivf_topk" -> kmeansIvfTopK)
 
   private val vecCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
