@@ -198,26 +198,32 @@ object Dedup {
     * bitstring (bit 0 first). Near-dup = small Hamming distance; banding
     * the bitstring gives the same LSH bucket-join scale path as MinHash.
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
+  /** Per-bit ±1 vote sums for all 60 bits as COLUMNS of one hash
+    * aggregate — one row per (doc, word) in, one row per doc out. The
+    * round-1 formulation exploded each word row 60× (bit dimension as
+    * rows) and aggregated twice; same math, 60× the shuffle. The
+    * oracle SQL keeps the row form — results are identical.
+    */
+  private def bitVotes(spark: SparkSession, dir: String): DataFrame = {
+    val voteCols = (0 until 60).map { b =>
+      sum(when(expr(s"(th >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"v$b")
+    }
     TextOps.words(spark, dir)
       .withColumn(
         "th",
         conv(substring(md5(col("word").cast("binary")), 1, 15), 16, 10)
           .cast("long"))
-      .withColumn("b", explode(sequence(lit(0), lit(59))))
-      .withColumn(
-        "contrib",
-        when(expr("(th >> b) & 1") === 1, 1L).otherwise(-1L))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("vote"))
-      .withColumn("bit", when(col("vote") >= 0, lit("1")).otherwise(lit("0")))
       .groupBy(col("doc_id"))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("b"), col("bit")))),
-            x => x.getField("bit")),
-          "").as("simhash"))
+      .agg(voteCols.head, voteCols.tail: _*)
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    bitVotes(spark, dir)
+      .select(
+        col("doc_id"),
+        concat((0 until 60).map(b =>
+          when(col(s"v$b") >= 0, lit("1")).otherwise(lit("0"))): _*)
+          .as("simhash"))
       .orderBy(col("doc_id"))
 
   /** Embedding-cosine near-dup: top-50 most similar vector pairs.
@@ -247,21 +253,12 @@ object Dedup {
     * packed) — the joinable form.
     */
   def simhashValues(spark: SparkSession, dir: String): DataFrame =
-    TextOps.words(spark, dir)
-      .withColumn(
-        "th",
-        conv(substring(md5(col("word").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
-      .withColumn("b", explode(sequence(lit(0), lit(59))))
-      .withColumn(
-        "contrib",
-        when(expr("(th >> b) & 1") === 1, 1L).otherwise(-1L))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("vote"))
-      .groupBy(col("doc_id"))
-      .agg(sum(
-        when(col("vote") >= 0, expr("shiftleft(cast(1 as bigint), b)"))
-          .otherwise(0L)).as("sv"))
+    bitVotes(spark, dir)
+      .select(
+        col("doc_id"),
+        (0 until 60)
+          .map(b => when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sv"))
 
   /** SimHash near-dup pairs (LSH over the signature): band the 60-bit
     * value into 4×15-bit keys, bucket-join candidates, keep pairs at
@@ -317,6 +314,33 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Embedding near-dup, the 100 TB shape: candidates come from an
+    * equi-join on the IVF bucket (same seed-centroid assignment the
+    * oracle recomputes), so pair work scales with bucket sizes, never
+    * all-pairs — this is the production counterpart to d5's exact
+    * all-pairs demo. Top-50 same-bucket pairs by cosine.
+    */
+  def ivfNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val assign = Similarity.ivfAssign(spark, dir)
+      .select(col("vec_id"), col("centroid_id"))
+    val ec = Similarity.vectors(spark, dir).join(assign, "vec_id")
+    val a = ec.select(
+      col("centroid_id"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = ec.select(
+      col("centroid_id"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d6_simhash_neardup" -> simhashNearDup,
     "d7_lsh_rescore" -> lshRescore,
@@ -324,7 +348,8 @@ object Dedup {
     "d2_ngram_jaccard" -> ngramJaccard,
     "d3_minhash_lsh" -> minhashLsh,
     "d4_simhash" -> simhash,
-    "d5_embedding_neardup" -> embeddingNearDup)
+    "d5_embedding_neardup" -> embeddingNearDup,
+    "d8_ivf_neardup" -> ivfNearDup)
 
   private val wordsCte =
     """words AS (
@@ -459,5 +484,14 @@ object Dedup {
                 ROUND(list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         ORDER BY cos_sim DESC, a_id, b_id LIMIT 50""")
+         ORDER BY cos_sim DESC, a_id, b_id LIMIT 50""",
+    "d8_ivf_neardup" ->
+      s"""WITH ${Similarity.assignCte},
+          ec AS (SELECT e.vec_id, e.v, a.centroid_id
+                 FROM e JOIN assign a ON a.vec_id = e.vec_id)
+          SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+                 ${Similarity.cosSql("x", "y")} AS cos_sim
+          FROM ec x JOIN ec y
+            ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+          ORDER BY cos_sim DESC, a_id, b_id LIMIT 50""")
 }

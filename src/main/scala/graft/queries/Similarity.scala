@@ -31,14 +31,14 @@ object Similarity {
     * use the codegen'd DotProduct expression (graft.functions) — same
     * left-to-right summation as the oracle's list_dot_product.
     */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def vectors(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)
       .select(
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
 
-  private def cosine(va: String, na: String, vb: String, nb: String) =
+  private[queries] def cosine(va: String, na: String, vb: String, nb: String) =
     round(vecDot(col(va), col(vb)) / (col(na) * col(nb)), 6)
 
   /** Brute-force cosine top-k: each query vector (vec_id < 5) against
@@ -269,14 +269,14 @@ object Similarity {
     "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2,
     "s5_kmeans_ivf_topk" -> kmeansIvfTopK)
 
-  private val vecCte =
+  private[queries] val vecCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
 
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"""ROUND(list_dot_product($a.v, $b.v)
         / (sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v))), 6)"""
 
-  private val assignCte =
+  private[queries] val assignCte =
     s"""$vecCte,
         assign AS (
           SELECT vec_id, centroid_id, cos_sim FROM (
