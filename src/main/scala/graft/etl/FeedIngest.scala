@@ -19,6 +19,22 @@ object FeedIngest {
 
   case class FeedDims(time: DataFrame, podcast: DataFrame, episode: DataFrame)
 
+  /** S9 — RFC-822 pubDate → date, null on failure (`lambda_2.py:108-114`).
+    * Spark's post-3.0 parser rejects `EEE` in parse patterns — the
+    * weekday prefix is stripped first. Legal RFC-822 varies: single-digit
+    * days ('5 Jun'), named zones ('GMT', 'EST'), and second-less times —
+    * coalesce over the pattern matrix ('d' also matches 2-digit days,
+    * 'zzz' the zone names), still null when nothing matches.
+    */
+  def parsePubDate(pubDate: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(
+      Seq("d MMM yyyy HH:mm:ss Z", "d MMM yyyy HH:mm:ss zzz",
+          "d MMM yyyy HH:mm Z", "d MMM yyyy HH:mm zzz").map { p =>
+        try_to_timestamp(
+          regexp_replace(pubDate, "^[A-Za-z]{3},\\s*", ""), lit(p))
+      }: _*)
+      .cast("date")
+
   /** The ingest proper (`lambda_2.py:173-238`). Surrogate keys are
     * xxhash64 of the natural unique key (podcast_title / link) — stable
     * across retries, no driver-side sequence at 100 TB. pubDate parses
@@ -38,20 +54,7 @@ object FeedIngest {
       .select(
         col("podcast_title"),
         col("it.enclosure._url").as("link"),
-        // RFC-822 parse, null on failure (S9). Spark's post-3.0 parser
-        // rejects EEE in parse patterns — strip the weekday prefix.
-        // Legal RFC-822 varies: single-digit days ('5 Jun') and named
-        // zones ('GMT', 'EST') — coalesce over the pattern matrix
-        // ('d' also matches 2-digit days; 'zzz' the zone names), still
-        // null when nothing matches.
-        coalesce(
-          Seq("d MMM yyyy HH:mm:ss Z", "d MMM yyyy HH:mm:ss zzz",
-              "d MMM yyyy HH:mm Z", "d MMM yyyy HH:mm zzz").map { p =>
-            try_to_timestamp(
-              regexp_replace(col("it.pubDate"), "^[A-Za-z]{3},\\s*", ""),
-              lit(p))
-          }: _*)
-          .cast("date").as("episode_release_date"),
+        parsePubDate(col("it.pubDate")).as("episode_release_date"),
         col("it.title").as("episode_title"),
         col("it.description").as("episode_description"))
 

@@ -27,6 +27,21 @@ class FeedIngestSpec extends SparkSpec {
     assert(bad.length == 1 && bad.head.isNullAt(0))
   }
 
+  test("pubDate parser covers the legal RFC-822 variant matrix (S9)") {
+    import spark.implicits._
+    val got = Seq(
+      "Mon, 02 Jan 2023 10:00:00 +0000", // canonical
+      "Mon, 2 Jan 2023 10:00:00 +0000",  // single-digit day
+      "Mon, 02 Jan 2023 10:00:00 GMT",   // named zone
+      "2 Jan 2023 10:00 GMT",            // no weekday, no seconds
+      "not a date")
+      .toDF("pd")
+      .select(FeedIngest.parsePubDate(col("pd")).cast("string").as("d"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.take(4).forall(_.contains("2023-01-02")))
+    assert(got.last.isEmpty) // null-on-failure preserved
+  }
+
   test("time dimension: distinct dates with derived parts (A4/S10)") {
     val rows = dims.time.orderBy("date").collect()
     assert(rows.length == 2) // 2023-01-02 shared across feeds; 2023-02-03

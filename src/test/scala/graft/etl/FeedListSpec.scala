@@ -24,6 +24,23 @@ class FeedListSpec extends SparkSpec {
       ("pod-b", "https://b.example/rss")))
   }
 
+  test("quotes and control chars in names survive the wire format") {
+    val dir = Files.createTempDirectory("feedlist").toString
+    val path = s"$dir/feeds.json"
+    val tricky = Seq(
+      ("""say "hi"\now""", "https://q.example/feed"),
+      ("tab\there", "https://t.example/rss"),
+      ("podcast_name", "https://literal-header-name.example/rss"))
+      .toDF("podcast_name", "rss_feed")
+    FeedList.write(tricky, path)
+    val back = FeedList.read(spark, path).orderBy("rss_feed").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(back == Seq(
+      ("podcast_name", "https://literal-header-name.example/rss"),
+      ("""say "hi"\now""", "https://q.example/feed"),
+      ("tab\there", "https://t.example/rss")))
+  }
+
   test("static feeds union ahead of scraped, dedup on feed url (U1)") {
     val static = Seq(("hard", "https://x/feed")).toDF("podcast_name", "rss_feed")
     val scraped = Seq(

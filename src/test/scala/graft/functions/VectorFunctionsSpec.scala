@@ -38,4 +38,20 @@ class VectorFunctionsSpec extends SparkSpec {
     val r = df.select(VectorFunctions.vecDot($"a", $"b")).collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("length mismatch and null elements yield null, not a truncated dot") {
+    val df = Seq(
+      (Seq(Some(1.0), Some(2.0), Some(3.0)), Seq(Some(4.0), Some(5.0))),
+      (Seq(Some(1.0), None), Seq(Some(3.0), Some(4.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(3.0), Some(4.0))))
+      .toDF("a", "b")
+    val rows = df.select(VectorFunctions.vecDot($"a", $"b").as("d")).collect()
+    assert(rows(0).isNullAt(0)) // 3 vs 2 elements
+    assert(rows(1).isNullAt(0)) // null element
+    assert(rows(2).getDouble(0) == 11.0)
+    // same through the interpreted path (filter forces non-codegen eval)
+    val interp = df.select(VectorFunctions.vecDot($"a", $"b").as("d"))
+      .filter(lit(true)).collect()
+    assert(interp(0).isNullAt(0) && interp(1).isNullAt(0))
+  }
 }
