@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan audits for the headline queries: the properties that
+  * make these plans survive a 100× scale-up, asserted so a refactor
+  * can't silently regress them. (`explain`-and-iterate, made
+  * executable.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q6 two-phase rolling window: no unpartitioned WindowExec") {
+    val p = plan("q6_rolling_sentiment")
+    // every windowspecdefinition must carry a partition column (pid);
+    // an unpartitioned spec starts with the orderBy column directly
+    val specs = "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(_.startsWith("pid")),
+      s"window specs not all pid-partitioned: $specs")
+  }
+
+  test("dedup pair joins are equi-joins, never cartesian") {
+    for (q <- Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d7_lsh_rescore",
+        "d6_simhash_neardup", "d8_ivf_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian join")
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = plan("q3_entity_types")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThanOrEqual(l_orderkey,100)]")
+      || p.contains("LessThanOrEqual(l_orderkey,100)"), p.linesIterator
+        .filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("column pruning: q1 scans only the projected column") {
+    val p = plan("q1_distinct_podcasts")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("c_mktsegment"))
+    assert(!readSchema.contains("c_name") && !readSchema.contains("c_address"),
+      readSchema)
+  }
+
+  test("small sides broadcast: q5 join and s1 query side") {
+    assert(plan("q5_sentiment_pie").contains("BroadcastHashJoin"))
+    assert(plan("s1_cosine_topk").contains("BroadcastNestedLoopJoin")
+      || plan("s1_cosine_topk").contains("BroadcastHashJoin"))
+  }
+
+  test("d2/d7 shingle joins carry the document-frequency cap") {
+    for (q <- Seq("d2_ngram_jaccard", "d7_lsh_rescore")) {
+      val p = plan(q)
+      assert("df#\\d+L? <= 100".r.findFirstIn(p).isDefined,
+        s"$q plan shows no df cap filter")
+    }
+  }
+}
