@@ -46,6 +46,34 @@ object TarGz {
       .toDF()
   }
 
+  /** Streaming form of `readTarGz` — the reference's actual trigger
+    * model (S3 ObjectCreated on `.gz` suffix, `main.tf:612-621`,
+    * firing `lambda_71`): archives dropped into the directory are
+    * picked up incrementally by the file source and untarred in the
+    * micro-batch, exactly once.
+    */
+  def readTarGzStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          "modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField(
+          "length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "content", org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.tar.gz")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        untar(bytes).map { case (m, c) => TarEntry(p, m, c) }
+      }
+      .toDF()
+  }
+
   /** The reference's consumption shape (`lambda_71.py:36-40`): the
     * member named `member` decoded as text and split to one row per
     * JSON line, with the 0-based line index (the reference zips results
