@@ -93,6 +93,38 @@ object Transcripts {
         x => x.getField("sentence_text")).as("sentences"))
       .write.mode("overwrite").json(path)
 
+  /** The archive-fed sentence path (`lambda_71.py:49-121`): staged
+    * sentences zipped BY POSITION to the sentiment rows untarred from a
+    * Comprehend archive (TarGz.sentimentOutput + an episode_id the
+    * caller derives from the archive path, `lambda_71.py:57-60`).
+    * The reference merely prints its count-equality check
+    * (`lambda_71.py:70`); here it gates the join (A9, enforced).
+    *
+    * `sentences`: (episode_id, sentence_index, sentence_text);
+    * `sentiment`: (episode_id, line_index, overall_sentiment,
+    * negative_score, neutral_score, positive_score, mixed_score).
+    * Inner join on (episode_id, index) = the positional zip (W4);
+    * sentence_id = xxhash64(episode_id, sentence_index) as everywhere.
+    */
+  def sentenceDimensionFromArchives(
+      sentences: DataFrame, sentiment: DataFrame): DataFrame = {
+    graft.functions.DataQuality.requireCountsMatch(
+      sentences, sentiment, "sentences vs sentiment lines")
+    sentences.join(
+      sentiment.withColumnRenamed("line_index", "sentence_index"),
+      Seq("episode_id", "sentence_index"))
+      .select(
+        xxhash64(col("episode_id"), col("sentence_index")).as("sentence_id"),
+        col("sentence_text"),
+        col("sentence_index"),
+        col("overall_sentiment"),
+        col("negative_score"),
+        col("neutral_score"),
+        col("positive_score"),
+        col("mixed_score"),
+        col("episode_id"))
+  }
+
   /** Full sentence path: barrier → reduce → tokenize → sentiment stub →
     * sentence_dimension rows (`lambda_71.py:74-121` zip-by-index +
     * load). sentence_id = xxhash64(episode_id, sentence_index) — the

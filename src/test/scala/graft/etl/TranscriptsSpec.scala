@@ -56,4 +56,30 @@ class TranscriptsSpec extends SparkSpec {
     val again = Transcripts.sentenceDimension(chunks, expected)
     assert(sd.except(again).count() == 0)
   }
+
+  test("archive-fed sentence path zips sentiment to sentences by position") {
+    // fixture archives: episode_1 → 3 lines, episode_2 → 2 lines
+    val sentiment = graft.sources.TarGz.sentimentOutput(spark, res("archives"))
+      .withColumn(
+        "episode_id",
+        regexp_extract(col("archive"), "episode_(\\d+)", 1).cast("long"))
+      .drop("archive")
+    val sentences = Seq(
+      (1L, 0L, "Alpha."), (1L, 1L, "Beta."), (1L, 2L, "Gamma."),
+      (2L, 0L, "Delta."), (2L, 1L, "Epsilon."))
+      .toDF("episode_id", "sentence_index", "sentence_text")
+    val sd = Transcripts.sentenceDimensionFromArchives(sentences, sentiment)
+      .orderBy(col("episode_id"), col("sentence_index")).collect()
+    assert(sd.length == 5)
+    // line 0 of each archive is POSITIVE per the fixture generator
+    assert(sd.head.getAs[String]("overall_sentiment") == "POSITIVE")
+    assert(sd.head.getAs[String]("sentence_text") == "Alpha.")
+    assert(sd.head.getAs[Double]("positive_score") == 0.6)
+    // the count-equality gate is enforced, not printed (lambda_71.py:70)
+    val short = sentences.filter(col("sentence_index") < 2)
+    val e = intercept[IllegalArgumentException] {
+      Transcripts.sentenceDimensionFromArchives(short, sentiment)
+    }
+    assert(e.getMessage.contains("count mismatch"))
+  }
 }
