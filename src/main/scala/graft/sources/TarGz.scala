@@ -114,6 +114,32 @@ object TarGz {
         col("j.SentimentScore.Mixed").as("mixed_score"))
   }
 
+  /** Comprehend ENTITIES archives (`lambda_72.py:16-41,49-50`): the
+    * `output` member is one JSON document `{"Entities": [...]}` (not
+    * lines). One row per entity with its archive-order index; offsets
+    * feed the interval alignment (`Entities.align`).
+    */
+  def entitiesOutput(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(
+      "struct<Entities: array<struct<" +
+        "Text: string, Type: string, BeginOffset: bigint, EndOffset: bigint>>>")
+    readTarGz(spark, path)
+      .filter(col("member") === "output")
+      .select(
+        col("archive"),
+        from_json(decode(col("content"), "UTF-8"), schema).as("j"))
+      .select(
+        col("archive"),
+        posexplode(col("j.Entities")).as(Seq("entity_index", "e")))
+      .select(
+        col("archive"),
+        col("entity_index").cast("long").as("entity_index"),
+        col("e.Text").as("entity_text"),
+        col("e.Type").as("entity_type"),
+        col("e.BeginOffset").as("begin_off"),
+        col("e.EndOffset").as("end_off"))
+  }
+
   /** Decode one gzipped tar archive to its regular-file members. */
   private[sources] def untar(gz: Array[Byte]): Seq[(String, Array[Byte])] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(gz))
