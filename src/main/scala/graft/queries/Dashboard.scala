@@ -109,18 +109,37 @@ object Dashboard {
     //
     //   rolling_sum(i) = prefix(i) - prefix(i-50)   [prefix(j<=0) = 0]
     //
-    // Phase 1: range-partition on the window key, per-PARTITION prefix
-    // sums (parallel). Phase 2: per-partition (count, sum) totals —
+    // Phase 1: bucket rows by range of the window key, per-BUCKET
+    // prefix sums (parallel). Phase 2: per-bucket (count, sum) totals —
     // P rows, not data rows — get cumulative offsets and broadcast back,
-    // making per-partition prefixes global. The prefix 50 rows back then
+    // making per-bucket prefixes global. The prefix 50 rows back then
     // comes from an equi-join on the global index (shuffle on idx,
     // partition-parallel). All sums are exact integer cents; the final
     // division is the same IEEE op as before, so values are unchanged.
-    val base = events(spark, dir)
+    //
+    // The bucket id must be a DETERMINISTIC FUNCTION OF THE ROW, not of
+    // physical placement: `repartitionByRange` + `spark_partition_id()`
+    // is re-evaluated independently in the stats and main plan branches,
+    // and under AQE the two executions can partition differently — the
+    // join on pid then silently drops rows (caught by the sf0.1 probe:
+    // 48,759 of 100,000 rows survived). So: collect P-1 approximate ts
+    // quantiles ONCE (bounded control data, 31 longs) and bake them into
+    // the plan as literals; every branch computes the same pid from the
+    // same row. Bucket balance only affects parallelism, never results —
+    // all equal-ts rows land in one bucket and order within/across
+    // buckets is preserved.
+    val P = 32
+    val base0 = events(spark, dir)
       .select(col("event_id"), col("ts"), col("value"))
       .withColumn("cents", round(col("value") * 100).cast("long"))
-      .repartitionByRange(col("ts"), col("event_id"))
-      .withColumn("pid", spark_partition_id())
+    val fracs = (1 until P).map(_.toDouble / P)
+    val bounds = base0
+      .agg(percentile_approx(col("ts"), typedLit(fracs), lit(10000)).as("bs"))
+      .head().getSeq[Long](0)
+    val pidExpr = bounds
+      .map(b => when(col("ts") > b, 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val base = base0.withColumn("pid", pidExpr)
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
