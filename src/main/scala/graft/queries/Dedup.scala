@@ -341,7 +341,73 @@ object Dedup {
       .limit(50)
   }
 
+  /** Survivor selection — the step after near-dup detection in a real
+    * dedup pipeline: near-duplication is transitive in effect (A~B,
+    * B~C → keep one of {A,B,C}), so pairs must become CLUSTERS before
+    * anything is dropped. Connected components over the d3 LSH pairs
+    * via min-label propagation: every doc starts labeled with itself;
+    * each round takes the min of its own and its neighbors' labels
+    * (one equi-join + hash agg per round); the unique fixpoint labels
+    * each component with its smallest doc_id = the kept doc (d1's
+    * keep-min rule, applied transitively). Rounds needed = component
+    * diameter — near-dup clusters are tiny, and each round is fully
+    * partition-parallel, so this is the 100 TB shape (it is GraphX's
+    * own connected-components algorithm, expressed on DataFrames).
+    * Deterministic fixpoint → oracle-checkable against a DuckDB
+    * recursive CTE.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    // localCheckpoint (not persist): an iterative loop must TRUNCATE
+    // lineage each round, or every round's plan chains all previous
+    // rounds plus the whole LSH pipeline and Catalyst re-analysis grows
+    // without bound (measured: 1.8 s → 2.8 s → 6.7 s per round on a
+    // 479-vertex graph). Exactly GraphX's own checkpointing discipline;
+    // a long-running cluster job would use reliable checkpoint() for
+    // fault tolerance instead.
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint()
+    // Only vertices that appear in an edge can ever change label —
+    // propagate over the edge vertex set alone (∝ near-dup docs, a
+    // sliver of the corpus); every other doc is its own cluster and
+    // joins back at the end. Each round is two joins over that sliver.
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    // Convergence via the label sum: labels only ever decrease, so the
+    // sum strictly decreases until the (unique) fixpoint — one scalar
+    // action per round instead of a change-row join.
+    var prevSum = java.lang.Long.MIN_VALUE
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("label").as("vl")), "v")
+        .groupBy(col("u")).agg(min(col("vl")).as("nl"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("doc_id"), col("nl")), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      rounds += 1
+    }
+    documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_dedup_clusters" -> dedupClusters,
     "d6_simhash_neardup" -> simhashNearDup,
     "d7_lsh_rescore" -> lshRescore,
     "d1_exact_dedup" -> exactDedup,
@@ -381,6 +447,33 @@ object Dedup {
           GROUP BY doc_id, h)"""
 
   val oracleSql: Map[String, String] = Map(
+    "d9_dedup_clusters" ->
+      s"""WITH RECURSIVE $sigsCte,
+          bands AS (
+            SELECT doc_id, h // 2 AS band,
+                   md5(string_agg(mh, '|' ORDER BY h)) AS bkey
+            FROM sigs GROUP BY doc_id, h // 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          sim AS (
+            SELECT c.a_id, c.b_id,
+                   SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+            FROM cand c
+            JOIN sigs x ON x.doc_id = c.a_id
+            JOIN sigs y ON y.doc_id = c.b_id AND y.h = x.h
+            GROUP BY 1, 2),
+          pairs AS (SELECT a_id, b_id FROM sim WHERE m >= ${NumHashes / 2}),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                    UNION SELECT b_id, a_id FROM pairs),
+          reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)
+          SELECT src AS doc_id, MIN(dst) AS cluster_id,
+                 MIN(dst) = src AS is_survivor
+          FROM reach GROUP BY src ORDER BY doc_id""",
     "d7_lsh_rescore" ->
       s"""WITH $sigsCte,
           bands AS (
