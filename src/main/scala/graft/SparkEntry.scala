@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.EventWindows.queries ++
       graft.queries.Multimodal.queries ++
       graft.queries.Extended.queries ++
+      graft.queries.TrainingSet.queries ++
       graft.queries.WarehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.EventWindows.oracleSql ++
       graft.queries.Multimodal.oracleSql ++
       graft.queries.Extended.oracleSql ++
+      graft.queries.TrainingSet.oracleSql ++
       graft.queries.WarehouseQueries.oracleSql
 }

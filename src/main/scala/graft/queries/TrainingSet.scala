@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The capstone composition of the training-data tier: select the
+  * training corpus. A document makes the cut when it
+  *   (a) survives deduplication (d9's cluster survivor — exactly one
+  *       doc per near-dup cluster),
+  *   (b) is identified as English (t6's marker-lexicon argmax), and
+  *   (c) passes the quality band (t5's metrics: length, stopword
+  *       ratio, type-token ratio, token shape).
+  * This is the query a 100 TB pipeline actually runs end-to-end; every
+  * stage is the already-oracle-checked operator, composed — hash
+  * aggregates + one broadcast-size join against the survivor labels,
+  * no new shuffle shapes. Thresholds sit inside the observed metric
+  * distributions so the filter is live at every SF.
+  *
+  * All quality ratios are IEEE divisions of exact integer counts, so
+  * the threshold comparisons agree bit-for-bit with the DuckDB oracle.
+  */
+object TrainingSet {
+
+  val MinTokens = 20L
+  val MinStopRatio = 0.02
+  val MinTypeTokenRatio = 0.35
+  val MinAvgLen = 3.0
+  val MaxAvgLen = 6.0
+
+  def select(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps.qualityScore(spark, dir)
+    val lang = TextOps.langId(spark, dir)
+      .select(col("doc_id"), col("predicted_lang"))
+    val survivors = Dedup.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("is_survivor"))
+    quality
+      .join(lang, "doc_id")
+      .join(survivors, "doc_id")
+      .filter(
+        col("is_survivor") &&
+          col("predicted_lang") === "en" &&
+          col("n_tokens") >= MinTokens &&
+          col("stopword_ratio") >= MinStopRatio &&
+          col("type_token_ratio") >= MinTypeTokenRatio &&
+          col("avg_token_len") >= MinAvgLen &&
+          col("avg_token_len") <= MaxAvgLen)
+      .select(
+        col("doc_id"), col("cluster_id"), col("n_tokens"),
+        col("avg_token_len"), col("stopword_ratio"),
+        col("type_token_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_training_select" -> select)
+
+  // Self-contained oracle: the words CTE feeds quality + lang, the
+  // shingle→MinHash→LSH→cluster chain reproduces d9 via the recursive
+  // CTE (unique min-label fixpoint), and the final select applies the
+  // same band. CTE names are disjoint by construction.
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  val oracleSql: Map[String, String] = {
+    val langs = TextOps.LangLexicons.map(_._1)
+    val hitExprs = TextOps.LangLexicons.map { case (l, lex) =>
+      s"SUM(CASE WHEN word IN (${inList(lex)}) THEN 1 ELSE 0 END) AS hits_$l"
+    }.mkString(", ")
+    val caseExpr = langs.map { l =>
+      val geAll = langs.filter(_ != l)
+        .map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN $geAll AND hits_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    Map("p1_training_select" ->
+      s"""WITH RECURSIVE words AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) - 1 AS pos,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents),
+          quality AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(LENGTH(word)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_token_len,
+                   CAST(SUM(CASE WHEN word IN (${inList(TextOps.EnStop)}) THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS stopword_ratio,
+                   CAST(COUNT(DISTINCT word) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
+            FROM words GROUP BY doc_id),
+          lang AS (
+            SELECT doc_id, CASE $caseExpr ELSE 'und' END AS predicted_lang
+            FROM (SELECT doc_id, $hitExprs FROM words GROUP BY doc_id)),
+          sh0 AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS sh
+            FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          shingles1 AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+          shingles AS (
+            SELECT doc_id, sh FROM (
+              SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+              FROM shingles1)
+            WHERE df <= ${Dedup.MaxShingleDf}),
+          sigs AS (
+            SELECT doc_id, h,
+                   MIN(md5(CAST(h AS VARCHAR) || '|' || sh)) AS mh
+            FROM shingles
+            CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.NumHashes - 1})) AS h)
+            GROUP BY doc_id, h),
+          bands AS (
+            SELECT doc_id, h // 2 AS band,
+                   md5(string_agg(mh, '|' ORDER BY h)) AS bkey
+            FROM sigs GROUP BY doc_id, h // 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+          sim AS (
+            SELECT c.a_id, c.b_id,
+                   SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+            FROM cand c
+            JOIN sigs x ON x.doc_id = c.a_id
+            JOIN sigs y ON y.doc_id = c.b_id AND y.h = x.h
+            GROUP BY 1, 2),
+          lsh_pairs AS (SELECT a_id, b_id FROM sim WHERE m >= ${Dedup.NumHashes / 2}),
+          edges AS (SELECT a_id AS u, b_id AS v FROM lsh_pairs
+                    UNION SELECT b_id, a_id FROM lsh_pairs),
+          reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst),
+          clusters AS (
+            SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+          SELECT q.doc_id, c.cluster_id, q.n_tokens, q.avg_token_len,
+                 q.stopword_ratio, q.type_token_ratio
+          FROM quality q
+          JOIN lang l ON l.doc_id = q.doc_id
+          JOIN clusters c ON c.doc_id = q.doc_id
+          WHERE c.cluster_id = q.doc_id
+            AND l.predicted_lang = 'en'
+            AND q.n_tokens >= $MinTokens
+            AND q.stopword_ratio >= $MinStopRatio
+            AND q.type_token_ratio >= $MinTypeTokenRatio
+            AND q.avg_token_len >= $MinAvgLen
+            AND q.avg_token_len <= $MaxAvgLen
+          ORDER BY q.doc_id""")
+  }
+}
