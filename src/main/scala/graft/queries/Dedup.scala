@@ -357,6 +357,25 @@ object Dedup {
     * recursive CTE.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // The fixpoint is deterministic, so the vertex labels are session-
+    // cacheable like shingles/sigs — d9 and the p1 composition share
+    // one propagation run per (session, dir).
+    val labelsFinal = cached(spark, dir, "clusterLabels") {
+      clusterLabels(spark, dir)
+    }
+    documents(spark, dir).select(col("doc_id"))
+      .join(labelsFinal, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The min-label propagation itself → (doc_id, label) for edge
+    * vertices only (see dedupClusters).
+    */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
     // localCheckpoint (not persist): an iterative loop must TRUNCATE
     // lineage each round, or every round's plan chains all previous
@@ -397,13 +416,7 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    documents(spark, dir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
