@@ -109,65 +109,22 @@ object Dashboard {
     //
     //   rolling_sum(i) = prefix(i) - prefix(i-50)   [prefix(j<=0) = 0]
     //
-    // Phase 1: bucket rows by range of the window key, per-BUCKET
-    // prefix sums (parallel). Phase 2: per-bucket (count, sum) totals —
-    // P rows, not data rows — get cumulative offsets and broadcast back,
-    // making per-bucket prefixes global. The prefix 50 rows back then
-    // comes from an equi-join on the global index (shuffle on idx,
-    // partition-parallel). All sums are exact integer cents; the final
-    // division is the same IEEE op as before, so values are unchanged.
-    //
-    // The bucket id must be a DETERMINISTIC FUNCTION OF THE ROW, not of
-    // physical placement: `repartitionByRange` + `spark_partition_id()`
-    // is re-evaluated independently in the stats and main plan branches,
-    // and under AQE the two executions can partition differently — the
-    // join on pid then silently drops rows (caught by the sf0.1 probe:
-    // 48,759 of 100,000 rows survived). So: collect P-1 approximate ts
-    // quantiles ONCE (bounded control data, 31 longs) and bake them into
-    // the plan as literals; every branch computes the same pid from the
-    // same row. Bucket balance only affects parallelism, never results —
-    // all equal-ts rows land in one bucket and order within/across
-    // buckets is preserved.
-    val P = 32
-    val base0 = events(spark, dir)
+    // The global index + running sum come from operators.GlobalPrefix
+    // (quantile-bucketed two-phase prefix scan, every stage partition-
+    // parallel, data-derived bucket ids — see its scaladoc for the AQE
+    // recomputation hazard that rules out spark_partition_id). The
+    // prefix 50 rows back is then an equi-join on the global index.
+    // All sums are exact integer cents; the final division is the same
+    // IEEE op as the single-window form, so values are unchanged.
+    val base = events(spark, dir)
       .select(col("event_id"), col("ts"), col("value"))
       .withColumn("cents", round(col("value") * 100).cast("long"))
-    val fracs = (1 until P).map(_.toDouble / P)
-    val bounds = base0
-      .agg(percentile_approx(col("ts"), typedLit(fracs), lit(10000)).as("bs"))
-      .head().getSeq[Long](0)
-    val pidExpr = bounds
-      .map(b => when(col("ts") > b, 1).otherwise(0))
-      .reduceOption(_ + _).getOrElse(lit(0))
-    val base = base0.withColumn("pid", pidExpr)
-    val wLocal = Window.partitionBy(col("pid"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base
-      .withColumn("lrn", row_number().over(
-        Window.partitionBy(col("pid")).orderBy(col("ts"), col("event_id"))))
-      .withColumn("lsum", sum(col("cents")).over(wLocal))
-    // cumulative offsets over the P partition totals (P = one row per
-    // range partition, not data rows): a triangular broadcast join —
-    // sum every earlier partition's totals — keeps the whole q6 plan
-    // free of unpartitioned WindowExec nodes
-    val totals = local.groupBy(col("pid"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
-    val stats = totals.select(col("pid"))
-      .join(
-        broadcast(totals.select(col("pid").as("p2"), col("n"), col("s"))),
-        col("p2") < col("pid"), "left")
-      .groupBy(col("pid"))
-      .agg(
-        coalesce(sum(col("n")), lit(0L)).as("row_off"),
-        coalesce(sum(col("s")), lit(0L)).as("sum_off"))
-    val glob = local.join(broadcast(stats), "pid")
-      .withColumn("gidx", col("lrn") + col("row_off"))
-      .withColumn("gpre", col("lsum") + col("sum_off"))
+    val glob = graft.operators.GlobalPrefix.withPrefix(
+      base, col("ts"), Seq(col("event_id")), col("cents"))
     val back50 = glob.select(
-      (col("gidx") + 50).as("pidx"), col("gpre").as("ppre"))
+      (col("gidx") + 50).as("pidx"), col("prefix").as("ppre"))
     glob.join(back50, col("gidx") === col("pidx"), "left")
-      .withColumn("sum_cents", col("gpre") - coalesce(col("ppre"), lit(0L)))
+      .withColumn("sum_cents", col("prefix") - coalesce(col("ppre"), lit(0L)))
       .withColumn("cnt", least(col("gidx"), lit(50L)))
       .withColumn(
         "rolling_avg",

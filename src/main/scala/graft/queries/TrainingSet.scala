@@ -52,8 +52,37 @@ object TrainingSet {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget sampling — the data-mixing step after selection: take
+    * the best documents first (quality key descending) until the token
+    * budget is spent. Budget here = half the corpus tokens, computed in-
+    * query so the filter stays live at every SF. The running token total
+    * over the global quality order uses operators.GlobalPrefix (two-
+    * phase quantile-bucketed prefix scan) — no unpartitioned window, the
+    * same discipline as q6. Quality key and cum tokens are exact
+    * long/IEEE values, so the cut-off row is identical in both engines.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        col("stopword_ratio"), col("type_token_ratio"))
+      .withColumn(
+        "neg_quality",
+        -(col("stopword_ratio") + col("type_token_ratio")) / lit(2.0))
+    val ranked = graft.operators.GlobalPrefix.withPrefix(
+      q, col("neg_quality"), Seq(col("doc_id")), col("n_tokens"))
+      .withColumnRenamed("prefix", "cum_tokens")
+    val budget = q.agg((sum(col("n_tokens")) / 2).cast("long").as("b"))
+    ranked.crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("b"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        (-col("neg_quality")).as("quality_key"))
+      .orderBy(col("cum_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p1_training_select" -> select)
+    "p1_training_select" -> select,
+    "p2_token_budget" -> tokenBudget)
 
   // Self-contained oracle: the words CTE feeds quality + lang, the
   // shingle→MinHash→LSH→cluster chain reproduces d9 via the recursive
@@ -72,7 +101,35 @@ object TrainingSet {
         .map(o => s"hits_$l >= hits_$o").mkString(" AND ")
       s"WHEN $geAll AND hits_$l > 0 THEN '$l'"
     }.mkString(" ")
-    Map("p1_training_select" ->
+    val qualityCtes =
+      s"""words AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) - 1 AS pos,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents),
+          quality AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(CASE WHEN word IN (${inList(TextOps.EnStop)}) THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS stopword_ratio,
+                   CAST(COUNT(DISTINCT word) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
+            FROM words GROUP BY doc_id)"""
+    Map(
+      "p2_token_budget" ->
+        s"""WITH $qualityCtes,
+            ranked AS (
+              SELECT doc_id, n_tokens,
+                     (stopword_ratio + type_token_ratio) / 2.0 AS quality_key,
+                     SUM(n_tokens) OVER (
+                       ORDER BY -((stopword_ratio + type_token_ratio) / 2.0), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              FROM quality),
+            budget AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS b FROM quality)
+            SELECT doc_id, n_tokens, cum_tokens, quality_key
+            FROM ranked CROSS JOIN budget
+            WHERE cum_tokens <= b
+            ORDER BY cum_tokens""",
+      "p1_training_select" ->
       s"""WITH RECURSIVE words AS (
             SELECT doc_id,
                    generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) - 1 AS pos,

@@ -22,8 +22,8 @@ class PlanAuditSpec extends SparkSpec {
     val specs = "windowspecdefinition\\(([^,]+),".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(specs.nonEmpty)
-    assert(specs.forall(_.startsWith("pid")),
-      s"window specs not all pid-partitioned: $specs")
+    assert(specs.forall(_.startsWith("__pid")),
+      s"window specs not all bucket-partitioned: $specs")
   }
 
   test("dedup pair joins are equi-joins, never cartesian") {
