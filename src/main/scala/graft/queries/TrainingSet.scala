@@ -29,13 +29,43 @@ object TrainingSet {
   val MaxAvgLen = 6.0
 
   def select(spark: SparkSession, dir: String): DataFrame = {
-    val quality = TextOps.qualityScore(spark, dir)
-    val lang = TextOps.langId(spark, dir)
-      .select(col("doc_id"), col("predicted_lang"))
+    // quality metrics AND language-ID hits share the grouping key — one
+    // words scan + one hash aggregate computes both (separately they
+    // are t5 and t6; composed, two scans of the widest relation would
+    // be pure waste)
+    val langHits = TextOps.LangLexicons.map { case (l, lex) =>
+      sum(when(col("word").isin(lex: _*), 1L).otherwise(0L)).as(s"hits_$l")
+    }
+    val aggCols = Seq(
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("word"))).as("sum_len"),
+      sum(when(col("word").isin(TextOps.EnStop: _*), 1L).otherwise(0L))
+        .as("n_stop"),
+      countDistinct(col("word")).as("n_distinct")) ++ langHits
+    val metrics = TextOps.words(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val langs = TextOps.LangLexicons.map(_._1)
+    val predicted = langs.foldRight(lit("und")) { (l, rest) =>
+      val mine = col(s"hits_$l")
+      val isMax = langs.filter(_ != l)
+        .map(o => mine >= col(s"hits_$o"))
+        .foldLeft(lit(true))(_ && _)
+      when(isMax && mine > 0, lit(l)).otherwise(rest)
+    }
+    val quality = metrics.select(
+      col("doc_id"),
+      col("n_tokens"),
+      (col("sum_len").cast("double") / col("n_tokens").cast("double"))
+        .as("avg_token_len"),
+      (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .as("stopword_ratio"),
+      (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+        .as("type_token_ratio"),
+      predicted.as("predicted_lang"))
     val survivors = Dedup.dedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"), col("is_survivor"))
     quality
-      .join(lang, "doc_id")
       .join(survivors, "doc_id")
       .filter(
         col("is_survivor") &&

@@ -76,4 +76,25 @@ class StreamingSpec extends SparkSpec {
       assert(rows(0).getAs[Long]("n_events") == 2)
     } finally q.stop()
   }
+
+  test("streaming exact dedup drops copies within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF.toDF("arrived", "doc_id", "text")
+    val q = StreamDedup.exactDedup(df, "arrived", "10 minutes")
+      .select("doc_id", "text").writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), 1L, "alpha beta"),
+        (ts(1), 2L, "ALPHA   beta"), // same fingerprint after normalize
+        (ts(2), 3L, "gamma"))
+      q.processAllAvailable()
+      in.addData((ts(4), 4L, "alpha beta")) // still within watermark → dropped
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
 }
