@@ -262,12 +262,56 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s6 — scalar-quantized (8-bit) similarity top-k, the FAISS-SQ8
+    * memory/bandwidth pattern: per-dimension min/max over the corpus
+    * (2×64 doubles, collected once as control data), each vector
+    * encoded to 8-bit codes, similarity = INTEGER dot of the codes.
+    * An 8× smaller scan than raw doubles, integer-SIMD-friendly, and —
+    * because both the encode (identical IEEE ops + floor, no
+    * round-half semantics) and the score (exact long sums) are
+    * deterministic — bit-checkable against the DuckDB oracle, unlike
+    * float-scored ANN. Recall vs s1 is approximate by construction
+    * (quantization error); rank ties break on vec_id.
+    */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val stats = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("d")).collect()
+    val mnLit = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val mxLit = typedLit(stats.map(_.getDouble(2)).toSeq)
+    val codes = transform(col("v"), (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx > mn,
+        least(floor((x - mn) / (mx - mn) * lit(256)), lit(255.0)))
+        .otherwise(lit(0.0)).cast("long")
+    })
+    val enc = e.select(col("vec_id"), codes.as("qv"))
+    val q = enc.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+    val intDot = aggregate(
+      zip_with(col("qq"), col("qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    broadcast(q)
+      .join(enc, col("q_id") =!= col("vec_id"))
+      .withColumn("score", intDot)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> bruteForceTopK,
     "s2_ivf_assign" -> ivfAssign,
     "s3_ivf_topk" -> ivfTopK,
     "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2,
-    "s5_kmeans_ivf_topk" -> kmeansIvfTopK)
+    "s5_kmeans_ivf_topk" -> kmeansIvfTopK,
+    "s6_sq8_topk" -> sq8TopK)
 
   private[queries] val vecCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
@@ -288,6 +332,27 @@ object Similarity {
           WHERE rn = 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    "s6_sq8_topk" ->
+      s"""WITH $vecCte,
+          dims AS (SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e),
+          stats AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY d),
+          qd AS (
+            SELECT vec_id, d,
+                   CAST(CASE WHEN mx > mn
+                        THEN LEAST(FLOOR((x - mn) / (mx - mn) * 256), 255)
+                        ELSE 0 END AS BIGINT) AS qx
+            FROM dims JOIN stats USING (d)),
+          scores AS (
+            SELECT q.vec_id AS q_id, e.vec_id, SUM(q.qx * e.qx) AS score
+            FROM qd q JOIN qd e ON e.d = q.d
+            WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+            GROUP BY 1, 2)
+          SELECT q_id, vec_id, score, rank FROM (
+            SELECT q_id, vec_id, score,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+            FROM scores)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
     "s1_cosine_topk" ->
       s"""WITH $vecCte
           SELECT q_id, vec_id, cos_sim, rank FROM (

@@ -110,9 +110,41 @@ object TrainingSet {
       .orderBy(col("cum_tokens"))
   }
 
+  /** Language-mix sampling — p2 per group: each language contributes
+    * its best documents up to half of ITS token mass, so the corpus mix
+    * preserves language proportions instead of letting one language
+    * crowd out the budget. Per-group running sums are plain partitioned
+    * windows (parallel by language) — the global-window problem p2
+    * solves does not arise here. Uses the testdata `lang` column (the
+    * label a real pipeline would take from t6).
+    */
+  def languageMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        col("stopword_ratio"), col("type_token_ratio"))
+      .join(documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn(
+        "quality_key",
+        (col("stopword_ratio") + col("type_token_ratio")) / lit(2.0))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_key").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgets = q.groupBy(col("lang"))
+      .agg((sum(col("n_tokens")) / 2).cast("long").as("lang_budget"))
+    q.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(budgets), "lang")
+      .filter(col("cum_tokens") <= col("lang_budget"))
+      .select(
+        col("lang"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("quality_key"))
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_training_select" -> select,
-    "p2_token_budget" -> tokenBudget)
+    "p2_token_budget" -> tokenBudget,
+    "p3_language_mix" -> languageMix)
 
   // Self-contained oracle: the words CTE feeds quality + lang, the
   // shingle→MinHash→LSH→cluster chain reproduces d9 via the recursive
@@ -145,6 +177,25 @@ object TrainingSet {
                    CAST(COUNT(DISTINCT word) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
             FROM words GROUP BY doc_id)"""
     Map(
+      "p3_language_mix" ->
+        s"""WITH $qualityCtes,
+            q2 AS (
+              SELECT q.doc_id, q.n_tokens, d.lang,
+                     (q.stopword_ratio + q.type_token_ratio) / 2.0 AS quality_key
+              FROM quality q JOIN documents d USING (doc_id)),
+            ranked AS (
+              SELECT lang, doc_id, n_tokens, quality_key,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY quality_key DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              FROM q2),
+            budgets AS (
+              SELECT lang, CAST(SUM(n_tokens) // 2 AS BIGINT) AS lang_budget
+              FROM q2 GROUP BY lang)
+            SELECT r.lang, r.doc_id, r.n_tokens, r.cum_tokens, r.quality_key
+            FROM ranked r JOIN budgets b ON b.lang = r.lang
+            WHERE r.cum_tokens <= b.lang_budget
+            ORDER BY r.lang, r.cum_tokens""",
       "p2_token_budget" ->
         s"""WITH $qualityCtes,
             ranked AS (
