@@ -141,10 +141,39 @@ object TrainingSet {
       .orderBy(col("lang"), col("cum_tokens"))
   }
 
+  val NumShards = 8
+
+  /** Deterministic shard assignment + balance audit — the write-side
+    * step: training shards must be content-addressed (stable under
+    * retries and re-runs, independent of physical partitioning), so the
+    * shard id is an md5-derived hash of the doc id, never
+    * `spark_partition_id`/round-robin. Emits per-shard doc and token
+    * counts — the balance check run before a training job reads the
+    * shards. (A real writer would follow with
+    * `.write.partitionBy("shard")`.)
+    */
+  def shardStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn(
+        "shard",
+        pmod(
+          conv(
+            substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+            16, 10).cast("long"),
+          lit(NumShards.toLong)))
+    q.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_training_select" -> select,
     "p2_token_budget" -> tokenBudget,
-    "p3_language_mix" -> languageMix)
+    "p3_language_mix" -> languageMix,
+    "p4_shard_stats" -> shardStats)
 
   // Self-contained oracle: the words CTE feeds quality + lang, the
   // shingle→MinHash→LSH→cluster chain reproduces d9 via the recursive
@@ -177,6 +206,15 @@ object TrainingSet {
                    CAST(COUNT(DISTINCT word) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
             FROM words GROUP BY doc_id)"""
     Map(
+      "p4_shard_stats" ->
+        s"""WITH $qualityCtes,
+            sharded AS (
+              SELECT doc_id, n_tokens,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % $NumShards AS shard
+              FROM quality)
+            SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+            FROM sharded GROUP BY shard ORDER BY shard""",
       "p3_language_mix" ->
         s"""WITH $qualityCtes,
             q2 AS (
