@@ -48,9 +48,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the JSON line goes to a
     // file (stable path, no log interleaving) AND is the final stdout
-    // line of the run.
-    java.nio.file.Files.writeString(
+    // line of the run. The file write must never take the stdout line
+    // down with it (wrong path/permissions on a foreign checkout).
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_RESULT.json"), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] result file write failed: ${e.getMessage}")
+    }
     spark.stop()
     println(json)
   }

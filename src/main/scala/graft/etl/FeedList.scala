@@ -38,21 +38,11 @@ object FeedList {
     * is tiny control metadata (tens of rows), not data — collect is
     * intentional and bounded.
     */
-  /** JSON string escape (quote/backslash/control chars) — naked
-    * interpolation would emit an invalid wire file for names containing
-    * quotes.
+  /** JSON string escape — naked interpolation would emit an invalid
+    * wire file for names containing quotes (shared impl:
+    * functions.JsonText).
     */
-  private def jstr(s: String): String =
-    if (s == null) "null"
-    else "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = graft.functions.JsonText.quote(s)
 
   def write(df: DataFrame, path: String): Unit = {
     val rows = df

@@ -108,8 +108,11 @@ object Transcripts {
     */
   def sentenceDimensionFromArchives(
       sentences: DataFrame, sentiment: DataFrame): DataFrame = {
-    graft.functions.DataQuality.requireCountsMatch(
-      sentences, sentiment, "sentences vs sentiment lines")
+    // per-EPISODE equality (the reference checks per archive): global
+    // totals can match while two episodes are mutually misaligned,
+    // which the positional join would then silently drop
+    graft.functions.DataQuality.requireGroupCountsMatch(
+      sentences, sentiment, "episode_id", "sentences vs sentiment lines")
     sentences.join(
       sentiment.withColumnRenamed("line_index", "sentence_index"),
       Seq("episode_id", "sentence_index"))

@@ -54,6 +54,25 @@ object ScalarOps {
     coalesce(param, default)
 }
 
+/** JSON string quoting shared by the wire-format writer (FeedList) and
+  * the oracle manifest writer (Verify): backslash, quote, and ALL
+  * control chars escaped — one implementation, so an escaping fix can't
+  * silently miss a caller.
+  */
+object JsonText {
+  def quote(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
+
 /** A9 — the count-equality data-quality check the reference prints but
   * never enforces (`lambda_71.py:69`:
   * `print(len(sentences) == len(sentiment_output))`) — here a real
@@ -71,5 +90,24 @@ object DataQuality {
       what: String): Unit = {
     val (ca, cb) = (a.count(), b.count())
     require(ca == cb, s"$what: count mismatch $ca != $cb")
+  }
+
+  /** Per-group count equality — the form a positional zip actually
+    * needs: global counts can match while two groups are mutually
+    * misaligned (3+2 vs 2+3), which a global check waves through and
+    * the zip join then silently drops. One aggregate per side + a
+    * full-outer join over the (small) group keys.
+    */
+  def requireGroupCountsMatch(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      key: String,
+      what: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ca = a.groupBy(col(key)).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(col(key)).agg(count(lit(1)).as("__cb"))
+    val bad = ca.join(cb, Seq(key), "full_outer")
+      .filter(!(col("__ca") <=> col("__cb"))).count()
+    require(bad == 0, s"$what: per-$key count mismatch in $bad group(s)")
   }
 }

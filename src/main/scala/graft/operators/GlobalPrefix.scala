@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * Rows with equal leading-key values always land in one bucket, so the
   * bucket order composes with the within-bucket sort to the total
   * order. Bucket balance affects parallelism only, never results.
+  *
+  * The result feeds multiple plan branches (the totals branch here; a
+  * self-join in callers like q6) — all within ONE query execution, so
+  * Spark's ReuseExchange/ReuseSubquery dedups the repeated subtrees at
+  * runtime; correctness never depends on that reuse because every
+  * derived id is a pure function of row data (see above).
   */
 object GlobalPrefix {
 
@@ -42,9 +48,13 @@ object GlobalPrefix {
       buckets: Int = 32): DataFrame = {
     val base0 = df.withColumn("__v", value).withColumn("__k", rangeKey)
     val fracs = (1 until buckets).map(_.toDouble / buckets)
-    val bounds = base0
-      .agg(percentile_approx(col("__k"), typedLit(fracs), lit(10000)))
-      .head().getSeq[Any](0)
+    // null bounds on empty input (percentile of zero rows) → no
+    // boundaries → everything in bucket 0, empty result flows through
+    val bounds = Option(
+      base0
+        .agg(percentile_approx(col("__k"), typedLit(fracs), lit(10000)))
+        .head().getSeq[Any](0))
+      .getOrElse(Seq.empty)
     val pidExpr = bounds
       .map(b => when(col("__k") > lit(b), 1).otherwise(0))
       .reduceOption[Column](_ + _).getOrElse(lit(0))

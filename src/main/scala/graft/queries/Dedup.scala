@@ -47,9 +47,23 @@ object Dedup {
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** NOT computeIfAbsent: cache builds nest (clusterLabels → sigs →
+    * shingles), and a mapping function that updates other mappings
+    * violates the CHM contract (same-bin recursion throws
+    * "Recursive update"). Check-then-putIfAbsent instead — a racing
+    * duplicate build loses and unpersists, which is benign.
+    */
   private def cached(spark: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame =
-    planCache.computeIfAbsent((spark, dir, name), _ => build.persist())
+      build: => DataFrame): DataFrame = {
+    val key = (spark, dir, name)
+    val existing = planCache.get(key)
+    if (existing != null) existing
+    else {
+      val df = build.persist()
+      val prev = planCache.putIfAbsent(key, df)
+      if (prev != null) { df.unpersist(); prev } else df
+    }
+  }
 
   /** Exact dedup (hash-groupBy on normalized-text fingerprint): one
     * surviving doc_id per distinct content + multiplicity. The groupBy
@@ -83,11 +97,19 @@ object Dedup {
       .filter(col("sh").isNotNull)
       .select(col("doc_id"), col("sh"))
       .distinct()
-      // document-frequency cap (see MaxShingleDf): one count-window
-      // shuffle on sh, then hot shingles never reach a join
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("df") <= MaxShingleDf)
-      .drop("df")
+      .transform { raw =>
+      // document-frequency cap (see MaxShingleDf): the df count is a
+      // hash AGGREGATE (map-side partial combine — a count-window
+      // partitioned by sh would funnel the hottest shingle's every
+      // occurrence into one task, the very bottleneck the cap
+      // prevents); the hot list is tiny by construction (≤ corpus
+      // shingle-occurrences / cap), so the anti-join broadcasts
+      val hot = raw.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf)
+        .select(col("sh"))
+      raw.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
   }
 
   private def cachedShingles(spark: SparkSession, dir: String): DataFrame =
@@ -400,7 +422,8 @@ object Dedup {
     var prevSum = java.lang.Long.MIN_VALUE
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 20) {
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u")).agg(min(col("vl")).as("nl"))
@@ -416,6 +439,13 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // rounds needed = component diameter; a component deeper than the
+    // cap means labels are NOT the fixpoint — fail loudly rather than
+    // ship wrong clusters (the oracle computes the true closure and
+    // would divergently "catch" it only where an oracle exists)
+    require(converged,
+      s"label propagation did not converge within $maxRounds rounds " +
+        "(a near-dup component has pathological diameter)")
     labels
   }
 

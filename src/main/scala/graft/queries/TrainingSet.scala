@@ -179,8 +179,7 @@ object TrainingSet {
   // shingle→MinHash→LSH→cluster chain reproduces d9 via the recursive
   // CTE (unique min-label fixpoint), and the final select applies the
   // same band. CTE names are disjoint by construction.
-  private def inList(ws: Seq[String]): String =
-    ws.map(w => s"'$w'").mkString(", ")
+  private def inList(ws: Seq[String]): String = TextOps.inList(ws)
 
   val oracleSql: Map[String, String] = {
     val langs = TextOps.LangLexicons.map(_._1)

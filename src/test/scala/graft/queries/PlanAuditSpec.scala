@@ -56,10 +56,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("d2/d7 shingle joins carry the document-frequency cap") {
+    // the cap is a hash-agg over sh + an anti-join against the hot
+    // list (never a count-window partitioned by sh — that would be the
+    // hot-key single task the cap exists to avoid)
     for (q <- Seq("d2_ngram_jaccard", "d7_lsh_rescore")) {
       val p = plan(q)
-      assert("df#\\d+L? <= 100".r.findFirstIn(p).isDefined,
-        s"$q plan shows no df cap filter")
+      assert("df#\\d+L? > 100".r.findFirstIn(p).isDefined,
+        s"$q plan shows no hot-shingle filter")
+      assert(p.contains("LeftAnti"), s"$q plan shows no anti-join")
     }
   }
 }
