@@ -81,5 +81,17 @@ class TranscriptsSpec extends SparkSpec {
       Transcripts.sentenceDimensionFromArchives(short, sentiment)
     }
     assert(e.getMessage.contains("count mismatch"))
+    // and it is PER-EPISODE: equal global totals with two mutually
+    // misaligned episodes (2+3 vs 3+2) must still fail — a global
+    // count check would wave this through and the positional join
+    // would silently drop the tails
+    val swapped = Seq(
+      (1L, 0L, "A."), (1L, 1L, "B."),
+      (2L, 0L, "C."), (2L, 1L, "D."), (2L, 2L, "E."))
+      .toDF("episode_id", "sentence_index", "sentence_text")
+    val e2 = intercept[IllegalArgumentException] {
+      Transcripts.sentenceDimensionFromArchives(swapped, sentiment)
+    }
+    assert(e2.getMessage.contains("per-episode_id count mismatch"))
   }
 }
