@@ -169,11 +169,46 @@ object TrainingSet {
       .orderBy(col("shard"))
   }
 
+  val SeqLen = 2048L
+
+  /** Sequence packing — documents greedily packed in deterministic
+    * order into fixed-token training bins, per shard: bin index =
+    * tokens-before-this-doc div SeqLen (the simple contiguous-fill
+    * model; a doc straddling a boundary starts its bin — bins
+    * overfill rather than split documents). Per-shard prefix sums are
+    * shard-partitioned windows (parallel across shards — the packing
+    * never needs global order, which is the point of sharding first).
+    * Emits per-bin fill stats, the input to a packing-efficiency
+    * check before training.
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn(
+        "shard",
+        pmod(
+          conv(
+            substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+            16, 10).cast("long"),
+          lit(NumShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    q.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", (col("tokens_before") / SeqLen).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_training_select" -> select,
     "p2_token_budget" -> tokenBudget,
     "p3_language_mix" -> languageMix,
-    "p4_shard_stats" -> shardStats)
+    "p4_shard_stats" -> shardStats,
+    "p5_sequence_pack" -> sequencePack)
 
   // Self-contained oracle: the words CTE feeds quality + lang, the
   // shingle→MinHash→LSH→cluster chain reproduces d9 via the recursive
@@ -205,6 +240,22 @@ object TrainingSet {
                    CAST(COUNT(DISTINCT word) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
             FROM words GROUP BY doc_id)"""
     Map(
+      "p5_sequence_pack" ->
+        s"""WITH $qualityCtes,
+            sharded AS (
+              SELECT doc_id, n_tokens,
+                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % $NumShards AS shard
+              FROM quality),
+            packed AS (
+              SELECT shard, doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+              FROM sharded)
+            SELECT shard, tokens_before // $SeqLen AS bin,
+                   COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+            FROM packed GROUP BY 1, 2 ORDER BY shard, bin""",
       "p4_shard_stats" ->
         s"""WITH $qualityCtes,
             sharded AS (
