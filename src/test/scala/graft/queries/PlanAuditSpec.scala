@@ -15,15 +15,36 @@ class PlanAuditSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
+  /** windowspecdefinition args: partition cols first (bare refs), then
+    * order specs ("col ASC/DESC ..."). A spec whose FIRST arg is an
+    * order spec is unpartitioned — the single-task global sort.
+    */
+  private def unpartitionedWindows(p: String): Seq[String] =
+    "windowspecdefinition\\(([^,]+),".r
+      .findAllMatchIn(p).map(_.group(1))
+      .filter(s => s.contains(" ASC") || s.contains(" DESC")).toSeq
+
   test("q6 two-phase rolling window: no unpartitioned WindowExec") {
     val p = plan("q6_rolling_sentiment")
-    // every windowspecdefinition must carry a partition column (pid);
-    // an unpartitioned spec starts with the orderBy column directly
     val specs = "windowspecdefinition\\(([^,]+),".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(specs.nonEmpty)
     assert(specs.forall(_.startsWith("__pid")),
       s"window specs not all bucket-partitioned: $specs")
+  }
+
+  test("no unpartitioned windows anywhere in the training tier") {
+    for (q <- Seq("p2_token_budget", "p3_language_mix",
+        "p4_shard_stats", "p5_sequence_pack", "p1_training_select")) {
+      val bad = unpartitionedWindows(plan(q))
+      assert(bad.isEmpty, s"$q has unpartitioned window specs: $bad")
+    }
+  }
+
+  test("s6 scores via broadcast, never a shuffled pair join") {
+    val p = plan("s6_sq8_topk")
+    assert(p.contains("Broadcast"), "s6 plan shows no broadcast")
+    assert(!p.contains("CartesianProduct"), "s6 has a cartesian join")
   }
 
   test("dedup pair joins are equi-joins, never cartesian") {
