@@ -143,6 +143,21 @@ object TrainingSet {
 
   val NumShards = 8
 
+  /** Content-addressed shard id — THE cross-engine-exactness-critical
+    * expression, defined once per engine (p4 and p5 must never
+    * disagree): md5 of the stringified doc id, first 15 hex digits as
+    * a 60-bit int, mod NumShards.
+    */
+  private def shardOf(docId: org.apache.spark.sql.Column) =
+    pmod(
+      conv(substring(md5(docId.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(NumShards.toLong))
+
+  private val shardSql =
+    s"""CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % $NumShards"""
+
   /** Deterministic shard assignment + balance audit — the write-side
     * step: training shards must be content-addressed (stable under
     * retries and re-runs, independent of physical partitioning), so the
@@ -155,13 +170,7 @@ object TrainingSet {
   def shardStats(spark: SparkSession, dir: String): DataFrame = {
     val q = TextOps.qualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"))
-      .withColumn(
-        "shard",
-        pmod(
-          conv(
-            substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-            16, 10).cast("long"),
-          lit(NumShards.toLong)))
+      .withColumn("shard", shardOf(col("doc_id")))
     q.groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -185,13 +194,7 @@ object TrainingSet {
     import org.apache.spark.sql.expressions.Window
     val q = TextOps.qualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"))
-      .withColumn(
-        "shard",
-        pmod(
-          conv(
-            substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-            16, 10).cast("long"),
-          lit(NumShards.toLong)))
+      .withColumn("shard", shardOf(col("doc_id")))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     q.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -243,9 +246,7 @@ object TrainingSet {
       "p5_sequence_pack" ->
         s"""WITH $qualityCtes,
             sharded AS (
-              SELECT doc_id, n_tokens,
-                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                       % $NumShards AS shard
+              SELECT doc_id, n_tokens, $shardSql AS shard
               FROM quality),
             packed AS (
               SELECT shard, doc_id, n_tokens,
@@ -259,9 +260,7 @@ object TrainingSet {
       "p4_shard_stats" ->
         s"""WITH $qualityCtes,
             sharded AS (
-              SELECT doc_id, n_tokens,
-                     CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                       % $NumShards AS shard
+              SELECT doc_id, n_tokens, $shardSql AS shard
               FROM quality)
             SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
             FROM sharded GROUP BY shard ORDER BY shard""",

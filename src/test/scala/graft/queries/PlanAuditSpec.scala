@@ -15,19 +15,41 @@ class PlanAuditSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
-  /** windowspecdefinition args: partition cols first (bare refs), then
-    * order specs ("col ASC/DESC ..."). A spec whose FIRST arg is an
-    * order spec is unpartitioned — the single-task global sort.
+  /** First argument of every windowspecdefinition in the plan,
+    * paren-balanced (a naive split-on-comma misreads a leading function
+    * call like `pmod(x#1, 8) ASC ...`). Partition cols come first as
+    * bare refs; a spec whose FIRST arg is an order spec ("... ASC/DESC
+    * NULLS ...") is unpartitioned — the single-task global sort.
     */
+  private def windowSpecFirstArgs(p: String): Seq[String] = {
+    val marker = "windowspecdefinition("
+    Iterator.iterate(p.indexOf(marker))(i => p.indexOf(marker, i + 1))
+      .takeWhile(_ >= 0)
+      .map { i =>
+        val start = i + marker.length
+        var depth = 0
+        var j = start
+        var done = false
+        while (j < p.length && !done) {
+          val c = p.charAt(j)
+          if (depth == 0 && (c == ',' || c == ')')) done = true
+          else {
+            if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            j += 1
+          }
+        }
+        p.substring(start, j)
+      }
+      .toSeq
+  }
+
   private def unpartitionedWindows(p: String): Seq[String] =
-    "windowspecdefinition\\(([^,]+),".r
-      .findAllMatchIn(p).map(_.group(1))
-      .filter(s => s.contains(" ASC") || s.contains(" DESC")).toSeq
+    windowSpecFirstArgs(p)
+      .filter(s => s.contains(" ASC") || s.contains(" DESC"))
 
   test("q6 two-phase rolling window: no unpartitioned WindowExec") {
-    val p = plan("q6_rolling_sentiment")
-    val specs = "windowspecdefinition\\(([^,]+),".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val specs = windowSpecFirstArgs(plan("q6_rolling_sentiment"))
     assert(specs.nonEmpty)
     assert(specs.forall(_.startsWith("__pid")),
       s"window specs not all bucket-partitioned: $specs")
@@ -45,6 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("s6_sq8_topk")
     assert(p.contains("Broadcast"), "s6 plan shows no broadcast")
     assert(!p.contains("CartesianProduct"), "s6 has a cartesian join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "s6 pair join regressed to a shuffled join")
   }
 
   test("dedup pair joins are equi-joins, never cartesian") {
