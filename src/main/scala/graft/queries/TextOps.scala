@@ -248,7 +248,42 @@ object TextOps {
       .limit(100)
   }
 
+  /** t10 — unigram log-probability document score, the
+    * perplexity-filter pattern (CCNet-style pipelines score documents
+    * under a language model and drop the tails; the unigram corpus
+    * model is its self-contained form): score = mean over the doc's
+    * tokens of ln(corpus_freq(token) / corpus_tokens). Gibberish rare-
+    * token documents score low, stopword soup scores high. Two hash
+    * aggregates + a broadcast of the 1-row total.
+    *
+    * Exactness: freq/total is an int/int IEEE division; ln matched
+    * the oracle bit-for-bit throughout round 1 (t8's tfidf) but the
+    * per-doc MEAN must not sum raw doubles — quantize each log to
+    * integer nano-units with floor, sum exactly, divide once.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val w = words(spark, dir)
+    val freq = w.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    w.join(freq, "word")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "lq",
+        floor(
+          log(col("cnt").cast("double") / col("total").cast("double"))
+            * lit(1e9)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lq")).as("s"), count(lit(1)).as("n"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        (col("s").cast("double") / (lit(1e9) * col("n").cast("double")))
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_unigram_logprob" -> unigramLogprob,
     "t8_tfidf" -> tfidf,
     "t9_bigram_freq" -> bigramFreq,
     "t1_sentence_split" -> sentenceSplit,
@@ -285,6 +320,18 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    "t10_unigram_logprob" ->
+      s"""WITH $wordsCte,
+          freq AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),
+          total AS (SELECT SUM(cnt) AS total FROM freq),
+          lq AS (
+            SELECT w.doc_id,
+                   CAST(FLOOR(ln(CAST(f.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)) * 1e9)
+                     AS BIGINT) AS lq
+            FROM words w JOIN freq f USING (word) CROSS JOIN total t)
+          SELECT doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(lq) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS avg_logprob
+          FROM lq GROUP BY doc_id ORDER BY doc_id""",
     "t9_bigram_freq" ->
       s"""WITH $wordsCte,
           bg AS (
