@@ -52,10 +52,37 @@ object Multimodal {
           .as("frame_hash"))
       .orderBy(col("doc_id"), col("frame_index"))
 
+  /** Frame-level containment dedup (m4) — the video near-dup pattern:
+    * two media items sharing ≥ `MinSharedFrames` frame hashes evidence
+    * clip reuse even when full-content hashes differ. Inverted-index
+    * equi-join on frame_hash (same shape as the d2/d3 shingle joins:
+    * candidate work ∝ true hash collisions, never all-pairs).
+    */
+  val MinSharedFrames = 2
+
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val f = documents(spark, dir)
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+      .withColumn("frame_index", explode(sequence(lit(0), lit(3))))
+      .select(
+        col("doc_id"),
+        md5(expr("cast(substring(hx, frame_index * 64 + 1, 64) as binary)"))
+          .as("frame_hash"))
+      .distinct()
+    val a = f.select(col("doc_id").as("a_id"), col("frame_hash").as("a_fh"))
+    val b = f.select(col("doc_id").as("b_id"), col("frame_hash").as("b_fh"))
+    a.join(b, col("a_fh") === col("b_fh") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= MinSharedFrames)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> binaryMeta,
     "m2_content_features" -> contentFeatures,
-    "m3_frame_slices" -> frameSlices)
+    "m3_frame_slices" -> frameSlices,
+    "m4_frame_dedup" -> frameDedup)
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -75,5 +102,18 @@ object Multimodal {
                 md5(substr(hx, frame_index * 64 + 1, 64)) AS frame_hash
          FROM (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents)
          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS frame_index)
-         ORDER BY doc_id, frame_index""")
+         ORDER BY doc_id, frame_index""",
+    "m4_frame_dedup" ->
+      s"""WITH frames AS (
+            SELECT DISTINCT doc_id,
+                   md5(substr(hx, frame_index * 64 + 1, 64)) AS frame_hash
+            FROM (SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents)
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS frame_index))
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 COUNT(*) AS shared_frames
+          FROM frames a JOIN frames b
+            ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= $MinSharedFrames
+          ORDER BY a_id, b_id""")
 }
