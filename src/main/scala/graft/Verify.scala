@@ -26,6 +26,13 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] warehouse dump failed: ${e.getMessage}")
     }
+    // Dump the fitted k-means centroids the s5 oracle reads — the fit
+    // is session-cached, so the s5 query below scores against exactly
+    // the dumped values.
+    try graft.queries.Similarity.dumpCentroids(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] centroid dump failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

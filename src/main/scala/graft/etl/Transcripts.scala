@@ -62,15 +62,20 @@ object Transcripts {
   /** F1 — sentence tokenizer (`lambda_5.py:84-87`, NLTK punkt): the
     * engine's declared semantics are a regex split after `.`/`!`/`?` +
     * whitespace (SURVEY §7.3 — punkt parity is a non-goal). W4 — the
-    * 0-based position of posexplode IS sentence_index
+    * 0-based index emitted by the generator IS sentence_index
     * (`lambda_5.py:87`).
+    *
+    * Production path is the custom Catalyst Generator (one pass over
+    * the UTF-8 bytes, no intermediate array materialized per row) —
+    * asserted row-identical to `posexplode(split(text,
+    * "(?<=[.!?])\\s+"))` in SentenceGeneratorSpec, which keeps the
+    * regex formulation as the executable semantics reference.
     */
   def tokenize(transcripts: DataFrame): DataFrame =
     transcripts
       .select(
         col("episode_id"),
-        posexplode(split(col("text"), "(?<=[.!?])\\s+"))
-          .as(Seq("sentence_index", "sentence_text")))
+        graft.functions.SentenceGenerator.sentences(col("text")))
 
   /** E12 — the sentence sinks (`lambda_5.py:88-98`): one sentence per
     * line (Comprehend's ONE_DOC_PER_LINE input, `lambda_6.py:33`) and a

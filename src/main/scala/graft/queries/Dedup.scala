@@ -44,26 +44,17 @@ object Dedup {
     * unpersisted ("already cached" warnings, cache growth across a
     * 47-query bench). One persisted copy per session is the fix.
     */
-  private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-
-  /** NOT computeIfAbsent: cache builds nest (clusterLabels → sigs →
-    * shingles), and a mapping function that updates other mappings
-    * violates the CHM contract (same-bin recursion throws
-    * "Recursive update"). Check-then-putIfAbsent instead — a racing
-    * duplicate build loses and unpersists, which is benign.
-    */
   private def cached(spark: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame = {
-    val key = (spark, dir, name)
-    val existing = planCache.get(key)
-    if (existing != null) existing
-    else {
-      val df = build.persist()
-      val prev = planCache.putIfAbsent(key, df)
-      if (prev != null) { df.unpersist(); prev } else df
-    }
-  }
+      build: => DataFrame): DataFrame =
+    SessionCache.cached(spark, dir, name)(build)
+
+  /** Every session-cached frame this module owns — see SessionCache.warm. */
+  private[queries] def warmFrames(spark: SparkSession, dir: String): Seq[DataFrame] =
+    Seq(
+      cachedShingles(spark, dir),
+      cached(spark, dir, "sigs")(minhashSignatures(spark, dir)),
+      cached(spark, dir, "simhashValues")(simhashValues(spark, dir)),
+      cached(spark, dir, "clusterLabels")(clusterLabels(spark, dir)))
 
   /** Exact dedup (hash-groupBy on normalized-text fingerprint): one
     * surviving doc_id per distinct content + multiplicity. The groupBy
@@ -87,7 +78,7 @@ object Dedup {
     */
   def shingles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    TextOps.words(spark, dir)
+    TextOps.cachedWords(spark, dir)
       .withColumn(
         "sh",
         concat(
@@ -112,7 +103,7 @@ object Dedup {
     }
   }
 
-  private def cachedShingles(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def cachedShingles(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "shingles")(shingles(spark, dir))
 
   /** N-gram Jaccard near-dup: pairs sharing >= 1 shingle, scored
@@ -230,7 +221,7 @@ object Dedup {
     val voteCols = (0 until 60).map { b =>
       sum(when(expr(s"(th >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"v$b")
     }
-    TextOps.words(spark, dir)
+    TextOps.cachedWords(spark, dir)
       .withColumn(
         "th",
         conv(substring(md5(col("word").cast("binary")), 1, 15), 16, 10)

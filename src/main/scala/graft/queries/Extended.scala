@@ -19,8 +19,10 @@ object Extended {
   def dateDimJoin(spark: SparkSession, dir: String): DataFrame = {
     val o = orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate").cast("date").as("date"))
+    // long, not int: DuckDB EXTRACT(year) is BIGINT and the local
+    // type-strict selfcheck holds Spark to the oracle's exact types
     val timeDim = o.select(col("date")).distinct()
-      .select(col("date"), year(col("date")).as("year"),
+      .select(col("date"), year(col("date")).cast("long").as("year"),
         month(col("date")).as("month_number"))
     o.join(broadcast(timeDim), Seq("date"))
       .groupBy(col("year"))

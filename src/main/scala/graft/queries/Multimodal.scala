@@ -44,11 +44,12 @@ object Multimodal {
   def frameSlices(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
-      .withColumn("frame_index", explode(sequence(lit(0), lit(3))))
+      .withColumn("frame_index", explode(sequence(lit(0L), lit(3L))))
       .select(
         col("doc_id"),
         col("frame_index"),
-        md5(expr("cast(substring(hx, frame_index * 64 + 1, 64) as binary)"))
+        md5(expr(
+          "cast(substring(hx, cast(frame_index * 64 + 1 as int), 64) as binary)"))
           .as("frame_hash"))
       .orderBy(col("doc_id"), col("frame_index"))
 

@@ -36,6 +36,25 @@ object TextOps {
         col("doc_id"),
         posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "word")))
 
+  /** Session-cached words: the exploded frame feeds nearly every text
+    * query (quality, lang-ID, tf-idf, shingles, SimHash votes) — one
+    * persisted copy per (session, dir) instead of re-exploding the
+    * corpus per consumer.
+    */
+  def cachedWords(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "words")(words(spark, dir))
+
+  /** Session-cached quality metrics: p1–p5 all start from these, and
+    * p2 alone evaluates the words→aggregate pipeline three times
+    * (ranked frame, budget agg, GlobalPrefix quantile pass) without it.
+    */
+  def cachedQualityScore(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "qualityScore")(qualityScore(spark, dir))
+
+  /** Every session-cached frame this module owns — see SessionCache.warm. */
+  private[queries] def warmFrames(spark: SparkSession, dir: String): Seq[DataFrame] =
+    Seq(cachedWords(spark, dir), cachedQualityScore(spark, dir))
+
   /** F1/W4/A7 — sentence segmentation with ordered re-assembly:
     * group words into 10-word sentences, re-join in word order
     * (order made deterministic via array_sort over (pos, word) structs,
@@ -43,7 +62,7 @@ object TextOps {
     * Shuffles (doc_id, sentence_index) groups — scales linearly.
     */
   def sentenceSplit(spark: SparkSession, dir: String): DataFrame =
-    words(spark, dir)
+    cachedWords(spark, dir)
       .groupBy(
         col("doc_id"),
         floor(col("pos") / SentenceWords).as("sentence_index"))
@@ -71,7 +90,7 @@ object TextOps {
     // span length = Σ word lengths + (n-1) separators — identical to
     // length(re-joined sentence) without materializing the strings, so
     // the agg shuffles two longs per sentence instead of the text.
-    words(spark, dir)
+    cachedWords(spark, dir)
       .groupBy(
         col("doc_id"),
         floor(col("pos") / SentenceWords).as("sentence_index"))
@@ -143,7 +162,7 @@ object TextOps {
     * of heuristics. All ratios are int/int IEEE divisions (exact).
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    words(spark, dir)
+    cachedWords(spark, dir)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -178,7 +197,7 @@ object TextOps {
       sum(when(col("word").isin(lex: _*), 1L).otherwise(0L))
         .as(s"hits_$lang")
     }
-    val hits = words(spark, dir)
+    val hits = cachedWords(spark, dir)
       .groupBy(col("doc_id"))
       .agg(hitCols.head, hitCols.tail: _*)
     // argmax via strict-greater chain = first maximum in lexicon order
@@ -215,7 +234,7 @@ object TextOps {
     * integers in both engines, rounded to 6 dp.
     */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val tf = words(spark, dir)
+    val tf = cachedWords(spark, dir)
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
@@ -237,7 +256,7 @@ object TextOps {
     */
   def bigramFreq(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    words(spark, dir)
+    cachedWords(spark, dir)
       .withColumn(
         "bigram",
         concat(col("word"), lit(" "), lead(col("word"), 1).over(w)))
@@ -262,7 +281,7 @@ object TextOps {
     * integer nano-units with floor, sum exactly, divide once.
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val w = words(spark, dir)
+    val w = cachedWords(spark, dir)
     val freq = w.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
     w.join(freq, "word")
@@ -282,7 +301,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t11 — within-document repetition metrics, the Gopher/MassiveText
+    * quality-rule family (repetitious documents are boilerplate/spam
+    * signals): fraction of bigram occurrences whose bigram appears ≥2×
+    * in the document, and the top bigram's share. Two nested hash
+    * aggregates over the cached words — no window, no shuffle beyond
+    * the (doc_id, bigram) agg; ratios are exact int/int IEEE divisions.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bgc = cachedWords(spark, dir)
+      .withColumn(
+        "bigram",
+        concat(col("word"), lit(" "), lead(col("word"), 1).over(w)))
+      .filter(col("bigram").isNotNull)
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+    bgc.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_occ"),
+        max(col("c")).as("top_c"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        (col("dup_occ").cast("double") / col("n_bigrams").cast("double"))
+          .as("dup_bigram_frac"),
+        (col("top_c").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_repetition" -> repetition,
     "t10_unigram_logprob" -> unigramLogprob,
     "t8_tfidf" -> tfidf,
     "t9_bigram_freq" -> bigramFreq,
@@ -290,7 +341,7 @@ object TextOps {
     "t2_char_offsets" -> charOffsets,
     "t3_entity_alignment" -> entityAlignment,
     "t4_token_counts" -> tokenCounts,
-    "t5_quality_score" -> qualityScore,
+    "t5_quality_score" -> cachedQualityScore,
     "t6_lang_id" -> langId,
     "t7_fingerprint" -> fingerprint)
 
@@ -320,6 +371,25 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    "t11_repetition" ->
+      s"""WITH $wordsCte,
+          bg AS (
+            SELECT doc_id, word || ' ' || lead(word) OVER
+              (PARTITION BY doc_id ORDER BY pos) AS bigram
+            FROM words),
+          bgc AS (
+            SELECT doc_id, bigram, COUNT(*) AS c
+            FROM bg WHERE bigram IS NOT NULL GROUP BY 1, 2),
+          m AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occ,
+                   MAX(c) AS top_c
+            FROM bgc GROUP BY doc_id)
+          SELECT doc_id, n_bigrams,
+                 CAST(dup_occ AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
+                 CAST(top_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+          FROM m ORDER BY doc_id""",
     "t10_unigram_logprob" ->
       s"""WITH $wordsCte,
           freq AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word),

@@ -42,7 +42,7 @@ object TrainingSet {
       sum(when(col("word").isin(TextOps.EnStop: _*), 1L).otherwise(0L))
         .as("n_stop"),
       countDistinct(col("word")).as("n_distinct")) ++ langHits
-    val metrics = TextOps.words(spark, dir)
+    val metrics = TextOps.cachedWords(spark, dir)
       .groupBy(col("doc_id"))
       .agg(aggCols.head, aggCols.tail: _*)
     val langs = TextOps.LangLexicons.map(_._1)
@@ -92,7 +92,7 @@ object TrainingSet {
     * long/IEEE values, so the cut-off row is identical in both engines.
     */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextOps.qualityScore(spark, dir)
+    val q = TextOps.cachedQualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"),
         col("stopword_ratio"), col("type_token_ratio"))
       .withColumn(
@@ -101,7 +101,9 @@ object TrainingSet {
     val ranked = graft.operators.GlobalPrefix.withPrefix(
       q, col("neg_quality"), Seq(col("doc_id")), col("n_tokens"))
       .withColumnRenamed("prefix", "cum_tokens")
-    val budget = q.agg((sum(col("n_tokens")) / 2).cast("long").as("b"))
+    // integer `div`, never double `/`+cast: above 2^53 tokens (real at
+    // 100 TB) the double rounds and can disagree with DuckDB's `//`
+    val budget = q.agg(expr("sum(n_tokens) div 2").as("b"))
     ranked.crossJoin(broadcast(budget))
       .filter(col("cum_tokens") <= col("b"))
       .select(
@@ -120,7 +122,7 @@ object TrainingSet {
     */
   def languageMix(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = TextOps.qualityScore(spark, dir)
+    val q = TextOps.cachedQualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"),
         col("stopword_ratio"), col("type_token_ratio"))
       .join(documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
@@ -131,7 +133,7 @@ object TrainingSet {
       .orderBy(col("quality_key").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val budgets = q.groupBy(col("lang"))
-      .agg((sum(col("n_tokens")) / 2).cast("long").as("lang_budget"))
+      .agg(expr("sum(n_tokens) div 2").as("lang_budget"))
     q.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .join(broadcast(budgets), "lang")
       .filter(col("cum_tokens") <= col("lang_budget"))
@@ -168,7 +170,7 @@ object TrainingSet {
     * `.write.partitionBy("shard")`.)
     */
   def shardStats(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextOps.qualityScore(spark, dir)
+    val q = TextOps.cachedQualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"))
       .withColumn("shard", shardOf(col("doc_id")))
     q.groupBy(col("shard"))
@@ -192,13 +194,13 @@ object TrainingSet {
     */
   def sequencePack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = TextOps.qualityScore(spark, dir)
+    val q = TextOps.cachedQualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"))
       .withColumn("shard", shardOf(col("doc_id")))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     q.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("bin", (col("tokens_before") / SeqLen).cast("long"))
+      .withColumn("bin", expr(s"tokens_before div $SeqLen"))
       .groupBy(col("shard"), col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -206,12 +208,89 @@ object TrainingSet {
       .orderBy(col("shard"), col("bin"))
   }
 
+  val BenchmarkDocs = 50L
+  val ContaminationThreshold = 0.5
+
+  /** p6 — benchmark decontamination, the train/test-overlap check every
+    * training pipeline runs before a model ships: treat the lowest
+    * `BenchmarkDocs` doc ids as the held-out benchmark, and flag any
+    * training document whose distinct 3-gram shingles are ≥50%
+    * contained in the benchmark's shingle set. Reuses the session-
+    * cached df-capped shingles (the d2/d3 dedup unit); the benchmark
+    * shingle set is tiny by construction (test sets always are), so
+    * the containment probe is a broadcast semi-join — at 100 TB the
+    * corpus streams, nothing shuffles by shingle.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.cachedShingles(spark, dir)
+    val bench = sh.filter(col("doc_id") < BenchmarkDocs)
+      .select(col("sh")).distinct()
+    val corpus = sh.filter(col("doc_id") >= BenchmarkDocs)
+    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = corpus.join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_sh"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_sh").cast("double")).as("contaminated_frac"))
+      .filter(col("contaminated_frac") >= ContaminationThreshold)
+      .orderBy(col("doc_id"))
+  }
+
+  val TargetDocs = 100L
+
+  /** p7 — DSIR-style importance weights (data selection by importance
+    * resampling): score every document by the mean per-token
+    * log-likelihood ratio between a target-domain unigram LM (here the
+    * lowest `TargetDocs` doc ids, Laplace-smoothed) and the corpus
+    * unigram LM. High scorers read like the target domain; a real
+    * pipeline samples proportionally to exp(score). Two frequency
+    * aggregates + three 1-row broadcasts; per-token ratios are IEEE
+    * divisions of exact integers and each log is floor-quantized to
+    * nano-units before the exact sum (the t10 discipline), so the
+    * per-doc mean is bit-identical cross-engine.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.cachedWords(spark, dir).select(col("doc_id"), col("word"))
+    val cfreq = w.groupBy(col("word")).agg(count(lit(1)).as("c_cnt"))
+    val ctot = cfreq.agg(sum(col("c_cnt")).as("c_total"))
+    val vocab = cfreq.agg(count(lit(1)).as("v"))
+    val tfreq = w.filter(col("doc_id") < TargetDocs)
+      .groupBy(col("word")).agg(count(lit(1)).as("t_cnt"))
+    val ttot = tfreq.agg(sum(col("t_cnt")).as("t_total"))
+    w.join(cfreq, "word")
+      .join(tfreq, Seq("word"), "left")
+      .crossJoin(broadcast(ctot))
+      .crossJoin(broadcast(ttot))
+      .crossJoin(broadcast(vocab))
+      .withColumn(
+        "lr",
+        floor(log(
+          ((coalesce(col("t_cnt"), lit(0L)) + 1).cast("double")
+            / (col("t_total") + col("v")).cast("double"))
+            / (col("c_cnt").cast("double") / col("c_total").cast("double")))
+          * lit(1e9)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lr")).as("s"), count(lit(1)).as("n"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        (col("s").cast("double") / (lit(1e9) * col("n").cast("double")))
+          .as("avg_llr"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_training_select" -> select,
     "p2_token_budget" -> tokenBudget,
     "p3_language_mix" -> languageMix,
     "p4_shard_stats" -> shardStats,
-    "p5_sequence_pack" -> sequencePack)
+    "p5_sequence_pack" -> sequencePack,
+    "p6_contamination" -> contamination,
+    "p7_dsir_weights" -> dsirWeights)
 
   // Self-contained oracle: the words CTE feeds quality + lang, the
   // shingle→MinHash→LSH→cluster chain reproduces d9 via the recursive
@@ -242,7 +321,66 @@ object TrainingSet {
                      / CAST(COUNT(*) AS DOUBLE) AS stopword_ratio,
                    CAST(COUNT(DISTINCT word) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
             FROM words GROUP BY doc_id)"""
+    // Mirrors Dedup.cachedShingles: distinct 3-gram shingles with the
+    // document-frequency cap applied.
+    val shingleCtes =
+      s"""words AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) - 1 AS pos,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents),
+          sh0 AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS sh
+            FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          shingles1 AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+          shingles AS (
+            SELECT doc_id, sh FROM (
+              SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+              FROM shingles1)
+            WHERE df <= ${Dedup.MaxShingleDf})"""
     Map(
+      "p6_contamination" ->
+        s"""WITH $shingleCtes,
+            bench AS (
+              SELECT DISTINCT sh FROM shingles WHERE doc_id < $BenchmarkDocs),
+            sz AS (
+              SELECT doc_id, COUNT(*) AS n_sh FROM shingles
+              WHERE doc_id >= $BenchmarkDocs GROUP BY doc_id),
+            hits AS (
+              SELECT s.doc_id, COUNT(*) AS n_hit
+              FROM shingles s JOIN bench b ON s.sh = b.sh
+              WHERE s.doc_id >= $BenchmarkDocs GROUP BY s.doc_id)
+            SELECT z.doc_id, COALESCE(h.n_hit, 0) AS n_hit, z.n_sh,
+                   CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(z.n_sh AS DOUBLE)
+                     AS contaminated_frac
+            FROM sz z LEFT JOIN hits h ON h.doc_id = z.doc_id
+            WHERE CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(z.n_sh AS DOUBLE)
+                  >= $ContaminationThreshold
+            ORDER BY z.doc_id""",
+      "p7_dsir_weights" ->
+        s"""WITH $qualityCtes,
+            cfreq AS (SELECT word, COUNT(*) AS c_cnt FROM words GROUP BY word),
+            ctot AS (SELECT CAST(SUM(c_cnt) AS BIGINT) AS c_total FROM cfreq),
+            vocab AS (SELECT COUNT(*) AS v FROM cfreq),
+            tfreq AS (
+              SELECT word, COUNT(*) AS t_cnt FROM words
+              WHERE doc_id < $TargetDocs GROUP BY word),
+            ttot AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS t_total FROM tfreq),
+            lq AS (
+              SELECT w.doc_id,
+                     CAST(FLOOR(ln(
+                       (CAST(COALESCE(t.t_cnt, 0) + 1 AS DOUBLE)
+                          / CAST(tt.t_total + v.v AS DOUBLE))
+                       / (CAST(f.c_cnt AS DOUBLE) / CAST(ct.c_total AS DOUBLE)))
+                       * 1e9) AS BIGINT) AS lr
+              FROM words w
+              JOIN cfreq f USING (word)
+              LEFT JOIN tfreq t USING (word)
+              CROSS JOIN ttot tt CROSS JOIN ctot ct CROSS JOIN vocab v)
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(lr) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS avg_llr
+            FROM lq GROUP BY doc_id ORDER BY doc_id""",
       "p5_sequence_pack" ->
         s"""WITH $qualityCtes,
             sharded AS (
@@ -254,15 +392,15 @@ object TrainingSet {
                        PARTITION BY shard ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
               FROM sharded)
-            SELECT shard, tokens_before // $SeqLen AS bin,
-                   COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+            SELECT shard, CAST(tokens_before // $SeqLen AS BIGINT) AS bin,
+                   COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
             FROM packed GROUP BY 1, 2 ORDER BY shard, bin""",
       "p4_shard_stats" ->
         s"""WITH $qualityCtes,
             sharded AS (
               SELECT doc_id, n_tokens, $shardSql AS shard
               FROM quality)
-            SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+            SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
             FROM sharded GROUP BY shard ORDER BY shard""",
       "p3_language_mix" ->
         s"""WITH $qualityCtes,
@@ -272,9 +410,9 @@ object TrainingSet {
               FROM quality q JOIN documents d USING (doc_id)),
             ranked AS (
               SELECT lang, doc_id, n_tokens, quality_key,
-                     SUM(n_tokens) OVER (
+                     CAST(SUM(n_tokens) OVER (
                        PARTITION BY lang ORDER BY quality_key DESC, doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
               FROM q2),
             budgets AS (
               SELECT lang, CAST(SUM(n_tokens) // 2 AS BIGINT) AS lang_budget
@@ -288,9 +426,9 @@ object TrainingSet {
             ranked AS (
               SELECT doc_id, n_tokens,
                      (stopword_ratio + type_token_ratio) / 2.0 AS quality_key,
-                     SUM(n_tokens) OVER (
+                     CAST(SUM(n_tokens) OVER (
                        ORDER BY -((stopword_ratio + type_token_ratio) / 2.0), doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
               FROM quality),
             budget AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS b FROM quality)
             SELECT doc_id, n_tokens, cum_tokens, quality_key

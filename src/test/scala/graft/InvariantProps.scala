@@ -65,6 +65,25 @@ object InvariantProps extends Properties("graft.invariants") {
         existing.join(once, Seq("k"), "left_anti").count() == 0
     }
 
+  property("p2/p5 budget math: `div` is exact on longs beyond 2^53") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum((1L << 53) + 1, Long.MaxValue - 1),
+        Gen.chooseNum(2L, 1L << 20)))) { pairs =>
+      val got = pairs.toDF("x", "n")
+        .selectExpr("x div n AS q").as[Long].collect().toSeq.sorted
+      got == pairs.map { case (x, n) => x / n }.sorted
+    }
+
+  property("double `/`+cast diverges above 2^53 — why the budget math uses div") =
+    Prop {
+      val x = (1L << 53) + 1 // not representable as a double
+      val df = Seq((x, 1L)).toDF("x", "n")
+      val viaDiv = df.selectExpr("x div n").as[Long].head()
+      val viaDouble = df.selectExpr("CAST(x / n AS LONG)").as[Long].head()
+      viaDiv == x && viaDouble != x
+    }
+
   property("J3: every in-range offset aligns to exactly one sentence") =
     Prop.forAll(Gen.nonEmptyListOf(sentenceGen)) { sents =>
       val df = sents.zipWithIndex

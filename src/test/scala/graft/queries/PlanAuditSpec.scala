@@ -57,10 +57,24 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no unpartitioned windows anywhere in the training tier") {
     for (q <- Seq("p2_token_budget", "p3_language_mix",
-        "p4_shard_stats", "p5_sequence_pack", "p1_training_select")) {
+        "p4_shard_stats", "p5_sequence_pack", "p1_training_select",
+        "p6_contamination", "p7_dsir_weights", "t11_repetition")) {
       val bad = unpartitionedWindows(plan(q))
       assert(bad.isEmpty, s"$q has unpartitioned window specs: $bad")
     }
+  }
+
+  test("p6 probes the benchmark set via broadcast, never cartesian") {
+    val p = plan("p6_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "p6 benchmark containment join is not broadcast")
+    assert(!p.contains("CartesianProduct"), "p6 has a cartesian join")
+  }
+
+  test("p7 joins 1-row totals via broadcast, never cartesian") {
+    val p = plan("p7_dsir_weights")
+    assert(p.contains("Broadcast"), "p7 totals are not broadcast")
+    assert(!p.contains("CartesianProduct"), "p7 has a cartesian join")
   }
 
   test("s6 scores via broadcast, never a shuffled pair join") {

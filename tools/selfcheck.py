@@ -45,16 +45,31 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            duck = con.execute(sql).fetchdf()
+            drel = con.sql(sql)
+            duck = drel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        spark = con.execute(
-            f"SELECT * FROM '{spark_path}/*.parquet'").fetchdf()
+        srel = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'")
+        spark = srel.fetchdf()
         dcols, scols = sorted(duck.columns), sorted(spark.columns)
         if dcols != scols:
             print(f"FAIL {name}: columns differ duck={dcols} spark={scols}")
+            n_fail += 1
+            continue
+        # TYPE-STRICT: the driver's hash is type-aware, so identical
+        # values in different types (HUGEINT from a bare SUM(BIGINT) vs
+        # Spark's int64) fail the real gate while pandas' type-blind
+        # eq() passes (335 == 335.0). Round 2 shipped five driver-reds
+        # exactly this way. Compare DuckDB's view of both schemas.
+        dtypes = dict(zip(drel.columns, map(str, drel.types)))
+        stypes = dict(zip(srel.columns, map(str, srel.types)))
+        if dtypes != stypes:
+            diff = {c: (dtypes.get(c), stypes.get(c))
+                    for c in set(dtypes) | set(stypes)
+                    if dtypes.get(c) != stypes.get(c)}
+            print(f"FAIL {name}: column TYPES differ (duck, spark): {diff}")
             n_fail += 1
             continue
         duck, spark = duck[dcols], spark[dcols]
