@@ -15,6 +15,12 @@ run / fork := true
 // line with [info] and appends [success] after it, so the driver's
 // parser never sees Bench's result JSON as the last unprefixed line.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the second half of that fix (round 3 left BENCH parsed:null):
+// sbt still printed its own "[success] Total time..." AFTER the JSON.
+// Suppress the success summary so the forked JVM's final println is
+// genuinely the last stdout line of `sbt runMain graft.Bench`.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

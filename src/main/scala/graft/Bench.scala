@@ -60,7 +60,7 @@ object Bench {
     // line of the run. The file write must never take the stdout line
     // down with it (wrong path/permissions on a foreign checkout).
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_RESULT.json"), json + "\n")
+      java.nio.file.Paths.get(RepoPaths.root, "BENCH_RESULT.json"), json + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] result file write failed: ${e.getMessage}")
     }

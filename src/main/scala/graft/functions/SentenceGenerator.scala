@@ -26,13 +26,19 @@ case class SentenceGenerator(child: Expression)
     StructField("sentence_index", IntegerType, nullable = false),
     StructField("sentence_text", StringType, nullable = false)))
 
+  // Java regex \s WITHOUT UNICODE_CHARACTER_CLASS — the exact set
+  // Spark's split("(?<=[.!?])\\s+") matches. Character.isWhitespace is
+  // Unicode-aware (U+2028, U+1680, …) and would diverge on those.
+  @inline private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) Iterator.empty
     else {
       val text = v.asInstanceOf[UTF8String].toString
       // split AFTER terminator+whitespace runs — identical semantics to
-      // the regex (?<=[.!?])\s+ used by Transcripts.tokenize
+      // the regex (?<=[.!?])\s+ used by the declared-semantics reference
       val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       val n = text.length
       var start = 0
@@ -41,11 +47,11 @@ case class SentenceGenerator(child: Expression)
       while (i < n) {
         val c = text.charAt(i)
         if ((c == '.' || c == '!' || c == '?') &&
-            i + 1 < n && Character.isWhitespace(text.charAt(i + 1))) {
+            i + 1 < n && isRegexSpace(text.charAt(i + 1))) {
           out += InternalRow(idx, UTF8String.fromString(text.substring(start, i + 1)))
           idx += 1
           i += 1
-          while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+          while (i < n && isRegexSpace(text.charAt(i))) i += 1
           start = i
         } else {
           i += 1

@@ -247,8 +247,9 @@ object Similarity {
 
   /** Fixed absolute path the s5 oracle reads the fitted centroids from
     * (the warehouse-dump pattern, WarehouseQueries.DumpPath).
+    * Checkout-relative via RepoPaths, not hardcoded to /root/repo.
     */
-  val CentroidDumpPath = "/root/repo/target/graft_kmeans_centroids"
+  val CentroidDumpPath = graft.RepoPaths.target("graft_kmeans_centroids")
 
   /** Dump the fitted centroids for the s5 oracle — called by Verify
     * before it emits oracle_sql.json. Distributed float means are

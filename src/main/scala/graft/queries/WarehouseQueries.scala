@@ -27,9 +27,10 @@ object WarehouseQueries {
     * oracle SQL (a static string, no outDir templating in the driver
     * contract) can reference it; under target/ so `sbt clean` clears it
     * and nothing outside the repo is touched. Verify rewrites it on
-    * every run before the oracle SQL is emitted.
+    * every run before the oracle SQL is emitted. Checkout-relative via
+    * RepoPaths (user.dir / -Dgraft.repo.root), not hardcoded.
     */
-  val DumpPath = "/root/repo/target/graft_warehouse"
+  val DumpPath = graft.RepoPaths.target("graft_warehouse")
 
   /** Write the five warehouse tables to `DumpPath` for the DuckDB
     * oracle. Same cached frames the wh_* queries read — the compare and
@@ -55,7 +56,7 @@ object WarehouseQueries {
   private def fixture(rel: String): String = {
     val cwd = new java.io.File(rel)
     if (cwd.isDirectory) cwd.getAbsolutePath
-    else s"/root/repo/$rel"
+    else s"${graft.RepoPaths.root}/$rel"
   }
 
   private def wh(spark: SparkSession): Pipeline.Warehouse =
