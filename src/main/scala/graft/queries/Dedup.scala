@@ -440,7 +440,41 @@ object Dedup {
     labels
   }
 
+  /** d10 — cross-document duplicated-n-gram coverage, the substring-level
+    * duplication signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better") at shingle granularity: for each
+    * document, the fraction of its distinct 3-gram shingles that occur
+    * in ≥ 2 documents. Docs with high coverage are near-verbatim copies
+    * of corpus content even when no single pair passes a pairwise
+    * threshold — the signal pairwise d2/d3 can't see.
+    *
+    * Scale shape: two hash aggregates over the session-cached (df-capped)
+    * shingles + one equi-join on the shingle — no pair join at all, so
+    * unlike d2 this stays linear in corpus shingle count. The df-cap
+    * drops boilerplate shingles before the join (they'd count as
+    * duplicated anyway, but their join fan-out is the 100 TB hot-key
+    * risk); a doc whose every shingle is capped drops out, which at cap
+    * 100 means it was wall-to-wall boilerplate.
+    */
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val s = cachedShingles(spark, dir)
+    val dfreq = s.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    s.join(dfreq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_shingles"))
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        col("dup_shingles"),
+        (col("dup_shingles").cast("double") / col("n_shingles").cast("double"))
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_dup_ngram_coverage" -> dupNgramCoverage,
     "d9_dedup_clusters" -> dedupClusters,
     "d6_simhash_neardup" -> simhashNearDup,
     "d7_lsh_rescore" -> lshRescore,
@@ -481,6 +515,16 @@ object Dedup {
           GROUP BY doc_id, h)"""
 
   val oracleSql: Map[String, String] = Map(
+    "d10_dup_ngram_coverage" ->
+      s"""WITH $shinglesCte,
+          dfreq AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh)
+          SELECT s.doc_id,
+                 COUNT(*) AS n_shingles,
+                 CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+                 CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+          FROM shingles s JOIN dfreq d USING (sh)
+          GROUP BY s.doc_id ORDER BY s.doc_id""",
     "d9_dedup_clusters" ->
       s"""WITH RECURSIVE $sigsCte,
           bands AS (

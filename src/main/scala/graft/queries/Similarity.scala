@@ -333,7 +333,91 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Product-quantization geometry (s7): M subspaces × SubDim dims each
+    * (M·SubDim = 64, the embedding width), K codewords per subspace —
+    * a vector compresses to M small codes (M bytes at K ≤ 256) versus
+    * 64 doubles, the FAISS-PQ memory layout.
+    */
+  val NumSubspaces = 8
+  val SubDim = 8
+  val NumCodes = 16
+
+  /** s7 — product-quantization top-k with asymmetric distance (ADC),
+    * the PQ pattern of Jégou et al. 2011 (and FAISS's IndexPQ): each
+    * vector is cut into M=8 subvectors, each subvector is snapped to
+    * its nearest of K=16 codewords (inner-product argmax — the MIPS
+    * flavor, so every comparison is a left-to-right dot both engines
+    * compute bit-identically), and a document is thereafter represented
+    * by its M codes. Queries stay RAW (the "asymmetric" in ADC): the
+    * score is dot(query, reconstructed doc) — one 64-dim dot of the
+    * query against the codeword concatenation.
+    *
+    * Codebook: the K lowest vec_ids' subvectors, the same deterministic
+    * seeding as s2's IVF (a real deployment k-means per subspace — s5
+    * shows that fit pattern); M·K = 128 tiny codewords, driver-collected
+    * control data baked as a literal.
+    *
+    * Scale shape: encoding is a pure per-row projection (a fold over
+    * the M×K literal codebook — no join, no shuffle, whole-stage
+    * codegen around the DotProduct expression); scoring broadcasts the
+    * 5 queries; the only shuffle is the per-query top-k window. At
+    * 100 TB the scan reads M bytes/vector instead of 512 — the same
+    * 64× scan compression the SQ8 path (s6) gets 8× of.
+    */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    // codebook[m][k] = subvector m of seed vector k — bounded control
+    // data (128 × 8 doubles), like s6's per-dim stats.
+    val seeds = e.filter(col("vec_id") < NumCodes).orderBy(col("vec_id"))
+      .select(col("v")).as[Seq[Double]].collect()
+    val cb: Seq[Seq[Seq[Double]]] =
+      (0 until NumSubspaces).map { m =>
+        seeds.toSeq.map(s => s.slice(m * SubDim, (m + 1) * SubDim))
+      }
+    val cbLit = typedLit(cb)
+    // codes[m] = argmax over k of dot(subvector m, codebook[m][k]);
+    // strict > keeps the FIRST maximum = lowest k, matching the
+    // oracle's (dot DESC, k ASC) row_number.
+    val codes = transform(
+      sequence(lit(0), lit(NumSubspaces - 1)),
+      m => {
+        val sv = slice(col("v"), m * SubDim + 1, lit(SubDim))
+        aggregate(
+          sequence(lit(0), lit(NumCodes - 1)),
+          struct(
+            lit(0L).as("k"), lit(Double.NegativeInfinity).as("s")),
+          (acc, k) => {
+            val d = vecDot(sv, element_at(element_at(cbLit, m + 1), k + 1))
+            when(d > acc.getField("s"),
+              struct(k.cast("long").as("k"), d.as("s")))
+              .otherwise(acc)
+          },
+          acc => acc.getField("k"))
+      })
+    val enc = e
+      .withColumn("codes", codes)
+      .withColumn(
+        "rv",
+        flatten(transform(
+          col("codes"),
+          (c, m) => element_at(element_at(cbLit, m + 1), c.cast("int") + 1))))
+      .select(col("vec_id"), col("rv"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    broadcast(q)
+      .join(enc, col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(vecDot(col("qv"), col("rv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_pq_topk" -> pqTopK,
     "s1_cosine_topk" -> bruteForceTopK,
     "s2_ivf_assign" -> ivfAssign,
     "s3_ivf_topk" -> ivfTopK,
@@ -360,6 +444,36 @@ object Similarity {
           WHERE rn = 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    // s7: codebook from the K lowest vec_ids' subvectors; encoding =
+    // per-(vector, subspace) argmax inner product (raw IEEE dots —
+    // identical bits, identical argmax); score = one 64-dim dot of the
+    // raw query against the flattened codeword reconstruction.
+    "s7_pq_topk" ->
+      s"""WITH $vecCte,
+          ms AS (SELECT unnest(range($NumSubspaces)) AS m),
+          cw AS (SELECT ms.m, e.vec_id AS k,
+                        e.v[(ms.m*$SubDim+1):(ms.m*$SubDim+$SubDim)] AS cwv
+                 FROM e CROSS JOIN ms WHERE e.vec_id < $NumCodes),
+          sub AS (SELECT e.vec_id, ms.m,
+                         e.v[(ms.m*$SubDim+1):(ms.m*$SubDim+$SubDim)] AS sv
+                  FROM e CROSS JOIN ms),
+          enc AS (SELECT vec_id, m, k FROM (
+                    SELECT s.vec_id, s.m, c.k,
+                           row_number() OVER (PARTITION BY s.vec_id, s.m
+                             ORDER BY list_dot_product(s.sv, c.cwv) DESC, c.k) AS rn
+                    FROM sub s JOIN cw c ON c.m = s.m) WHERE rn = 1),
+          recon AS (SELECT enc.vec_id, flatten(list(c.cwv ORDER BY enc.m)) AS rv
+                    FROM enc JOIN cw c ON c.m = enc.m AND c.k = enc.k
+                    GROUP BY enc.vec_id),
+          scores AS (SELECT q.vec_id AS q_id, r.vec_id,
+                       ROUND(list_dot_product(q.v, r.rv), 6) AS score
+                     FROM e q JOIN recon r ON q.vec_id <> r.vec_id
+                     WHERE q.vec_id < $NumQueries)
+          SELECT q_id, vec_id, score, rank FROM (
+            SELECT q_id, vec_id, score,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+            FROM scores) WHERE rank <= $TopK ORDER BY q_id, rank""",
     // s5: the oracle reads the Verify-dumped fitted centroids (same
     // bits the Spark query used) and reproduces assignment + top-k.
     // Assignment ordering uses the RAW cosine, exactly as assignTo's

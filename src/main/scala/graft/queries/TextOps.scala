@@ -181,6 +181,45 @@ object TextOps {
           .as("type_token_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Blocklist for the rule-based filter (t12) — `dup` is the corpus's
+    * planted near-duplicate marker word, so the blocklist flag is live
+    * at every SF (a real deployment drops in its own list here).
+    */
+  val Blocklist: Seq[String] = Seq("dup")
+
+  /** t12 — rule-based document filters, the C4/Gopher hard-filter
+    * family (Raffel et al. 2020 §2.2, Rae et al. 2021 A.1.1): per-doc
+    * boolean gates — too short, low lexical diversity (type-token
+    * ratio), blocklist hit — and the conjunction `keep`. These run
+    * BEFORE the expensive dedup/ANN tiers in a production pipeline:
+    * one cheap aggregate pass that typically drops 20–50% of a crawl.
+    *
+    * Scale shape: one hash aggregate over the session-cached words
+    * (map-side combine; the blocklist test is a per-row isin, no join)
+    * + a join with the cached quality frame both engines compute
+    * identically. Threshold comparisons are on exact IEEE ratios —
+    * deterministic cross-engine.
+    */
+  def c4Filters(spark: SparkSession, dir: String): DataFrame = {
+    val bl = cachedWords(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("word").isin(Blocklist: _*), 1L).otherwise(0L))
+        .as("bl"))
+    val flagShort = col("n_tokens") < 30
+    val flagLowDiv = col("type_token_ratio") < 0.35
+    val flagBlock = col("bl") === 1L
+    cachedQualityScore(spark, dir)
+      .join(bl, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        flagShort.as("flag_short"),
+        flagLowDiv.as("flag_low_diversity"),
+        flagBlock.as("flag_blocklist"),
+        (!(flagShort || flagLowDiv || flagBlock)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tiny marker lexicons for the language-ID heuristic. */
   val LangLexicons: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "an", "and", "of", "to", "is", "in"),
@@ -333,6 +372,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_c4_filters" -> c4Filters,
     "t11_repetition" -> repetition,
     "t10_unigram_logprob" -> unigramLogprob,
     "t8_tfidf" -> tfidf,
@@ -371,6 +411,19 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    "t12_c4_filters" ->
+      s"""WITH $wordsCte,
+          q AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                  CAST(COUNT(DISTINCT word) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) AS ttr,
+                  MAX(CASE WHEN word IN (${inList(Blocklist)}) THEN 1 ELSE 0 END) AS bl
+                FROM words GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+                 n_tokens < 30 AS flag_short,
+                 ttr < 0.35 AS flag_low_diversity,
+                 bl = 1 AS flag_blocklist,
+                 NOT (n_tokens < 30 OR ttr < 0.35 OR bl = 1) AS keep
+          FROM q ORDER BY doc_id""",
     "t11_repetition" ->
       s"""WITH $wordsCte,
           bg AS (

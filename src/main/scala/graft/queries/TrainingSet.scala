@@ -283,7 +283,48 @@ object TrainingSet {
       .orderBy(col("doc_id"))
   }
 
+  /** p8 — quality-curriculum staging with epoch weighting, the
+    * data-mixing knob of a training run (quality-bucketed curricula /
+    * up-sampling high-quality sources, as in Llama-style "epochs over
+    * quality tiers"): documents are bucketed into 3 stages by
+    * type-token ratio at FIXED thresholds, each stage repeats for a
+    * stage-specific number of epochs, and the output is the per-stage
+    * audit (docs, raw tokens, effective tokens = tokens × epochs, mean
+    * TTR).
+    *
+    * Fixed thresholds, not quantiles, keep the stage assignment a
+    * per-row projection — no global sort or window at any scale; the
+    * whole query is one hash aggregate over the cached quality frame.
+    * Mean TTR uses the floor-quantize discipline (sum exact int
+    * nano-units, divide once) — never a cross-engine AVG of doubles.
+    */
+  def qualityCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("type_token_ratio").as("ttr"))
+      .withColumn(
+        "stage",
+        when(col("ttr") >= 0.6, 1L).when(col("ttr") >= 0.45, 2L).otherwise(3L))
+      .withColumn(
+        "epochs",
+        when(col("stage") === 1L, 3L).when(col("stage") === 2L, 2L).otherwise(1L))
+    q.groupBy(col("stage"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_tokens") * col("epochs")).as("effective_tokens"),
+        sum(floor(col("ttr") * lit(1e9)).cast("long")).as("qsum"))
+      .select(
+        col("stage"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("effective_tokens"),
+        (col("qsum").cast("double") / (lit(1e9) * col("n_docs").cast("double")))
+          .as("avg_ttr"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p8_quality_curriculum" -> qualityCurriculum,
     "p1_training_select" -> select,
     "p2_token_budget" -> tokenBudget,
     "p3_language_mix" -> languageMix,
@@ -340,6 +381,22 @@ object TrainingSet {
               FROM shingles1)
             WHERE df <= ${Dedup.MaxShingleDf})"""
     Map(
+      "p8_quality_curriculum" ->
+        s"""WITH $qualityCtes,
+            staged AS (
+              SELECT doc_id, n_tokens, type_token_ratio AS ttr,
+                     CASE WHEN type_token_ratio >= 0.6 THEN 1
+                          WHEN type_token_ratio >= 0.45 THEN 2 ELSE 3 END AS stage,
+                     CASE WHEN type_token_ratio >= 0.6 THEN 3
+                          WHEN type_token_ratio >= 0.45 THEN 2 ELSE 1 END AS epochs
+              FROM quality)
+            SELECT CAST(stage AS BIGINT) AS stage,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_tokens * epochs) AS BIGINT) AS effective_tokens,
+                   CAST(SUM(CAST(FLOOR(ttr * 1e9) AS BIGINT)) AS DOUBLE)
+                     / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS avg_ttr
+            FROM staged GROUP BY stage ORDER BY stage""",
       "p6_contamination" ->
         s"""WITH $shingleCtes,
             bench AS (

@@ -58,10 +58,27 @@ class PlanAuditSpec extends SparkSpec {
   test("no unpartitioned windows anywhere in the training tier") {
     for (q <- Seq("p2_token_budget", "p3_language_mix",
         "p4_shard_stats", "p5_sequence_pack", "p1_training_select",
-        "p6_contamination", "p7_dsir_weights", "t11_repetition")) {
+        "p6_contamination", "p7_dsir_weights", "p8_quality_curriculum",
+        "t11_repetition", "t12_c4_filters", "d10_dup_ngram_coverage")) {
       val bad = unpartitionedWindows(plan(q))
       assert(bad.isEmpty, s"$q has unpartitioned window specs: $bad")
     }
+  }
+
+  test("d10 is join-on-shingle + hash aggs — no pair join, no cartesian") {
+    val p = plan("d10_dup_ngram_coverage")
+    assert(!p.contains("CartesianProduct"), "d10 has a cartesian join")
+    // the coverage join keys on the shingle itself, never (a_id, b_id):
+    // linear in corpus shingles, not quadratic in documents
+    assert(!p.contains("a_id"), "d10 unexpectedly builds document pairs")
+  }
+
+  test("s7 encodes per-row (no join) and scores via broadcast") {
+    val p = plan("s7_pq_topk")
+    assert(p.contains("Broadcast"), "s7 query side is not broadcast")
+    assert(!p.contains("CartesianProduct"), "s7 has a cartesian join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "s7 scoring regressed to a shuffled join")
   }
 
   test("p6 probes the benchmark set via broadcast, never cartesian") {
