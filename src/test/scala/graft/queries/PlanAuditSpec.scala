@@ -65,6 +65,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** Queries allowed a global (unpartitioned) window, each with the
+    * reason it's bounded: the window input is provably tiny at ANY
+    * corpus scale, so the single task holds control data, not corpus.
+    */
+  private val globalWindowWhitelist: Map[String, String] = Map(
+    "wh_q6_rolling" -> ("reference-verbatim rolling window over the " +
+      "warehouse sentence fixture (6 rows at any SF — the warehouse is " +
+      "a bounded ETL fixture, not the corpus); the corpus-scale rolling " +
+      "query is q6_rolling_sentiment, which is two-phase GlobalPrefix")
+  )
+
+  test("no unpartitioned windows anywhere in the registry (whitelist audited)") {
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val bad = unpartitionedWindows(plan(q))
+      if (bad.nonEmpty && !globalWindowWhitelist.contains(q)) Some(q -> bad)
+      else None
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (q, b) => s"$q: $b" }.mkString("\n"))
+    // whitelist must not go stale: every entry still has its window
+    for ((q, why) <- globalWindowWhitelist)
+      assert(unpartitionedWindows(plan(q)).nonEmpty,
+        s"$q is whitelisted ($why) but no longer has a global window — remove it")
+  }
+
   test("d10 is join-on-shingle + hash aggs — no pair join, no cartesian") {
     val p = plan("d10_dup_ngram_coverage")
     assert(!p.contains("CartesianProduct"), "d10 has a cartesian join")
