@@ -50,11 +50,16 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision: full-precision doubles made the result
+    // line ~3.4 KB, which overflowed the driver's stdout tail buffer —
+    // its "last line" was truncated mid-JSON and parsed to null every
+    // round. Millisecond precision is all a bench number means anyway.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the JSON line goes to a
     // file (stable path, no log interleaving) AND is the final stdout
     // line of the run. The file write must never take the stdout line

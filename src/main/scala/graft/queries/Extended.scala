@@ -72,13 +72,49 @@ object Extended {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** x5 — semi-structured JSON extraction over the event stream's
+    * `props` payload: `get_json_object` pulls the typed field out of
+    * the JSON string per row (codegen'd path expression, no UDF), then
+    * a per-type hash aggregate. The shape every event pipeline runs on
+    * schemaless payload columns; at 100 TB the extraction is a pure
+    * projection inside the scan stage and the aggregate shuffles one
+    * small row per event_type.
+    *
+    * The money sum is quantized to integer cents BEFORE the aggregate
+    * (sum of doubles is summation-order-dependent; sum of longs is
+    * exact) — `round(value·100)` is the same half-up on identical IEEE
+    * doubles in both engines.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_value_cents"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x5_json_extract" -> jsonExtract,
     "x1_date_dim_join" -> dateDimJoin,
     "x2_top1_per_key" -> top1PerKey,
     "x3_union_brands" -> unionBrands,
     "x4_distinct_counts" -> distinctCounts)
 
   val oracleSql: Map[String, String] = Map(
+    "x5_json_extract" ->
+      """SELECT event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "x1_date_dim_join" ->
       """SELECT year, COUNT(*) AS n_orders FROM (
            SELECT o_orderkey, EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS year

@@ -416,7 +416,34 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Cosine threshold for the range search (s8); sized so the result is
+    * live at every SF (the corpus's max off-diagonal cosine is ~0.51).
+    */
+  val RangeTau = 0.25
+
+  /** s8 — similarity RANGE search: all neighbors with cosine ≥ τ, the
+    * radius-query dual of top-k (near-duplicate harvesting wants "all
+    * matches above a bar", not "the best 10"). Broadcast the query
+    * rows, stream the corpus scan, filter on the rounded score —
+    * notably there is NO ranking window anywhere: output size is
+    * bounded by the threshold, so the operator is a pure scan-shaped
+    * projection+filter that survives any corpus size (the bucketed
+    * variants d8/s3 show the same idea with candidate pruning).
+    */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    broadcast(q)
+      .join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine("qv", "qn", "v", "nrm"))
+      .filter(col("cos_sim") >= RangeTau)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_range_search" -> rangeSearch,
     "s7_pq_topk" -> pqTopK,
     "s1_cosine_topk" -> bruteForceTopK,
     "s2_ivf_assign" -> ivfAssign,
@@ -444,6 +471,14 @@ object Similarity {
           WHERE rn = 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    "s8_range_search" ->
+      s"""WITH $vecCte
+          SELECT q.vec_id AS q_id, e.vec_id,
+                 ${cosSql("q", "e")} AS cos_sim
+          FROM e q CROSS JOIN e
+          WHERE q.vec_id < $NumQueries AND q.vec_id <> e.vec_id
+            AND ${cosSql("q", "e")} >= $RangeTau
+          ORDER BY q_id, e.vec_id""",
     // s7: codebook from the K lowest vec_ids' subvectors; encoding =
     // per-(vector, subspace) argmax inner product (raw IEEE dots —
     // identical bits, identical argmax); score = one 64-dim dot of the

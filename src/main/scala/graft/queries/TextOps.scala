@@ -371,7 +371,40 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t13 — per-document unigram (Shannon) entropy in nats:
+    * H = −Σ_w p_w ln p_w over the document's word distribution. Low
+    * entropy flags keyboard-mash/boilerplate (few distinct tokens
+    * dominating), complementing t11's bigram repetition and t5's
+    * type-token ratio — the three standard redundancy lenses of a
+    * training-data quality gate.
+    *
+    * Shape: one (doc_id, word) hash aggregate over the cached words +
+    * a join with the cached quality frame for the per-doc totals —
+    * map-side combine everywhere, no window. Each p·ln p term is
+    * floor-quantized to integer nano-nats before the exact sum (the
+    * t10 discipline), so the per-doc entropy is bit-identical
+    * cross-engine.
+    */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = cachedWords(spark, dir)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+    val p = col("c").cast("double") / col("n_tokens").cast("double")
+    tf.join(tot, "doc_id")
+      .withColumn("term", floor(p * log(p) * lit(1e9)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"), sum(col("term")).as("s"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (-col("s").cast("double") / lit(1e9)).as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_entropy" -> entropy,
     "t12_c4_filters" -> c4Filters,
     "t11_repetition" -> repetition,
     "t10_unigram_logprob" -> unigramLogprob,
@@ -411,6 +444,18 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    "t13_entropy" ->
+      s"""WITH $wordsCte,
+          tf AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY 1, 2),
+          tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+          terms AS (
+            SELECT t.doc_id, tot.n,
+                   CAST(FLOOR((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS term
+            FROM tf t JOIN tot USING (doc_id))
+          SELECT doc_id, MAX(n) AS n_tokens,
+                 -(CAST(SUM(term) AS DOUBLE)) / 1e9 AS entropy_nats
+          FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "t12_c4_filters" ->
       s"""WITH $wordsCte,
           q AS (SELECT doc_id, COUNT(*) AS n_tokens,

@@ -323,7 +323,38 @@ object TrainingSet {
       .orderBy(col("stage"))
   }
 
+  /** p9 — α-smoothed source-mixture weights (α = 1/2), the multilingual
+    * /multi-domain sampling rule of mBERT/XLM-R-style pipelines
+    * (Conneau & Lample 2019: sample domain i ∝ p_i^α): raw token share
+    * per source is flattened by sqrt so small sources are up-sampled
+    * and giant crawls stop dominating the mixture. Output is the
+    * per-source audit (docs, tokens, normalized sampling weight).
+    *
+    * Shape: one hash aggregate to 20 source rows + a 1-row broadcast
+    * total — nothing here grows with corpus size except the first
+    * aggregate's scan. sqrt is correctly-rounded IEEE (identical
+    * cross-engine); each sqrt is floor-quantized to integer nano-units
+    * before the normalizing sum, so the weights divide exact longs.
+    */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    val per = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn(
+        "qs",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e9)).cast("long"))
+    val tot = per.agg(sum(col("qs")).as("tot"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        (col("qs").cast("double") / col("tot").cast("double")).as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p9_source_mix" -> sourceMix,
     "p8_quality_curriculum" -> qualityCurriculum,
     "p1_training_select" -> select,
     "p2_token_budget" -> tokenBudget,
@@ -381,6 +412,18 @@ object TrainingSet {
               FROM shingles1)
             WHERE df <= ${Dedup.MaxShingleDf})"""
     Map(
+      "p9_source_mix" ->
+        s"""WITH $qualityCtes,
+            per AS (
+              SELECT d.source, COUNT(*) AS n_docs,
+                     CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+                     CAST(FLOOR(sqrt(CAST(SUM(q.n_tokens) AS DOUBLE)) * 1e9) AS BIGINT) AS qs
+              FROM quality q JOIN documents d USING (doc_id)
+              GROUP BY d.source),
+            tot AS (SELECT CAST(SUM(qs) AS BIGINT) AS tot FROM per)
+            SELECT source, n_docs, n_tokens,
+                   CAST(qs AS DOUBLE) / CAST(tot AS DOUBLE) AS mix_weight
+            FROM per CROSS JOIN tot ORDER BY source""",
       "p8_quality_curriculum" ->
         s"""WITH $qualityCtes,
             staged AS (

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-5 operators (t13 entropy, x5 JSON
+  * extraction, p9 source-mixture weights, s8 range search) beyond the
+  * cross-engine oracle: each test pins the property the oracle cannot
+  * express (invariants, cross-query consistency, plan shape).
+  */
+class Round5OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("t13: entropy bounded by ln(n_tokens) and non-negative") {
+    val rows = TextOps.entropy(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("entropy_nats"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val h = r.getDouble(2)
+      // floor-quantization can dip at most 1e-9 per distinct term below 0
+      assert(h >= -1e-6, s"doc ${r.getLong(0)}: negative entropy $h")
+      assert(h <= math.log(n.toDouble) + 1e-6,
+        s"doc ${r.getLong(0)}: entropy $h above ln($n)")
+    }
+  }
+
+  test("t13: entropy at most ln(n_distinct), attained on uniform docs") {
+    // H <= ln(#distinct tokens), with equality exactly when every token
+    // appears equally often — the tight form of the max-entropy bound
+    // (the ln(n_tokens) test above is the loose form)
+    val slack = TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"),
+        round(col("type_token_ratio") * col("n_tokens")).cast("long").as("nd"))
+      .join(TextOps.entropy(spark, dir).select(col("doc_id"), col("entropy_nats")), "doc_id")
+      .filter(col("nd") > 1)
+      .select((col("entropy_nats") - log(col("nd").cast("double"))).as("slack"))
+      .collect().map(_.getDouble(0))
+    assert(slack.forall(_ <= 1e-6), s"entropy above ln(n_distinct): max=${slack.max}")
+    // at least one doc in the corpus has a uniform token distribution
+    assert(slack.max > -1e-6, s"no doc attains the bound: max slack=${slack.max}")
+  }
+
+  test("x5: per-type counts reconcile with the raw event table") {
+    val out = Extended.jsonExtract(spark, dir).collect()
+    val total = graft.Tables.events(spark, dir).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    // k is extracted from every row (props always carries $.k)
+    val kNonNull = graft.Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").isNotNull.as("ok"))
+      .filter(col("ok")).count()
+    assert(kNonNull == total)
+  }
+
+  test("p9: mixture weights are a probability distribution that flattens token share") {
+    val rows = TrainingSet.sourceMix(spark, dir).collect()
+    val weights = rows.map(_.getDouble(3))
+    assert(math.abs(weights.sum - 1.0) < 1e-9)
+    assert(weights.forall(_ > 0))
+    // sqrt flattening: the weight RANGE is strictly narrower than the
+    // raw token-share range (that is the point of alpha-smoothing)
+    val tokens = rows.map(_.getLong(2).toDouble)
+    val shares = tokens.map(_ / tokens.sum)
+    val shareSpread = shares.max / shares.min
+    val weightSpread = weights.max / weights.min
+    assert(weightSpread < shareSpread,
+      s"sqrt smoothing did not flatten: $weightSpread !< $shareSpread")
+  }
+
+  test("s8: exactly the pairs at or above tau, consistent with brute-force top-k") {
+    val got = Similarity.rangeSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.values.foreach(c => assert(c >= Similarity.RangeTau))
+    // every brute-force top-k hit scoring >= tau must be in the range result
+    Similarity.bruteForceTopK(spark, dir).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val c = r.getDouble(2)
+      if (c >= Similarity.RangeTau)
+        assert(got.get(key).contains(c), s"top-k pair $key ($c) missing from range result")
+    }
+  }
+
+  test("s8 plan: broadcast join, no ranking window") {
+    val plan = Similarity.rangeSearch(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("windowspecdefinition"),
+      "range search must not rank — output is threshold-bounded")
+  }
+}
