@@ -54,7 +54,8 @@ object Dedup {
       cachedShingles(spark, dir),
       cached(spark, dir, "sigs")(minhashSignatures(spark, dir)),
       cached(spark, dir, "simhashValues")(simhashValues(spark, dir)),
-      cached(spark, dir, "clusterLabels")(clusterLabels(spark, dir)))
+      cached(spark, dir, "clusterLabels")(clusterLabels(spark, dir)),
+      cachedWinnowFps(spark, dir))
 
   /** Exact dedup (hash-groupBy on normalized-text fingerprint): one
     * surviving doc_id per distinct content + multiplicity. The groupBy
@@ -473,7 +474,110 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken 2003, §4 —
+    * the MOSS fingerprinting algorithm): guarantee window of
+    * `WinnowWindow` consecutive k-gram hashes, one fingerprint selected
+    * per window (the minimum; ties to the earliest position via the
+    * packed key). `FpPosBase` packs (40-bit hash, 20-bit position) into
+    * one BIGINT so the window MIN is a single orderable value in both
+    * engines.
+    */
+  val WinnowWindow = 4
+  val WinnowShareMin = 8L
+  val FpPosBase = 1048576L // 2^20: max document length the packing allows
+
+  /** Positional winnowed fingerprints per document: every 3-word
+    * k-gram hashed to 40 bits (md5-derived — engine-portable, the p4
+    * shard-id pattern), packed with its position, and the minimum taken
+    * over each sliding window of 4 consecutive k-grams. The distinct
+    * selected (hash, pos) pairs are the document's fingerprint sketch —
+    * ~2/(w+1) the k-gram count, with the winnowing guarantee that any
+    * shared substring of ≥ w+k-1 = 6 words yields a shared fingerprint
+    * (the property d10's distinct-shingle coverage lacks: winnowing is
+    * position-aware, so it localizes WHERE the copy is).
+    *
+    * Scale shape: per-doc partitioned windows only (lead + trailing
+    * min — parallel across docs, no global order), then a distinct.
+    * Session-cached: d11 and d12 both read it.
+    */
+  private[queries] def winnowedFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val trail = w.rowsBetween(-(WinnowWindow - 1), 0)
+    TextOps.cachedWords(spark, dir)
+      .withColumn(
+        "sh",
+        concat(
+          col("word"), lit(" "),
+          lead(col("word"), 1).over(w), lit(" "),
+          lead(col("word"), 2).over(w)))
+      .filter(col("sh").isNotNull)
+      .withColumn(
+        "key",
+        conv(substring(md5(col("sh").cast("binary")), 1, 10), 16, 10)
+          .cast("long") * FpPosBase + col("pos"))
+      .withColumn("mkey", min(col("key")).over(trail))
+      .filter(col("pos") >= WinnowWindow - 1)
+      .select(
+        col("doc_id"),
+        expr(s"mkey div $FpPosBase").as("fp"),
+        (col("mkey") % FpPosBase).as("fp_pos"))
+      .distinct()
+  }
+
+  private def cachedWinnowFps(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "winnowFps")(winnowedFingerprints(spark, dir))
+
+  /** d11 — per-document winnowing fingerprint summary: window count,
+    * selected-fingerprint count, density. Winnowing's expected density
+    * is 2/(w+1) = 0.4 on random text; near-1 density means every window
+    * picked a distinct min (high-entropy doc), collapsed density means
+    * repeated content. Join with the quality frame covers docs too
+    * short to produce any window.
+    */
+  def winnowFingerprintSummary(spark: SparkSession, dir: String): DataFrame = {
+    val counts = cachedWinnowFps(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("fps"))
+    TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("n_windows", greatest(col("n_tokens") - 5, lit(0L)))
+      .join(counts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        coalesce(col("fps"), lit(0L)).as("n_fps"),
+        when(col("n_windows") > 0,
+          coalesce(col("fps"), lit(0L)).cast("double")
+            / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("density"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d12 — winnowed-fingerprint overlap pairs, the MOSS match step:
+    * documents sharing ≥ `WinnowShareMin` distinct selected hashes.
+    * Same inverted-index equi-join scale shape as d2 (join on the
+    * fingerprint, never all-pairs) with the same document-frequency cap
+    * discipline — a boilerplate fingerprint shared by thousands of docs
+    * is dropped (broadcast anti-join) before it can fan out the join;
+    * at cap 100 the planted near-dup pairs all survive (observed max
+    * natural df here is 7 — positional context keeps fps rare).
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val f = cachedWinnowFps(spark, dir).select(col("doc_id"), col("fp")).distinct()
+    val hot = f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select(col("fp"))
+    val capped = f.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = capped.select(col("doc_id").as("a_id"), col("fp").as("a_fp"))
+    val b = capped.select(col("doc_id").as("b_id"), col("fp").as("b_fp"))
+    a.join(b, col("a_fp") === col("b_fp") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowShareMin)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_winnow_fingerprints" -> winnowFingerprintSummary,
+    "d12_winnow_pairs" -> winnowPairs,
     "d10_dup_ngram_coverage" -> dupNgramCoverage,
     "d9_dedup_clusters" -> dedupClusters,
     "d6_simhash_neardup" -> simhashNearDup,
@@ -514,7 +618,48 @@ object Dedup {
           CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS h)
           GROUP BY doc_id, h)"""
 
+  private val winnowCte =
+    s"""$wordsCte,
+        wsh AS (
+          SELECT doc_id, pos,
+                 word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS sh
+          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        grams AS (
+          SELECT doc_id, pos,
+                 CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT)
+                   * $FpPosBase + pos AS key
+          FROM wsh WHERE sh IS NOT NULL),
+        mins AS (
+          SELECT doc_id, pos,
+                 MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN ${WinnowWindow - 1} PRECEDING AND CURRENT ROW) AS mkey
+          FROM grams),
+        fps AS (
+          SELECT DISTINCT doc_id, mkey // $FpPosBase AS fp, mkey % $FpPosBase AS fp_pos
+          FROM mins WHERE pos >= ${WinnowWindow - 1})"""
+
   val oracleSql: Map[String, String] = Map(
+    "d11_winnow_fingerprints" ->
+      s"""WITH $winnowCte,
+          counts AS (SELECT doc_id, COUNT(*) AS n_fps FROM fps GROUP BY doc_id),
+          toks AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id)
+          SELECT t.doc_id,
+                 CAST(GREATEST(t.n - 5, 0) AS BIGINT) AS n_windows,
+                 CAST(COALESCE(c.n_fps, 0) AS BIGINT) AS n_fps,
+                 CASE WHEN t.n - 5 > 0
+                      THEN CAST(COALESCE(c.n_fps, 0) AS DOUBLE) / CAST(t.n - 5 AS DOUBLE)
+                      ELSE 0.0 END AS density
+          FROM toks t LEFT JOIN counts c USING (doc_id)
+          ORDER BY t.doc_id""",
+    "d12_winnow_pairs" ->
+      s"""WITH $winnowCte,
+          fpd AS (SELECT DISTINCT doc_id, fp FROM fps),
+          hot AS (SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) > $MaxShingleDf),
+          capped AS (SELECT * FROM fpd WHERE fp NOT IN (SELECT fp FROM hot))
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+          FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowShareMin
+          ORDER BY a_id, b_id""",
     "d10_dup_ngram_coverage" ->
       s"""WITH $shinglesCte,
           dfreq AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh)

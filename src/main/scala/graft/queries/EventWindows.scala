@@ -96,12 +96,69 @@ object EventWindows {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** w4 — AS-OF join: each purchase matched to the user's most recent
+    * click at-or-before it (attribution's "last touch"; the time-series
+    * point-in-time join the builder brief names as an operator Spark
+    * lacks). Implemented the Spark-native scalable way — NOT a
+    * θ-join: union both sides tagged, ONE per-user window pass carries
+    * the latest click forward (`last(..., ignoreNulls)` over a trailing
+    * frame), purchases read it where they stand. One shuffle by
+    * user_id, zero join explosion, linear in events — the same shape at
+    * 100 TB. A direct `p.ts >= c.ts` join would be a per-user cross
+    * product; the merge-scan formulation is how kdb/Flink/DuckDB
+    * implement ASOF natively, here expressed as a partitioned window.
+    *
+    * Equal-timestamp click⋈purchase pairs count as "before" (ASOF >=):
+    * the sort key (tus, kind, event_id) places kind=0 clicks ahead of
+    * kind=1 purchases at the same µs. All time math in the µs domain
+    * (`ts div 1000`) — the engines' shared exact timestamp resolution.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir).withColumn("tus", expr("ts div 1000"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), col("event_id"), lit(0L).as("kind"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), col("event_id"), lit(1L).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn(
+        "click_ev",
+        last(
+          when(col("kind") === 0L,
+            struct(col("tus").as("cus"), col("event_id").as("cid"))),
+          ignoreNulls = true).over(w))
+      .filter(col("kind") === 1L && col("click_ev").isNotNull)
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("tus").as("purchase_us"),
+        col("click_ev.cid").as("click_id"),
+        col("click_ev.cus").as("click_us"),
+        (col("tus") - col("click_ev.cus")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w4_asof_join" -> asofJoin,
     "w1_tumbling" -> tumbling,
     "w2_sliding" -> sliding,
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    // The oracle uses DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation of the semantics (merge-scan vs our window pass).
+    // Determinism probed across all SFs: no (user_id, µs) click ties.
+    "w4_asof_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+                epoch_us(p.ts) AS purchase_us,
+                c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+                epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY purchase_id""",
     "w1_tumbling" ->
       s"""SELECT window_start, event_type, n_events,
                  CAST(sum_cents AS DOUBLE) / (100.0 * CAST(n_events AS DOUBLE)) AS avg_value

@@ -82,6 +82,68 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("w4: every match is the true latest prior click (brute-force check)") {
+    import org.apache.spark.sql.Row
+    val e = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("tus"))
+      .collect()
+    val clicks = e.filter(_.getString(1) == "click")
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(3), r.getLong(2))).toList).toMap
+    val purchases = e.filter(_.getString(1) == "purchase")
+    val got = EventWindows.asofJoin(spark, dir).collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    var matched = 0
+    purchases.foreach { p =>
+      val expect = clicks.getOrElse(p.getLong(0), List.empty[(Long, Long)])
+        .filter(_._1 <= p.getLong(3))
+        .sortBy(c => (c._1, c._2)).lastOption
+      val gotRow = got.get(p.getLong(2))
+      assert(gotRow == expect.map { case (ts, id) => (id, ts) },
+        s"purchase ${p.getLong(2)}: got $gotRow expected $expect")
+      if (expect.nonEmpty) matched += 1
+    }
+    assert(matched == got.size && matched > 0)
+  }
+
+  test("w4 plan: single window pass, no join operator at all") {
+    val plan = EventWindows.asofJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      "as-of must be the merge-scan window formulation, not a theta-join")
+    assert(plan.contains("windowspecdefinition"))
+  }
+
+  test("winnowing guarantee: a shared 6-word run yields a shared fingerprint") {
+    // the planted near-dup pairs (d2 jaccard >= 0.5) share long runs;
+    // every d2 pair must also be caught by d12's fingerprint overlap
+    val d2Pairs = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d2Pairs.nonEmpty)
+    // the guarantee is >= 1 shared fingerprint (the query's
+    // WinnowShareMin = 8 is a detection tuning on top of it)
+    val byDoc = Dedup.winnowedFingerprints(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val missed = d2Pairs.filter { case (a, b) =>
+      byDoc.getOrElse(a, Set.empty[Long])
+        .intersect(byDoc.getOrElse(b, Set.empty[Long])).isEmpty
+    }
+    assert(missed.isEmpty, s"winnowing missed planted near-dup pairs: $missed")
+  }
+
+  test("d11: density within winnowing's theoretical band") {
+    // one fingerprint per window minimum => density <= 1; the 2/(w+1)
+    // expectation on random text puts typical density well above 0.2
+    val rows = Dedup.winnowFingerprintSummary(spark, dir)
+      .filter(col("n_windows") > 0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getDouble(3)
+      assert(d > 0.0 && d <= 1.0 + 1e-9, s"doc ${r.getLong(0)} density $d")
+    }
+  }
+
   test("s8 plan: broadcast join, no ranking window") {
     val plan = Similarity.rangeSearch(spark, dir)
       .queryExecution.executedPlan.toString

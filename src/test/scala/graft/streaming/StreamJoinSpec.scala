@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Stream-stream interval join: semantics (bounded look-back, same
+  * user), equivalence with the batch formulation, and state-bound
+  * plumbing (watermarks on both sides).
+  */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("purchases join clicks within the look-back interval only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val out = StreamJoin.clickAttribution(
+      clicks.toDF.toDF("c_ts", "c_user", "click_id"),
+      purchases.toDF.toDF("p_ts", "p_user", "purchase_id"),
+      lookback = "30 minutes", delay = "10 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      // user 1: click at 10:00 and 10:20, purchase at 10:25 → both match
+      // user 2: click at 10:00, purchase at 10:35 → 35 min gap, no match
+      // user 3: purchase at 10:10 with user 1's clicks only → no match
+      clicks.addData((ts(0), 1L, 100L), (ts(20), 1L, 101L), (ts(0), 2L, 200L))
+      purchases.addData((ts(25), 1L, 900L), (ts(35), 2L, 901L), (ts(10), 3L, 902L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out")
+        .orderBy("purchase_id", "click_id").collect()
+      assert(rows.map(r => (r.getLong(1), r.getLong(3))).toSeq ==
+        Seq((900L, 100L), (900L, 101L)))
+    } finally q.stop()
+  }
+
+  test("streaming result equals the batch interval join on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val out = StreamJoin.clickAttribution(
+      clicks.toDF.toDF("c_ts", "c_user", "click_id"),
+      purchases.toDF.toDF("p_ts", "p_user", "purchase_id"),
+      lookback = "30 minutes", delay = "10 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("attr_eq_out").outputMode("append").start()
+    val cData = (0 until 20).map(i => (ts(i * 3 % 60), (i % 4).toLong, 100L + i))
+    val pData = (0 until 10).map(i => (ts((i * 7 + 5) % 60), (i % 4).toLong, 900L + i))
+    try {
+      clicks.addData(cData: _*)
+      purchases.addData(pData: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr_eq_out").collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toSet
+      val batch = StreamJoin.clickAttribution(
+        cData.toDF("c_ts", "c_user", "click_id"),
+        pData.toDF("p_ts", "p_user", "purchase_id"),
+        "30 minutes", "10 minutes")
+      val expected = batch.collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toSet
+      assert(streamed == expected)
+      assert(expected.nonEmpty)
+    } finally q.stop()
+  }
+}
