@@ -336,7 +336,7 @@ object Dedup {
     */
   def ivfNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.vecDot
-    val assign = Similarity.ivfAssign(spark, dir)
+    val assign = Similarity.cachedIvfAssign(spark, dir)
       .select(col("vec_id"), col("centroid_id"))
     val ec = Similarity.vectors(spark, dir).join(assign, "vec_id")
     val a = ec.select(
