@@ -100,7 +100,32 @@ object Extended {
         sum(col("cents")).as("sum_value_cents"))
       .orderBy(col("event_type"))
 
+  /** x6 — ROLLUP grouping sets: per-(year, month) order counts and
+    * exact money totals with month subtotals and a grand total in one
+    * pass — the OLAP cube family (`GROUP BY ROLLUP`). Spark expands
+    * grouping sets inside a single hash aggregate (each input row feeds
+    * its grouping-set combinations map-side), so the shape stays one
+    * shuffle regardless of how many levels roll up. NULL group keys are
+    * projected to -1 sentinels: the output carries no NULLs, keeping
+    * the cross-engine sort order unambiguous (Spark sorts NULLs first,
+    * DuckDB last — sentinels sidestep the divergence).
+    */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(
+        year(col("o_orderdate").cast("date")).cast("long").as("yr"),
+        month(col("o_orderdate").cast("date")).cast("long").as("mo"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .rollup(col("yr"), col("mo"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .select(
+        coalesce(col("yr"), lit(-1L)).as("year"),
+        coalesce(col("mo"), lit(-1L)).as("month"),
+        col("n_orders"), col("sum_cents"))
+      .orderBy(col("year"), col("month"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x6_rollup" -> rollupOrders,
     "x5_json_extract" -> jsonExtract,
     "x1_date_dim_join" -> dateDimJoin,
     "x2_top1_per_key" -> top1PerKey,
@@ -108,6 +133,15 @@ object Extended {
     "x4_distinct_counts" -> distinctCounts)
 
   val oracleSql: Map[String, String] = Map(
+    "x6_rollup" ->
+      """SELECT COALESCE(CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT), -1) AS year,
+                COALESCE(CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT), -1) AS month,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders
+         GROUP BY ROLLUP (EXTRACT(year FROM CAST(o_orderdate AS DATE)),
+                          EXTRACT(month FROM CAST(o_orderdate AS DATE)))
+         ORDER BY year, month""",
     "x5_json_extract" ->
       """SELECT event_type,
                 COUNT(*) AS n_events,
