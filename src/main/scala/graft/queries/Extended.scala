@@ -124,7 +124,80 @@ object Extended {
         col("n_orders"), col("sum_cents"))
       .orderBy(col("year"), col("month"))
 
+  /** x7 — pivot (long→wide reshaping): per-user money totals with
+    * event types as columns. The value list is EXPLICIT — with it the
+    * pivot is a single pass of conditional aggregates (exactly the
+    * CASE-WHEN form the oracle writes); without it Spark must first run
+    * a distinct-values job to discover the columns, a second scan a
+    * 100 TB pipeline shouldn't pay. Missing cells coalesce to 0.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("user_id") < 30)
+      .select(
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(sum(col("cents")))
+      .select(
+        col("user_id"),
+        coalesce(col("click"), lit(0L)).as("click_cents"),
+        coalesce(col("view"), lit(0L)).as("view_cents"),
+        coalesce(col("purchase"), lit(0L)).as("purchase_cents"))
+      .orderBy(col("user_id"))
+
+  val BigOrderCents = 300000
+
+  /** x8 — left-semi and left-anti joins as first-class plan nodes (the
+    * EXISTS / NOT EXISTS duals): customers with a >$300k order (semi,
+    * bounded to custkey < 100) and customers with none (anti — the
+    * J4/E6 dedup-insert primitive as a query). Both probe the same
+    * filtered orders side; semi/anti joins shuffle only the keys and
+    * emit at most one row per left row — no fan-out, the join shape
+    * that never explodes at scale.
+    */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val big = orders(spark, dir)
+      .filter(col("o_totalprice") > BigOrderCents)
+      .select(col("o_custkey"))
+    val c = customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val semi = c.filter(col("c_custkey") < 100)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("kind", lit("has_big_order"))
+    val anti = c
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("kind", lit("no_big_order"))
+    semi.unionByName(anti).orderBy(col("c_custkey"), col("kind"))
+  }
+
+  /** x9 — exact interpolated percentiles over integer cents: Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the linear-
+    * interpolation definition, and on exact integer inputs the
+    * interpolation arithmetic is the same IEEE expression — probed
+    * bit-identical across engines at every SF before registering (the
+    * approx_percentile sketch variant has no cross-engine oracle, same
+    * status as approx_count_distinct).
+    *
+    * Scale note: exact percentiles sort each group's values — fine for
+    * bounded per-group cardinality; an unbounded 100 TB group uses the
+    * t-digest/approx path this query is the exact baseline for.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(cents, 0.5)").as("p50_cents"),
+        expr("percentile(cents, 0.95)").as("p95_cents"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x7_pivot" -> pivotEvents,
+    "x8_semi_anti" -> semiAnti,
+    "x9_percentiles" -> percentiles,
     "x6_rollup" -> rollupOrders,
     "x5_json_extract" -> jsonExtract,
     "x1_date_dim_join" -> dateDimJoin,
@@ -133,6 +206,32 @@ object Extended {
     "x4_distinct_counts" -> distinctCounts)
 
   val oracleSql: Map[String, String] = Map(
+    "x7_pivot" ->
+      """SELECT user_id,
+                CAST(SUM(CASE WHEN event_type='click' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS click_cents,
+                CAST(SUM(CASE WHEN event_type='view' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS view_cents,
+                CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
+         FROM events WHERE user_id < 30
+         GROUP BY user_id ORDER BY user_id""",
+    "x8_semi_anti" ->
+      s"""SELECT c_custkey, c_name, 'has_big_order' AS kind
+          FROM customer c
+          WHERE c_custkey < 100
+            AND EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > $BigOrderCents)
+          UNION ALL
+          SELECT c_custkey, c_name, 'no_big_order' AS kind
+          FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > $BigOrderCents)
+          ORDER BY c_custkey, kind""",
+    "x9_percentiles" ->
+      """SELECT event_type,
+                quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.5) AS p50_cents,
+                quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.95) AS p95_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "x6_rollup" ->
       """SELECT COALESCE(CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT), -1) AS year,
                 COALESCE(CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT), -1) AS month,
