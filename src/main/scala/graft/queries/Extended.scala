@@ -194,7 +194,28 @@ object Extended {
         expr("percentile(cents, 0.95)").as("p95_cents"))
       .orderBy(col("event_type"))
 
+  /** x10 — EXCEPT and INTERSECT (with U1's union, the full §2.7 set-
+    * operation family), on a corpus-shaped problem: the 3-gram shingle
+    * vocabulary unique to source src0 vs shared with src1 — the
+    * "what does this crawl contribute that the other lacks" question.
+    * Both compile to aggregate/join shapes (distinct + anti/semi
+    * underneath) and reuse the session-cached df-capped shingles; both
+    * output branches are live at every SF (probed: the closed word
+    * lexicon makes per-source WORD sets identical, shingle sets not).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.queries.Dedup.cachedShingles(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+    val s0 = sh.filter(col("source") === "src0").select(col("sh")).distinct()
+    val s1 = sh.filter(col("source") === "src1").select(col("sh")).distinct()
+    s0.except(s1).withColumn("kind", lit("src0_only"))
+      .unionByName(
+        s0.intersect(s1).withColumn("kind", lit("shared")))
+      .orderBy(col("sh"), col("kind"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x10_set_ops" -> setOps,
     "x7_pivot" -> pivotEvents,
     "x8_semi_anti" -> semiAnti,
     "x9_percentiles" -> percentiles,
@@ -206,6 +227,34 @@ object Extended {
     "x4_distinct_counts" -> distinctCounts)
 
   val oracleSql: Map[String, String] = Map(
+    "x10_set_ops" ->
+      s"""WITH words AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) - 1 AS pos,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents),
+          sh0 AS (
+            SELECT doc_id,
+                   word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS sh
+            FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          shingles1 AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+          shingles AS (
+            SELECT doc_id, sh FROM (
+              SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+              FROM shingles1)
+            WHERE df <= ${graft.queries.Dedup.MaxShingleDf}),
+          ss AS (
+            SELECT s.sh, d.source FROM shingles s
+            JOIN documents d USING (doc_id)
+            WHERE d.source IN ('src0', 'src1')),
+          s0 AS (SELECT DISTINCT sh FROM ss WHERE source = 'src0'),
+          s1 AS (SELECT DISTINCT sh FROM ss WHERE source = 'src1')
+          SELECT sh, 'src0_only' AS kind FROM (
+            SELECT sh FROM s0 EXCEPT SELECT sh FROM s1)
+          UNION ALL
+          SELECT sh, 'shared' AS kind FROM (
+            SELECT sh FROM s0 INTERSECT SELECT sh FROM s1)
+          ORDER BY sh, kind""",
     "x7_pivot" ->
       """SELECT user_id,
                 CAST(SUM(CASE WHEN event_type='click' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS click_cents,
