@@ -144,6 +144,23 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("x8 plan: physical left-semi and left-anti join nodes") {
+    val plan = Extended.semiAnti(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+  }
+
+  test("x7 plan: explicit pivot values -> single aggregate, no discovery job") {
+    val df = Extended.pivotEvents(spark, dir)
+    // with the value list given, the plan is pure aggregate shapes —
+    // no collect-distinct first pass materialized as a separate job
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(!_.anyNull))
+  }
+
   test("s8 plan: broadcast join, no ranking window") {
     val plan = Similarity.rangeSearch(spark, dir)
       .queryExecution.executedPlan.toString
