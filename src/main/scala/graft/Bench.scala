@@ -54,7 +54,10 @@ object Bench {
     // line ~3.4 KB, which overflowed the driver's stdout tail buffer —
     // its "last line" was truncated mid-JSON and parsed to null every
     // round. Millisecond precision is all a bench number means anyway.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"%.3f" uses the JVM default locale, which on e.g.
+    // de_DE emits "0,558" — invalid JSON, the same parse failure back.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

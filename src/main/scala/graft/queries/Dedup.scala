@@ -484,7 +484,15 @@ object Dedup {
     */
   val WinnowWindow = 4
   val WinnowShareMin = 8L
-  val FpPosBase = 1048576L // 2^20: max document length the packing allows
+  /** Words per winnowing k-gram (the shingle width). */
+  val KGramWords = 3
+  /** 2^20: positions per packed key. Positions ≥ this would overflow
+    * into the hash bits and silently break the shared-substring
+    * guarantee (same k-gram, different fp), so both engines filter
+    * `pos < FpPosBase` — a >1M-word document truncates its fingerprint
+    * sketch at the bound (widen the base / narrow the hash to lift it).
+    */
+  val FpPosBase = 1048576L
 
   /** Positional winnowed fingerprints per document: every 3-word
     * k-gram hashed to 40 bits (md5-derived — engine-portable, the p4
@@ -510,7 +518,7 @@ object Dedup {
           col("word"), lit(" "),
           lead(col("word"), 1).over(w), lit(" "),
           lead(col("word"), 2).over(w)))
-      .filter(col("sh").isNotNull)
+      .filter(col("sh").isNotNull && col("pos") < FpPosBase)
       .withColumn(
         "key",
         conv(substring(md5(col("sh").cast("binary")), 1, 10), 16, 10)
@@ -527,6 +535,12 @@ object Dedup {
   private def cachedWinnowFps(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "winnowFps")(winnowedFingerprints(spark, dir))
 
+  /** Windows in an n-token doc = n − (k-gram tail) − (window ramp-up):
+    * derived from the constants so tuning either cannot silently
+    * desynchronize the d11 window count from the fingerprint pass.
+    */
+  private val WindowDeficit = (KGramWords - 1) + (WinnowWindow - 1)
+
   /** d11 — per-document winnowing fingerprint summary: window count,
     * selected-fingerprint count, density. Winnowing's expected density
     * is 2/(w+1) = 0.4 on random text; near-1 density means every window
@@ -539,7 +553,8 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("fps"))
     TextOps.cachedQualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"))
-      .withColumn("n_windows", greatest(col("n_tokens") - 5, lit(0L)))
+      .withColumn("n_windows",
+        greatest(col("n_tokens") - WindowDeficit, lit(0L)))
       .join(counts, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -589,14 +604,14 @@ object Dedup {
     "d5_embedding_neardup" -> embeddingNearDup,
     "d8_ivf_neardup" -> ivfNearDup)
 
-  private val wordsCte =
+  private[queries] val wordsCte =
     """words AS (
          SELECT doc_id,
                 generate_subscripts(string_split_regex(lower(text), '\s+'), 1) - 1 AS pos,
                 unnest(string_split_regex(lower(text), '\s+')) AS word
          FROM documents)"""
 
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     s"""$wordsCte,
         sh0 AS (
           SELECT doc_id,
@@ -628,7 +643,7 @@ object Dedup {
           SELECT doc_id, pos,
                  CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT)
                    * $FpPosBase + pos AS key
-          FROM wsh WHERE sh IS NOT NULL),
+          FROM wsh WHERE sh IS NOT NULL AND pos < $FpPosBase),
         mins AS (
           SELECT doc_id, pos,
                  MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
@@ -644,10 +659,10 @@ object Dedup {
           counts AS (SELECT doc_id, COUNT(*) AS n_fps FROM fps GROUP BY doc_id),
           toks AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id)
           SELECT t.doc_id,
-                 CAST(GREATEST(t.n - 5, 0) AS BIGINT) AS n_windows,
+                 CAST(GREATEST(t.n - $WindowDeficit, 0) AS BIGINT) AS n_windows,
                  CAST(COALESCE(c.n_fps, 0) AS BIGINT) AS n_fps,
-                 CASE WHEN t.n - 5 > 0
-                      THEN CAST(COALESCE(c.n_fps, 0) AS DOUBLE) / CAST(t.n - 5 AS DOUBLE)
+                 CASE WHEN t.n - $WindowDeficit > 0
+                      THEN CAST(COALESCE(c.n_fps, 0) AS DOUBLE) / CAST(t.n - $WindowDeficit AS DOUBLE)
                       ELSE 0.0 END AS density
           FROM toks t LEFT JOIN counts c USING (doc_id)
           ORDER BY t.doc_id""",

@@ -101,8 +101,8 @@ object Extended {
       .orderBy(col("event_type"))
 
   /** x6 — ROLLUP grouping sets: per-(year, month) order counts and
-    * exact money totals with month subtotals and a grand total in one
-    * pass — the OLAP cube family (`GROUP BY ROLLUP`). Spark expands
+    * exact money totals with YEAR subtotals and a grand total in one
+    * pass (grouping sets (yr,mo), (yr), ()) — the OLAP cube family (`GROUP BY ROLLUP`). Spark expands
     * grouping sets inside a single hash aggregate (each input row feeds
     * its grouping-set combinations map-side), so the shape stays one
     * shuffle regardless of how many levels roll up. NULL group keys are
@@ -147,7 +147,7 @@ object Extended {
         coalesce(col("purchase"), lit(0L)).as("purchase_cents"))
       .orderBy(col("user_id"))
 
-  val BigOrderCents = 300000
+  val BigOrderDollars = 300000
 
   /** x8 — left-semi and left-anti joins as first-class plan nodes (the
     * EXISTS / NOT EXISTS duals): customers with a >$300k order (semi,
@@ -159,7 +159,7 @@ object Extended {
     */
   def semiAnti(spark: SparkSession, dir: String): DataFrame = {
     val big = orders(spark, dir)
-      .filter(col("o_totalprice") > BigOrderCents)
+      .filter(col("o_totalprice") > BigOrderDollars)
       .select(col("o_custkey"))
     val c = customer(spark, dir).select(col("c_custkey"), col("c_name"))
     val semi = c.filter(col("c_custkey") < 100)
@@ -227,22 +227,12 @@ object Extended {
     "x4_distinct_counts" -> distinctCounts)
 
   val oracleSql: Map[String, String] = Map(
+    // the shingle CTE is Dedup's OWN definition (words → 3-grams →
+    // df-cap), interpolated rather than copied: a future change to the
+    // word-split or cap semantics lands in exactly one place for both
+    // the Spark session cache and every oracle that mirrors it.
     "x10_set_ops" ->
-      s"""WITH words AS (
-            SELECT doc_id,
-                   generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) - 1 AS pos,
-                   unnest(string_split_regex(lower(text), '\\s+')) AS word
-            FROM documents),
-          sh0 AS (
-            SELECT doc_id,
-                   word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS sh
-            FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-          shingles1 AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
-          shingles AS (
-            SELECT doc_id, sh FROM (
-              SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
-              FROM shingles1)
-            WHERE df <= ${graft.queries.Dedup.MaxShingleDf}),
+      s"""WITH ${graft.queries.Dedup.shinglesCte},
           ss AS (
             SELECT s.sh, d.source FROM shingles s
             JOIN documents d USING (doc_id)
@@ -268,13 +258,13 @@ object Extended {
           WHERE c_custkey < 100
             AND EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey
-                          AND o.o_totalprice > $BigOrderCents)
+                          AND o.o_totalprice > $BigOrderDollars)
           UNION ALL
           SELECT c_custkey, c_name, 'no_big_order' AS kind
           FROM customer c
           WHERE NOT EXISTS (SELECT 1 FROM orders o
                             WHERE o.o_custkey = c.c_custkey
-                              AND o.o_totalprice > $BigOrderCents)
+                              AND o.o_totalprice > $BigOrderDollars)
           ORDER BY c_custkey, kind""",
     "x9_percentiles" ->
       """SELECT event_type,

@@ -460,7 +460,11 @@ object Similarity {
     "s8_range_search" -> rangeSearch,
     "s7_pq_topk" -> pqTopK,
     "s1_cosine_topk" -> bruteForceTopK,
-    "s2_ivf_assign" -> cachedIvfAssign,
+    // the UNCACHED form: s2's registered query IS the assignment
+    // computation — pointing it at the session cache would make its
+    // bench number a persisted-scan read that measures nothing.
+    // Consumers (s3/s4/d8) read cachedIvfAssign.
+    "s2_ivf_assign" -> ivfAssign,
     "s3_ivf_topk" -> ivfTopK,
     "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2,
     "s5_kmeans_ivf_topk" -> kmeansIvfTopK,

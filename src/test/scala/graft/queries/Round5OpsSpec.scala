@@ -107,6 +107,20 @@ class Round5OpsSpec extends SparkSpec {
     assert(matched == got.size && matched > 0)
   }
 
+  test("w4: no (user, microsecond) click ties — the ASOF oracle's determinism precondition") {
+    // DuckDB's native ASOF JOIN picks an arbitrary row among ties on the
+    // ordering key; the Spark side breaks ties deterministically by
+    // event_id. The oracle is only valid while the data has no ties —
+    // probed at all SFs when w4 was registered; this pins it loudly.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val ties = graft.Tables.events(spark, s"/root/testdata/$sf")
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts div 1000").as("tus"))
+        .count().filter(col("count") > 1).count()
+      assert(ties == 0, s"$sf has (user, us) click ties — w4's ASOF oracle is ambiguous")
+    }
+  }
+
   test("w4 plan: single window pass, no join operator at all") {
     val plan = EventWindows.asofJoin(spark, dir)
       .queryExecution.executedPlan.toString
