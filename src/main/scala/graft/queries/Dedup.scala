@@ -508,10 +508,16 @@ object Dedup {
     * min — parallel across docs, no global order), then a distinct.
     * Session-cached: d11 and d12 both read it.
     */
-  private[queries] def winnowedFingerprints(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def winnowedFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowedFingerprintsFrom(TextOps.cachedWords(spark, dir))
+
+  /** Core winnowing pass over any (doc_id, pos, word) frame — split out
+    * so the property spec can drive it with constructed documents.
+    */
+  private[queries] def winnowedFingerprintsFrom(words: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val trail = w.rowsBetween(-(WinnowWindow - 1), 0)
-    TextOps.cachedWords(spark, dir)
+    words
       .withColumn(
         "sh",
         concat(
