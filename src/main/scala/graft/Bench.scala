@@ -39,16 +39,21 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] cache warmup failed: ${e.getMessage}")
     }
-    // min of 2 runs per query: the second run reuses codegen'd classes
-    // and OS page cache, so the min approximates steady-state throughput
-    // (single-run totals varied ±15% from GC/compilation noise).
+    // MEDIAN of 5 runs per query (round-6 change, was min-of-2): on a
+    // contended 32-core host, min-of-2 never converged — untouched
+    // queries swung 2.5–4.5× between rounds (r4 q6 1.59 s vs r5 3.89 s,
+    // same code) because one contended run poisons both samples. The
+    // median of 5 is robust to up to two outlier runs in either
+    // direction; the first of the 5 still absorbs any query-local
+    // codegen, so the median is a steady-state number.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.sorted
+      name -> times(times.length / 2)
     }
     // 3-decimal (ms) precision: full-precision doubles made the result
     // line ~3.4 KB, which overflowed the driver's stdout tail buffer —

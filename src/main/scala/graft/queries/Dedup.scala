@@ -240,13 +240,35 @@ object Dedup {
           .as("simhash"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-size bound for the all-pairs d5 baseline, overridable via
+    * `spark.conf.set("graft.dedup.maxAllPairsVectors", n)`. The
+    * BroadcastNestedLoop below is O(n²) BY DESIGN (it is the
+    * exact-recall baseline d8's bucketed join is measured against), but
+    * nothing about a DataFrame call site says "don't point this at a
+    * corpus" — so the builder refuses above the bound instead of
+    * silently planning a quadratic job. 10 000 vectors ≈ 5·10⁷ pairs is
+    * the most a "baseline on a sample" defensibly means.
+    */
+  val MaxAllPairsVectorsKey = "graft.dedup.maxAllPairsVectors"
+  val MaxAllPairsVectorsDefault = 10000L
+
   /** Embedding-cosine near-dup: top-50 most similar vector pairs.
     * Brute-force all-pairs via a broadcast non-equi join — correct at
-    * benchmark scale; the 100 TB path is Similarity.ivfTopK (bucketed
-    * candidates). Scores rounded to 6 dp for cross-engine stability.
+    * benchmark scale; the 100 TB path is ivfNearDup (d8, bucketed
+    * candidates), and the corpus-size guard above makes this one
+    * impossible to run on a corpus by accident. Scores rounded to 6 dp
+    * for cross-engine stability.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm}
+    val bound = spark.conf.getOption(MaxAllPairsVectorsKey)
+      .map(_.toLong).getOrElse(MaxAllPairsVectorsDefault)
+    // parquet-metadata count — cheap relative to the O(n²) join it gates
+    val n = embeddings(spark, dir).count()
+    require(n <= bound,
+      s"embeddingNearDup is the O(n²) all-pairs BASELINE: corpus has $n " +
+        s"vectors > bound $bound. Use ivfNearDup (d8, bucketed candidates) " +
+        s"at corpus scale, or raise $MaxAllPairsVectorsKey deliberately.")
     val e = embeddings(spark, dir)
       .select(
         col("vec_id"),

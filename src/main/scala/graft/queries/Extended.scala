@@ -198,24 +198,74 @@ object Extended {
     * operation family), on a corpus-shaped problem: the 3-gram shingle
     * vocabulary unique to source src0 vs shared with src1 — the
     * "what does this crawl contribute that the other lacks" question.
-    * Both compile to aggregate/join shapes (distinct + anti/semi
-    * underneath) and reuse the session-cached df-capped shingles; both
-    * output branches are live at every SF (probed: the closed word
-    * lexicon makes per-source WORD sets identical, shingle sets not).
+    * Reuses the session-cached df-capped shingles; both output branches
+    * are live at every SF (probed: the closed word lexicon makes
+    * per-source WORD sets identical, shingle sets not).
+    *
+    * One-pass formulation: `s0 EXCEPT s1` and `s0 INTERSECT s1` each
+    * plan as their own distinct + join over the shingle sets — two full
+    * aggregate passes for one partition of the same set. A single
+    * groupBy(sh) with two boolean membership flags computes both
+    * branches in ONE shuffle (map-side partial combine on the flags),
+    * then `kind` is a pure projection of the flags — same output,
+    * strictly less work at any scale.
     */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val sh = graft.queries.Dedup.cachedShingles(spark, dir)
       .join(documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
-    val s0 = sh.filter(col("source") === "src0").select(col("sh")).distinct()
-    val s1 = sh.filter(col("source") === "src1").select(col("sh")).distinct()
-    s0.except(s1).withColumn("kind", lit("src0_only"))
-      .unionByName(
-        s0.intersect(s1).withColumn("kind", lit("shared")))
+      .filter(col("source").isin("src0", "src1"))
+    sh.groupBy(col("sh"))
+      .agg(
+        max(when(col("source") === "src0", 1).otherwise(0)).as("in0"),
+        max(when(col("source") === "src1", 1).otherwise(0)).as("in1"))
+      .filter(col("in0") === 1)
+      .select(
+        col("sh"),
+        when(col("in1") === 1, lit("shared")).otherwise(lit("src0_only"))
+          .as("kind"))
       .orderBy(col("sh"), col("kind"))
   }
 
+  /** x11 — the HLL++ sketch variant of x4 (bench-only: sketch estimates
+    * have no cross-engine oracle — DuckDB's HLL differs, so the driver
+    * records a rows-only check; x4 is the exact baseline next to it).
+    * This is the 100 TB rationale made measurable: approx_count_distinct
+    * keeps a bounded sketch per group (map-side combinable — the shuffle
+    * carries one sketch per (partition, group), never the distinct
+    * values themselves), where exact countDistinct expands every
+    * distinct value into the aggregate. The opt-in Catalyst rule
+    * `plans/ApproxDistinctRewrite` rewrites x4's form into this one.
+    */
+  def approxDistinctCounts(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** x12 — the t-digest sketch variant of x9 (bench-only, same
+    * no-cross-engine-oracle status as x11): approx_percentile holds a
+    * fixed-size quantile sketch per group instead of buffering and
+    * sorting every value — the only percentile shape that survives an
+    * unbounded 100 TB group.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(cents, 0.5)").as("p50_cents"),
+        expr("approx_percentile(cents, 0.95)").as("p95_cents"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x10_set_ops" -> setOps,
+    "x11_approx_distinct" -> approxDistinctCounts,
+    "x12_approx_percentiles" -> approxPercentiles,
     "x7_pivot" -> pivotEvents,
     "x8_semi_anti" -> semiAnti,
     "x9_percentiles" -> percentiles,
@@ -237,13 +287,13 @@ object Extended {
             SELECT s.sh, d.source FROM shingles s
             JOIN documents d USING (doc_id)
             WHERE d.source IN ('src0', 'src1')),
-          s0 AS (SELECT DISTINCT sh FROM ss WHERE source = 'src0'),
-          s1 AS (SELECT DISTINCT sh FROM ss WHERE source = 'src1')
-          SELECT sh, 'src0_only' AS kind FROM (
-            SELECT sh FROM s0 EXCEPT SELECT sh FROM s1)
-          UNION ALL
-          SELECT sh, 'shared' AS kind FROM (
-            SELECT sh FROM s0 INTERSECT SELECT sh FROM s1)
+          flags AS (
+            SELECT sh,
+                   MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS in0,
+                   MAX(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in1
+            FROM ss GROUP BY sh)
+          SELECT sh, CASE WHEN in1 = 1 THEN 'shared' ELSE 'src0_only' END AS kind
+          FROM flags WHERE in0 = 1
           ORDER BY sh, kind""",
     "x7_pivot" ->
       """SELECT user_id,
