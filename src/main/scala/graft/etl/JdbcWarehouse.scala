@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's warehouse sink is a real SQL database (pymysql
+  * INSERT IGNORE / CREATE TABLE IF NOT EXISTS / point UPDATE against
+  * RDS MySQL — `lambda_2.py:205-238`, `lambda_3.py:127-133`). The
+  * engine models those semantics over parquet (`WarehouseWriter`), and
+  * this adapter closes the modeled-vs-real gap: the SAME anti-join
+  * INSERT IGNORE core (`WarehouseWriter.freshRows`) targeting an actual
+  * JDBC sink via `DataFrameWriter.jdbc`.
+  *
+  * 100 TB posture: the existing-key read is a projection of only the
+  * key columns (pushed to the database as a SELECT of those columns);
+  * the anti-join build side is the incoming batch, so AQE broadcasts
+  * it for typical micro-batches; the append writes only the fresh rows.
+  * The database never sees a duplicate key, so this is exactly INSERT
+  * IGNORE even on engines (like Derby) that lack the syntax.
+  */
+object JdbcWarehouse {
+
+  private def reader(spark: SparkSession, url: String, table: String,
+      props: Map[String, String]) =
+    props.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("dbtable", table)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+
+  private def writer(df: DataFrame, url: String, table: String,
+      props: Map[String, String]) =
+    props.foldLeft(
+      df.write.format("jdbc").option("url", url).option("dbtable", table)) {
+      case (w, (k, v)) => w.option(k, v)
+    }
+
+  /** E8 over JDBC — CREATE TABLE IF NOT EXISTS: `SaveMode.Ignore` on a
+    * JDBC sink creates the table from the frame's schema when absent
+    * and is a no-op when present — the reference's every-invocation DDL
+    * (`lambda_2.py:148-151`). Write an empty slice to register schema
+    * without data.
+    */
+  def createTableIfNotExists(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      like: DataFrame,
+      props: Map[String, String] = Map.empty): Unit =
+    writer(like.limit(0), url, table, props).mode("ignore").save()
+
+  /** E6 over JDBC — INSERT IGNORE (`lambda_2.py:205-238`): read the
+    * current key set back from the table, anti-join the (batch-deduped)
+    * incoming rows, append only the fresh ones. Returns the number of
+    * appended rows (the reference logs exactly this count).
+    */
+  def insertIgnore(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      incoming: DataFrame,
+      keys: Seq[String],
+      tieBreak: Seq[String],
+      props: Map[String, String] = Map.empty): Long = {
+    val existing = reader(spark, url, table, props).load()
+      .select(keys.map(org.apache.spark.sql.functions.col): _*)
+    val fresh = WarehouseWriter.freshRows(existing, incoming, keys, tieBreak)
+      // the anti-join must be DECIDED before rows start appending: a
+      // lazy plan evaluated during the write would race its own reads
+      // of the table it is inserting into on some databases
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) writer(fresh, url, table, props).mode("append").save()
+    n
+  }
+}

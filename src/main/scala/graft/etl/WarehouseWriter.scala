@@ -27,6 +27,18 @@ object WarehouseWriter {
       existing: DataFrame,
       incoming: DataFrame,
       keys: Seq[String],
+      tieBreak: Seq[String]): DataFrame =
+    existing.unionByName(freshRows(existing, incoming, keys, tieBreak))
+
+  /** The INSERT IGNORE core shared by the parquet union above and the
+    * JDBC append (`JdbcWarehouse`): batch-dedup to the first row per key
+    * under `tieBreak`, then anti-join away keys already present in
+    * `existing`. Returns only the rows a sink should APPEND.
+    */
+  def freshRows(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
       tieBreak: Seq[String]): DataFrame = {
     val w = Window
       .partitionBy(keys.map(col): _*)
@@ -35,11 +47,10 @@ object WarehouseWriter {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val fresh = deduped.join(
+    deduped.join(
       existing.select(keys.map(col): _*),
       keys,
       "left_anti")
-    existing.unionByName(fresh)
   }
 
   /** Entity-table append (`lambda_2.py:73-82`): the reference's entity
