@@ -262,8 +262,43 @@ object Extended {
         expr("approx_percentile(cents, 0.95)").as("p95_cents"))
       .orderBy(col("event_type"))
 
+  /** Salt fan-out for the x13 skew demo — each hot key spreads across
+    * this many shuffle tasks.
+    */
+  val SaltFactor = 8
+
+  /** x13 — skew-mitigated join via `operators.SkewJoin.saltedJoin`, on
+    * a GENUINELY skewed key: `event_type` has 3 values over the whole
+    * event stream, so a plain shuffle join on it funnels each type's
+    * entire volume through one task — at 100 TB, three tasks do all the
+    * work (the hot-key dual of the d2 shingle cap). Salting rewrites the
+    * join key to (event_type, salt): the big side takes a
+    * content-derived salt, the 3-row dim replicates `SaltFactor` ways,
+    * and each type now spreads across 8 tasks. Result set is provably
+    * identical to the plain join (SkewJoinSpec asserts it, and the
+    * oracle computes the unsalted form); AQE's skew handling covers the
+    * sort-merge cases automatically — this operator is for the plans
+    * AQE can't rewrite.
+    */
+  def saltedJoinDemo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select(
+      col("event_type"), col("user_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val dim = Seq(("click", 1L), ("view", 2L), ("purchase", 3L))
+      .toDF("event_type", "type_weight")
+    graft.operators.SkewJoin.saltedJoin(ev, dim, "event_type", SaltFactor)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents") * col("type_weight")).as("weighted_cents"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x10_set_ops" -> setOps,
+    "x13_salted_join" -> saltedJoinDemo,
     "x11_approx_distinct" -> approxDistinctCounts,
     "x12_approx_percentiles" -> approxPercentiles,
     "x7_pivot" -> pivotEvents,
@@ -277,6 +312,17 @@ object Extended {
     "x4_distinct_counts" -> distinctCounts)
 
   val oracleSql: Map[String, String] = Map(
+    // the UNSALTED join: salting only changes physical distribution,
+    // so the plain form IS the correctness contract for x13
+    "x13_salted_join" ->
+      """WITH dim(event_type, type_weight) AS (
+           VALUES ('click', 1), ('view', 2), ('purchase', 3))
+         SELECT user_id, COUNT(*) AS n_events,
+                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * type_weight) AS BIGINT)
+                  AS weighted_cents
+         FROM events JOIN dim USING (event_type)
+         WHERE user_id < 50
+         GROUP BY user_id ORDER BY user_id""",
     // the shingle CTE is Dedup's OWN definition (words → 3-grams →
     // df-cap), interpolated rather than copied: a future change to the
     // word-split or cap semantics lands in exactly one place for both
