@@ -33,6 +33,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] centroid dump failed: ${e.getMessage}")
     }
+    // Dump the trained PQ codebooks the s7 oracle reads — same
+    // session-cache-then-dump discipline as the centroids.
+    try graft.queries.Similarity.dumpPqCodebooks(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] pq codebook dump failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
