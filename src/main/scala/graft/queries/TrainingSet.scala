@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The capstone composition of the training-data tier: select the
@@ -353,7 +354,81 @@ object TrainingSet {
       .orderBy(col("source"))
   }
 
+  /** p10 — Bloom-filter decontamination, the 100 TB shape of p6: the
+    * benchmark shingle set is folded into a fixed-size Bloom filter
+    * (fpp 1%), broadcast to every task, and the corpus probes BITS
+    * instead of joining a set. At p6's scale both broadcast fine; the
+    * bloom's edge is a benchmark too big to broadcast exactly — 10⁹
+    * shingles exact ≈ tens of GB, bloom at 1% ≈ ~1.2 GB, and the probe
+    * is branch-free hashing inside the scan. Price: false POSITIVES
+    * only — flagged docs ⊇ p6's (never misses real contamination; the
+    * spec bounds the overshoot). Bench-only: the bit layout is
+    * engine-private, so like x11/x12 the exact p6 is the oracle-checked
+    * baseline next to it.
+    *
+    * The membership probe is a UDF by necessity (no built-in scalar
+    * reads a BloomFilter); the filter rides an explicit broadcast, not
+    * the closure, so 1000 executors fetch it once each.
+    */
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.cachedShingles(spark, dir)
+    val bench = sh.filter(col("doc_id") < BenchmarkDocs)
+      .select(col("sh")).distinct()
+    val nBench = bench.count()
+    val bf = bench.stat.bloomFilter("sh", math.max(nBench, 1L), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => bfB.value.mightContain(s))
+    val corpus = sh.filter(col("doc_id") >= BenchmarkDocs)
+    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = corpus.filter(mightContain(col("sh")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_sh"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_sh").cast("double")).as("contaminated_frac"))
+      .filter(col("contaminated_frac") >= ContaminationThreshold)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shards per epoch for the p11 deterministic shuffle. */
+  val ShuffleShards = 8
+
+  /** p11 — deterministic epoch shuffle, the reproducible-training
+    * ordering op: every epoch re-orders the corpus by a seeded content
+    * hash (md5(epoch:doc_id)), so any node can recompute any shard's
+    * order bit-for-bit — no RNG state, retries land identical bytes.
+    *
+    * Scale shape: the hash assigns a SHARD (top byte — the p4
+    * content-addressed pattern) and position is a row_number WITHIN the
+    * (epoch, shard) partition — shuffle into shards, sort inside each,
+    * exactly how shuffled training shards are written; there is no
+    * global window anywhere (a global row_number would serialize the
+    * corpus through one task — the GlobalPrefix lesson).
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("skey"))
+    documents(spark, dir).select(col("doc_id"))
+      .withColumn("epoch", explode(typedLit(Seq(0, 1))))
+      .withColumn(
+        "skey",
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")))
+      .withColumn(
+        "shard",
+        (conv(substring(col("skey"), 1, 2), 16, 10).cast("long")
+          % ShuffleShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"), col("skey"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_bloom_contamination" -> bloomContamination,
+    "p11_epoch_shuffle" -> epochShuffle,
     "p9_source_mix" -> sourceMix,
     "p8_quality_curriculum" -> qualityCurriculum,
     "p1_training_select" -> select,
@@ -412,6 +487,20 @@ object TrainingSet {
               FROM shingles1)
             WHERE df <= ${Dedup.MaxShingleDf})"""
     Map(
+      // p10 is bench-only (engine-private bloom bit layout; p6 is the
+      // exact oracle-checked baseline) — no entry here by design.
+      "p11_epoch_shuffle" ->
+        s"""SELECT epoch, shard,
+                   CAST(row_number() OVER (PARTITION BY epoch, shard
+                     ORDER BY skey) AS BIGINT) AS pos,
+                   doc_id, skey
+            FROM (
+              SELECT e.epoch, d.doc_id,
+                     md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS skey,
+                     CAST(CAST(concat('0x', substr(md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % $ShuffleShards AS BIGINT) AS shard
+              FROM documents d
+              CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e)
+            ORDER BY epoch, shard, pos""",
       "p9_source_mix" ->
         s"""WITH $qualityCtes,
             per AS (

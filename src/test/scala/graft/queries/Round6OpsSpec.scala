@@ -89,6 +89,49 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ p10 bloom / p11 shuffle
+
+  test("p10: bloom decontamination never misses what exact p6 flags") {
+    val exact = TrainingSet.contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TrainingSet.bloomContamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exactly-contaminated doc is bloom-flagged
+    // with at least as many hits (bloom membership ⊇ exact membership)
+    exact.foreach { case (doc, nHit) =>
+      assert(bloom.contains(doc), s"doc $doc flagged by p6 but not p10")
+      assert(bloom(doc) >= nHit, s"doc $doc: bloom hits ${bloom(doc)} < exact $nHit")
+    }
+    // false positives bounded: at fpp 1% and threshold 0.5, a spurious
+    // flag needs half a doc's shingles to false-positive — allow slack 2
+    assert(bloom.size <= exact.size + 2,
+      s"bloom flagged ${bloom.size} docs vs exact ${exact.size}")
+  }
+
+  test("p11: epoch shuffle is deterministic, complete, and per-epoch distinct") {
+    val out = TrainingSet.epochShuffle(spark, dir)
+    val a = out.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = TrainingSet.epochShuffle(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.sameElements(b), "shuffle must be bit-deterministic across runs")
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    // every doc exactly once per epoch
+    (0 to 1).foreach { ep =>
+      val docs = a.filter(_._1 == ep).map(_._4)
+      assert(docs.length == nDocs && docs.distinct.length == nDocs)
+    }
+    // positions are contiguous 1..n within each (epoch, shard)
+    a.groupBy(t => (t._1, t._2)).foreach { case ((ep, sh), rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.head == 1L && ps.last == ps.length,
+        s"($ep,$sh): positions not contiguous")
+    }
+    // the two epochs genuinely re-order (different doc sequence)
+    val seq0 = a.filter(_._1 == 0).sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    val seq1 = a.filter(_._1 == 1).sortBy(t => (t._2, t._3)).map(_._4).toSeq
+    assert(seq0 != seq1, "epochs must produce different orderings")
+  }
+
   // ------------------------------------------------- df-cap live fixture
 
   /** Boilerplate-heavy corpus where the hot-shingle cap MUST fire:
