@@ -11,7 +11,14 @@ regression signal; a 100 ms delta on a 5 s query is invisible at 20%.
 The round-5 failure mode this criterion exists to catch — multi-second
 swings on untouched code (q6 1.59→3.89 s) — trips both bounds.
 
-Usage: bench_compare.py runA.json runB.json [rel_tol] [abs_tol_sec]
+With 3+ runs, a query is a CONFIRMED signal only if it trips the bound
+in EVERY adjacent pairing: measured on this host, single-pair flags are
+disjoint between independent pairs (pure noise — a real regression
+reproduces in all of them). Protocol: run the bench twice; if a pair
+flags queries, run a third and require the flag to survive.
+
+Usage: bench_compare.py run1.json run2.json [run3.json ...]
+       [--rel 0.20] [--abs 0.10]
 """
 import json
 import sys
@@ -23,26 +30,40 @@ def load(path):
 
 
 def main():
-    a, b = load(sys.argv[1]), load(sys.argv[2])
-    rel_tol = float(sys.argv[3]) if len(sys.argv) > 3 else 0.20
-    abs_tol = float(sys.argv[4]) if len(sys.argv) > 4 else 0.10
-    qa, qb = a["queries"], b["queries"]
-    common = sorted(set(qa) & set(qb))
-    bad = []
-    print(f"total: {a['value']:.3f}s vs {b['value']:.3f}s "
-          f"({abs(a['value'] - b['value']) / max(a['value'], b['value']):+.1%})")
-    for q in common:
-        x, y = qa[q], qb[q]
-        rel = abs(x - y) / max(x, y) if max(x, y) > 0 else 0.0
-        dev = rel > rel_tol and abs(x - y) > abs_tol
-        if dev or rel > rel_tol:
-            print(f"  {q:28s} {x:7.3f} {y:7.3f} {rel:6.1%} "
-                  f"{'REGRESSION-SIGNAL' if dev else 'jitter'}")
-        if dev:
-            bad.append(q)
-    print(f"== {len(common) - len(bad)}/{len(common)} reproducible "
-          f"(>{rel_tol:.0%} AND >{abs_tol * 1000:.0f}ms = signal) ==")
-    sys.exit(1 if bad else 0)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0][2:]: float(a.split("=")[1])
+            for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+    rel_tol = opts.get("rel", 0.20)
+    abs_tol = opts.get("abs", 0.10)
+    runs = [load(p) for p in args]
+    if len(runs) < 2:
+        sys.exit("need at least two run files")
+    common = sorted(set.intersection(*[set(r["queries"]) for r in runs]))
+    totals = [r["value"] for r in runs]
+    spread = (max(totals) - min(totals)) / max(totals)
+    print("totals: " + " ".join(f"{t:.3f}" for t in totals)
+          + f"  (spread {spread:.1%})")
+
+    def flags(a, b):
+        out = {}
+        for q in common:
+            x, y = a["queries"][q], b["queries"][q]
+            rel = abs(x - y) / max(x, y) if max(x, y) > 0 else 0.0
+            if rel > rel_tol and abs(x - y) > abs_tol:
+                out[q] = (x, y, rel)
+        return out
+
+    pair_flags = [flags(runs[i], runs[i + 1]) for i in range(len(runs) - 1)]
+    for i, pf in enumerate(pair_flags):
+        for q, (x, y, rel) in sorted(pf.items()):
+            print(f"  pair{i + 1} {q:28s} {x:7.3f} {y:7.3f} {rel:6.1%}")
+    confirmed = set.intersection(*[set(pf) for pf in pair_flags])
+    for q in sorted(confirmed):
+        print(f"CONFIRMED REGRESSION-SIGNAL: {q}")
+    print(f"== {len(common) - len(confirmed)}/{len(common)} reproducible; "
+          f"{len(confirmed)} confirmed signal(s) across {len(pair_flags)} "
+          f"pairing(s) (>{rel_tol:.0%} AND >{abs_tol * 1000:.0f}ms) ==")
+    sys.exit(1 if confirmed else 0)
 
 
 if __name__ == "__main__":
