@@ -624,7 +624,56 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** d13 — paragraph-level exact dedup, the Dolma/RefinedWeb removal
+    * unit: hash each paragraph, count how many DISTINCT documents carry
+    * that exact paragraph, and report per-document duplicated-paragraph
+    * fraction. Sits between d1 (whole-doc exact) and d10 (shingle
+    * coverage): d1 misses docs that share only sections, d10's 3-gram
+    * granularity can't say "delete THIS paragraph" — paragraph hashes
+    * are the unit production pipelines actually remove at.
+    *
+    * Paragraph = the 10-word group of t1's splitter (the corpus has no
+    * newlines; same fixed-width convention, so t1's spans describe
+    * exactly what d13 would delete).
+    *
+    * Scale shape: one (doc_id, para_index) hash agg to build paragraph
+    * hashes (32-byte md5, not text — d1's shuffle discipline), one
+    * map-side-combinable df agg by hash, one equi-join on the hash —
+    * linear in paragraphs, no pair join. Within-doc repeats do NOT
+    * count as duplication (distinct-doc df), matching the cross-doc
+    * removal rule.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val paras = TextOps.cachedWords(spark, dir)
+      .groupBy(
+        col("doc_id"),
+        floor(col("pos") / TextOps.SentenceWords).as("para_index"))
+      .agg(
+        md5(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("word")))),
+              x => x.getField("word")),
+            " ").cast("binary")).as("ph"))
+    val dfreq = paras
+      .groupBy(col("ph"))
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+    paras.join(dfreq, Seq("ph"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(col("ddf") >= 2, 1L).otherwise(0L)).as("dup_paragraphs"))
+      .select(
+        col("doc_id"),
+        col("n_paragraphs"),
+        col("dup_paragraphs"),
+        (col("dup_paragraphs").cast("double") /
+          col("n_paragraphs").cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_paragraph_dedup" -> paragraphDedup,
     "d11_winnow_fingerprints" -> winnowFingerprintSummary,
     "d12_winnow_pairs" -> winnowPairs,
     "d10_dup_ngram_coverage" -> dupNgramCoverage,
@@ -688,6 +737,21 @@ object Dedup {
           FROM mins WHERE pos >= ${WinnowWindow - 1})"""
 
   val oracleSql: Map[String, String] = Map(
+    "d13_paragraph_dedup" ->
+      s"""WITH $wordsCte,
+          paras AS (
+            SELECT doc_id, pos // ${TextOps.SentenceWords} AS para_index,
+                   md5(string_agg(word, ' ' ORDER BY pos)) AS ph
+            FROM words GROUP BY doc_id, pos // ${TextOps.SentenceWords}),
+          pdf AS (SELECT ph, COUNT(DISTINCT doc_id) AS ddf FROM paras GROUP BY ph)
+          SELECT p.doc_id,
+                 COUNT(*) AS n_paragraphs,
+                 CAST(SUM(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_paragraphs,
+                 CAST(SUM(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+          FROM paras p JOIN pdf USING (ph)
+          GROUP BY p.doc_id ORDER BY p.doc_id""",
     "d11_winnow_fingerprints" ->
       s"""WITH $winnowCte,
           counts AS (SELECT doc_id, COUNT(*) AS n_fps FROM fps GROUP BY doc_id),

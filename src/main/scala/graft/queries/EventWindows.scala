@@ -140,13 +140,61 @@ object EventWindows {
       .orderBy(col("purchase_id"))
   }
 
+  val TrailSec = 600L
+
+  /** w5 — trailing time-INTERVAL aggregates: for every event, the count
+    * and exact cents-sum of the same user's events in the preceding 10
+    * minutes (inclusive). This is the RANGE frame the registry's other
+    * windows don't exercise: w1–w3 bucket into discrete windows and
+    * q6/p2 use ROWS frames, but a per-row trailing interval ("events in
+    * the last N minutes as of THIS event") needs `rangeBetween` over the
+    * event-time axis — the value-based frame Spark plans as a single
+    * running `WindowExec` with a sliding lower bound, no self-join.
+    *
+    * Scale: partitioned by user_id — parallel across users, state per
+    * partition is one frame's worth of rows (bounded by event rate ×
+    * 10 min), the same shape Structured Streaming keeps for a watermarked
+    * sliding aggregate. A time-range self-join formulation would be a
+    * per-user cross product; the RANGE frame is linear in events.
+    *
+    * Exactness: frame bounds are exact integer µs on the shared
+    * epoch-µs axis; sums are integer cents (Dashboard.q6 discipline).
+    * RANGE peers (same user, same µs) are included symmetrically in
+    * both engines — tie order can't matter.
+    */
+  def timeRangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"))
+      .rangeBetween(-TrailSec * UsPerSec, 0)
+    events(spark, dir)
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("tus"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("cents")).over(w).as("sum_cents_trailing"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w5_time_range_window" -> timeRangeWindow,
     "w4_asof_join" -> asofJoin,
     "w1_tumbling" -> tumbling,
     "w2_sliding" -> sliding,
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    "w5_time_range_window" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS tus,
+                 COUNT(*) OVER w AS n_trailing,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS sum_cents_trailing
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN ${TrailSec * UsPerSec} PRECEDING AND CURRENT ROW)
+          ORDER BY event_id""",
     // The oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation of the semantics (merge-scan vs our window pass).
     // Determinism probed across all SFs: no (user_id, µs) click ties.

@@ -403,7 +403,54 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII patterns shared by t14's Spark and oracle sides. Both engines'
+    * regex dialects (java.util.regex vs DuckDB's RE2) agree on this
+    * subset: ASCII classes, bounded repetition, `\b` word boundaries,
+    * no lookaround/backreferences (which RE2 lacks — deliberately out).
+    * `\d` is ASCII in both (Java only widens it under
+    * UNICODE_CHARACTER_CLASS, which we never enable — the
+    * SentenceGenerator ASCII-`\s` decision, same discipline).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** t14 — PII detection + redaction, the compliance gate every
+    * training-data pipeline runs before release: per-document match
+    * counts for email / phone / IPv4 patterns and the text with each
+    * match replaced by a typed placeholder. Counts are measured on the
+    * ORIGINAL text (independent per category); redaction applies
+    * email → phone → IP in a fixed order so the output is deterministic
+    * even if a later pattern could overlap an earlier placeholder's
+    * span.
+    *
+    * Scale: a pure per-row projection — no shuffle, no window, stays
+    * inside whole-stage codegen; the regexes compile once per task.
+    * The synthetic corpus is word-soup (zero PII — counts all 0, the
+    * redaction an identity map), so the live semantics are pinned by
+    * Round6OpsSpec's planted-PII fixture corpus run through THIS
+    * registered query.
+    */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+            lit(PhoneRe), lit("<PHONE>")),
+          lit(Ipv4Re), lit("<IP>")).as("redacted"))
+      .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ips"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_pii_redaction" -> piiRedaction,
     "t13_entropy" -> entropy,
     "t12_c4_filters" -> c4Filters,
     "t11_repetition" -> repetition,
@@ -444,6 +491,20 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    "t14_pii_redaction" ->
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+                 CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+                     '$PhoneRe', '<PHONE>', 'g'),
+                   '$Ipv4Re', '<IP>', 'g') AS redacted,
+                 CAST(len(regexp_extract_all(text, '$EmailRe'))
+                   + len(regexp_extract_all(text, '$PhoneRe'))
+                   + len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_pii
+          FROM documents ORDER BY doc_id""",
     "t13_entropy" ->
       s"""WITH $wordsCte,
           tf AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY 1, 2),

@@ -473,7 +473,70 @@ object TrainingSet {
       .orderBy(col("doc_id"))
   }
 
+  /** Bits interleaved per dimension for the p13 z-value (32-bit z). */
+  val ZBits = 16
+  /** z >> 22 → 1024 contiguous-z buckets standing in for files. */
+  val ZBucketShift = 22
+
+  /** The interleave Σ_i bit_i(x)·4^i·(1) + bit_i(y)·4^i·(2) written as
+    * pure non-negative integer arithmetic (`(v div 2^i) % 2`) so ONE
+    * builder emits bit-identical expressions for both engines — only
+    * the integer-division spelling differs (`div` vs `//`).
+    */
+  private def zExprStr(x: String, y: String, div: (String, Long) => String): String =
+    (0 until ZBits).map { i =>
+      s"((${div(x, 1L << i)}) % 2) * ${1L << (2 * i)}" +
+        s" + ((${div(y, 1L << i)}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** p13 — Z-order (Morton-curve) layout audit, the multi-dimensional
+    * clustering behind Delta `OPTIMIZE ZORDER BY` / Iceberg sort
+    * orders: interleave the bits of two scan dimensions (user_id,
+    * event-time seconds), range-split the curve into contiguous
+    * buckets (= files), and report each bucket's min/max span on BOTH
+    * dimensions. The point at 100 TB: a linear sort clusters one
+    * column perfectly and leaves the other's per-file span ≈ the full
+    * domain, so min/max file stats prune only one predicate; z-sorted
+    * files are tight on both, so EITHER `user_id = ?` or a time-range
+    * predicate skips most files. The emitted spans are that claim,
+    * measured.
+    *
+    * Scale shape: the z-value is a per-row integer projection (32
+    * codegen'd arithmetic terms, no UDF), bucket stats are one hash
+    * agg — and a real writer would `repartitionByRange(z)` and write;
+    * the audit IS the layout computation minus the IO.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 1L << ZBits
+    val z = zExprStr(s"(user_id % $dim)", s"(tsec % $dim)",
+      (v, p) => s"($v) div $p")
+    events(spark, dir)
+      .withColumn("tsec", expr("ts div 1000000000"))
+      .withColumn("zbucket", expr(s"($z) div ${1L << ZBucketShift}"))
+      .groupBy(col("zbucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"),
+        min(col("tsec")).as("min_tsec"),
+        max(col("tsec")).as("max_tsec"))
+      .select(
+        col("zbucket"), col("n_events"),
+        col("min_user"), col("max_user"),
+        (col("max_user") - col("min_user")).as("user_span"),
+        col("min_tsec"), col("max_tsec"),
+        (col("max_tsec") - col("min_tsec")).as("tsec_span"))
+      .orderBy(col("zbucket"))
+  }
+
+  /** p13's oracle-side z expression (DuckDB `//` integer division). */
+  private def zOracleExpr: String = {
+    val dim = 1L << ZBits
+    zExprStr(s"(user_id % $dim)", s"(tsec % $dim)", (v, p) => s"($v) // $p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_zorder_layout" -> zorderLayout,
     "p10_bloom_contamination" -> bloomContamination,
     "p12_stratified_sample" -> stratifiedSample,
     "p11_epoch_shuffle" -> epochShuffle,
@@ -537,6 +600,19 @@ object TrainingSet {
     Map(
       // p10 is bench-only (engine-private bloom bit layout; p6 is the
       // exact oracle-checked baseline) — no entry here by design.
+      "p13_zorder_layout" ->
+        s"""WITH ev AS (
+              SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+            zb AS (
+              SELECT user_id, tsec,
+                     ($zOracleExpr) // ${1L << ZBucketShift} AS zbucket
+              FROM ev)
+            SELECT zbucket, COUNT(*) AS n_events,
+                   MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+                   MAX(user_id) - MIN(user_id) AS user_span,
+                   MIN(tsec) AS min_tsec, MAX(tsec) AS max_tsec,
+                   MAX(tsec) - MIN(tsec) AS tsec_span
+            FROM zb GROUP BY zbucket ORDER BY zbucket""",
       "p12_stratified_sample" -> {
         val rateCase = SampleRates
           .map { case (s, r) => s"WHEN source = '$s' THEN $r" }

@@ -156,6 +156,32 @@ class PlanAuditSpec extends SparkSpec {
       || plan("s1_cosine_topk").contains("BroadcastHashJoin"))
   }
 
+  test("w5 trailing RANGE window is one partitioned window pass, no join") {
+    val p = plan("w5_time_range_window")
+    assert(p.contains("Window"), "w5 lost its window operator")
+    assert(!p.contains("Join"), "w5 regressed to a time-range self-join")
+    assert(unpartitionedWindows(p).isEmpty,
+      "w5 window must be partitioned by user_id")
+  }
+
+  test("d13 joins on the paragraph hash, never document pairs") {
+    val p = plan("d13_paragraph_dedup")
+    assert(!p.contains("CartesianProduct"), "d13 has a cartesian join")
+    assert(!p.contains("a_id"), "d13 unexpectedly builds document pairs")
+  }
+
+  test("t14 is a pure per-row projection (no agg, no join, no window)") {
+    val p = plan("t14_pii_redaction")
+    assert(!p.contains("Join") && !p.contains("HashAggregate")
+      && !p.contains("Window"), p)
+  }
+
+  test("p13 z-value is a projection + one hash agg (no join, no window)") {
+    val p = plan("p13_zorder_layout")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), "p13 lost its bucket aggregate")
+  }
+
   test("d2/d7 shingle joins carry the document-frequency cap") {
     // the cap is a hash-agg over sh + an anti-join against the hot
     // list (never a count-window partitioned by sh — that would be the
