@@ -529,7 +529,39 @@ object Similarity {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  /** s9 — maximum-inner-product top-k (MIPS), the ranking dense
+    * retrieval actually uses: two-tower / DPR relevance is a raw dot
+    * product, NOT a cosine, and the two orders genuinely diverge when
+    * corpus norms vary (a long vector can out-score a better-aligned
+    * short one — s1 and s9 disagree on this corpus, spec-asserted).
+    * Same broadcast-queries × streamed-corpus scan shape as s1; rank by
+    * (rounded dot desc, vec_id).
+    *
+    * The scale path for MIPS is the Bachrach et al. 2014 reduction:
+    * append sqrt(U² − ‖v‖²) to each corpus vector (U = max corpus norm)
+    * and 0 to each query — then augmented-COSINE order equals dot order,
+    * so every cosine-ANN index in this module (s2–s7) serves MIPS
+    * unchanged. The reduction's order-equivalence is executable in
+    * `MipsSpec`; the registry row is the exact baseline those indexes
+    * would approximate.
+    */
+  def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    broadcast(q)
+      .join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("dot", round(vecDot(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("dot"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_mips_topk" -> mipsTopK,
     "s8_range_search" -> rangeSearch,
     "s7_pq_topk" -> pqTopK,
     "s1_cosine_topk" -> bruteForceTopK,
@@ -562,6 +594,17 @@ object Similarity {
           WHERE rn = 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    "s9_mips_topk" ->
+      s"""WITH $vecCte
+          SELECT q_id, vec_id, dot, rank FROM (
+            SELECT q.vec_id AS q_id, e.vec_id,
+                   ROUND(list_dot_product(q.v, e.v), 6) AS dot,
+                   CAST(row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ROUND(list_dot_product(q.v, e.v), 6) DESC,
+                       e.vec_id) AS BIGINT) AS rank
+            FROM e q CROSS JOIN e
+            WHERE q.vec_id < $NumQueries AND q.vec_id <> e.vec_id)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
     "s8_range_search" ->
       s"""WITH $vecCte
           SELECT q.vec_id AS q_id, e.vec_id,
