@@ -57,7 +57,16 @@ def main():
     for i, pf in enumerate(pair_flags):
         for q, (x, y, rel) in sorted(pf.items()):
             print(f"  pair{i + 1} {q:28s} {x:7.3f} {y:7.3f} {rel:6.1%}")
-    confirmed = set.intersection(*[set(pf) for pf in pair_flags])
+    # A regression is MONOTONE: it must trip the bound in every pairing
+    # AND move the same direction each time. Host-noise bounce flips
+    # sign between pairings (measured: runs at totals 27.6/31.9/35.1 s
+    # "confirmed" five queries on magnitude alone, every one of them a
+    # down-then-up or up-then-down flip) — direction agreement is what
+    # separates a code regression from a load swing.
+    confirmed = {
+        q for q in set.intersection(*[set(pf) for pf in pair_flags])
+        if len({pf[q][1] > pf[q][0] for pf in pair_flags}) == 1
+    }
     for q in sorted(confirmed):
         print(f"CONFIRMED REGRESSION-SIGNAL: {q}")
     print(f"== {len(common) - len(confirmed)}/{len(common)} reproducible; "
