@@ -47,6 +47,32 @@ object JdbcWarehouse {
       props: Map[String, String] = Map.empty): Unit =
     writer(like.limit(0), url, table, props).mode("ignore").save()
 
+  /** E7 over JDBC — dimension lookup join against a REAL SQL source
+    * (`lambda_2.py:168-171` reads the podcast dimension back from RDS
+    * to key incoming episodes): read the dim table via `spark.read
+    * .jdbc` and broadcast-join it to the (large) fact side.
+    *
+    * 100 TB posture: the projection is pushed to the database (the
+    * JDBC scan's SELECT lists only the requested columns — asserted in
+    * the spec via the scan's output schema), the dim side is
+    * explicitly `broadcast()` (a warehouse dimension is control-plane
+    * sized), and the fact side never moves — no shuffle at any scale.
+    * Filters on the dim land in the pushed WHERE via Catalyst's JDBC
+    * pushdown.
+    */
+  def lookupJoin(
+      spark: SparkSession,
+      url: String,
+      dimTable: String,
+      facts: DataFrame,
+      keys: Seq[String],
+      dimCols: Seq[String],
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val dim = reader(spark, url, dimTable, props).load()
+      .select((keys ++ dimCols).map(org.apache.spark.sql.functions.col): _*)
+    facts.join(org.apache.spark.sql.functions.broadcast(dim), keys)
+  }
+
   /** E6 over JDBC — INSERT IGNORE (`lambda_2.py:205-238`): read the
     * current key set back from the table, anti-join the (batch-deduped)
     * incoming rows, append only the fresh ones. Returns the number of

@@ -66,6 +66,30 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(row.getString(1) == "a_link" && row.getString(2) == "first")
   }
 
+  test("lookupJoin broadcasts the JDBC dim and prunes its columns (E7)") {
+    val t = "podcast_dim"
+    val dim = Seq((1L, "pod one", "desc1"), (2L, "pod two", "desc2"))
+      .toDF("podcast_id", "podcast_title", "description")
+    JdbcWarehouse.createTableIfNotExists(spark, url, t, dim, props)
+    assert(JdbcWarehouse.insertIgnore(
+      spark, url, t, dim, Seq("podcast_id"), Seq("podcast_title"), props) == 2)
+    val facts = Seq((10L, 1L), (11L, 2L), (12L, 1L))
+      .toDF("episode_id", "podcast_id")
+    val joined = JdbcWarehouse.lookupJoin(
+      spark, url, t, facts, Seq("podcast_id"), Seq("podcast_title"), props)
+    // correctness: every episode picks up its podcast title
+    val got = joined.collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(got == Map(10L -> "pod one", 11L -> "pod two", 12L -> "pod one"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // the dim side is broadcast (fact side never shuffles)…
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // …and the JDBC scan reads only key + requested column, so the
+    // SELECT pushed to the database is 2 columns, not SELECT *
+    assert(plan.contains("podcast_title") && !plan.contains("description"),
+      "JDBC scan did not prune the unrequested dim column")
+  }
+
   test("database-side key set stays duplicate-free across concurrent-style replays") {
     val t = "episodes_replay"
     JdbcWarehouse.createTableIfNotExists(
