@@ -178,7 +178,47 @@ object EventWindows {
       .orderBy(col("event_id"))
   }
 
+  /** Ordering-key base for w6: within a 5-minute bucket the µs offset
+    * is < 300e6 < 2^29, so (offset << 30) + event_id is a single
+    * orderable BIGINT while event_id < 2^30 — both engines' argmin/
+    * argmax compare the same integer. (Guarded: 100 TB event ids can
+    * exceed 2^30 — widen the base or switch to a struct key then.)
+    */
+  private val OhlcIdBase = 1073741824L // 2^30
+
+  /** w6 — OHLC resampling: per (event_type, 5-minute bucket) the
+    * first/last/min/max of the value series — the time-series
+    * downsample every monitoring/trading pipeline runs. The point of
+    * the formulation: open/close are `min_by`/`max_by` in ONE hash
+    * aggregate (map-side combinable, linear), NOT a row_number window —
+    * the window form shuffles and sorts every event only to discard all
+    * but the first row per group, and its per-bucket sort is exactly
+    * the work min_by's running argmin avoids at 100 TB.
+    *
+    * Exactness: O/H/L/C are integer cents; the argmin/argmax ordering
+    * key is a unique BIGINT, so first/last are deterministic in both
+    * engines (no value ties to break).
+    */
+  def ohlcResample(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("bus", expr(s"tus div ${TumbleSec * UsPerSec}")
+        * TumbleSec * UsPerSec)
+      .withColumn("window_start", expr(s"bus div $UsPerSec"))
+      .withColumn("okey",
+        (col("tus") - col("bus")) * OhlcIdBase + col("event_id"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("cents"), col("okey")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("okey")).as("close_cents"))
+      .orderBy(col("event_type"), col("window_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w6_ohlc_resample" -> ohlcResample,
     "w5_time_range_window" -> timeRangeWindow,
     "w4_asof_join" -> asofJoin,
     "w1_tumbling" -> tumbling,
@@ -186,6 +226,22 @@ object EventWindows {
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    "w6_ohlc_resample" ->
+      s"""WITH b AS (
+            SELECT event_type,
+                   epoch_us(ts) // ${TumbleSec * UsPerSec} * $TumbleSec
+                     AS window_start,
+                   (epoch_us(ts) - epoch_us(ts) // ${TumbleSec * UsPerSec}
+                     * ${TumbleSec * UsPerSec}) * $OhlcIdBase + event_id AS okey,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events)
+          SELECT event_type, window_start, COUNT(*) AS n_events,
+                 arg_min(cents, okey) AS open_cents,
+                 MAX(cents) AS high_cents,
+                 MIN(cents) AS low_cents,
+                 arg_max(cents, okey) AS close_cents
+          FROM b GROUP BY event_type, window_start
+          ORDER BY event_type, window_start""",
     "w5_time_range_window" ->
       s"""SELECT event_id, user_id, epoch_us(ts) AS tus,
                  COUNT(*) OVER w AS n_trailing,

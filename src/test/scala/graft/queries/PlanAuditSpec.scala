@@ -182,6 +182,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "p13 lost its bucket aggregate")
   }
 
+  test("w6 open/close are one hash agg via min_by/max_by — no window, no join") {
+    val p = plan("w6_ohlc_resample")
+    assert(p.contains("HashAggregate"), "w6 lost its hash aggregate")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "w6 regressed to a ranking-window or join formulation")
+  }
+
   test("d2/d7 shingle joins carry the document-frequency cap") {
     // the cap is a hash-agg over sh + an anti-join against the hot
     // list (never a count-window partitioned by sh — that would be the
