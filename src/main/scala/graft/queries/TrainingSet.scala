@@ -535,7 +535,31 @@ object TrainingSet {
     zExprStr(s"(user_id % $dim)", s"(tsec % $dim)", (v, p) => s"($v) // $p")
   }
 
+  /** p14 — sequence-length histogram in power-of-two buckets: the
+    * length-distribution diagnostic every training pipeline prints
+    * before choosing a context length / packing strategy (p5's bin
+    * size is a direct function of this shape — docs longer than the
+    * bin fragment, docs far shorter waste padding).
+    *
+    * bucket = ⌊log2(n_tokens)⌋ computed as `length(bin(n)) - 1` —
+    * pure integer string-length arithmetic both engines evaluate
+    * identically (a float ln(n)/ln(2) would round untrustworthily at
+    * exact powers of two). One hash agg over the cached quality frame.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_length_histogram" -> lengthHistogram,
     "p13_zorder_layout" -> zorderLayout,
     "p10_bloom_contamination" -> bloomContamination,
     "p12_stratified_sample" -> stratifiedSample,
@@ -600,6 +624,14 @@ object TrainingSet {
     Map(
       // p10 is bench-only (engine-private bloom bit layout; p6 is the
       // exact oracle-checked baseline) — no entry here by design.
+      "p14_length_histogram" ->
+        s"""WITH $qualityCtes
+            SELECT CAST(LENGTH(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   MIN(n_tokens) AS min_tokens,
+                   MAX(n_tokens) AS max_tokens
+            FROM quality GROUP BY 1 ORDER BY bucket""",
       "p13_zorder_layout" ->
         s"""WITH ev AS (
               SELECT user_id, epoch_us(ts) // 1000000 AS tsec FROM events),

@@ -100,6 +100,11 @@ class Round6bOpsSpec extends SparkSpec {
     out
   }
 
+  // Cross-engine note: this exact fixture was also run through the t14
+  // oracle SQL in DuckDB (RE2) during round 6 — counts and redacted
+  // strings matched Spark's java.util.regex output row for row, so the
+  // "regex subset agrees across engines" claim is validated on live
+  // matches, not just on the zero-match testdata.
   test("t14: planted PII is counted and redacted by the registered query") {
     val rows = TextOps.piiRedaction(spark, piiDir).collect()
       .map(r => r.getLong(0) ->
