@@ -217,7 +217,54 @@ object EventWindows {
         max_by(col("cents"), col("okey")).as("close_cents"))
       .orderBy(col("event_type"), col("window_start"))
 
+  /** w7 — gap-filled resample with forward fill: densify the 5-minute
+    * bucket axis per event type (every bucket between the type's first
+    * and last appears, present or not) and carry the last non-empty
+    * bucket's cents-sum forward across gaps — the time-series
+    * `time_bucket_gapfill` / LOCF operator (TimescaleDB, QuestDB) that
+    * chart and join layers need a dense axis for. Live on this data:
+    * 840–8 400 gap buckets per type at every SF.
+    *
+    * Scale shape: the axis is CALENDAR-sized, not data-sized — 5 rows
+    * of (min, max) control data exploded to range/step buckets (a
+    * decade of 5-min buckets is ~1M rows/type), so the per-type
+    * forward-fill window is bounded by the calendar no matter how many
+    * events exist; the events themselves touch only one hash agg and
+    * one equi-join back onto the axis. First bucket per type is
+    * non-gap by construction, so the carry is never null.
+    */
+  def gapFillResample(spark: SparkSession, dir: String): DataFrame = {
+    val c = events(spark, dir)
+      .withColumn("tus", expr("ts div 1000"))
+      .withColumn(
+        "window_start",
+        expr(s"tus div ${TumbleSec * UsPerSec}") * TumbleSec)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val axis = c.groupBy(col("event_type"))
+      .agg(min(col("window_start")).as("mn"), max(col("window_start")).as("mx"))
+      .select(
+        col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(TumbleSec)))
+          .as("window_start"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    axis.join(c, Seq("event_type", "window_start"), "left")
+      .withColumn("is_gap", col("n").isNull)
+      .select(
+        col("event_type"),
+        col("window_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("is_gap"),
+        last(when(!col("is_gap"), col("sum_cents")), ignoreNulls = true)
+          .over(w).as("carry_cents"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w7_gap_fill" -> gapFillResample,
     "w6_ohlc_resample" -> ohlcResample,
     "w5_time_range_window" -> timeRangeWindow,
     "w4_asof_join" -> asofJoin,
@@ -226,6 +273,32 @@ object EventWindows {
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    "w7_gap_fill" ->
+      s"""WITH c AS (
+            SELECT event_type,
+                   epoch_us(ts) // ${TumbleSec * UsPerSec} * $TumbleSec
+                     AS window_start,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM events GROUP BY 1, 2),
+          axis AS (
+            SELECT event_type,
+                   unnest(generate_series(mn, mx, $TumbleSec)) AS window_start
+            FROM (SELECT event_type, MIN(window_start) AS mn,
+                         MAX(window_start) AS mx
+                  FROM c GROUP BY event_type))
+          SELECT a.event_type, a.window_start,
+                 CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+                 c.n IS NULL AS is_gap,
+                 last_value(CASE WHEN c.n IS NOT NULL THEN c.sum_cents END
+                   IGNORE NULLS) OVER (PARTITION BY a.event_type
+                   ORDER BY a.window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS carry_cents
+          FROM axis a LEFT JOIN c
+            ON a.event_type = c.event_type AND a.window_start = c.window_start
+          ORDER BY a.event_type, a.window_start""",
     "w6_ohlc_resample" ->
       s"""WITH b AS (
             SELECT event_type,

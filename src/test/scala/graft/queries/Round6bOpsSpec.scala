@@ -130,6 +130,32 @@ class Round6bOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getString(4) == texts(r.getLong(0))))
   }
 
+  // ------------------------------------------------------------------- w7
+
+  test("w7: axis is dense, gaps are live, carry forward-fills correctly") {
+    val rows = EventWindows.gapFillResample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(rows.exists(_._4), "no gap buckets — the fill branch is dead")
+    rows.groupBy(_._1).foreach { case (et, tr) =>
+      val sorted = tr.sortBy(_._2)
+      // dense axis: every consecutive bucket is exactly TumbleSec apart
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(b._2 - a._2 == EventWindows.TumbleSec, s"$et axis has a hole")
+      }
+      // endpoints are non-gap by construction
+      assert(!sorted.head._4 && !sorted.last._4)
+      // forward fill: a gap bucket carries the previous bucket's carry
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        if (b._4) assert(b._5 == a._5, s"$et: gap at ${b._2} broke the carry")
+      }
+      // gap rows have zero events; non-gap rows have >= 1
+      sorted.foreach { case (_, _, n, gap, _) =>
+        assert(if (gap) n == 0 else n > 0)
+      }
+    }
+  }
+
   // ------------------------------------------------------------------ p13
 
   /** Independent Morton interleave (bitwise, vs the query's arithmetic
