@@ -124,6 +124,28 @@ object Extended {
         col("n_orders"), col("sum_cents"))
       .orderBy(col("year"), col("month"))
 
+  /** x16 — CUBE grouping sets, completing x6's ROLLUP: all FOUR
+    * aggregation granularities over (event_type, user cohort) — both
+    * dims, each dim alone, grand total — in ONE hash-agg pass (Spark
+    * plans `Expand` + a single aggregate; four separate GROUP BYs would
+    * scan and shuffle four times). Same sentinel discipline as x6:
+    * grouping-NULLs become 'ALL' / -1 so cross-engine NULL ordering
+    * never matters; sums are integer cents.
+    */
+  def cubeEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        col("event_type").as("et"),
+        (col("user_id") % 10).as("ch"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .cube(col("et"), col("ch"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(
+        coalesce(col("et"), lit("ALL")).as("event_type"),
+        coalesce(col("ch"), lit(-1L)).as("cohort"),
+        col("n_events"), col("sum_cents"))
+      .orderBy(col("event_type"), col("cohort"))
+
   /** x7 — pivot (long→wide reshaping): per-user money totals with
     * event types as columns. The value list is EXPLICIT — with it the
     * pivot is a single pass of conditional aggregates (exactly the
@@ -333,6 +355,7 @@ object Extended {
     "x8_semi_anti" -> semiAnti,
     "x9_percentiles" -> percentiles,
     "x6_rollup" -> rollupOrders,
+    "x16_cube" -> cubeEvents,
     "x5_json_extract" -> jsonExtract,
     "x1_date_dim_join" -> dateDimJoin,
     "x2_top1_per_key" -> top1PerKey,
@@ -406,6 +429,14 @@ object Extended {
                 quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.5) AS p50_cents,
                 quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.95) AS p95_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "x16_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+                COALESCE(CAST(user_id % 10 AS BIGINT), -1) AS cohort,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events
+         GROUP BY CUBE (event_type, user_id % 10)
+         ORDER BY event_type, cohort""",
     "x6_rollup" ->
       """SELECT COALESCE(CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT), -1) AS year,
                 COALESCE(CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT), -1) AS month,
