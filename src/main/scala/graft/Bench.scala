@@ -50,15 +50,27 @@ object Bench {
     // 82 queries >20% apart across back-to-back runs; min-of-5 is the
     // fix). The first rep still absorbs query-local codegen, so the min
     // is a steady-state number, not a cold-start artifact.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // max(1, _): REPS=0 would make times.min throw empty.min after the
+    // whole Spark spinup; a malformed value should fail HERE, loudly.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt)
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+        // A query that THROWS (e.g. the d5 corpus-size guard tripping
+        // at a bigger SF) must not time as ~0 s and read as a bench
+        // improvement — drop it from the timings and surface it in the
+        // result's "failed" list + stderr instead.
+        try exec(fn(spark, sfDir)) catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
-    }
+    }.filter { case (name, _) => !failed.contains(name) }
     // 3-decimal (ms) precision: full-precision doubles made the result
     // line ~3.4 KB, which overflowed the driver's stdout tail buffer —
     // its "last line" was truncated mid-JSON and parsed to null every
@@ -70,8 +82,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the JSON line goes to a
     // file (stable path, no log interleaving) AND is the final stdout
     // line of the run. The file write must never take the stdout line

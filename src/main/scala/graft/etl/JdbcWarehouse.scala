@@ -38,14 +38,48 @@ object JdbcWarehouse {
     * and is a no-op when present — the reference's every-invocation DDL
     * (`lambda_2.py:148-151`). Write an empty slice to register schema
     * without data.
+    *
+    * With `primaryKey` non-empty the DDL is issued as raw JDBC instead
+    * (Spark's JDBC writer cannot emit column constraints), so the
+    * DATABASE enforces key uniqueness — see the `insertIgnore`
+    * concurrency note for why that matters.
     */
   def createTableIfNotExists(
       spark: SparkSession,
       url: String,
       table: String,
       like: DataFrame,
-      props: Map[String, String] = Map.empty): Unit =
-    writer(like.limit(0), url, table, props).mode("ignore").save()
+      props: Map[String, String] = Map.empty,
+      primaryKey: Seq[String] = Nil): Unit =
+    if (primaryKey.isEmpty)
+      writer(like.limit(0), url, table, props).mode("ignore").save()
+    else {
+      val cols = like.schema.fields.map { f =>
+        val t = f.dataType match {
+          case org.apache.spark.sql.types.LongType => "BIGINT"
+          case org.apache.spark.sql.types.IntegerType => "INTEGER"
+          case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+          case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+          case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
+          case _ => "VARCHAR(255)"
+        }
+        val notNull = if (primaryKey.contains(f.name)) " NOT NULL" else ""
+        s"${f.name} $t$notNull"
+      }
+      val ddl = s"CREATE TABLE $table (${cols.mkString(", ")}, " +
+        s"PRIMARY KEY (${primaryKey.mkString(", ")}))"
+      props.get("driver").foreach(Class.forName)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(ddl)
+        catch {
+          // no IF NOT EXISTS in Derby's DDL: swallow only the
+          // table-already-exists state, fail on everything else
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        } finally st.close()
+      } finally conn.close()
+    }
 
   /** E7 over JDBC — dimension lookup join against a REAL SQL source
     * (`lambda_2.py:168-171` reads the podcast dimension back from RDS
@@ -77,6 +111,16 @@ object JdbcWarehouse {
     * current key set back from the table, anti-join the (batch-deduped)
     * incoming rows, append only the fresh ones. Returns the number of
     * appended rows (the reference logs exactly this count).
+    *
+    * Concurrency contract: the read-anti-join-append sequence is NOT
+    * atomic, so "the database never sees a duplicate" holds only for a
+    * SINGLE writer per table — exactly the reference's shape (each
+    * Lambda owns its table's writes within a serialized pipeline
+    * stage). Two writers racing the same new key would both pass the
+    * anti-join; create the table with `primaryKey` so the DATABASE
+    * enforces uniqueness and the losing racer fails loudly (a
+    * constraint violation, the d5-guard discipline) instead of
+    * silently duplicating what INSERT IGNORE promises to drop.
     */
   def insertIgnore(
       spark: SparkSession,

@@ -252,9 +252,6 @@ object Dedup {
   val MaxAllPairsVectorsKey = "graft.dedup.maxAllPairsVectors"
   val MaxAllPairsVectorsDefault = 10000L
 
-  private val corpusSize =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
-
   /** Embedding-cosine near-dup: top-50 most similar vector pairs.
     * Brute-force all-pairs via a broadcast non-equi join — correct at
     * benchmark scale; the 100 TB path is ivfNearDup (d8, bucketed
@@ -269,8 +266,8 @@ object Dedup {
     // parquet-metadata count, memoized per (session, dir) — the guard
     // gates plan CONSTRUCTION, so repeated calls (bench reps) shouldn't
     // each pay a count job for an answer that cannot change in-session
-    val n = corpusSize.computeIfAbsent(
-      (spark, dir), _ => embeddings(spark, dir).count())
+    val n = SessionCache.memo(spark, dir, "corpusVecCount")(
+      embeddings(spark, dir).count())
     require(n <= bound,
       s"embeddingNearDup is the O(n²) all-pairs BASELINE: corpus has $n " +
         s"vectors > bound $bound. Use ivfNearDup (d8, bucketed candidates) " +

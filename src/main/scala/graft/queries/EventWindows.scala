@@ -181,8 +181,11 @@ object EventWindows {
   /** Ordering-key base for w6: within a 5-minute bucket the µs offset
     * is < 300e6 < 2^29, so (offset << 30) + event_id is a single
     * orderable BIGINT while event_id < 2^30 — both engines' argmin/
-    * argmax compare the same integer. (Guarded: 100 TB event ids can
-    * exceed 2^30 — widen the base or switch to a struct key then.)
+    * argmax compare the same integer. The precondition is ENFORCED
+    * per row (`raise_error` branch in the okey projection — stays in
+    * codegen, costs one comparison): a 100 TB corpus whose event ids
+    * exceed 2^30 must fail loudly, not silently corrupt open/close
+    * the way an unpacked overflow would (the d5-guard discipline).
     */
   private val OhlcIdBase = 1073741824L // 2^30
 
@@ -206,7 +209,12 @@ object EventWindows {
         * TumbleSec * UsPerSec)
       .withColumn("window_start", expr(s"bus div $UsPerSec"))
       .withColumn("okey",
-        (col("tus") - col("bus")) * OhlcIdBase + col("event_id"))
+        when(col("event_id") < OhlcIdBase,
+          (col("tus") - col("bus")) * OhlcIdBase + col("event_id"))
+          .otherwise(raise_error(lit(
+            s"w6: event_id >= $OhlcIdBase overflows the packed OHLC " +
+              "ordering key - widen OhlcIdBase or use a struct key"))
+            .cast("long")))
       .withColumn("cents", round(col("value") * 100).cast("long"))
       .groupBy(col("event_type"), col("window_start"))
       .agg(

@@ -33,6 +33,24 @@ object SessionCache {
     }
   }
 
+  private val valueCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Any]()
+
+  /** Session-scoped memo for driver-held CONTROL DATA — the
+    * non-DataFrame sibling of `cached`: fit statistics (s6's per-dim
+    * min/max), broadcast handles (p10's Bloom filter), corpus counts
+    * (the d5 guard). One keying discipline instead of a hand-rolled
+    * ConcurrentHashMap per module. `computeIfAbsent` is safe here
+    * because value builds only touch `planCache`/Spark, never recurse
+    * into `valueCache` (the same-bin recursion hazard `cached`
+    * documents). Entries live for the JVM, like every session cache
+    * in this file — acceptable for the bench/verify drivers this
+    * serves; a long-lived multi-session server would want eviction on
+    * session close.
+    */
+  def memo[T](spark: SparkSession, dir: String, name: String)(build: => T): T =
+    valueCache.computeIfAbsent((spark, dir, name), _ => build).asInstanceOf[T]
+
   /** Materialize every shared cache up front. Bench calls this during
     * warmup so per-query timings measure the query, not whichever query
     * happens to touch a cold shared cache first (round 2's d7 clocked

@@ -25,9 +25,6 @@ object Similarity {
   val NumCentroids = 8
   val TopK = 10
 
-  private val sq8Stats = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Seq[Double], Seq[Double])]()
-
   import graft.functions.VectorFunctions.{vecDot, vecNorm}
 
   /** Embeddings with precomputed L2 norms, as doubles. The dot products
@@ -324,13 +321,13 @@ object Similarity {
     // per-dim min/max is FIT-time control data (2×64 doubles) — one
     // collect per (session, dir), like the centroid/codebook caches;
     // repeated calls (bench reps) measure the encode+score, not the fit
-    val (mns, mxs) = sq8Stats.computeIfAbsent((spark, dir), _ => {
+    val (mns, mxs) = SessionCache.memo(spark, dir, "sq8Stats") {
       val stats = e.select(posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("d"))
         .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
         .orderBy(col("d")).collect()
       (stats.map(_.getDouble(1)).toSeq, stats.map(_.getDouble(2)).toSeq)
-    })
+    }
     val mnLit = typedLit(mns)
     val mxLit = typedLit(mxs)
     val codes = transform(col("v"), (x, i) => {

@@ -376,13 +376,13 @@ object TrainingSet {
     // centroids / PQ codebooks): one build + one broadcast per
     // (session, dir); repeated calls measure the PROBE, which is the
     // steady-state operation
-    val bfB = bloomCache.computeIfAbsent((spark, dir), _ => {
+    val bfB = SessionCache.memo(spark, dir, "p6BenchBloom") {
       val bench = sh.filter(col("doc_id") < BenchmarkDocs)
         .select(col("sh")).distinct()
       val nBench = bench.count()
       spark.sparkContext.broadcast(
         bench.stat.bloomFilter("sh", math.max(nBench, 1L), 0.01))
-    })
+    }
     val mightContain = udf((s: String) => bfB.value.mightContain(s))
     val corpus = sh.filter(col("doc_id") >= BenchmarkDocs)
     val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -438,10 +438,6 @@ object TrainingSet {
     */
   val SampleRates: Seq[(String, Double)] = Seq("src0" -> 0.3, "src1" -> 0.6)
   val DefaultSampleRate = 0.05
-
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String),
-    org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]()
 
   /** p12 — deterministic stratified (per-source Bernoulli) sampling:
     * keep a document iff its seeded content hash, mapped to [0,1),

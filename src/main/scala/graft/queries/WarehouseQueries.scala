@@ -47,9 +47,6 @@ object WarehouseQueries {
       }
   }
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Pipeline.Warehouse]()
-
   /** Fixture roots resolve against CWD first, then the repo's absolute
     * location — the driver may invoke Verify from elsewhere.
     */
@@ -59,18 +56,20 @@ object WarehouseQueries {
     else s"${graft.RepoPaths.root}/$rel"
   }
 
+  // dir key "": the fixture warehouse is sf-independent (one build per
+  // session, whatever testdata dir the queries run against)
   private def wh(spark: SparkSession): Pipeline.Warehouse =
-    cache.computeIfAbsent(spark, { s =>
-      import s.implicits._
+    SessionCache.memo(spark, "", "fixtureWarehouse") {
+      import spark.implicits._
       val w = Pipeline.run(
-        s,
+        spark,
         fixture("src/test/resources/feeds"),
         fixture("src/test/resources/chunks"),
         Seq((1L, 3), (2L, 2), (3L, 1)).toDF("episode_id", "num_chunks"))
       Pipeline.Warehouse(
         w.time.persist(), w.podcast.persist(), w.episode.persist(),
         w.sentence.persist(), w.entity.persist())
-    })
+    }
 
   /** Q1 (`app.py:39`): distinct podcasts. */
   def q1(spark: SparkSession, dir: String): DataFrame =

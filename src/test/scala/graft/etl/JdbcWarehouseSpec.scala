@@ -90,6 +90,34 @@ class JdbcWarehouseSpec extends SparkSpec {
       "JDBC scan did not prune the unrequested dim column")
   }
 
+  test("primaryKey DDL makes the DATABASE reject what a racing writer would sneak past") {
+    val t = "episodes_pk"
+    val like = episodes((0L, "u", "t"))
+    JdbcWarehouse.createTableIfNotExists(
+      spark, url, t, like, props, primaryKey = Seq("episode_id"))
+    // idempotent like the writer-based DDL
+    JdbcWarehouse.createTableIfNotExists(
+      spark, url, t, like, props, primaryKey = Seq("episode_id"))
+    assert(JdbcWarehouse.insertIgnore(
+      spark, url, t, episodes((1L, "u1", "t1")),
+      Seq("episode_id"), Seq("link"), props) == 1)
+    // a writer that bypasses the anti-join (the concurrent-racer case
+    // insertIgnore's contract documents) hits the constraint instead
+    // of silently duplicating
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      val e = intercept[java.sql.SQLException] {
+        st.executeUpdate(
+          s"INSERT INTO $t VALUES (1, 'u1-dup', 't1-dup')")
+      }
+      assert(e.getSQLState.startsWith("23"),
+        s"expected integrity-constraint state, got ${e.getSQLState}")
+      st.close()
+    } finally conn.close()
+    assert(readBack(t).count() == 1)
+  }
+
   test("database-side key set stays duplicate-free across concurrent-style replays") {
     val t = "episodes_replay"
     JdbcWarehouse.createTableIfNotExists(

@@ -40,7 +40,16 @@ class PqCodebookSpec extends SparkSpec {
     val o0 = pqObjective(e, seed)
     val o2 = pqObjective(e, trained)
     info(s"pq objective seed=$o0 trained=$o2")
-    assert(o2 > o0, s"trained objective $o2 should beat seeds $o0")
+    // The GUARANTEE Lloyd's makes is non-decrease (a seed codebook can
+    // legally be a fixed point), so >= is the theorem being asserted;
+    // the strict check below is an empirical regression canary on THIS
+    // deterministic corpus (measured 4.85 → 5.38), valid only while
+    // the fixture data stays byte-identical.
+    assert(o2 >= o0, s"trained objective $o2 regressed below seeds $o0")
+    assert(o2 > o0,
+      s"training no longer strictly improves on the fixed testdata " +
+        s"($o2 vs $o0) - if the corpus changed this canary may need a " +
+        "constructed improving fixture instead")
   }
 
   /** Same deterministic clustered corpus as KMeansSpec, at the 64-dim

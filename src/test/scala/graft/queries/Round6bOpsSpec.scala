@@ -156,6 +156,24 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------- w6
+
+  test("w6: packed ordering key refuses event ids >= 2^30") {
+    val out = java.nio.file.Files.createTempDirectory("graft_w6fix").toString
+    Seq(
+      (1073741824L, 1704067200000000000L, 1L, "click", 1.0, "{}"),
+      (1L, 1704067201000000000L, 1L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/events.parquet")
+    val e = intercept[Exception] {
+      EventWindows.ohlcResample(spark, out).collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: chain(t.getCause)
+    assert(chain(e).exists(_.contains("overflows")),
+      s"guard did not fire: ${chain(e)}")
+  }
+
   // ------------------------------------------------------------------ p13
 
   /** Independent Morton interleave (bitwise, vs the query's arithmetic

@@ -30,9 +30,26 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = {a.split("=")[0][2:]: float(a.split("=")[1])
-            for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+    # accept both --rel=0.2 and --rel 0.2 (the usage string shows the
+    # space form; the old parser only took '=', silently treating the
+    # value as a run file)
+    args, opts = [], {}
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a[2:].split("=", 1)
+            elif i + 1 < len(argv):
+                k, v = a[2:], argv[i + 1]
+                i += 1
+            else:
+                sys.exit(f"missing value for {a}")
+            opts[k] = float(v)
+        else:
+            args.append(a)
+        i += 1
     rel_tol = opts.get("rel", 0.20)
     abs_tol = opts.get("abs", 0.10)
     runs = [load(p) for p in args]
