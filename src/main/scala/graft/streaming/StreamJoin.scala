@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object StreamJoin {
 
+  /** Stream-static enrichment join — the most common streaming join in
+    * practice: an unbounded event stream joined to a bounded dimension
+    * (the reference's podcast/episode lookups, E7, applied to a
+    * stream). Stream-static joins are STATELESS on the stream side —
+    * no watermark, no join state to bound, because the static side is
+    * re-resolved per micro-batch; with the dim `broadcast()` each
+    * micro-batch is a map-side hash join, the same no-shuffle shape J1
+    * has in batch. Left join keeps unmatched events (a dim miss must
+    * not DROP stream rows — late dimension arrivals are the norm).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** @param clicks    streaming (c_ts timestamp, c_user, click_id)
     * @param purchases streaming (p_ts timestamp, p_user, purchase_id)
     * @param lookback  attribution interval, e.g. "30 minutes"

@@ -66,4 +66,32 @@ class StreamJoinSpec extends SparkSpec {
       assert(expected.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-static enrichment: stateless broadcast join, dim misses kept") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, Long)]
+    val dim = Seq((1L, "pod one"), (2L, "pod two"))
+      .toDF("podcast_id", "podcast_title")
+    val out = StreamJoin.enrich(
+      events.toDF.toDF("event_id", "podcast_id"), dim, "podcast_id")
+    val q = out.writeStream
+      .format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      // podcast 3 has no dim row yet — the event must SURVIVE with a
+      // null title, not drop
+      events.addData((10L, 1L), (11L, 3L), (12L, 2L))
+      q.processAllAvailable()
+      // keyed join output order: (podcast_id, event_id, podcast_title)
+      val rows = spark.table("enrich_out").orderBy("event_id").collect()
+        .map(r => (r.getLong(1), r.getLong(0), Option(r.getString(2))))
+      assert(rows.toSeq == Seq(
+        (10L, 1L, Some("pod one")),
+        (11L, 3L, None),
+        (12L, 2L, Some("pod two"))))
+      // stateless: no watermark, no state store — the progress metrics
+      // of the last batch report zero stateful operators
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not allocate join state")
+    } finally q.stop()
+  }
 }
