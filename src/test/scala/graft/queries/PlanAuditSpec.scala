@@ -189,6 +189,50 @@ class PlanAuditSpec extends SparkSpec {
       "w6 regressed to a ranking-window or join formulation")
   }
 
+  /** Shuffle budgets: every Exchange in these plans is accounted for;
+    * a refactor that adds one fails here, not at 100 TB. Counts are the
+    * current plan's exchange nodes (hashpartitioning for aggs/joins,
+    * rangepartitioning for the output sort) — the BUDGET, i.e. a
+    * ceiling pinned to today's shape, not an aspiration.
+    */
+  private val exchangeBudget: Map[String, Int] = Map(
+    "d1_exact_dedup" -> 2, // md5 agg + output sort
+    "q8_word_frequency" -> 2, // word agg + sorted limit
+    "x10_set_ops" -> 3, // source join + ONE flag agg (r6 one-pass) + sort
+    "w6_ohlc_resample" -> 2, // ONE o/h/l/c agg (no ranking window) + sort
+    "t14_pii_redaction" -> 1, // pure projection: output sort only
+    "w5_time_range_window" -> 2, // user_id window + output sort
+    "p14_length_histogram" -> 2, // bucket agg + sort (reads cached quality)
+    "x16_cube" -> 2 // ONE Expand+agg pass + sort
+  )
+
+  /** Exchanges the query itself spends — traversal stops at cache
+    * boundaries (an InMemoryTableScan's child plan describes how the
+    * SHARED cache was built, which every consumer's plan string
+    * re-displays; counting it would make budgets depend on which suite
+    * populated the cache first).
+    */
+  private def exchangesOutsideCache(
+      p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+    // AQE wraps the real plan and exposes NO children — unwrap, or
+    // every count is silently 0 and the budget test asserts nothing
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      exchangesOutsideCache(a.executedPlan)
+    case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 0
+    case e: org.apache.spark.sql.execution.exchange.Exchange =>
+      1 + e.children.map(exchangesOutsideCache).sum
+    case other => other.children.map(exchangesOutsideCache).sum
+  }
+
+  test("shuffle budgets: headline plans spend no unaccounted Exchange") {
+    for ((q, budget) <- exchangeBudget.toSeq.sortBy(_._1)) {
+      val n = exchangesOutsideCache(
+        graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan)
+      assert(n <= budget, s"$q spends $n exchanges, budget $budget")
+      info(s"$q: $n/$budget exchanges")
+    }
+  }
+
   test("d2/d7 shingle joins carry the document-frequency cap") {
     // the cap is a hash-agg over sh + an anti-join against the hot
     // list (never a count-window partitioned by sh — that would be the
