@@ -449,7 +449,38 @@ object TextOps {
       .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ips"))
       .orderBy(col("doc_id"))
 
+  /** t15 — robust length-outlier detection, the Tukey/IQR fence every
+    * data-quality gate applies before trusting distribution-sensitive
+    * filters (truncation artifacts sit below the low fence,
+    * concatenation bugs above the high one). Fences = q1 ± 1.5·IQR
+    * over n_tokens.
+    *
+    * Exactness: exact interpolated percentiles over integer token
+    * counts (the x9 machinery, proved bit-identical cross-engine at
+    * every SF); fence arithmetic is the same IEEE expression in both
+    * engines. Shape: one percentile agg to a 1-row broadcast + a
+    * per-row flag projection — the fences are control data, the scan
+    * never shuffles.
+    */
+  def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val fences = cachedQualityScore(spark, dir)
+      .select(col("n_tokens"))
+      .agg(expr("percentile(n_tokens, array(0.25D, 0.75D))").as("q"))
+      .select(
+        (col("q")(0) - (col("q")(1) - col("q")(0)) * 1.5).as("low_fence"),
+        (col("q")(1) + (col("q")(1) - col("q")(0)) * 1.5).as("high_fence"))
+    cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .crossJoin(broadcast(fences))
+      .withColumn(
+        "is_outlier",
+        col("n_tokens") < col("low_fence") ||
+          col("n_tokens") > col("high_fence"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_length_outliers" -> lengthOutliers,
     "t14_pii_redaction" -> piiRedaction,
     "t13_entropy" -> entropy,
     "t12_c4_filters" -> c4Filters,
@@ -491,6 +522,16 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    "t15_length_outliers" ->
+      s"""WITH $wordsCte,
+          q AS (SELECT doc_id, COUNT(*) AS n_tokens FROM words GROUP BY doc_id),
+          f AS (
+            SELECT qs[1] - (qs[2] - qs[1]) * 1.5 AS low_fence,
+                   qs[2] + (qs[2] - qs[1]) * 1.5 AS high_fence
+            FROM (SELECT quantile_cont(n_tokens, [0.25, 0.75]) AS qs FROM q))
+          SELECT doc_id, n_tokens, low_fence, high_fence,
+                 n_tokens < low_fence OR n_tokens > high_fence AS is_outlier
+          FROM q CROSS JOIN f ORDER BY doc_id""",
     "t14_pii_redaction" ->
       s"""SELECT doc_id,
                  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,

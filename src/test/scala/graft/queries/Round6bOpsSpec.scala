@@ -156,6 +156,30 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------- t15
+
+  test("t15: IQR fences flag planted extreme-length docs (testdata has none)") {
+    // testdata lengths are uniform enough that no doc crosses a Tukey
+    // fence (measured: 0/500 at sf0.01) — the flag branch needs a
+    // planted corpus: 30 ~50-word docs, one 2-word truncation artifact,
+    // one 400-word concatenation artifact
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until 45 + i % 10).map(j => s"w${i}_$j").mkString(" "))
+    } ++ Seq(
+      (100L, "too short"),
+      (101L, (0 until 400).map(j => s"long$j").mkString(" ")))
+    val out = java.nio.file.Files.createTempDirectory("graft_t15fix").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val flagged = TextOps.lengthOutliers(spark, out).collect()
+      .filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(flagged == Set(100L, 101L),
+      s"expected exactly the planted extremes, got $flagged")
+  }
+
   // ------------------------------------------------------------------- w6
 
   test("w6: packed ordering key refuses event ids >= 2^30") {
