@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
 
   /** Force full evaluation of every column: a bare `count()` lets
@@ -9,6 +10,52 @@ object Bench {
     */
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  // 3-decimal (ms) precision: full-precision doubles made the result
+  // line ~3.4 KB, which overflowed the driver's stdout tail buffer —
+  // its "last line" was truncated mid-JSON and parsed to null.
+  // Millisecond precision is all a bench number means anyway.
+  // Locale.ROOT: f"%.3f" uses the JVM default locale, which on e.g.
+  // de_DE emits "0,558" — invalid JSON, the same parse failure back.
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def strArr(xs: Seq[String]): String =
+    xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** The single stdout result line. Deliberately CONTAINS NO PER-QUERY
+    * MAP: with 94 registered queries even ms-precision values made the
+    * line ~2.6 KB, and round 6 proved the driver's stdout tail buffer
+    * clips somewhere below that (the leading `{` was cut → "parsed":
+    * null in the official artifact, two rounds running, two shrinks
+    * running). Totals + failures fit in ~150 bytes, which no plausible
+    * tail buffer clips; the full per-query map and per-rep samples live
+    * in the committed artifact named by `queries_file`. Public for the
+    * format spec, which pins the length budget.
+    */
+  def stdoutLine(total: Double, nQueries: Int, failed: Seq[String],
+      sfDir: String): String =
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":$nQueries,""" +
+      s""""failed":${strArr(failed.sorted)},"queries_file":"BENCH_RESULT.json","sf":"$sfDir"}"""
+
+  /** The full artifact (written to BENCH_RESULT.json, committed per
+    * round): per-query min-of-reps under "queries" (the headline
+    * statistic) AND the raw per-rep samples under "reps" — so a
+    * host-contention burst is VISIBLE in the artifact itself (one
+    * inflated sample among flat ones) instead of having to be inferred
+    * from round-over-round deltas, as round 6's adjudication had to.
+    */
+  def fileJson(mins: Seq[(String, Double)], reps: Seq[(String, Seq[Double])],
+      failed: Seq[String], sfDir: String): String = {
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val rs = reps.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = mins.map(_._2).sum
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""reps":$rs,"failed":${strArr(failed.sorted)},"sf":"$sfDir"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,6 +67,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Static conf, default 100 entries: with 94 registered queries at
+      // ~3-8 codegen units each, the shared generated-class cache
+      // thrashes under round-robin rep scheduling (every unit evicted
+      // between a query's reps → recompiled EVERY rep). Measured: the
+      // default cache made interleaved reps a uniform ~1.3-1.8× slower
+      // than back-to-back reps of identical plans. 10k entries holds
+      // the whole suite's classes (~1k) with room to grow.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     // ERROR, not WARN: round-1's result line drowned in WARN chatter and
     // the driver recorded "parsed": null. Nothing below ERROR is signal
@@ -44,57 +99,56 @@ object Bench {
     // queries swung 2.5–4.5× between rounds (r4 q6 1.59 s vs r5 3.89 s,
     // same code) because one contended run poisons both samples.
     // Contention noise is ONE-SIDED (a GC pause or a neighbor's burst
-    // only ever ADDS time), so the floor is the reproducible statistic:
-    // the median inflates whenever 3 of 5 reps are contended, the min
-    // only when all 5 are (measured same-commit: median-of-5 left 8 of
-    // 82 queries >20% apart across back-to-back runs; min-of-5 is the
-    // fix). The first rep still absorbs query-local codegen, so the min
-    // is a steady-state number, not a cold-start artifact.
+    // only ever ADDS time), so the floor is the reproducible statistic.
     // max(1, _): REPS=0 would make times.min throw empty.min after the
     // whole Spark spinup; a malformed value should fail HERE, loudly.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt)
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // A query that THROWS (e.g. the d5 corpus-size guard tripping
-        // at a bigger SF) must not time as ~0 s and read as a bench
-        // improvement — drop it from the timings and surface it in the
-        // result's "failed" list + stderr instead.
-        try exec(fn(spark, sfDir)) catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed ::= name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
-        }
-        (System.nanoTime() - t0) / 1e9
+    // Round-robin rep scheduling (round-7 change, was 5 back-to-back
+    // reps per query): back-to-back reps concentrate a query's entire
+    // sample window into a few contiguous seconds, so ONE multi-minute
+    // host-contention burst poisons all 5 samples of whichever queries
+    // it lands on and min-of-5 provides zero protection (round 6:
+    // t1_sentence_split 0.57→54.11 s on code untouched since round 3 —
+    // every rep sat inside the burst). Running rep 1 of ALL queries,
+    // then rep 2 of all, … spreads each query's samples across the
+    // whole ~half-hour run, so a burst costs each query AT MOST ONE
+    // sample and the min stays clean unless the burst outlives the
+    // entire bench.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val fns = SparkEntry.queries
+    val times = scala.collection.mutable.LinkedHashMap(
+      names.map(_ -> Vector.empty[Double]): _*)
+    var failed = Set.empty[String]
+    for (rep <- 1 to reps; name <- names if !failed(name)) {
+      val t0 = System.nanoTime()
+      // A query that THROWS (e.g. the d5 corpus-size guard tripping at
+      // a bigger SF) must not time as ~0 s and read as a bench
+      // improvement — drop it from the timings entirely (later reps
+      // skipped too) and surface it in "failed" + stderr instead.
+      try {
+        exec(fns(name)(spark, sfDir))
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> times.min
-    }.filter { case (name, _) => !failed.contains(name) }
-    // 3-decimal (ms) precision: full-precision doubles made the result
-    // line ~3.4 KB, which overflowed the driver's stdout tail buffer —
-    // its "last line" was truncated mid-JSON and parsed to null every
-    // round. Millisecond precision is all a bench number means anyway.
-    // Locale.ROOT: f"%.3f" uses the JVM default locale, which on e.g.
-    // de_DE emits "0,558" — invalid JSON, the same parse failure back.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    // Belt and braces for the driver's parser: the JSON line goes to a
-    // file (stable path, no log interleaving) AND is the final stdout
-    // line of the run. The file write must never take the stdout line
-    // down with it (wrong path/permissions on a foreign checkout).
+    }
+    val ok = names.filterNot(failed)
+    val mins = ok.map(n => n -> times(n).min)
+    val total = mins.map(_._2).sum
+    val artifact = fileJson(mins, ok.map(n => n -> times(n)), failed.toSeq, sfDir)
+    val line = stdoutLine(total, ok.size, failed.toSeq, sfDir)
+    // Belt and braces for the driver's parser: the full artifact goes
+    // to a file (stable path, no log interleaving, no size limit) and
+    // ONLY the short line is the final stdout line of the run. The file
+    // write must never take the stdout line down with it (wrong path/
+    // permissions on a foreign checkout).
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(RepoPaths.root, "BENCH_RESULT.json"), json + "\n")
+      java.nio.file.Paths.get(RepoPaths.root, "BENCH_RESULT.json"), artifact + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] result file write failed: ${e.getMessage}")
     }
     spark.stop()
-    println(json)
+    println(line)
   }
 }

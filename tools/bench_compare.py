@@ -41,12 +41,20 @@ def main():
         if a.startswith("--"):
             if "=" in a:
                 k, v = a[2:].split("=", 1)
-            elif i + 1 < len(argv):
+            # a following "--flag" is the NEXT option, not this one's
+            # value — without the check `--rel --abs 0.1` died on
+            # float('--abs') with a bare traceback
+            elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
                 k, v = a[2:], argv[i + 1]
                 i += 1
             else:
                 sys.exit(f"missing value for {a}")
-            opts[k] = float(v)
+            if k not in ("rel", "abs"):
+                sys.exit(f"unknown option --{k} (valid: --rel, --abs)")
+            try:
+                opts[k] = float(v)
+            except ValueError:
+                sys.exit(f"--{k} needs a number, got {v!r}")
         else:
             args.append(a)
         i += 1
@@ -56,6 +64,19 @@ def main():
     if len(runs) < 2:
         sys.exit("need at least two run files")
     common = sorted(set.intersection(*[set(r["queries"]) for r in runs]))
+    # A query present in one run but absent from another is a SIGNAL,
+    # not something to silently drop from the intersection: Bench
+    # excludes throwing queries from its map and records them in
+    # "failed", so a query that STARTS failing between runs would
+    # otherwise vanish from the comparison and read as a clean pass.
+    union = set.union(*[set(r["queries"]) for r in runs])
+    missing_any = False
+    for i, r in enumerate(runs):
+        absent = sorted(union - set(r["queries"]))
+        for q in absent:
+            why = "FAILED" if q in set(r.get("failed", [])) else "missing"
+            print(f"NOT COMPARABLE: {q} {why} in run{i + 1} ({args[i]})")
+            missing_any = True
     totals = [r["value"] for r in runs]
     spread = (max(totals) - min(totals)) / max(totals)
     print("totals: " + " ".join(f"{t:.3f}" for t in totals)
@@ -89,7 +110,7 @@ def main():
     print(f"== {len(common) - len(confirmed)}/{len(common)} reproducible; "
           f"{len(confirmed)} confirmed signal(s) across {len(pair_flags)} "
           f"pairing(s) (>{rel_tol:.0%} AND >{abs_tol * 1000:.0f}ms) ==")
-    sys.exit(1 if confirmed else 0)
+    sys.exit(1 if confirmed or missing_any else 0)
 
 
 if __name__ == "__main__":
