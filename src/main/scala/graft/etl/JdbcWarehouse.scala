@@ -33,6 +33,27 @@ object JdbcWarehouse {
       case (w, (k, v)) => w.option(k, v)
     }
 
+  /** Raw JDBC connection for the DDL path, honoring the SAME `props`
+    * the Spark reader/writer paths pass through: `driver` triggers
+    * registration, everything else (user/password/ssl options …)
+    * forwards to the driver. Without this the PK DDL silently worked
+    * only against unauthenticated databases.
+    */
+  private def rawConnection(url: String,
+      props: Map[String, String]): java.sql.Connection = {
+    props.get("driver").foreach(Class.forName)
+    val info = new java.util.Properties()
+    props.foreach { case (k, v) => if (k != "driver") info.setProperty(k, v) }
+    java.sql.DriverManager.getConnection(url, info)
+  }
+
+  /** States meaning "table already exists" across the engines the
+    * reference's shape touches: X0Y32 (Derby), 42S01 (MySQL/MariaDB/
+    * SQL Server), 42P07 (PostgreSQL). Only consulted for the race
+    * window between the metadata probe and the CREATE.
+    */
+  private val TableExistsStates = Set("X0Y32", "42S01", "42P07")
+
   /** E8 over JDBC — CREATE TABLE IF NOT EXISTS: `SaveMode.Ignore` on a
     * JDBC sink creates the table from the frame's schema when absent
     * and is a no-op when present — the reference's every-invocation DDL
@@ -42,7 +63,17 @@ object JdbcWarehouse {
     * With `primaryKey` non-empty the DDL is issued as raw JDBC instead
     * (Spark's JDBC writer cannot emit column constraints), so the
     * DATABASE enforces key uniqueness — see the `insertIgnore`
-    * concurrency note for why that matters.
+    * concurrency note for why that matters. Column identifiers are
+    * quoted and typed via the url's `JdbcDialect` (reserved words and
+    * mixed case survive; text maps to the dialect's string type, e.g.
+    * Derby CLOB, not a hand-rolled VARCHAR(255)). The TABLE name stays
+    * verbatim — Spark's own JDBC writer passes it through unquoted, and
+    * quoting it here would flip its case-resolution rules out from
+    * under every reader that names the same unquoted table.
+    * `columnTypes` overrides the dialect per column (the
+    * `createTableColumnTypes` analog); string PK columns default to
+    * VARCHAR(255) because LOB/TEXT types cannot carry a key constraint
+    * on Derby or MySQL.
     */
   def createTableIfNotExists(
       spark: SparkSession,
@@ -50,34 +81,53 @@ object JdbcWarehouse {
       table: String,
       like: DataFrame,
       props: Map[String, String] = Map.empty,
-      primaryKey: Seq[String] = Nil): Unit =
+      primaryKey: Seq[String] = Nil,
+      columnTypes: Map[String, String] = Map.empty): Unit =
     if (primaryKey.isEmpty)
       writer(like.limit(0), url, table, props).mode("ignore").save()
     else {
+      val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
       val cols = like.schema.fields.map { f =>
-        val t = f.dataType match {
-          case org.apache.spark.sql.types.LongType => "BIGINT"
-          case org.apache.spark.sql.types.IntegerType => "INTEGER"
-          case org.apache.spark.sql.types.DoubleType => "DOUBLE"
-          case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
-          case org.apache.spark.sql.types.TimestampType => "TIMESTAMP"
-          case _ => "VARCHAR(255)"
-        }
+        val t = columnTypes.getOrElse(f.name,
+          if (primaryKey.contains(f.name) &&
+              f.dataType == org.apache.spark.sql.types.StringType)
+            "VARCHAR(255)"
+          else dialect.getJDBCType(f.dataType)
+            .orElse(org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+              .getCommonJDBCType(f.dataType))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no JDBC type for column ${f.name}: ${f.dataType}"))
+            .databaseTypeDefinition)
         val notNull = if (primaryKey.contains(f.name)) " NOT NULL" else ""
-        s"${f.name} $t$notNull"
+        s"${dialect.quoteIdentifier(f.name)} $t$notNull"
       }
       val ddl = s"CREATE TABLE $table (${cols.mkString(", ")}, " +
-        s"PRIMARY KEY (${primaryKey.mkString(", ")}))"
-      props.get("driver").foreach(Class.forName)
-      val conn = java.sql.DriverManager.getConnection(url)
+        s"PRIMARY KEY (${primaryKey.map(dialect.quoteIdentifier).mkString(", ")}))"
+      val conn = rawConnection(url, props)
       try {
-        val st = conn.createStatement()
-        try st.executeUpdate(ddl)
-        catch {
-          // no IF NOT EXISTS in Derby's DDL: swallow only the
-          // table-already-exists state, fail on everything else
-          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-        } finally st.close()
+        // Engine-agnostic idempotence: probe the catalog instead of
+        // pattern-matching each engine's error. Unquoted names resolve
+        // per the engine's folding rule, so probe both foldings plus
+        // verbatim; LIKE wildcards in a table name are taken literally
+        // often enough here not to matter (our tables are plain).
+        val meta = conn.getMetaData
+        def exists(n: String): Boolean = {
+          val rs = meta.getTables(null, null, n, null)
+          try rs.next() finally rs.close()
+        }
+        val bare = table.substring(table.lastIndexOf('.') + 1)
+        val present = exists(bare) || exists(bare.toUpperCase) ||
+          exists(bare.toLowerCase)
+        if (!present) {
+          val st = conn.createStatement()
+          try st.executeUpdate(ddl)
+          catch {
+            // probe-to-create race: another writer won; that is the
+            // "IF NOT EXISTS" outcome, not an error
+            case e: java.sql.SQLException
+                if TableExistsStates.contains(e.getSQLState) => ()
+          } finally st.close()
+        }
       } finally conn.close()
     }
 

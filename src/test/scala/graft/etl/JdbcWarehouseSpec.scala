@@ -118,6 +118,45 @@ class JdbcWarehouseSpec extends SparkSpec {
     assert(readBack(t).count() == 1)
   }
 
+  test("primaryKey DDL survives reserved-word and mixed-case columns, string keys") {
+    val t = "episodes_quoted"
+    // "order" is a reserved word in every engine; "Title" is mixed-case;
+    // the key is a STRING (must come out VARCHAR, not the dialect's
+    // CLOB — Derby rejects LOB primary keys)
+    val like = Seq(("g1", 1L, "t"))
+      .toDF("guid", "order", "Title")
+    JdbcWarehouse.createTableIfNotExists(
+      spark, url, t, like, props, primaryKey = Seq("guid"))
+    // idempotent replay through the metadata probe
+    JdbcWarehouse.createTableIfNotExists(
+      spark, url, t, like, props, primaryKey = Seq("guid"))
+    assert(JdbcWarehouse.insertIgnore(
+      spark, url, t, like, Seq("guid"), Seq("order"), props) == 1)
+    assert(JdbcWarehouse.insertIgnore(
+      spark, url, t, like, Seq("guid"), Seq("order"), props) == 0)
+    val row = readBack(t).collect().head
+    assert(row.getString(0) == "g1" && row.getLong(1) == 1L)
+  }
+
+  test("primaryKey DDL honors explicit columnTypes overrides") {
+    val t = "episodes_coltypes"
+    val like = episodes((0L, "u", "t"))
+    JdbcWarehouse.createTableIfNotExists(
+      spark, url, t, like, props, primaryKey = Seq("episode_id"),
+      columnTypes = Map("link" -> "VARCHAR(2048)"))
+    // Derby reports the declared width back through the catalog
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getColumns(null, null, t.toUpperCase, null)
+      val widths = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => r.getString("COLUMN_NAME").toLowerCase -> r.getInt("COLUMN_SIZE"))
+        .toMap
+      rs.close()
+      assert(widths("link") == 2048, widths.toString)
+    } finally conn.close()
+  }
+
   test("database-side key set stays duplicate-free across concurrent-style replays") {
     val t = "episodes_replay"
     JdbcWarehouse.createTableIfNotExists(
