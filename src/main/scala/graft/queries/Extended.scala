@@ -154,6 +154,13 @@ object Extended {
     * 100 TB pipeline shouldn't pay. Missing cells coalesce to 0.
     */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    wideEvents(spark, dir).orderBy(col("user_id"))
+
+  /** The unsorted wide frame x7 and x15 share — x15 must melt the
+    * PRE-sort form, or x7's presentation sort becomes a wasted range
+    * exchange buried inside the melt.
+    */
+  private def wideEvents(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .filter(col("user_id") < 30)
       .select(
@@ -167,7 +174,28 @@ object Extended {
         coalesce(col("click"), lit(0L)).as("click_cents"),
         coalesce(col("view"), lit(0L)).as("view_cents"),
         coalesce(col("purchase"), lit(0L)).as("purchase_cents"))
-      .orderBy(col("user_id"))
+
+  /** x15 — unpivot / wide→long reshaping, x7's exact dual (the melt
+    * every feature-matrix → (entity, feature, value) normalization
+    * runs): take x7's per-user wide cents row and emit one row per
+    * (user, event_type). Native `Dataset.unpivot` plans as a single
+    * Expand — a per-row projection with NO shuffle and no
+    * distinct-values discovery; the only exchange in the query is the
+    * one hash agg x7 already paid for the wide input. Round-trip
+    * (x7 ∘ x15 = identity on the long form) is spec'd.
+    */
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame =
+    wideEvents(spark, dir)
+      .select(
+        col("user_id"),
+        col("click_cents").as("click"),
+        col("view_cents").as("view"),
+        col("purchase_cents").as("purchase"))
+      .unpivot(
+        Array(col("user_id")),
+        Array(col("click"), col("view"), col("purchase")),
+        "event_type", "cents")
+      .orderBy(col("user_id"), col("event_type"))
 
   val BigOrderDollars = 300000
 
@@ -352,6 +380,7 @@ object Extended {
     "x11_approx_distinct" -> approxDistinctCounts,
     "x12_approx_percentiles" -> approxPercentiles,
     "x7_pivot" -> pivotEvents,
+    "x15_unpivot" -> unpivotEvents,
     "x8_semi_anti" -> semiAnti,
     "x9_percentiles" -> percentiles,
     "x6_rollup" -> rollupOrders,
@@ -410,6 +439,19 @@ object Extended {
                 CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
          FROM events WHERE user_id < 30
          GROUP BY user_id ORDER BY user_id""",
+    "x15_unpivot" ->
+      """WITH wide AS (
+           SELECT user_id,
+                  CAST(SUM(CASE WHEN event_type='click' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS click,
+                  CAST(SUM(CASE WHEN event_type='view' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS view,
+                  CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase
+           FROM events WHERE user_id < 30 GROUP BY user_id)
+         SELECT user_id, 'click' AS event_type, click AS cents FROM wide
+         UNION ALL
+         SELECT user_id, 'view' AS event_type, view AS cents FROM wide
+         UNION ALL
+         SELECT user_id, 'purchase' AS event_type, purchase AS cents FROM wide
+         ORDER BY user_id, event_type""",
     "x8_semi_anti" ->
       s"""SELECT c_custkey, c_name, 'has_big_order' AS kind
           FROM customer c
