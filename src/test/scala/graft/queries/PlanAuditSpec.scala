@@ -203,7 +203,9 @@ class PlanAuditSpec extends SparkSpec {
     "t14_pii_redaction" -> 1, // pure projection: output sort only
     "w5_time_range_window" -> 2, // user_id window + output sort
     "p14_length_histogram" -> 2, // bucket agg + sort (reads cached quality)
-    "x16_cube" -> 2 // ONE Expand+agg pass + sort
+    "x16_cube" -> 2, // ONE Expand+agg pass + sort
+    "q7_sentiment_proportions" -> 2, // ONE flag agg + sort
+    "x15_unpivot" -> 3 // pivot's two agg exchanges + sort; melt adds none
   )
 
   /** Exchanges the query itself spends — traversal stops at cache
@@ -231,6 +233,30 @@ class PlanAuditSpec extends SparkSpec {
       assert(n <= budget, s"$q spends $n exchanges, budget $budget")
       info(s"$q: $n/$budget exchanges")
     }
+  }
+
+  test("q7 is ONE hash aggregate + projection — no join anywhere") {
+    // the r6 bench flagged q7 at 5.5×; the flag was host contention
+    // (cleared by the r7 interleaved bench), but the forensics belong
+    // in the plan record: there is nothing here that CAN regress into
+    // a shuffle explosion — one agg over lineitem, ratio projection,
+    // output sort
+    val p = plan("q7_sentiment_proportions")
+    assert(p.contains("HashAggregate"), "q7 lost its hash aggregate")
+    assert(!p.contains("Join"), s"q7 must not join:\n$p")
+  }
+
+  test("wh_q7 builds the broadcast on the sentence side (J2 path)") {
+    // the entity⟕sentence join the verdict asked to pin: the sentence
+    // scores are warehouse-fixture-sized at every SF (bounded ETL
+    // fixture, not corpus), so the join must stay a broadcast — a
+    // shuffled join here would drag the entity side through an
+    // exchange for a control-plane-sized build
+    val p = plan("wh_q7_proportions")
+    assert(p.contains("BroadcastHashJoin"),
+      s"wh_q7 sentence side is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "wh_q7 regressed to a shuffled join")
   }
 
   test("d2/d7 shingle joins carry the document-frequency cap") {
