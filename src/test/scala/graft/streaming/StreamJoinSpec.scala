@@ -67,6 +67,52 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark passage EVICTS join state and drops late arrivals") {
+    // boundedness asserted not by shape but by the state store's own
+    // metrics: rows removed once the watermark passes them, and a
+    // straggler below the watermark rejected at the door
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val out = StreamJoin.clickAttribution(
+      clicks.toDF.toDF("c_ts", "c_user", "click_id"),
+      purchases.toDF.toDF("p_ts", "p_user", "purchase_id"),
+      lookback = "30 minutes", delay = "10 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("attr_evict_out").outputMode("append").start()
+    try {
+      // batch 1: both sides at 10:00-10:05 → state holds them
+      clicks.addData((ts(0), 1L, 100L))
+      purchases.addData((ts(5), 1L, 900L))
+      q.processAllAvailable()
+      // batch 2: both sides jump to 12:00 → watermark advances to
+      // ~11:50; batch-1 state (10:00, beyond lookback+delay behind)
+      // must be REMOVED from the store
+      val far = Timestamp.valueOf("2024-01-01 12:00:00")
+      clicks.addData((far, 1L, 101L))
+      purchases.addData((far, 1L, 901L))
+      q.processAllAvailable()
+      // one more empty-ish trigger so eviction of now-expired state
+      // lands in a progress report even if batch 2 deferred it
+      clicks.addData((far, 2L, 102L))
+      purchases.addData((far, 2L, 902L))
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed > 0,
+        "watermark passage removed no state rows — join state is not " +
+          "actually bounded by eviction")
+      // batch 3: a click at 10:00 is far below the ~11:50 watermark —
+      // it must be dropped at input, never admitted to state
+      clicks.addData((ts(0), 1L, 103L))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped > 0,
+        "late row below the watermark was not dropped")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: stateless broadcast join, dim misses kept") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[(Long, Long)]
