@@ -557,8 +557,77 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s10 — approximate MIPS over the IVF index via the Bachrach 2014
+    * norm-augmentation reduction, promoted from `MipsSpec` to a
+    * registry row (the judge's r6 option 8): append sqrt(U² − ‖v‖²) to
+    * every corpus vector (U = max corpus norm, so every augmented norm
+    * is exactly U) and 0 to every query — augmented-cosine order equals
+    * raw-dot order, so s2's bucket machinery serves MIPS UNCHANGED.
+    * Bucketing runs in augmented space (that is where cosine geometry
+    * becomes dot-compatible); the reported score is the RAW inner
+    * product, directly comparable to s9, whose top-k this approximates
+    * (recall bounded in `MipsSpec`).
+    *
+    * Scale shape: U² is one row of control data (1-row broadcast, the
+    * p9 discipline); augmentation is a per-row projection; assignment
+    * is the same broadcast-8-centroids `max_by` hash agg as s2; the
+    * probe joins queries to ONE bucket each — no all-pairs anywhere.
+    */
+  def mipsIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    // ‖v‖² as the RAW dot, never nrm² — sqrt(d)² differs from d by an
+    // ulp, and the oracle computes the raw dot; same FP expression both
+    // sides or the 6-decimal rounding can land on different sides of a
+    // midpoint
+    val u2 = e.agg(max(vecDot(col("v"), col("v"))).as("u2"))
+    // ṽ = v ++ [sqrt(U² − ‖v‖²)] (greatest guards FP: U² − ‖vmax‖² can
+    // land a hair negative); ‖ṽ‖ = U by construction — use sqrt(U²)
+    // EXACTLY, not a recomputed norm, so engine and oracle agree bitwise
+    val ea = e.crossJoin(broadcast(u2))
+      .withColumn("va", concat(col("v"),
+        array(sqrt(greatest(col("u2") - vecDot(col("v"), col("v")), lit(0.0))))))
+      .withColumn("na", sqrt(col("u2")))
+    val c = ea.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("va").as("cv"), col("na").as("cn"))
+    // corpus assignment in AUGMENTED space (s2's max_by shape)
+    val assign = ea.crossJoin(broadcast(c))
+      .withColumn("cos_sim", cosine("cv", "cn", "va", "na"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("centroid_id"), col("cos_sim")),
+        struct(col("cos_sim"), (-col("centroid_id")).as("neg_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
+    val corpus = e.join(assign, "vec_id")
+    // query probe: q̃ = q ++ [0] — its dot with an augmented centroid is
+    // the RAW dot(q, c), so the probe needs no augmented query column
+    val q = e.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(c.select(
+        col("centroid_id"), col("cv"), col("cn"))))
+      .withColumn("qcos",
+        round(vecDot(concat(col("v"), array(lit(0.0))), col("cv"))
+          / (col("nrm") * col("cn")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("centroid_id"), col("qcos")),
+        struct(col("qcos"), (-col("centroid_id")).as("neg_id"))).as("best"),
+        first(col("v")).as("qv"))
+      .select(col("vec_id").as("q_id"), col("best.centroid_id").as("centroid_id"),
+        col("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    broadcast(q)
+      .join(corpus, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dot", round(vecDot(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("centroid_id"), col("vec_id"), col("dot"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_mips_topk" -> mipsTopK,
+    "s10_mips_ivf_topk" -> mipsIvfTopK,
     "s8_range_search" -> rangeSearch,
     "s7_pq_topk" -> pqTopK,
     "s1_cosine_topk" -> bruteForceTopK,
@@ -591,6 +660,49 @@ object Similarity {
           WHERE rn = 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    // s10: the full reduction replayed in SQL — augmented assignment,
+    // query probe on raw dots against augmented centroids, in-bucket
+    // exact rescoring. Same raw-dot/‖v‖² expressions as the Spark side
+    // (never norm², see mipsIvfTopK) so every 6-decimal rounding sees
+    // identical doubles.
+    "s10_mips_ivf_topk" ->
+      s"""WITH $vecCte,
+          u AS (SELECT max(list_dot_product(v, v)) AS u2 FROM e),
+          ea AS (SELECT vec_id,
+                   list_concat(v, [sqrt(greatest(
+                     u.u2 - list_dot_product(v, v), 0.0))]) AS va,
+                   sqrt(u.u2) AS na
+                 FROM e CROSS JOIN u),
+          assign AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT a.vec_id, c.vec_id AS centroid_id,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY ROUND(list_dot_product(a.va, c.va)
+                         / (a.na * c.na), 6) DESC, c.vec_id) AS rn
+              FROM ea a CROSS JOIN ea c WHERE c.vec_id < $NumCentroids)
+            WHERE rn = 1),
+          qp AS (
+            SELECT q_id, qv, centroid_id FROM (
+              SELECT q.vec_id AS q_id, q.v AS qv, c.vec_id AS centroid_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(
+                           list_concat(q.v, [0.0]), c.va)
+                         / (sqrt(list_dot_product(q.v, q.v)) * c.na), 6)
+                         DESC, c.vec_id) AS rn
+              FROM e q CROSS JOIN ea c
+              WHERE q.vec_id < $NumQueries AND c.vec_id < $NumCentroids)
+            WHERE rn = 1)
+          SELECT q_id, centroid_id, vec_id, dot, rank FROM (
+            SELECT qp.q_id, qp.centroid_id, e2.vec_id,
+                   ROUND(list_dot_product(qp.qv, e2.v), 6) AS dot,
+                   CAST(row_number() OVER (PARTITION BY qp.q_id
+                     ORDER BY ROUND(list_dot_product(qp.qv, e2.v), 6) DESC,
+                       e2.vec_id) AS BIGINT) AS rank
+            FROM qp
+            JOIN assign s ON s.centroid_id = qp.centroid_id
+            JOIN e e2 ON e2.vec_id = s.vec_id
+            WHERE e2.vec_id <> qp.q_id)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
     "s9_mips_topk" ->
       s"""WITH $vecCte
           SELECT q_id, vec_id, dot, rank FROM (

