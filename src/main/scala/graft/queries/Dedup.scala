@@ -157,17 +157,22 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
-  /** LSH band-bucket candidate pairs from a signature DataFrame. */
-  private def candidatesFrom(sigs: DataFrame): DataFrame = {
+  /** LSH band rows (doc_id, band, bkey) from a signature DataFrame. */
+  private def bandsFrom(sigs: DataFrame): DataFrame = {
     val bandKeys = (0 until NumBands).map { b =>
       struct(
         lit(b.toLong).as("band"),
         md5(concat(col(s"mh${2 * b}"), lit("|"), col(s"mh${2 * b + 1}"))
           .cast("binary")).as("bkey"))
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** LSH band-bucket candidate pairs from a signature DataFrame. */
+  private def candidatesFrom(sigs: DataFrame): DataFrame = {
+    val bands = bandsFrom(sigs)
     bands.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
       .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -204,6 +209,63 @@ object Dedup {
         col("a_id"), col("b_id"),
         (col("m").cast("double") / NumHashes).as("est_sim"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Boundary of the d14 "new batch": documents with id below this are
+    * the incoming slice; everything at-or-above is the already-indexed
+    * corpus. Fixed so the batch stays bounded while the index grows
+    * with SF — exactly the production asymmetry.
+    */
+  val IncrementalBatchMaxId = 100L
+
+  /** d14 — incremental near-dup: the dedup shape a production pipeline
+    * actually runs every day. d3 pairs the corpus against ITSELF; a
+    * live pipeline dedups a bounded NEW slice (a crawl drop, a day's
+    * ingest) against an ever-growing index, and must never re-pair the
+    * index with itself. Each new doc gets its best index match
+    * (max signature agreement, tie → lowest index id) if any band
+    * collides at ≥ NumHashes/2 matching positions.
+    *
+    * 100 TB posture — the asymmetry IS the operator: the new batch's
+    * band rows are control-plane sized (batch × NumBands) and ride a
+    * BROADCAST against the streamed index bands, so the index side
+    * never shuffles for candidate generation; only colliding index
+    * signatures move for the rescore. Work ∝ batch collisions,
+    * independent of index size. d3 stays the backfill/bootstrap pass.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = cached(spark, dir, "sigs")(minhashSignatures(spark, dir))
+    val bands = bandsFrom(sigs)
+    val cand = broadcast(
+      bands.filter(col("doc_id") < IncrementalBatchMaxId)
+        .select(col("doc_id").as("new_id"), col("band"), col("bkey")))
+      .join(
+        bands.filter(col("doc_id") >= IncrementalBatchMaxId)
+          .select(col("doc_id").as("idx_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col("new_id"), col("idx_id"))
+      .distinct()
+    def renamed(prefix: String, idCol: String) =
+      (0 until NumHashes).foldLeft(sigs.withColumnRenamed("doc_id", idCol)) {
+        (df, h) => df.withColumnRenamed(s"mh$h", s"$prefix$h")
+      }
+    val matches = (0 until NumHashes)
+      .map(h => when(col(s"a$h") === col(s"b$h"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(renamed("a", "new_id"), "new_id")
+      .join(renamed("b", "idx_id"), "idx_id")
+      .withColumn("m", matches)
+      .filter(col("m") >= NumHashes / 2)
+      .withColumn("est_sim", col("m").cast("double") / NumHashes)
+      .groupBy(col("new_id"))
+      .agg(max_by(
+        struct(col("idx_id"), col("est_sim")),
+        struct(col("est_sim"), (-col("idx_id")).as("neg_id"))).as("best"))
+      .select(
+        col("new_id"), col("best.idx_id").as("dup_of"),
+        col("best.est_sim").as("est_sim"))
+      .orderBy(col("new_id"))
   }
 
   /** SimHash document signature: 60-bit token hashes from md5 hex
@@ -378,6 +440,58 @@ object Dedup {
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
       .limit(50)
+  }
+
+  /** Cosine threshold above which two same-bucket embeddings count as
+    * semantic duplicates for d15. 0.4 sits inside the live range of
+    * this corpus's same-bucket cosines at every SF (top pairs span
+    * 0.37–0.60), so both branches of the keep/remove verdict are
+    * exercised by real data.
+    */
+  val SemDedupTau = 0.4
+
+  /** d15 — semantic dedup (SemDeDup, Abbas et al. 2023): embedding-
+    * space dedup that exact/shingle methods cannot see (paraphrases,
+    * translations, re-renders). Cluster the corpus (the session-cached
+    * IVF assignment — the paper's k-means step), compare only WITHIN
+    * clusters, and drop every vector that has a smaller-id neighbor
+    * above cosine τ in its bucket; the verdict is a kept flag per
+    * vector. The keep-lowest-id rule is d1/d9's survivor discipline —
+    * deterministic and engine-independent (the paper keeps the example
+    * farthest from the centroid; any fixed rule works, lowest-id is
+    * reproducible everywhere).
+    *
+    * 100 TB posture: the pair comparison is d8's bucket equi-join —
+    * work ∝ Σ bucket², never corpus²; the verdict join is a keys-only
+    * left join against the DISTINCT removed set. At real scale the
+    * bucket count grows with the corpus (s5's trained k-means replaces
+    * the 8 seed buckets), keeping buckets bounded.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecDot
+    val assign = Similarity.cachedIvfAssign(spark, dir)
+      .select(col("vec_id"), col("centroid_id"))
+    val ec = Similarity.vectors(spark, dir).join(assign, "vec_id")
+    val a = ec.select(
+      col("centroid_id"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = ec.select(
+      col("centroid_id"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val removed = a.join(b, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(
+        round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          >= SemDedupTau)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    ec.select(col("vec_id"), col("centroid_id"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("centroid_id"),
+        col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
   }
 
   /** Survivor selection — the step after near-dup detection in a real
@@ -680,8 +794,10 @@ object Dedup {
     "d1_exact_dedup" -> exactDedup,
     "d2_ngram_jaccard" -> ngramJaccard,
     "d3_minhash_lsh" -> minhashLsh,
+    "d14_incremental_dedup" -> incrementalDedup,
     "d4_simhash" -> simhash,
     "d5_embedding_neardup" -> embeddingNearDup,
+    "d15_semantic_dedup" -> semanticDedup,
     "d8_ivf_neardup" -> ivfNearDup)
 
   private[queries] val wordsCte =
@@ -892,6 +1008,32 @@ object Dedup {
             GROUP BY 1, 2)
           SELECT a_id, b_id, CAST(m AS DOUBLE) / $NumHashes AS est_sim
           FROM sim WHERE m >= ${NumHashes / 2} ORDER BY a_id, b_id""",
+    "d14_incremental_dedup" ->
+      s"""WITH $sigsCte,
+          bands AS (
+            SELECT doc_id, h // 2 AS band,
+                   md5(string_agg(mh, '|' ORDER BY h)) AS bkey
+            FROM sigs GROUP BY doc_id, h // 2),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bkey = b.bkey
+            WHERE a.doc_id < $IncrementalBatchMaxId
+              AND b.doc_id >= $IncrementalBatchMaxId),
+          sim AS (
+            SELECT c.new_id, c.idx_id,
+                   SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+            FROM cand c
+            JOIN sigs x ON x.doc_id = c.new_id
+            JOIN sigs y ON y.doc_id = c.idx_id AND y.h = x.h
+            GROUP BY 1, 2),
+          best AS (
+            SELECT new_id, idx_id, CAST(m AS DOUBLE) / $NumHashes AS est_sim,
+                   row_number() OVER (PARTITION BY new_id
+                     ORDER BY m DESC, idx_id) AS rn
+            FROM sim WHERE m >= ${NumHashes / 2})
+          SELECT new_id, idx_id AS dup_of, est_sim
+          FROM best WHERE rn = 1 ORDER BY new_id""",
     "d4_simhash" ->
       s"""WITH $wordsCte,
           votes AS (
@@ -919,5 +1061,18 @@ object Dedup {
                  ${Similarity.cosSql("x", "y")} AS cos_sim
           FROM ec x JOIN ec y
             ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
-          ORDER BY cos_sim DESC, a_id, b_id LIMIT 50""")
+          ORDER BY cos_sim DESC, a_id, b_id LIMIT 50""",
+    "d15_semantic_dedup" ->
+      s"""WITH ${Similarity.assignCte},
+          ec AS (SELECT e.vec_id, e.v, a.centroid_id
+                 FROM e JOIN assign a ON a.vec_id = e.vec_id),
+          removed AS (
+            SELECT DISTINCT y.vec_id
+            FROM ec x JOIN ec y
+              ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+            WHERE ${Similarity.cosSql("x", "y")} >= $SemDedupTau)
+          SELECT ec.vec_id, ec.centroid_id,
+                 (r.vec_id IS NULL) AS kept
+          FROM ec LEFT JOIN removed r ON r.vec_id = ec.vec_id
+          ORDER BY ec.vec_id""")
 }

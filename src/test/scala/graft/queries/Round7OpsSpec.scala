@@ -57,6 +57,49 @@ class Round7OpsSpec extends SparkSpec {
       "melted nonzero rows must agree with the direct (user,type) agg")
   }
 
+  test("d14: every verdict is a d3 pair, and the BEST one per new doc") {
+    // d14's candidates are d3's bands restricted to new×index, so each
+    // (new_id, dup_of) must appear in d3's pair set (new_id < 100 ≤
+    // dup_of ⇒ ordered the same way), and dup_of must be the max-sim /
+    // lowest-id match among that doc's boundary-crossing d3 pairs
+    val d3 = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val boundary = d3.filter { case (a, b, _) =>
+      a < Dedup.IncrementalBatchMaxId && b >= Dedup.IncrementalBatchMaxId }
+    val best = boundary.groupBy(_._1).map { case (a, ps) =>
+      a -> ps.maxBy { case (_, b, s) => (s, -b) }
+    }
+    val d14 = Dedup.incrementalDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(d14.nonEmpty, "d14 live branch not exercised by testdata")
+    for ((n, d, s) <- d14) {
+      val (_, eb, es) = best(n)
+      assert((d, s) == (eb, es), s"d14 best for $n: got ($d,$s), d3 says ($eb,$es)")
+    }
+    assert(d14.map(_._1).toSet == best.keySet,
+      "d14 must cover exactly the new docs with a boundary-crossing d3 pair")
+  }
+
+  test("d14: the new-batch band side rides a broadcast") {
+    val p = Dedup.incrementalDedup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"d14 candidate join is not broadcast:\n$p")
+  }
+
+  test("d15: both verdict branches live; bucket-minimum ids always kept") {
+    val rows = Dedup.semanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val (kept, removed) = rows.partition(_._3)
+    assert(kept.nonEmpty && removed.nonEmpty,
+      s"verdict branches not both live: kept=${kept.length} removed=${removed.length}")
+    // the lowest vec_id in a bucket has no smaller-id neighbor, so the
+    // keep-lowest-id rule can never remove it
+    val minPerBucket = rows.groupBy(_._2).map { case (_, rs) => rs.minBy(_._1) }
+    assert(minPerBucket.forall(_._3),
+      "a bucket-minimum vector was removed — the survivor rule is broken")
+  }
+
   test("d5 guard conf key is the documented literal") {
     // README/SURVEY document this exact string as the 100×-scale
     // escape hatch beside the d8 routing; renaming it must fail here
