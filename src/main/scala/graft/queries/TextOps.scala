@@ -340,6 +340,63 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolation weight for the t16 bigram LM: weight on the bigram
+    * term; 1−λ goes to the unigram backoff. 0.75 and 0.25 are exact
+    * binary fractions, so the mixture arithmetic is engine-identical.
+    */
+  val BigramLambda = 0.75
+
+  /** t16 — bigram-LM log-probability score with interpolated backoff
+    * (Jelinek–Mercer): the perplexity filter CCNet-style pipelines
+    * actually run uses a REAL language model, not t10's unigram bag —
+    * word order matters ("the the the" scores high under t10, low
+    * here). Per bigram position: p(w|prev) = λ·c(prev,w)/c(prev·) +
+    * (1−λ)·c(w)/N, where c(prev·) is the bigram-HISTORY count (so the
+    * conditional sums to 1 over w) and the unigram backoff keeps
+    * unseen-in-context words finite. Doc score = mean ln p over its
+    * bigram positions, t10's floor-to-nano-nats exact-sum discipline.
+    *
+    * Scale shape: two corpus count aggs (bigram, history) + the cached
+    * unigram pattern; the per-position probability is assembled by two
+    * equi-joins (by bigram, by predicted word) + a 1-row broadcast
+    * total — hash-agg/hash-join linear pipeline, map-side combinable,
+    * no window beyond the cached words' lead.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = cachedWords(spark, dir)
+      .withColumn("nxt", lead(col("word"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("word").as("prev"), col("nxt"))
+    val cbg = bg.groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("cbg"))
+    val chist = bg.groupBy(col("prev")).agg(count(lit(1)).as("chist"))
+    val cuni = cachedWords(spark, dir)
+      .groupBy(col("word")).agg(count(lit(1)).as("cw"))
+      .withColumnRenamed("word", "nxt")
+    val total = cachedWords(spark, dir).agg(count(lit(1)).as("total"))
+    bg
+      .join(cbg, Seq("prev", "nxt"))
+      .join(chist, Seq("prev"))
+      .join(cuni, Seq("nxt"))
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "lq",
+        floor(log(
+          lit(BigramLambda)
+            * (col("cbg").cast("double") / col("chist").cast("double"))
+            + lit(1.0 - BigramLambda)
+            * (col("cw").cast("double") / col("total").cast("double")))
+          * lit(1e9)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lq")).as("s"), count(lit(1)).as("n"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_bigrams"),
+        (col("s").cast("double") / (lit(1e9) * col("n").cast("double")))
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t11 — within-document repetition metrics, the Gopher/MassiveText
     * quality-rule family (repetitious documents are boilerplate/spam
     * signals): fraction of bigram occurrences whose bigram appears ≥2×
@@ -486,6 +543,7 @@ object TextOps {
     "t12_c4_filters" -> c4Filters,
     "t11_repetition" -> repetition,
     "t10_unigram_logprob" -> unigramLogprob,
+    "t16_bigram_logprob" -> bigramLogprob,
     "t8_tfidf" -> tfidf,
     "t9_bigram_freq" -> bigramFreq,
     "t1_sentence_split" -> sentenceSplit,
@@ -600,6 +658,34 @@ object TextOps {
                      AS BIGINT) AS lq
             FROM words w JOIN freq f USING (word) CROSS JOIN total t)
           SELECT doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(lq) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS avg_logprob
+          FROM lq GROUP BY doc_id ORDER BY doc_id""",
+    // t16: same mixture expression shape as the Spark side — λ·(a/b) +
+    // (1−λ)·(c/d) with exact binary λ, ln then floor-to-nano-nats —
+    // so both engines quantize identical doubles
+    "t16_bigram_logprob" ->
+      s"""WITH $wordsCte,
+          bg0 AS (
+            SELECT doc_id, word AS prev, lead(word) OVER
+              (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM words),
+          bg AS (SELECT doc_id, prev, nxt FROM bg0 WHERE nxt IS NOT NULL),
+          cbg AS (SELECT prev, nxt, COUNT(*) AS cbg FROM bg GROUP BY 1, 2),
+          chist AS (SELECT prev, COUNT(*) AS chist FROM bg GROUP BY 1),
+          cuni AS (SELECT word AS nxt, COUNT(*) AS cw FROM words GROUP BY 1),
+          tot AS (SELECT COUNT(*) AS total FROM words),
+          lq AS (
+            SELECT b.doc_id,
+                   CAST(FLOOR(ln(
+                       $BigramLambda * (CAST(g.cbg AS DOUBLE) / CAST(h.chist AS DOUBLE))
+                       + ${1.0 - BigramLambda} * (CAST(u.cw AS DOUBLE) / CAST(t.total AS DOUBLE)))
+                     * 1e9) AS BIGINT) AS lq
+            FROM bg b
+            JOIN cbg g ON g.prev = b.prev AND g.nxt = b.nxt
+            JOIN chist h ON h.prev = b.prev
+            JOIN cuni u ON u.nxt = b.nxt
+            CROSS JOIN tot t)
+          SELECT doc_id, COUNT(*) AS n_bigrams,
                  CAST(SUM(lq) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS avg_logprob
           FROM lq GROUP BY doc_id ORDER BY doc_id""",
     "t9_bigram_freq" ->

@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   *     documents — pin the literal so a doc/code drift fails a test.
   */
 class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -98,6 +99,53 @@ class Round7OpsSpec extends SparkSpec {
     val minPerBucket = rows.groupBy(_._2).map { case (_, rs) => rs.minBy(_._1) }
     assert(minPerBucket.forall(_._3),
       "a bucket-minimum vector was removed — the survivor rule is broken")
+  }
+
+  // ------------------------------------------------------------------ t16
+
+  /** Two docs with IDENTICAL unigram multisets (4×a, 3×b) but different
+    * bigram structure: doc 0 alternates (its bigrams are the corpus
+    * majority), doc 1 runs (aa/bb, the corpus minority). A bag model
+    * cannot tell them apart; a bigram model must.
+    */
+  private lazy val lmDir: String = {
+    val docs = Seq(
+      (0L, "a b a b a b a"),
+      (1L, "a a a b b b a"))
+    val out = java.nio.file.Files.createTempDirectory("graft_lmfix").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  test("t16: word order separates docs that t10's bag model cannot") {
+    val t10 = TextOps.unigramLogprob(spark, lmDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val t16 = TextOps.bigramLogprob(spark, lmDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(t10(0L) == t10(1L),
+      "identical unigram multisets must tie under the bag model")
+    assert(t16(0L) != t16(1L),
+      "the bigram LM must separate different word orders")
+    // the alternating doc's bigrams dominate the corpus (6 of 12
+    // positions are ab/ba from doc 0 alone) → it must score HIGHER
+    assert(t16(0L) > t16(1L),
+      s"majority-bigram doc must outscore the minority: $t16")
+  }
+
+  test("t16: interpolation keeps unseen-in-context bigrams finite") {
+    // every score must be finite and negative (it is a log-prob of a
+    // proper mixture strictly between 0 and 1)
+    val rows = TextOps.bigramLogprob(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val lp = r.getDouble(2)
+      assert(!lp.isNaN && !lp.isInfinite && lp < 0.0,
+        s"doc ${r.getLong(0)}: avg_logprob $lp out of range")
+    }
   }
 
   test("d5 guard conf key is the documented literal") {

@@ -35,6 +35,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC matches the batch min_by/max_by formulation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val df = in.toDF.toDF("ts", "event_id", "event_type", "value")
+    val q = EventStream.ohlcResample(df).writeStream
+      .format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    try {
+      // one 5-min bucket for type a: open must be the EARLIEST event
+      // (id 2 at 10:00), close the LATEST (id 1 at 10:04) — ids are
+      // deliberately ordered against time so min_by keys on the packed
+      // (offset, id), not on arrival or id order; plus a same-timestamp
+      // pair in bucket 2 where the id is the tiebreak
+      in.addData(
+        (ts(4), 1L, "a", 9.0), (ts(0), 2L, "a", 1.5), (ts(2), 3L, "a", 0.5),
+        (ts(6), 4L, "b", 2.0), (ts(6), 5L, "b", 3.0))
+      q.processAllAvailable()
+      in.addData((ts(30), 9L, "a", 1.0)) // advance watermark, close windows
+      q.processAllAvailable()
+      val rows = spark.table("ohlc_out")
+        .orderBy("window_start", "event_type").collect()
+      assert(rows.length == 2)
+      val a = rows(0)
+      assert(a.getAs[Long]("open_cents") == 150L, a.toString)   // id 2 @10:00
+      assert(a.getAs[Long]("close_cents") == 900L, a.toString)  // id 1 @10:04
+      assert(a.getAs[Long]("high_cents") == 900L
+        && a.getAs[Long]("low_cents") == 50L)
+      val b = rows(1) // same-ts tie: open = lower id 4, close = higher id 5
+      assert(b.getAs[Long]("open_cents") == 200L
+        && b.getAs[Long]("close_cents") == 300L, b.toString)
+      // a straggler 25+ minutes behind the watermark must not reopen
+      // the emitted window
+      in.addData((ts(1), 6L, "a", 99.0))
+      q.processAllAvailable()
+      assert(spark.table("ohlc_out").count() == 2,
+        "late event reopened a closed OHLC window")
+    } finally q.stop()
+  }
+
   test("chunk barrier emits exactly once, when all chunks arrived") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[ChunkBarrier.ChunkEvent]
