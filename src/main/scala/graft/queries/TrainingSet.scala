@@ -554,7 +554,48 @@ object TrainingSet {
         max(col("n_tokens")).as("max_tokens"))
       .orderBy(col("bucket"))
 
+  /** p15 — dataset content digest, the reproducibility receipt every
+    * versioned training corpus needs (HF dataset fingerprints, Delta/
+    * Iceberg snapshot checksums): a content-addressed digest per shard
+    * plus the corpus root, so "did anything change since the last
+    * snapshot?" and "which shard diverged?" are one table compare, and
+    * a retried/re-partitioned write proves byte-identity without
+    * re-reading text.
+    *
+    * Digest = XOR-fold of per-doc 60-bit terms (md5 of id:text): XOR is
+    * commutative + associative → map-side combinable, placement- and
+    * order-independent, and NEVER overflows — sums of hash terms would
+    * exceed 2^63 around 8M docs/shard, exactly where 100 TB lives (and
+    * overflow semantics diverge across engines; XOR is bit-identical
+    * everywhere). The doc_id inside the term keeps true duplicate ROWS
+    * distinguishable from a re-read (two identical (id, text) rows
+    * would cancel — a table with duplicate primary keys has bigger
+    * problems, d1 exists to find them). ROLLUP emits per-shard rows
+    * AND the root in ONE hash-agg pass (x6's sentinel discipline:
+    * shard −1 = the corpus root).
+    */
+  def datasetDigest(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("shard", shardOf(col("doc_id")))
+      .withColumn(
+        "term",
+        conv(
+          substring(
+            md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))
+              .cast("binary")), 1, 15),
+          16, 10).cast("long"))
+      .rollup(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("bit_xor(term)").as("digest"))
+      .select(
+        coalesce(col("shard"), lit(-1L)).as("shard"),
+        col("n_docs"), col("digest"))
+      .orderBy(col("shard"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_dataset_digest" -> datasetDigest,
     "p14_length_histogram" -> lengthHistogram,
     "p13_zorder_layout" -> zorderLayout,
     "p10_bloom_contamination" -> bloomContamination,
@@ -620,6 +661,16 @@ object TrainingSet {
     Map(
       // p10 is bench-only (engine-private bloom bit layout; p6 is the
       // exact oracle-checked baseline) — no entry here by design.
+      "p15_dataset_digest" ->
+        s"""WITH t AS (
+              SELECT $shardSql AS shard,
+                     CAST(concat('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))
+                       AS BIGINT) AS term
+              FROM documents)
+            SELECT COALESCE(shard, -1) AS shard, COUNT(*) AS n_docs,
+                   bit_xor(term) AS digest
+            FROM t GROUP BY ROLLUP(shard) ORDER BY shard""",
       "p14_length_histogram" ->
         s"""WITH $qualityCtes
             SELECT CAST(LENGTH(bin(n_tokens)) - 1 AS BIGINT) AS bucket,

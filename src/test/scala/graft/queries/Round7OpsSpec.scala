@@ -148,6 +148,45 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------ p15
+
+  test("p15: root digest is the XOR of shard digests, counts sum") {
+    val rows = TrainingSet.datasetDigest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (root, shards) = rows.partition(_._1 == -1L)
+    assert(root.length == 1 && shards.nonEmpty)
+    assert(root.head._3 == shards.map(_._3).reduce(_ ^ _),
+      "Merkle property broken: root must be the XOR of shard digests")
+    assert(root.head._2 == shards.map(_._2).sum)
+  }
+
+  test("p15: a single-doc edit changes exactly its shard's digest and the root") {
+    def corpus(editDoc7: Boolean): String = {
+      val docs = (0L until 20L).map { i =>
+        val text = if (i == 7L && editDoc7) "edited text for doc seven"
+          else s"stable text body for document number $i"
+        (i, text)
+      }
+      val out = java.nio.file.Files.createTempDirectory("graft_digfix").toString
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("src0"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      out
+    }
+    def digests(d: String): Map[Long, Long] =
+      TrainingSet.datasetDigest(spark, corpus(d == "edited"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val before = digests("base")
+    val after = digests("edited")
+    val changed = before.keySet.filter(k => before(k) != after(k))
+    // doc 7's shard + the root (−1) — nothing else moves
+    assert(changed.contains(-1L), "root digest must see the edit")
+    assert(changed.size == 2,
+      s"edit must localize to one shard + root, changed: $changed")
+  }
+
   test("d5 guard conf key is the documented literal") {
     // README/SURVEY document this exact string as the 100×-scale
     // escape hatch beside the d8 routing; renaming it must fail here
