@@ -308,19 +308,34 @@ object Similarity {
   /** s6 — scalar-quantized (8-bit) similarity top-k, the FAISS-SQ8
     * memory/bandwidth pattern: per-dimension min/max over the corpus
     * (2×64 doubles, collected once as control data), each vector
-    * encoded to 8-bit codes, similarity = INTEGER dot of the codes.
+    * encoded to CENTERED signed-int8 codes (see sq8Codes for the
+    * round-7 bias fix), similarity = INTEGER dot of the codes.
     * An 8× smaller scan than raw doubles, integer-SIMD-friendly, and —
     * because both the encode (identical IEEE ops + floor, no
     * round-half semantics) and the score (exact long sums) are
     * deterministic — bit-checkable against the DuckDB oracle, unlike
     * float-scored ANN. Recall vs s1 is approximate by construction
-    * (quantization error); rank ties break on vec_id.
+    * (quantization error; ≥0.6 spec'd, 0.78 measured); rank ties
+    * break on vec_id.
     */
-  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** SQ8 codes for every vector — the shared encoder behind s6 and
+    * s11. Per-dim min/max is FIT-time control data (2×64 doubles) —
+    * one collect per (session, dir), like the centroid/codebook
+    * caches; repeated calls (bench reps) measure the encode+score,
+    * not the fit.
+    *
+    * Codes are CENTERED to signed int8 range ([−128, 127], FAISS's own
+    * SQ8 storage type) — the round-7 fix for a real ranking defect:
+    * the unsigned code is an affine map a·x + b with b ≈ 128, so raw
+    * code dots expand to a²⟨x,y⟩ + 128a(Σx + Σy) + 64·128², and the
+    * coordinate-SUM bias terms (~±65k here) dominate the similarity
+    * term (~26k) — measured recall@50 vs brute force was 0.06, i.e.
+    * the op ranked by coordinate sums, not similarity. Subtracting 128
+    * cancels the bias to the small (b−128) residual: recall 0.78, with
+    * the exact-integer-math oracle property untouched.
+    */
+  private def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
-    // per-dim min/max is FIT-time control data (2×64 doubles) — one
-    // collect per (session, dir), like the centroid/codebook caches;
-    // repeated calls (bench reps) measure the encode+score, not the fit
     val (mns, mxs) = SessionCache.memo(spark, dir, "sq8Stats") {
       val stats = e.select(posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("d"))
@@ -335,22 +350,62 @@ object Similarity {
       val mx = element_at(mxLit, i + 1)
       when(mx > mn,
         least(floor((x - mn) / (mx - mn) * lit(256)), lit(255.0)))
-        .otherwise(lit(0.0)).cast("long")
+        .otherwise(lit(0.0)).cast("long") - lit(128L)
     })
-    val enc = e.select(col("vec_id"), codes.as("qv"))
-    val q = enc.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
-    val intDot = aggregate(
+    e.select(col("vec_id"), codes.as("qv"))
+  }
+
+  /** Integer dot of two SQ8 code arrays (exact long math). */
+  private def sq8Dot =
+    aggregate(
       zip_with(col("qq"), col("qv"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
+
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val enc = sq8Codes(spark, dir)
+    val q = enc.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     broadcast(q)
       .join(enc, col("q_id") =!= col("vec_id"))
-      .withColumn("score", intDot)
+      .withColumn("score", sq8Dot)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s11 — IVF+SQ8 composite top-k, the standard memory-efficient
+    * FAISS deployment (`IVF<n>,SQ8`): the coarse quantizer (s2's
+    * cached assignment) restricts each query to ONE bucket's
+    * candidates, and the candidates are scored on their 8-bit codes
+    * (s6's encoder — the SAME memoized fit, so s6/s11 codes agree)
+    * with exact integer dots. Composes the two orthogonal savings:
+    * probe reads ~1/NumCentroids of the corpus AND each read row is
+    * 8× smaller — at 100 TB that is the difference between scanning
+    * 100 TB and scanning ~1.5 TB of codes for a probe.
+    *
+    * Deterministic end to end (assignment ties → lowest centroid,
+    * integer scores, rank ties → vec_id) → full DuckDB oracle, the
+    * property float-scored composite indexes never have.
+    */
+  def ivfSq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val assign = cachedIvfAssign(spark, dir)
+      .select(col("vec_id"), col("centroid_id"))
+    val enc = sq8Codes(spark, dir).join(assign, "vec_id")
+    val q = enc.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"), col("centroid_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    broadcast(q)
+      .join(enc, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", sq8Dot)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("centroid_id"), col("vec_id"), col("score"),
+        col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -639,7 +694,8 @@ object Similarity {
     "s3_ivf_topk" -> ivfTopK,
     "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2,
     "s5_kmeans_ivf_topk" -> kmeansIvfTopK,
-    "s6_sq8_topk" -> sq8TopK)
+    "s6_sq8_topk" -> sq8TopK,
+    "s11_ivf_sq8_topk" -> ivfSq8TopK)
 
   private[queries] val vecCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
@@ -791,7 +847,7 @@ object Similarity {
             SELECT vec_id, d,
                    CAST(CASE WHEN mx > mn
                         THEN LEAST(FLOOR((x - mn) / (mx - mn) * 256), 255)
-                        ELSE 0 END AS BIGINT) AS qx
+                        ELSE 0 END AS BIGINT) - 128 AS qx
             FROM dims JOIN stats USING (d)),
           scores AS (
             SELECT q.vec_id AS q_id, e.vec_id, CAST(SUM(q.qx * e.qx) AS BIGINT) AS score
@@ -800,6 +856,34 @@ object Similarity {
             GROUP BY 1, 2)
           SELECT q_id, vec_id, score, rank FROM (
             SELECT q_id, vec_id, score,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+            FROM scores)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
+    // s11: s6's quantization CTEs + the coarse-quantizer restriction —
+    // a query only scores codes in its own assignment bucket
+    "s11_ivf_sq8_topk" ->
+      s"""WITH $assignCte,
+          dims AS (SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e),
+          stats AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY d),
+          qd AS (
+            SELECT vec_id, d,
+                   CAST(CASE WHEN mx > mn
+                        THEN LEAST(FLOOR((x - mn) / (mx - mn) * 256), 255)
+                        ELSE 0 END AS BIGINT) - 128 AS qx
+            FROM dims JOIN stats USING (d)),
+          qa AS (SELECT vec_id, centroid_id FROM assign),
+          scores AS (
+            SELECT q.vec_id AS q_id, aq.centroid_id, e2.vec_id,
+                   CAST(SUM(q.qx * e2.qx) AS BIGINT) AS score
+            FROM qd q
+            JOIN qa aq ON aq.vec_id = q.vec_id
+            JOIN qa ae ON ae.centroid_id = aq.centroid_id
+            JOIN qd e2 ON e2.vec_id = ae.vec_id AND e2.d = q.d
+            WHERE q.vec_id < $NumQueries AND e2.vec_id <> q.vec_id
+            GROUP BY 1, 2, 3)
+          SELECT q_id, centroid_id, vec_id, score, rank FROM (
+            SELECT q_id, centroid_id, vec_id, score,
                    CAST(row_number() OVER (PARTITION BY q_id
                      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
             FROM scores)

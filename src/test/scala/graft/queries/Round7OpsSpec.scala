@@ -148,6 +148,47 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------ s11
+
+  test("s11: every candidate comes from the query's own IVF bucket") {
+    val assign = Similarity.ivfAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.ivfSq8TopK(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (q, c, v) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(assign(q) == c && assign(v) == c,
+        s"s11 candidate $v for query $q escaped bucket $c")
+    }
+  }
+
+  test("s11: quantized bucket ranking tracks the float bucket ranking (s3)") {
+    // same coarse quantizer as s3, scores quantized to centered int8
+    // codes — the neighbor sets must substantially agree (pinned at
+    // 0.6 so encoder regressions fail loudly while quantization-
+    // boundary churn doesn't flake). With the pre-r7 UNCENTERED codes
+    // this agreement was 0.14 — the affine bias ranked by coordinate
+    // sums, which is what this spec now guards against.
+    val s3 = Similarity.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val s11 = Similarity.ivfSq8TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (s3 & s11).size.toDouble / s3.size
+    assert(recall >= 0.6, f"s11 agreement with s3 = $recall%.2f < 0.6")
+  }
+
+  test("s6: centered-code recall@k vs brute force is bounded below") {
+    // raw unsigned code dots measured 0.06 vs s1 (ranking by
+    // coordinate sums, not similarity); centered signed-int8 codes
+    // measured 0.78 — the bound keeps the bias fix from regressing
+    val s1 = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s6 = Similarity.sq8TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (s1 & s6).size.toDouble / s1.size
+    assert(recall >= 0.6, f"s6 recall vs s1 = $recall%.2f < 0.6")
+  }
+
   // ------------------------------------------------------------------ p15
 
   test("p15: root digest is the XOR of shard digests, counts sum") {
