@@ -783,8 +783,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d16 — line-level boilerplate REMOVAL (CCNet's line dedup /
+    * RefinedWeb's line-wise filter): where d13 *measures* cross-doc
+    * paragraph duplication, d16 performs the edit production pipelines
+    * actually apply — drop every paragraph (t1's 10-word unit, the
+    * corpus's "line") that appears verbatim in ≥ 2 distinct documents,
+    * and RECONSTRUCT each document from its kept paragraphs in order.
+    * Within-doc repeats survive (ddf counts distinct docs — the
+    * cross-doc rule d13 established); a doc whose every paragraph is
+    * boilerplate survives as an empty string, visible to downstream
+    * length filters (t12) rather than silently vanishing.
+    *
+    * Scale shape: identical to d13 — one (doc_id, para_index) hash agg,
+    * one map-side-combinable distinct-doc df agg on the 32-byte md5 (the
+    * join never shuffles paragraph text by itself as a key), one hash
+    * equi-join, then one per-doc agg whose collect_list is bounded by a
+    * single document's size. Linear in paragraphs, no pair join.
+    */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val paras = TextOps.cachedWords(spark, dir)
+      .groupBy(
+        col("doc_id"),
+        floor(col("pos") / TextOps.SentenceWords).as("para_index"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")),
+          " ").as("ptext"))
+      .withColumn("ph", md5(col("ptext").cast("binary")))
+    val dfreq = paras
+      .groupBy(col("ph"))
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+    paras.join(dfreq, Seq("ph"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(col("ddf") >= 2, 1L).otherwise(0L)).as("removed_paragraphs"),
+        // collect_list skips the nulls the `when` leaves for removed
+        // paragraphs; struct sort restores document order
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("ddf") < 2, struct(col("para_index"), col("ptext"))))),
+            x => x.getField("ptext")),
+          " ").as("clean_text"))
+      .select(
+        col("doc_id"),
+        col("n_paragraphs"),
+        col("removed_paragraphs"),
+        col("clean_text"),
+        length(col("clean_text")).cast("long").as("clean_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_paragraph_dedup" -> paragraphDedup,
+    "d16_boilerplate_strip" -> boilerplateStrip,
     "d11_winnow_fingerprints" -> winnowFingerprintSummary,
     "d12_winnow_pairs" -> winnowPairs,
     "d10_dup_ngram_coverage" -> dupNgramCoverage,
@@ -865,6 +920,24 @@ object Dedup {
                    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
           FROM paras p JOIN pdf USING (ph)
           GROUP BY p.doc_id ORDER BY p.doc_id""",
+    "d16_boilerplate_strip" ->
+      s"""WITH $wordsCte,
+          paras AS (
+            SELECT doc_id, pos // ${TextOps.SentenceWords} AS para_index,
+                   string_agg(word, ' ' ORDER BY pos) AS ptext
+            FROM words GROUP BY doc_id, pos // ${TextOps.SentenceWords}),
+          ph AS (SELECT doc_id, para_index, ptext, md5(ptext) AS ph FROM paras),
+          pdf AS (SELECT ph, COUNT(DISTINCT doc_id) AS ddf FROM ph GROUP BY ph)
+          SELECT doc_id,
+                 COUNT(*) AS n_paragraphs,
+                 CAST(SUM(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS removed_paragraphs,
+                 COALESCE(string_agg(CASE WHEN ddf < 2 THEN ptext END, ' '
+                   ORDER BY para_index), '') AS clean_text,
+                 CAST(length(COALESCE(string_agg(CASE WHEN ddf < 2 THEN ptext END,
+                   ' ' ORDER BY para_index), '')) AS BIGINT) AS clean_chars
+          FROM ph JOIN pdf USING (ph)
+          GROUP BY doc_id ORDER BY doc_id""",
     "d11_winnow_fingerprints" ->
       s"""WITH $winnowCte,
           counts AS (SELECT doc_id, COUNT(*) AS n_fps FROM fps GROUP BY doc_id),

@@ -189,6 +189,52 @@ class Round7OpsSpec extends SparkSpec {
     assert(recall >= 0.6, f"s6 recall vs s1 = $recall%.2f < 0.6")
   }
 
+  // ------------------------------------------------------------------ d16
+
+  test("d16: removal rule is exactly d13's ddf>=2 rule, per doc") {
+    val d13 = Dedup.paragraphDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val d16 = Dedup.boilerplateStrip(spark, dir).collect()
+    assert(d16.nonEmpty)
+    for (r <- d16)
+      assert(r.getLong(2) == d13(r.getLong(0)),
+        s"d16 removed ${r.getLong(2)} for doc ${r.getLong(0)}, d13 counted ${d13(r.getLong(0))}")
+    // the strip branch must be LIVE on testdata (cross-doc duplicated
+    // paragraphs exist at every SF — ddf up to 5 at sf0.001)
+    assert(d16.exists(_.getLong(2) > 0), "no paragraph was ever removed")
+  }
+
+  test("d16: untouched docs reconstruct to their normalized text verbatim") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(split(lower(col("text")), "\\s+"), " ").as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Dedup.boilerplateStrip(spark, dir)
+      .filter(col("removed_paragraphs") === 0L).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getString(3) == docs(r.getLong(0)),
+        s"doc ${r.getLong(0)} reconstruction drifted with zero removals")
+  }
+
+  test("d16: clean_text never contains a removed paragraph, word budget adds up") {
+    val rows = Dedup.boilerplateStrip(spark, dir).collect()
+    val words = TextOps.cachedWords(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows if r.getLong(2) > 0) {
+      val kept = if (r.getString(3).isEmpty) 0L
+        else r.getString(3).split(" ").length.toLong
+      // removed paragraphs are full 10-word groups except possibly the
+      // doc's tail group — kept words must be the doc total minus
+      // [removed full groups worst case, at least one word per removed]
+      val total = words(r.getLong(0))
+      assert(kept < total, s"doc ${r.getLong(0)}: removal did not shrink the doc")
+      assert(kept >= total - r.getLong(2) * TextOps.SentenceWords,
+        s"doc ${r.getLong(0)}: removed more words than its removed groups could hold")
+    }
+  }
+
   // ------------------------------------------------------------------ p15
 
   test("p15: root digest is the XOR of shard digests, counts sum") {
