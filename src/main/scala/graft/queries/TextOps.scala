@@ -468,6 +468,11 @@ object TextOps {
     * UNICODE_CHARACTER_CLASS, which we never enable — the
     * SentenceGenerator ASCII-`\s` decision, same discipline).
     */
+  /** ASCII control chars, shared by t17's oracle (RE2 and java.util.regex
+    * read `\xNN` identically; the t14 dialect-subset discipline).
+    */
+  val CtrlClassRe = "[\\x00-\\x1F\\x7F]"
+
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
@@ -536,7 +541,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t17 — canonical text normalization (NFC + control strip +
+    * whitespace collapse + trim), the cleaning pass that precedes every
+    * hash/tokenize stage, as a custom codegen'd Catalyst expression
+    * (`functions.NormalizeText` — see its scaladoc for the exact
+    * cross-engine semantics contract). Emits the normalized text plus
+    * before/after char counts and a changed flag, so downstream stages
+    * can audit how much the pass rewrote.
+    *
+    * Scale: pure per-row projection inside whole-stage codegen — no
+    * shuffle, no UDF boundary; the ASCII fast path returns the input
+    * UTF8String zero-copy on already-clean text (the common case). The
+    * synthetic corpus IS already clean (changed all-false, norm ≡ raw —
+    * the fast path), so the live rewrite branches are pinned by
+    * NormalizeTextSpec's planted messy-corpus fixture run through THIS
+    * registered query, plus a generative cross-check against an
+    * independent regex reference.
+    */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        graft.functions.TextNorm.normalized(col("text")).as("norm_text"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("raw_chars"),
+        col("norm_text"),
+        length(col("norm_text")).cast("long").as("norm_chars"),
+        (col("norm_text") =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_normalize" -> normalizeText,
     "t15_length_outliers" -> lengthOutliers,
     "t14_pii_redaction" -> piiRedaction,
     "t13_entropy" -> entropy,
@@ -580,6 +617,18 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    "t17_normalize" ->
+      s"""WITH n AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                        '$CtrlClassRe', '', 'g'), ' +', ' ', 'g'), ' ') AS norm_text
+            FROM documents)
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS raw_chars,
+                 norm_text,
+                 CAST(length(norm_text) AS BIGINT) AS norm_chars,
+                 norm_text <> text AS changed
+          FROM n ORDER BY doc_id""",
     "t15_length_outliers" ->
       s"""WITH $wordsCte,
           q AS (SELECT doc_id, COUNT(*) AS n_tokens FROM words GROUP BY doc_id),
