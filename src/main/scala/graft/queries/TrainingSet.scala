@@ -574,17 +574,21 @@ object TrainingSet {
     * AND the root in ONE hash-agg pass (x6's sentinel discipline:
     * shard −1 = the corpus root).
     */
+  /** 60-bit md5 digest term per (doc_id, text) — p15's XOR-foldable
+    * unit, shared with p16's release report.
+    */
+  private def digestTerm: org.apache.spark.sql.Column =
+    conv(
+      substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))
+          .cast("binary")), 1, 15),
+      16, 10).cast("long")
+
   def datasetDigest(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("shard", shardOf(col("doc_id")))
-      .withColumn(
-        "term",
-        conv(
-          substring(
-            md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))
-              .cast("binary")), 1, 15),
-          16, 10).cast("long"))
+      .withColumn("term", digestTerm)
       .rollup(col("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -594,7 +598,58 @@ object TrainingSet {
         col("n_docs"), col("digest"))
       .orderBy(col("shard"))
 
+  /** p16 — the corpus-release capstone: the full gate sequence a data
+    * org runs before shipping a training corpus, composed from this
+    * engine's own registered stages and reported per shard —
+    *   1. exact dedup (d1's rule: min doc_id survives per content md5),
+    *   2. C4 quality gates (t12's keep conjunction),
+    *   3. benchmark holdout + decontamination (p6: the benchmark docs
+    *      themselves are excluded from the release, and any corpus doc
+    *      ≥50%-contained in benchmark shingles is dropped),
+    *   4. content-addressed sharding (p4) with per-shard doc/token
+    *      counts and p15's XOR content digest + a ROLLUP corpus total —
+    * the release receipt: counts to budget a training run, a digest to
+    * pin exactly which bytes shipped.
+    *
+    * Scale shape: every stage keeps its own documented posture (32-byte
+    * dedup keys, broadcast benchmark semi-join, map-side-combinable
+    * XOR/ROLLUP); the composition only ever joins id-projections on
+    * doc_id — the gate frames are narrow, the contaminated set is tiny
+    * (flagged docs), and AQE broadcasts the anti-join build side. One
+    * Expand pass emits both report grains.
+    */
+  def releasePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = Dedup.exactDedup(spark, dir)
+      .select(col("keep_id").as("doc_id"))
+    val qualityKept = TextOps.c4Filters(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val contaminated = contamination(spark, dir).select(col("doc_id"))
+    val released = survivors
+      .join(qualityKept, Seq("doc_id"))
+      .filter(col("doc_id") >= BenchmarkDocs)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .join(released, Seq("doc_id"))
+      .join(
+        TextOps.cachedQualityScore(spark, dir)
+          .select(col("doc_id"), col("n_tokens")),
+        Seq("doc_id"))
+      .withColumn("shard", shardOf(col("doc_id")))
+      .withColumn("term", digestTerm)
+      .rollup(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(term)").as("digest"))
+      .select(
+        coalesce(col("shard"), lit(-1L)).as("shard"),
+        col("n_docs"), col("n_tokens"), col("digest"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_release_pipeline" -> releasePipeline,
     "p15_dataset_digest" -> datasetDigest,
     "p14_length_histogram" -> lengthHistogram,
     "p13_zorder_layout" -> zorderLayout,
@@ -661,6 +716,49 @@ object TrainingSet {
     Map(
       // p10 is bench-only (engine-private bloom bit layout; p6 is the
       // exact oracle-checked baseline) — no entry here by design.
+      "p16_release_pipeline" ->
+        s"""WITH $shingleCtes,
+            q AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     CAST(COUNT(DISTINCT word) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS ttr,
+                     MAX(CASE WHEN word IN (${inList(TextOps.Blocklist)})
+                         THEN 1 ELSE 0 END) AS bl
+              FROM words GROUP BY doc_id),
+            surv AS (
+              SELECT MIN(doc_id) AS doc_id FROM (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+                FROM documents)
+              GROUP BY fp),
+            bench AS (
+              SELECT DISTINCT sh FROM shingles WHERE doc_id < $BenchmarkDocs),
+            sz AS (
+              SELECT doc_id, COUNT(*) AS n_sh FROM shingles
+              WHERE doc_id >= $BenchmarkDocs GROUP BY doc_id),
+            hits AS (
+              SELECT s.doc_id, COUNT(*) AS n_hit
+              FROM shingles s JOIN bench b ON s.sh = b.sh
+              WHERE s.doc_id >= $BenchmarkDocs GROUP BY s.doc_id),
+            contam AS (
+              SELECT z.doc_id FROM sz z LEFT JOIN hits h USING (doc_id)
+              WHERE CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                      / CAST(z.n_sh AS DOUBLE) >= $ContaminationThreshold),
+            released AS (
+              SELECT s.doc_id FROM surv s JOIN q USING (doc_id)
+              WHERE s.doc_id >= $BenchmarkDocs
+                AND NOT (q.n_tokens < 30 OR q.ttr < 0.35 OR q.bl = 1)
+                AND s.doc_id NOT IN (SELECT doc_id FROM contam)),
+            t AS (
+              SELECT doc_id, $shardSql AS shard, q.n_tokens,
+                     CAST(concat('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR) || ':' || d.text), 1, 15))
+                       AS BIGINT) AS term
+              FROM released JOIN documents d USING (doc_id)
+                            JOIN q USING (doc_id))
+            SELECT COALESCE(shard, -1) AS shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, bit_xor(term) AS digest
+            FROM t GROUP BY ROLLUP(shard) ORDER BY shard""",
       "p15_dataset_digest" ->
         s"""WITH t AS (
               SELECT $shardSql AS shard,

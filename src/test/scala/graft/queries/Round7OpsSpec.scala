@@ -274,6 +274,41 @@ class Round7OpsSpec extends SparkSpec {
       s"edit must localize to one shard + root, changed: $changed")
   }
 
+  // ------------------------------------------------------------------ p16
+
+  test("p16: report rows are internally consistent (Merkle + sums)") {
+    val rows = TrainingSet.releasePipeline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (root, shards) = rows.partition(_._1 == -1L)
+    assert(root.length == 1 && shards.nonEmpty)
+    assert(root.head._2 == shards.map(_._2).sum)
+    assert(root.head._3 == shards.map(_._3).sum)
+    assert(root.head._4 == shards.map(_._4).reduce(_ ^ _),
+      "release digest must XOR-fold across shards")
+  }
+
+  test("p16: released set is exactly the stage composition") {
+    // re-compose the gates from the REGISTERED stage queries and check
+    // the report's root doc count — an independent derivation of the
+    // pipeline's set algebra
+    val survivors = Dedup.exactDedup(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    val kept = TextOps.c4Filters(spark, dir).filter(col("keep"))
+      .collect().map(_.getLong(0)).toSet
+    val contam = TrainingSet.contamination(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val expected = (survivors intersect kept)
+      .filter(_ >= TrainingSet.BenchmarkDocs) diff contam
+    val total = TrainingSet.releasePipeline(spark, dir)
+      .filter(col("shard") === -1L).head().getLong(1)
+    assert(total == expected.size.toLong,
+      s"report says $total released, stage composition says ${expected.size}")
+    // the funnel must actually drop something and keep something
+    val all = graft.Tables.documents(spark, dir).count()
+    assert(total > 0L && total < all,
+      s"funnel inert: released $total of $all")
+  }
+
   test("d5 guard conf key is the documented literal") {
     // README/SURVEY document this exact string as the 100×-scale
     // escape hatch beside the d8 routing; renaming it must fail here
