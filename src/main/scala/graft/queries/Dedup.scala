@@ -613,6 +613,77 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d17 — maximal duplicated-span extraction: the positional sibling
+    * of d10's coverage fraction and the exact form of what winnowing
+    * (d11/d12) only sketches. Exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better") removes
+    * verbatim repeated spans, which needs to know WHERE the duplicated
+    * text sits, not just how much of it there is. Every 3-word k-gram
+    * whose text occurs in ≥2 DISTINCT docs (cross-doc rule, as d13)
+    * marks positions [pos, pos+2] duplicated; overlapping or touching
+    * marks merge into maximal spans via gaps-and-islands (a new island
+    * when the next duplicated k-gram starts more than k words after the
+    * previous one). Per doc: span count, longest span, words covered,
+    * covered fraction.
+    *
+    * Scale shape: the duplicated-k-gram flag is a two-phase
+    * distinct-doc hash aggregate + a LEFT SEMI equi-join back onto the
+    * positional grams (1:1 per gram row — no fan-out, so no df cap
+    * needed, unlike d2's pair join); the island merge is lag + running
+    * sum under per-doc partitioned windows — parallel across docs, no
+    * global order anywhere before the output sort. Linear in corpus
+    * word count.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = KGramWords
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = TextOps.cachedWords(spark, dir)
+      .withColumn(
+        "sh",
+        concat(
+          col("word"), lit(" "),
+          lead(col("word"), 1).over(w), lit(" "),
+          lead(col("word"), 2).over(w)))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), col("pos"), col("sh"))
+    val dup = grams.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+      .filter(col("ddf") >= 2)
+      .select(col("sh"))
+    val spans = grams.join(dup, Seq("sh"), "left_semi")
+      // lag is null on each doc's first duplicated gram → `when` is
+      // false → break (same null semantics as the oracle's CASE)
+      .withColumn(
+        "brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn(
+        "island",
+        sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).as("s"),
+        (max(col("pos")) + lit(k - 1)).as("e"))
+      .withColumn("len", (col("e") - col("s") + 1).cast("long"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        max(col("len")).as("max_span_words"),
+        sum(col("len")).as("dup_words"))
+    TextOps.cachedWords(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_words"), lit(0L)).as("max_span_words"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        (coalesce(col("dup_words"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing parameters (Schleimer, Wilkerson & Aiken 2003, §4 —
     * the MOSS fingerprinting algorithm): guarantee window of
     * `WinnowWindow` consecutive k-gram hashes, one fingerprint selected
@@ -840,6 +911,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_paragraph_dedup" -> paragraphDedup,
     "d16_boilerplate_strip" -> boilerplateStrip,
+    "d17_dup_spans" -> dupSpans,
     "d11_winnow_fingerprints" -> winnowFingerprintSummary,
     "d12_winnow_pairs" -> winnowPairs,
     "d10_dup_ngram_coverage" -> dupNgramCoverage,
@@ -920,6 +992,42 @@ object Dedup {
                    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
           FROM paras p JOIN pdf USING (ph)
           GROUP BY p.doc_id ORDER BY p.doc_id""",
+    "d17_dup_spans" ->
+      s"""WITH $wordsCte,
+          g0 AS (
+            SELECT doc_id, pos,
+                   word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS sh
+            FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          g AS (SELECT doc_id, pos, sh FROM g0 WHERE sh IS NOT NULL),
+          dup AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+          dp AS (SELECT doc_id, pos FROM g WHERE sh IN (SELECT sh FROM dup)),
+          brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          <= $KGramWords THEN 0 ELSE 1 END AS brk
+            FROM dp),
+          isl AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+            FROM brk),
+          spans AS (
+            SELECT doc_id, island, MIN(pos) AS s,
+                   MAX(pos) + ${KGramWords - 1} AS e
+            FROM isl GROUP BY doc_id, island),
+          agg AS (
+            SELECT doc_id, COUNT(*) AS n_spans,
+                   CAST(MAX(e - s + 1) AS BIGINT) AS max_span_words,
+                   CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+            FROM spans GROUP BY doc_id),
+          nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM words GROUP BY doc_id)
+          SELECT n.doc_id, n.n_tokens,
+                 COALESCE(a.n_spans, 0) AS n_spans,
+                 COALESCE(a.max_span_words, 0) AS max_span_words,
+                 COALESCE(a.dup_words, 0) AS dup_words,
+                 CAST(COALESCE(a.dup_words, 0) AS DOUBLE)
+                   / CAST(n.n_tokens AS DOUBLE) AS dup_frac
+          FROM nt n LEFT JOIN agg a USING (doc_id) ORDER BY n.doc_id""",
     "d16_boilerplate_strip" ->
       s"""WITH $wordsCte,
           paras AS (

@@ -309,6 +309,63 @@ class Round7OpsSpec extends SparkSpec {
       s"funnel inert: released $total of $all")
   }
 
+  // ------------------------------------------------------------------ d17
+
+  /** Docs 0/1 share one 5-word substring (three overlapping duplicated
+    * 3-grams must MERGE into one maximal span); docs 3/4 share two
+    * 3-word substrings separated by >k unique words (the island break
+    * must keep them as TWO spans); doc 2 shares nothing.
+    */
+  private lazy val spanDir: String = {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x y a b c d e z"),
+      (2L, "m n o u v w"),
+      (3L, "p q r c1 c2 c3 s t u"),
+      (4L, "p q r c4 c5 c6 s t u"))
+    val out = java.nio.file.Files.createTempDirectory("graft_spanfix").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  test("d17: planted shared substrings resolve to exact maximal spans") {
+    val got = Dedup.dupSpans(spark, spanDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got(0L) == ((8L, 1L, 5L, 5L, 5.0 / 8.0)),
+      s"overlapping duplicated grams must merge to one span, got ${got(0L)}")
+    assert(got(1L) == ((8L, 1L, 5L, 5L, 5.0 / 8.0)))
+    assert(got(2L) == ((6L, 0L, 0L, 0L, 0.0)),
+      "a doc sharing nothing must report zero spans")
+    assert(got(3L) == ((9L, 2L, 3L, 6L, 6.0 / 9.0)),
+      s"spans separated by >k unique words must NOT merge, got ${got(3L)}")
+    assert(got(4L) == ((9L, 2L, 3L, 6L, 6.0 / 9.0)))
+  }
+
+  test("d17: span membership agrees with d10's duplicated-shingle rule") {
+    // the df cap is inert on testdata (max df 25 < 100), so d10 and d17
+    // apply the same cross-doc rule — a doc has a span iff it has a
+    // duplicated shingle
+    val inD17 = Dedup.dupSpans(spark, dir).collect()
+      .filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    val inD10 = Dedup.dupNgramCoverage(spark, dir).collect()
+      .filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    assert(inD17 == inD10,
+      s"membership drift: ${(inD17 diff inD10) ++ (inD10 diff inD17)}")
+    assert(inD17.nonEmpty, "vacuous: no duplicated spans at sf0.001")
+    // spans are merged disjoint intervals inside the doc:
+    // max_span ≤ covered words ≤ token count
+    Dedup.dupSpans(spark, dir).collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4) && r.getLong(4) <= r.getLong(1),
+        s"span accounting broken for doc ${r.getLong(0)}: $r")
+    }
+  }
+
   test("d5 guard conf key is the documented literal") {
     // README/SURVEY document this exact string as the 100×-scale
     // escape hatch beside the d8 routing; renaming it must fail here
