@@ -680,7 +680,67 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** RRF dampening constant (Cormack, Clarke & Büttcher 2009 — k=60,
+    * the published value virtually every hybrid-search deployment uses).
+    */
+  val RrfK = 60
+
+  /** s12 — hybrid retrieval: reciprocal-rank fusion of a LEXICAL
+    * ranking (shared distinct 3-gram shingles between the query doc and
+    * each corpus doc — the BM25 stand-in, inverted-index join) and a
+    * SEMANTIC ranking (s1's exact cosine over the doc's embedding;
+    * vec_id ≡ doc_id in the testdata). Each retriever contributes its
+    * top-k; fused score = Σ 1/(RrfK + rank) over the lists containing
+    * the doc, re-ranked (score desc, doc_id). This is the shape
+    * production retrieval actually ships — dense-only misses exact
+    * keyword matches, sparse-only misses paraphrases — and with k=60,
+    * TopK=10 any doc BOTH retrievers return (≥ 2/70) outranks any
+    * single-list doc (≤ 1/61), which the spec pins.
+    *
+    * Scale: the lexical side reuses the df-capped session-cached
+    * shingles (hot-shingle fan-out bounded, see MaxShingleDf), query
+    * shingles broadcast, overlap count a map-side-combinable hash agg;
+    * the semantic side is s1's broadcast-queries × streamed-corpus
+    * scan; fusion joins two ≤ NumQueries×TopK frames — driver-trivial.
+    * All rank windows partition by q_id (bounded NumQueries partitions
+    * of candidate-list size, the per-query top-k shape every s-query
+    * uses).
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val sem = bruteForceTopK(spark, dir)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    val sh = Dedup.cachedShingles(spark, dir)
+    val qsh = sh.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("q_id"), col("sh"))
+    val lexw = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+    val lex = broadcast(qsh)
+      .join(sh, Seq("sh"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("lex_rank", row_number().over(lexw).cast("long"))
+      .filter(col("lex_rank") <= TopK)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+    val fw = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    sem.join(lex, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(
+          lit(1.0) / (lit(RrfK) + col("sem_rank")).cast("double"),
+          lit(0.0)) +
+        coalesce(
+          lit(1.0) / (lit(RrfK) + col("lex_rank")).cast("double"),
+          lit(0.0)))
+      .withColumn("rank", row_number().over(fw).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("doc_id"), col("rrf_score"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_rrf_fusion" -> rrfFusion,
     "s9_mips_topk" -> mipsTopK,
     "s10_mips_ivf_topk" -> mipsIvfTopK,
     "s8_range_search" -> rangeSearch,
@@ -716,6 +776,49 @@ object Similarity {
           WHERE rn = 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    // s12: both retrievers replayed in SQL (s1's cosine ranking, the
+    // shingle-overlap lexical ranking over the SAME df-capped distinct
+    // shingles), fused with CAST-to-DOUBLE reciprocal ranks so the
+    // additions are the identical two IEEE doubles in both engines.
+    "s12_rrf_fusion" ->
+      s"""WITH $vecCte,
+          ${Dedup.shinglesCte},
+          sem AS (
+            SELECT q_id, vec_id AS doc_id, rank AS sem_rank FROM (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                     CAST(row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS BIGINT)
+                       AS rank
+              FROM e q CROSS JOIN e
+              WHERE q.vec_id < $NumQueries AND q.vec_id <> e.vec_id)
+            WHERE rank <= $TopK),
+          lex0 AS (
+            SELECT q.doc_id AS q_id, c.doc_id, COUNT(*) AS n_shared
+            FROM shingles q JOIN shingles c ON q.sh = c.sh
+            WHERE q.doc_id < $NumQueries AND c.doc_id <> q.doc_id
+            GROUP BY q.doc_id, c.doc_id),
+          lex AS (
+            SELECT q_id, doc_id, lex_rank FROM (
+              SELECT q_id, doc_id,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY n_shared DESC, doc_id) AS BIGINT) AS lex_rank
+              FROM lex0)
+            WHERE lex_rank <= $TopK),
+          f AS (
+            SELECT COALESCE(s.q_id, l.q_id) AS q_id,
+                   COALESCE(s.doc_id, l.doc_id) AS doc_id,
+                   COALESCE(CAST(1 AS DOUBLE)
+                       / CAST($RrfK + s.sem_rank AS DOUBLE), 0.0)
+                     + COALESCE(CAST(1 AS DOUBLE)
+                       / CAST($RrfK + l.lex_rank AS DOUBLE), 0.0) AS rrf_score
+            FROM sem s FULL OUTER JOIN lex l
+              ON s.q_id = l.q_id AND s.doc_id = l.doc_id)
+          SELECT q_id, doc_id, rrf_score, rank FROM (
+            SELECT q_id, doc_id, rrf_score,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+            FROM f)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
     // s10: the full reduction replayed in SQL — augmented assignment,
     // query probe on raw dots against augmented centroids, in-bucket
     // exact rescoring. Same raw-dot/‖v‖² expressions as the Spark side

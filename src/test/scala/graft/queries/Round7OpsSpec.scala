@@ -366,6 +366,66 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------ s12
+
+  test("s12: fusion re-derives exactly from the two retriever lists") {
+    val sem = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // the lexical list recomputed independently of rrfFusion's plumbing:
+    // shared distinct-shingle counts ranked (count desc, doc_id)
+    val sh = Dedup.shingles(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh")))
+    val byDoc = sh.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val lex = (0L until Similarity.NumQueries.toLong).flatMap { q =>
+      byDoc.keys.filter(_ != q).toSeq
+        .map(d => (d, (byDoc(q) intersect byDoc(d)).size))
+        .filter(_._2 > 0)
+        .sortBy { case (d, n) => (-n, d) }
+        .take(Similarity.TopK)
+        .zipWithIndex
+        .map { case ((d, _), i) => (q, d) -> (i + 1L) }
+    }.toMap
+    val expected = (sem.keySet ++ lex.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        keys.toSeq
+          .map { k =>
+            val score =
+              sem.get(k).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+                lex.get(k).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+            (k._2, score)
+          }
+          .sortBy { case (d, s) => (-s, d) }
+          .take(Similarity.TopK)
+          .zipWithIndex
+          .map { case ((d, s), i) => (q, d) -> ((s, i + 1L)) }
+    }
+    val got = Similarity.rrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got == expected,
+      s"fusion drifted from the rank algebra: ${(got.toSet diff expected.toSet).take(3)}")
+  }
+
+  test("s12: a doc both retrievers return outranks any single-list doc") {
+    // with k=60 and TopK=10: min both-lists score 2/(60+10) = 0.0286 >
+    // max single-list score 1/(60+1) = 0.0164 — fusion's defining
+    // property, and why hybrid beats either retriever alone
+    val sem = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fused = Similarity.rrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val single = 1.0 / (Similarity.RrfK + 1)
+    fused.groupBy(_._1).foreach { case (_, rows) =>
+      val (both, one) = rows.partition(r => r._3 > single + 1e-12)
+      // every both-lists doc must rank strictly above every single-list doc
+      if (both.nonEmpty && one.nonEmpty)
+        assert(both.map(_._4).max < one.map(_._4).min,
+          s"a single-list doc outranked a both-lists doc: $rows")
+    }
+    assert(fused.exists(r => sem.contains((r._1, r._2))),
+      "vacuous: fusion shares nothing with the semantic list")
+  }
+
   test("d5 guard conf key is the documented literal") {
     // README/SURVEY document this exact string as the 100×-scale
     // escape hatch beside the d8 routing; renaming it must fail here
