@@ -146,6 +146,34 @@ object Extended {
         col("n_events"), col("sum_cents"))
       .orderBy(col("event_type"), col("cohort"))
 
+  /** x17 — explicit GROUPING SETS, the general form x6's ROLLUP and
+    * x16's CUBE specialize: the asymmetric set list ((yr,pri), (yr),
+    * (pri)) — detail plus BOTH one-dim marginals, NO grand total —
+    * which rollup cannot express (its sets nest) and cube overshoots
+    * (it would add the grand total). One `Expand` + ONE hash-agg pass,
+    * same as x6/x16: each input row feeds its three grouping-set
+    * combinations map-side, so the multi-granularity report still
+    * costs a single shuffle. Set identity is carried by the sentinel
+    * pattern itself (exactly one of year/priority is -1/'ALL' on the
+    * marginal rows) — no grouping_id() in the output, whose bit order
+    * is an engine-convention hazard the sentinels sidestep entirely.
+    */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(
+        year(col("o_orderdate").cast("date")).cast("long").as("yr"),
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupingSets(
+        Seq(Seq(col("yr"), col("pri")), Seq(col("yr")), Seq(col("pri"))),
+        col("yr"), col("pri"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+      .select(
+        coalesce(col("yr"), lit(-1L)).as("year"),
+        coalesce(col("pri"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_cents"))
+      .orderBy(col("year"), col("priority"))
+
   /** x7 — pivot (long→wide reshaping): per-user money totals with
     * event types as columns. The value list is EXPLICIT — with it the
     * pivot is a single pass of conditional aggregates (exactly the
@@ -385,6 +413,7 @@ object Extended {
     "x9_percentiles" -> percentiles,
     "x6_rollup" -> rollupOrders,
     "x16_cube" -> cubeEvents,
+    "x17_grouping_sets" -> groupingSetsOrders,
     "x5_json_extract" -> jsonExtract,
     "x1_date_dim_join" -> dateDimJoin,
     "x2_top1_per_key" -> top1PerKey,
@@ -471,6 +500,17 @@ object Extended {
                 quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.5) AS p50_cents,
                 quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.95) AS p95_cents
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "x17_grouping_sets" ->
+      """SELECT COALESCE(CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT), -1) AS year,
+                COALESCE(o_orderpriority, 'ALL') AS priority,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders
+         GROUP BY GROUPING SETS (
+           (EXTRACT(year FROM CAST(o_orderdate AS DATE)), o_orderpriority),
+           (EXTRACT(year FROM CAST(o_orderdate AS DATE))),
+           (o_orderpriority))
+         ORDER BY year, priority""",
     "x16_cube" ->
       """SELECT COALESCE(event_type, 'ALL') AS event_type,
                 COALESCE(CAST(user_id % 10 AS BIGINT), -1) AS cohort,

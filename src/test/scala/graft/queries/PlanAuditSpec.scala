@@ -204,8 +204,15 @@ class PlanAuditSpec extends SparkSpec {
     "w5_time_range_window" -> 2, // user_id window + output sort
     "p14_length_histogram" -> 2, // bucket agg + sort (reads cached quality)
     "x16_cube" -> 2, // ONE Expand+agg pass + sort
+    "x17_grouping_sets" -> 2, // ONE Expand+agg pass + sort (same as x16)
     "q7_sentiment_proportions" -> 2, // ONE flag agg + sort
-    "x15_unpivot" -> 3 // pivot's two agg exchanges + sort; melt adds none
+    "x15_unpivot" -> 3, // pivot's two agg exchanges + sort; melt adds none
+    "d17_dup_spans" -> 7, // ddf agg (2-phase distinct) + semi join + per-doc
+                          // windows + span/doc aggs + token-count join + sort
+    "s12_rrf_fusion" -> 9, // two retriever rankings + overlap agg + fusion
+                           // full-outer (≤ NumQueries×TopK rows/side) + sort
+    "p16_release_pipeline" -> 14 // the whole funnel: dedup agg, quality join,
+                                 // contamination semi, shard ROLLUP + sort
   )
 
   /** Exchanges the query itself spends — traversal stops at cache
@@ -257,6 +264,31 @@ class PlanAuditSpec extends SparkSpec {
       s"wh_q7 sentence side is not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "wh_q7 regressed to a shuffled join")
+  }
+
+  test("d17 flags duplicated grams via semi join — no pair join, no cartesian") {
+    val p = plan("d17_dup_spans")
+    assert(!p.contains("CartesianProduct"), "d17 has a cartesian join")
+    assert(p.contains("LeftSemi"),
+      "d17 lost its LEFT SEMI flag join (1:1 per gram — the no-fan-out shape)")
+    assert(!p.contains("a_id"), "d17 unexpectedly builds document pairs")
+  }
+
+  test("s12 broadcasts both query sides; fusion join is list-sized") {
+    val p = plan("s12_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), "s12 has a cartesian join")
+    // semantic side: s1's broadcast-queries scan; lexical side: the
+    // broadcast query-shingle probe — the corpus never builds a hash
+    // table over itself
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "s12 semantic query side is not broadcast")
+    assert(p.contains("BroadcastHashJoin"),
+      "s12 lexical query-shingle side is not broadcast")
+  }
+
+  test("p16 funnel composes narrow joins — no cartesian anywhere") {
+    val p = plan("p16_release_pipeline")
+    assert(!p.contains("CartesianProduct"), "p16 has a cartesian join")
   }
 
   test("d2/d7 shingle joins carry the document-frequency cap") {

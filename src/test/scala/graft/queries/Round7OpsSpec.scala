@@ -426,6 +426,32 @@ class Round7OpsSpec extends SparkSpec {
       "vacuous: fusion shares nothing with the semantic list")
   }
 
+  // ------------------------------------------------------------------ x17
+
+  test("x17: asymmetric sets — both marginals, no grand total, one Expand") {
+    val rows = Extended.groupingSetsOrders(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(!rows.exists(r => r._1 == -1L && r._2 == "ALL"),
+      "grand-total row present — that's CUBE, not this set list")
+    val detail = rows.filter(r => r._1 != -1L && r._2 != "ALL")
+    val yrMarg = rows.filter(r => r._1 != -1L && r._2 == "ALL")
+    val priMarg = rows.filter(r => r._1 == -1L && r._2 != "ALL")
+    assert(detail.nonEmpty && yrMarg.nonEmpty && priMarg.nonEmpty)
+    // each marginal must re-derive exactly from the detail rows — the
+    // grouping-set expansion is an identity over the base aggregation
+    assert(yrMarg.map(r => (r._1, r._3, r._4)).toSet ==
+      detail.groupBy(_._1)
+        .map { case (y, xs) => (y, xs.map(_._3).sum, xs.map(_._4).sum) }.toSet,
+      "year marginal drifted from the detail rows")
+    assert(priMarg.map(r => (r._2, r._3, r._4)).toSet ==
+      detail.groupBy(_._2)
+        .map { case (p, xs) => (p, xs.map(_._3).sum, xs.map(_._4).sum) }.toSet,
+      "priority marginal drifted from the detail rows")
+    assert(Extended.groupingSetsOrders(spark, dir)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "grouping sets lost the single Expand pass")
+  }
+
   test("d5 guard conf key is the documented literal") {
     // README/SURVEY document this exact string as the 100×-scale
     // escape hatch beside the d8 routing; renaming it must fail here
