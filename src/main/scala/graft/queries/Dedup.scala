@@ -908,7 +908,115 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Alternating large-star/small-star contraction (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond") over an
+    * undirected edge list given as (u, v) rows (either orientation,
+    * self-loops ignored). Returns (labels, rounds): one (doc_id,
+    * label) row per edge vertex with label = component minimum —
+    * the same fixpoint as d9's min-label propagation — plus the
+    * number of large+small round pairs taken.
+    *
+    * Why a second algorithm for the same answer: propagation needs
+    * one round per unit of component DIAMETER, so a 10⁶-doc duplicate
+    * chain (100 TB corpora grow them — serial crawls of the same
+    * evolving page) needs 10⁶ barriers. Star contraction halves
+    * star-height per round pair, converging in O(log² n) rounds on
+    * ANY topology; each round is two hash-agg + equi-join passes over
+    * the current edge set, which only ever shrinks toward one edge
+    * per non-root vertex. Same lineage discipline as d9:
+    * localCheckpoint every round, convergence by comparing a
+    * (count, hash-sum) fingerprint — bounded control data, no
+    * driver-side edge list.
+    *
+    * Edge set is kept canonical: (u, v) with u > v. large-star hangs
+    * every larger neighbor off the neighborhood minimum; small-star
+    * re-points each vertex's smaller neighbors (and itself) at that
+    * minimum. Fixpoint = a star per component rooted at its minimum.
+    */
+  def starContract(edgesIn: DataFrame): (DataFrame, Int) = {
+    def canonical(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(
+          greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    def largeStar(canon: DataFrame): DataFrame = {
+      val sym = canon.unionByName(
+        canon.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      // v > u ≥ m, so (v, m) is already hi→lo canonical
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(canon: DataFrame): DataFrame = {
+      // canon is hi→lo: u's smaller neighborhood is exactly its rows
+      val m = canon.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val j = canon.join(m, "u")
+      j.select(col("u"), col("m").as("v"))
+        .unionByName(
+          j.filter(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v")))
+        .distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // XOR fold (not SUM — ANSI overflow) — order-independent and
+      // overflow-free like p15's digest
+      val r = e
+        .agg(
+          count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var canon = canonical(edgesIn).localCheckpoint()
+    var fp = fingerprint(canon)
+    var rounds = 0
+    var converged = canon.isEmpty
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(canon)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      canon = next
+      rounds += 1
+    }
+    require(converged,
+      s"star contraction did not converge within $maxRounds rounds")
+    val labels = canon.select(col("u").as("doc_id"), col("v").as("label"))
+      .unionByName(
+        canon.select(col("v").as("doc_id"), col("v").as("label")))
+      .distinct()
+    (labels, rounds)
+  }
+
+  /** d18 — d9's cluster assignment recomputed by star contraction
+    * (same LSH edge set, same survivor rule, same oracle closure):
+    * the variant to reach for when near-dup components are DEEP, not
+    * just wide. Output is schema- and value-identical to d9 —
+    * `CcStarSpec` additionally pins the two algorithms equal row-for-
+    * row on the live graph, so either can serve the p1 composition.
+    */
+  def ccStar(spark: SparkSession, dir: String): DataFrame = {
+    val labelsFinal = cached(spark, dir, "ccStarLabels") {
+      val pairs = minhashLsh(spark, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      starContract(pairs)._1
+    }
+    documents(spark, dir).select(col("doc_id"))
+      .join(labelsFinal, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_cc_star" -> ccStar,
     "d13_paragraph_dedup" -> paragraphDedup,
     "d16_boilerplate_strip" -> boilerplateStrip,
     "d17_dup_spans" -> dupSpans,
@@ -975,6 +1083,38 @@ object Dedup {
         fps AS (
           SELECT DISTINCT doc_id, mkey // $FpPosBase AS fp, mkey % $FpPosBase AS fp_pos
           FROM mins WHERE pos >= ${WinnowWindow - 1})"""
+
+  /** True component labels via DuckDB's recursive-CTE transitive
+    * closure over the LSH-then-rescore edge set — the shared oracle
+    * for both cluster algorithms (d9 propagation, d18 star).
+    */
+  private val closureClustersSql =
+    s"""WITH RECURSIVE $sigsCte,
+        bands AS (
+          SELECT doc_id, h // 2 AS band,
+                 md5(string_agg(mh, '|' ORDER BY h)) AS bkey
+          FROM sigs GROUP BY doc_id, h // 2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        sim AS (
+          SELECT c.a_id, c.b_id,
+                 SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+          FROM cand c
+          JOIN sigs x ON x.doc_id = c.a_id
+          JOIN sigs y ON y.doc_id = c.b_id AND y.h = x.h
+          GROUP BY 1, 2),
+        pairs AS (SELECT a_id, b_id FROM sim WHERE m >= ${NumHashes / 2}),
+        edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM documents
+          UNION
+          SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)
+        SELECT src AS doc_id, MIN(dst) AS cluster_id,
+               MIN(dst) = src AS is_survivor
+        FROM reach GROUP BY src ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "d13_paragraph_dedup" ->
@@ -1077,33 +1217,10 @@ object Dedup {
                    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
           FROM shingles s JOIN dfreq d USING (sh)
           GROUP BY s.doc_id ORDER BY s.doc_id""",
-    "d9_dedup_clusters" ->
-      s"""WITH RECURSIVE $sigsCte,
-          bands AS (
-            SELECT doc_id, h // 2 AS band,
-                   md5(string_agg(mh, '|' ORDER BY h)) AS bkey
-            FROM sigs GROUP BY doc_id, h // 2),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-          sim AS (
-            SELECT c.a_id, c.b_id,
-                   SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
-            FROM cand c
-            JOIN sigs x ON x.doc_id = c.a_id
-            JOIN sigs y ON y.doc_id = c.b_id AND y.h = x.h
-            GROUP BY 1, 2),
-          pairs AS (SELECT a_id, b_id FROM sim WHERE m >= ${NumHashes / 2}),
-          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
-                    UNION SELECT b_id, a_id FROM pairs),
-          reach AS (
-            SELECT doc_id AS src, doc_id AS dst FROM documents
-            UNION
-            SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)
-          SELECT src AS doc_id, MIN(dst) AS cluster_id,
-                 MIN(dst) = src AS is_survivor
-          FROM reach GROUP BY src ORDER BY doc_id""",
+    "d9_dedup_clusters" -> closureClustersSql,
+    // d18 computes the SAME clusters by a different distributed
+    // algorithm — the transitive-closure oracle is shared verbatim
+    "d18_cc_star" -> closureClustersSql,
     "d7_lsh_rescore" ->
       s"""WITH $sigsCte,
           bands AS (

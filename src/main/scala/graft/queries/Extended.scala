@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -401,7 +401,61 @@ object Extended {
       .orderBy(col("o_custkey"), col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** Keyset bound for x18's probe side: pairs are emitted only when
+    * the smaller custkey is ≤ this, keeping the oracle's brute-force
+    * replay (bound × corpus lev calls) tractable at every SF.
+    */
+  private val FuzzyProbeMaxKey = 600
+
+  /** x18 — fuzzy self-join under edit distance ≤ 1 (entity-resolution
+    * blocking): customer records whose names differ by one edit are
+    * candidate duplicate entities. The naive formulation is a theta-
+    * join (`abs(len(a)-len(b)) ≤ 1 AND levenshtein ≤ 1`) — a nested-
+    * loop cartesian at any scale. Instead: SymSpell-style deletion-
+    * neighborhood blocking — each name emits itself plus every
+    * single-character deletion as join keys; two strings within one
+    * edit ALWAYS share a key (substitution → same delete-at-p;
+    * insert/delete → one side's deletion equals the other), so a pure
+    * EQUI-join on the key finds every candidate and the codegen'd
+    * `levenshtein` residual keeps only true pairs. Work ∝ Σ
+    * bucket-pair sizes (name-length keys per row, near-unique
+    * buckets), never |A|×|B|; at 100 TB the incoming batch explodes
+    * its ~L keys per row and hash-joins the reference set's key index
+    * — no inequality condition anywhere, so Catalyst plans a shuffled
+    * (or broadcast) hash join, never BroadcastNestedLoop.
+    *
+    * The oracle replays the BRUTE-FORCE definition, so the driver's
+    * hash compare also certifies the blocking is lossless.
+    */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = customer(spark, dir)
+      .select(col("c_custkey"), lower(col("c_name")).as("name"))
+    def delKeys(n: Column): Column =
+      array_distinct(concat(
+        array(n),
+        transform(
+          sequence(lit(1), length(n)),
+          i => concat(n.substr(lit(1), i - 1),
+            n.substr(i + 1, length(n) - i)))))
+    def keyed(df: DataFrame, prefix: String): DataFrame =
+      df.select(
+        col("c_custkey").as(s"${prefix}_custkey"),
+        col("name").as(s"${prefix}_name"),
+        explode(delKeys(col("name"))).as("k"))
+    val probe = keyed(c.filter(col("c_custkey") <= FuzzyProbeMaxKey), "a")
+    val build = keyed(c, "b")
+    probe.join(build, "k")
+      .filter(col("a_custkey") < col("b_custkey"))
+      .select(col("a_custkey"), col("b_custkey"), col("a_name"), col("b_name"))
+      .distinct()
+      .filter(levenshtein(col("a_name"), col("b_name")) === 1)
+      .withColumn(
+        "lev", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .orderBy(col("a_custkey"), col("b_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_fuzzy_join" -> fuzzyJoin,
     "x10_set_ops" -> setOps,
     "x14_rank_family" -> rankFamily,
     "x13_salted_join" -> saltedJoinDemo,
@@ -421,6 +475,19 @@ object Extended {
     "x4_distinct_counts" -> distinctCounts)
 
   val oracleSql: Map[String, String] = Map(
+    // the blocking-free brute force: if Spark's deletion-neighborhood
+    // blocking dropped ANY true pair, the hashes would diverge
+    "x18_fuzzy_join" ->
+      s"""WITH c AS (SELECT c_custkey, lower(c_name) AS name FROM customer)
+          SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+                 a.name AS a_name, b.name AS b_name,
+                 CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+          FROM c a JOIN c b
+            ON a.c_custkey < b.c_custkey
+           AND a.c_custkey <= $FuzzyProbeMaxKey
+           AND abs(length(a.name) - length(b.name)) <= 1
+          WHERE levenshtein(a.name, b.name) = 1
+          ORDER BY a_custkey, b_custkey""",
     "x14_rank_family" ->
       """SELECT o_custkey, o_orderkey, o_orderpriority,
                 CAST(rank() OVER wp AS BIGINT) AS rnk,

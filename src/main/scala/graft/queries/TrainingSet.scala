@@ -648,6 +648,57 @@ object TrainingSet {
       .orderBy(col("shard"))
   }
 
+  /** Tokens per compacted output bin for p17 — the "target output file
+    * size" of a compaction pass, in the same token units as p2/p4.
+    */
+  val CompactionTargetTokens = 4000L
+
+  /** Doc-ids per synthetic input file for p17 (the small-file grain the
+    * plan merges; a real run would read file sizes from the catalog).
+    */
+  val CompactionFileGroup = 16L
+
+  /** p17 — small-file compaction plan: the metadata pass every big
+    * table needs periodically (streaming ingest and per-task writes
+    * leave thousands of under-sized files; scans then pay per-file
+    * open/seek costs and schedulers per-file overhead). Input files
+    * are binned into output groups of ≈ `CompactionTargetTokens` by
+    * the deterministic next-fit-decreasing rule: order files by
+    * (tokens DESC, file id), bin = running-tokens-before div target —
+    * the same contiguous-fill model as p5's sequence packing, lifted
+    * from docs to files. Every bin except the last fills to target ±
+    * one file (spec-pinned), and the plan is a pure function of file
+    * stats — stable under retries, independent of physical placement.
+    *
+    * Scale shape: the plan is METADATA-scale (one row per input file),
+    * but the global running sum still goes through
+    * `operators.GlobalPrefix`'s two-phase prefix scan rather than an
+    * unpartitioned window — a 100 TB table can easily hold 10⁷ files,
+    * which is exactly the single-partition window trap p2 avoids. A
+    * downstream writer executes the plan with
+    * `repartition(col("out_bin"))` + one file per bin.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("in_file", expr(s"doc_id div $CompactionFileGroup"))
+      .groupBy(col("in_file"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("file_tokens"))
+    graft.operators.GlobalPrefix
+      .withPrefix(
+        files,
+        rangeKey = -col("file_tokens"),
+        tieBreaks = Seq(col("in_file")),
+        value = col("file_tokens"))
+      .select(
+        col("in_file"), col("n_docs"), col("file_tokens"),
+        expr(s"(prefix - file_tokens) div $CompactionTargetTokens")
+          .as("out_bin"))
+      .orderBy(col("in_file"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p16_release_pipeline" -> releasePipeline,
     "p15_dataset_digest" -> datasetDigest,
@@ -664,7 +715,8 @@ object TrainingSet {
     "p4_shard_stats" -> shardStats,
     "p5_sequence_pack" -> sequencePack,
     "p6_contamination" -> contamination,
-    "p7_dsir_weights" -> dsirWeights)
+    "p7_dsir_weights" -> dsirWeights,
+    "p17_compaction_plan" -> compactionPlan)
 
   // Self-contained oracle: the words CTE feeds quality + lang, the
   // shingle→MinHash→LSH→cluster chain reproduces d9 via the recursive
@@ -904,6 +956,23 @@ object TrainingSet {
               FROM quality)
             SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
             FROM sharded GROUP BY shard ORDER BY shard""",
+      "p17_compaction_plan" ->
+        s"""WITH $qualityCtes,
+            files AS (
+              SELECT doc_id // $CompactionFileGroup AS in_file,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS file_tokens
+              FROM quality GROUP BY 1),
+            planned AS (
+              SELECT in_file, n_docs, file_tokens,
+                     COALESCE(SUM(file_tokens) OVER (
+                       ORDER BY file_tokens DESC, in_file
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+              FROM files)
+            SELECT in_file, n_docs, file_tokens,
+                   CAST(cum_before // $CompactionTargetTokens AS BIGINT) AS out_bin
+            FROM planned ORDER BY in_file""",
       "p3_language_mix" ->
         s"""WITH $qualityCtes,
             q2 AS (
