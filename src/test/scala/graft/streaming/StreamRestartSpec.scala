@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Checkpoint-recovery durability: a production ingest stream WILL be
+  * restarted (deploys, preemptions, failures), and dedup correctness
+  * across the restart is exactly the state the checkpoint carries —
+  * if the fingerprint/signature state were lost, a duplicate arriving
+  * after the restart would sail through as "new". Both stateful dedup
+  * ops are driven through stop → new query from the same checkpoint:
+  *   - exact dedup (`dropDuplicatesWithinWatermark` fingerprint state);
+  *   - SimHash near-dedup (`flatMapGroupsWithState` bucket state).
+  * File sinks (fault-tolerant, unlike the memory sink) + the same
+  * MemoryStream instance so committed offsets resolve on resume.
+  */
+class StreamRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val spam = Seq.fill(20)("spam").mkString(" ")
+  private val docA = s"$spam unique1"
+  private val docB = s"$spam unique2"
+
+  test("exact-dedup fingerprint state survives a query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("graft_ck_exact")
+    val out = tmp("graft_out_exact")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF.toDF("ts", "doc_id", "text")
+    def start(): StreamingQuery =
+      StreamDedup.exactDedup(df, "ts", "10 minutes").writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    val q1 = start()
+    try {
+      in.addData((ts(0), 1L, "alpha beta"), (ts(1), 2L, "gamma delta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // arrives while the query is DOWN; doc 3 duplicates doc 1's text
+    // within the watermark — only restored state can catch it
+    in.addData((ts(2), 3L, "alpha beta"), (ts(3), 4L, "epsilon zeta"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L),
+      s"duplicate must be dropped across the restart, got $ids")
+  }
+
+  test("near-dedup bucket state survives a query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("graft_ck_near")
+    val out = tmp("graft_out_near")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF.toDF("ts", "doc_id", "text")
+    def start(): StreamingQuery =
+      StreamNearDedup(df, "ts", "10 minutes").writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    val q1 = start()
+    try {
+      in.addData((ts(0), 1L, docA))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // docB: different md5, identical SimHash — flaggable only if the
+    // bucket's (id, signature, ts) state was restored from checkpoint
+    in.addData((ts(2), 2L, docB))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val flags = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(flags(1L) == ((-1L, 0)), s"first doc must be fresh: $flags")
+    assert(flags(2L) == ((1L, 0)),
+      s"near-dup after restart must flag the pre-restart original: $flags")
+  }
+}
