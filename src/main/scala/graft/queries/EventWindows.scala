@@ -271,7 +271,69 @@ object EventWindows {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Funnel completion window for w8: all steps must land within this
+    * many seconds of the anchoring first view (24 h — chosen so the
+    * live data exercises every stage at every SF).
+    */
+  val FunnelWindowSec = 86400L
+
+  /** w8 — strict-order windowed conversion funnel (view → click →
+    * purchase), the event-analytics staple (ClickHouse `windowFunnel`,
+    * Amplitude/Mixpanel funnels): per user, stage = how far the
+    * ordered chain got, anchored at the FIRST view and required to
+    * complete within `FunnelWindowSec` — t1 = min view time; t2 = min
+    * click in (t1, t1+W]; t3 = min purchase in (t2, t1+W]. The anchor
+    * rule makes the fold deterministic and engine-replayable (no
+    * scan-all-chains backtracking). Emits the stage histogram — the
+    * conversion report.
+    *
+    * Scale shape: ONE pass. The naive cascade (per-step agg + join
+    * back) reads the events table once per step and join; instead a
+    * single user_id hash agg collects t1 directly plus the click /
+    * purchase time lists, and the chain rule becomes per-row
+    * `filter`/`array_min` expressions (nulls cascade: no view → no
+    * window → stage 0). One Scan + two Exchanges TOTAL (plan-pinned in
+    * `Round7bOpsSpec`) vs the cascade's six scans — on 100 TB of
+    * events that is the whole game. Per-user state = that user's
+    * click/purchase times inside the collection — the same per-key
+    * state a streaming windowFunnel keeps; a pre-filter on the
+    * analysis time range bounds it for super-user skew. All time math
+    * in the µs domain (`ts div 1000`) — the engines' shared exact
+    * resolution.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val wUs = FunnelWindowSec * UsPerSec
+    events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("tus"))).as("t1"),
+        collect_list(when(col("event_type") === "click", col("tus")))
+          .as("clicks"),
+        collect_list(when(col("event_type") === "purchase", col("tus")))
+          .as("purchases"))
+      .withColumn(
+        "t2",
+        array_min(filter(
+          col("clicks"),
+          c => c > col("t1") && c <= col("t1") + wUs)))
+      .withColumn(
+        "t3",
+        array_min(filter(
+          col("purchases"),
+          p => p > col("t2") && p <= col("t1") + wUs)))
+      .select(
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w8_funnel" -> funnel,
     "w7_gap_fill" -> gapFillResample,
     "w6_ohlc_resample" -> ohlcResample,
     "w5_time_range_window" -> timeRangeWindow,
@@ -281,6 +343,36 @@ object EventWindows {
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    "w8_funnel" ->
+      s"""WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+          s1 AS (
+            SELECT user_id, MIN(tus) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+          s2 AS (
+            SELECT e.user_id, MIN(e.tus) AS t2
+            FROM e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.tus > s1.t1
+              AND e.tus <= s1.t1 + ${FunnelWindowSec * UsPerSec}
+            GROUP BY 1),
+          s3 AS (
+            SELECT e.user_id, MIN(e.tus) AS t3
+            FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.tus > s2.t2
+              AND e.tus <= s1.t1 + ${FunnelWindowSec * UsPerSec}
+            GROUP BY 1),
+          stages AS (
+            SELECT u.user_id,
+                   CASE WHEN s3.user_id IS NOT NULL THEN 3
+                        WHEN s2.user_id IS NOT NULL THEN 2
+                        WHEN s1.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS stage
+            FROM (SELECT DISTINCT user_id FROM e) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id))
+          SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+          FROM stages GROUP BY 1 ORDER BY 1""",
     "w7_gap_fill" ->
       s"""WITH c AS (
             SELECT event_type,

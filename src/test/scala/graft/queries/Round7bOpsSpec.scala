@@ -23,6 +23,22 @@ class Round7bOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("w8: one-pass funnel — a single events scan, ≤3 exchanges") {
+    val plan = EventWindows.funnel(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    val exchanges = " Exchange".r.findAllIn(plan).size
+    assert(scans == 1, s"cascade regression: $scans scans\n$plan")
+    assert(exchanges <= 3, s"$exchanges exchanges\n$plan")
+  }
+
+  test("w8: live data exercises every funnel stage") {
+    val stages = EventWindows.funnel(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).subsetOf(stages.keySet),
+      s"funnel window must discriminate stages on live data: $stages")
+  }
+
   test("p17: every bin but the last fills to target ± one input file") {
     val plan = TrainingSet.compactionPlan(spark, dir)
     val fills = plan.groupBy(col("out_bin"))
