@@ -332,7 +332,48 @@ object EventWindows {
       .orderBy(col("stage"))
   }
 
+  private val DayUs = 86400L * UsPerSec
+
+  /** w9 — cohort retention, w8's sibling analytics staple: users
+    * cohorted by first-activity day, and for each (cohort, day-offset)
+    * the count + fraction of the cohort active that day — the
+    * retention curve product teams read daily. Same one-pass shape as
+    * w8: a single user_id hash agg yields (cohort_day =
+    * min day, collect_set of active days); explode to (cohort, offset)
+    * pairs — already DISTINCT per user because the set deduped them —
+    * then a tiny (cohort × offset) hash agg. Cohort sizes come from
+    * the offset-0 slice of that same agg (every user is active on
+    * their cohort day by construction), broadcast back for the
+    * retention ratio — IEEE division of two exact longs, engine-safe.
+    *
+    * Scale shape: one events scan; per-user state = the user's
+    * DISTINCT active days (bounded by the analysis range — 30 here,
+    * 365 for a year — never raw event count); the report frame is
+    * cohorts × offsets, metadata-sized. All day math in the shared
+    * µs domain.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .select(col("user_id"), expr(s"(ts div 1000) div $DayUs").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+    val counts = perUser
+      .select(col("cohort_day"), explode(col("days")).as("day"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = counts.filter(col("day_offset") === 0L)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    counts.join(broadcast(base), "cohort_day")
+      .select(
+        col("cohort_day"), col("day_offset"), col("n_users"),
+        (col("n_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_retention" -> retention,
     "w8_funnel" -> funnel,
     "w7_gap_fill" -> gapFillResample,
     "w6_ohlc_resample" -> ohlcResample,
@@ -343,6 +384,26 @@ object EventWindows {
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    "w9_retention" ->
+      s"""WITH e AS (
+            SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+          cu AS (
+            SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+          uw AS (
+            SELECT DISTINCT e.user_id, cu.cohort_day,
+                   e.day - cu.cohort_day AS day_offset
+            FROM e JOIN cu USING (user_id)),
+          counts AS (
+            SELECT cohort_day, day_offset, COUNT(*) AS n_users
+            FROM uw GROUP BY 1, 2),
+          base AS (
+            SELECT cohort_day, n_users AS cohort_size
+            FROM counts WHERE day_offset = 0)
+          SELECT c.cohort_day, c.day_offset, c.n_users,
+                 CAST(c.n_users AS DOUBLE) / CAST(b.cohort_size AS DOUBLE)
+                   AS retention
+          FROM counts c JOIN base b USING (cohort_day)
+          ORDER BY 1, 2""",
     "w8_funnel" ->
       s"""WITH e AS (
             SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
