@@ -509,11 +509,14 @@ object Similarity {
       vectors(spark, dir),
       collectCodebooks(cachedPqCodebooks(spark, dir)))
 
-  /** The encode + ADC scoring core, parameterized by the codebook so
-    * the spec can drive it with both seed and trained books over any
-    * (vec_id, v) frame.
+  /** PQ encode + reconstruct: (vec_id, v) → (vec_id, rv) where rv is
+    * the codeword concatenation the vector's M codes reconstruct —
+    * shared by s7 (full-corpus ADC) and s13 (IVF-restricted ADC). A
+    * pure per-row projection (the argmax fold runs over the M×K
+    * literal codebook inside whole-stage codegen — no join, no
+    * shuffle); at 100 TB the stored representation is M bytes/vector.
     */
-  private[queries] def pqTopKFrom(e: DataFrame, cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+  private[queries] def pqEncode(e: DataFrame, cb: Seq[Seq[Seq[Double]]]): DataFrame = {
     val cbLit = typedLit(cb)
     // codes[m] = argmax over k of dot(subvector m, codebook[m][k]);
     // strict > keeps the FIRST maximum = lowest k, matching the
@@ -534,14 +537,21 @@ object Similarity {
           },
           acc => acc.getField("k"))
       })
-    val enc = e
-      .withColumn("codes", codes)
+    e.withColumn("codes", codes)
       .withColumn(
         "rv",
         flatten(transform(
           col("codes"),
           (c, m) => element_at(element_at(cbLit, m + 1), c.cast("int") + 1))))
       .select(col("vec_id"), col("rv"))
+  }
+
+  /** The encode + ADC scoring core, parameterized by the codebook so
+    * the spec can drive it with both seed and trained books over any
+    * (vec_id, v) frame.
+    */
+  private[queries] def pqTopKFrom(e: DataFrame, cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val enc = pqEncode(e, cb)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id"))
