@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * barrier) are in `graft.streaming` and spec-tested — a streaming query
   * has no SQL oracle.
   *
-  * `ts` reads as epoch-nanos BIGINT (see Verify's nanosAsLong conf), so
-  * all bucketing is exact integer math in both engines; value averages
-  * use the integer-cents pattern (see Dashboard.q6).
+  * All time math runs on the exact epoch-µs `tus` axis from
+  * `Tables.eventsUs` — schema-adaptive across the physical `ts`
+  * encodings (epoch-nanos BIGINT, TIMESTAMP, TIMESTAMP_NTZ), always
+  * landing in the same integer µs domain as the oracle's
+  * `epoch_us(ts)`; value averages use the integer-cents pattern (see
+  * Dashboard.q6).
   */
 object EventWindows {
 
@@ -29,12 +32,7 @@ object EventWindows {
     * One hash agg; bucketing is a projection (no pre-shuffle).
     */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      // All time math runs in epoch-MICROseconds: DuckDB truncates
-      // TIMESTAMP_NS to µs at read, so µs is the shared exact domain.
-      // `div` = exact integer division (a double `/` would round ts —
-      // 1.7e18 ns exceeds double's 53-bit mantissa).
-      .withColumn("tus", expr("ts div 1000"))
+    eventsUs(spark, dir)
       .withColumn(
         "window_start",
         expr(s"tus div ${TumbleSec * UsPerSec}") * TumbleSec)
@@ -55,8 +53,7 @@ object EventWindows {
     * reproduce it.
     */
   def sliding(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .withColumn("tus", expr("ts div 1000"))
+    eventsUs(spark, dir)
       .withColumn(
         "bucket",
         expr(s"tus div ${SlideSec * UsPerSec}") * SlideSec)
@@ -78,8 +75,7 @@ object EventWindows {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
-    events(spark, dir)
-      .withColumn("tus", expr("ts div 1000"))
+    eventsUs(spark, dir)
       .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
       .withColumn(
         "new_session",
@@ -114,7 +110,7 @@ object EventWindows {
     * (`ts div 1000`) — the engines' shared exact timestamp resolution.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir).withColumn("tus", expr("ts div 1000"))
+    val e = eventsUs(spark, dir)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("tus"), col("event_id"), lit(0L).as("kind"))
     val purchases = e.filter(col("event_type") === "purchase")
@@ -166,8 +162,7 @@ object EventWindows {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"))
       .rangeBetween(-TrailSec * UsPerSec, 0)
-    events(spark, dir)
-      .withColumn("tus", expr("ts div 1000"))
+    eventsUs(spark, dir)
       .withColumn("cents", round(col("value") * 100).cast("long"))
       .select(
         col("event_id"),
@@ -203,8 +198,7 @@ object EventWindows {
     * engines (no value ties to break).
     */
   def ohlcResample(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .withColumn("tus", expr("ts div 1000"))
+    eventsUs(spark, dir)
       .withColumn("bus", expr(s"tus div ${TumbleSec * UsPerSec}")
         * TumbleSec * UsPerSec)
       .withColumn("window_start", expr(s"bus div $UsPerSec"))
@@ -242,8 +236,7 @@ object EventWindows {
     * non-gap by construction, so the carry is never null.
     */
   def gapFillResample(spark: SparkSession, dir: String): DataFrame = {
-    val c = events(spark, dir)
-      .withColumn("tus", expr("ts div 1000"))
+    val c = eventsUs(spark, dir)
       .withColumn(
         "window_start",
         expr(s"tus div ${TumbleSec * UsPerSec}") * TumbleSec)
@@ -277,6 +270,26 @@ object EventWindows {
     */
   val FunnelWindowSec = 86400L
 
+  /** Analysis range for the stateful per-user aggregations (w8 funnel,
+    * w9 retention): [2024-01-01, 2024-03-01) in epoch-µs — covers the
+    * testdata's live span (Jan 2024) with headroom. This bound is the
+    * state-size guarantee: the per-user `collect_list`/`collect_set`
+    * holds only in-range times, so a super-user with years of history
+    * contributes at most range-length × event-rate entries (w8) or
+    * range-length-days entries (w9) — never their unbounded lifetime.
+    * The same constant gates the oracle SQL, so both engines see the
+    * identical slice.
+    */
+  val AnalysisStartUs = 1704067200000000L // 2024-01-01T00:00:00Z
+  val AnalysisEndUs = 1709251200000000L // 2024-03-01T00:00:00Z
+
+  private def inAnalysisRange(df: DataFrame): DataFrame =
+    df.filter(col("tus") >= AnalysisStartUs && col("tus") < AnalysisEndUs)
+
+  /** The oracle-side twin of `inAnalysisRange`. */
+  private val OracleRangeWhere =
+    s"epoch_us(ts) >= $AnalysisStartUs AND epoch_us(ts) < $AnalysisEndUs"
+
   /** w8 — strict-order windowed conversion funnel (view → click →
     * purchase), the event-analytics staple (ClickHouse `windowFunnel`,
     * Amplitude/Mixpanel funnels): per user, stage = how far the
@@ -296,15 +309,16 @@ object EventWindows {
     * `Round7bOpsSpec`) vs the cascade's six scans — on 100 TB of
     * events that is the whole game. Per-user state = that user's
     * click/purchase times inside the collection — the same per-key
-    * state a streaming windowFunnel keeps; a pre-filter on the
-    * analysis time range bounds it for super-user skew. All time math
-    * in the µs domain (`ts div 1000`) — the engines' shared exact
-    * resolution.
+    * state a streaming windowFunnel keeps; the `inAnalysisRange`
+    * pre-filter bounds it for super-user skew (see `AnalysisStartUs` —
+    * out-of-range history never enters the collection; spec'd with a
+    * planted super-user fixture in `EventTimeSchemaSpec`). All time
+    * math in the shared exact µs domain (`Tables.eventsUs`).
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val wUs = FunnelWindowSec * UsPerSec
-    events(spark, dir)
-      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    inAnalysisRange(eventsUs(spark, dir))
+      .select(col("user_id"), col("event_type"), col("tus"))
       .groupBy(col("user_id"))
       .agg(
         min(when(col("event_type") === "view", col("tus"))).as("t1"),
@@ -347,14 +361,14 @@ object EventWindows {
     * retention ratio — IEEE division of two exact longs, engine-safe.
     *
     * Scale shape: one events scan; per-user state = the user's
-    * DISTINCT active days (bounded by the analysis range — 30 here,
-    * 365 for a year — never raw event count); the report frame is
-    * cohorts × offsets, metadata-sized. All day math in the shared
-    * µs domain.
+    * DISTINCT active days, hard-bounded by the `inAnalysisRange`
+    * pre-filter (60 days here, 365 for a year — never raw event count
+    * or user lifetime); the report frame is cohorts × offsets,
+    * metadata-sized. All day math in the shared µs domain.
     */
   def retention(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = events(spark, dir)
-      .select(col("user_id"), expr(s"(ts div 1000) div $DayUs").as("day"))
+    val perUser = inAnalysisRange(eventsUs(spark, dir))
+      .select(col("user_id"), expr(s"tus div $DayUs").as("day"))
       .groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
     val counts = perUser
@@ -386,7 +400,8 @@ object EventWindows {
   val oracleSql: Map[String, String] = Map(
     "w9_retention" ->
       s"""WITH e AS (
-            SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+            SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events
+            WHERE $OracleRangeWhere),
           cu AS (
             SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
           uw AS (
@@ -406,7 +421,8 @@ object EventWindows {
           ORDER BY 1, 2""",
     "w8_funnel" ->
       s"""WITH e AS (
-            SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+            SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+            WHERE $OracleRangeWhere),
           s1 AS (
             SELECT user_id, MIN(tus) AS t1 FROM e
             WHERE event_type = 'view' GROUP BY 1),

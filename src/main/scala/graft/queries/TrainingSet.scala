@@ -506,8 +506,10 @@ object TrainingSet {
     val dim = 1L << ZBits
     val z = zExprStr(s"(user_id % $dim)", s"(tsec % $dim)",
       (v, p) => s"($v) div $p")
-    events(spark, dir)
-      .withColumn("tsec", expr("ts div 1000000000"))
+    // Event-time seconds via the schema-adaptive µs axis (Tables.eventsUs)
+    // — exact integer division the oracle mirrors as epoch_us(ts)//1000000.
+    eventsUs(spark, dir)
+      .withColumn("tsec", expr("tus div 1000000"))
       .withColumn("zbucket", expr(s"($z) div ${1L << ZBucketShift}"))
       .groupBy(col("zbucket"))
       .agg(

@@ -84,9 +84,8 @@ class Round5OpsSpec extends SparkSpec {
 
   test("w4: every match is the true latest prior click (brute-force check)") {
     import org.apache.spark.sql.Row
-    val e = graft.Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000").as("tus"))
+    val e = graft.Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("tus"))
       .collect()
     val clicks = e.filter(_.getString(1) == "click")
       .groupBy(_.getLong(0)).view
@@ -113,9 +112,9 @@ class Round5OpsSpec extends SparkSpec {
     // event_id. The oracle is only valid while the data has no ties —
     // probed at all SFs when w4 was registered; this pins it loudly.
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val ties = graft.Tables.events(spark, s"/root/testdata/$sf")
+      val ties = graft.Tables.eventsUs(spark, s"/root/testdata/$sf")
         .filter(col("event_type") === "click")
-        .groupBy(col("user_id"), expr("ts div 1000").as("tus"))
+        .groupBy(col("user_id"), col("tus"))
         .count().filter(col("count") > 1).count()
       assert(ties == 0, s"$sf has (user, us) click ties — w4's ASOF oracle is ambiguous")
     }

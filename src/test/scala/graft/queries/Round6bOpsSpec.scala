@@ -24,8 +24,8 @@ class Round6bOpsSpec extends SparkSpec {
   test("w5: trailing RANGE frame matches a brute-force per-user rescan") {
     val got = EventWindows.timeRangeWindow(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
-    val ev = graft.Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+    val ev = graft.Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("tus"),
         round(col("value") * 100).cast("long").as("cents"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -209,8 +209,8 @@ class Round6bOpsSpec extends SparkSpec {
 
   test("p13: bucket stats match an independent bit-interleave reimplementation") {
     val dim = 1L << TrainingSet.ZBits
-    val ev = graft.Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts div 1000000000").as("tsec"))
+    val ev = graft.Tables.eventsUs(spark, dir)
+      .select(col("user_id"), expr("tus div 1000000").as("tsec"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val want = ev.groupBy { case (u, t) =>
       zval(u % dim, t % dim) >> TrainingSet.ZBucketShift
