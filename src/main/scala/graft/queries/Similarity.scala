@@ -565,6 +565,67 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s13 — IVF+PQ composite top-k (`IVF<n>,PQ8`, nprobe=2), completing
+    * the FAISS deployment matrix next to s11's IVF+SQ8: the coarse
+    * quantizer (s2's cached assignment — the SAME memoized frame, so
+    * s2/s3/s11/s13 agree on buckets) restricts each query to its TWO
+    * nearest buckets' candidates (s4's probe shape — PQ's coarser
+    * scoring needs the recall knob one notch up: nprobe=1 measured
+    * 0.54 vs s7, nprobe=2 clears the family's 0.6 bound), and
+    * candidates are scored by asymmetric distance (s7's ADC — raw
+    * query against the codeword reconstruction from `pqEncode`, the
+    * SAME trained codebooks as s7). This is the highest-compression
+    * composite: a probe reads ~2/NumCentroids of the corpus AND each
+    * stored vector is M=8 bytes instead of 512 — at 100 TB, a probe
+    * touches ~0.4 TB of codes where s1 scans 100 TB of floats.
+    *
+    * Deterministic end to end (probe/assignment ties → lowest
+    * centroid, argmax encode ties → lowest k, 6-decimal rounded IEEE
+    * dots, rank ties → vec_id) → full DuckDB oracle: assignment from
+    * `assignCte`, the 2-bucket probe from s4's qprobe CTE,
+    * encode/reconstruct from the Verify-dumped codebooks (s7's CTEs
+    * verbatim). Recall vs s7's full-corpus ADC bounded ≥ 0.6 in
+    * `Round8OpsSpec` (matching s10/s11's bounds).
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val assign = cachedIvfAssign(spark, dir)
+      .select(col("vec_id"), col("centroid_id"))
+    val enc = pqEncode(e, collectCodebooks(cachedPqCodebooks(spark, dir)))
+      .join(assign, "vec_id")
+    val c = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    // top-2 centroids per query without a ranking window (s4's
+    // sorted-array slice — one hash agg over 8 scores, no sort
+    // exchange); struct order (-c_sim, id) asc ≡ (c_sim desc, id asc)
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(c))
+      .withColumn("c_sim", cosine("cv", "cn", "qv", "qn"))
+      .groupBy(col("q_id"))
+      .agg(
+        first(col("qv")).as("qv"),
+        slice(
+          array_sort(collect_list(
+            struct((-col("c_sim")).as("neg_sim"), col("centroid_id")))),
+          1, 2).as("top2"))
+      .select(
+        col("q_id"), col("qv"),
+        explode(col("top2").getField("centroid_id")).as("centroid_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    broadcast(probes)
+      .join(enc, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(vecDot(col("qv"), col("rv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("centroid_id"), col("vec_id"), col("score"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Cosine threshold for the range search (s8); sized so the result is
     * live at every SF (the corpus's max off-diagonal cosine is ~0.51).
     */
@@ -765,7 +826,8 @@ object Similarity {
     "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2,
     "s5_kmeans_ivf_topk" -> kmeansIvfTopK,
     "s6_sq8_topk" -> sq8TopK,
-    "s11_ivf_sq8_topk" -> ivfSq8TopK)
+    "s11_ivf_sq8_topk" -> ivfSq8TopK,
+    "s13_ivf_pq_topk" -> ivfPqTopK)
 
   private[queries] val vecCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
@@ -973,6 +1035,46 @@ object Similarity {
                      ORDER BY score DESC, vec_id) AS BIGINT) AS rank
             FROM scores)
           WHERE rank <= $TopK ORDER BY q_id, rank""",
+    // s13: s7's encode/reconstruct CTEs (Verify-dumped codebooks) +
+    // the same coarse-quantizer restriction as s11 — a query only
+    // ADC-scores reconstructions in its own assignment bucket
+    "s13_ivf_pq_topk" ->
+      s"""WITH $assignCte,
+          qprobe AS (
+            SELECT q_id, centroid_id FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS centroid_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS pr
+              FROM e q CROSS JOIN e c
+              WHERE c.vec_id < $NumCentroids AND q.vec_id < $NumQueries)
+            WHERE pr <= 2),
+          ms AS (SELECT unnest(range($NumSubspaces)) AS m),
+          cw AS (SELECT m, k, cwv
+                 FROM read_parquet('$PqCodebookDumpPath/*.parquet')),
+          sub AS (SELECT e.vec_id, ms.m,
+                         e.v[(ms.m*$SubDim+1):(ms.m*$SubDim+$SubDim)] AS sv
+                  FROM e CROSS JOIN ms),
+          enc AS (SELECT vec_id, m, k FROM (
+                    SELECT s.vec_id, s.m, c.k,
+                           row_number() OVER (PARTITION BY s.vec_id, s.m
+                             ORDER BY list_dot_product(s.sv, c.cwv) DESC, c.k) AS rn
+                    FROM sub s JOIN cw c ON c.m = s.m) WHERE rn = 1),
+          recon AS (SELECT enc.vec_id, flatten(list(c.cwv ORDER BY enc.m)) AS rv
+                    FROM enc JOIN cw c ON c.m = enc.m AND c.k = enc.k
+                    GROUP BY enc.vec_id),
+          encb AS (SELECT r.vec_id, r.rv, a.centroid_id
+                   FROM recon r JOIN assign a ON a.vec_id = r.vec_id),
+          scores AS (SELECT p.q_id, encb.centroid_id, encb.vec_id,
+                       ROUND(list_dot_product(q.v, encb.rv), 6) AS score
+                     FROM qprobe p
+                     JOIN encb ON encb.centroid_id = p.centroid_id
+                     JOIN e q ON q.vec_id = p.q_id
+                     WHERE p.q_id <> encb.vec_id)
+          SELECT q_id, centroid_id, vec_id, score, rank FROM (
+            SELECT q_id, centroid_id, vec_id, score,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+            FROM scores) WHERE rank <= $TopK ORDER BY q_id, rank""",
     // s11: s6's quantization CTEs + the coarse-quantizer restriction —
     // a query only scores codes in its own assignment bucket
     "s11_ivf_sq8_topk" ->
