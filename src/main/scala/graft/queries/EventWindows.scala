@@ -386,7 +386,35 @@ object EventWindows {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** w10 — top-N-per-group over event windows, the one analytics
+    * staple the w-family didn't cover (and the windowed sibling of
+    * x14's rank family / x2's top-1): the top 3 users by event count
+    * for every (event_type, day) bucket — "who drove each type each
+    * day". w1's day bucketing feeds one hash agg, then a rank-in-group
+    * window with the filter Spark plans as `WindowGroupLimit`: each
+    * map task keeps only its local top-3 per group BEFORE the shuffle
+    * (plan-pinned in `Round8OpsSpec`), so the exchange carries
+    * ≤ 3×partitions rows per group instead of every user — the
+    * difference between shuffling 3 rows and 10⁸ rows per group at
+    * 100 TB. Deterministic: count ties break on user_id asc.
+    */
+  def topPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = eventsUs(spark, dir)
+      .withColumn("day", expr(s"tus div $DayUs"))
+      .groupBy(col("event_type"), col("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("n_events").desc, col("user_id"))
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), col("day"), col("user_id"),
+        col("n_events"), col("rnk"))
+      .orderBy(col("event_type"), col("day"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w10_top_per_group" -> topPerGroup,
     "w9_retention" -> retention,
     "w8_funnel" -> funnel,
     "w7_gap_fill" -> gapFillResample,
@@ -398,6 +426,16 @@ object EventWindows {
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    "w10_top_per_group" ->
+      s"""SELECT event_type, day, user_id, n_events, rnk FROM (
+            SELECT event_type, day, user_id, n_events,
+                   CAST(row_number() OVER (PARTITION BY event_type, day
+                     ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+            FROM (
+              SELECT event_type, epoch_us(ts) // $DayUs AS day, user_id,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2, 3))
+          WHERE rnk <= 3 ORDER BY event_type, day, rnk""",
     "w9_retention" ->
       s"""WITH e AS (
             SELECT user_id, epoch_us(ts) // $DayUs AS day FROM events

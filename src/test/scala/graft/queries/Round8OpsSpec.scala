@@ -4,11 +4,38 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Round-8 additions: s13 (IVF+PQ composite — the last cell of the
-  * FAISS deployment matrix IVF×{flat,SQ8,PQ} next to s3/s11).
+  * FAISS deployment matrix IVF×{flat,SQ8,PQ} next to s3/s11) and w10
+  * (top-N-per-group over event windows).
   */
 class Round8OpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
+  test("w10: matches a brute-force per-group sort, ties on user_id") {
+    val got = EventWindows.topPerGroup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ev = graft.Tables.eventsUs(spark, dir)
+      .select(col("event_type"), expr("tus div 86400000000").as("day"),
+        col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((et, d), rows) =>
+      rows.groupBy(_._3).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (u, n) => (-n, u) }.take(3).zipWithIndex
+        .map { case ((u, n), i) => (et, d, u, n, i + 1L) }
+    }.sortBy(t => (t._1, t._2, t._5))
+    assert(got.toSeq == want, s"first diff: ${got.toSeq.diff(want).headOption}")
+    assert(got.nonEmpty)
+  }
+
+  test("w10 plan: rank filter runs as WindowGroupLimit before the shuffle") {
+    val plan = EventWindows.topPerGroup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-3 filter must push into a group limit (partial top-k per map task):\n$plan")
+    assert(plan.contains("Partial"),
+      s"WindowGroupLimit must have a map-side Partial phase:\n$plan")
+  }
 
   test("s13: recall@k vs s7's full-corpus ADC is bounded below") {
     // s13 = s7's scoring restricted to the query's IVF bucket, so s7's
