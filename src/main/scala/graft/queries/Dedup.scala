@@ -684,6 +684,82 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d19 — duplicated-span REMOVAL with survivor exemption: the
+    * rewrite step of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better" — ExactSubstr's "remove all but one
+    * occurrence"), applying what d17 only measures. Every duplicated
+    * k-gram (in ≥2 distinct docs — d17's rule) elects ONE surviving
+    * occurrence, the lexicographically-lowest (doc_id, pos); every
+    * OTHER occurrence marks its k word positions for removal; docs are
+    * reconstructed from the kept words (d16's ordered reassembly). So
+    * the corpus keeps exactly one canonical copy of each duplicated
+    * phrase — the property d16's strip-everywhere policy (correct for
+    * boilerplate) deliberately doesn't have. A kept-survivor position
+    * can still fall to a DIFFERENT overlapping non-survivor gram (the
+    * same within-doc repetition Lee 2022 tolerates); the policy is
+    * deterministic either way, which is what the oracle needs.
+    *
+    * Scale shape: d17's gram frame (per-doc windows over the cached
+    * words), one map-side-combinable (ddf, min-struct) hash agg per
+    * gram, one equi-join back, a bounded ×k explode, one distinct and
+    * one left-anti-shaped flag join on (doc_id, pos) — linear in
+    * corpus words, no pair join anywhere; the per-doc collect_list is
+    * bounded by ONE document (the d13/d16 rule).
+    */
+  def dupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val k = KGramWords
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = TextOps.cachedWords(spark, dir)
+    val grams = words
+      .withColumn(
+        "sh",
+        concat(
+          col("word"), lit(" "),
+          lead(col("word"), 1).over(w), lit(" "),
+          lead(col("word"), 2).over(w)))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), col("pos"), col("sh"))
+    // one surviving occurrence per duplicated gram: min (doc_id, pos)
+    val dup = grams.groupBy(col("sh"))
+      .agg(
+        countDistinct(col("doc_id")).as("ddf"),
+        min(struct(col("doc_id"), col("pos"))).as("surv"))
+      .filter(col("ddf") >= 2)
+      .select(
+        col("sh"),
+        col("surv.doc_id").as("sdoc"), col("surv.pos").as("spos"))
+    val marked = grams.join(dup, Seq("sh"))
+      .filter(!(col("doc_id") === col("sdoc") && col("pos") === col("spos")))
+      .select(
+        col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    words
+      .join(
+        marked.withColumn("rm", lit(1L)), Seq("doc_id", "pos"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("removed_words"),
+        // collect_list skips the nulls `when` leaves on removed
+        // positions; the struct sort restores document order
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rm").isNull, struct(col("pos"), col("word"))))),
+            x => x.getField("word")),
+          " ").as("clean_text"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("removed_words"),
+        (col("n_tokens") - col("removed_words")).as("kept_words"),
+        (col("removed_words").cast("double") / col("n_tokens").cast("double"))
+          .as("removed_frac"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing parameters (Schleimer, Wilkerson & Aiken 2003, §4 —
     * the MOSS fingerprinting algorithm): guarantee window of
     * `WinnowWindow` consecutive k-gram hashes, one fingerprint selected
@@ -1020,6 +1096,7 @@ object Dedup {
     "d13_paragraph_dedup" -> paragraphDedup,
     "d16_boilerplate_strip" -> boilerplateStrip,
     "d17_dup_spans" -> dupSpans,
+    "d19_dup_span_removal" -> dupSpanRemoval,
     "d11_winnow_fingerprints" -> winnowFingerprintSummary,
     "d12_winnow_pairs" -> winnowPairs,
     "d10_dup_ngram_coverage" -> dupNgramCoverage,
@@ -1132,6 +1209,45 @@ object Dedup {
                    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
           FROM paras p JOIN pdf USING (ph)
           GROUP BY p.doc_id ORDER BY p.doc_id""",
+    // d19: d17's gram CTEs + the survivor election as a row_number
+    // over (doc_id, pos) within each duplicated gram — an independent
+    // spelling of the Spark side's min-struct; ×k expansion via
+    // generate_series (inclusive, = sequence(pos, pos+k-1));
+    // string_agg ignores the NULLs the CASE leaves on removed
+    // positions exactly as collect_list does, COALESCE covers the
+    // fully-removed-doc edge where string_agg yields NULL and
+    // array_join yields ''
+    "d19_dup_span_removal" ->
+      s"""WITH $wordsCte,
+          g0 AS (
+            SELECT doc_id, pos,
+                   word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS sh
+            FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          g AS (SELECT doc_id, pos, sh FROM g0 WHERE sh IS NOT NULL),
+          dupsh AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+          occ AS (
+            SELECT g.doc_id, g.pos,
+                   row_number() OVER (PARTITION BY g.sh
+                     ORDER BY g.doc_id, g.pos) AS rn
+            FROM g JOIN dupsh USING (sh)),
+          marked AS (
+            SELECT DISTINCT doc_id, pos FROM (
+              SELECT doc_id,
+                     unnest(generate_series(pos, pos + ${KGramWords - 1})) AS pos
+              FROM occ WHERE rn > 1))
+          SELECT w.doc_id,
+                 COUNT(*) AS n_tokens,
+                 CAST(SUM(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS removed_words,
+                 CAST(COUNT(*) - SUM(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS kept_words,
+                 CAST(SUM(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS removed_frac,
+                 COALESCE(string_agg(CASE WHEN m.pos IS NULL THEN w.word END,
+                   ' ' ORDER BY w.pos), '') AS clean_text
+          FROM words w LEFT JOIN marked m
+            ON m.doc_id = w.doc_id AND m.pos = w.pos
+          GROUP BY w.doc_id ORDER BY w.doc_id""",
     "d17_dup_spans" ->
       s"""WITH $wordsCte,
           g0 AS (

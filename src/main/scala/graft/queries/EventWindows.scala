@@ -413,7 +413,62 @@ object EventWindows {
       .orderBy(col("event_type"), col("day"), col("rnk"))
   }
 
+  /** w11 decay parameters: value halves every `DecayHalfLifeDays`;
+    * weights are the dyadic integers 2^(DecayShift − half-lives-old),
+    * so the whole score is exact BIGINT math (see below).
+    */
+  val DecayHalfLifeDays = 7L
+  val DecayShift = 32L
+
+  /** w11 — half-life-decayed engagement score, the recency-weighted
+    * ranking every retention / engagement / churn model starts from
+    * (and the batch twin of a streaming decaying counter): per user,
+    * Σ cents · 2^(−⌊age_days / half-life⌋), ages measured back from
+    * the corpus's max day. The naive spelling — pow(0.5, age/7.0)
+    * float weights summed in groupBy order — is cross-engine
+    * DIVERGENT (non-associative float sums under nondeterministic
+    * shuffle order, the q6 lesson). Here weights are the dyadic
+    * integers 2^(32 − steps) (shiftleft — pure integer in both
+    * engines), the score accumulates as an exact BIGINT, and the
+    * reported double is ONE deterministic conversion + division by
+    * 2^32 at the end — hash-comparable like every cents query.
+    *
+    * Scale shape: the reference day is a 1-row broadcast (the p9
+    * scalar-control-data discipline); then ONE map-side-combinable
+    * user_id hash agg — no window, no collection, state = one long
+    * per user. At 100 TB pre-aggregate per (user, day) first if
+    * per-user event counts threaten the 2^63 headroom (30 bounded
+    * day-sums per user instead of raw events); the testdata's ~200
+    * events × 10^4 cents × 2^32 sits 3 decades under the ceiling.
+    * `least(steps, DecayShift)` keeps the weight a total function
+    * (0 beyond ~32 half-lives) instead of an overflow.
+    */
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        expr(s"tus div $DayUs").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val ref = e.agg(max(col("day")).as("ref_day"))
+    e.crossJoin(broadcast(ref))
+      .withColumn(
+        "w",
+        expr(s"""shiftleft(cast(1 as bigint),
+          cast($DecayShift - least((ref_day - day) div $DecayHalfLifeDays,
+            $DecayShift) as int))"""))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("cents") * col("w")).as("decayed_cents"))
+      .select(
+        col("user_id"), col("n_events"), col("decayed_cents"),
+        (col("decayed_cents").cast("double") /
+          lit((1L << DecayShift).toDouble)).as("score"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_decayed_engagement" -> decayedEngagement,
     "w10_top_per_group" -> topPerGroup,
     "w9_retention" -> retention,
     "w8_funnel" -> funnel,
@@ -426,6 +481,26 @@ object EventWindows {
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    // w11: `<<` is DuckDB's integer shift (= Spark's shiftleft); the
+    // score divides the SAME BIGINT both engines emit, so the double
+    // is one identical IEEE conversion + division by 2^32
+    "w11_decayed_engagement" ->
+      s"""WITH e AS (
+            SELECT user_id, epoch_us(ts) // $DayUs AS day,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events),
+          r AS (SELECT MAX(day) AS ref_day FROM e),
+          wgt AS (
+            SELECT user_id, cents,
+                   (CAST(1 AS BIGINT) << CAST($DecayShift -
+                     LEAST((r.ref_day - e.day) // $DecayHalfLifeDays,
+                       $DecayShift) AS INT)) AS w
+            FROM e, r)
+          SELECT user_id, COUNT(*) AS n_events,
+                 CAST(SUM(cents * w) AS BIGINT) AS decayed_cents,
+                 CAST(CAST(SUM(cents * w) AS BIGINT) AS DOUBLE)
+                   / ${(1L << DecayShift).toDouble} AS score
+          FROM wgt GROUP BY user_id ORDER BY user_id""",
     "w10_top_per_group" ->
       s"""SELECT event_type, day, user_id, n_events, rnk FROM (
             SELECT event_type, day, user_id, n_events,

@@ -37,6 +37,69 @@ class Round8OpsSpec extends SparkSpec {
       s"WindowGroupLimit must have a map-side Partial phase:\n$plan")
   }
 
+  test("d19: survivor copy keeps the phrase, later copies lose it (planted fixture)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon unique1 words here"),
+      (2L, "intro words then alpha beta gamma delta epsilon tail2"),
+      (3L, "totally different content nothing shared at all okay"))
+    val fdir = java.nio.file.Files.createTempDirectory("d19_fix_").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("fix").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$fdir/documents.parquet")
+    val got = Dedup.dupSpanRemoval(spark, fdir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(5))).toMap
+    // doc 1 holds every surviving occurrence → untouched
+    assert(got(1L) == ((0L, "alpha beta gamma delta epsilon unique1 words here")))
+    // doc 2's 5 phrase words fall to the 3 marked grams (union of
+    // [3,5], [4,6], [5,7]); its unshared words survive
+    assert(got(2L) == ((5L, "intro words then tail2")))
+    assert(got(3L)._1 == 0L)
+  }
+
+  test("d19 removes only what d17 localizes: removed_words <= dup_words per doc") {
+    // d17 marks EVERY occurrence of a duplicated gram; d19 exempts the
+    // surviving occurrence — so its removals are a per-doc subset
+    val spans = Dedup.dupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val removed = Dedup.dupSpanRemoval(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+    assert(removed.nonEmpty)
+    removed.foreach { case (d, rm) =>
+      assert(rm <= spans(d), s"doc $d: removed $rm > d17 dup_words ${spans(d)}")
+    }
+    assert(removed.exists(_._2 > 0L), "d19 must be live on the testdata corpus")
+    // and the survivor exemption must actually exempt something
+    assert(removed.map(_._2).sum < spans.values.sum,
+      "d19 removed exactly d17's coverage — survivor exemption inert")
+  }
+
+  test("w11: dyadic half-life weights are exact (planted decay fixture)") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val base = 1704067200000000L // 2024-01-01, day 19723
+    // user 1: 100 cents at ref, ref-7d, ref-14d → 100 + 50 + 25 = 175
+    // user 2: one event 6 days before ref → still weight 1.0 (same
+    //   half-life bucket), score 100
+    val rows = Seq(
+      (1L, base + 14 * dayUs, 1L, "view", 1.0),
+      (2L, base + 7 * dayUs, 1L, "view", 1.0),
+      (3L, base, 1L, "view", 1.0),
+      (4L, base + 8 * dayUs, 2L, "view", 1.0))
+    val fdir = java.nio.file.Files.createTempDirectory("w11_fix_").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$fdir/events.parquet")
+    val got = EventWindows.decayedEngagement(spark, fdir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val w32 = 1L << 32
+    assert(got(1L) == ((3L, 100L * (w32 + w32 / 2 + w32 / 4), 175.0)), got(1L))
+    assert(got(2L) == ((1L, 100L * w32, 100.0)), got(2L))
+  }
+
   test("s13: recall@k vs s7's full-corpus ADC is bounded below") {
     // s13 = s7's scoring restricted to the query's IVF bucket, so s7's
     // top-k is the natural exact-within-quantization baseline (the
