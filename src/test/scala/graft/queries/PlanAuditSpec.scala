@@ -211,8 +211,17 @@ class PlanAuditSpec extends SparkSpec {
                           // windows + span/doc aggs + token-count join + sort
     "s12_rrf_fusion" -> 9, // two retriever rankings + overlap agg + fusion
                            // full-outer (≤ NumQueries×TopK rows/side) + sort
-    "p16_release_pipeline" -> 14 // the whole funnel: dedup agg, quality join,
-                                 // contamination semi, shard ROLLUP + sort
+    "p16_release_pipeline" -> 14, // the whole funnel: dedup agg, quality join,
+                                  // contamination semi, shard ROLLUP + sort
+    "w10_top_per_group" -> 3, // (type,day,user) agg + group-limit window
+                              // repartition + output sort
+    "w11_decayed_engagement" -> 4, // ref-day agg + its 1-row broadcast +
+                                   // user agg + output sort
+    "d19_dup_span_removal" -> 7, // d17's shape (gram windows ride the words
+                                 // cache): ddf/min agg + gram join + marked
+                                 // distinct + flag join + doc agg + sort
+    "s13_ivf_pq_topk" -> 6 // probe agg + its broadcast + bucket join sides
+                           // + top-k window + output sort
   )
 
   /** Exchanges the query itself spends — traversal stops at cache
