@@ -323,6 +323,55 @@ object Extended {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** x19 Count-Min-Sketch parameters: ε·N additive overestimate bound
+    * at `CmsConf` confidence; the fixed seed makes the sketch — whose
+    * counters are order-independent SUMS — fully deterministic on
+    * given data, so the spec's bound checks are stable, not flaky.
+    */
+  val CmsEps = 0.0001
+  val CmsConf = 0.99
+  val CmsSeed = 42
+  val CmsTopK = 15
+
+  /** x19 — Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan
+    * 2005), completing the sketch family next to x11's HLL++ (distinct
+    * count) and x12's t-digest (quantiles) with the FREQUENCY sketch:
+    * per-key counts from a fixed-size mergeable array of counters —
+    * one linear pass, no shuffle of keys, the only per-key-count shape
+    * that survives 100 TB of words (`DataFrameStatFunctions
+    * .countMinSketch` aggregates per-partition sketches and merges —
+    * the treeAggregate posture). CMS errs UPWARD only: estimate ∈
+    * [true, true + ε·N] w.p. `CmsConf` — the spec pins both sides on
+    * the testdata (deterministic under the fixed seed).
+    *
+    * Bench-only like x11/x12 (sketch internals are engine-private; no
+    * DuckDB oracle by nature — driver records rows-only): q8's exact
+    * word frequency is the oracle-checked twin, and doubles here as
+    * the candidate source — production probes known keys or a sampled
+    * candidate set against the sketch precisely to SKIP the exact agg;
+    * the 15-row candidate collect is bounded control data (p9
+    * discipline).
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val words = TextOps.cachedWords(spark, dir)
+    val candidates = words
+      .groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("word"))
+      .limit(CmsTopK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketch = words.select(col("word"))
+      .stat.countMinSketch("word", CmsEps, CmsConf, CmsSeed)
+    candidates
+      .map { case (w, n) =>
+        val est = sketch.estimateCount(w)
+        (w, n, est, est - n)
+      }
+      .toDF("word", "exact_n", "cms_n", "overestimate")
+      .orderBy(col("exact_n").desc, col("word"))
+  }
+
   /** x12 — the t-digest sketch variant of x9 (bench-only, same
     * no-cross-engine-oracle status as x11): approx_percentile holds a
     * fixed-size quantile sketch per group instead of buffering and
@@ -460,6 +509,7 @@ object Extended {
     "x14_rank_family" -> rankFamily,
     "x13_salted_join" -> saltedJoinDemo,
     "x11_approx_distinct" -> approxDistinctCounts,
+    "x19_cms_heavy_hitters" -> cmsHeavyHitters,
     "x12_approx_percentiles" -> approxPercentiles,
     "x7_pivot" -> pivotEvents,
     "x15_unpivot" -> unpivotEvents,

@@ -100,6 +100,25 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(2L) == ((1L, 100L * w32, 100.0)), got(2L))
   }
 
+  test("x19: CMS estimates bracket the exact counts — never under, <= eps*N over") {
+    val rows = Extended.cmsHeavyHitters(spark, dir).collect()
+    assert(rows.length == Extended.CmsTopK)
+    val totalWords = graft.queries.TextOps.cachedWords(spark, dir).count()
+    val bound = (Extended.CmsEps * totalWords).ceil.toLong
+    rows.foreach { r =>
+      val (w, exact, cms) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(cms >= exact, s"CMS underestimated '$w': $cms < $exact")
+      assert(cms - exact <= bound,
+        s"'$w' overestimate ${cms - exact} exceeds eps*N = $bound")
+      assert(r.getLong(3) == cms - exact)
+    }
+    // the fixed seed makes the sketch deterministic: a second build
+    // must reproduce every estimate bit-for-bit
+    val again = Extended.cmsHeavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(again.toSeq == rows.map(r => (r.getString(0), r.getLong(2))).toSeq)
+  }
+
   test("s13: recall@k vs s7's full-corpus ADC is bounded below") {
     // s13 = s7's scoring restricted to the query's IVF bucket, so s7's
     // top-k is the natural exact-within-quantization baseline (the
