@@ -84,6 +84,63 @@ object InvariantProps extends Properties("graft.invariants") {
       viaDiv == x && viaDouble != x
     }
 
+  property("d19: Spark removal equals an in-memory reference on random corpora") =
+    Prop.forAll(
+      Gen.chooseNum(2, 4).flatMap(nd => Gen.listOfN(nd,
+        Gen.chooseNum(5, 12).flatMap(n => Gen.listOfN(n, word))))) { docs =>
+      // in-memory reference of the survivor-exempt policy
+      val ws = docs.zipWithIndex.map { case (d, i) => (i.toLong + 1, d) }
+      val grams = for {
+        (id, w) <- ws; i <- 0 to w.length - 3
+      } yield (id, i, w.slice(i, i + 3).mkString(" "))
+      val marked: Set[(Long, Int)] = grams.groupBy(_._3).values
+        .filter(occ => occ.map(_._1).distinct.size >= 2)
+        .flatMap { occ =>
+          occ.sortBy(o => (o._1, o._2)).tail
+            .flatMap(o => (o._2 until o._2 + 3).map(p => (o._1, p)))
+        }.toSet
+      val want = ws.map { case (id, w) =>
+        val kept = w.zipWithIndex.collect {
+          case (x, p) if !marked((id, p)) => x
+        }
+        id -> ((w.length.toLong, (w.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }.toMap
+      val dir = java.nio.file.Files.createTempDirectory("d19p_").toString
+      ws.map { case (id, w) => (id, w.mkString(" ")) }
+        .toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$dir/documents.parquet")
+      val got = graft.queries.Dedup.dupSpanRemoval(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(5))))
+        .toMap
+      got == want
+    }
+
+  property("w11: decayed sum equals a BigInt reference on random event sets") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 3L),       // user
+      Gen.chooseNum(0L, 20L),      // day offset from base
+      Gen.chooseNum(0L, 1000L)))) { evs =>
+      val base = 1704067200000000L // 2024-01-01 UTC
+      val dayUs = 86400L * 1000000L
+      val ref = evs.map(_._2).max
+      val want = evs.groupBy(_._1).view.mapValues { es =>
+        es.map { case (_, d, c) =>
+          BigInt(c) * BigInt(1L << (32 - math.min((ref - d) / 7, 32L)).toInt)
+        }.sum
+      }.toMap
+      val dir = java.nio.file.Files.createTempDirectory("w11p_").toString
+      evs.zipWithIndex.map { case ((u, d, c), i) =>
+        (i.toLong, base + d * dayUs, u, c / 100.0)
+      }.toDF("event_id", "us", "user_id", "value")
+        .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+          "'view' AS event_type", "value", "'{}' AS props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      val got = graft.queries.EventWindows.decayedEngagement(spark, dir)
+        .collect().map(r => r.getLong(0) -> BigInt(r.getLong(2))).toMap
+      got == want
+    }
+
   property("J3: every in-range offset aligns to exactly one sentence") =
     Prop.forAll(Gen.nonEmptyListOf(sentenceGen)) { sents =>
       val df = sents.zipWithIndex
