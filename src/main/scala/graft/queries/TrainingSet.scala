@@ -701,7 +701,74 @@ object TrainingSet {
       .orderBy(col("in_file"))
   }
 
+  /** p18 water-filling budget: fraction of the corpus the allocation
+    * must fit (9/10 — sized so the smallest sources SATURATE on the
+    * testdata at every SF, keeping both branches of the allocator
+    * live).
+    */
+  val WaterfillBudgetNum = 9L
+  val WaterfillBudgetDen = 10L
+
+  /** p18 — per-source token allocation by WATER-FILLING under caps,
+    * the fair-division algorithm multilingual/multi-source budget
+    * planning actually uses (each source holds cap_i tokens; a global
+    * budget B is poured: every source receives min(cap_i, λ) with λ
+    * the common water level): small sources keep everything they have
+    * (saturated), large sources are clipped to λ — proportional
+    * splits (p9's α-mix) over-serve giants and starve the tail, and a
+    * uniform B/n over-allocates past small sources' caps.
+    *
+    * Closed form, no iteration: sources sorted by cap ascending, k-th
+    * source saturates iff cap_k·(n−k+1) + Σ_{j<k} cap_j ≤ B (monotone
+    * in k, so the saturated set is a prefix); λ = (B − Σ_sat cap) div
+    * |unsat| — all exact integer math, the p2 `div` discipline; the
+    * < |unsat| rounding slack stays unallocated (deterministic; a
+    * real run would spend it by source order). Budget ≥ total ⇒
+    * everyone saturates and λ's div-by-zero branch is guarded to
+    * "alloc = cap".
+    *
+    * Scale shape: per-source caps are one hash agg over the cached
+    * quality frame; the sorted prefix rides `GlobalPrefix`'s two-phase
+    * scan — at 10⁵ web DOMAINS as sources this is the same
+    * single-partition-window trap p17 avoids; the scalars (n, total,
+    * budget, λ) are 1-row broadcasts (p9 discipline).
+    */
+  def budgetWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val caps = TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("cap_tokens"))
+    val g = graft.operators.GlobalPrefix
+      .withPrefix(caps, col("cap_tokens"), Seq(col("source")), col("cap_tokens"))
+      .withColumn("before", col("prefix") - col("cap_tokens"))
+    val tot = caps.agg(
+        sum(col("cap_tokens")).as("total"), count(lit(1)).as("n"))
+      .select(col("total"), col("n"),
+        expr(s"(total * $WaterfillBudgetNum) div $WaterfillBudgetDen")
+          .as("budget"))
+    val flagged = g.crossJoin(broadcast(tot))
+      .withColumn(
+        "sat",
+        col("cap_tokens") * (col("n") - col("gidx") + 1) + col("before")
+          <= col("budget"))
+    val lam = flagged.agg(
+        sum(when(col("sat"), col("cap_tokens")).otherwise(lit(0L)))
+          .as("sat_caps"),
+        sum(when(col("sat"), lit(1L)).otherwise(lit(0L))).as("n_sat"),
+        first(col("budget")).as("budget"), first(col("n")).as("n"))
+      .select(
+        when(col("n") === col("n_sat"), lit(Long.MaxValue))
+          .otherwise(expr("(budget - sat_caps) div (n - n_sat)")).as("lam"))
+    flagged.crossJoin(broadcast(lam))
+      .select(
+        col("source"), col("cap_tokens"), col("sat").as("saturated"),
+        least(col("cap_tokens"), col("lam")).as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_budget_waterfill" -> budgetWaterfill,
     "p16_release_pipeline" -> releasePipeline,
     "p15_dataset_digest" -> datasetDigest,
     "p14_length_histogram" -> lengthHistogram,
@@ -975,6 +1042,46 @@ object TrainingSet {
             SELECT in_file, n_docs, file_tokens,
                    CAST(cum_before // $CompactionTargetTokens AS BIGINT) AS out_bin
             FROM planned ORDER BY in_file""",
+      // p18: the same closed-form water-fill — saturated prefix via
+      // the monotone condition over the cap-ascending order, λ from
+      // the saturated aggregate, all `//` exact integer division
+      "p18_budget_waterfill" ->
+        s"""WITH $qualityCtes,
+            caps AS (
+              SELECT d.source, CAST(SUM(q.n_tokens) AS BIGINT) AS cap_tokens
+              FROM quality q JOIN documents d USING (doc_id) GROUP BY 1),
+            tot AS (
+              SELECT CAST(SUM(cap_tokens) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(cap_tokens) * $WaterfillBudgetNum
+                       // $WaterfillBudgetDen AS BIGINT) AS budget
+              FROM caps),
+            idxd AS (
+              SELECT source, cap_tokens,
+                     CAST(row_number() OVER
+                       (ORDER BY cap_tokens, source) AS BIGINT) AS gidx,
+                     CAST(COALESCE(SUM(cap_tokens) OVER
+                       (ORDER BY cap_tokens, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS bef
+              FROM caps),
+            flagged AS (
+              SELECT i.source, i.cap_tokens, i.gidx, i.bef, t.n, t.budget,
+                     (i.cap_tokens * (t.n - i.gidx + 1) + i.bef) <= t.budget
+                       AS sat
+              FROM idxd i, tot t),
+            lam AS (
+              SELECT CASE
+                WHEN MAX(n) = SUM(CASE WHEN sat THEN 1 ELSE 0 END)
+                THEN 9223372036854775807
+                ELSE CAST((MAX(budget)
+                       - SUM(CASE WHEN sat THEN cap_tokens ELSE 0 END))
+                     // (MAX(n) - SUM(CASE WHEN sat THEN 1 ELSE 0 END))
+                     AS BIGINT) END AS lam
+              FROM flagged)
+            SELECT f.source, f.cap_tokens, f.sat AS saturated,
+                   CAST(LEAST(f.cap_tokens, l.lam) AS BIGINT) AS alloc_tokens
+            FROM flagged f, lam l ORDER BY f.source""",
       "p3_language_mix" ->
         s"""WITH $qualityCtes,
             q2 AS (

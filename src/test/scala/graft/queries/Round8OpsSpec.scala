@@ -100,6 +100,46 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(2L) == ((1L, 100L * w32, 100.0)), got(2L))
   }
 
+  test("p18: water-fill invariants hold on the testdata") {
+    val rows = TrainingSet.budgetWaterfill(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    val budget = total * TrainingSet.WaterfillBudgetNum /
+      TrainingSet.WaterfillBudgetDen
+    val unsat = rows.filterNot(_._3)
+    // allocation fits the budget; rounding slack < |unsat| (the div floor)
+    val alloc = rows.map(_._4).sum
+    assert(alloc <= budget, s"allocated $alloc > budget $budget")
+    assert(budget - alloc < math.max(unsat.size.toLong, 1L),
+      s"slack ${budget - alloc} >= |unsat| ${unsat.size} — λ not maximal")
+    // saturated ⇔ alloc = cap; unsaturated share one level λ ≤ cap
+    rows.foreach { case (s, cap, sat, a) =>
+      if (sat) assert(a == cap, s"$s saturated but alloc $a != cap $cap")
+      else assert(a < cap, s"$s unsaturated but alloc $a >= cap $cap")
+    }
+    assert(unsat.map(_._4).distinct.size <= 1, "unsaturated λ levels differ")
+    assert(unsat.nonEmpty, "clipping must be live on the testdata")
+  }
+
+  test("p18: a giant source is clipped, the tail keeps everything (skew fixture)") {
+    import spark.implicits._
+    // caps 10/10/10/1000, budget 9/10 · 1030 = 927:
+    // tail saturates (30), λ = 897 clips the giant
+    val docs = Seq.tabulate(4) { s =>
+      val words = if (s == 3) 1000 else 10
+      (s.toLong, Seq.fill(words)("w").mkString(" "), s"s$s")
+    }
+    val fdir = java.nio.file.Files.createTempDirectory("p18_fix_").toString
+    docs.toDF("doc_id", "text", "source")
+      .coalesce(1).write.parquet(s"$fdir/documents.parquet")
+    val got = TrainingSet.budgetWaterfill(spark, fdir).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+    assert(got("s0") == ((true, 10L)) && got("s1") == ((true, 10L))
+      && got("s2") == ((true, 10L)), got)
+    assert(got("s3") == ((false, 897L)), got)
+  }
+
   test("x19: CMS estimates bracket the exact counts — never under, <= eps*N over") {
     val rows = Extended.cmsHeavyHitters(spark, dir).collect()
     assert(rows.length == Extended.CmsTopK)
