@@ -52,7 +52,19 @@ object Tables {
     */
   def eventsUs(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
-    e.withColumn("tus", microsExpr(e.schema("ts").dataType, "ts"))
+    val dt = e.schema("ts").dataType
+    // The NTZ→LTZ cast interprets the wall clock in the session time
+    // zone; anything but UTC silently shifts every event time, so fail
+    // loudly here rather than emit wrong windows (every engine entry
+    // point — Verify/Bench/Explain/SparkSpec — pins UTC).
+    if (dt == TimestampNTZType) {
+      val tz = s.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events.ts is TIMESTAMP_NTZ and the session time zone is '$tz': " +
+          "the epoch-µs derivation is only exact under UTC — set " +
+          "spark.sql.session.timeZone=UTC (the Verify/Bench discipline)")
+    }
+    e.withColumn("tus", microsExpr(dt, "ts"))
   }
 
   /** The epoch-µs derivation for one event-time column (see `eventsUs`).

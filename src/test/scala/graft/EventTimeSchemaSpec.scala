@@ -165,6 +165,24 @@ class EventTimeSchemaSpec extends SparkSpec {
     assert(err.getMessage.contains("StringType"), "error must name the type")
   }
 
+  test("eventsUs refuses a non-UTC session on NTZ data instead of shifting it") {
+    // the driver testdata is the NTZ case (Spark-written µs fixtures
+    // read back as LTZ, which is tz-independent and needs no guard)
+    val ntzDir = sfDirs.head
+    assert(
+      Tables.events(spark, ntzDir).schema("ts").dataType == TimestampNTZType,
+      "precondition: testdata ts must read as TIMESTAMP_NTZ")
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val err = intercept[IllegalArgumentException] {
+        Tables.eventsUs(spark, ntzDir)
+      }
+      assert(err.getMessage.contains("UTC"), err.getMessage)
+    } finally spark.conf.set(key, saved)
+  }
+
   // ------------------------------------- super-user state bound (w8/w9)
 
   /** A converter fully inside the analysis range, and a "super-user"
