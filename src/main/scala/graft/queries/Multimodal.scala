@@ -53,6 +53,50 @@ object Multimodal {
           .as("frame_hash"))
       .orderBy(col("doc_id"), col("frame_index"))
 
+  /** m5 window geometry, in hex chars (2 per byte): 32-byte windows
+    * advancing 16 bytes — every interior boundary is covered by two
+    * chunks, the property disjoint framing (m3) lacks.
+    */
+  val ChunkHexWidth = 64
+  val ChunkHexStride = 32
+
+  /** m5 — OVERLAPPED chunk windowing, the ASR / embedding ingestion
+    * shape (Whisper's 30 s windows on a 5–25 s stride; sliding-window
+    * text-embedding chunking): fixed-width windows advancing by a
+    * stride < width, so content near a boundary appears in TWO chunks
+    * and no transcription/embedding loses its context to a hard cut —
+    * the semantics m3's disjoint frames deliberately don't have. Chunk
+    * count is length-derived (⌈(len−W)/S⌉+1, one chunk for short
+    * docs); the tail chunk is kept short rather than padded, with
+    * exact [start_byte, end_byte) offsets emitted for downstream
+    * alignment (the W2/J3 span discipline).
+    *
+    * Scale shape: a pure 1→k generator inside the scan projection —
+    * explode over a length-derived sequence, no shuffle, no state;
+    * AQE rebalances the fan-out. Hashes ride the hex spelling so both
+    * engines digest identical bytes (the m3 trick).
+    */
+  def overlapChunks(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+      .withColumn("hl", length(col("hx")).cast("long"))
+      .withColumn(
+        "nc",
+        when(col("hl") <= ChunkHexWidth, 1L)
+          .otherwise(expr(
+            s"((hl - $ChunkHexWidth + ${ChunkHexStride - 1})" +
+              s" div $ChunkHexStride) + 1")))
+      .withColumn("chunk_index", explode(sequence(lit(0L), col("nc") - 1)))
+      .select(
+        col("doc_id"), col("chunk_index"),
+        expr(s"(chunk_index * $ChunkHexStride) div 2").as("start_byte"),
+        expr(s"least(chunk_index * $ChunkHexStride + $ChunkHexWidth, hl) div 2")
+          .as("end_byte"),
+        md5(expr(
+          s"cast(substring(hx, cast(chunk_index * $ChunkHexStride + 1 as int)," +
+            s" $ChunkHexWidth) as binary)")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
   /** Frame-level containment dedup (m4) — the video near-dup pattern:
     * two media items sharing ≥ `MinSharedFrames` frame hashes evidence
     * clip reuse even when full-content hashes differ. Inverted-index
@@ -83,7 +127,8 @@ object Multimodal {
     "m1_binary_meta" -> binaryMeta,
     "m2_content_features" -> contentFeatures,
     "m3_frame_slices" -> frameSlices,
-    "m4_frame_dedup" -> frameDedup)
+    "m4_frame_dedup" -> frameDedup,
+    "m5_overlap_chunks" -> overlapChunks)
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -116,5 +161,27 @@ object Multimodal {
             ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
           GROUP BY 1, 2
           HAVING COUNT(*) >= $MinSharedFrames
-          ORDER BY a_id, b_id""")
+          ORDER BY a_id, b_id""",
+    "m5_overlap_chunks" ->
+      s"""WITH h AS (
+            SELECT doc_id, upper(hex(encode(text))) AS hx,
+                   CAST(LENGTH(upper(hex(encode(text)))) AS BIGINT) AS hl
+            FROM documents),
+          n AS (
+            SELECT doc_id, hx, hl,
+                   CASE WHEN hl <= $ChunkHexWidth THEN 1
+                        ELSE (hl - $ChunkHexWidth + ${ChunkHexStride - 1})
+                             // $ChunkHexStride + 1 END AS nc
+            FROM h),
+          c AS (
+            SELECT doc_id, hx, hl,
+                   unnest(generate_series(0, nc - 1)) AS ci
+            FROM n)
+          SELECT doc_id, CAST(ci AS BIGINT) AS chunk_index,
+                 CAST(ci * $ChunkHexStride // 2 AS BIGINT) AS start_byte,
+                 CAST(LEAST(ci * $ChunkHexStride + $ChunkHexWidth, hl) // 2
+                   AS BIGINT) AS end_byte,
+                 md5(substr(hx, CAST(ci * $ChunkHexStride + 1 AS BIGINT),
+                   $ChunkHexWidth)) AS chunk_hash
+          FROM c ORDER BY doc_id, chunk_index""")
 }

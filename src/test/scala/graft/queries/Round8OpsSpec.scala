@@ -159,6 +159,33 @@ class Round8OpsSpec extends SparkSpec {
     assert(again.toSeq == rows.map(r => (r.getString(0), r.getLong(2))).toSeq)
   }
 
+  test("m5: overlapped chunks tile every document with stride overlap") {
+    val byteStride = Multimodal.ChunkHexStride / 2
+    val byteWidth = Multimodal.ChunkHexWidth / 2
+    val lens = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(octet_length(CAST(text AS BINARY)) AS LONG) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = Multimodal.overlapChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet == lens.keySet)
+    chunks.foreach { case (d, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // starts advance by the stride; first at 0; last chunk ends at len
+      sorted.zipWithIndex.foreach { case ((_, i, s, e), k) =>
+        assert(i == k && s == k.toLong * byteStride)
+        assert(e == math.min(s + byteWidth, lens(d)), s"doc $d chunk $k")
+      }
+      assert(sorted.last._4 == lens(d), s"doc $d tail not covered")
+      // interior boundaries are double-covered: next start < this end
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 < a._4, s"doc $d lost overlap between ${a._2} and ${b._2}")
+        case _ => ()
+      }
+    }
+  }
+
   test("s13: recall@k vs s7's full-corpus ADC is bounded below") {
     // s13 = s7's scoring restricted to the query's IVF bucket, so s7's
     // top-k is the natural exact-within-quantization baseline (the
