@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -767,7 +767,61 @@ object TrainingSet {
       .orderBy(col("source"))
   }
 
+  /** p19 shard-count change under audit: N → N+1. */
+  val ShardsBefore = 8
+  val ShardsAfter = 9
+
+  /** p19 — resharding stability audit via RENDEZVOUS (highest-random-
+    * weight) hashing, the consistent-placement scheme shard/cache
+    * layers use (Thaler & Ravishankar 1998; Ceph/Riak lineage): doc d
+    * goes to argmax_k hash(d, k). When the shard count changes N→N+1,
+    * a doc moves ONLY if the new shard's weight beats all its old ones
+    * — expected movement 1/(N+1) of the corpus — where p4's
+    * content-mod placement remaps ~N/(N+1) of ALL docs (every doc
+    * whose hash changes residue). At 100 TB the difference is
+    * re-copying ~11 TB vs ~89 TB on a reshard; this audit MEASURES it
+    * on the corpus, per destination shard.
+    *
+    * Deterministic: weights are md5(doc_id:k) 56-bit hex prefixes
+    * (exact integers, the m2 conv trick) PACKED with the shard id —
+    * w·16 + k, one orderable BIGINT (the w6 okey discipline; k < 16 so
+    * the pack is lossless and ties, never hit with 56-bit weights,
+    * break to the higher k) — because DuckDB's arg_max can't order by
+    * a struct; both engines argmax the identical packed integer.
+    *
+    * Scale shape: per-row N+(N+1) codegen'd hash evaluations + one
+    * array_max projection — no explode, no join; one hash agg by
+    * destination shard. Linear, embarrassingly parallel.
+    */
+  def rendezvousShards(spark: SparkSession, dir: String): DataFrame = {
+    def weight(k: Int): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(s":$k"))),
+        1, 14), 16, 10).cast("long")
+    def assign(n: Int): Column =
+      array_max(array((0 until n).map(k =>
+        struct((weight(k) * 16 + k).as("p"), lit(k.toLong).as("k"))): _*))
+        .getField("k")
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        assign(ShardsBefore).as("before_rdv"),
+        assign(ShardsAfter).as("after_rdv"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(ShardsBefore.toLong)).as("before_mod"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(ShardsAfter.toLong)).as("after_mod"))
+      .groupBy(col("after_rdv").as("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("before_rdv") =!= col("after_rdv"), 1L).otherwise(0L))
+          .as("moved_rdv"),
+        sum(when(col("before_mod") =!= col("after_mod"), 1L).otherwise(0L))
+          .as("moved_mod"))
+      .orderBy(col("shard_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_rendezvous_shards" -> rendezvousShards,
     "p18_budget_waterfill" -> budgetWaterfill,
     "p16_release_pipeline" -> releasePipeline,
     "p15_dataset_digest" -> datasetDigest,
@@ -1042,6 +1096,39 @@ object TrainingSet {
             SELECT in_file, n_docs, file_tokens,
                    CAST(cum_before // $CompactionTargetTokens AS BIGINT) AS out_bin
             FROM planned ORDER BY in_file""",
+      // p19: assignments re-derived per doc via unnest+arg_max over
+      // the identical packed w*16+k key; hex→int via the m2 conv trick
+      "p19_rendezvous_shards" ->
+        s"""WITH w8 AS (
+              SELECT d.doc_id,
+                     arg_max(k.k, CAST(concat('0x',
+                       substr(md5(d.doc_id::VARCHAR || ':' || k.k::VARCHAR),
+                         1, 14)) AS BIGINT) * 16 + k.k) AS before_rdv
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range($ShardsBefore)) AS k) k
+              GROUP BY d.doc_id),
+            w9 AS (
+              SELECT d.doc_id,
+                     arg_max(k.k, CAST(concat('0x',
+                       substr(md5(d.doc_id::VARCHAR || ':' || k.k::VARCHAR),
+                         1, 14)) AS BIGINT) * 16 + k.k) AS after_rdv
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range($ShardsAfter)) AS k) k
+              GROUP BY d.doc_id),
+            m AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15))
+                       AS BIGINT) AS h
+              FROM documents)
+            SELECT w9.after_rdv AS shard_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN w8.before_rdv <> w9.after_rdv
+                     THEN 1 ELSE 0 END) AS BIGINT) AS moved_rdv,
+                   CAST(SUM(CASE WHEN (m.h % $ShardsBefore)
+                       <> (m.h % $ShardsAfter)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod
+            FROM w9 JOIN w8 USING (doc_id) JOIN m USING (doc_id)
+            GROUP BY 1 ORDER BY 1""",
       // p18: the same closed-form water-fill — saturated prefix via
       // the monotone condition over the cap-ascending order, λ from
       // the saturated aggregate, all `//` exact integer division

@@ -140,6 +140,22 @@ class Round8OpsSpec extends SparkSpec {
     assert(got("s3") == ((false, 897L)), got)
   }
 
+  test("p19: rendezvous movement is ~1/(N+1); mod-hash moves most of the corpus") {
+    val rows = TrainingSet.rendezvousShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every destination shard 0..8 populated, assignments in range
+    assert(rows.map(_._1).sorted.toSeq ==
+      (0L until TrainingSet.ShardsAfter.toLong))
+    val n = rows.map(_._2).sum.toDouble
+    val rdv = rows.map(_._3).sum / n
+    val mod = rows.map(_._4).sum / n
+    info(f"moved: rendezvous $rdv%.3f vs mod $mod%.3f of the corpus")
+    // theory: 1/9 ≈ 0.11 vs 8/9 ≈ 0.89 — pinned with slack for the
+    // finite corpus, wide enough apart that they can never cross
+    assert(rdv < 0.25, f"rendezvous moved $rdv%.3f — not consistent-hashing")
+    assert(mod > 0.7, f"mod moved only $mod%.3f — the audit lost its contrast")
+  }
+
   test("x19: CMS estimates bracket the exact counts — never under, <= eps*N over") {
     val rows = Extended.cmsHeavyHitters(spark, dir).collect()
     assert(rows.length == Extended.CmsTopK)
