@@ -572,7 +572,48 @@ object TextOps {
         (col("norm_text") =!= col("text")).as("changed"))
       .orderBy(col("doc_id"))
 
+  /** t18 prefix sizes: powers of two from inside the growth region
+    * (the synthetic corpus's 31-word vocabulary saturates near N≈128,
+    * so N=8..64 shows the climb — 8/14/24/30 at sf0.001) out past the
+    * corpus word count (~27k), where the row degenerates to the
+    * full-corpus vocabulary and pins the asymptote.
+    */
+  val VocabThresholds: Seq[Long] = (3 to 15).map(1L << _)
+
+  /** t18 — Heaps'-law vocabulary growth: |vocab| among the corpus's
+    * first N words for N = 2^8..2^15, the curve tokenizer sizing and
+    * dedup-rate forecasting read (V(N) ≈ K·N^β; the β bend tells you
+    * how fast new text stops paying). "First N" is exact and
+    * deterministic: the global word order is (doc_id, pos), indexed by
+    * `GlobalPrefix`'s two-phase scan — never an unpartitioned
+    * row_number (the p2/p17 discipline; the oracle's single-threaded
+    * window is its luxury). The threshold fan-out is a broadcast ×8
+    * explode feeding one (threshold) hash agg — the distinct runs
+    * map-side partial per threshold. Emits exact integers only; the
+    * K/β fit is driver-side curve fitting, not engine math.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val indexed = graft.operators.GlobalPrefix
+      .withPrefix(
+        cachedWords(spark, dir),
+        rangeKey = col("doc_id"),
+        tieBreaks = Seq(col("pos")),
+        value = lit(1L))
+      .select(col("gidx"), col("word"))
+    indexed
+      .withColumn(
+        "threshold",
+        explode(typedLit(VocabThresholds)))
+      .filter(col("gidx") <= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("vocab"))
+      .orderBy(col("threshold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_vocab_growth" -> vocabGrowth,
     "t17_normalize" -> normalizeText,
     "t15_length_outliers" -> lengthOutliers,
     "t14_pii_redaction" -> piiRedaction,
@@ -617,6 +658,21 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    // t18: the oracle can afford the single-threaded global window;
+    // the Spark side rides GlobalPrefix for the same total order
+    "t18_vocab_growth" ->
+      s"""WITH $wordsCte,
+          idx AS (
+            SELECT word,
+                   CAST(row_number() OVER (ORDER BY doc_id, pos) AS BIGINT)
+                     AS gidx
+            FROM words),
+          t AS (SELECT unnest([${VocabThresholds.mkString(", ")}]) AS thr)
+          SELECT CAST(t.thr AS BIGINT) AS threshold,
+                 COUNT(*) AS n_words,
+                 CAST(COUNT(DISTINCT i.word) AS BIGINT) AS vocab
+          FROM t JOIN idx i ON i.gidx <= t.thr
+          GROUP BY 1 ORDER BY 1""",
     "t17_normalize" ->
       s"""WITH n AS (
             SELECT doc_id, text,

@@ -156,6 +156,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(mod > 0.7, f"mod moved only $mod%.3f — the audit lost its contrast")
   }
 
+  test("t18: vocabulary growth is monotone, bounded by N, and actually grows") {
+    val rows = TextOps.vocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == TextOps.VocabThresholds)
+    rows.foreach { case (thr, n, v) =>
+      assert(n <= thr, s"prefix $thr counted $n > $thr words")
+      assert(v <= n, s"prefix $thr vocab $v > $n words seen")
+    }
+    val vocabs = rows.sortBy(_._1).map(_._3)
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => a <= b },
+      s"vocab not monotone: ${vocabs.toSeq}")
+    assert(vocabs.last > vocabs.head,
+      "curve is flat from the first threshold — thresholds start too late")
+    // past-the-end threshold clamps to the corpus
+    val total = TextOps.cachedWords(spark, dir).count()
+    assert(rows.maxBy(_._1)._2 == math.min(rows.maxBy(_._1)._1, total))
+  }
+
   test("x19: CMS estimates bracket the exact counts — never under, <= eps*N over") {
     val rows = Extended.cmsHeavyHitters(spark, dir).collect()
     assert(rows.length == Extended.CmsTopK)
