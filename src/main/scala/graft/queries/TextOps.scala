@@ -220,6 +220,90 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** t19 rule bounds — the Gopher repetition-free quality gates (Rae et
+    * al. 2021, A.1.1), expressed as exact INTEGER comparisons: every
+    * ratio threshold r = a/b becomes `b·x {<,>} a·y` cross-multiplied,
+    * so no float ever enters a flag and the cross-engine hash compare
+    * is trivially stable. Word-length means, symbol ratios, and line
+    * fractions all follow this discipline.
+    */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanLen = 3L
+  val GopherMaxMeanLen = 10L
+  val GopherMinStopKinds = 2L
+
+  /** t19 — the full Gopher-style document-quality rule battery (Rae et
+    * al. 2021 A.1.1), the production superset of t12's 3-rule C4 gate:
+    * per doc — word count ∈ [50, 100k], mean word length ∈ [3, 10],
+    * symbol-to-word ratio (# and … marks) < 1/10, ≥ 4/5 of words
+    * containing an alphabetic character, ≥ 2 distinct required
+    * stopwords, ≤ 9/10 of lines bullet-led, ≤ 3/10 of lines
+    * ellipsis-terminated — and the conjunction `keep`. These cheap
+    * gates run before every expensive dedup/ANN tier and typically
+    * drop 20–50% of a raw crawl.
+    *
+    * Scale shape: ONE hash aggregate over the session-cached words for
+    * the word-level stats, one pure per-row projection over `documents`
+    * for the text/line-level counts (array ops inside codegen — no
+    * explode, no shuffle), and a 1:1 doc_id equi-join between them.
+    * Every flag is an integer cross-multiplication (see the bound
+    * constants) — no float thresholds anywhere.
+    *
+    * The synthetic corpus has no symbols/newlines, so the symbol and
+    * line rules pass corpus-wide here; `Round8bOpsSpec` exercises both
+    * branches of every rule on planted fixture docs.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val ws = cachedWords(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("sum_len"),
+        sum(when(col("word").rlike("[a-z]"), 1L).otherwise(0L))
+          .as("n_alpha"),
+        countDistinct(when(col("word").isin(EnStop: _*), col("word")))
+          .as("n_stop_kinds"))
+    val lines = split(col("text"), "\n", -1)
+    val tx = documents(spark, dir)
+      .select(
+        col("doc_id"),
+        (length(col("text")) - length(replace(col("text"), lit("#"), lit(""))))
+          .cast("long").as("n_hash"),
+        expr("(length(text) - length(replace(text, '...', ''))) div 3")
+          .as("n_ellipsis"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l =>
+          l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+          .cast("long").as("n_bullet"),
+        size(filter(lines, l => l.endsWith("...")))
+          .cast("long").as("n_ellip_lines"))
+    val flagWordCount =
+      col("n_words") < GopherMinWords || col("n_words") > GopherMaxWords
+    val flagMeanLen =
+      col("sum_len") < col("n_words") * GopherMinMeanLen ||
+        col("sum_len") > col("n_words") * GopherMaxMeanLen
+    val flagSymbol = (col("n_hash") + col("n_ellipsis")) * 10 >= col("n_words")
+    val flagAlpha = col("n_alpha") * 5 < col("n_words") * 4
+    val flagStop = col("n_stop_kinds") < GopherMinStopKinds
+    val flagBullet = col("n_bullet") * 10 > col("n_lines") * 9
+    val flagEllipsis = col("n_ellip_lines") * 10 > col("n_lines") * 3
+    ws.join(tx, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        flagWordCount.as("flag_word_count"),
+        flagMeanLen.as("flag_mean_len"),
+        flagSymbol.as("flag_symbol_ratio"),
+        flagAlpha.as("flag_alpha_words"),
+        flagStop.as("flag_stopwords"),
+        flagBullet.as("flag_bullet_lines"),
+        flagEllipsis.as("flag_ellipsis_lines"),
+        (!(flagWordCount || flagMeanLen || flagSymbol || flagAlpha ||
+          flagStop || flagBullet || flagEllipsis)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Tiny marker lexicons for the language-ID heuristic. */
   val LangLexicons: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "an", "and", "of", "to", "is", "in"),
@@ -613,6 +697,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_gopher_rules" -> gopherRules,
     "t18_vocab_growth" -> vocabGrowth,
     "t17_normalize" -> normalizeText,
     "t15_length_outliers" -> lengthOutliers,
@@ -658,6 +743,51 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    // t19: every flag is the same integer cross-multiplication the
+    // Spark side computes — no float threshold anywhere
+    "t19_gopher_rules" ->
+      s"""WITH $wordsCte,
+          ws AS (
+            SELECT doc_id, COUNT(*) AS n_words,
+                   CAST(SUM(LENGTH(word)) AS BIGINT) AS sum_len,
+                   CAST(SUM(CASE WHEN regexp_matches(word, '[a-z]')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+                   CAST(COUNT(DISTINCT CASE WHEN word IN (${inList(EnStop)})
+                     THEN word END) AS BIGINT) AS n_stop_kinds
+            FROM words GROUP BY doc_id),
+          tx AS (
+            SELECT doc_id,
+                   CAST(LENGTH(text) - LENGTH(replace(text, '#', ''))
+                     AS BIGINT) AS n_hash,
+                   CAST(LENGTH(text) - LENGTH(replace(text, '...', ''))
+                     AS BIGINT) // 3 AS n_ellipsis,
+                   CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                     l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                       OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                     l -> ends_with(l, '...'))) AS BIGINT) AS n_ellip_lines
+            FROM documents)
+          SELECT ws.doc_id, n_words,
+                 n_words < $GopherMinWords OR n_words > $GopherMaxWords
+                   AS flag_word_count,
+                 sum_len < $GopherMinMeanLen * n_words
+                   OR sum_len > $GopherMaxMeanLen * n_words AS flag_mean_len,
+                 (n_hash + n_ellipsis) * 10 >= n_words AS flag_symbol_ratio,
+                 n_alpha * 5 < n_words * 4 AS flag_alpha_words,
+                 n_stop_kinds < $GopherMinStopKinds AS flag_stopwords,
+                 n_bullet * 10 > n_lines * 9 AS flag_bullet_lines,
+                 n_ellip_lines * 10 > n_lines * 3 AS flag_ellipsis_lines,
+                 NOT (n_words < $GopherMinWords OR n_words > $GopherMaxWords
+                   OR sum_len < $GopherMinMeanLen * n_words
+                   OR sum_len > $GopherMaxMeanLen * n_words
+                   OR (n_hash + n_ellipsis) * 10 >= n_words
+                   OR n_alpha * 5 < n_words * 4
+                   OR n_stop_kinds < $GopherMinStopKinds
+                   OR n_bullet * 10 > n_lines * 9
+                   OR n_ellip_lines * 10 > n_lines * 3) AS keep
+          FROM ws JOIN tx USING (doc_id)
+          ORDER BY doc_id""",
     // t18: the oracle can afford the single-threaded global window;
     // the Spark side rides GlobalPrefix for the same total order
     "t18_vocab_growth" ->
