@@ -503,7 +503,77 @@ object Extended {
       .orderBy(col("a_custkey"), col("b_custkey"))
   }
 
+  /** x20 build-side predicate: ~10% of orders at every SF, so the
+    * bloom prunes ~90% of the probe side pre-shuffle — selective
+    * enough that the runtime-filter shape actually pays.
+    */
+  val BloomOrderDollars = 450000
+
+  /** False-positive probability for the x20 bloom: 1% keeps the filter
+    * a few KB per million build keys while letting only ~1% of
+    * non-matching probe rows through to the residual join.
+    */
+  val BloomFpp = 0.01
+
+  /** x20 — Bloom-pruned join (the "runtime filter" / sideways-
+    * information-passing shape Spark's own
+    * `InjectRuntimeFilter`/`BloomFilterMightContain` rule applies
+    * under AQE, written out as a first-class operator): the selective
+    * build side (orders > $450k, ~10% of keys) folds its join keys
+    * into a fixed-size Bloom filter, the filter broadcasts to every
+    * probe task, and the 100×-bigger probe side (lineitem) drops ~90%
+    * of its rows INSIDE the scan stage — before paying the shuffle.
+    * The residual equi-join then removes the bloom's ≤1% false
+    * positives, so the result is EXACTLY the plain join's (false
+    * negatives are impossible by construction) — which is why, unlike
+    * the p10 contamination probe, this query is fully oracle-checked:
+    * the oracle replays the unpruned join.
+    *
+    * 100 TB posture: the win is shuffle bytes — the probe side
+    * shuffles 10% of itself instead of 100%. The build side may be
+    * far too big to broadcast AS ROWS (no broadcast-hash join) while
+    * its bloom is still KB–MB (8–10 bits/key at 1% fpp): the filter
+    * rides an explicit `sparkContext.broadcast`, fetched once per
+    * executor, and the probe is branch-free hashing in the scan. The
+    * bloom build is FIT-time control data (memoized per session/dir,
+    * the p10/k-means discipline); the probe is a UDF by necessity —
+    * no public scalar expression reads a BloomFilter.
+    */
+  /** The memoized broadcast bloom of x20's build-side keys (exposed to
+    * the spec, which bounds the false-positive rate against it).
+    */
+  private[queries] def x20Bloom(spark: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] =
+    SessionCache.memo(spark, dir, "x20Bloom") {
+      val big = orders(spark, dir)
+        .filter(col("o_totalprice") > BloomOrderDollars)
+        .select(col("o_orderkey"))
+      val n = big.count()
+      spark.sparkContext.broadcast(
+        big.stat.bloomFilter("o_orderkey", math.max(n, 1L), BloomFpp))
+    }
+
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = orders(spark, dir)
+      .filter(col("o_totalprice") > BloomOrderDollars)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bfB = x20Bloom(spark, dir)
+    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    lineitem(spark, dir)
+      .select(
+        col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .filter(mightContain(col("l_orderkey")))
+      .join(big, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_bloom_join" -> bloomPrunedJoin,
     "x18_fuzzy_join" -> fuzzyJoin,
     "x10_set_ops" -> setOps,
     "x14_rank_family" -> rankFamily,
@@ -525,6 +595,17 @@ object Extended {
     "x4_distinct_counts" -> distinctCounts)
 
   val oracleSql: Map[String, String] = Map(
+    // x20: the UNPRUNED join — the bloom admits no false negatives and
+    // the residual equi-join removes its false positives, so the plain
+    // form IS the correctness contract (the x13 salting argument)
+    "x20_bloom_join" ->
+      s"""SELECT o_orderpriority,
+                 COUNT(*) AS n_lineitems,
+                 CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS sum_cents
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_totalprice > $BloomOrderDollars
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the blocking-free brute force: if Spark's deletion-neighborhood
     // blocking dropped ANY true pair, the hashes would diverge
     "x18_fuzzy_join" ->

@@ -82,6 +82,55 @@ class Round8bOpsSpec extends SparkSpec {
     assert(wc.length == 2, s"flag_word_count constant on corpus: ${wc.toSeq}")
   }
 
+  test("x20: bloom-pruned join result equals the plain unpruned join") {
+    val got = Extended.bloomPrunedJoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(
+        graft.Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > Extended.BloomOrderDollars)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+  }
+
+  test("x20: bloom admits no false negatives and ≤5% false positives") {
+    val bf = Extended.x20Bloom(spark, dir)
+    val mc = udf((k: Long) => bf.value.mightContain(k))
+    val li = graft.Tables.lineitem(spark, dir)
+    val total = li.count()
+    val pruned = li.filter(mc(col("l_orderkey"))).count()
+    val matching = li
+      .join(
+        graft.Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > Extended.BloomOrderDollars)
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .count()
+    assert(pruned >= matching, "a bloom false negative is impossible")
+    assert(pruned <= matching + (total * 5) / 100,
+      s"false-positive overshoot: pruned=$pruned matching=$matching total=$total")
+    // and the prune must actually bite: ~10% selectivity on this data
+    assert(pruned * 2 < total, s"bloom pruned nothing: $pruned of $total")
+  }
+
+  test("x20 plan: bloom probe filters the lineitem scan before any shuffle") {
+    val plan = Extended.bloomPrunedJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    val iUdf = plan.indexOf("UDF(")
+    assert(iUdf >= 0, s"bloom probe UDF missing from plan:\n$plan")
+    val iScan = plan.indexOf("lineitem.parquet", iUdf)
+    assert(iScan > iUdf, s"bloom filter must sit above the lineitem scan:\n$plan")
+    assert(!plan.substring(iUdf, iScan).contains("Exchange"),
+      s"bloom probe must run pre-shuffle, inside the scan stage:\n$plan")
+  }
+
   test("t19 plan: one words aggregate, a per-row text projection, 1:1 join") {
     val plan = TextOps.gopherRules(spark, dir)
       .queryExecution.executedPlan.toString
