@@ -467,7 +467,141 @@ object EventWindows {
       .orderBy(col("user_id"))
   }
 
+  /** w12 attribution window: views count when strictly before the
+    * purchase and at most 30 minutes old. The blocking band equals the
+    * window, so every candidate pair spans at most two buckets.
+    */
+  val IntervalWindowSec = 1800L
+
+  /** w12 — banded interval join (the general time-RANGE join w4's
+    * point-lookup ASOF specializes): every purchase matched to ALL of
+    * the same user's views in the preceding 30 minutes — the
+    * attribution/correlation join every event pipeline runs ("what did
+    * this user see before buying"). The naive spelling is a θ-join
+    * (`v.ts ∈ [p.ts−W, p.ts)`) — a per-user cross product Catalyst
+    * can only nested-loop. Instead, time-bucket BLOCKING at band = W:
+    * each view keys by its bucket, each purchase probes its own bucket
+    * and the one before (a 2-way explode of control-sized keys), the
+    * join is pure EQUI on (user_id, bucket) — hash-partitionable, no
+    * nested loop — and the exact interval test runs as a codegen'd
+    * residual. Band = window ⇒ any in-window pair is in the same or
+    * adjacent bucket (found), and each pair meets exactly once (the
+    * two probe buckets are distinct) — lossless, no dedup pass.
+    *
+    * Scale: work ∝ true pairs + same-bucket near-misses; probe-side
+    * rows double (two buckets), never explode. Purchases with no
+    * in-window view survive the left join as n_prior_views = 0 /
+    * sentinel -1 ids (no NULLs in the output — the x6 sentinel
+    * discipline). The nearest-view argmax rides a packed BIGINT
+    * ordering key (the w6 okey discipline, same 2^30 id guard).
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bandUs = IntervalWindowSec * UsPerSec
+    val e = eventsUs(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .select(
+        col("user_id"), col("event_id").as("vid"), col("tus").as("vus"))
+      .withColumn("bucket", expr(s"vus div $bandUs"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id").as("pid"), col("tus").as("pus"))
+      .withColumn(
+        "bucket",
+        explode(array(expr(s"pus div $bandUs"), expr(s"pus div $bandUs") - 1)))
+    // the null branch is load-bearing: unmatched LEFT rows carry a null
+    // vid, and a bare `when(vid < base)` would route them into the
+    // overflow raise (NULL comparisons are not true)
+    val okey =
+      when(col("vid").isNull, lit(null).cast("long"))
+        .when(col("vid") < OhlcIdBase,
+          (col("vus") - col("pus") + bandUs) * OhlcIdBase + col("vid"))
+        .otherwise(raise_error(lit(
+          s"w12: event_id >= $OhlcIdBase overflows the packed ordering " +
+            "key - widen the base or use a struct key")).cast("long"))
+    p.join(
+      v,
+      p("user_id") === v("user_id") && p("bucket") === v("bucket") &&
+        col("vus") < col("pus") && col("vus") >= col("pus") - bandUs,
+      "left")
+      .select(
+        col("pid"), p("user_id").as("user_id"), col("pus"),
+        col("vid"), col("vus"), okey.as("okey"))
+      .groupBy(col("pid"), col("user_id"), col("pus"))
+      .agg(
+        count(col("vid")).as("n_prior_views"),
+        coalesce(max_by(col("vid"), col("okey")), lit(-1L))
+          .as("nearest_view_id"),
+        coalesce(col("pus") - max(col("vus")), lit(-1L)).as("min_gap_us"))
+      .select(
+        col("pid").as("purchase_id"), col("user_id"),
+        col("pus").as("purchase_us"), col("n_prior_views"),
+        col("nearest_view_id"), col("min_gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** w13 rolling-baseline parameters: hourly buckets scored against
+    * the trailing 24-hour sum; top 3 per event type.
+    */
+  val SpikeBucketSec = 3600L
+  val SpikeTrailBuckets = 24
+  val SpikeTopK = 3
+
+  /** w13 — rate-anomaly leaderboard: for each event type, the top 3
+    * hourly buckets by exact integer excess over the trailing 24-hour
+    * baseline — score = 24·c − Σ(trailing 24 counts), i.e. how far
+    * this hour runs above its own recent average, ×24 to stay in
+    * integers. The monitoring staple (spike/anomaly detection over
+    * event rates) expressed as a LEADERBOARD rather than a fixed
+    * threshold: on data with no planted bursts a threshold is dead at
+    * some SFs and fires on Poisson noise at others, while the top-k
+    * is always live and the production threshold is one `filter` on
+    * the emitted score (policy, not engine math).
+    *
+    * Shape: w7's calendar-sized dense axis (explode of per-type
+    * (min, max) control rows — gaps count as 0, which a sparse
+    * groupBy would silently skip), one rolling ROWS-frame sum per
+    * type over that axis, then w10's rank-with-limit, which Spark
+    * plans as `WindowGroupLimit` (map-side partial top-k before the
+    * shuffle). Everything after the first events aggregate is
+    * metadata-scale (buckets × types, independent of event volume).
+    * Buckets with an incomplete trailing window (the first 24 per
+    * type) are excluded — their baseline would be an artifact.
+    * Deterministic: score ties break on window_start asc.
+    */
+  def rateAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val bus = SpikeBucketSec * UsPerSec
+    val c = eventsUs(spark, dir)
+      .withColumn("b", expr(s"tus div $bus"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val axis = c.groupBy(col("event_type"))
+      .agg(min(col("b")).as("mn"), max(col("b")).as("mx"))
+      .select(
+        col("event_type"),
+        explode(sequence(col("mn"), col("mx"), lit(1L))).as("b"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(-SpikeTrailBuckets, -1)
+    val rankW = Window.partitionBy(col("event_type"))
+      .orderBy(col("score").desc, col("b"))
+    axis.join(c, Seq("event_type", "b"), "left")
+      .select(
+        col("event_type"), col("b"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("trail_sum", sum(col("c")).over(trail))
+      .withColumn("trail_n", count(lit(1)).over(trail))
+      .filter(col("trail_n") === SpikeTrailBuckets)
+      .withColumn(
+        "score", col("c") * SpikeTrailBuckets - col("trail_sum"))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .filter(col("rnk") <= SpikeTopK)
+      .select(
+        col("event_type"), (col("b") * SpikeBucketSec).as("window_start"),
+        col("c").as("n_events"), col("trail_sum"), col("score"), col("rnk"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_rate_anomalies" -> rateAnomalies,
+    "w12_interval_join" -> intervalJoin,
     "w11_decayed_engagement" -> decayedEngagement,
     "w10_top_per_group" -> topPerGroup,
     "w9_retention" -> retention,
@@ -481,6 +615,63 @@ object EventWindows {
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    // w12: the oracle replays the UNBLOCKED θ-join — if the banded
+    // blocking dropped or double-counted any pair, the hashes diverge
+    // (the x18/x20 "oracle certifies the optimization" pattern)
+    "w12_interval_join" -> {
+      val bandUs = IntervalWindowSec * UsPerSec
+      s"""WITH p AS (
+            SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+            FROM events WHERE event_type = 'purchase'),
+          v AS (
+            SELECT user_id, event_id AS vid, epoch_us(ts) AS vus
+            FROM events WHERE event_type = 'view'),
+          j AS (
+            SELECT p.pid, p.user_id, p.pus, v.vid, v.vus,
+                   (v.vus - p.pus + $bandUs) * $OhlcIdBase + v.vid AS okey
+            FROM p LEFT JOIN v
+              ON p.user_id = v.user_id
+             AND v.vus < p.pus AND v.vus >= p.pus - $bandUs)
+          SELECT pid AS purchase_id, user_id, pus AS purchase_us,
+                 CAST(COUNT(vid) AS BIGINT) AS n_prior_views,
+                 COALESCE(arg_max(vid, okey), -1) AS nearest_view_id,
+                 COALESCE(pus - MAX(vus), -1) AS min_gap_us
+          FROM j GROUP BY pid, user_id, pus
+          ORDER BY purchase_id"""
+    },
+    "w13_rate_anomalies" ->
+      s"""WITH c AS (
+            SELECT event_type, epoch_us(ts) // ${SpikeBucketSec * UsPerSec}
+                     AS b, COUNT(*) AS c
+            FROM events GROUP BY 1, 2),
+          axis AS (
+            SELECT event_type, unnest(generate_series(mn, mx)) AS b
+            FROM (SELECT event_type, MIN(b) AS mn, MAX(b) AS mx
+                  FROM c GROUP BY event_type)),
+          d AS (
+            SELECT a.event_type, a.b, COALESCE(c.c, 0) AS c
+            FROM axis a LEFT JOIN c
+              ON a.event_type = c.event_type AND a.b = c.b),
+          w AS (
+            SELECT event_type, b, c,
+                   CAST(SUM(c) OVER tw AS BIGINT) AS trail_sum,
+                   COUNT(*) OVER tw AS trail_n
+            FROM d
+            WINDOW tw AS (PARTITION BY event_type ORDER BY b
+              ROWS BETWEEN $SpikeTrailBuckets PRECEDING AND 1 PRECEDING)),
+          s AS (
+            SELECT event_type, b, c, trail_sum,
+                   c * $SpikeTrailBuckets - trail_sum AS score
+            FROM w WHERE trail_n = $SpikeTrailBuckets),
+          r AS (
+            SELECT event_type, b, c, trail_sum, score,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY score DESC, b) AS BIGINT) AS rnk
+            FROM s)
+          SELECT event_type, b * $SpikeBucketSec AS window_start,
+                 c AS n_events, trail_sum, score, rnk
+          FROM r WHERE rnk <= $SpikeTopK
+          ORDER BY event_type, rnk""",
     // w11: `<<` is DuckDB's integer shift (= Spark's shiftleft); the
     // score divides the SAME BIGINT both engines emit, so the double
     // is one identical IEEE conversion + division by 2^32

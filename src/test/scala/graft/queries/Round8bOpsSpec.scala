@@ -131,6 +131,98 @@ class Round8bOpsSpec extends SparkSpec {
       s"bloom probe must run pre-shuffle, inside the scan stage:\n$plan")
   }
 
+  /** Write a fixture events.parquet (µs timestamps) and return its dir. */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("w12_fix_").toString
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$fdir/events.parquet")
+    fdir
+  }
+
+  test("w12: window boundaries are exact and cross-bucket pairs are found once") {
+    val wUs = EventWindows.IntervalWindowSec * 1000000L
+    val base = 1704067200000000L // hour- and band-aligned
+    val pus = base + 10000000L   // 10 s into its band
+    val fdir = eventsDir(Seq(
+      (1L, pus, 1L, "purchase"),
+      (11L, pus - 1L, 1L, "view"),        // in, nearest (gap 1 µs)
+      (12L, pus, 1L, "view"),             // exactly at purchase: OUT
+      (13L, pus - wUs, 1L, "view"),       // boundary: IN, previous band
+      (14L, pus - wUs - 1L, 1L, "view"),  // one µs too old: OUT
+      (15L, base - 100000000L, 1L, "view"), // previous band, in window
+      (2L, base + 5000000000L, 2L, "purchase"),
+      (21L, base + 5000000001L, 2L, "view"))) // after the purchase: OUT
+    val got = EventWindows.intervalJoin(spark, fdir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 11L, 1L),
+      (2L, 0L, -1L, -1L)), s"got: ${got.toSeq}")
+  }
+
+  test("w12: matches the brute-force θ-join on the testdata") {
+    val wUs = EventWindows.IntervalWindowSec * 1000000L
+    val ev = graft.Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = ev.filter(_._3 == "view").groupBy(_._2)
+    val want = ev.filter(_._3 == "purchase").map { case (pid, u, _, pus) =>
+      val vs = views.getOrElse(u, Array.empty)
+        .filter(v => v._4 < pus && v._4 >= pus - wUs)
+      if (vs.isEmpty) (pid, 0L, -1L, -1L)
+      else {
+        val near = vs.maxBy(v => (v._4, v._1))
+        (pid, vs.length.toLong, near._1, pus - near._4)
+      }
+    }.sortBy(_._1)
+    val got = EventWindows.intervalJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(_._2 > 0L), "w12 must be live on the testdata")
+    assert(got.exists(_._2 == 0L), "the no-view branch must be live too")
+  }
+
+  test("w12 plan: banded blocking yields a hash join, never a nested loop") {
+    val plan = EventWindows.intervalJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join must block to an equi-join:\n$plan")
+  }
+
+  test("w13: a planted burst tops the leaderboard with the exact score") {
+    val h = 3600000000L
+    val base = 1704067200000000L
+    val rows =
+      (0 until 36).filter(_ != 30).map(i =>
+        (100L + i, base + i * h, 1L, "view")) ++
+        (0 until 10).map(i => (500L + i, base + 30 * h + i * 1000L, 1L, "view"))
+    val got = EventWindows.rateAnomalies(spark, eventsDir(rows.map(r =>
+      (r._1, r._2, r._3, r._4)))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val burstStart = (base / 1000000L) + 30 * 3600L
+    assert(got.head == (("view", burstStart, 10L, 24L, 216L, 1L)),
+      s"leaderboard: ${got.toSeq}")
+    // runners-up are flat baseline hours: score exactly 0
+    assert(got.drop(1).forall(r => r._5 == 0L && r._6 <= 3L))
+  }
+
+  test("w13 plan: top-k runs as WindowGroupLimit; leaderboard is live at sf0.001") {
+    val df = EventWindows.rateAnomalies(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push into a group limit:\n$plan")
+    val rows = df.collect()
+    val nTypes = graft.Tables.events(spark, dir)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == nTypes * 3,
+      s"$nTypes types × top 3 expected, got ${rows.length}")
+  }
+
   test("t19 plan: one words aggregate, a per-row text projection, 1:1 join") {
     val plan = TextOps.gopherRules(spark, dir)
       .queryExecution.executedPlan.toString
