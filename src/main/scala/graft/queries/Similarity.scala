@@ -810,7 +810,98 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s14 parameters: MMR over the exact top-16 candidate pool, 5
+    * selections, λ = 1/2 — the one λ where the greedy argmax reduces
+    * to a pure INTEGER comparison (score ∝ rel_n − maxsim_n over
+    * nano-quantized cosines), so both engines pick identical winners
+    * with identical tie-breaks and the hash compare is exact.
+    */
+  val MmrCandidates = 16
+  val MmrSelect = 5
+
+  /** s14 — MMR diversified re-ranking (Carbonell & Goldstein 1998),
+    * the standard fix for top-k lists that return 10 near-copies of
+    * the same hit: greedily pick arg max λ·rel(c) − (1−λ)·max_{s∈S}
+    * sim(c, s) — relevance minus redundancy against what's already
+    * selected. RAG retrieval and dedup-aware eval sets both run this
+    * after the ANN stage.
+    *
+    * Scale split, and why a driver loop is CORRECT here (not the
+    * anti-pattern): the DATA-sized work — scoring the corpus per
+    * query and keeping the exact top-16 — is all distributed (s1's
+    * broadcast-queries × streamed-corpus scan + rank window), and the
+    * pairwise-sim matrix is M² = 240 rows per query, also computed
+    * distributed. What reaches the driver is CONTROL data bounded by
+    * M and k (≤ 16 + 240 rows per query — the k-means-centroid /
+    * PQ-codebook / x19-candidate discipline), and the greedy
+    * selection is inherently sequential (step t's scores depend on
+    * step t−1's pick): O(k·M) integer comparisons no cluster helps
+    * with. At 10⁶ queries the greedy is an embarrassingly-parallel
+    * mapGroups over per-query candidate structs instead — same math,
+    * same bounded state per group.
+    *
+    * Exactness: rel/sim are the 6-dp-rounded cosines (bit-identical
+    * cross-engine, the s1 argument) scaled to nano-ints; λ = 1/2
+    * cancels into rel_n − maxsim_n; ties break (score desc, vec_id
+    * asc). The oracle replays the greedy as a recursive CTE whose
+    * per-step argmax packs (score, vec_id) into one orderable BIGINT
+    * (valid while vec_id < 2^20 — holds at every SF).
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val candW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val cand = broadcast(q)
+      .join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine("qv", "qn", "v", "nrm"))
+      .withColumn("rnk", row_number().over(candW))
+      .filter(col("rnk") <= MmrCandidates)
+      .select(
+        col("q_id"), col("vec_id"), col("v"), col("nrm"),
+        round(col("cos_sim") * 1e6).cast("long").as("rel_n"))
+    val a = cand.select(
+      col("q_id"), col("vec_id").as("ai"), col("v").as("av"),
+      col("nrm").as("an"))
+    val b = cand.select(
+      col("q_id"), col("vec_id").as("bi"), col("v").as("bv"),
+      col("nrm").as("bn"))
+    val sims = a.join(b, Seq("q_id"))
+      .filter(col("ai") =!= col("bi"))
+      .withColumn(
+        "sim_n", round(cosine("av", "an", "bv", "bn") * 1e6).cast("long"))
+      .select(col("q_id"), col("ai"), col("bi"), col("sim_n"))
+    // ---- driver-side greedy over bounded control data (see Scaladoc)
+    val rel = cand.select(col("q_id"), col("vec_id"), col("rel_n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val simMap = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val out = rel.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      var selected = Vector.empty[Long]
+      val pool = cs.map(c => (c._2, c._3)).sortBy(_._1)
+      (1 to MmrSelect).map { step =>
+        val (vid, score) = pool
+          .filterNot(c => selected.contains(c._1))
+          .map { case (v, reln) =>
+            val maxSim =
+              if (selected.isEmpty) 0L
+              else selected.map(s => simMap((qid, v, s))).max
+            (v, reln - maxSim)
+          }
+          .maxBy { case (v, s) => (s, -v) }
+        selected :+= vid
+        (qid, step.toLong, vid, score)
+      }
+    }.sortBy(t => (t._1, t._2))
+    out.toDF("q_id", "step", "vec_id", "mmr_score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_mmr_rerank" -> mmrRerank,
     "s12_rrf_fusion" -> rrfFusion,
     "s9_mips_topk" -> mipsTopK,
     "s10_mips_ivf_topk" -> mipsIvfTopK,
@@ -848,6 +939,62 @@ object Similarity {
           WHERE rn = 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    // s14: the greedy replayed as a recursive CTE; each step's argmax
+    // packs (score, vec_id) into one orderable BIGINT so arg_max/MAX
+    // implement exactly the Spark side's (score desc, vec_id asc)
+    // tie-break. 2000000 offsets score ≥ 0 (score ∈ [−2e6, 2e6]);
+    // 1048576 = 2^20 bounds vec_id.
+    "s14_mmr_rerank" -> {
+      val simSub =
+        """COALESCE((SELECT MAX(s.sim_n) FROM sim s
+                WHERE s.q_id = m.q_id AND s.ai = c.vec_id
+                  AND list_contains(m.sel, s.bi)), 0)"""
+      s"""WITH RECURSIVE
+          $vecCte,
+          q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < $NumQueries),
+          scored AS (
+            SELECT q.q_id, e.vec_id,
+                   CAST(ROUND(${cosSql("q", "e")} * 1e6) AS BIGINT) AS rel_n,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS rn
+            FROM q JOIN e ON e.vec_id <> q.q_id),
+          cand AS (
+            SELECT q_id, vec_id, rel_n FROM scored WHERE rn <= $MmrCandidates),
+          cv AS (SELECT c.q_id, c.vec_id, e.v
+                 FROM cand c JOIN e USING (vec_id)),
+          sim AS (
+            SELECT a.q_id, a.vec_id AS ai, b.vec_id AS bi,
+                   CAST(ROUND(${cosSql("a", "b")} * 1e6) AS BIGINT) AS sim_n
+            FROM cv a JOIN cv b
+              ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+          mmr(q_id, step, sel, vec_id, score) AS (
+            SELECT q_id, 1,
+                   [arg_max(vec_id, (rel_n + 2000000) * 1048576
+                     + (1048575 - vec_id))],
+                   arg_max(vec_id, (rel_n + 2000000) * 1048576
+                     + (1048575 - vec_id)),
+                   (MAX((rel_n + 2000000) * 1048576 + (1048575 - vec_id))
+                     // 1048576) - 2000000
+            FROM cand GROUP BY q_id
+            UNION ALL
+            SELECT t.q_id, t.step + 1, list_append(t.sel, t.pick),
+                   t.pick, t.score
+            FROM (
+              SELECT m.q_id, m.step, m.sel,
+                     arg_max(c.vec_id,
+                       ((c.rel_n - $simSub) + 2000000) * 1048576
+                       + (1048575 - c.vec_id)) AS pick,
+                     (MAX(((c.rel_n - $simSub) + 2000000) * 1048576
+                       + (1048575 - c.vec_id)) // 1048576) - 2000000 AS score
+              FROM mmr m JOIN cand c
+                ON c.q_id = m.q_id AND NOT list_contains(m.sel, c.vec_id)
+              WHERE m.step < $MmrSelect
+              GROUP BY m.q_id, m.step, m.sel
+            ) t)
+          SELECT q_id, CAST(step AS BIGINT) AS step, vec_id,
+                 score AS mmr_score
+          FROM mmr ORDER BY q_id, step"""
+    },
     // s12: both retrievers replayed in SQL (s1's cosine ranking, the
     // shingle-overlap lexical ranking over the SAME df-capped distinct
     // shingles), fused with CAST-to-DOUBLE reciprocal ranks so the

@@ -223,6 +223,49 @@ class Round8bOpsSpec extends SparkSpec {
       s"$nTypes types × top 3 expected, got ${rows.length}")
   }
 
+  test("s14: MMR skips the near-duplicate the plain top-k would return") {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("s14_fix_").toString
+    // q0 at ~11°; ids 5/6 nearly collinear at ~0°; id 7 diverse at 60°.
+    // Plain top-2 for q0 = {6, 5}; MMR step 2 must skip 5 (sim ≈ 1
+    // with the already-selected 6) and take 7.
+    // distractors sit at 150°–210°, where rel − sim (the λ=1/2 MMR
+    // score against the ~0° selection) stays below id 7's 0.16 — a
+    // vector near 95° would legitimately beat 7 on pure diversity
+    val vecs = Seq(
+      0L -> Seq(1.0f, 0.2f),
+      1L -> Seq(-0.866f, 0.5f),
+      2L -> Seq(-1.0f, 0.0f),
+      3L -> Seq(-0.985f, -0.174f),
+      4L -> Seq(-0.866f, -0.5f),
+      5L -> Seq(1.0f, 0.0f),
+      6L -> Seq(1.0f, 0.001f),
+      7L -> Seq(0.5f, 0.866f))
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .coalesce(1).write.parquet(s"$fdir/embeddings.parquet")
+    val q0 = Similarity.mmrRerank(spark, fdir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(q0(1L) == 6L, s"step 1 must be the most relevant: $q0")
+    assert(q0(2L) == 7L,
+      s"step 2 must diversify to 7, not the near-dup 5: $q0")
+  }
+
+  test("s14 invariants: step 1 = s1 rank 1; selections distinct within query") {
+    val got = Similarity.mmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == Similarity.NumQueries * Similarity.MmrSelect)
+    val s1Top = Similarity.bruteForceTopK(spark, dir).collect()
+      .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).distinct.length == rows.length,
+        s"q$q selected a vector twice")
+      assert(rows.find(_._2 == 1L).get._3 == s1Top(q),
+        s"q$q step 1 must equal the plain top-1")
+    }
+  }
+
   test("t19 plan: one words aggregate, a per-row text projection, 1:1 join") {
     val plan = TextOps.gopherRules(spark, dir)
       .queryExecution.executedPlan.toString
