@@ -220,8 +220,17 @@ class PlanAuditSpec extends SparkSpec {
     "d19_dup_span_removal" -> 7, // d17's shape (gram windows ride the words
                                  // cache): ddf/min agg + gram join + marked
                                  // distinct + flag join + doc agg + sort
-    "s13_ivf_pq_topk" -> 6 // probe agg + its broadcast + bucket join sides
-                           // + top-k window + output sort
+    "s13_ivf_pq_topk" -> 6, // probe agg + its broadcast + bucket join sides
+                            // + top-k window + output sort
+    "t19_gopher_rules" -> 4, // words agg (countDistinct 2-phase) + 1:1
+                             // doc_id join side + output sort
+    "x20_bloom_join" -> 3, // join sides (probe PRE-pruned in scan stage)
+                           // + priority agg + sort
+    "w12_interval_join" -> 3, // (user,bucket) join + per-purchase agg
+                              // + output sort
+    "w13_rate_anomalies" -> 4 // bucket agg + axis join + rolling window
+                              // + group-limit/rank + sort (axis rides
+                              // the agg's partitioning)
   )
 
   /** Exchanges the query itself spends — traversal stops at cache
