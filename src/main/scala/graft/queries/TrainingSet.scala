@@ -820,7 +820,70 @@ object TrainingSet {
       .orderBy(col("shard_id"))
   }
 
+  /** Seed + percent bounds for the p20 grouped split: train < 80,
+    * val < 90, test otherwise. Seed chosen so all three splits are
+    * non-empty on the testdata's source list at every SF.
+    */
+  val HoldoutSeed = "split7"
+  val TrainPct = 80L
+  val ValPct = 10L
+
+  /** p20 — leakage-free grouped holdout split (GroupShuffleSplit /
+    * the "split by domain, never by document" rule): every document
+    * of a source lands in the SAME train/val/test split, because the
+    * split coin hashes the GROUP key (source), not the doc id. The
+    * per-doc split p12's Bernoulli coin would give leaks near-
+    * duplicates across the boundary — two crawls of one site straddle
+    * train and val, and the eval overstates generalization; group-level
+    * assignment is the standard fix (and why benchmarks decontaminate
+    * by URL domain). Emits the split-level audit: source / doc / token
+    * counts + doc fraction — the numbers a data org checks before
+    * accepting a split.
+    *
+    * Scale shape: the coin is a per-row md5 projection inside the scan
+    * (p11/p12's content-addressed discipline — deterministic, retry-
+    * safe, placement-independent, auditable after the fact); one 1:1
+    * narrow join brings token counts; one hash agg to 3 rows; the
+    * grand total is a 1-row broadcast. No shuffle keyed on anything
+    * data-sized except the doc_id join the quality frame already
+    * needs.
+    */
+  def holdoutSplit(spark: SparkSession, dir: String): DataFrame = {
+    val coin = pmod(
+      conv(
+        substring(
+          md5(concat(lit(s"$HoldoutSeed:"), col("source")).cast("binary")),
+          1, 15),
+        16, 10).cast("long"),
+      lit(100L))
+    val labeled = documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextOps.cachedQualityScore(spark, dir)
+          .select(col("doc_id"), col("n_tokens")),
+        "doc_id")
+      .withColumn("coin", coin)
+      .withColumn(
+        "split",
+        when(col("coin") < TrainPct, "train")
+          .when(col("coin") < TrainPct + ValPct, "val")
+          .otherwise("test"))
+    val total = labeled.agg(count(lit(1)).as("total_docs"))
+    labeled.groupBy(col("split"))
+      .agg(
+        countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("split"), col("n_sources"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("total_docs").cast("double"))
+          .as("frac_docs"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_holdout_split" -> holdoutSplit,
     "p19_rendezvous_shards" -> rendezvousShards,
     "p18_budget_waterfill" -> budgetWaterfill,
     "p16_release_pipeline" -> releasePipeline,
@@ -1079,6 +1142,29 @@ object TrainingSet {
               FROM quality)
             SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
             FROM sharded GROUP BY shard ORDER BY shard""",
+      // p20: the identical group-keyed md5 coin — a doc's split is a
+      // pure function of its source, so both engines agree row-for-row
+      "p20_holdout_split" ->
+        s"""WITH $qualityCtes,
+            lab AS (
+              SELECT d.doc_id, d.source, q.n_tokens,
+                     CAST(concat('0x',
+                       substr(md5('$HoldoutSeed:' || d.source), 1, 15))
+                       AS BIGINT) % 100 AS coin
+              FROM documents d JOIN quality q USING (doc_id)),
+            s AS (
+              SELECT *, CASE WHEN coin < $TrainPct THEN 'train'
+                             WHEN coin < ${TrainPct + ValPct} THEN 'val'
+                             ELSE 'test' END AS split
+              FROM lab),
+            tot AS (SELECT COUNT(*) AS total_docs FROM s)
+            SELECT split,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS DOUBLE) / CAST(tot.total_docs AS DOUBLE)
+                     AS frac_docs
+            FROM s, tot GROUP BY split, tot.total_docs ORDER BY split""",
       "p17_compaction_plan" ->
         s"""WITH $qualityCtes,
             files AS (

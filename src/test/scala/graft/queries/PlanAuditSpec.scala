@@ -228,9 +228,18 @@ class PlanAuditSpec extends SparkSpec {
                            // + priority agg + sort
     "w12_interval_join" -> 3, // (user,bucket) join + per-purchase agg
                               // + output sort
-    "w13_rate_anomalies" -> 4 // bucket agg + axis join + rolling window
+    "w13_rate_anomalies" -> 4, // bucket agg + axis join + rolling window
                               // + group-limit/rank + sort (axis rides
                               // the agg's partitioning)
+    "w14_transition_matrix" -> 4, // user window + pair agg + from_total
+                                  // window (metadata-sized) + sort
+    "w15_rolling_distinct" -> 6, // (user,day) distinct + mx broadcast +
+                                 // two-distinct Expand agg phases + sort
+    "p20_holdout_split" -> 7, // doc/quality join sides + countDistinct
+                              // 2-phase agg + total broadcast + sort
+    "t20_pretoken_counts" -> 1, // pure projection: output sort only
+    "s15_srp_lsh_topk" -> 6 // probe broadcast + cand distinct + rescore
+                            // join sides + top-k window + sort
   )
 
   /** Exchanges the query itself spends — traversal stops at cache
