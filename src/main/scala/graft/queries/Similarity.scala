@@ -907,46 +907,34 @@ object Similarity {
     * the corpus side still writes exactly ONE key per band. Hyperplane
     * weights are integers from a fixed LCG over (bit, dim) —
     * deterministic, literal-free in SQL, and sign decisions run in
-    * EXACT integer math (see srpWeight). Note the LCG's modulus caps
-    * distinct hyperplanes at 2048/64 = 32 bits — bits beyond 32 would
-    * silently repeat bit (b − 32).
+    * EXACT integer math (see [[graft.functions.SrpSig.weight]]). Note
+    * the LCG's modulus caps distinct hyperplanes at 2048/64 = 32 bits —
+    * bits beyond 32 would silently repeat bit (b − 32).
     */
-  val SrpBits = 32
+  val SrpBits = graft.functions.SrpSig.Bits
   val SrpBands = 4
   val SrpBandBits = SrpBits / SrpBands
   val SrpProbe = 2
-  val SrpDim = 64
-
-  /** Hyperplane component w(b, d) ∈ [−1024, 1023]: one LCG step on the
-    * flattened index — pure BIGINT arithmetic both engines reproduce
-    * exactly (the p13 "one expression, two spellings" discipline). Not
-    * cryptographic and doesn't need to be: SRP only needs sign-balanced
-    * pseudo-random directions.
-    */
-  private def srpWeight(b: Int, d: Int): Long =
-    ((1103515245L * (b * SrpDim + d + 1) + 12345L) % 2048L) - 1024L
+  val SrpDim = graft.functions.SrpSig.Dim
 
   private val SrpWeightSql =
     s"((1103515245 * (b * $SrpDim + d + 1) + 12345) % 2048) - 1024"
 
-  /** The 16-bit SRP signature as one projection: bit b = sign of the
-    * hyperplane dot. The dot runs in EXACT integers — coordinates
-    * nano-quantized to round(x·1e6), weights integer — so the sign (and
-    * therefore the whole signature) is bit-identical cross-engine; a
-    * float dot's near-zero signs would flip with summation order (the
-    * w11/d4 lesson).
+  /** The 32-bit SRP signature: bit b = sign of the hyperplane dot. The
+    * dot runs in EXACT integers — coordinates nano-quantized to
+    * round(x·1e6), weights integer — so the sign (and therefore the
+    * whole signature) is bit-identical cross-engine; a float dot's
+    * near-zero signs would flip with summation order (the w11/d4
+    * lesson). The computation is the codegen'd
+    * [[graft.functions.SrpSignature]] expression — the declarative
+    * 32×`aggregate(zip_with(...))` spelling measured 2.27 s at sf0.1
+    * (interpreted lambdas, ×4 through the band explode's projection
+    * collapse); the fused loop removed the whole gap
+    * (`SrpSignatureSpec` pins equivalence to the fold and the
+    * Janino-must-compile path).
     */
   private def srpSig: org.apache.spark.sql.Column =
-    (0 until SrpBits).map { b =>
-      val wts = array((0 until SrpDim).map(d => lit(srpWeight(b, d))): _*)
-      val dp = aggregate(
-        zip_with(
-          col("v"), wts,
-          (x, w) => round(x * 1e6).cast("long") * w),
-        lit(0L),
-        (acc, y) => acc + y)
-      when(dp >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.SrpSig.srpSignature(col("v"))
 
   /** s15 — SRP-LSH approximate cosine top-k (Charikar 2002 sign-random-
     * projection / hyperplane LSH), the data-INDEPENDENT ANN family the
