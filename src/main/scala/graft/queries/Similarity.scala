@@ -1050,32 +1050,50 @@ object Similarity {
             FROM e CROSS JOIN e c WHERE c.vec_id < $NumCentroids)
           WHERE rn = 1)"""
 
+  /** The SRP signature pipeline as DuckDB CTEs (`e` → `sig`): LCG
+    * weights from generate_series (the same integer expression as
+    * [[graft.functions.SrpSig.weight]]), signature dots in the same
+    * exact nano-quantized BIGINT domain — sign flips are impossible
+    * cross-engine.
+    *
+    * Measured dead end, recorded so it isn't retried: a PURE-Hamming
+    * top-k over these signatures ("binary embedding" retrieval, FAISS
+    * IndexBinaryFlat) was prototyped and rejected — on this corpus
+    * (64-dim, near-orthogonal bulk, neighbor gap ≈ 0.3 cosine)
+    * recall@10 is 0.10 at 32 bits and only 0.42 even with TRUE
+    * gaussian 256-bit hyperplanes (0.68 at 1024 bits = 128 B/vec,
+    * already worse than s6's SQ8 at 64 B with 0.78). Binary signatures
+    * pay at 768-dim+; at this width the registry's Hamming tier is
+    * correctly dedup-shaped (d4/d6), and SRP earns its place only with
+    * s15's exact-cosine rescore on top.
+    */
+  private[queries] val srpSigCtes =
+    s"""$vecCte,
+        w AS (
+          SELECT b, d,
+                 CAST($SrpWeightSql AS BIGINT) AS wt
+          FROM generate_series(0, ${SrpBits - 1}) t1(b),
+               generate_series(0, ${SrpDim - 1}) t2(d)),
+        vx AS (
+          SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+                 CAST(ROUND(unnest(v) * 1e6) AS BIGINT) AS xi
+          FROM e),
+        dots AS (
+          SELECT vec_id, b, CAST(SUM(xi * wt) AS BIGINT) AS dp
+          FROM vx JOIN w USING (d) GROUP BY 1, 2),
+        sig AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dp >= 0
+                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+                   AS sig
+          FROM dots GROUP BY 1)"""
+
   val oracleSql: Map[String, String] = Map(
-    // s15: the full SRP pipeline replayed — the LCG weights from
-    // generate_series (same integer expression), the signature dots in
-    // the SAME exact nano-quantized BIGINT domain (sign flips are
-    // impossible cross-engine), banding, the distinct candidate join,
-    // and s1's exact-cosine rescore
+    // s15: the full SRP pipeline replayed — signature CTEs (see
+    // srpSigCtes), banding, the multi-probe neighbourhood, the distinct
+    // candidate join, and s1's exact-cosine rescore
     "s15_srp_lsh_topk" ->
-      s"""WITH $vecCte,
-          w AS (
-            SELECT b, d,
-                   CAST($SrpWeightSql AS BIGINT) AS wt
-            FROM generate_series(0, ${SrpBits - 1}) t1(b),
-                 generate_series(0, ${SrpDim - 1}) t2(d)),
-          vx AS (
-            SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
-                   CAST(ROUND(unnest(v) * 1e6) AS BIGINT) AS xi
-            FROM e),
-          dots AS (
-            SELECT vec_id, b, CAST(SUM(xi * wt) AS BIGINT) AS dp
-            FROM vx JOIN w USING (d) GROUP BY 1, 2),
-          sig AS (
-            SELECT vec_id,
-                   CAST(SUM(CASE WHEN dp >= 0
-                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
-                     AS sig
-            FROM dots GROUP BY 1),
+      s"""WITH $srpSigCtes,
           bands AS (
             SELECT vec_id, t.band_id,
                    (sig >> CAST($SrpBandBits * t.band_id AS INT))
