@@ -750,7 +750,91 @@ object TextOps {
           .as("fertility"))
       .orderBy(col("doc_id"))
 
+  /** Number of BPE merge rounds t21 learns. Far below the corpus's
+    * distinct-pair count at every SF (assert-guarded), so every round
+    * has a live argmax.
+    */
+  val MergeRounds = 8
+
+  /** The symbol separator for t21's segmentation encoding: each symbol
+    * is wrapped in its OWN pair of U+001F unit separators
+    * ("abc" → ␟a␟␟b␟␟c␟), so the merge rewrite is a plain substring
+    * replace of ␟a␟␟b␟ → ␟ab␟ and adjacent occurrences over a repeat
+    * run never share delimiter characters — left-to-right
+    * non-overlapping `replace` (identical semantics in Spark and
+    * DuckDB) therefore merges EVERY disjoint occurrence in one pass,
+    * the classic BPE iteration. U+001F cannot appear in a word: words
+    * come from a whitespace split and U+001F is ASCII control.
+    */
+  val BpeSep = "\u001f"
+
+  /** t21 — BPE merge learning (Sennrich 2016, the algorithm behind the
+    * GPT-2/tiktoken vocabularies t20's pre-tokenizer feeds): learn the
+    * first [[MergeRounds]] merges — per round, the adjacent symbol
+    * pair with the highest corpus frequency (ties: lexicographically
+    * smallest pair, deterministic cross-engine), then rewrite every
+    * word's segmentation by fusing that pair. Emits the merge table
+    * (step, merge_left, merge_right, n_pair) — the artifact a
+    * tokenizer trainer ships.
+    *
+    * Scale shape — the fastBPE/HuggingFace-trainer shape: learning
+    * runs on the DISTINCT-WORD frequency table, never the corpus. One
+    * corpus-sized hash agg builds (word, n_word) — vocabulary-sized by
+    * Heaps' law (t18 measures it: ~10⁶–10⁷ rows at 100 TB vs 10¹¹
+    * corpus words) — and every round after that is one hash agg + a
+    * global top-1 over PAIR-sized data, with the merge state itself
+    * [[MergeRounds]] rows of driver control data (the s5 k-means /
+    * s14 bounded-control-data discipline). The per-round driver loop
+    * is inherent to BPE (merge i+1's counts depend on merge i's
+    * rewrite — famously sequential); what stays distributed is
+    * everything data-sized. Pair explode = bounded fan-out (symbols−1
+    * per word); rewrite = one codegen'd `replace` projection.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val S = BpeSep
+    val vocab = cachedWords(spark, dir)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+      .withColumn("seg", regexp_replace(col("word"), "(.)", s"$S$$1$S"))
+      .persist()
+    try {
+      var seg = vocab
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (step <- 1L to MergeRounds.toLong) {
+        val syms = split(ltrim(rtrim(col("seg"), S), S), s"$S$S")
+        val best = seg
+          .select(col("n_word"), syms.as("sym"))
+          .filter(size(col("sym")) >= 2)
+          .select(
+            col("n_word"), col("sym"),
+            explode(sequence(lit(1), size(col("sym")) - 1)).as("i"))
+          .select(
+            col("n_word"),
+            element_at(col("sym"), col("i")).as("a"),
+            element_at(col("sym"), col("i") + 1).as("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(sum(col("n_word")).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        assert(best.nonEmpty,
+          s"BPE round $step found no adjacent pairs — MergeRounds " +
+            s"($MergeRounds) exceeds this corpus's merge capacity")
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((step, a, b, n))
+        seg = seg.withColumn(
+          "seg",
+          replace(col("seg"), lit(s"$S$a$S$S$b$S"), lit(s"$S$a$b$S")))
+      }
+      import spark.implicits._
+      merges.result()
+        .toDF("step", "merge_left", "merge_right", "n_pair")
+        .orderBy(col("step"))
+    } finally vocab.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_bpe_merges" -> bpeMerges,
     "t20_pretoken_counts" -> pretokenCounts,
     "t19_gopher_rules" -> gopherRules,
     "t18_vocab_growth" -> vocabGrowth,
@@ -797,7 +881,55 @@ object TextOps {
                  CAST(LENGTH(sentence) AS BIGINT) AS len
           FROM sentences)"""
 
+  /** t21's oracle: the [[MergeRounds]] BPE iterations UNROLLED as CTE
+    * stages (recursive CTEs can't aggregate in the recursive term, and
+    * the round count is a compile-time constant — so the loop runs in
+    * the string builder instead). Per stage: pair counts from the
+    * segmentation (list slice + generate_series, no lateral
+    * dependency), the deterministic argmax (ORDER BY n DESC, a, b
+    * LIMIT 1 — the exact ordering the Spark side collects), and the
+    * rewrite via the same own-delimiters `replace` (identical
+    * non-overlapping left-to-right semantics in both engines; see
+    * [[BpeSep]]). Only regexp spellings differ: DuckDB RE2 backrefs
+    * are `\1` where Java's are `$1` (the p13 two-spellings
+    * discipline).
+    */
+  private def bpeOracle: String = {
+    val sep = "chr(31)"
+    val stages = (1 to MergeRounds).map { i =>
+      s"""pairs$i AS (
+            SELECT syms[i] AS a, syms[i + 1] AS b,
+                   CAST(SUM(n_word) AS BIGINT) AS n
+            FROM (
+              SELECT n_word, syms,
+                     unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM (SELECT n_word,
+                           string_split(trim(seg, $sep), $sep || $sep) AS syms
+                    FROM seg${i - 1}))
+            GROUP BY 1, 2),
+          best$i AS (SELECT a, b, n FROM pairs$i ORDER BY n DESC, a, b LIMIT 1),
+          seg$i AS (
+            SELECT word, n_word,
+                   replace(seg, $sep || b.a || $sep || $sep || b.b || $sep,
+                           $sep || b.a || b.b || $sep) AS seg
+            FROM seg${i - 1}, best$i b)"""
+    }.mkString(",\n          ")
+    val union = (1 to MergeRounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, a, b, n FROM best$i")
+      .mkString("\n            UNION ALL ")
+    s"""WITH $wordsCte,
+        seg0 AS (
+          SELECT word, COUNT(*) AS n_word,
+                 regexp_replace(word, '(.)', $sep || '\\1' || $sep, 'g') AS seg
+          FROM words GROUP BY word),
+        $stages
+        SELECT step, a AS merge_left, b AS merge_right, n AS n_pair
+        FROM ($union)
+        ORDER BY step"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t21_bpe_merges" -> bpeOracle,
     // t20: the identical pattern (single quote doubled for the SQL
     // literal) — leftmost-first alternation in both engines, so the
     // token stream is character-for-character the same
