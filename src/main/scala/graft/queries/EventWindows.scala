@@ -688,7 +688,49 @@ object EventWindows {
       .orderBy(col("report_day"))
   }
 
+  /** w16 — time-to-convert distribution: w4's AS-OF click→purchase
+    * latencies folded into a power-of-two histogram (the latency-board
+    * convention: exponential buckets resolve seconds AND days in one
+    * table) with exact integer bucket math — bucket p covers
+    * [2^p, 2^{p+1}) seconds, derived as `length(bin(sec)) - 1`, the
+    * binary-digit count both engines compute on the identical BIGINT
+    * (never `floor(log2(x))`, whose float rounding flips at exact
+    * powers of two; sub-second latencies fold into bucket 0, see the
+    * `greatest` clamp). w4 emits every pair; w16 is the report a
+    * funnel team actually reads — conversions per latency decade +
+    * share of total.
+    *
+    * Scale shape: rides w4's one-per-user-window-pass merge-scan
+    * (linear in events, no θ-join — w4's whole point), then ONE hash
+    * agg to ~40 bucket rows and a 1-row total broadcast for the share
+    * (p20 pattern; never a global window over data). w4's output sort
+    * is eliminated under the agg (EliminateSorts — pinned in the
+    * shuffle budget).
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val b = asofJoin(spark, dir)
+      .select(expr(s"gap_us div $UsPerSec").as("gap_sec"))
+      .withColumn(
+        "bucket_pow",
+        (length(bin(greatest(col("gap_sec"), lit(1L)))) - 1).cast("long"))
+      .groupBy(col("bucket_pow"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        sum(col("gap_sec")).as("sum_gap_sec"))
+    val total = b.agg(sum(col("n_conversions")).as("total_conv"))
+    b.crossJoin(broadcast(total))
+      .select(
+        col("bucket_pow"),
+        expr("shiftleft(1L, cast(bucket_pow as int))").as("lo_sec"),
+        expr("shiftleft(2L, cast(bucket_pow as int))").as("hi_sec"),
+        col("n_conversions"), col("sum_gap_sec"),
+        (col("n_conversions").cast("double") /
+          col("total_conv").cast("double")).as("share"))
+      .orderBy(col("bucket_pow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w16_conversion_latency" -> conversionLatency,
     "w15_rolling_distinct" -> rollingDistinct,
     "w14_transition_matrix" -> transitionMatrix,
     "w13_rate_anomalies" -> rateAnomalies,
@@ -706,6 +748,29 @@ object EventWindows {
     "w3_sessions" -> sessions)
 
   val oracleSql: Map[String, String] = Map(
+    // w16: the same ASOF pairs as w4's oracle, bucketed with the same
+    // binary-digit-count expression on the same BIGINT seconds
+    "w16_conversion_latency" ->
+      s"""WITH pairs AS (
+            SELECT (epoch_us(p.ts) - epoch_us(c.ts)) // $UsPerSec AS gap_sec
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts),
+          b AS (
+            SELECT CAST(length(bin(greatest(gap_sec, 1))) - 1 AS BIGINT)
+                     AS bucket_pow,
+                   COUNT(*) AS n_conversions,
+                   CAST(SUM(gap_sec) AS BIGINT) AS sum_gap_sec
+            FROM pairs GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n_conversions) AS BIGINT) AS total_conv
+                  FROM b)
+          SELECT bucket_pow,
+                 CAST(1 AS BIGINT) << CAST(bucket_pow AS INT) AS lo_sec,
+                 CAST(2 AS BIGINT) << CAST(bucket_pow AS INT) AS hi_sec,
+                 n_conversions, sum_gap_sec,
+                 CAST(n_conversions AS DOUBLE) / CAST(total_conv AS DOUBLE)
+                   AS share
+          FROM b, tot ORDER BY bucket_pow""",
     "w14_transition_matrix" ->
       s"""WITH o AS (
             SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,

@@ -238,8 +238,13 @@ class PlanAuditSpec extends SparkSpec {
     "p20_holdout_split" -> 7, // doc/quality join sides + countDistinct
                               // 2-phase agg + total broadcast + sort
     "t20_pretoken_counts" -> 1, // pure projection: output sort only
-    "s15_srp_lsh_topk" -> 6 // probe broadcast + cand distinct + rescore
+    "s15_srp_lsh_topk" -> 6, // probe broadcast + cand distinct + rescore
                             // join sides + top-k window + sort
+    "w16_conversion_latency" -> 7 // w4's user window + bucket agg on BOTH
+                                  // uncached branches (histogram + its
+                                  // 1-row total) + total broadcast + sort
+                                  // — every exchange carries buckets or
+                                  // user-partitioned events, never pairs
   )
 
   /** Exchanges the query itself spends — traversal stops at cache

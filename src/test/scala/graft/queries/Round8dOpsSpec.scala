@@ -91,6 +91,56 @@ class Round8dOpsSpec extends SparkSpec {
     assert(got.toSeq == want, s"fixture table diverges: ${got.toSeq} vs $want")
   }
 
+  // ---------------------------------------------------------------- w16
+
+  /** Write a fixture events.parquet (µs timestamps) and return its dir. */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("w16_fix_").toString
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$fdir/events.parquet")
+    fdir
+  }
+
+  test("w16 equals an independent histogram fold of the w4 pairs") {
+    val gaps = EventWindows.asofJoin(spark, dir).collect()
+      .map(r => r.getLong(5) / 1000000L)
+    val want = gaps
+      .groupBy(g => java.lang.Long.toBinaryString(math.max(g, 1L)).length - 1L)
+      .map { case (p, gs) =>
+        (p, gs.length.toLong, gs.sum, gs.length.toDouble / gaps.length) }
+      .toSeq.sortBy(_._1)
+    val got = EventWindows.conversionLatency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == want, s"histogram diverges:\n got=${got.toSeq}\nwant=$want")
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-12)
+  }
+
+  test("w16 bucket boundaries are exact at powers of two (planted)") {
+    val base = 1704067200000000L
+    val fdir = eventsDir(Seq(
+      (1L, base, 1L, "click"),
+      (10L, base + 500000L, 1L, "purchase"),        // 0.5 s → sec 0 → p0
+      (11L, base + 1000000L, 1L, "purchase"),       // 1 s  → p0
+      (12L, base + 2000000L, 1L, "purchase"),       // 2 s  → p1 lower edge
+      (13L, base + 3000000L, 1L, "purchase"),       // 3 s  → p1
+      (14L, base + 4000000L, 1L, "purchase"),       // 4 s  → p2 lower edge
+      (15L, base + 1023000000L, 1L, "purchase"),    // 1023 s → p9 upper edge
+      (16L, base + 1024000000L, 1L, "purchase")))   // 1024 s → p10 lower edge
+    val got = EventWindows.conversionLatency(spark, fdir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 2L, 2L, 1L),
+      (1L, 2L, 4L, 2L, 5L),
+      (2L, 4L, 8L, 1L, 4L),
+      (9L, 512L, 1024L, 1L, 1023L),
+      (10L, 1024L, 2048L, 1L, 1024L)), s"got: ${got.toSeq}")
+  }
+
   test("t21 is deterministic: a re-run emits identical rows") {
     val a = TextOps.bpeMerges(spark, dir).collect().map(_.toString)
     val b = TextOps.bpeMerges(spark, dir).collect().map(_.toString)
