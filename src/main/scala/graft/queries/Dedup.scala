@@ -188,9 +188,14 @@ object Dedup {
     * no third join. Candidate generation never compares non-colliding
     * documents.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** (a_id, b_id, m) — every LSH band-collision candidate pair with
+    * its signature match count: d3's estimate join BEFORE the
+    * acceptance filter. Shared by d3 (which filters and accepts) and
+    * d21 (which audits the unfiltered estimates against truth).
+    */
+  private[queries] def candMatches(spark: SparkSession, dir: String): DataFrame = {
     // sigs feeds the band explode + both sides of the estimate join —
-    // session-cached (reuse-across-stages AND across d3/d7).
+    // session-cached (reuse-across-stages AND across d3/d7/d21).
     val sigs = cached(spark, dir, "sigs")(minhashSignatures(spark, dir))
     val cand = candidatesFrom(sigs)
     def renamed(prefix: String, idCol: String) =
@@ -204,12 +209,16 @@ object Dedup {
       .join(renamed("a", "a_id"), "a_id")
       .join(renamed("b", "b_id"), "b_id")
       .withColumn("m", matches)
+      .select(col("a_id"), col("b_id"), col("m"))
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    candMatches(spark, dir)
       .filter(col("m") >= NumHashes / 2)
       .select(
         col("a_id"), col("b_id"),
         (col("m").cast("double") / NumHashes).as("est_sim"))
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   /** Boundary of the d14 "new batch": documents with id below this are
     * the incoming slice; everything at-or-above is the already-indexed
@@ -1091,7 +1100,96 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d20 — cluster-size audit, the dedup REPORT every corpus release
+    * publishes next to the assignment itself (Lee 2022 / Dolma report
+    * duplicate-cluster histograms; the shape of this table decides
+    * survivor policy — a heavy tail of giant clusters means template
+    * spam, near-uniform small clusters mean true near-dups): per
+    * cluster size, how many clusters, how many documents they hold,
+    * how many are redundant (size − 1 per cluster — exactly what a
+    * keep-one-survivor pass would delete), and the share of the corpus
+    * sitting at that size.
+    *
+    * Scale shape: rides d9's session-cached cluster labels (one
+    * propagation per session, shared with d9/p1), then two hash aggs
+    * that only ever shrink — clusters (≤ docs) then sizes (≤ log-ish
+    * distinct sizes) — and a 1-row total broadcast for shares. Nothing
+    * here re-touches text or signatures.
+    */
+  def clusterSizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val b = dedupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(
+        col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
+    val tot = b.agg(sum(col("n_docs")).as("total_docs"))
+    b.crossJoin(broadcast(tot))
+      .select(
+        col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("n_redundant"),
+        (col("n_docs").cast("double") / col("total_docs").cast("double"))
+          .as("share_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** d21 — MinHash sketch calibration: for every LSH candidate pair,
+    * compare the 8-hash similarity ESTIMATE (d3's m/8) against the
+    * TRUE shingle Jaccard (d2's inter/union), reported as mean
+    * absolute error per true-similarity decile. This is the
+    * parameter-validation report behind the whole LSH tier: E[|est −
+    * J|] ≈ √(J(1−J)/k) decides whether k = 8 hashes suffices at the
+    * 0.5 acceptance threshold, and a skewed decile row says the band
+    * scheme, not sampling noise, is biasing candidates. Run on a
+    * sample in production; the plan is identical.
+    *
+    * Exactness discipline: est = m/8 (exact binary fraction), true J =
+    * exact int division, decile = `inter·10 div union` (INTEGER — a
+    * float `floor(j·10)` misbuckets at decile edges where 0.7 is
+    * 0.6999…), |err| floored to nano-units before the sum (t10/t16
+    * pattern) so the mean is an IEEE division of exact integers.
+    *
+    * Scale shape: estimates ∝ band collisions (candMatches), truth ∝
+    * shared df-capped shingles (d2's inverted index) — both linear in
+    * their index sizes, never doc²; the decile fold is one hash agg to
+    * ≤ 11 rows. Every candidate pair shares ≥ 1 shingle (a band
+    * collision implies a shared min-shingle), so the truth join loses
+    * nothing — spec'd.
+    */
+  def sketchCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val s = cachedShingles(spark, dir)
+    val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = s.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = s.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val inter = a
+      .join(b, col("a_sh") === col("b_sh") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    candMatches(spark, dir)
+      .join(inter, Seq("a_id", "b_id"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sa")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("sb")), "b_id")
+      .withColumn("un", col("sa") + col("sb") - col("inter"))
+      .withColumn("est", col("m").cast("double") / NumHashes)
+      .withColumn("tj", col("inter").cast("double") / col("un").cast("double"))
+      .withColumn(
+        "err_nano", floor(abs(col("est") - col("tj")) * 1e9).cast("long"))
+      .withColumn("j_decile", expr("(inter * 10) div un"))
+      .groupBy(col("j_decile"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("err_nano")).as("sum_abs_err_nano"))
+      .select(
+        col("j_decile"), col("n_pairs"), col("sum_abs_err_nano"),
+        (col("sum_abs_err_nano").cast("double") /
+          (lit(1e9) * col("n_pairs").cast("double"))).as("mean_abs_err"))
+      .orderBy(col("j_decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_sketch_calibration" -> sketchCalibration,
+    "d20_cluster_sizes" -> clusterSizeAudit,
     "d18_cc_star" -> ccStar,
     "d13_paragraph_dedup" -> paragraphDedup,
     "d16_boilerplate_strip" -> boilerplateStrip,
@@ -1165,8 +1263,12 @@ object Dedup {
     * closure over the LSH-then-rescore edge set — the shared oracle
     * for both cluster algorithms (d9 propagation, d18 star).
     */
-  private val closureClustersSql =
-    s"""WITH RECURSIVE $sigsCte,
+  /** CTEs ending at `sim` — LSH band collisions (`cand`) with their
+    * per-pair signature match counts (`m`); shared by the closure
+    * oracle below and d21's calibration oracle.
+    */
+  private val candSimCtes =
+    s"""$sigsCte,
         bands AS (
           SELECT doc_id, h // 2 AS band,
                  md5(string_agg(mh, '|' ORDER BY h)) AS bkey
@@ -1181,14 +1283,24 @@ object Dedup {
           FROM cand c
           JOIN sigs x ON x.doc_id = c.a_id
           JOIN sigs y ON y.doc_id = c.b_id AND y.h = x.h
-          GROUP BY 1, 2),
+          GROUP BY 1, 2)"""
+
+  /** CTE prefix ending at `reach` — the transitive closure over the
+    * LSH-then-rescore edge set; shared by d9/d18's cluster oracle and
+    * d20's size-audit oracle.
+    */
+  private val closureCtes =
+    s"""RECURSIVE $candSimCtes,
         pairs AS (SELECT a_id, b_id FROM sim WHERE m >= ${NumHashes / 2}),
         edges AS (SELECT a_id AS u, b_id AS v FROM pairs
                   UNION SELECT b_id, a_id FROM pairs),
         reach AS (
           SELECT doc_id AS src, doc_id AS dst FROM documents
           UNION
-          SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)
+          SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)"""
+
+  private val closureClustersSql =
+    s"""WITH $closureCtes
         SELECT src AS doc_id, MIN(dst) AS cluster_id,
                MIN(dst) = src AS is_survivor
         FROM reach GROUP BY src ORDER BY doc_id"""
@@ -1337,6 +1449,55 @@ object Dedup {
     // d18 computes the SAME clusters by a different distributed
     // algorithm — the transitive-closure oracle is shared verbatim
     "d18_cc_star" -> closureClustersSql,
+    // d21: sim's unfiltered estimates vs d2's truth, folded to deciles
+    // with the identical integer decile and nano-floored error
+    "d21_sketch_calibration" ->
+      s"""WITH $candSimCtes,
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles
+                    GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+            FROM shingles a JOIN shingles b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          p AS (
+            SELECT s.a_id, s.b_id,
+                   CAST(s.m AS DOUBLE) / $NumHashes AS est,
+                   i.inter, sa.sz + sb.sz - i.inter AS un
+            FROM sim s
+            JOIN inter i ON i.a_id = s.a_id AND i.b_id = s.b_id
+            JOIN sizes sa ON sa.doc_id = s.a_id
+            JOIN sizes sb ON sb.doc_id = s.b_id),
+          e AS (
+            SELECT CAST(inter * 10 // un AS BIGINT) AS j_decile,
+                   CAST(FLOOR(ABS(est - CAST(inter AS DOUBLE)
+                     / CAST(un AS DOUBLE)) * 1e9) AS BIGINT) AS err_nano
+            FROM p)
+          SELECT j_decile, COUNT(*) AS n_pairs,
+                 CAST(SUM(err_nano) AS BIGINT) AS sum_abs_err_nano,
+                 CAST(SUM(err_nano) AS DOUBLE)
+                   / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS mean_abs_err
+          FROM e GROUP BY 1 ORDER BY 1""",
+    // d20: the same closure, folded to the size histogram
+    "d20_cluster_sizes" ->
+      s"""WITH $closureCtes,
+          clusters AS (
+            SELECT src AS doc_id, MIN(dst) AS cluster_id
+            FROM reach GROUP BY src),
+          csize AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM clusters GROUP BY 1),
+          b AS (
+            SELECT cluster_size, COUNT(*) AS n_clusters,
+                   CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+                   CAST((cluster_size - 1) * COUNT(*) AS BIGINT)
+                     AS n_redundant
+            FROM csize GROUP BY cluster_size),
+          tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM b)
+          SELECT cluster_size, n_clusters, n_docs, n_redundant,
+                 CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)
+                   AS share_docs
+          FROM b, tot ORDER BY cluster_size""",
     "d7_lsh_rescore" ->
       s"""WITH $sigsCte,
           bands AS (

@@ -833,7 +833,50 @@ object TextOps {
     } finally vocab.unpersist()
   }
 
+  /** t22 — CCNet-style perplexity buckets (Wenzek 2020): per language,
+    * rank documents by the t16 bigram-LM score and cut into terciles —
+    * `head` (most-fluent third, kept unconditionally in CCNet),
+    * `middle` (kept), `tail` (dropped or down-weighted). This is the
+    * QUANTILE-based quality gate the threshold-based filters (t12/t19)
+    * deliberately aren't: thresholds drift across languages and
+    * corpora; per-language terciles self-calibrate, which is exactly
+    * why CCNet buckets per language.
+    *
+    * Determinism: the rank key is (avg_logprob DESC, doc_id) —
+    * avg_logprob is an IEEE division of two exact integers (t16's
+    * nano-nats discipline), so both engines rank the identical
+    * doubles; the tercile cut `(rnk−1)·3 div n_lang` is exact integer
+    * math (never a float percentile).
+    *
+    * Scale shape: per-LANGUAGE windows — partitioned, parallel, the
+    * axis CCNet itself shards on (a language's docs sort within its
+    * partition; no global window). Ranking rides t16's hash-agg
+    * pipeline; the bucket fold is one hash agg to ≤ 3·|langs| rows.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    val wLang = Window.partitionBy(col("lang"))
+    bigramLogprob(spark, dir)
+      .join(documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(wLang))
+      .withColumn(
+        "bucket",
+        when(expr("(rnk - 1) * 3 div n_lang") === 0L, "head")
+          .when(expr("(rnk - 1) * 3 div n_lang") === 1L, "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("avg_logprob")).as("min_logprob"),
+        max(col("avg_logprob")).as("max_logprob"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_ppl_buckets" -> pplBuckets,
     "t21_bpe_merges" -> bpeMerges,
     "t20_pretoken_counts" -> pretokenCounts,
     "t19_gopher_rules" -> gopherRules,
@@ -880,6 +923,37 @@ object TextOps {
                    0) AS span_start,
                  CAST(LENGTH(sentence) AS BIGINT) AS len
           FROM sentences)"""
+
+  /** t16's bigram-LM pipeline as CTEs ending in `ppl` (doc_id,
+    * n_bigrams, avg_logprob) — shared by the t16 and t22 oracles.
+    */
+  private lazy val bigramPplCtes =
+    s"""$wordsCte,
+        bg0 AS (
+          SELECT doc_id, word AS prev, lead(word) OVER
+            (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM words),
+        bg AS (SELECT doc_id, prev, nxt FROM bg0 WHERE nxt IS NOT NULL),
+        cbg AS (SELECT prev, nxt, COUNT(*) AS cbg FROM bg GROUP BY 1, 2),
+        chist AS (SELECT prev, COUNT(*) AS chist FROM bg GROUP BY 1),
+        cuni AS (SELECT word AS nxt, COUNT(*) AS cw FROM words GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS total FROM words),
+        lq AS (
+          SELECT b.doc_id,
+                 CAST(FLOOR(ln(
+                     $BigramLambda * (CAST(g.cbg AS DOUBLE) / CAST(h.chist AS DOUBLE))
+                     + ${1.0 - BigramLambda} * (CAST(u.cw AS DOUBLE) / CAST(t.total AS DOUBLE)))
+                   * 1e9) AS BIGINT) AS lq
+          FROM bg b
+          JOIN cbg g ON g.prev = b.prev AND g.nxt = b.nxt
+          JOIN chist h ON h.prev = b.prev
+          JOIN cuni u ON u.nxt = b.nxt
+          CROSS JOIN tot t),
+        ppl AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+                 CAST(SUM(lq) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE))
+                   AS avg_logprob
+          FROM lq GROUP BY doc_id)"""
 
   /** t21's oracle: the [[MergeRounds]] BPE iterations UNROLLED as CTE
     * stages (recursive CTEs can't aggregate in the recursive term, and
@@ -1105,30 +1179,31 @@ object TextOps {
     // (1−λ)·(c/d) with exact binary λ, ln then floor-to-nano-nats —
     // so both engines quantize identical doubles
     "t16_bigram_logprob" ->
-      s"""WITH $wordsCte,
-          bg0 AS (
-            SELECT doc_id, word AS prev, lead(word) OVER
-              (PARTITION BY doc_id ORDER BY pos) AS nxt
-            FROM words),
-          bg AS (SELECT doc_id, prev, nxt FROM bg0 WHERE nxt IS NOT NULL),
-          cbg AS (SELECT prev, nxt, COUNT(*) AS cbg FROM bg GROUP BY 1, 2),
-          chist AS (SELECT prev, COUNT(*) AS chist FROM bg GROUP BY 1),
-          cuni AS (SELECT word AS nxt, COUNT(*) AS cw FROM words GROUP BY 1),
-          tot AS (SELECT COUNT(*) AS total FROM words),
-          lq AS (
-            SELECT b.doc_id,
-                   CAST(FLOOR(ln(
-                       $BigramLambda * (CAST(g.cbg AS DOUBLE) / CAST(h.chist AS DOUBLE))
-                       + ${1.0 - BigramLambda} * (CAST(u.cw AS DOUBLE) / CAST(t.total AS DOUBLE)))
-                     * 1e9) AS BIGINT) AS lq
-            FROM bg b
-            JOIN cbg g ON g.prev = b.prev AND g.nxt = b.nxt
-            JOIN chist h ON h.prev = b.prev
-            JOIN cuni u ON u.nxt = b.nxt
-            CROSS JOIN tot t)
-          SELECT doc_id, COUNT(*) AS n_bigrams,
-                 CAST(SUM(lq) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS avg_logprob
-          FROM lq GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH $bigramPplCtes
+          SELECT doc_id, n_bigrams, avg_logprob
+          FROM ppl ORDER BY doc_id""",
+    // t22: the same per-doc LM scores, bucketed into per-language
+    // terciles by the same (avg_logprob DESC, doc_id) rank
+    "t22_ppl_buckets" ->
+      s"""WITH $bigramPplCtes,
+          r AS (
+            SELECT d.lang, p.doc_id, p.n_bigrams, p.avg_logprob,
+                   row_number() OVER (PARTITION BY d.lang
+                     ORDER BY p.avg_logprob DESC, p.doc_id) AS rnk,
+                   COUNT(*) OVER (PARTITION BY d.lang) AS n_lang
+            FROM ppl p JOIN documents d USING (doc_id)),
+          lb AS (
+            SELECT lang,
+                   CASE (rnk - 1) * 3 // n_lang
+                     WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+                   n_bigrams, avg_logprob
+            FROM r)
+          SELECT lang, bucket, COUNT(*) AS n_docs,
+                 CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+                 MIN(avg_logprob) AS min_logprob,
+                 MAX(avg_logprob) AS max_logprob
+          FROM lb GROUP BY lang, bucket ORDER BY lang, bucket""",
     "t9_bigram_freq" ->
       s"""WITH $wordsCte,
           bg AS (

@@ -240,6 +240,16 @@ class PlanAuditSpec extends SparkSpec {
     "t20_pretoken_counts" -> 1, // pure projection: output sort only
     "s15_srp_lsh_topk" -> 6, // probe broadcast + cand distinct + rescore
                             // join sides + top-k window + sort
+    "d20_cluster_sizes" -> 11, // ceiling with a COLD label cache (d9's
+                               // propagation rounds); the audit's own
+                               // spend is 2 shrinking aggs + broadcast
+                               // + sort on metadata-sized frames
+    "d21_sketch_calibration" -> 10, // cand/est joins + truth inverted-
+                                    // index join + decile agg + sort,
+                                    // cold-cache ceiling
+    "t22_ppl_buckets" -> 14, // t16's bigram pipeline (4 count aggs + 3
+                             // joins) + lang join + per-lang windows +
+                             // bucket agg + sort, cold-cache ceiling
     "w16_conversion_latency" -> 7 // w4's user window + bucket agg on BOTH
                                   // uncached branches (histogram + its
                                   // 1-row total) + total broadcast + sort

@@ -141,6 +141,112 @@ class Round8dOpsSpec extends SparkSpec {
       (10L, 1024L, 2048L, 1L, 1024L)), s"got: ${got.toSeq}")
   }
 
+  // ---------------------------------------------------------------- d20
+
+  test("d20 equals an independent size fold of the d9 assignment") {
+    val labels = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = labels.groupBy(_._2).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, cs) =>
+        (sz, cs.size.toLong, sz * cs.size, (sz - 1) * cs.size,
+          (sz * cs.size).toDouble / labels.length) }
+      .toSeq.sortBy(_._1)
+    val got = Dedup.clusterSizeAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == want, s"audit diverges:\n got=${got.toSeq}\nwant=$want")
+    // the histogram partitions the corpus, and the dedup is live (some
+    // cluster bigger than 1 — otherwise the audit audits nothing)
+    assert(got.map(_._3).sum == labels.length.toLong)
+    assert(got.exists(_._1 > 1L), "no non-trivial cluster in the testdata")
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-12)
+  }
+
+  // ---------------------------------------------------------------- d21
+
+  test("d21 equals an independent calibration fold; no candidate is lost") {
+    val cands = Dedup.candMatches(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sh = Dedup.cachedShingles(spark, dir)
+      .select(col("doc_id"), col("sh")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val want = cands.toSeq.map { case ((aId, bId), m) =>
+      val (sa, sb) = (sh(aId), sh(bId))
+      val inter = (sa & sb).size.toLong
+      assert(inter > 0, s"candidate ($aId,$bId) shares no shingle")
+      val un = sa.size + sb.size - inter
+      val est = m.toDouble / Dedup.NumHashes
+      val tj = inter.toDouble / un.toDouble
+      ((inter * 10) / un, math.floor(math.abs(est - tj) * 1e9).toLong)
+    }.groupBy(_._1).map { case (dec, es) =>
+      val s = es.map(_._2).sum
+      (dec, es.size.toLong, s, s.toDouble / (1e9 * es.size)) }
+      .toSeq.sortBy(_._1)
+    val got = Dedup.sketchCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want,
+      s"calibration diverges:\n got=${got.toSeq}\nwant=$want")
+    assert(got.map(_._2).sum == cands.size.toLong,
+      "the truth join dropped candidate pairs")
+  }
+
+  test("d21: 8 hashes calibrate within the binomial error envelope") {
+    val rows = Dedup.sketchCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val n = rows.map(_._2).sum
+    val weighted = rows.map(r => r._3 * r._2).sum / n
+    info(f"weighted mean |est - J| = $weighted%.3f over $n pairs")
+    // std of m/8 is sqrt(J(1-J)/8) <= 0.177; mean |err| of a binomial
+    // estimate stays well under 2 std — a miscalibrated band scheme
+    // (biased candidates) or a broken estimator blows past this
+    assert(weighted < 0.25, f"mean abs error $weighted%.3f not calibrated")
+    rows.foreach { case (dec, _, e) =>
+      assert(e < 0.5, s"decile $dec mean error $e is worse than guessing")
+    }
+  }
+
+  // ---------------------------------------------------------------- t22
+
+  test("t22 equals an independent per-language tercile fold of t16 scores") {
+    val lang = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ppl = TextOps.bigramLogprob(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = ppl.groupBy(p => lang(p._1)).toSeq.flatMap { case (lg, ds) =>
+      val ranked = ds.sortBy(p => (-p._3, p._1)).zipWithIndex
+      ranked.groupBy { case (_, i) => (i * 3) / ds.length }.map {
+        case (b, rs) =>
+          val bucket = Seq("head", "middle", "tail")(b)
+          (lg, bucket, rs.length.toLong, rs.map(_._1._2).sum,
+            rs.map(_._1._3).min, rs.map(_._1._3).max)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextOps.pplBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == want, s"buckets diverge:\n got=${got.toSeq}\nwant=$want")
+  }
+
+  test("t22 buckets are balanced and score-monotone per language") {
+    val rows = TextOps.pplBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    rows.groupBy(_._1).foreach { case (lg, bs) =>
+      assert(bs.length == 3, s"$lg must have all three buckets")
+      val byName = bs.map(b => b._2 -> b).toMap
+      val sizes = bs.map(_._3)
+      assert(sizes.max - sizes.min <= 1,
+        s"$lg terciles must differ by at most one doc: ${bs.toSeq}")
+      // head holds the highest scores, tail the lowest
+      assert(byName("head")._4 >= byName("middle")._5,
+        s"$lg head/middle overlap: ${bs.toSeq}")
+      assert(byName("middle")._4 >= byName("tail")._5,
+        s"$lg middle/tail overlap: ${bs.toSeq}")
+    }
+  }
+
   test("t21 is deterministic: a re-run emits identical rows") {
     val a = TextOps.bpeMerges(spark, dir).collect().map(_.toString)
     val b = TextOps.bpeMerges(spark, dir).collect().map(_.toString)
