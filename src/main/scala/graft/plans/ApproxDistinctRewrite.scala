@@ -49,6 +49,8 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
   * operator preference order).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }

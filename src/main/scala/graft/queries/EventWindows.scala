@@ -729,7 +729,35 @@ object EventWindows {
       .orderBy(col("bucket_pow"))
   }
 
+  /** w17 — w4's AS-OF join through the NATIVE merge-scan operator
+    * (`graft.plans.AsofJoinExec`, the SURVEY §4 tier-(c) custom
+    * LogicalPlan → Strategy → SparkPlan): same contract, same rows,
+    * same DuckDB oracle string as w4 — the two formulations certify
+    * each other. Where w4 shuffles the UNION of both streams through
+    * one per-user window pass, the native exec shuffles each side by
+    * key (exchanges/sorts placed by EnsureRequirements from declared
+    * requirements, not hand-scheduled) and merges in one forward pass
+    * holding a single buffered right row — no carrier nulls, no
+    * window state.
+    */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsUs(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("purchase_us"),
+        col("event_id").as("purchase_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tus").as("click_us"),
+        col("event_id").as("click_id"))
+    graft.plans.AsofJoin.asof(purchases, clicks)
+      .select(
+        col("user_id"), col("purchase_id"), col("purchase_us"),
+        col("click_id"), col("click_us"),
+        (col("purchase_us") - col("click_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w17_asof_native" -> asofNative,
     "w16_conversion_latency" -> conversionLatency,
     "w15_rolling_distinct" -> rollingDistinct,
     "w14_transition_matrix" -> transitionMatrix,
@@ -746,6 +774,19 @@ object EventWindows {
     "w1_tumbling" -> tumbling,
     "w2_sliding" -> sliding,
     "w3_sessions" -> sessions)
+
+  /** The AS-OF contract in DuckDB's native ASOF JOIN — shared by w4
+    * (union+window formulation) and w17 (native merge-scan operator).
+    */
+  private val AsofOracleSql =
+    """SELECT p.user_id, p.event_id AS purchase_id,
+              epoch_us(p.ts) AS purchase_us,
+              c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+              epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.ts
+       ORDER BY purchase_id"""
 
   val oracleSql: Map[String, String] = Map(
     // w16: the same ASOF pairs as w4's oracle, bucketed with the same
@@ -1005,15 +1046,11 @@ object EventWindows {
     // The oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation of the semantics (merge-scan vs our window pass).
     // Determinism probed across all SFs: no (user_id, µs) click ties.
-    "w4_asof_join" ->
-      """SELECT p.user_id, p.event_id AS purchase_id,
-                epoch_us(p.ts) AS purchase_us,
-                c.event_id AS click_id, epoch_us(c.ts) AS click_us,
-                epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND p.ts >= c.ts
-         ORDER BY purchase_id""",
+    "w4_asof_join" -> AsofOracleSql,
+    // w17 is the NATIVE-operator spelling of the same contract — the
+    // oracle is shared verbatim, so the custom SparkPlan is held to
+    // exactly w4's hash
+    "w17_asof_native" -> AsofOracleSql,
     "w1_tumbling" ->
       s"""SELECT window_start, event_type, n_events,
                  CAST(sum_cents AS DOUBLE) / (100.0 * CAST(n_events AS DOUBLE)) AS avg_value

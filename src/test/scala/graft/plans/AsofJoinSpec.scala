@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The native AS-OF operator (logical node → strategy → SparkPlan):
+  * must equal w4's union+window formulation row-for-row (the two
+  * spellings certify each other; the driver additionally holds both to
+  * the same DuckDB oracle hash), must plan through AsofJoinExec with
+  * EnsureRequirements-inserted exchanges/sorts, and must survive the
+  * planted boundary cases.
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("native asof equals the w4 window formulation row-for-row") {
+    val a = graft.queries.EventWindows.asofJoin(spark, dir).collect()
+      .map(_.toSeq)
+    val b = graft.queries.EventWindows.asofNative(spark, dir).collect()
+      .map(_.toSeq)
+    assert(a.length == b.length, s"${a.length} vs ${b.length} rows")
+    assert(a.toSeq == b.toSeq, "native asof diverges from the window form")
+  }
+
+  test("the plan goes through AsofJoinExec; requirements place sorts+exchanges") {
+    val df = graft.queries.EventWindows.asofNative(spark, dir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), s"native operator missing from plan:\n$p")
+    // EnsureRequirements must have placed per-side hash exchanges and
+    // (key, time[, id]) sorts — the operator declares, Spark schedules
+    assert(p.contains("Exchange hashpartitioning"),
+      s"no hash exchange under the asof exec:\n$p")
+    assert("""Sort \[user_id""".r.findFirstIn(p).isDefined ||
+      """Sort \[c_user""".r.findFirstIn(p).isDefined,
+      s"no requirement-inserted sort under the asof exec:\n$p")
+  }
+
+  private def longsDf(name: String, rows: Seq[(Long, Long, Long)],
+      cols: Seq[String]) =
+    rows.toDF(cols: _*)
+
+  test("planted edges: same-µs tie takes max id; no-match rows drop; keys don't leak") {
+    val left = longsDf("l", Seq(
+      (1L, 100L, 10L),   // matches right at exactly 100 (tie → id 23)
+      (1L, 50L, 11L),    // before every right row of user 1 → dropped
+      (2L, 100L, 12L),   // user 2 has no right rows at all → dropped
+      (3L, 999L, 13L)),  // matches user 3's latest at 500
+      Seq("user_id", "t_us", "l_id"))
+    val right = longsDf("r", Seq(
+      (1L, 100L, 22L),
+      (1L, 100L, 23L),   // same µs, larger id — must win the tie
+      (1L, 90L, 21L),
+      (3L, 500L, 31L),
+      (3L, 400L, 30L)),
+      Seq("r_user", "r_us", "r_id"))
+    val got = AsofJoin.asof(left, right)
+      .select(col("l_id"), col("r_id"), col("r_us"))
+      .orderBy(col("l_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 23L, 100L), (13L, 31L, 500L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("the wrapper rejects malformed inputs loudly") {
+    val l = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+    val rBad = Seq((1L, "x", 3L)).toDF("d", "e", "f")
+    val eTy = intercept[IllegalArgumentException](AsofJoin.asof(l, rBad))
+    assert(eTy.getMessage.contains("must be LONG"))
+    val rDup = Seq((1L, 2L, 3L)).toDF("a", "y", "z")
+    val eDup = intercept[IllegalArgumentException](AsofJoin.asof(l, rDup))
+    assert(eDup.getMessage.contains("share column names"))
+  }
+}

@@ -250,6 +250,10 @@ class PlanAuditSpec extends SparkSpec {
     "t22_ppl_buckets" -> 14, // t16's bigram pipeline (4 count aggs + 3
                              // joins) + lang join + per-lang windows +
                              // bucket agg + sort, cold-cache ceiling
+    "w17_asof_native" -> 3, // one hash exchange per asof side (placed by
+                            // EnsureRequirements from the exec's declared
+                            // distribution — not hand-scheduled) + output
+                            // sort; the merge itself holds ONE row
     "w16_conversion_latency" -> 7 // w4's user window + bucket agg on BOTH
                                   // uncached branches (histogram + its
                                   // 1-row total) + total broadcast + sort
