@@ -875,7 +875,39 @@ object TextOps {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  /** t23 — language-ID confusion matrix: t6's n-gram prediction
+    * against the DECLARED `lang` column, the agreement audit a corpus
+    * intake runs before trusting either signal (fastText-vs-metadata
+    * disagreement is the standard crawl-quality tripwire; a skewed row
+    * says the declared labels — or the lexicons — are wrong for that
+    * language, and decides which side t22's per-language buckets key
+    * on). Emits the full matrix with per-declared-language totals and
+    * recall fractions (w14's row-normalization discipline: the window
+    * runs over the |langs|² METADATA frame, never documents).
+    *
+    * Scale shape: t6's one hash agg over the cached words + a 1:1
+    * doc_id join to the lang column + a |langs|²-row fold. Fractions
+    * are IEEE divisions of exact counts.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val byDeclared = Window.partitionBy(col("declared_lang"))
+    langId(spark, dir)
+      .select(col("doc_id"), col("predicted_lang"))
+      .join(
+        documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang").as("declared_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("declared_total", sum(col("n_docs")).over(byDeclared))
+      .select(
+        col("declared_lang"), col("predicted_lang"), col("n_docs"),
+        col("declared_total"),
+        (col("n_docs").cast("double") / col("declared_total").cast("double"))
+          .as("recall_frac"))
+      .orderBy(col("declared_lang"), col("predicted_lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_lang_confusion" -> langConfusion,
     "t22_ppl_buckets" -> pplBuckets,
     "t21_bpe_merges" -> bpeMerges,
     "t20_pretoken_counts" -> pretokenCounts,
@@ -1261,24 +1293,28 @@ object TextOps {
                  CAST(COUNT(DISTINCT word) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS type_token_ratio
           FROM words GROUP BY doc_id ORDER BY doc_id""",
     "t6_lang_id" -> {
-      val hitExprs = LangLexicons.map { case (lang, lex) =>
-        s"CAST(SUM(CASE WHEN word IN (${TextOps.inList(lex)}) THEN 1 ELSE 0 END) AS BIGINT) AS hits_$lang"
-      }.mkString(",\n                 ")
       val langs = LangLexicons.map(_._1)
-      val caseExpr = langs.map { lang =>
-        val geAll = langs.filter(_ != lang)
-          .map(o => s"hits_$lang >= hits_$o").mkString(" AND ")
-        s"WHEN $geAll AND hits_$lang > 0 THEN '$lang'"
-      }.mkString("\n                   ")
-      s"""WITH $wordsCte,
-          hits AS (
-            SELECT doc_id,
-                 $hitExprs
-            FROM words GROUP BY doc_id)
+      s"""WITH $langPredCtes
           SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
-                 CASE $caseExpr ELSE 'und' END AS predicted_lang
-          FROM hits ORDER BY doc_id"""
+                 predicted_lang
+          FROM pred ORDER BY doc_id"""
     },
+    // t23: t6's prediction CTEs + the declared lang, folded to the
+    // matrix with the same row-normalizing window
+    "t23_lang_confusion" ->
+      s"""WITH $langPredCtes,
+          conf AS (
+            SELECT d.lang AS declared_lang, p.predicted_lang,
+                   COUNT(*) AS n_docs
+            FROM pred p JOIN documents d USING (doc_id)
+            GROUP BY 1, 2)
+          SELECT declared_lang, predicted_lang, n_docs,
+                 CAST(SUM(n_docs) OVER (PARTITION BY declared_lang)
+                   AS BIGINT) AS declared_total,
+                 CAST(n_docs AS DOUBLE) /
+                   CAST(CAST(SUM(n_docs) OVER (PARTITION BY declared_lang)
+                     AS BIGINT) AS DOUBLE) AS recall_frac
+          FROM conf ORDER BY declared_lang, predicted_lang""",
     "t7_fingerprint" ->
       """SELECT doc_id,
                 md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
@@ -1286,4 +1322,29 @@ object TextOps {
 
   private[queries] def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString(", ")
+
+  /** t6's hit-count + argmax prediction as CTEs ending in `pred`
+    * (doc_id, hits_*, predicted_lang) — shared by the t6 and t23
+    * oracles. The CASE evaluates in lexicon order: leftmost maximum
+    * wins, matching the Spark side's foldRight precedence.
+    */
+  private lazy val langPredCtes: String = {
+    val hitExprs = LangLexicons.map { case (lang, lex) =>
+      s"CAST(SUM(CASE WHEN word IN (${inList(lex)}) THEN 1 ELSE 0 END) AS BIGINT) AS hits_$lang"
+    }.mkString(",\n               ")
+    val langs = LangLexicons.map(_._1)
+    val caseExpr = langs.map { lang =>
+      val geAll = langs.filter(_ != lang)
+        .map(o => s"hits_$lang >= hits_$o").mkString(" AND ")
+      s"WHEN $geAll AND hits_$lang > 0 THEN '$lang'"
+    }.mkString("\n                 ")
+    s"""$wordsCte,
+        hits AS (
+          SELECT doc_id,
+               $hitExprs
+          FROM words GROUP BY doc_id),
+        pred AS (
+          SELECT *, CASE $caseExpr ELSE 'und' END AS predicted_lang
+          FROM hits)"""
+  }
 }

@@ -206,6 +206,30 @@ class Round8dOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- t23
+
+  test("t23 equals an independent confusion fold and row-normalizes") {
+    val pred = TextOps.langId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    val decl = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = decl.groupBy(d => (d._2, pred(d._1)))
+      .map { case (k, v) => k -> v.length.toLong }
+    val got = TextOps.langConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(g => (g._1, g._2) -> g._3).toMap == want,
+      s"matrix diverges: ${got.toSeq}")
+    // each declared row sums to its total; fractions row-normalize to 1
+    got.groupBy(_._1).foreach { case (lg, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, s"$lg total mismatch")
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-9)
+    }
+    // the matrix partitions the corpus
+    assert(got.map(_._3).sum == decl.length.toLong)
+  }
+
   // ---------------------------------------------------------------- t22
 
   test("t22 equals an independent per-language tercile fold of t16 scores") {
