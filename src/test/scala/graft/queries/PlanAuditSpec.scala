@@ -250,6 +250,8 @@ class PlanAuditSpec extends SparkSpec {
     "t22_ppl_buckets" -> 14, // t16's bigram pipeline (4 count aggs + 3
                              // joins) + lang join + per-lang windows +
                              // bucket agg + sort, cold-cache ceiling
+    "t23_lang_confusion" -> 5, // t6 hits agg + lang join sides + matrix
+                               // agg + declared window (metadata) + sort
     "w17_asof_native" -> 3, // one hash exchange per asof side (placed by
                             // EnsureRequirements from the exec's declared
                             // distribution — not hand-scheduled) + output
