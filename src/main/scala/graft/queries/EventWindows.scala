@@ -702,13 +702,17 @@ object EventWindows {
     *
     * Scale shape: rides w4's one-per-user-window-pass merge-scan
     * (linear in events, no θ-join — w4's whole point), then ONE hash
-    * agg to ~40 bucket rows and a 1-row total broadcast for the share
-    * (p20 pattern; never a global window over data). w4's output sort
-    * is eliminated under the agg (EliminateSorts — pinned in the
-    * shuffle budget).
+    * agg to ~40 bucket rows. The share's total rides an un-ordered
+    * global window over that POST-AGG frame — ≤ 64 rows at any corpus
+    * scale (one per bucket power), so the single task holds metadata,
+    * not data; a broadcast-total branch here would re-run the whole
+    * uncached asof window pass a second time (measured: it was the
+    * plan's entire second half). w4's output sort is eliminated under
+    * the agg (EliminateSorts — pinned in the shuffle budget).
     */
   def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
-    val b = asofJoin(spark, dir)
+    val wAll = Window.partitionBy()
+    asofJoin(spark, dir)
       .select(expr(s"gap_us div $UsPerSec").as("gap_sec"))
       .withColumn(
         "bucket_pow",
@@ -717,8 +721,7 @@ object EventWindows {
       .agg(
         count(lit(1)).as("n_conversions"),
         sum(col("gap_sec")).as("sum_gap_sec"))
-    val total = b.agg(sum(col("n_conversions")).as("total_conv"))
-    b.crossJoin(broadcast(total))
+      .withColumn("total_conv", sum(col("n_conversions")).over(wAll))
       .select(
         col("bucket_pow"),
         expr("shiftleft(1L, cast(bucket_pow as int))").as("lo_sec"),

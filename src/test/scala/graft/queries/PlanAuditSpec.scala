@@ -256,11 +256,11 @@ class PlanAuditSpec extends SparkSpec {
                             // EnsureRequirements from the exec's declared
                             // distribution — not hand-scheduled) + output
                             // sort; the merge itself holds ONE row
-    "w16_conversion_latency" -> 7 // w4's user window + bucket agg on BOTH
-                                  // uncached branches (histogram + its
-                                  // 1-row total) + total broadcast + sort
-                                  // — every exchange carries buckets or
-                                  // user-partitioned events, never pairs
+    "w16_conversion_latency" -> 4 // w4's user window + bucket agg + the
+                                  // global-total window over <=64 post-agg
+                                  // rows + sort; the r8 rewrite removed
+                                  // the broadcast-total branch that
+                                  // re-ran the asof pass a second time
   )
 
   /** Exchanges the query itself spends — traversal stops at cache
