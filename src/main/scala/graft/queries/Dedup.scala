@@ -1124,8 +1124,12 @@ object Dedup {
         col("cluster_size"), col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).as("n_docs"),
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
-    val tot = b.agg(sum(col("n_docs")).as("total_docs"))
-    b.crossJoin(broadcast(tot))
+    // denominator over the post-agg histogram (≤ log-many rows), not a
+    // broadcast branch that re-walks the upstream aggs (the w16 lesson)
+    b.withColumn(
+        "total_docs",
+        sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(
         col("cluster_size"), col("n_clusters"), col("n_docs"),
         col("n_redundant"),

@@ -868,13 +868,17 @@ object TrainingSet {
         when(col("coin") < TrainPct, "train")
           .when(col("coin") < TrainPct + ValPct, "val")
           .otherwise("test"))
-    val total = labeled.agg(count(lit(1)).as("total_docs"))
+    // the fraction's denominator rides an un-ordered global window over
+    // the POST-AGG frame (≤3 rows — one per split) instead of a
+    // broadcast-total branch that would re-run the doc/quality join a
+    // second time (the w16 lesson)
     labeled.groupBy(col("split"))
       .agg(
         countDistinct(col("source")).as("n_sources"),
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
-      .crossJoin(broadcast(total))
+      .withColumn(
+        "total_docs", sum(col("n_docs")).over(Window.partitionBy()))
       .select(
         col("split"), col("n_sources"), col("n_docs"), col("n_tokens"),
         (col("n_docs").cast("double") / col("total_docs").cast("double"))

@@ -235,15 +235,18 @@ class PlanAuditSpec extends SparkSpec {
                                   // window (metadata-sized) + sort
     "w15_rolling_distinct" -> 6, // (user,day) distinct + mx broadcast +
                                  // two-distinct Expand agg phases + sort
-    "p20_holdout_split" -> 7, // doc/quality join sides + countDistinct
-                              // 2-phase agg + total broadcast + sort
+    "p20_holdout_split" -> 5, // doc/quality join sides + countDistinct
+                              // 2-phase agg + post-agg total window
+                              // (r8: was 7 with a broadcast-total
+                              // branch re-running the join) + sort
     "t20_pretoken_counts" -> 1, // pure projection: output sort only
     "s15_srp_lsh_topk" -> 6, // probe broadcast + cand distinct + rescore
                             // join sides + top-k window + sort
-    "d20_cluster_sizes" -> 11, // ceiling with a COLD label cache (d9's
-                               // propagation rounds); the audit's own
-                               // spend is 2 shrinking aggs + broadcast
-                               // + sort on metadata-sized frames
+    "d20_cluster_sizes" -> 8, // ceiling with a COLD label cache (d9's
+                              // propagation rounds); the audit's own
+                              // spend is 2 shrinking aggs + a post-agg
+                              // total window + sort (r8: was 11 with a
+                              // broadcast-total branch)
     "d21_sketch_calibration" -> 10, // cand/est joins + truth inverted-
                                     // index join + decile agg + sort,
                                     // cold-cache ceiling
