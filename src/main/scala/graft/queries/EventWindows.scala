@@ -667,7 +667,10 @@ object EventWindows {
     val ud = eventsUs(spark, dir)
       .select(col("user_id"), expr(s"tus div $DayUs").as("day"))
       .distinct()
-    val mx = ud.agg(max(col("day")).as("mx_day"))
+    // max day is distinct-insensitive: read it off the raw events so
+    // the 1-row branch skips ud's (user, day) distinct shuffle
+    val mx = eventsUs(spark, dir)
+      .agg(max(expr(s"tus div $DayUs")).as("mx_day"))
     ud.crossJoin(broadcast(mx))
       .select(
         col("user_id"), col("day"),

@@ -406,7 +406,9 @@ object TextOps {
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val w = cachedWords(spark, dir)
     val freq = w.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    val total = freq.agg(sum(col("cnt")).as("total"))
+    // Σ freq counts ≡ the words-frame row count: the total branch reads
+    // the cache directly instead of re-running the word-keyed agg
+    val total = w.agg(count(lit(1)).as("total"))
     w.join(freq, "word")
       .crossJoin(broadcast(total))
       .withColumn(

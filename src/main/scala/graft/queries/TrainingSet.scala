@@ -346,8 +346,9 @@ object TrainingSet {
       .withColumn(
         "qs",
         floor(sqrt(col("n_tokens").cast("double")) * lit(1e9)).cast("long"))
-    val tot = per.agg(sum(col("qs")).as("tot"))
-    per.crossJoin(broadcast(tot))
+    // normalizer over the POST-AGG source frame (metadata at any
+    // scale), not a broadcast branch re-running the quality join
+    per.withColumn("tot", sum(col("qs")).over(Window.partitionBy()))
       .select(
         col("source"), col("n_docs"), col("n_tokens"),
         (col("qs").cast("double") / col("tot").cast("double")).as("mix_weight"))
