@@ -85,7 +85,76 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer twin of [[DotProduct]] for quantized-code arrays
+  * (array<long> — SQ8 codes, nano-quantized coordinates): the same
+  * fused loop in exact long math, replacing the interpreted
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)` fold with identical
+  * semantics (left-to-right, NULL on length mismatch or null element).
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_long"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
+
+  /** `vecDotLong(a, b)` — exact integer dot of two long arrays. */
+  def vecDotLong(a: Column, b: Column): Column =
+    Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column-API surface: `vecDot(a, b)` — dot product of double arrays. */
   def vecDot(a: Column, b: Column): Column =

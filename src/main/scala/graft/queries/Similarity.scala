@@ -355,11 +355,13 @@ object Similarity {
     e.select(col("vec_id"), codes.as("qv"))
   }
 
-  /** Integer dot of two SQ8 code arrays (exact long math). */
+  /** Integer dot of two SQ8 code arrays (exact long math) — the
+    * codegen'd [[graft.functions.DotProductLong]] fused loop, same
+    * semantics as the `aggregate(zip_with(...))` fold it replaced
+    * (the DotProduct/SrpSignature discipline).
+    */
   private def sq8Dot =
-    aggregate(
-      zip_with(col("qq"), col("qv"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDotLong(col("qq"), col("qv"))
 
   def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
     val enc = sq8Codes(spark, dir)

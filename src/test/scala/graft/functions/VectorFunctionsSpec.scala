@@ -32,6 +32,36 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("vec_dot_long matches the long higher-order fold bit-for-bit") {
+    // exercises the SQ8 regime: codes in [-128, 127] plus large
+    // nano-quantized values where overflow-free long math matters
+    val rows = (0 until 200).map { i =>
+      (Seq.tabulate(16)(d => ((i * 31 + d * 17) % 255 - 128).toLong),
+        Seq.tabulate(16)(d => ((i * 13 + d * 7) % 255 - 128).toLong))
+    }
+    val df = rows.toDF("qq", "qv")
+    val diverged = df.select(
+        VectorFunctions.vecDotLong($"qq", $"qv").as("fast"),
+        aggregate(zip_with($"qq", $"qv", (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("slow"))
+      .filter($"fast" =!= $"slow" || $"fast".isNull)
+      .collect()
+    assert(diverged.isEmpty, s"${diverged.length} rows diverge")
+  }
+
+  test("vec_dot_long: mismatch/null-element yield null; nulls propagate") {
+    val df = Seq(
+      (Seq(Some(1L), Some(2L), Some(3L)), Seq(Some(4L), Some(5L))),
+      (Seq(Some(1L), None), Seq(Some(3L), Some(4L))),
+      (Seq(Some(2L), Some(3L)), Seq(Some(5L), Some(7L))))
+      .toDF("a", "b")
+    val rows = df.select(VectorFunctions.vecDotLong($"a", $"b").as("d"))
+      .collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getLong(0) == 31L)
+  }
+
   test("nulls propagate") {
     val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]]))
       .toDF("a", "b")

@@ -64,6 +64,35 @@ class AsofJoinSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("randomized: the exec equals an in-memory asof fold (ties, gaps, dup times)") {
+    // deterministic LCG so the case is reproducible; dense key/time
+    // ranges force many same-key and same-(key,time) collisions, the
+    // regimes where a merge-scan bug would hide
+    var seed = 0x5eedL
+    def nxt(n: Int): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 33, n.toLong)
+    }
+    val left = (0 until 400).map(i => (nxt(20), nxt(50), 1000L + i))
+    val right = (0 until 300).map(i => (nxt(20), nxt(50), 2000L + i))
+    val want = left.flatMap { case (k, t, id) =>
+      val eligible = right.filter(r => r._1 == k && r._2 <= t)
+      if (eligible.isEmpty) None
+      else {
+        val best = eligible.maxBy(r => (r._2, r._3))
+        Some((id, best._3))
+      }
+    }.sorted
+    val got = AsofJoin.asof(
+      left.toDF("k", "t", "l_id"),
+      right.toDF("rk", "rt", "r_id"))
+      .select(col("l_id"), col("r_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == want,
+      s"exec diverges from the reference fold on ${got.length} vs " +
+        s"${want.length} matches")
+  }
+
   test("the wrapper rejects malformed inputs loudly") {
     val l = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
     val rBad = Seq((1L, "x", 3L)).toDF("d", "e", "f")
