@@ -518,35 +518,17 @@ object Similarity {
     * literal codebook inside whole-stage codegen — no join, no
     * shuffle); at 100 TB the stored representation is M bytes/vector.
     */
-  private[queries] def pqEncode(e: DataFrame, cb: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val cbLit = typedLit(cb)
+  private[queries] def pqEncode(e: DataFrame, cb: Seq[Seq[Seq[Double]]]): DataFrame =
     // codes[m] = argmax over k of dot(subvector m, codebook[m][k]);
     // strict > keeps the FIRST maximum = lowest k, matching the
-    // oracle's (dot DESC, k ASC) row_number.
-    val codes = transform(
-      sequence(lit(0), lit(NumSubspaces - 1)),
-      m => {
-        val sv = slice(col("v"), m * SubDim + 1, lit(SubDim))
-        aggregate(
-          sequence(lit(0), lit(NumCodes - 1)),
-          struct(
-            lit(0L).as("k"), lit(Double.NegativeInfinity).as("s")),
-          (acc, k) => {
-            val d = vecDot(sv, element_at(element_at(cbLit, m + 1), k + 1))
-            when(d > acc.getField("s"),
-              struct(k.cast("long").as("k"), d.as("s")))
-              .otherwise(acc)
-          },
-          acc => acc.getField("k"))
-      })
-    e.withColumn("codes", codes)
-      .withColumn(
-        "rv",
-        flatten(transform(
-          col("codes"),
-          (c, m) => element_at(element_at(cbLit, m + 1), c.cast("int") + 1))))
-      .select(col("vec_id"), col("rv"))
-  }
+    // oracle's (dot DESC, k ASC) row_number. The argmax + codeword
+    // concatenation run as the fused codegen'd PqReconstruct
+    // expression — the declarative transform/aggregate/vecDot nesting
+    // it replaced interpreted M×K lambda frames per row
+    // (`PqReconstructSpec` pins bit-equivalence to that fold).
+    e.select(
+      col("vec_id"),
+      graft.functions.PqCodec.reconstructed(col("v"), cb).as("rv"))
 
   /** The encode + ADC scoring core, parameterized by the codebook so
     * the spec can drive it with both seed and trained books over any
