@@ -762,7 +762,70 @@ object EventWindows {
       .orderBy(col("purchase_id"))
   }
 
+  /** w18 — linear multi-touch attribution: every view/click in the 30
+    * minutes before a purchase shares that purchase's credit EQUALLY —
+    * the marketing-analytics model between w4's last-touch (one
+    * winner) and position-weighted schemes; the report is credit mass
+    * per touch type. Credit is EXACT integer micro-units
+    * (the Dashboard.q6 cents discipline): each touch gets
+    * `1e6 div n`, the LATEST touch (max (tus, id) — deterministic)
+    * absorbs the remainder, so every credited purchase contributes
+    * exactly 1,000,000 ppm and the report columns are exact longs;
+    * a float `1.0/n` would leak ulps per purchase and diverge
+    * cross-engine.
+    *
+    * Scale shape: w12's banded blocking verbatim — touch⋈purchase is
+    * a pure equi-join on (user, 30-min bucket) with the time residual
+    * (purchase side fans to 2 bucket keys; every true pair found
+    * exactly once), per-purchase n/rank ride ONE partitioned window
+    * over pid (bounded by touches-per-purchase), the type fold is a
+    * hash agg to ≤ |types| rows with the share on a post-agg global
+    * window. The oracle replays the UNBLOCKED θ-join — the hash
+    * compare certifies the banding lossless (the w12/x18/x20
+    * pattern).
+    */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val bandUs = IntervalWindowSec * UsPerSec
+    val e = eventsUs(spark, dir)
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(
+        col("user_id"), col("event_id").as("tid"),
+        col("event_type").as("touch_type"), col("tus").as("t_us"))
+      .withColumn("bucket", expr(s"t_us div $bandUs"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("tus").as("pus"))
+      .withColumn(
+        "bucket",
+        explode(array(expr(s"pus div $bandUs"), expr(s"pus div $bandUs") - 1)))
+    val byPid = Window.partitionBy(col("pid"))
+    val latest = Window.partitionBy(col("pid"))
+      .orderBy(col("t_us").desc, col("tid").desc)
+    p.join(
+        t,
+        p("user_id") === t("user_id") && p("bucket") === t("bucket") &&
+          col("t_us") < col("pus") && col("t_us") >= col("pus") - bandUs)
+      .select(col("pid"), col("tid"), col("touch_type"), col("t_us"))
+      .withColumn("n", count(lit(1)).over(byPid))
+      .withColumn("rn", row_number().over(latest))
+      .withColumn(
+        "ppm",
+        expr("1000000L div n") +
+          when(col("rn") === 1, expr("1000000L % n")).otherwise(0L))
+      .groupBy(col("touch_type"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(col("ppm")).as("credit_ppm"))
+      .withColumn(
+        "total_ppm", sum(col("credit_ppm")).over(Window.partitionBy()))
+      .select(
+        col("touch_type"), col("n_touches"), col("credit_ppm"),
+        (col("credit_ppm").cast("double") / col("total_ppm").cast("double"))
+          .as("credit_share"))
+      .orderBy(col("touch_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w18_linear_attribution" -> linearAttribution,
     "w17_asof_native" -> asofNative,
     "w16_conversion_latency" -> conversionLatency,
     "w15_rolling_distinct" -> rollingDistinct,
@@ -1052,6 +1115,37 @@ object EventWindows {
     // The oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation of the semantics (merge-scan vs our window pass).
     // Determinism probed across all SFs: no (user_id, µs) click ties.
+    // w18: the oracle replays the UNBLOCKED θ-join with the identical
+    // integer credit math — the hash compare certifies the banded
+    // blocking found every (touch, purchase) pair exactly once
+    "w18_linear_attribution" ->
+      s"""WITH t AS (
+            SELECT p.event_id AS pid, v.event_id AS tid,
+                   v.event_type AS touch_type, epoch_us(v.ts) AS t_us,
+                   COUNT(*) OVER (PARTITION BY p.event_id) AS n,
+                   row_number() OVER (PARTITION BY p.event_id
+                     ORDER BY epoch_us(v.ts) DESC, v.event_id DESC) AS rn
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events
+                  WHERE event_type IN ('view', 'click')) v
+              ON v.user_id = p.user_id
+                 AND epoch_us(v.ts) < epoch_us(p.ts)
+                 AND epoch_us(v.ts) >=
+                   epoch_us(p.ts) - ${IntervalWindowSec * UsPerSec}),
+          c AS (
+            SELECT touch_type,
+                   1000000 // n +
+                     CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END AS ppm
+            FROM t),
+          b AS (
+            SELECT touch_type, COUNT(*) AS n_touches,
+                   CAST(SUM(ppm) AS BIGINT) AS credit_ppm
+            FROM c GROUP BY 1)
+          SELECT touch_type, n_touches, credit_ppm,
+                 CAST(credit_ppm AS DOUBLE) /
+                   CAST(CAST(SUM(credit_ppm) OVER () AS BIGINT) AS DOUBLE)
+                   AS credit_share
+          FROM b ORDER BY touch_type""",
     "w4_asof_join" -> AsofOracleSql,
     // w17 is the NATIVE-operator spelling of the same contract — the
     // oracle is shared verbatim, so the custom SparkPlan is held to

@@ -255,6 +255,9 @@ class PlanAuditSpec extends SparkSpec {
                              // bucket agg + sort, cold-cache ceiling
     "t23_lang_confusion" -> 5, // t6 hits agg + lang join sides + matrix
                                // agg + declared window (metadata) + sort
+    "w18_linear_attribution" -> 4, // (user,bucket) touch join + pid
+                                   // window + type agg (+ post-agg
+                                   // share window rides it) + sort
     "w17_asof_native" -> 3, // one hash exchange per asof side (placed by
                             // EnsureRequirements from the exec's declared
                             // distribution — not hand-scheduled) + output

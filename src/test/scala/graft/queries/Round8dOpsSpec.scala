@@ -271,6 +271,72 @@ class Round8dOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- w18
+
+  test("w18 planted: equal split with remainder-to-latest, exact ppm") {
+    val base = 1704067200000000L
+    val fdir = eventsDir(Seq(
+      (1L, base, 1L, "purchase"),
+      (11L, base - 600000000L, 1L, "view"),    // -10 min
+      (12L, base - 300000000L, 1L, "click"),   // -5 min
+      (13L, base - 60000000L, 1L, "view"),     // -1 min: latest → +rem
+      (14L, base, 1L, "view"),                 // at purchase: OUT
+      (15L, base - 1800000000L, 1L, "view"),   // exactly -30 min: IN
+      (2L, base + 5000000000L, 2L, "purchase"),
+      (21L, base + 4000000000L, 2L, "click"),  // sole touch → 1e6
+      (3L, base + 9000000000L, 3L, "purchase"))) // no touches: no credit
+    // purchase 1: 4 touches → 250000 each, latest (13) gets exactly
+    // 250000 (rem 0); purchase 2: sole click gets 1000000
+    val got = EventWindows.linearAttribution(spark, fdir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("click", 2L, 1250000L),
+      ("view", 3L, 750000L)), s"got ${got.toSeq}")
+  }
+
+  test("w18 planted: remainder goes to the LATEST touch only") {
+    val base = 1704067200000000L
+    val fdir = eventsDir(Seq(
+      (1L, base, 1L, "purchase"),
+      (11L, base - 600000000L, 1L, "view"),
+      (12L, base - 300000000L, 1L, "view"),
+      (13L, base - 60000000L, 1L, "click")))   // latest of 3 → 333334
+    val got = EventWindows.linearAttribution(spark, fdir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(got == Map("view" -> 666666L, "click" -> 333334L), s"got $got")
+    assert(got.values.sum == 1000000L, "credit must conserve exactly")
+  }
+
+  test("w18 equals an independent fold; every credited purchase conserves 1e6") {
+    val ev = graft.Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val bandUs = EventWindows.IntervalWindowSec * 1000000L
+    val touches = ev.filter(e => e._3 == "view" || e._3 == "click")
+      .groupBy(_._2)
+    val perPurchase = ev.filter(_._3 == "purchase").flatMap {
+      case (pid, u, _, pus) =>
+        val ts = touches.getOrElse(u, Array.empty[(Long, Long, String, Long)])
+          .filter(t => t._4 < pus && t._4 >= pus - bandUs)
+        if (ts.isEmpty) None
+        else {
+          val n = ts.length
+          val latest = ts.maxBy(t => (t._4, t._1))._1
+          Some(ts.map(t => (t._3,
+            1000000L / n + (if (t._1 == latest) 1000000L % n else 0L))))
+        }
+    }
+    perPurchase.foreach(p => assert(p.map(_._2).sum == 1000000L))
+    val want = perPurchase.flatten
+      .groupBy(_._1).map { case (ty, cs) =>
+        (ty, cs.length.toLong, cs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val got = EventWindows.linearAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want, s"attribution diverges: got=${got.toSeq} want=$want")
+  }
+
   test("t21 is deterministic: a re-run emits identical rows") {
     val a = TextOps.bpeMerges(spark, dir).collect().map(_.toString)
     val b = TextOps.bpeMerges(spark, dir).collect().map(_.toString)
