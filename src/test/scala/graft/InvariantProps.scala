@@ -141,6 +141,37 @@ object InvariantProps extends Properties("graft.invariants") {
       got == want
     }
 
+  property("t21: BPE merges equal the textbook fold on random corpora") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        // tiny alphabet + short words force heavy pair collisions,
+        // repeat runs ("aaaa"), and merged-symbol reuse — the regimes
+        // where the delimiter-string formulation could diverge
+        Gen.chooseNum(2, 6).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString)),
+        Gen.chooseNum(1, 9)))) { wordCounts =>
+      val counts = wordCounts.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLong).sum).toMap
+      val want = graft.queries.BpeReference.merges(
+        counts, graft.queries.TextOps.MergeRounds)
+      // the engine requires full merge capacity (it assert-guards a dry
+      // round); only drive it on samples where 8 rounds are live
+      if (want.length < graft.queries.TextOps.MergeRounds) Prop.passed
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("t21p_").toString
+        val text = counts.toSeq.sortBy(_._1)
+          .flatMap { case (w, n) => Seq.fill(n.toInt)(w) }.mkString(" ")
+        Seq((1L, text)).toDF("doc_id", "text")
+          .selectExpr("doc_id", "text", "'en' AS lang", "'fix' AS source",
+            "CAST(length(text) AS LONG) AS n_chars")
+          .coalesce(1).write.parquet(s"$dir/documents.parquet")
+        val got = graft.queries.TextOps.bpeMerges(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSeq
+        Prop(got == want) :| s"got=$got want=$want corpus=$counts"
+      }
+    }
+
   property("J3: every in-range offset aligns to exactly one sentence") =
     Prop.forAll(Gen.nonEmptyListOf(sentenceGen)) { sents =>
       val df = sents.zipWithIndex

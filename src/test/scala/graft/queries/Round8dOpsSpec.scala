@@ -8,38 +8,13 @@ class Round8dOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Independent in-memory BPE reference: the textbook algorithm on a
-    * word-frequency dict — list-of-symbols state, greedy left-to-right
-    * non-overlapping merge application, argmax on (count desc, pair
-    * lexicographic asc). Shares NO code or representation with the
-    * engine's delimiter-string formulation.
+  /** See [[BpeReference]] — the independent textbook implementation
+    * shared with the scalacheck property.
     */
   private def refBpe(
       counts: Map[String, Long],
-      rounds: Int): Seq[(Long, String, String, Long)] = {
-    var seg: Map[String, Vector[String]] =
-      counts.map { case (w, _) => w -> w.map(_.toString).toVector }
-    val out = Seq.newBuilder[(Long, String, String, Long)]
-    for (step <- 1L to rounds.toLong) {
-      val pc = scala.collection.mutable.Map[(String, String), Long]()
-      for ((w, syms) <- seg; i <- 0 until syms.length - 1)
-        pc((syms(i), syms(i + 1))) =
-          pc.getOrElse((syms(i), syms(i + 1)), 0L) + counts(w)
-      val ((a, b), n) = pc.minBy { case ((x, y), m) => (-m, x, y) }
-      out += ((step, a, b, n))
-      seg = seg.map { case (w, syms) =>
-        val nb = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            nb += (a + b); i += 2
-          } else { nb += syms(i); i += 1 }
-        }
-        w -> nb.result()
-      }
-    }
-    out.result()
-  }
+      rounds: Int): Seq[(Long, String, String, Long)] =
+    BpeReference.merges(counts, rounds)
 
   private def wordCounts(sfDir: String): Map[String, Long] =
     TextOps.cachedWords(spark, sfDir)
