@@ -887,7 +887,54 @@ object TrainingSet {
       .orderBy(col("split"))
   }
 
+  /** p21 — packing-efficiency audit, p5's promised consumer ("the
+    * input to a packing-efficiency check before training"): per shard
+    * AND for the whole corpus in ONE ROLLUP pass (the p15 both-grains
+    * discipline, −1 sentinel for the ALL row — x6's no-NULL-groups
+    * rule), how full the 2048-token sequence bins actually are —
+    * n_bins, docs, tokens, capacity, exact fill in ppm, and the
+    * under-/overfull bin counts. Padding waste (underfull bins) is
+    * tokens a trainer pays attention for and learns nothing from;
+    * overfull bins flag truncation risk — the two numbers a packing
+    * change is judged by.
+    *
+    * Exactness: fill_ppm = `tokens·1e6 div capacity` in pure longs; a
+    * guard raises (both engines fail loudly — DuckDB's BIGINT multiply
+    * errors on overflow too) once tokens exceed ~9.2e12, i.e. ~37 TB
+    * of text in ONE report row — re-shard before that, says the error.
+    *
+    * Scale shape: rides p5's shard-partitioned prefix windows; this
+    * audit adds one ROLLUP hash agg over the BIN frame (corpus/2048
+    * rows) and nothing data-sized.
+    */
+  def packingEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val fill = when(
+      col("n_tokens") > Long.MaxValue / 1000000L,
+      raise_error(lit(
+        "p21: token count overflows the exact ppm fill math - " +
+          "re-shard the report")).cast("long"))
+      .otherwise(expr(s"n_tokens * 1000000L div (n_bins * $SeqLen)"))
+    sequencePack(spark, dir)
+      .rollup(col("shard"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("n_tokens") < SeqLen, 1L).otherwise(0L))
+          .as("n_underfull"),
+        sum(when(col("n_tokens") > SeqLen, 1L).otherwise(0L))
+          .as("n_overfull"))
+      .select(
+        coalesce(col("shard"), lit(-1L)).as("shard"),
+        col("n_bins"), col("n_docs"), col("n_tokens"),
+        (col("n_bins") * SeqLen).as("capacity"),
+        fill.as("fill_ppm"),
+        col("n_underfull"), col("n_overfull"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_packing_efficiency" -> packingEfficiency,
     "p20_holdout_split" -> holdoutSplit,
     "p19_rendezvous_shards" -> rendezvousShards,
     "p18_budget_waterfill" -> budgetWaterfill,
@@ -1140,6 +1187,38 @@ object TrainingSet {
             SELECT shard, CAST(tokens_before // $SeqLen AS BIGINT) AS bin,
                    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
             FROM packed GROUP BY 1, 2 ORDER BY shard, bin""",
+      // p21: p5's bin CTEs + one ROLLUP with the identical integer
+      // fill math (−1 sentinel for the ALL row)
+      "p21_packing_efficiency" ->
+        s"""WITH $qualityCtes,
+            sharded AS (
+              SELECT doc_id, n_tokens, $shardSql AS shard
+              FROM quality),
+            packed AS (
+              SELECT shard, doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+              FROM sharded),
+            bins AS (
+              SELECT shard, tokens_before // $SeqLen AS bin,
+                     COUNT(*) AS nd, CAST(SUM(n_tokens) AS BIGINT) AS nt
+              FROM packed GROUP BY 1, 2),
+            r AS (
+              SELECT COALESCE(shard, -1) AS shard, COUNT(*) AS n_bins,
+                     CAST(SUM(nd) AS BIGINT) AS n_docs,
+                     CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CASE WHEN nt < $SeqLen THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_underfull,
+                     CAST(SUM(CASE WHEN nt > $SeqLen THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_overfull
+              FROM bins GROUP BY ROLLUP(shard))
+            SELECT shard, n_bins, n_docs, n_tokens,
+                   CAST(n_bins * $SeqLen AS BIGINT) AS capacity,
+                   CAST(n_tokens * 1000000 // (n_bins * $SeqLen) AS BIGINT)
+                     AS fill_ppm,
+                   n_underfull, n_overfull
+            FROM r ORDER BY shard""",
       "p4_shard_stats" ->
         s"""WITH $qualityCtes,
             sharded AS (

@@ -93,6 +93,19 @@ class AsofJoinSpec extends SparkSpec {
         s"${want.length} matches")
   }
 
+  test("the exec produces identical rows with AQE disabled (both planners pinned)") {
+    val withAqe = graft.queries.EventWindows.asofNative(spark, dir)
+      .collect().map(_.toSeq)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val noAqe = graft.queries.EventWindows.asofNative(spark, dir)
+        .collect().map(_.toSeq)
+      assert(noAqe.toSeq == withAqe.toSeq,
+        "asof exec diverges between AQE and static planning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("the wrapper rejects malformed inputs loudly") {
     val l = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
     val rBad = Seq((1L, "x", 3L)).toDF("d", "e", "f")

@@ -255,6 +255,8 @@ class PlanAuditSpec extends SparkSpec {
                              // bucket agg + sort, cold-cache ceiling
     "t23_lang_confusion" -> 5, // t6 hits agg + lang join sides + matrix
                                // agg + declared window (metadata) + sort
+    "p21_packing_efficiency" -> 4, // p5's shard window + bin agg +
+                                   // ROLLUP Expand agg + sort
     "w18_linear_attribution" -> 4, // (user,bucket) touch join + pid
                                    // window + type agg (+ post-agg
                                    // share window rides it) + sort

@@ -181,6 +181,31 @@ class Round8dOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- p21
+
+  test("p21: ALL row aggregates the shards; fill math is exact; bins bound flags") {
+    val rows = TrainingSet.packingEfficiency(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val (all, shards) = rows.partition(_._1 == -1L)
+    assert(all.length == 1 && shards.nonEmpty)
+    // the ROLLUP total is exactly the shard sum, grain by grain
+    assert(all.head._2 == shards.map(_._2).sum, "n_bins")
+    assert(all.head._3 == shards.map(_._3).sum, "n_docs")
+    assert(all.head._4 == shards.map(_._4).sum, "n_tokens")
+    assert(all.head._7 == shards.map(_._7).sum, "n_underfull")
+    assert(all.head._8 == shards.map(_._8).sum, "n_overfull")
+    rows.foreach { r =>
+      assert(r._5 == r._2 * TrainingSet.SeqLen, s"capacity: $r")
+      assert(r._6 == r._4 * 1000000L / r._5, s"fill_ppm must be exact: $r")
+      assert(r._7 + r._8 <= r._2, s"flag counts exceed bins: $r")
+    }
+    // docs are conserved against p4's shard stats
+    val p4docs = TrainingSet.shardStats(spark, dir).collect()
+      .map(_.getLong(1)).sum
+    assert(all.head._3 == p4docs, "p21 and p4 disagree on the corpus")
+  }
+
   // ---------------------------------------------------------------- t23
 
   test("t23 equals an independent confusion fold and row-normalizes") {
