@@ -1191,7 +1191,69 @@ object Dedup {
       .orderBy(col("j_decile"))
   }
 
+  /** Expected CDC chunk length in words: a word starts a new chunk
+    * when its md5 falls in 1/DivisorCdc of the hash space.
+    */
+  val CdcDivisor = 8L
+
+  /** d22 — content-defined chunking (the restic/borgbackup/LBFS cut
+    * discipline, word-granular): a chunk boundary falls where the
+    * WORD's hash — a pure function of content — lands in 1/8 of the
+    * hash space, so boundaries re-synchronize after any insertion or
+    * deletion. That is the property the registry's other chunk/dup
+    * units deliberately lack and the spec proves by construction:
+    * prepend three words to a document and m5's fixed-stride chunks
+    * ALL shift (0% dedup), while CDC boundaries realign at the first
+    * shared boundary word and every chunk after it dedups. d13
+    * (paragraph) needs structural newlines; CDC needs nothing but
+    * bytes. Emits, per document: chunk count and how much of it is
+    * shared verbatim with ANOTHER document (chunk-hash df > 1 — d13's
+    * counting on content-defined units).
+    *
+    * Scale shape: boundary flag + chunk id = one per-doc window pass
+    * over the cached words (running sum of flags — the w3/d16
+    * discipline); chunk hashing = one hash agg per (doc, chunk) with
+    * A7's ordered array_sort fold (collect bounded by ONE chunk,
+    * expected 8 words); sharing = d13's df count keyed by the 32-byte
+    * chunk hash. Linear end to end, no pair joins.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val boundary = when(
+      pmod(
+        conv(substring(md5(col("word").cast("binary")), 1, 15), 16, 10)
+          .cast("long"),
+        lit(CdcDivisor)) === 0L, 1L).otherwise(0L)
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val chunks = TextOps.cachedWords(spark, dir)
+      .withColumn("chunk_id", sum(boundary).over(byDoc))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")),
+          " ").cast("binary")).as("chash"),
+        count(lit(1)).as("n_words"))
+    val df = chunks.groupBy(col("chash"))
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+    chunks.join(df, "chash")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("n_words"),
+        sum(when(col("ddf") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("n_words"),
+        col("n_shared_chunks"),
+        (col("n_shared_chunks").cast("double") /
+          col("n_chunks").cast("double")).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_cdc_chunks" -> cdcChunks,
     "d21_sketch_calibration" -> sketchCalibration,
     "d20_cluster_sizes" -> clusterSizeAudit,
     "d18_cc_star" -> ccStar,
@@ -1453,6 +1515,39 @@ object Dedup {
     // d18 computes the SAME clusters by a different distributed
     // algorithm — the transitive-closure oracle is shared verbatim
     "d18_cc_star" -> closureClustersSql,
+    // d22: the identical hash-boundary flag, running-sum chunk ids,
+    // ordered chunk reassembly, and df count — one expression, two
+    // spellings (conv/from_hex, div/%)
+    "d22_cdc_chunks" ->
+      s"""WITH $wordsCte,
+          flagged AS (
+            SELECT doc_id, pos, word,
+                   CASE WHEN CAST(concat('0x', substr(md5(word), 1, 15))
+                       AS BIGINT) % $CdcDivisor = 0
+                     THEN 1 ELSE 0 END AS b
+            FROM words),
+          cid AS (
+            SELECT doc_id, pos, word,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS chunk_id
+            FROM flagged),
+          chunks AS (
+            SELECT doc_id, chunk_id,
+                   md5(string_agg(word, ' ' ORDER BY pos)) AS chash,
+                   COUNT(*) AS n_words
+            FROM cid GROUP BY doc_id, chunk_id),
+          cdf AS (
+            SELECT chash, COUNT(DISTINCT doc_id) AS ddf
+            FROM chunks GROUP BY chash)
+          SELECT c.doc_id, COUNT(*) AS n_chunks,
+                 CAST(SUM(c.n_words) AS BIGINT) AS n_words,
+                 CAST(SUM(CASE WHEN d.ddf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared_chunks,
+                 CAST(SUM(CASE WHEN d.ddf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+          FROM chunks c JOIN cdf d USING (chash)
+          GROUP BY c.doc_id ORDER BY c.doc_id""",
     // d21: sim's unfiltered estimates vs d2's truth, folded to deciles
     // with the identical integer decile and nano-floored error
     "d21_sketch_calibration" ->

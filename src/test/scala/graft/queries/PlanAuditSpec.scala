@@ -255,6 +255,8 @@ class PlanAuditSpec extends SparkSpec {
                              // bucket agg + sort, cold-cache ceiling
     "t23_lang_confusion" -> 5, // t6 hits agg + lang join sides + matrix
                                // agg + declared window (metadata) + sort
+    "d22_cdc_chunks" -> 5, // per-doc boundary window + chunk agg +
+                           // chash df agg + df join + output sort
     "p21_packing_efficiency" -> 4, // p5's shard window + bin agg +
                                    // ROLLUP Expand agg + sort
     "w18_linear_attribution" -> 4, // (user,bucket) touch join + pid

@@ -181,6 +181,61 @@ class Round8dOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- d22
+
+  test("d22: CDC boundaries resynchronize after a prefix insertion") {
+    // doc 2 = doc 1 with three novel words prepended. Fixed-stride
+    // chunking (m5's model) shifts EVERY chunk; content-defined
+    // boundaries realign at the first boundary word of the shared
+    // text, so every chunk from there on dedups verbatim.
+    val sharedText = (1 to 60).map(i => s"w${i % 13}").mkString(" ")
+    val fdir = docsDir("d22_fix_", Seq(
+      1L -> sharedText,
+      2L -> s"novelx novely novelz $sharedText"))
+    val rows = Dedup.cdcChunks(spark, fdir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    val Seq((_, n1, s1), (_, n2, s2)) = rows.toSeq
+    // both docs share all chunks except each one's head chunk (doc 1's
+    // first chunk starts at its first word; doc 2's is polluted by the
+    // novel prefix) — so shared >= n - 1 on both sides, and strictly
+    // positive (the realignment actually happened)
+    assert(s1 >= n1 - 1 && s1 > 0, s"doc1 shares $s1 of $n1 chunks")
+    assert(s2 >= n2 - 1 && s2 > 0, s"doc2 shares $s2 of $n2 chunks")
+  }
+
+  test("d22 equals an independent in-memory CDC fold on the corpus") {
+    val words = TextOps.cachedWords(spark, dir)
+      .select(col("doc_id"), col("pos"), col("word")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    def isBoundary(w: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % Dedup.CdcDivisor == 0
+    }
+    val chunks = words.groupBy(_._1).toSeq.flatMap { case (doc, ws) =>
+      val sorted = ws.sortBy(_._2)
+      var cid = 0L
+      sorted.map { case (_, _, w) =>
+        if (isBoundary(w)) cid += 1
+        (doc, cid, w)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((doc, cid), ws) =>
+      (doc, cid, ws.map(_._3).mkString(" "), ws.size.toLong)
+    }.toSeq
+    val dfm = chunks.groupBy(_._3).map { case (c, xs) =>
+      c -> xs.map(_._1).distinct.size }
+    val want = chunks.groupBy(_._1).map { case (doc, cs) =>
+      (doc, cs.size.toLong, cs.map(_._4).sum,
+        cs.count(c => dfm(c._3) > 1).toLong) }
+      .toSeq.sortBy(_._1)
+    val got = Dedup.cdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.map(w => (w._1, w._2, w._3, w._4)),
+      s"CDC fold diverges; first got=${got.headOption} want=${want.headOption}")
+  }
+
   // ---------------------------------------------------------------- p21
 
   test("p21: ALL row aggregates the shards; fill math is exact; bins bound flags") {
