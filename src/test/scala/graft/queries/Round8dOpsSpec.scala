@@ -3,7 +3,11 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Round-8 fourth batch: t21 (BPE merge learning). */
+/** Round-8 fourth batch: t21 (BPE merge learning), w16 (conversion
+  * latency), d20 (cluster sizes), d21 (sketch calibration), d22 (CDC
+  * chunking), t22 (perplexity buckets), t23 (lang confusion), w18
+  * (linear attribution), p21 (packing efficiency).
+  */
 class Round8dOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
