@@ -824,7 +824,38 @@ object EventWindows {
       .orderBy(col("touch_type"))
   }
 
+  /** w19 — hour-of-week traffic profile: the 7×24 heatmap every ops
+    * dashboard opens with, plus each cell's EXACT integer excess over
+    * a uniform week (`168·n − N` — positive = hot cell; the χ²-style
+    * number without the division, so it stays a long). Calendar math
+    * is pure integer arithmetic on the epoch-µs axis — day-of-week =
+    * `(epoch_day + 3) mod 7` (1970-01-01 was a Thursday; 0 = Monday)
+    * and hour = `epoch_hour mod 24`, i.e. UTC by definition — never an
+    * engine calendar function, whose week-start and timezone
+    * conventions differ between engines (the p13 one-expression
+    * discipline).
+    *
+    * Scale shape: ONE hash agg from the scan to exactly ≤168 rows;
+    * the total rides a post-agg global window over that fixed-size
+    * frame (the w16 lesson). Nothing else.
+    */
+  def trafficProfile(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .select(
+        expr(s"(tus div ${DayUs} + 3) % 7").as("dow"),
+        expr(s"(tus div ${3600L * UsPerSec}) % 24").as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("total", sum(col("n_events")).over(Window.partitionBy()))
+      .select(
+        col("dow"), col("hour"), col("n_events"),
+        (lit(168L) * col("n_events") - col("total")).as("excess_x168"),
+        (col("n_events").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy(col("dow"), col("hour"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w19_traffic_profile" -> trafficProfile,
     "w18_linear_attribution" -> linearAttribution,
     "w17_asof_native" -> asofNative,
     "w16_conversion_latency" -> conversionLatency,
@@ -1115,6 +1146,21 @@ object EventWindows {
     // The oracle uses DuckDB's NATIVE ASOF JOIN — an independent
     // implementation of the semantics (merge-scan vs our window pass).
     // Determinism probed across all SFs: no (user_id, µs) click ties.
+    // w19: identical integer calendar math — no engine date functions
+    "w19_traffic_profile" ->
+      s"""WITH b AS (
+            SELECT (epoch_us(ts) // ${86400L * 1000000L} + 3) % 7 AS dow,
+                   (epoch_us(ts) // ${3600L * 1000000L}) % 24 AS hour,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2)
+          SELECT dow, hour, n_events,
+                 CAST(168 * n_events -
+                   CAST(SUM(n_events) OVER () AS BIGINT) AS BIGINT)
+                   AS excess_x168,
+                 CAST(n_events AS DOUBLE) /
+                   CAST(CAST(SUM(n_events) OVER () AS BIGINT) AS DOUBLE)
+                   AS share
+          FROM b ORDER BY dow, hour""",
     // w18: the oracle replays the UNBLOCKED θ-join with the identical
     // integer credit math — the hash compare certifies the banded
     // blocking found every (touch, purchase) pair exactly once

@@ -259,6 +259,8 @@ class PlanAuditSpec extends SparkSpec {
                            // chash df agg + df join + output sort
     "p21_packing_efficiency" -> 4, // p5's shard window + bin agg +
                                    // ROLLUP Expand agg + sort
+    "w19_traffic_profile" -> 2, // one hash agg to <=168 cells (+ the
+                                // post-agg total window rides it) + sort
     "w18_linear_attribution" -> 4, // (user,bucket) touch join + pid
                                    // window + type agg (+ post-agg
                                    // share window rides it) + sort

@@ -396,6 +396,39 @@ class Round8dOpsSpec extends SparkSpec {
     assert(got.toSeq == want, s"attribution diverges: got=${got.toSeq} want=$want")
   }
 
+  // ---------------------------------------------------------------- w19
+
+  test("w19: known dates land in the right cells; shares close") {
+    // 2024-01-01 was a Monday (dow 0 under the 0=Monday convention);
+    // 1704103200000000 µs = 2024-01-01 10:00 UTC
+    val fdir = eventsDir(Seq(
+      (1L, 1704103200000000L, 1L, "view"),      // Mon 10:00
+      (2L, 1704103200000000L + 3600000000L, 1L, "view"), // Mon 11:00
+      (3L, 1704463200000000L, 2L, "view")))     // Fri 2024-01-05 14:00
+    val got = EventWindows.trafficProfile(spark, fdir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 10L, 1L, 165L),   // 168·1 − 3
+      (0L, 11L, 1L, 165L),
+      (4L, 14L, 1L, 165L)), s"got ${got.toSeq}")
+  }
+
+  test("w19 equals an independent fold; cells and shares are coherent") {
+    val ev = graft.Tables.eventsUs(spark, dir).select(col("tus")).collect()
+      .map(_.getLong(0))
+    val want = ev.groupBy(t =>
+        ((t / 86400000000L + 3) % 7, (t / 3600000000L) % 24))
+      .map { case (k, v) => (k._1, k._2, v.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = EventWindows.trafficProfile(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == want,
+      s"heatmap diverges: got=${got.take(3).toSeq}… want=${want.take(3)}…")
+    assert(got.forall(g => g._1 >= 0 && g._1 <= 6 && g._2 >= 0 && g._2 <= 23))
+    assert(got.map(_._3).sum == ev.length.toLong)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9)
+  }
+
   test("t21 is deterministic: a re-run emits identical rows") {
     val a = TextOps.bpeMerges(spark, dir).collect().map(_.toString)
     val b = TextOps.bpeMerges(spark, dir).collect().map(_.toString)
