@@ -25,7 +25,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Bounded state: the per-user buffer holds only events at or above
   * the current watermark plus that one predecessor — the watermark
   * horizon, the same bound the interval join keeps; never user
-  * lifetime. Counts are NOT kept in state at all: the operator emits
+  * lifetime. The predecessor itself is retained until the watermark
+  * passes its SESSION-GAP horizon (pred.tus + GapUs): a user quiet
+  * for longer than the watermark delay but shorter than the gap can
+  * still produce the pair out of that event, so dropping it at the
+  * bare watermark would silently undercount vs batch w14. Counts are NOT kept in state at all: the operator emits
   * individual transitions and the downstream aggregation (a plain
   * streaming `groupBy(from, to).count`, or the batch fold in the spec)
   * owns the matrix — the same separation batch w14 has between its
@@ -51,9 +55,10 @@ object StreamTransitions {
     val prev =
       if (state.hasTimedOut) state.get.events
       else state.getOption.map(_.events).getOrElse(Nil)
-    // drop late-beyond-watermark arrivals (flatMapGroupsWithState does
-    // not filter them for us); ordering key (tus, eventId) is unique —
-    // the same deterministic order batch w14's window uses
+    // drop late-beyond-watermark arrivals — with EventTimeTimeout Spark
+    // already filters them before invoking this function, so this is
+    // defense-in-depth, not load-bearing; ordering key (tus, eventId)
+    // is unique — the same deterministic order batch w14's window uses
     val incoming = evs
       .map(e => BufEv(e.ts.getTime * 1000L, e.eventId, e.eventType))
       .filter(_.tus >= wmUs)
@@ -69,15 +74,28 @@ object StreamTransitions {
         Trans(userId, a.eventType, b.eventType, a.tus, b.tus) }
       .toList
     val rest = if (k >= 0) all.drop(k) else all
-    if (rest.isEmpty || (rest.length <= 1 && state.hasTimedOut)) {
+    // A lone buffered event (the emitted predecessor, or a single
+    // not-yet-paired event) can still pair with a FUTURE arrival as
+    // long as an in-gap timestamp at-or-above the watermark exists:
+    // future rows have tus >= wmUs, so only once wmUs > pred.tus +
+    // GapUs is the pair impossible and the state safe to drop. A user
+    // quiet for longer than the watermark delay but shorter than the
+    // session gap must NOT lose the transition out of their last event.
+    if (rest.isEmpty ||
+        (rest.length == 1 && wmUs > rest.head.tus + GapUs)) {
       if (state.exists) state.remove()
     } else {
       state.update(Buf(rest))
-      // wake when the watermark passes the newest buffered event, so
-      // the tail pairs emit even if the user goes quiet (clamped above
-      // the current watermark — Spark rejects a timeout behind it)
+      // wake when the watermark passes the newest buffered event (so
+      // tail pairs emit even if the user goes quiet); once only the
+      // predecessor remains, wake when its session gap fully expires —
+      // that firing takes the remove branch above. Clamped above the
+      // current watermark — Spark rejects a timeout behind it.
+      val wakeUs =
+        if (rest.length == 1) rest.head.tus + GapUs + 1000L
+        else rest.map(_.tus).max + 1000L
       state.setTimeoutTimestamp(
-        math.max(rest.map(_.tus).max / 1000L + 1L, wmUs / 1000L + 1L))
+        math.max(wakeUs / 1000L, wmUs / 1000L + 1L))
     }
     out.iterator
   }

@@ -73,6 +73,30 @@ class StreamTransitionsSpec extends SparkSpec {
     assert(rows.map(r => (r._2, r._3)) == Seq(("view", "click")), s"got $rows")
   }
 
+  test("a predecessor survives the watermark until its session gap expires") {
+    // delay (5 min) < session gap (30 min): the watermark passes the
+    // lone predecessor ts(0) long before the gap around it closes. A
+    // resume INSIDE the gap at ts(25) must still pair — dropping the
+    // predecessor at the bare watermark would lose (view → click).
+    val gapMin = (StreamTransitions.GapUs / 60000000L).toInt
+    assert(gapMin == 30)
+    val rows = runStream(Seq(
+      Seq((ts(0), 1L, 1L, "view")),
+      // another user's event walks the watermark to ts(15) > ts(0)
+      Seq((ts(20), 2L, 2L, "view")),
+      Seq((ts(25), 1L, 3L, "click"))),
+      delay = "5 minutes")
+    assert(rows.filter(_._1 == 1L).map(r => (r._2, r._3)) ==
+      Seq(("view", "click")), s"got $rows")
+    // and the mirror case: a resume OUTSIDE the gap must NOT pair
+    val rows2 = runStream(Seq(
+      Seq((ts(0), 1L, 1L, "view")),
+      Seq((ts(20), 2L, 2L, "view")),
+      Seq((ts(gapMin + 5), 1L, 3L, "click"))),
+      delay = "5 minutes")
+    assert(rows2.filter(_._1 == 1L).isEmpty, s"got $rows2")
+  }
+
   test("a pair emits only after the watermark passes its later event") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Long, String)]
