@@ -810,19 +810,20 @@ object Similarity {
     * selected. RAG retrieval and dedup-aware eval sets both run this
     * after the ANN stage.
     *
-    * Scale split, and why a driver loop is CORRECT here (not the
-    * anti-pattern): the DATA-sized work — scoring the corpus per
-    * query and keeping the exact top-16 — is all distributed (s1's
+    * Scale split: the DATA-sized work — scoring the corpus per query
+    * and keeping the exact top-16 — is all distributed (s1's
     * broadcast-queries × streamed-corpus scan + rank window), and the
-    * pairwise-sim matrix is M² = 240 rows per query, also computed
-    * distributed. What reaches the driver is CONTROL data bounded by
-    * M and k (≤ 16 + 240 rows per query — the k-means-centroid /
-    * PQ-codebook / x19-candidate discipline), and the greedy
-    * selection is inherently sequential (step t's scores depend on
-    * step t−1's pick): O(k·M) integer comparisons no cluster helps
-    * with. At 10⁶ queries the greedy is an embarrassingly-parallel
-    * mapGroups over per-query candidate structs instead — same math,
-    * same bounded state per group.
+    * pairwise-sim matrix is M·(M−1) = 240 rows per query, also
+    * computed distributed. The greedy itself is inherently sequential
+    * WITHIN a query (step t's scores depend on step t−1's pick:
+    * O(k·M) integer comparisons) but embarrassingly parallel ACROSS
+    * queries — so each query's bounded pool (16 candidate + 240 sim
+    * structs) is collect_list'd into ONE row and the greedy runs as a
+    * per-row executor-side flatMap. Nothing reaches the driver: at
+    * 10⁶ queries this is 10⁶ independent rows spread over the
+    * cluster, where a driver-side collect of the pools (the previous
+    * spelling, kept as `mmrRerankDriver` for the spec's equality
+    * baseline) would grow linearly on one machine.
     *
     * Exactness: rel/sim are the 6-dp-rounded cosines (bit-identical
     * cross-engine, the s1 argument) scaled to nano-ints; λ = 1/2
@@ -831,9 +832,47 @@ object Similarity {
     * per-step argmax packs (score, vec_id) into one orderable BIGINT
     * (valid while vec_id < 2^20 — holds at every SF).
     */
-  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
+  /** One query's bounded MMR pool as a single row: the exact top-M
+    * candidates and the M·(M−1) pairwise sims, both computed
+    * distributed before the per-query collect_list.
+    */
+  private[queries] case class MmrCandRow(vec_id: Long, rel_n: Long)
+  private[queries] case class MmrSimRow(ai: Long, bi: Long, sim_n: Long)
+  private[queries] case class MmrPool(
+      q_id: Long, cands: Seq[MmrCandRow], sims: Seq[MmrSimRow])
+
+  /** The λ=1/2 MMR greedy over ONE query's pool — pure bounded
+    * control-data math, shared verbatim by the executor-side flatMap
+    * (the registered query) and the driver-side baseline the spec
+    * holds row-identical. Ties break (score desc, vec_id asc); the
+    * pool is canonicalized to vec_id order so the fold is
+    * input-order-independent.
+    */
+  private[queries] def mmrGreedy(
+      cands: Seq[(Long, Long)],
+      sim: (Long, Long) => Long): Seq[(Long, Long, Long)] = {
+    var selected = Vector.empty[Long]
+    val pool = cands.sortBy(_._1)
+    (1 to MmrSelect).map { step =>
+      val (vid, score) = pool
+        .filterNot(c => selected.contains(c._1))
+        .map { case (v, reln) =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(s => sim(v, s)).max
+          (v, reln - maxSim)
+        }
+        .maxBy { case (v, s) => (s, -v) }
+      selected :+= vid
+      (step.toLong, vid, score)
+    }
+  }
+
+  /** The distributed pool frames feeding both s14 spellings:
+    * (candidates with nano-int relevance, pairwise nano-int sims).
+    */
+  private def mmrFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = vectors(spark, dir)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -858,28 +897,51 @@ object Similarity {
       .withColumn(
         "sim_n", round(cosine("av", "an", "bv", "bn") * 1e6).cast("long"))
       .select(col("q_id"), col("ai"), col("bi"), col("sim_n"))
-    // ---- driver-side greedy over bounded control data (see Scaladoc)
-    val rel = cand.select(col("q_id"), col("vec_id"), col("rel_n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (cand.select(col("q_id"), col("vec_id"), col("rel_n")), sims)
+  }
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val (cand, sims) = mmrFrames(spark, dir)
+    // ---- executor-side greedy: each query's pool folds to ONE row of
+    // bounded structs (≤ 16 + 240), the greedy runs where the row is
+    val candAgg = cand.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("vec_id"), col("rel_n"))).as("cands"))
+    val simAgg = sims.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("ai"), col("bi"), col("sim_n"))).as("sims"))
+    candAgg.join(simAgg, Seq("q_id"))
+      .as[MmrPool]
+      .flatMap { p =>
+        val simMap = p.sims.map(s => ((s.ai, s.bi), s.sim_n)).toMap
+        mmrGreedy(
+          p.cands.map(c => (c.vec_id, c.rel_n)),
+          (v, s) => simMap((v, s)))
+          .map { case (step, vid, score) => (p.q_id, step, vid, score) }
+      }
+      .toDF("q_id", "step", "vec_id", "mmr_score")
+      .orderBy(col("q_id"), col("step"))
+  }
+
+  /** The original driver-side greedy, kept ONLY as the spec's equality
+    * baseline: its collect() pulls every query's pool to the driver,
+    * which grows linearly with query count — the one scale-killer the
+    * executor-side `mmrRerank` above removes. Not registered.
+    */
+  private[queries] def mmrRerankDriver(
+      spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val (cand, sims) = mmrFrames(spark, dir)
+    val rel = cand.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val simMap = sims.collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
       .toMap
     val out = rel.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
-      var selected = Vector.empty[Long]
-      val pool = cs.map(c => (c._2, c._3)).sortBy(_._1)
-      (1 to MmrSelect).map { step =>
-        val (vid, score) = pool
-          .filterNot(c => selected.contains(c._1))
-          .map { case (v, reln) =>
-            val maxSim =
-              if (selected.isEmpty) 0L
-              else selected.map(s => simMap((qid, v, s))).max
-            (v, reln - maxSim)
-          }
-          .maxBy { case (v, s) => (s, -v) }
-        selected :+= vid
-        (qid, step.toLong, vid, score)
-      }
+      mmrGreedy(
+        cs.map(c => (c._2, c._3)).toSeq,
+        (v, s) => simMap((qid, v, s)))
+        .map { case (step, vid, score) => (qid, step, vid, score) }
     }.sortBy(t => (t._1, t._2))
     out.toDF("q_id", "step", "vec_id", "mmr_score")
   }

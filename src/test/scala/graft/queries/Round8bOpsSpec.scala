@@ -266,6 +266,21 @@ class Round8bOpsSpec extends SparkSpec {
     }
   }
 
+  test("s14: executor-side greedy is row-identical to the driver baseline") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val df = Similarity.mmrRerank(spark, dir)
+    assert(rows(df) == rows(Similarity.mmrRerankDriver(spark, dir)))
+    // the registered path runs the greedy ON EXECUTORS: the typed
+    // flatMap shows up as an object operator, and no collect feeds it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SerializeFromObject"),
+      s"greedy must be a distributed object operator:\n$plan")
+    assert(!plan.contains("LocalTableScan"),
+      s"a LocalTableScan would mean driver-materialized rows:\n$plan")
+  }
+
   test("t19 plan: one words aggregate, a per-row text projection, 1:1 join") {
     val plan = TextOps.gopherRules(spark, dir)
       .queryExecution.executedPlan.toString
