@@ -532,12 +532,16 @@ object Extended {
     * 100 TB posture: the win is shuffle bytes — the probe side
     * shuffles 10% of itself instead of 100%. The build side may be
     * far too big to broadcast AS ROWS (no broadcast-hash join) while
-    * its bloom is still KB–MB (8–10 bits/key at 1% fpp): the filter
-    * rides an explicit `sparkContext.broadcast`, fetched once per
-    * executor, and the probe is branch-free hashing in the scan. The
-    * bloom build is FIT-time control data (memoized per session/dir,
-    * the p10/k-means discipline); the probe is a UDF by necessity —
-    * no public scalar expression reads a BloomFilter.
+    * its bloom is still KB–MB (8–10 bits/key at 1% fpp): the probe is
+    * branch-free hashing in the scan. The bloom build is FIT-time
+    * control data (memoized per session/dir, the p10/k-means
+    * discipline); the probe is Spark's own `BloomFilterMightContain`
+    * Catalyst expression via [[graft.functions.BloomProbe]] — the
+    * exact expression AQE's InjectRuntimeFilter plants — so it runs
+    * inside WholeStageCodegen rather than as a boxed per-row UDF, and
+    * the filter bytes ride the stage's torrent-broadcast task binary
+    * (fetched once per executor, the same distribution story the old
+    * explicit broadcast + UDF closure had).
     */
   /** The memoized broadcast bloom of x20's build-side keys (exposed to
     * the spec, which bounds the false-positive rate against it).
@@ -557,13 +561,14 @@ object Extended {
     val big = orders(spark, dir)
       .filter(col("o_totalprice") > BloomOrderDollars)
       .select(col("o_orderkey"), col("o_orderpriority"))
-    val bfB = x20Bloom(spark, dir)
-    val mightContain = udf((k: Long) => bfB.value.mightContain(k))
+    val bfBytes = SessionCache.memo(spark, dir, "x20BloomBytes")(
+      graft.functions.BloomProbe.serialize(x20Bloom(spark, dir).value))
     lineitem(spark, dir)
       .select(
         col("l_orderkey"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      .filter(mightContain(col("l_orderkey")))
+      .filter(
+        graft.functions.BloomProbe.mightContainLong(bfBytes, col("l_orderkey")))
       .join(big, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(

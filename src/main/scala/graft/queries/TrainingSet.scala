@@ -367,27 +367,33 @@ object TrainingSet {
     * engine-private, so like x11/x12 the exact p6 is the oracle-checked
     * baseline next to it.
     *
-    * The membership probe is a UDF by necessity (no built-in scalar
-    * reads a BloomFilter); the filter rides an explicit broadcast, not
-    * the closure, so 1000 executors fetch it once each.
+    * The membership probe is Spark's `BloomFilterMightContain`
+    * expression via [[graft.functions.BloomProbe]] (codegen'd in the
+    * scan, no per-row lambda); string shingles have no expression
+    * form, so BOTH sides hash through `xxhash64` first — determinism
+    * is preserved and the 64-bit collision mass is vanishing next to
+    * the bloom's own 1% fpp. The filter bytes ride the stage's
+    * broadcast task binary, so 1000 executors still fetch them once
+    * each.
     */
   def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.cachedShingles(spark, dir)
     // the filter build is FIT-time control data (like the k-means
-    // centroids / PQ codebooks): one build + one broadcast per
-    // (session, dir); repeated calls measure the PROBE, which is the
-    // steady-state operation
-    val bfB = SessionCache.memo(spark, dir, "p6BenchBloom") {
+    // centroids / PQ codebooks): one build per (session, dir);
+    // repeated calls measure the PROBE, which is the steady-state
+    // operation
+    val bfBytes = SessionCache.memo(spark, dir, "p6BenchBloomBytes") {
       val bench = sh.filter(col("doc_id") < BenchmarkDocs)
-        .select(col("sh")).distinct()
+        .select(xxhash64(col("sh")).as("h")).distinct()
       val nBench = bench.count()
-      spark.sparkContext.broadcast(
-        bench.stat.bloomFilter("sh", math.max(nBench, 1L), 0.01))
+      graft.functions.BloomProbe.serialize(
+        bench.stat.bloomFilter("h", math.max(nBench, 1L), 0.01))
     }
-    val mightContain = udf((s: String) => bfB.value.mightContain(s))
     val corpus = sh.filter(col("doc_id") >= BenchmarkDocs)
     val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val hits = corpus.filter(mightContain(col("sh")))
+    val hits = corpus.filter(
+      graft.functions.BloomProbe.mightContainLong(
+        bfBytes, xxhash64(col("sh"))))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     sizes.join(hits, Seq("doc_id"), "left")
       .select(

@@ -123,11 +123,13 @@ class Round8bOpsSpec extends SparkSpec {
   test("x20 plan: bloom probe filters the lineitem scan before any shuffle") {
     val plan = Extended.bloomPrunedJoin(spark, dir)
       .queryExecution.executedPlan.toString
-    val iUdf = plan.indexOf("UDF(")
-    assert(iUdf >= 0, s"bloom probe UDF missing from plan:\n$plan")
-    val iScan = plan.indexOf("lineitem.parquet", iUdf)
-    assert(iScan > iUdf, s"bloom filter must sit above the lineitem scan:\n$plan")
-    assert(!plan.substring(iUdf, iScan).contains("Exchange"),
+    assert(!plan.contains("UDF("),
+      s"probe must be the native expression, not a Scala UDF:\n$plan")
+    val iProbe = plan.indexOf("might_contain")
+    assert(iProbe >= 0, s"bloom probe expression missing from plan:\n$plan")
+    val iScan = plan.indexOf("lineitem.parquet", iProbe)
+    assert(iScan > iProbe, s"bloom filter must sit above the lineitem scan:\n$plan")
+    assert(!plan.substring(iProbe, iScan).contains("Exchange"),
       s"bloom probe must run pre-shuffle, inside the scan stage:\n$plan")
   }
 
