@@ -708,6 +708,33 @@ object TrainingSet {
       .orderBy(col("in_file"))
   }
 
+  /** p17's executor — materialize the compaction plan: every doc is
+    * routed to its plan-assigned output bin and each bin becomes
+    * EXACTLY ONE file. The two-step shape is the standard Spark
+    * compaction idiom: `repartition(col("out_bin"))` co-locates each
+    * bin's rows in one task, then `partitionBy("out_bin")` writes that
+    * task's rows as the single file in the bin's directory — no
+    * driver-side loop over bins, no global sort. The plan frame is
+    * metadata-scale (one row per input file), so it broadcasts onto
+    * the doc scan; only the docs themselves shuffle, and only once,
+    * on exactly the key the files are laid out by.
+    *
+    * `Round9OpsSpec` pins: one file per bin, per-bin token sums equal
+    * the plan's, and no doc lost or duplicated.
+    */
+  def compactionExecute(
+      spark: SparkSession, dir: String, outPath: String): Unit = {
+    val plan = compactionPlan(spark, dir)
+      .select(col("in_file"), col("out_bin"))
+    val docs = TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("in_file", expr(s"doc_id div $CompactionFileGroup"))
+    docs.join(broadcast(plan), Seq("in_file"))
+      .select(col("doc_id"), col("n_tokens"), col("out_bin"))
+      .repartition(col("out_bin"))
+      .write.mode("overwrite").partitionBy("out_bin").parquet(outPath)
+  }
+
   /** p18 water-filling budget: fraction of the corpus the allocation
     * must fit (9/10 — sized so the smallest sources SATURATE on the
     * testdata at every SF, keeping both branches of the allocator
