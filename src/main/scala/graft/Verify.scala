@@ -39,6 +39,10 @@ object Verify {
     }
     // Dump the trained PQ codebooks the s7 oracle reads — same
     // session-cache-then-dump discipline as the centroids.
+    try graft.queries.Similarity.dumpResPqCodebooks(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] residual codebook dump failed: ${e.getMessage}")
+    }
     try graft.queries.Similarity.dumpPqCodebooks(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] pq codebook dump failed: ${e.getMessage}")

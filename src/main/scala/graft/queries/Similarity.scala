@@ -258,7 +258,8 @@ object Similarity {
       vectors(spark, dir),
       cachedIvfAssign(spark, dir),
       cachedCentroids(spark, dir),
-      cachedPqCodebooks(spark, dir))
+      cachedPqCodebooks(spark, dir),
+      cachedResPqCodebooks(spark, dir))
 
   /** Fixed absolute path the s5 oracle reads the fitted centroids from
     * (the warehouse-dump pattern, WarehouseQueries.DumpPath).
@@ -603,6 +604,159 @@ object Similarity {
       .join(enc, Seq("centroid_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("score", round(vecDot(col("qv"), col("rv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("centroid_id"), col("vec_id"), col("score"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s16 — RESIDUAL IVF+PQ top-k (`IVF<n>,PQ8` as FAISS actually
+    * builds it): real IVF,PQ composites quantize the RESIDUAL
+    * v − c(v) — the offset of each vector from its assigned coarse
+    * centroid — not the raw vector. Residuals concentrate near the
+    * origin once the coarse quantizer has absorbed the between-bucket
+    * variance, so the same M×K codebook budget spends its codewords on
+    * a tighter distribution and reconstruction error drops; s13 (raw
+    * PQ over the same buckets) is the ablation baseline this is
+    * measured against (`Round9OpsSpec` pins recall ≥ the family's 0.6
+    * bound and ≥ s13's measured value).
+    *
+    * Pipeline: the TRAINED coarse quantizer (s5's cached Lloyd's
+    * centroids — measured here: trained-centroid residual energy 0.97
+    * vs 1.65 for seed-centroid residuals on the unit-norm corpus; a
+    * seed quantizer near-orthogonal to everything makes residuals
+    * BIGGER than the inputs, which is why real IVF,PQ always trains
+    * its coarse stage) → residual = v − cv (exact elementwise IEEE
+    * subtraction, identical in both engines) → per-subspace Lloyd's
+    * codebooks TRAINED ON RESIDUALS → encode by L2 ARGMIN
+    * (`PqCodec.reconstructedL2` — FAISS's actual codeword assignment;
+    * the MIPS-flavored max-dot s7/s13 use is reconstruction-biased
+    * toward large-norm codewords, which residuals' varying norms
+    * punish) → reconstruction = cv + r̂ (elementwise) → ADC score =
+    * dot(raw query, reconstruction) over nprobe=2 trained buckets.
+    * Deterministic end to end, so fully oracle-checked against the
+    * Verify-dumped residual codebooks + trained centroids.
+    *
+    * Scale shape: identical to s13 — the residual subtraction and the
+    * cv + r̂ add are per-row projections in the scan (the centroid
+    * table is NumCentroids rows of broadcast control data); storage is
+    * still M bytes/vector + the shared centroid table.
+    */
+  /** (vec_id, centroid_id, cv, resv): each vector with its assigned
+    * TRAINED centroid's vector and the residual v − cv.
+    */
+  private[queries] def residualFrame(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents = cachedCentroids(spark, dir)
+      .withColumn("cn", vecNorm(col("cv")))
+    val assign = assignTo(e, cents)
+      .select(col("vec_id"), col("centroid_id"))
+    e.join(assign, "vec_id")
+      .join(broadcast(cents.select(col("centroid_id"), col("cv"))),
+        "centroid_id")
+      .select(
+        col("vec_id"), col("centroid_id"), col("cv"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("resv"))
+  }
+
+  /** Residual PQ codebooks — `pqCodebooksFitFrom` over the residuals
+    * (no degenerate rows: trained centroids are corpus means, never a
+    * corpus vector, so no residual is exactly zero).
+    */
+  private[queries] def cachedResPqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "resPqCodebooks")(
+      pqCodebooksFitFrom(
+        residualFrame(spark, dir)
+          .select(col("vec_id"), col("resv").as("v")),
+        iters = 2))
+
+  /** Fixed path the s16 oracle reads the residual codebooks from. */
+  val ResPqCodebookDumpPath = graft.RepoPaths.target("graft_respq_codebooks")
+
+  /** Dump the residual codebooks for the s16 oracle — called by Verify
+    * (the dumpPqCodebooks discipline).
+    */
+  def dumpResPqCodebooks(spark: SparkSession, dir: String): Unit =
+    cachedResPqCodebooks(spark, dir)
+      .coalesce(1).write.mode("overwrite").parquet(ResPqCodebookDumpPath)
+
+  /** Spec-facing: (vec_id, recon) of the residual decode cv + r̂ — the
+    * frame the MSE-vs-raw-PQ comparison runs over.
+    */
+  private[queries] def residualReconstructions(
+      spark: SparkSession, dir: String): DataFrame =
+    residualFrame(spark, dir).select(
+      col("vec_id"),
+      zip_with(
+        col("cv"),
+        graft.functions.PqCodec.reconstructedL2(
+          col("resv"), collectCodebooks(cachedResPqCodebooks(spark, dir))),
+        (a, b) => a + b).as("recon"))
+
+  /** Spec-facing: (vec_id, recon) of s13's raw-vector encode. */
+  private[queries] def rawPqReconstructions(
+      spark: SparkSession, dir: String): DataFrame =
+    pqEncode(
+      vectors(spark, dir),
+      collectCodebooks(cachedPqCodebooks(spark, dir)))
+      .select(col("vec_id"), col("rv").as("recon"))
+
+  /** Spec-facing full-corpus residual-ADC baseline (s7's role for
+    * s16): every vector scored by dot(q, cv + r̂) with no probe
+    * restriction — the denominator that isolates the IVF probe's
+    * recall loss, the s13-vs-s7 / s11-vs-s6 measurement pattern.
+    */
+  private[queries] def residualAdcTopK(
+      spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val enc = residualReconstructions(spark, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    broadcast(q).join(enc, col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(vecDot(col("qv"), col("recon")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def ivfResidualPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val cb = collectCodebooks(cachedResPqCodebooks(spark, dir))
+    // recon = cv + r̂: the coarse centroid plus the residual's codeword
+    // reconstruction, elementwise — the FAISS decode
+    val enc = residualFrame(spark, dir).select(
+      col("vec_id"), col("centroid_id"),
+      zip_with(
+        col("cv"),
+        graft.functions.PqCodec.reconstructedL2(col("resv"), cb),
+        (a, b) => a + b).as("recon"))
+    val c = cachedCentroids(spark, dir)
+      .withColumn("cn", vecNorm(col("cv")))
+    // s13's nprobe=2 sorted-array-slice probe, over the TRAINED cents
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(c))
+      .withColumn("c_sim", cosine("cv", "cn", "qv", "qn"))
+      .groupBy(col("q_id"))
+      .agg(
+        first(col("qv")).as("qv"),
+        slice(
+          array_sort(collect_list(
+            struct((-col("c_sim")).as("neg_sim"), col("centroid_id")))),
+          1, 2).as("top2"))
+      .select(
+        col("q_id"), col("qv"),
+        explode(col("top2").getField("centroid_id")).as("centroid_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    broadcast(probes)
+      .join(enc, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("score", round(vecDot(col("qv"), col("recon")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("centroid_id"), col("vec_id"), col("score"),
@@ -1076,7 +1230,8 @@ object Similarity {
     "s5_kmeans_ivf_topk" -> kmeansIvfTopK,
     "s6_sq8_topk" -> sq8TopK,
     "s11_ivf_sq8_topk" -> ivfSq8TopK,
-    "s13_ivf_pq_topk" -> ivfPqTopK)
+    "s13_ivf_pq_topk" -> ivfPqTopK,
+    "s16_ivf_respq_topk" -> ivfResidualPqTopK)
 
   private[queries] val vecCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
@@ -1448,6 +1603,79 @@ object Similarity {
                      JOIN encb ON encb.centroid_id = p.centroid_id
                      JOIN e q ON q.vec_id = p.q_id
                      WHERE p.q_id <> encb.vec_id)
+          SELECT q_id, centroid_id, vec_id, score, rank FROM (
+            SELECT q_id, centroid_id, vec_id, score,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+            FROM scores) WHERE rank <= $TopK ORDER BY q_id, rank""",
+    // s16: s13's shape with the residual insertions — the coarse
+    // quantizer is the TRAINED s5 centroid dump (assignment + probe by
+    // raw/rounded cosine, the s5 CTE verbatim), resid = v − cv (exact
+    // elementwise subtraction), encode is the L2 ARGMIN spelled as
+    // argmax of dot − ‖cw‖²/2 over the Verify-dumped RESIDUAL
+    // codebooks, recon = cv + r̂ elementwise, then s13's nprobe=2
+    // scoring. Every arithmetic step is spelled identically on both
+    // engines (same elementwise ops, same left-fold dots, exact /2),
+    // so the hash compare is exact.
+    "s16_ivf_respq_topk" ->
+      s"""WITH $vecCte,
+          cents AS (SELECT centroid_id, cv
+                    FROM read_parquet('$CentroidDumpPath/*.parquet')),
+          assign AS (
+            SELECT vec_id, centroid_id FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.centroid_id) AS rn
+              FROM e CROSS JOIN cents c)
+            WHERE rn = 1),
+          qprobe AS (
+            SELECT q_id, centroid_id FROM (
+              SELECT q.vec_id AS q_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_dot_product(c.cv, q.v)
+                         / (sqrt(list_dot_product(c.cv, c.cv))
+                            * sqrt(list_dot_product(q.v, q.v))), 6) DESC,
+                       c.centroid_id) AS pr
+              FROM e q CROSS JOIN cents c
+              WHERE q.vec_id < $NumQueries)
+            WHERE pr <= 2),
+          resid AS (SELECT e.vec_id, a.centroid_id, c.cv,
+                           list_transform(
+                             range(1, ${NumSubspaces * SubDim} + 1),
+                             i -> e.v[i] - c.cv[i]) AS resv
+                    FROM e
+                    JOIN assign a ON a.vec_id = e.vec_id
+                    JOIN cents c ON c.centroid_id = a.centroid_id),
+          ms AS (SELECT unnest(range($NumSubspaces)) AS m),
+          cw AS (SELECT m, k, cwv
+                 FROM read_parquet('$ResPqCodebookDumpPath/*.parquet')),
+          sub AS (SELECT r.vec_id, ms.m,
+                         r.resv[(ms.m*$SubDim+1):(ms.m*$SubDim+$SubDim)] AS sv
+                  FROM resid r CROSS JOIN ms),
+          enc AS (SELECT vec_id, m, k FROM (
+                    SELECT s.vec_id, s.m, c.k,
+                           row_number() OVER (PARTITION BY s.vec_id, s.m
+                             ORDER BY list_dot_product(s.sv, c.cwv)
+                               - list_dot_product(c.cwv, c.cwv)/2 DESC,
+                             c.k) AS rn
+                    FROM sub s JOIN cw c ON c.m = s.m) WHERE rn = 1),
+          rhat AS (SELECT enc.vec_id, flatten(list(c.cwv ORDER BY enc.m)) AS hv
+                   FROM enc JOIN cw c ON c.m = enc.m AND c.k = enc.k
+                   GROUP BY enc.vec_id),
+          recon AS (SELECT h.vec_id, r.centroid_id,
+                           list_transform(
+                             range(1, ${NumSubspaces * SubDim} + 1),
+                             i -> r.cv[i] + h.hv[i]) AS rv
+                    FROM rhat h JOIN resid r ON r.vec_id = h.vec_id),
+          scores AS (SELECT p.q_id, recon.centroid_id, recon.vec_id,
+                       ROUND(list_dot_product(q.v, recon.rv), 6) AS score
+                     FROM qprobe p
+                     JOIN recon ON recon.centroid_id = p.centroid_id
+                     JOIN e q ON q.vec_id = p.q_id
+                     WHERE p.q_id <> recon.vec_id)
           SELECT q_id, centroid_id, vec_id, score, rank FROM (
             SELECT q_id, centroid_id, vec_id, score,
               CAST(row_number() OVER (PARTITION BY q_id
