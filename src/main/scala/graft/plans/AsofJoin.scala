@@ -140,6 +140,16 @@ object AsofJoin {
   /** `asof(left, right)`: left columns (key, time, …), right columns
     * (key, time, tiebreakId, …), leading columns LongType, all names
     * distinct. Returns left ⋈asof right with both sides' columns.
+    *
+    * NULL contract: the exec reads the leading columns with ordinal
+    * `getLong`, which would silently decode a NULL as 0L — a NULL key
+    * would interleave with real key 0 and produce WRONG matches, not
+    * an error. Parquet schemas read as nullable even when the data
+    * never is, so instead of rejecting nullable schemas the wrapper
+    * FILTERS null keys/times out of both sides here (a row with no
+    * key or no time has no as-of position; dim tables with real nulls
+    * should clean them upstream). The filter is a no-op scan predicate
+    * when the columns are in fact never null.
     */
   def asof(left: DataFrame, right: DataFrame): DataFrame = {
     def needLong(df: DataFrame, n: Int, side: String): Unit =
@@ -152,9 +162,14 @@ object AsofJoin {
     needLong(right, 3, "right")
     val dup = left.columns.toSet intersect right.columns.toSet
     require(dup.isEmpty, s"asof sides share column names: $dup")
+    def dropNullLeading(df: DataFrame, n: Int): DataFrame =
+      (0 until n).foldLeft(df)((d, i) =>
+        d.filter(org.apache.spark.sql.functions.col(df.columns(i)).isNotNull))
+    val l = dropNullLeading(left, 2)
+    val r = dropNullLeading(right, 3)
     val spark = left.sparkSession
     registerOn(spark)
     Bridge.ofRows(spark,
-      AsofJoinNode(left.queryExecution.analyzed, right.queryExecution.analyzed))
+      AsofJoinNode(l.queryExecution.analyzed, r.queryExecution.analyzed))
   }
 }

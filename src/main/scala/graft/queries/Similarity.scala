@@ -1139,11 +1139,12 @@ object Similarity {
   /** s15 — SRP-LSH approximate cosine top-k (Charikar 2002 sign-random-
     * projection / hyperplane LSH), the data-INDEPENDENT ANN family the
     * registry's IVF side (s2–s5, s10, s11, s13) doesn't cover: no
-    * training pass, no centroids — each vector's 16-bit signature is a
-    * pure per-row projection (sign of 16 fixed hyperplane dots), and
-    * P(bits agree) = 1 − θ/π ties collision probability directly to
-    * the angle. Candidates = pairs sharing at least one of 4 4-bit
-    * bands (d3's MinHash banding, transplanted to cosine space); exact
+    * training pass, no centroids — each vector's `SrpBits`-bit (32)
+    * signature is a pure per-row projection (sign of 32 fixed
+    * hyperplane dots), and P(bits agree) = 1 − θ/π ties collision
+    * probability directly to the angle. Candidates = pairs sharing at
+    * least one of `SrpBands` = 4 8-bit bands
+    * (d3's MinHash banding, transplanted to cosine space); exact
     * cosine rescores candidates and ranks top-k. The FAISS matrix gains
     * its LSH row: brute (s1) / IVF (s3+) / SQ8 (s6) / PQ (s7) / SRP.
     *
@@ -1152,7 +1153,7 @@ object Similarity {
     * the candidate join is band-bucket equi (query side broadcast — 5
     * rows ×4 bands); rescoring touches only collision pairs. At 100 TB
     * the corpus never shuffles for the index at all — the whole "index"
-    * is 16 integers of plan-time control data, the cheapest possible
+    * is `SrpBits` LCG hyperplanes of plan-time control data, the cheapest
     * incremental-ingest story (a new vector's signature needs nothing
     * but the row itself, where IVF needs the trained centroids).
     * Recall vs exact s1 is measured + bounded in `Round8cOpsSpec`

@@ -64,6 +64,31 @@ class AsofJoinSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("NULL keys/times are filtered, never decoded as key 0") {
+    // getLong on a NULL ordinal silently reads 0L — without the
+    // wrapper's null filter a NULL-key right row would interleave
+    // with REAL key 0 and win as-of matches it has no business in
+    val left = Seq((0L, 100L, 10L))
+      .toDF("user_id", "t_us", "l_id")
+    val right = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, 50L, 20L),            // the real match
+        org.apache.spark.sql.Row(null, 90L, 21L),          // NULL key
+        org.apache.spark.sql.Row(0L, null, 22L))),         // NULL time
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "r_user", org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(
+          "r_us", org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(
+          "r_id", org.apache.spark.sql.types.LongType, nullable = true))))
+    val got = AsofJoin.asof(left, right)
+      .select(col("l_id"), col("r_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 20L)),
+      s"null rows must not participate: ${got.toSeq}")
+  }
+
   test("randomized: the exec equals an in-memory asof fold (ties, gaps, dup times)") {
     // deterministic LCG so the case is reproducible; dense key/time
     // ranges force many same-key and same-(key,time) collisions, the
