@@ -268,6 +268,11 @@ class PlanAuditSpec extends SparkSpec {
                             // EnsureRequirements from the exec's declared
                             // distribution — not hand-scheduled) + output
                             // sort; the merge itself holds ONE row
+    "s16_ivf_respq_topk" -> 9, // measured ceiling: residual frame =
+                               // assignTo agg + vec_id join sides
+                               // (uncached, recomputed per call) +
+                               // probe agg/broadcast + bucket join +
+                               // top-k window + output sort
     "w16_conversion_latency" -> 4 // w4's user window + bucket agg + the
                                   // global-total window over <=64 post-agg
                                   // rows + sort; the r8 rewrite removed
