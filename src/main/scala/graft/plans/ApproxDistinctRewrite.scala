@@ -52,5 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    // the SQL function surface (same builders GraftFunctions.registerAll
+    // attaches per-session) — cluster-wide, so Thrift/JDBC sessions see
+    // them from their first query
+    graft.functions.GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
   }
 }

@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL function surface: after registerAll, a pure-SQL session
+  * computes the same bits the Column API does for every registered
+  * expression — including the generator and the binary-literal bloom
+  * probe.
+  */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def withFixture(test: NoArgTest) = {
+    GraftFunctions.registerAll(spark)
+    super.withFixture(test)
+  }
+
+  test("every graft_ function is visible in SHOW FUNCTIONS") {
+    val shown = spark.sql("SHOW FUNCTIONS LIKE 'graft_*'")
+      .collect().map(_.getString(0)).toSet
+    GraftFunctions.all.foreach { case (n, _) =>
+      assert(shown.contains(n), s"$n missing from SHOW FUNCTIONS: $shown")
+    }
+  }
+
+  test("graft_vec_dot / graft_vec_dot_long compute exact dots in SQL") {
+    val d = spark.sql(
+      "SELECT graft_vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+      .head().getDouble(0)
+    assert(d == 32.0)
+    val l = spark.sql(
+      "SELECT graft_vec_dot_long(array(2L, 3L), array(10L, 100L))")
+      .head().getLong(0)
+    assert(l == 320L)
+  }
+
+  test("graft_srp_signature in SQL equals the Column API on the corpus") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    df.createOrReplaceTempView("gfs_vecs")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_srp_signature(v) AS sig FROM gfs_vecs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = df.select(col("vec_id"), SrpSig.srpSignature(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+  }
+
+  test("graft_normalize_text and graft_sentences work from SQL") {
+    val n = spark.sql("SELECT graft_normalize_text('Café  STOP')")
+      .head().getString(0)
+    val api = Seq("Café  STOP").toDF("t")
+      .select(TextNorm.normalized(col("t"))).head().getString(0)
+    assert(n == api)
+    val sents = spark.sql(
+      "SELECT graft_sentences('One. Two! Three?')").collect()
+    val apiSents = Seq("One. Two! Three?").toDF("t")
+      .select(SentenceGenerator.sentences(col("t"))).collect()
+    assert(sents.length == apiSents.length && sents.length >= 3,
+      s"sql ${sents.toSeq} vs api ${apiSents.toSeq}")
+  }
+
+  test("graft_bloom_might_contain probes a hex-literal filter from SQL") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(7L, 42L, 99L).foreach(bf.putLong)
+    val hex = BloomProbe.serialize(bf).map("%02X".format(_)).mkString
+    def probe(k: Long): Boolean = spark.sql(
+      s"SELECT graft_bloom_might_contain(X'$hex', ${k}L)")
+      .head().getBoolean(0)
+    assert(probe(7L) && probe(42L) && probe(99L),
+      "false negatives are impossible")
+    assert(!(0L until 50L).filterNot(Seq(7L, 42L).contains)
+      .forall(k => probe(k)), "everything matched — filter not applied")
+  }
+}
