@@ -948,6 +948,117 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s17 BM25 parameters: Okapi defaults k1 = 1.2, b = 0.75; each of
+    * the 5 query docs contributes its first `Bm25QueryTerms` distinct
+    * words (by first occurrence) as the query.
+    */
+  val Bm25QueryTerms = 4
+
+  /** s17 — Okapi BM25 top-k, the REAL lexical retriever the s12 RRF
+    * fusion's shingle-overlap stand-in approximates: score(q, d) =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), the
+    * ranking function behind Lucene/Elasticsearch and the lexical
+    * side of every hybrid-retrieval training-data pipeline
+    * (decontamination-by-retrieval, hard-negative mining, RAG eval).
+    *
+    * Exactness (the t8/t10 discipline): idf = ln((N − df + 0.5) /
+    * (df + 0.5) + 1) — the Lucene always-positive form — is the
+    * registry's established shared transcendental (identical IEEE
+    * inputs → identical bits, proven by t8 since round 1); dl/avgdl
+    * is spelled (dl·N)/Σdl — one exact long product, one IEEE
+    * division; each term's contribution is FLOOR'd to integer
+    * nano-units and the per-doc score is an order-free integer SUM
+    * (never a float sum — t10's lesson); ranks tie on doc_id.
+    *
+    * Scale shape: the query side is ≤ 5×4 broadcast terms, so the
+    * corpus touches ONLY those terms' postings — the words scan is
+    * broadcast-semi-pruned BEFORE any aggregation, and tf/df are aggs
+    * over ~20 terms' postings, never the full vocabulary (t8 pays the
+    * doc×vocab agg because its OUTPUT is the full matrix; a top-k
+    * retrieval's isn't). Doc lengths and Σdl ride the session-cached
+    * quality frame (zero recompute); one top-k window per query. At
+    * 100 TB this is the posting-list probe shape of a search engine,
+    * expressed as Spark joins.
+    */
+  /** The ≤ 5×4 (q_id, term, df) query definition WITH its term
+    * statistics — FIT-time control data (the centroid/codebook
+    * discipline, and exactly what a search engine precomputes as its
+    * idf dictionary): one bounded collect per (session, dir). Folding
+    * df into the memo keeps the probe's plan to a SINGLE pass over
+    * the postings — a live dfreq branch would re-plan the whole
+    * posting scan a second time.
+    */
+  private[queries] def bm25QueryTerms(
+      spark: SparkSession, dir: String): Seq[(Long, String, Long)] =
+    SessionCache.memo(spark, dir, "bm25QueryTermDf") {
+      val qw = Window.partitionBy(col("q_id")).orderBy(col("fp"), col("term"))
+      val qterms = TextOps.cachedWords(spark, dir)
+        .filter(col("doc_id") < NumQueries)
+        .groupBy(col("doc_id").as("q_id"), col("word").as("term"))
+        .agg(min(col("pos")).as("fp"))
+        .withColumn("rn", row_number().over(qw))
+        .filter(col("rn") <= Bm25QueryTerms)
+        .select(col("q_id"), col("term"))
+      val dfreq = TextOps.cachedWords(spark, dir)
+        .join(
+          broadcast(qterms.select(col("term")).distinct()),
+          col("word") === col("term"))
+        .select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      qterms.join(broadcast(dfreq), "term")
+        .select(col("q_id"), col("term"), col("df"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val w = TextOps.cachedWords(spark, dir)
+    val qdf0 = bm25QueryTerms(spark, dir).toDF("q_id", "term", "df")
+    // the inverted-index probe: only the ≤20 query terms' postings
+    // survive the scan, and tf aggregates THOSE — never the vocabulary
+    // (t8 pays the doc×vocab agg because its OUTPUT is the matrix).
+    // The distinct term list is driver data — no distributed distinct.
+    val post = w.join(
+      broadcast(
+        bm25QueryTerms(spark, dir).map(_._2).distinct.toDF("term")),
+      col("word") === col("term"))
+    val tf = post.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens").as("dl"))
+    val stats = documents(spark, dir)
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(
+        TextOps.cachedQualityScore(spark, dir)
+          .agg(sum(col("n_tokens")).as("sumdl")))
+    val qdf = broadcast(qdf0)
+    val idf = log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) *
+          ((col("dl") * col("n_docs")).cast("double") /
+            col("sumdl").cast("double"))))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_n").desc, col("doc_id"))
+    qdf
+      .join(tf, "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sn", floor(idf * tfn * lit(1e9)).cast("long"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sn")).as("score_n"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("doc_id"), col("n_terms"), col("score_n"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** s14 parameters: MMR over the exact top-16 candidate pool, 5
     * selections, λ = 1/2 — the one λ where the greedy argmax reduces
     * to a pure INTEGER comparison (score ∝ rel_n − maxsim_n over
@@ -1232,7 +1343,8 @@ object Similarity {
     "s6_sq8_topk" -> sq8TopK,
     "s11_ivf_sq8_topk" -> ivfSq8TopK,
     "s13_ivf_pq_topk" -> ivfPqTopK,
-    "s16_ivf_respq_topk" -> ivfResidualPqTopK)
+    "s16_ivf_respq_topk" -> ivfResidualPqTopK,
+    "s17_bm25_topk" -> bm25TopK)
 
   private[queries] val vecCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
@@ -1682,6 +1794,53 @@ object Similarity {
               CAST(row_number() OVER (PARTITION BY q_id
                 ORDER BY score DESC, vec_id) AS BIGINT) AS rank
             FROM scores) WHERE rank <= $TopK ORDER BY q_id, rank""",
+    // s17: same idf/tfn spelling (shared-ln + exact casts), per-term
+    // contributions floored to nano-units, order-free integer SUM —
+    // the t8/t10 discipline applied to Okapi BM25
+    "s17_bm25_topk" ->
+      s"""WITH ${graft.queries.TextOps.wordsCte},
+          qt AS (
+            SELECT q_id, term FROM (
+              SELECT q_id, term,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY fp, term) AS rn
+              FROM (SELECT doc_id AS q_id, word AS term, MIN(pos) AS fp
+                    FROM words WHERE doc_id < $NumQueries
+                    GROUP BY doc_id, word))
+            WHERE rn <= $Bm25QueryTerms),
+          tf AS (SELECT doc_id, word AS term, COUNT(*) AS tf
+                 FROM words GROUP BY 1, 2),
+          dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+          dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+          stats AS (SELECT
+            (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_docs,
+            (SELECT COUNT(*) FROM words) AS sumdl),
+          sc AS (
+            SELECT qt.q_id, tf.doc_id,
+                   CAST(FLOOR(
+                     ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                     * ((CAST(tf AS DOUBLE) * 2.2)
+                        / (CAST(tf AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 *
+                               (CAST(dl * n_docs AS DOUBLE)
+                                / CAST(sumdl AS DOUBLE)))))
+                     * 1e9) AS BIGINT) AS sn
+            FROM qt
+            JOIN tf USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+            WHERE tf.doc_id <> qt.q_id),
+          agg AS (SELECT q_id, doc_id, COUNT(*) AS n_terms,
+                         CAST(SUM(sn) AS BIGINT) AS score_n
+                  FROM sc GROUP BY 1, 2)
+          SELECT q_id, doc_id, n_terms, score_n, rank FROM (
+            SELECT q_id, doc_id, n_terms, score_n,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY score_n DESC, doc_id) AS BIGINT) AS rank
+            FROM agg)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
     // s11: s6's quantization CTEs + the coarse-quantizer restriction —
     // a query only scores codes in its own assignment bucket
     "s11_ivf_sq8_topk" ->

@@ -933,7 +933,7 @@ object TextOps {
     "t6_lang_id" -> langId,
     "t7_fingerprint" -> fingerprint)
 
-  private val wordsCte =
+  private[queries] val wordsCte =
     """words AS (
          SELECT doc_id,
                 generate_subscripts(string_split_regex(lower(text), '\s+'), 1) - 1 AS pos,

@@ -273,6 +273,12 @@ class PlanAuditSpec extends SparkSpec {
                                // (uncached, recomputed per call) +
                                // probe agg/broadcast + bucket join +
                                // top-k window + output sort
+    "s17_bm25_topk" -> 12, // measured ceiling: broadcast-pruned posting
+                           // scan + ONE tf agg + cached-dl broadcast +
+                           // 1-row stats broadcasts + score agg +
+                           // group-limit window + output sort; query
+                           // terms + df are fit-time control data
+                           // (LocalTableScan, no distributed distinct)
     "w16_conversion_latency" -> 4 // w4's user window + bucket agg + the
                                   // global-total window over <=64 post-agg
                                   // rows + sort; the r8 rewrite removed

@@ -74,6 +74,95 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  /** Write a fixture documents.parquet and return its dir. */
+  private def docsDir(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("s17_fix_").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("fix").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.parquet(s"$fdir/documents.parquet")
+    fdir
+  }
+
+  /** Textbook Okapi BM25 in plain Scala — the independent reference
+    * the engine's join/agg formulation is held to on the fixture.
+    */
+  private def refBm25(docs: Seq[(Long, String)])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val words = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").toSeq }.toMap
+    val n = docs.size.toLong
+    val sumdl = words.values.map(_.size.toLong).sum
+    val dfm = words.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    docs.map(_._1).filter(_ < Similarity.NumQueries).flatMap { q =>
+      val terms = words(q).distinct.take(Similarity.Bm25QueryTerms)
+      val scored = docs.map(_._1).filter(_ != q).flatMap { d =>
+        val tfs = terms.flatMap { t =>
+          val tf = words(d).count(_ == t).toLong
+          if (tf == 0) None else Some {
+            val df = dfm(t)
+            val dl = words(d).size.toLong
+            val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            val tfn = tf * 2.2 /
+              (tf + 1.2 * (0.25 + 0.75 * ((dl * n).toDouble / sumdl.toDouble)))
+            math.floor(idf * tfn * 1e9).toLong
+          }
+        }
+        if (tfs.isEmpty) None
+        else Some((d, tfs.size.toLong, tfs.sum))
+      }
+      scored.sortBy { case (d, _, s) => (-s, d) }
+        .take(Similarity.TopK).zipWithIndex
+        .map { case ((d, nt, s), i) => (q, d, nt, s, i + 1L) }
+    }
+  }
+
+  test("s17: engine BM25 equals the textbook reference on a planted fixture") {
+    // alpha: common (4 docs); delta: rare (2 docs) → idf(delta) higher.
+    // doc 1: tf(alpha)=3, short; doc 2: tf(alpha)=1, long (penalized).
+    // doc 6: no query terms of doc 0 → absent from q0's rows.
+    val docs = Seq(
+      0L -> "alpha beta gamma delta extra words here",
+      1L -> "alpha alpha alpha",
+      2L -> "alpha filler filler filler filler filler filler filler filler",
+      3L -> "beta gamma",
+      4L -> "delta solo",
+      5L -> "alpha beta",
+      6L -> "zzz yyy xxx")
+    val fdir = docsDir(docs)
+    val got = Similarity.bm25TopK(spark, fdir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val want = refBm25(docs)
+    assert(got == want, s"engine $got\nref $want")
+    val q0 = got.filter(_._1 == 0L)
+    assert(!q0.exists(_._2 == 6L), "doc without query terms must not rank")
+    val byDoc = q0.map(r => r._2 -> r._4).toMap
+    assert(byDoc(1L) > byDoc(2L),
+      "tf=3 short doc must outscore tf=1 long doc on the same term")
+  }
+
+  test("s17 invariants on the corpus: bounds, ordering, determinism") {
+    val rows = Similarity.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= Similarity.TopK)
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.map(_._4).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      }, s"q$q scores must be non-increasing in rank")
+      assert(rs.forall(r => r._3 >= 1 && r._3 <= Similarity.Bm25QueryTerms))
+    }
+    val again = Similarity.bm25TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq == again.toSeq, "must be bit-deterministic")
+  }
+
   test("p17 executor: one file per bin, per-bin token sums equal the plan") {
     val out = java.nio.file.Files.createTempDirectory("p17_exec_").toString
     TrainingSet.compactionExecute(spark, dir, out)
