@@ -123,12 +123,47 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Byte width of one m3 frame (64 hex chars / 2). */
+  val FrameBytes = 32L
+
+  /** m6 — A/V as-of alignment: every m5 audio-style chunk paired with
+    * the LATEST m3 keyframe at-or-before its start offset — the
+    * cross-modal sync every A/V ingestion pipeline runs (subtitle/
+    * transcript alignment, "which keyframe does this ASR window
+    * belong to"), and the multimodal consumer of the NATIVE
+    * `AsofJoinExec` operator (w17's tier-(c) SparkPlan, here on its
+    * second surface): key = doc, time axis = byte offset, tiebreak =
+    * frame_index. A boundary-exact chunk (start == frame start)
+    * aligns to THAT frame (ASOF >=); `lag_bytes` is the exact offset
+    * into the frame.
+    *
+    * Scale shape: the native exec's one-forward-pass merge per key —
+    * both sides hash-exchange on doc and sort on (doc, offset, id),
+    * placed by EnsureRequirements; no window state, no θ-join.
+    */
+  def avAlign(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = overlapChunks(spark, dir)
+      .select(col("doc_id"), col("start_byte"), col("chunk_index"))
+    val frames = frameSlices(spark, dir)
+      .select(
+        col("doc_id").as("f_doc"),
+        (col("frame_index") * lit(FrameBytes)).as("frame_start"),
+        col("frame_index"))
+    graft.plans.AsofJoin.asof(chunks, frames)
+      .select(
+        col("doc_id"), col("chunk_index"), col("start_byte"),
+        col("frame_index"), col("frame_start"),
+        (col("start_byte") - col("frame_start")).as("lag_bytes"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> binaryMeta,
     "m2_content_features" -> contentFeatures,
     "m3_frame_slices" -> frameSlices,
     "m4_frame_dedup" -> frameDedup,
-    "m5_overlap_chunks" -> overlapChunks)
+    "m5_overlap_chunks" -> overlapChunks,
+    "m6_av_align" -> avAlign)
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -162,6 +197,38 @@ object Multimodal {
           GROUP BY 1, 2
           HAVING COUNT(*) >= $MinSharedFrames
           ORDER BY a_id, b_id""",
+    // m6: m5's chunk CTE + m3's frame grid through DuckDB's native
+    // ASOF JOIN (the w4/w17 oracle pattern) — frame starts are unique
+    // per doc, so no right-side tiebreak ambiguity exists
+    "m6_av_align" ->
+      s"""WITH h AS (
+            SELECT doc_id, upper(hex(encode(text))) AS hx,
+                   CAST(LENGTH(upper(hex(encode(text)))) AS BIGINT) AS hl
+            FROM documents),
+          n AS (
+            SELECT doc_id, hl,
+                   CASE WHEN hl <= $ChunkHexWidth THEN 1
+                        ELSE (hl - $ChunkHexWidth + ${ChunkHexStride - 1})
+                             // $ChunkHexStride + 1 END AS nc
+            FROM h),
+          ch AS (
+            SELECT doc_id, CAST(ci AS BIGINT) AS chunk_index,
+                   CAST(ci * $ChunkHexStride // 2 AS BIGINT) AS start_byte
+            FROM (SELECT doc_id,
+                         unnest(generate_series(0, nc - 1)) AS ci
+                  FROM n)),
+          fr AS (
+            SELECT doc_id AS f_doc,
+                   CAST(frame_index * $FrameBytes AS BIGINT) AS frame_start,
+                   CAST(frame_index AS BIGINT) AS frame_index
+            FROM (SELECT doc_id FROM documents)
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS frame_index))
+          SELECT ch.doc_id, ch.chunk_index, ch.start_byte,
+                 fr.frame_index, fr.frame_start,
+                 ch.start_byte - fr.frame_start AS lag_bytes
+          FROM ch ASOF JOIN fr
+            ON ch.doc_id = fr.f_doc AND ch.start_byte >= fr.frame_start
+          ORDER BY ch.doc_id, ch.chunk_index""",
     "m5_overlap_chunks" ->
       s"""WITH h AS (
             SELECT doc_id, upper(hex(encode(text))) AS hx,

@@ -163,6 +163,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq, "must be bit-deterministic")
   }
 
+  test("m6: boundary-exact chunk→keyframe alignment through the native asof exec") {
+    // 100-byte doc → m5 chunks start at 0,16,32,48,64(+tail); m3
+    // frames start at 0,32,64,96. A boundary-exact chunk (start 32)
+    // must align to THAT frame (>=), interior chunks to the one before.
+    val fdir = docsDir(Seq(0L -> ("x" * 100)))
+    val got = Multimodal.avAlign(spark, fdir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    val want = got.map { case (ci, sb, _, _) =>
+      val fi = sb / Multimodal.FrameBytes
+      (ci, sb, fi, sb - fi * Multimodal.FrameBytes)
+    }
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq}")
+    assert(got.exists { case (_, sb, fi, lag) =>
+      sb == 32L && fi == 1L && lag == 0L }, "boundary chunk must take its own frame")
+    assert(got.exists { case (_, sb, fi, lag) =>
+      sb == 16L && fi == 0L && lag == 16L }, "interior chunk must lag into frame 0")
+    // and the multimodal path really runs the native operator
+    val plan = Multimodal.avAlign(spark, fdir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"native exec missing:\n$plan")
+  }
+
   test("p17 executor: one file per bin, per-bin token sums equal the plan") {
     val out = java.nio.file.Files.createTempDirectory("p17_exec_").toString
     TrainingSet.compactionExecute(spark, dir, out)
