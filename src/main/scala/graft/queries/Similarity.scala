@@ -1344,7 +1344,8 @@ object Similarity {
     "s11_ivf_sq8_topk" -> ivfSq8TopK,
     "s13_ivf_pq_topk" -> ivfPqTopK,
     "s16_ivf_respq_topk" -> ivfResidualPqTopK,
-    "s17_bm25_topk" -> bm25TopK)
+    "s17_bm25_topk" -> bm25TopK,
+    "s18_retrieval_eval" -> retrievalEval)
 
   private[queries] val vecCte =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
@@ -1402,7 +1403,69 @@ object Similarity {
                    AS sig
           FROM dots GROUP BY 1)"""
 
-  val oracleSql: Map[String, String] = Map(
+  /** The s18 ablation set: every ANN compression/bucketing variant
+    * with an exact-hash oracle and (q_id, vec_id) hit columns.
+    */
+  private val EvalVariants = Seq(
+    "s3_ivf_topk", "s6_sq8_topk", "s7_pq_topk",
+    "s13_ivf_pq_topk", "s15_srp_lsh_topk", "s16_ivf_respq_topk")
+
+  /** s18 — the retrieval-quality eval REPORT as a first-class query:
+    * recall@k of every ANN variant against the exact s1 top-k, in
+    * exact ppm integers — the ablation table an index-selection
+    * decision actually reads (which compression tier keeps enough
+    * recall for the latency budget), computed by the engine instead
+    * of by hand in specs. The oracle is the composition of the
+    * variants' own certified oracle strings (each variant replayed as
+    * a subquery and intersected with s1's), so the eval row for a
+    * variant is exactly as trustworthy as the variant's own gate.
+    *
+    * Scale shape: each variant's frame is the registered query
+    * (session caches make the scans shared); per variant ONE
+    * left-semi hit join against the 50-row exact set and a 1-row
+    * count — the union is 6 bounded rows + a broadcast total.
+    */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val ex = bruteForceTopK(spark, dir).select(col("q_id"), col("vec_id"))
+    val variantDfs: Map[String, DataFrame] = Map(
+      "s3_ivf_topk" -> ivfTopK(spark, dir),
+      "s6_sq8_topk" -> sq8TopK(spark, dir),
+      "s7_pq_topk" -> pqTopK(spark, dir),
+      "s13_ivf_pq_topk" -> ivfPqTopK(spark, dir),
+      "s15_srp_lsh_topk" -> srpLshTopK(spark, dir),
+      "s16_ivf_respq_topk" -> ivfResidualPqTopK(spark, dir))
+    EvalVariants.map { n =>
+      variantDfs(n)
+        .select(col("q_id"), col("vec_id"))
+        .join(broadcast(ex), Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(n).as("variant"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(ex.agg(count(lit(1)).as("n_total"))))
+      .select(
+        col("variant"), col("n_hits"), col("n_total"),
+        expr("n_hits * 1000000 div n_total").as("recall_ppm"))
+      .orderBy(col("variant"))
+  }
+
+  /** The s18 oracle composed from the variants' certified strings. */
+  private def evalOracle(o: Map[String, String]): String = {
+    val vs = EvalVariants.map { v =>
+      s"""SELECT '$v' AS variant, COUNT(*) AS n_hits
+          FROM (${o(v)}) t
+          JOIN ex ON t.q_id = ex.q_id AND t.vec_id = ex.vec_id"""
+    }.mkString("(", ") UNION ALL (", ")")
+    s"""WITH ex AS (SELECT q_id, vec_id FROM (${o("s1_cosine_topk")}) e)
+        SELECT variant, n_hits,
+               (SELECT COUNT(*) FROM ex) AS n_total,
+               n_hits * 1000000 // (SELECT COUNT(*) FROM ex) AS recall_ppm
+        FROM ($vs) ORDER BY variant"""
+  }
+
+  val oracleSql: Map[String, String] = baseOracleSql +
+    ("s18_retrieval_eval" -> evalOracle(baseOracleSql))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     // s15: the full SRP pipeline replayed — signature CTEs (see
     // srpSigCtes), banding, the multi-probe neighbourhood, the distinct
     // candidate join, and s1's exact-cosine rescore

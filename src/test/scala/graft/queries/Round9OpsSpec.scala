@@ -163,6 +163,21 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq, "must be bit-deterministic")
   }
 
+  test("s18: eval report invariants and the residual-PQ ordering") {
+    val rows = Similarity.retrievalEval(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows.length == 6 && rows.map(_._1) == rows.map(_._1).sorted)
+    rows.foreach { case (v, h, t, ppm) =>
+      assert(t == Similarity.NumQueries * Similarity.TopK, s"$v total $t")
+      assert(h >= 0 && h <= t, s"$v hits $h")
+      assert(ppm == h * 1000000L / t, s"$v ppm $ppm")
+    }
+    val m = rows.map(r => r._1 -> r._4).toMap
+    assert(m("s16_ivf_respq_topk") >= m("s13_ivf_pq_topk"),
+      s"residual encode must not lose to raw PQ: $m")
+  }
+
   test("m6: boundary-exact chunk→keyframe alignment through the native asof exec") {
     // 100-byte doc → m5 chunks start at 0,16,32,48,64(+tail); m3
     // frames start at 0,32,64,96. A boundary-exact chunk (start 32)
