@@ -92,6 +92,59 @@ object EventWindows {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** w20 path geometry: a session's signature is its first `PathLen`
+    * event types; the report keeps the `TopPaths` most common.
+    */
+  val PathLen = 3
+  val TopPaths = 10
+
+  /** w20 — top session-opening paths, the product-analytics flow
+    * report (the Sankey/funnel-discovery view: "how do sessions
+    * start?"): each w3 session's first `PathLen` event types in the
+    * unique (tus, event_id) order, joined `a>b>c`, counted across
+    * sessions, top 10 under a total order. Complements w14 (which
+    * pairs of ADJACENT events exist) with the session-anchored
+    * k-step view a growth team reads.
+    *
+    * Scale shape: w3's lag-flag + running-sum sessionization (per-user
+    * windows — parallel across users), a per-(user, session) rank
+    * whose `rnk <= PathLen` filter Spark plans as `WindowGroupLimit`
+    * (each task keeps 3 rows per session before the shuffle, the w10
+    * shape), the bounded ordered A7 fold (≤ PathLen structs), one
+    * path hash agg, and a TakeOrderedAndProject for the top-10 — no
+    * session ever holds more than PathLen rows past its group limit.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val inSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("tus"), col("event_id"))
+    eventsUs(spark, dir)
+      .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_tus").isNull ||
+            col("tus") - col("prev_tus") > SessionGapSec * UsPerSec,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .withColumn("rnk", row_number().over(inSess))
+      .filter(col("rnk") <= PathLen)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rnk"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"),
+        count(lit(1)).as("path_len"))
+      .groupBy(col("path"), col("path_len"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(TopPaths)
+  }
+
   /** w4 — AS-OF join: each purchase matched to the user's most recent
     * click at-or-before it (attribution's "last touch"; the time-series
     * point-in-time join the builder brief names as an operator Spark
@@ -873,7 +926,8 @@ object EventWindows {
     "w4_asof_join" -> asofJoin,
     "w1_tumbling" -> tumbling,
     "w2_sliding" -> sliding,
-    "w3_sessions" -> sessions)
+    "w3_sessions" -> sessions,
+    "w20_top_paths" -> topPaths)
 
   /** The AS-OF contract in DuckDB's native ASOF JOIN — shared by w4
     * (union+window formulation) and w17 (native merge-scan operator).
@@ -1237,5 +1291,38 @@ object EventWindows {
                  MAX(tus) AS session_end_us,
                  COUNT(*) AS n_events
           FROM sess GROUP BY user_id, session_id
-          ORDER BY user_id, session_id""")
+          ORDER BY user_id, session_id""",
+    // w20: w3's sessionization CTEs + an in-session rank + an ordered
+    // string_agg — the path strings are pure metadata, the counts
+    // exact ints
+    "w20_top_paths" ->
+      s"""WITH flagged AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > ${SessionGapSec * UsPerSec}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+          sess AS (
+            SELECT user_id, event_id, event_type, tus,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS session_id
+            FROM flagged),
+          r AS (
+            SELECT user_id, session_id, event_type,
+                   row_number() OVER (PARTITION BY user_id, session_id
+                     ORDER BY tus, event_id) AS rnk
+            FROM sess),
+          p AS (
+            SELECT user_id, session_id,
+                   string_agg(event_type, '>' ORDER BY rnk) AS path,
+                   COUNT(*) AS path_len
+            FROM r WHERE rnk <= $PathLen GROUP BY 1, 2)
+          SELECT path, CAST(path_len AS BIGINT) AS path_len,
+                 COUNT(*) AS n_sessions
+          FROM p GROUP BY 1, 2
+          ORDER BY n_sessions DESC, path LIMIT $TopPaths""")
 }

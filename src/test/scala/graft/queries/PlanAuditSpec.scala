@@ -273,6 +273,15 @@ class PlanAuditSpec extends SparkSpec {
                                // (uncached, recomputed per call) +
                                // probe agg/broadcast + bucket join +
                                // top-k window + output sort
+    "w20_top_paths" -> 2, // ONE user exchange serves the stacked
+                          // windows + session/path aggs (same-prefix
+                          // partitionings chain without re-shuffling);
+                          // + the path agg exchange; top-10 is a
+                          // TakeOrdered, no global sort
+    "m6_av_align" -> 5, // measured ceiling: the native asof exec's two
+                        // requirement-placed hash exchanges (chunk and
+                        // frame generators ride the scan projection) +
+                        // output sort
     "s17_bm25_topk" -> 12, // measured ceiling: broadcast-pruned posting
                            // scan + ONE tf agg + cached-dl broadcast +
                            // 1-row stats broadcasts + score agg +

@@ -200,6 +200,54 @@ class Round9OpsSpec extends SparkSpec {
     assert(plan.contains("AsofJoin"), s"native exec missing:\n$plan")
   }
 
+  /** Write a fixture events.parquet (µs timestamps) and return its dir. */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val fdir = java.nio.file.Files.createTempDirectory("w20_fix_").toString
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$fdir/events.parquet")
+    fdir
+  }
+
+  test("w20: planted sessions produce the expected path signatures") {
+    val m = 60000000L // one minute in µs
+    val base = 1704067200000000L
+    val gap = EventWindows.SessionGapSec * 1000000L
+    val fdir = eventsDir(Seq(
+      // user 1, session 1: view>click>purchase (+ a 4th event that must
+      // NOT extend the path signature)
+      (1L, base, 1L, "view"),
+      (2L, base + m, 1L, "click"),
+      (3L, base + 2 * m, 1L, "purchase"),
+      (4L, base + 3 * m, 1L, "error"),
+      // user 1, session 2 (past the gap): view>click>purchase again
+      (5L, base + gap + 10 * m, 1L, "view"),
+      (6L, base + gap + 11 * m, 1L, "click"),
+      (7L, base + gap + 12 * m, 1L, "purchase"),
+      // user 2: a 2-event session and a 1-event session
+      (8L, base, 2L, "view"),
+      (9L, base + m, 2L, "click"),
+      (10L, base + gap + 20 * m, 2L, "signup")))
+    val got = EventWindows.topPaths(spark, fdir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("view>click>purchase", 3L, 2L),
+      ("signup", 1L, 1L),
+      ("view>click", 2L, 1L)), s"got $got")
+  }
+
+  test("w20 plan: the in-session rank runs as WindowGroupLimit") {
+    val plan = EventWindows.topPaths(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rnk <= PathLen must push into a group limit:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be a TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("p17 executor: one file per bin, per-bin token sums equal the plan") {
     val out = java.nio.file.Files.createTempDirectory("p17_exec_").toString
     TrainingSet.compactionExecute(spark, dir, out)
