@@ -220,6 +220,85 @@ object Dedup {
         (col("m").cast("double") / NumHashes).as("est_sim"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** d23 PageRank geometry: damping 85/100, total PR mass scaled to
+    * `PrScale` integer units, `PrRounds` fixed power iterations (the
+    * t21 fixed-round shape: bounded plan depth, identically unrolled
+    * in the oracle — PageRank at small fixed k is already the
+    * centrality ORDER, which is all survivor selection reads).
+    */
+  val PrScale = 1000000000000L
+  val PrRounds = 4
+
+  /** d23 — PageRank centrality over the near-dup similarity graph,
+    * the survivor-selection signal beyond d1/d9's keep-lowest-id: in
+    * a template-spam cluster the most CENTRAL document (most heavily
+    * linked by near-dup edges) is the canonical copy worth keeping,
+    * and centrality also ranks hub documents whose content leaks into
+    * many others (d10's coverage signal, vertex-scored). Classic
+    * power iteration with damping, on d3's LSH-then-rescore edge set
+    * (the same bounded graph d9/d18/d20/d21 ride).
+    *
+    * Exactness: ALL integer math — PR mass is `PrScale` units split
+    * `div` N, per-edge contribution is `pr div deg`, damping is
+    * `(15·base) div 100 + (85·inflow) div 100`; both engines do the
+    * identical truncations in the identical order, so 4 rounds of
+    * float-free PageRank hash-compare exactly (the w11/p18 integer
+    * discipline applied to an iterative graph algorithm).
+    *
+    * Scale shape: work ∝ near-dup EDGES (the corpus sliver the LSH
+    * banding bounds), never documents²; each round is one equi-join +
+    * one hash agg over that sliver; the session-cached edge frame
+    * keeps the LSH pipeline out of the per-round plans. Rounds are a
+    * fixed unrolled plan — no driver data, no convergence loop
+    * (fixed-k power iteration is the production spelling: centrality
+    * ORDER stabilizes long before PR values converge).
+    */
+  def pagerankCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val edges = cached(spark, dir, "prEdges") {
+      val pairs = minhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      pairs.unionByName(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+    }
+    pagerankOn(edges)
+  }
+
+  /** The fixed-round integer power iteration over a directed
+    * (u, v) edge frame — exposed so the spec can drive it with
+    * planted graphs (star, pair) independent of the LSH pipeline.
+    */
+  private[queries] def pagerankOn(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val nRow = deg.agg(count(lit(1)).as("n_nodes"))
+    // localCheckpoint per round — the d9 iterative-lineage discipline:
+    // round k's frame appears TWICE in round k+1 (the contribution join
+    // and the carry-through), so an unbroken lineage doubles per round
+    // (measured: 84 exchanges in the k=4 plan; 7 with truncation)
+    var pr = deg.select(col("u").as("doc_id"), col("deg"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("pr", expr(s"$PrScale div n_nodes"))
+      .localCheckpoint()
+    for (_ <- 1 to PrRounds) {
+      val contrib = edges
+        .join(
+          pr.select(col("doc_id").as("u"), expr("pr div deg").as("c")),
+          "u")
+        .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+      pr = pr.drop("pr")
+        .join(
+          contrib.select(col("v").as("doc_id"), col("inflow")),
+          Seq("doc_id"))
+        .withColumn(
+          "pr",
+          expr(s"(15 * ($PrScale div n_nodes)) div 100" +
+            " + (85 * inflow) div 100"))
+        .drop("inflow")
+        .localCheckpoint()
+    }
+    pr.select(col("doc_id"), col("deg"), col("pr").as("pr_n"))
+      .orderBy(col("pr_n").desc, col("doc_id"))
+  }
+
   /** Boundary of the d14 "new batch": documents with id below this are
     * the incoming slice; everything at-or-above is the already-indexed
     * corpus. Fixed so the batch stays bounded while the index grows
@@ -1254,6 +1333,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_cdc_chunks" -> cdcChunks,
+    "d23_pagerank_central" -> pagerankCentrality,
     "d21_sketch_calibration" -> sketchCalibration,
     "d20_cluster_sizes" -> clusterSizeAudit,
     "d18_cc_star" -> ccStar,
@@ -1371,7 +1451,36 @@ object Dedup {
                MIN(dst) = src AS is_survivor
         FROM reach GROUP BY src ORDER BY doc_id"""
 
+  /** One unrolled PageRank round: `cur` from `prev` (deg carried). */
+  private def prRoundCte(prev: String, cur: String): String = {
+    val base = s"(SELECT $PrScale // n_nodes FROM nn)"
+    s"""$cur AS (
+          SELECT d.doc_id, d.deg,
+                 (15 * $base) // 100 + (85 * i.inflow) // 100 AS pr
+          FROM (SELECT e.v AS doc_id, SUM(p.pr // p.deg) AS inflow
+                FROM edges e JOIN p$prev p ON p.doc_id = e.u
+                GROUP BY e.v) i
+          JOIN p$prev d ON d.doc_id = i.doc_id)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // d23: the shared cand/sim CTEs + the same fixed-round integer
+    // power iteration, unrolled (the t21 discipline) — identical
+    // truncation order, exact hash
+    "d23_pagerank_central" ->
+      s"""WITH $candSimCtes,
+          pairs AS (SELECT a_id, b_id FROM sim WHERE m >= ${NumHashes / 2}),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                    UNION SELECT b_id, a_id FROM pairs),
+          deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+          nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+          p0 AS (SELECT u AS doc_id, deg,
+                        (SELECT $PrScale // n_nodes FROM nn) AS pr
+                 FROM deg),
+          ${(1 to PrRounds).map(k => prRoundCte((k - 1).toString, s"p$k"))
+            .mkString(",\n          ")}
+          SELECT doc_id, deg, CAST(pr AS BIGINT) AS pr_n FROM p$PrRounds
+          ORDER BY pr_n DESC, doc_id""",
     "d13_paragraph_dedup" ->
       s"""WITH $wordsCte,
           paras AS (

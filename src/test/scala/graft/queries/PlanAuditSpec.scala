@@ -273,6 +273,10 @@ class PlanAuditSpec extends SparkSpec {
                                // (uncached, recomputed per call) +
                                // probe agg/broadcast + bucket join +
                                // top-k window + output sort
+    "d23_pagerank_central" -> 2, // final-round join sides + output sort
+                                 // over the per-round localCheckpoints
+                                 // (lineage truncated — the unbroken
+                                 // k=4 plan measured 84 exchanges)
     "w20_top_paths" -> 2, // ONE user exchange serves the stacked
                           // windows + session/path aggs (same-prefix
                           // partitionings chain without re-shuffling);

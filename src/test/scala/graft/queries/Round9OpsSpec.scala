@@ -248,6 +248,39 @@ class Round9OpsSpec extends SparkSpec {
       s"top-10 must be a TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("d23: a planted star's hub is most central; mass is conserved modulo truncation") {
+    import spark.implicits._
+    // star: hub 0 ↔ spokes 1..5; plus an isolated pair 10 ↔ 11
+    val pairs = (1L to 5L).map(s => (0L, s)) :+ ((10L, 11L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("u", "v")
+    val got = Dedup.pagerankOn(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byDoc = got.map(r => r._1 -> r._3).toMap
+    assert(got.head._1 == 0L, s"hub must rank first: $got")
+    // all spokes are symmetric → identical integer PR
+    assert((1L to 5L).map(byDoc).distinct.size == 1, s"spokes differ: $got")
+    assert(byDoc(0L) > byDoc(1L) && byDoc(10L) == byDoc(11L))
+    // the pair's members exchange their full mass — more than a spoke
+    // (which shares the hub's outflow five ways)
+    assert(byDoc(10L) > byDoc(1L), s"pair must beat spoke: $got")
+    // integer truncation only LOSES mass: Σ pr ≤ scale, but stays close
+    val total = got.map(_._3).sum
+    assert(total <= Dedup.PrScale && total > Dedup.PrScale * 9 / 10,
+      s"mass $total vs scale ${Dedup.PrScale}")
+  }
+
+  test("d23 invariants on the corpus: graph-node cover, positive mass, determinism") {
+    val rows = Dedup.pagerankCentrality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 1 && r._3 > 0))
+    // descending by (pr, doc) — emitted order is the total order
+    assert(rows.map(r => (-r._3, r._1)) == rows.map(r => (-r._3, r._1)).sorted)
+    val again = Dedup.pagerankCentrality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == again, "must be bit-deterministic")
+  }
+
   test("p17 executor: one file per bin, per-bin token sums equal the plan") {
     val out = java.nio.file.Files.createTempDirectory("p17_exec_").toString
     TrainingSet.compactionExecute(spark, dir, out)
