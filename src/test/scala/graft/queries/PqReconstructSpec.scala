@@ -63,6 +63,68 @@ class PqReconstructSpec extends SparkSpec {
     }
   }
 
+  /** The L2 argmin as a declarative fold: score = dot − ‖cw‖²/2, the
+    * same bias spelling the oracle and the fused loop use.
+    */
+  private def foldRvL2(cb: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
+    val cbLit = typedLit(cb)
+    val biasLit = typedLit(cb.map(_.map { cw =>
+      var s = 0.0
+      cw.foreach(x => s += x * x)
+      s / 2
+    }))
+    val codes = transform(
+      sequence(lit(0), lit(Similarity.NumSubspaces - 1)),
+      m => {
+        val sv = slice(col("v"), m * Similarity.SubDim + 1,
+          lit(Similarity.SubDim))
+        aggregate(
+          sequence(lit(0), lit(Similarity.NumCodes - 1)),
+          struct(lit(0L).as("k"), lit(Double.NegativeInfinity).as("s")),
+          (acc, k) => {
+            val d = vecDot(sv, element_at(element_at(cbLit, m + 1), k + 1)) -
+              element_at(element_at(biasLit, m + 1), k + 1)
+            when(d > acc.getField("s"),
+              struct(k.cast("long").as("k"), d.as("s"))).otherwise(acc)
+          },
+          acc => acc.getField("k"))
+      })
+    flatten(transform(
+      codes,
+      (c, m) => element_at(element_at(cbLit, m + 1), c.cast("int") + 1)))
+  }
+
+  test("fused L2 reconstruction equals the declarative L2 fold (s16's encode)") {
+    // drive with both the residual frame s16 actually encodes and the
+    // raw vectors (varying-norm inputs are where MIPS and L2 diverge)
+    val resCb = Similarity.collectCodebooks(
+      Similarity.cachedResPqCodebooks(spark, dir))
+    val frames = Seq(
+      "residuals" -> Similarity.residualFrame(spark, dir)
+        .select(col("vec_id"), col("resv").as("v")),
+      "raw" -> vectors.select(col("vec_id"), col("v")))
+    for ((name, f) <- frames) {
+      val diverged = f
+        .select(
+          col("vec_id"),
+          PqCodec.reconstructedL2(col("v"), resCb).as("fast"),
+          foldRvL2(resCb).as("slow"))
+        .filter(col("fast") =!= col("slow") || col("fast").isNull)
+        .collect()
+      assert(diverged.isEmpty,
+        s"$name: ${diverged.length} L2 reconstructions diverge, " +
+          s"first ${diverged.headOption.map(_.getLong(0))}")
+    }
+    // and the two flavors genuinely differ somewhere on this data —
+    // otherwise the L2 path is untested dead weight
+    val differ = Similarity.residualFrame(spark, dir)
+      .select(
+        PqCodec.reconstructedL2(col("resv"), resCb).as("l2"),
+        PqCodec.reconstructed(col("resv"), resCb).as("mips"))
+      .filter(col("l2") =!= col("mips")).count()
+    assert(differ > 0, "L2 and MIPS encodes agree everywhere — vacuous")
+  }
+
   test("pq_reconstruct stays inside whole-stage codegen (Janino must compile)") {
     val cb = Similarity.seedCodebooks(vectors)
     val prev = spark.conf.get("spark.sql.codegen.fallback")
