@@ -373,6 +373,32 @@ object TextOps {
       .orderBy(col("doc_id"), col("word"))
   }
 
+  /** Keywords per document for t24. */
+  val KeywordsPerDoc = 5
+
+  /** t24 — per-document keyword extraction: the top `KeywordsPerDoc`
+    * terms by t8's TF-IDF score, the standard corpus-enrichment tag
+    * set (search facets, topic clustering seeds, dataset-card term
+    * clouds all start here). Rank key = (rounded tfidf DESC, word) —
+    * the 6-dp rounding is t8's established cross-engine-exact score,
+    * and the word tiebreak totalizes equal scores.
+    *
+    * Scale shape: t8's two hash aggs + broadcast total, then a
+    * per-doc rank whose `rnk <= 5` filter plans as `WindowGroupLimit`
+    * (each task keeps 5 rows per doc before the shuffle — the
+    * w10/w20 shape); output is 5 rows per doc, not the doc×vocab
+    * matrix.
+    */
+  def keywords(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    tfidf(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KeywordsPerDoc)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Bigram frequency (n-gram generation tier): adjacent word pairs per
     * the shingle pattern (lead window, null-propagating concat), top
     * 100 under a total order.
@@ -924,6 +950,7 @@ object TextOps {
     "t10_unigram_logprob" -> unigramLogprob,
     "t16_bigram_logprob" -> bigramLogprob,
     "t8_tfidf" -> tfidf,
+    "t24_keywords" -> keywords,
     "t9_bigram_freq" -> bigramFreq,
     "t1_sentence_split" -> sentenceSplit,
     "t2_char_offsets" -> charOffsets,
@@ -1256,6 +1283,25 @@ object TextOps {
                    * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
           FROM tf JOIN dfreq USING (word) CROSS JOIN n
           ORDER BY doc_id, word""",
+    // t24: t8's score CTE + a per-doc rank on the same 6-dp-rounded
+    // (tfidf DESC, word) key
+    "t24_keywords" ->
+      s"""WITH $wordsCte,
+          tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+          dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+          n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+          sc AS (
+            SELECT doc_id, word,
+                   ROUND(CAST(tf AS DOUBLE)
+                     * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                     AS tfidf
+            FROM tf JOIN dfreq USING (word) CROSS JOIN n)
+          SELECT doc_id, rnk, word, tfidf FROM (
+            SELECT doc_id, word, tfidf,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, word) AS BIGINT) AS rnk
+            FROM sc)
+          WHERE rnk <= $KeywordsPerDoc ORDER BY doc_id, rnk""",
     "t1_sentence_split" ->
       s"""WITH $sentencesCte
           SELECT doc_id, sentence_index, sentence FROM sentences

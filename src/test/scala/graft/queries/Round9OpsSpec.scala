@@ -281,6 +281,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows == again, "must be bit-deterministic")
   }
 
+  test("t24: rarity ranks keywords; the per-doc rank is a WindowGroupLimit") {
+    // 'common' sits in every doc (idf = ln(1) = 0); 'rare' only in doc
+    // 0 — it must be doc 0's top keyword despite lower tf
+    val fdir = docsDir(Seq(
+      0L -> "rare common common",
+      1L -> "common other words here",
+      2L -> "common more things again"))
+    val rows = TextOps.keywords(spark, fdir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.filter(_._1 == 0L).minBy(_._2)._3 == "rare", s"got ${rows.toSeq}")
+    rows.groupBy(_._1).foreach { case (d, rs) =>
+      assert(rs.length <= TextOps.KeywordsPerDoc, s"doc $d has ${rs.length}")
+    }
+    val plan = TextOps.keywords(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rnk <= 5 must push into a group limit:\n$plan")
+  }
+
   test("p17 executor: one file per bin, per-bin token sums equal the plan") {
     val out = java.nio.file.Files.createTempDirectory("p17_exec_").toString
     TrainingSet.compactionExecute(spark, dir, out)
