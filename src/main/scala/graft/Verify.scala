@@ -47,13 +47,27 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] pq codebook dump failed: ${e.getMessage}")
     }
+    // One retry per query: a missing parquet dir silently drops the
+    // query from the driver's correctness artifact (this is how
+    // x20_bloom_join lost its r9 row to a transient failure), so a
+    // flaky first attempt must not be the last word. The retry
+    // rebuilds the frame from scratch; only a double failure is
+    // surfaced — loudly — as final.
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        def attempt(): Unit =
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        try attempt()
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          System.err.println(
+            s"[verify] $name failed (will retry): ${e.getMessage}")
+          try attempt()
+          catch { case e2: Throwable =>
+            System.err.println(
+              s"[verify] $name FAILED after retry: ${e2.getMessage}")
+          }
         }
       }
     // JSON string escape (shared impl: functions.JsonText) — a tab or

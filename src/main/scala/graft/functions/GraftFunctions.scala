@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
 import org.apache.spark.sql.graftext.Bridge
 
@@ -20,23 +20,47 @@ import org.apache.spark.sql.graftext.Bridge
   */
 object GraftFunctions {
 
+  /** Wraps a builder with strict arity validation: a pure-SQL call
+    * with the wrong argument count gets Spark's own
+    * `WRONG_NUM_ARGS` AnalysisException at plan time (naming the
+    * function and both counts) instead of a raw
+    * IndexOutOfBoundsException — and EXTRA arguments are rejected
+    * rather than silently ignored, which would otherwise let
+    * `graft_vec_dot(a, b, c)` plan as a silently wrong query.
+    */
+  private def arity(
+      name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n)
+        throw new AnalysisException(
+          "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          Map(
+            "functionName" -> name,
+            "expectedNum" -> n.toString,
+            "actualNum" -> es.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(es)
+    }
+
   /** name → builder for every SQL-registrable graft expression. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_vec_dot" ->
-      ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      arity("graft_vec_dot", 2)(es => DotProduct(es(0), es(1))),
     "graft_vec_dot_long" ->
-      ((es: Seq[Expression]) => DotProductLong(es(0), es(1))),
+      arity("graft_vec_dot_long", 2)(es => DotProductLong(es(0), es(1))),
     "graft_srp_signature" ->
-      ((es: Seq[Expression]) => SrpSignature(es(0))),
+      arity("graft_srp_signature", 1)(es => SrpSignature(es(0))),
     "graft_normalize_text" ->
-      ((es: Seq[Expression]) => NormalizeText(es(0))),
+      arity("graft_normalize_text", 1)(es => NormalizeText(es(0))),
     "graft_sentences" ->
-      ((es: Seq[Expression]) => SentenceGenerator(es(0))),
+      arity("graft_sentences", 1)(es => SentenceGenerator(es(0))),
     // Spark's own runtime-filter probe, surfaced for SQL (the filter
     // bytes arrive as a binary literal, e.g. X'…' from
     // BloomProbe.serialize)
     "graft_bloom_might_contain" ->
-      ((es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1))))
+      arity("graft_bloom_might_contain", 2)(
+        es => BloomFilterMightContain(es(0), es(1))))
 
   def registerAll(spark: SparkSession): Unit =
     all.foreach { case (n, b) => Bridge.registerFunction(spark, n, b) }

@@ -1118,7 +1118,9 @@ object Similarity {
       sim: (Long, Long) => Long): Seq[(Long, Long, Long)] = {
     var selected = Vector.empty[Long]
     val pool = cands.sortBy(_._1)
-    (1 to MmrSelect).map { step =>
+    // a pool smaller than MmrSelect yields pool.size steps rather
+    // than maxBy-ing an empty remainder
+    (1 to math.min(MmrSelect, pool.size)).map { step =>
       val (vid, score) = pool
         .filterNot(c => selected.contains(c._1))
         .map { case (v, reln) =>
@@ -1175,13 +1177,25 @@ object Similarity {
       .agg(collect_list(struct(col("vec_id"), col("rel_n"))).as("cands"))
     val simAgg = sims.groupBy(col("q_id"))
       .agg(collect_list(struct(col("ai"), col("bi"), col("sim_n"))).as("sims"))
-    candAgg.join(simAgg, Seq("q_id"))
+    // LEFT join + coalesce-to-empty: a query whose pool holds a single
+    // candidate has no pairwise-sim row, and must still be reranked
+    // (the driver baseline processes it) rather than silently dropped
+    candAgg.join(simAgg, Seq("q_id"), "left")
+      .withColumn(
+        "sims",
+        coalesce(
+          col("sims"),
+          array().cast("array<struct<ai:bigint,bi:bigint,sim_n:bigint>>")))
       .as[MmrPool]
       .flatMap { p =>
         val simMap = p.sims.map(s => ((s.ai, s.bi), s.sim_n)).toMap
         mmrGreedy(
           p.cands.map(c => (c.vec_id, c.rel_n)),
-          (v, s) => simMap((v, s)))
+          (v, s) => simMap.getOrElse(
+            (v, s),
+            throw new IllegalStateException(
+              s"mmr q_id=${p.q_id}: missing pairwise sim ($v,$s) — " +
+                "candidate/sim frames out of sync")))
           .map { case (step, vid, score) => (p.q_id, step, vid, score) }
       }
       .toDF("q_id", "step", "vec_id", "mmr_score")

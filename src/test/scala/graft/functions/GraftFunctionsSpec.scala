@@ -63,6 +63,27 @@ class GraftFunctionsSpec extends SparkSpec {
       s"sql ${sents.toSeq} vs api ${apiSents.toSeq}")
   }
 
+  test("wrong arity is a plan-time WRONG_NUM_ARGS error, not IOOBE or silence") {
+    // too few: used to throw a raw IndexOutOfBoundsException
+    val tooFew = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_vec_dot(array(1.0D))").collect()
+    }
+    assert(tooFew.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      s"got ${tooFew.getCondition}: ${tooFew.getMessage}")
+    assert(tooFew.getMessage.contains("graft_vec_dot"))
+    // too many: used to be SILENTLY ignored — the worse failure mode
+    val tooMany = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_vec_dot(array(1.0D), array(2.0D), array(3.0D))")
+        .collect()
+    }
+    assert(tooMany.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+    val unary = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_sentences('a. b.', 'extra')").collect()
+    }
+    assert(unary.getMessage.contains("graft_sentences"))
+  }
+
   test("graft_bloom_might_contain probes a hex-literal filter from SQL") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
     Seq(7L, 42L, 99L).foreach(bf.putLong)

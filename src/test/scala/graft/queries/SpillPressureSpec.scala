@@ -69,17 +69,19 @@ class SpillPressureSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       SpillConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // drain the async bus before the first query so no task-end
+      // events from the baseline pass leak into q1's attribution
+      org.apache.spark.graftest.ListenerBridge.flush(spark.sparkContext)
       val perQuery = Queries.map { q =>
         val before = spilled
         val got = SparkEntry.queries(q)(spark, dir).collect()
           .map(_.toString).toSeq
         assert(got == baseline(q),
           s"$q rows diverge under forced spill")
-        // listener bus is async — give this query's task-end events a
-        // bounded window to drain before reading the delta
-        val deadline = System.nanoTime() + 10000000000L
-        while (spilled == before && System.nanoTime() < deadline)
-          Thread.sleep(50)
+        // the listener bus is async: block until THIS query's task-end
+        // events have all been delivered, so the delta is attributed
+        // exactly (no polling timeout, no cross-query leakage)
+        org.apache.spark.graftest.ListenerBridge.flush(spark.sparkContext)
         q -> (spilled - before)
       }.toMap
       // the fan-out window and gram pipelines MUST have spilled (their
