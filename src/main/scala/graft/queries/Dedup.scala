@@ -848,6 +848,118 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d24's minimum duplicated-span length, in words. Lee et al. 2022
+    * (ExactSubstr) remove duplicated substrings of ≥ 50 TOKENS; on the
+    * short synthetic documents 8 words exercises the same rule with a
+    * real cut (spans both above and below it exist at every SF).
+    */
+  val MinSpanWords = 8
+
+  /** d24 — minimum-length ExactSubstr removal (Lee et al. 2022's real
+    * semantics): remove all-but-one occurrence of duplicated text, but
+    * ONLY where the duplicated run is at least [[MinSpanWords]] words
+    * long — short incidental overlaps (a shared 3-word phrase) are
+    * legitimate text, not duplication. This is the length-thresholded
+    * composition of d19 (survivor exemption) and d17 (maximal spans):
+    *
+    *   1. d19's rule picks the surviving occurrence of each duplicated
+    *      k-gram (lexicographically-lowest (doc_id, pos)); every other
+    *      occurrence is a candidate mark.
+    *   2. d17's gaps-and-islands merges each doc's candidate marks into
+    *      maximal spans (a new island when the next marked gram starts
+    *      more than k words after the previous one); a span's extent is
+    *      [min_start, max_start + k − 1].
+    *   3. NEW: only spans of ≥ L words are removed. Consecutive islands
+    *      are disjoint by construction (the next start is > k past the
+    *      previous island's max start, so extents cannot touch), so the
+    *      marked positions need no dedup.
+    *
+    * Scale shape: identical to d19 — per-gram hash agg + equi-join
+    * back, per-doc windows for the island merge, a span-bounded
+    * explode, one flag join on (doc_id, pos); linear in corpus words,
+    * no pair join. The length filter only REMOVES spans, so d24's work
+    * is a subset of d19's.
+    */
+  def minLenSpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    minLenSpanRemovalFrom(TextOps.cachedWords(spark, dir), MinSpanWords)
+
+  /** Core d24 pass over any (doc_id, pos, word) frame — split out (the
+    * winnowing-spec pattern) so the spec can plant documents whose
+    * duplicated runs sit exactly at L and L−1 words and pin the cut.
+    */
+  private[queries] def minLenSpanRemovalFrom(
+      words: DataFrame, minLen: Int): DataFrame = {
+    val k = KGramWords
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = words
+      .withColumn(
+        "sh",
+        concat(
+          col("word"), lit(" "),
+          lead(col("word"), 1).over(w), lit(" "),
+          lead(col("word"), 2).over(w)))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"), col("pos"), col("sh"))
+    val dup = grams.groupBy(col("sh"))
+      .agg(
+        countDistinct(col("doc_id")).as("ddf"),
+        min(struct(col("doc_id"), col("pos"))).as("surv"))
+      .filter(col("ddf") >= 2)
+      .select(
+        col("sh"),
+        col("surv.doc_id").as("sdoc"), col("surv.pos").as("spos"))
+    val nonSurv = grams.join(dup, Seq("sh"))
+      .filter(!(col("doc_id") === col("sdoc") && col("pos") === col("spos")))
+      .select(col("doc_id"), col("pos"))
+    val spans = nonSurv
+      .withColumn(
+        "brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn(
+        "island",
+        sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).as("s"),
+        (max(col("pos")) + lit(k - 1)).as("e"))
+      .withColumn("len", (col("e") - col("s") + 1).cast("long"))
+      .filter(col("len") >= minLen)
+    val perDocSpans = spans.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        max(col("len")).as("max_span_words"))
+    val marked = spans
+      .select(
+        col("doc_id"),
+        explode(sequence(col("s"), col("e"))).as("pos"),
+        lit(1L).as("rm"))
+    words
+      .join(marked, Seq("doc_id", "pos"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("removed_words"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rm").isNull, struct(col("pos"), col("word"))))),
+            x => x.getField("word")),
+          " ").as("clean_text"))
+      .join(perDocSpans, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_words"), lit(0L)).as("max_span_words"),
+        col("removed_words"),
+        (col("n_tokens") - col("removed_words")).as("kept_words"),
+        (col("removed_words").cast("double") / col("n_tokens").cast("double"))
+          .as("removed_frac"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing parameters (Schleimer, Wilkerson & Aiken 2003, §4 —
     * the MOSS fingerprinting algorithm): guarantee window of
     * `WinnowWindow` consecutive k-gram hashes, one fingerprint selected
@@ -1341,6 +1453,7 @@ object Dedup {
     "d16_boilerplate_strip" -> boilerplateStrip,
     "d17_dup_spans" -> dupSpans,
     "d19_dup_span_removal" -> dupSpanRemoval,
+    "d24_minlen_span_removal" -> minLenSpanRemoval,
     "d11_winnow_fingerprints" -> winnowFingerprintSummary,
     "d12_winnow_pairs" -> winnowPairs,
     "d10_dup_ngram_coverage" -> dupNgramCoverage,
@@ -1504,6 +1617,60 @@ object Dedup {
     // positions exactly as collect_list does, COALESCE covers the
     // fully-removed-doc edge where string_agg yields NULL and
     // array_join yields ''
+    "d24_minlen_span_removal" ->
+      s"""WITH $wordsCte,
+          g0 AS (
+            SELECT doc_id, pos,
+                   word || ' ' || lead(word) OVER w || ' ' || lead(word, 2) OVER w AS sh
+            FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          g AS (SELECT doc_id, pos, sh FROM g0 WHERE sh IS NOT NULL),
+          dupsh AS (SELECT sh FROM g GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+          occ AS (
+            SELECT g.doc_id, g.pos,
+                   row_number() OVER (PARTITION BY g.sh
+                     ORDER BY g.doc_id, g.pos) AS rn
+            FROM g JOIN dupsh USING (sh)),
+          ns AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+          brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          <= $KGramWords THEN 0 ELSE 1 END AS brk
+            FROM ns),
+          isl AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+            FROM brk),
+          spans AS (
+            SELECT doc_id, island, MIN(pos) AS s,
+                   MAX(pos) + ${KGramWords - 1} AS e
+            FROM isl GROUP BY doc_id, island
+            HAVING MAX(pos) + ${KGramWords - 1} - MIN(pos) + 1 >= $MinSpanWords),
+          sagg AS (
+            SELECT doc_id, COUNT(*) AS n_spans,
+                   CAST(MAX(e - s + 1) AS BIGINT) AS max_span_words
+            FROM spans GROUP BY doc_id),
+          marked AS (
+            SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM spans),
+          wagg AS (
+            SELECT w.doc_id,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS removed_words,
+                   COALESCE(string_agg(CASE WHEN m.pos IS NULL THEN w.word END,
+                     ' ' ORDER BY w.pos), '') AS clean_text
+            FROM words w LEFT JOIN marked m
+              ON m.doc_id = w.doc_id AND m.pos = w.pos
+            GROUP BY w.doc_id)
+          SELECT a.doc_id, a.n_tokens,
+                 COALESCE(s.n_spans, 0) AS n_spans,
+                 COALESCE(s.max_span_words, 0) AS max_span_words,
+                 a.removed_words,
+                 CAST(a.n_tokens - a.removed_words AS BIGINT) AS kept_words,
+                 CAST(a.removed_words AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+                   AS removed_frac,
+                 a.clean_text
+          FROM wagg a LEFT JOIN sagg s USING (doc_id) ORDER BY a.doc_id""",
     "d19_dup_span_removal" ->
       s"""WITH $wordsCte,
           g0 AS (

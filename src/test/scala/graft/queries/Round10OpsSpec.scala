@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: d24 minimum-length ExactSubstr removal (the
+  * Lee 2022 "≥ L tokens" rule) pinned on planted documents whose
+  * duplicated runs sit exactly at L and L−1 words.
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Words frame with:
+    *   docs 1,2 sharing an 8-word run (exactly L), doc 1 the survivor;
+    *   docs 3,4 sharing a 7-word run (L−1 — below the cut);
+    * all filler words unique per (doc, pos) so no incidental grams.
+    */
+  private def planted = {
+    val run8 = (0 until 8).map(i => s"dup$i")
+    val run7 = (0 until 7).map(i => s"sev$i")
+    def doc(id: Long, run: Seq[String]): Seq[(Long, Long, String)] = {
+      val ws = (0 until 4).map(i => s"f${id}a$i") ++ run ++
+        (0 until 4).map(i => s"f${id}b$i")
+      ws.zipWithIndex.map { case (w, p) => (id, p.toLong, w) }
+    }
+    (doc(1L, run8) ++ doc(2L, run8) ++ doc(3L, run7) ++ doc(4L, run7))
+      .toDF("doc_id", "pos", "word")
+  }
+
+  test("d24: an 8-word duplicated run is removed from the non-survivor only") {
+    val out = Dedup.minLenSpanRemovalFrom(planted, Dedup.MinSpanWords)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 is the elected survivor of every shared gram: untouched
+    assert(out(1L).getLong(4) == 0L, s"survivor doc lost words: ${out(1L)}")
+    assert(out(1L).getLong(2) == 0L)
+    // doc 2: ONE maximal span of exactly 8 words, removed in full
+    assert(out(2L).getLong(2) == 1L, s"doc 2 n_spans: ${out(2L)}")
+    assert(out(2L).getLong(3) == 8L, s"doc 2 max_span_words: ${out(2L)}")
+    assert(out(2L).getLong(4) == 8L, s"doc 2 removed_words: ${out(2L)}")
+    val clean2 = out(2L).getString(7)
+    assert(!clean2.contains("dup"), s"duplicated run survived: $clean2")
+    assert(clean2.split(" ").length == 8, s"fillers lost: $clean2")
+    // docs 3/4: the 7-word run is below the cut — nothing removed
+    Seq(3L, 4L).foreach { d =>
+      assert(out(d).getLong(2) == 0L && out(d).getLong(4) == 0L,
+        s"below-cut span removed from doc $d: ${out(d)}")
+    }
+  }
+
+  test("d24: raising L to 9 exempts the 8-word run (the cut is exact)") {
+    val out = Dedup.minLenSpanRemovalFrom(planted, 9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (1L to 4L).foreach { d =>
+      assert(out(d).getLong(2) == 0L && out(d).getLong(4) == 0L,
+        s"L=9 removed an 8-word span from doc $d: ${out(d)}")
+    }
+  }
+
+  test("d24 on the corpus: a strict subset of d19's removals, spans all ≥ L") {
+    val d19 = Dedup.dupSpanRemoval(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // removed_words
+    val d24 = Dedup.minLenSpanRemoval(spark, dir).collect()
+    d24.foreach { r =>
+      val (doc, nSpans, maxSpan, removed) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(removed <= d19(doc),
+        s"doc $doc: d24 removed $removed > d19 ${d19(doc)}")
+      if (nSpans > 0)
+        assert(maxSpan >= Dedup.MinSpanWords,
+          s"doc $doc kept a span below L: $maxSpan")
+      else assert(removed == 0L, s"doc $doc removed words with no span")
+    }
+    // the cut is real on the corpus: some docs keep spans, some don't
+    assert(d24.exists(_.getLong(2) > 0) && d24.exists(_.getLong(2) == 0))
+  }
+}
