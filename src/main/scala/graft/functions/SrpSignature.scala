@@ -55,11 +55,50 @@ object SrpSig {
   def weight(b: Int, d: Int): Long =
     ((1103515245L * (b * Dim + d + 1) + 12345L) % 2048L) - 1024L
 
+  /** Multi-table extension (s19): number of independent hash tables.
+    * The single-table stream caps at 32 distinct hyperplanes (the LCG
+    * period), so extra tables come from DIFFERENT LCG constants, not
+    * more bits — table t's weight stream uses multiplier [[TableA]](t)
+    * and increment [[TableC]](t). Table 0 reproduces [[weight]]
+    * exactly, so `signature(a, 0)` IS the s15 signature.
+    */
+  val Tables = 8
+
+  /** Per-table LCG multipliers — the classic published constants
+    * (glibc, Numerical Recipes, Marsaglia/VAX, Borland, MSVC, Delphi,
+    * RANDU, Lehmer minimal-standard).
+    * All distinct
+    * and odd mod 2048 (1645, 1549, 1485, 1589, 1021, 1029, 3, 423),
+    * so no two tables'
+    * weight streams are shifts of each other.
+    */
+  val TableA: Array[Long] =
+    Array(1103515245L, 1664525L, 69069L, 22695477L, 214013L, 134775813L, 65539L, 16807L)
+
+  /** Per-table LCG increments (glibc, Numerical Recipes, Marsaglia
+    * xorwow, Borland, MSVC, Delphi; zero for the two multiplicative
+    * streams). */
+  val TableC: Array[Long] =
+    Array(12345L, 1013904223L, 362437L, 1L, 2531011L, 1L, 0L, 0L)
+
+  /** Hyperplane component for table t — [[weight]] generalized to the
+    * per-table LCG stream.
+    */
+  def weightT(t: Int, b: Int, d: Int): Long =
+    ((TableA(t) * (b * Dim + d + 1) + TableC(t)) % 2048L) - 1024L
+
   /** The flattened weight table the generated code indexes:
     * `W[b * Dim + d]`. Public static so Janino references it directly.
     */
   val W: Array[Long] =
     Array.tabulate(Bits * Dim)(i => weight(i / Dim, i % Dim))
+
+  /** Per-table flattened weights: `WT[t][b * Dim + d]`. `WT(0)` is
+    * [[W]] by construction.
+    */
+  val WT: Array[Array[Long]] =
+    Array.tabulate(Tables)(t =>
+      Array.tabulate(Bits * Dim)(i => weightT(t, i / Dim, i % Dim)))
 
   /** Spark `round(x)` on a double, verbatim (Round's HALF_UP through
     * BigDecimal.valueOf), then Spark's double→long cast. Shared by the
@@ -77,7 +116,10 @@ object SrpSig {
     * Long so degenerate inputs can signal NULL; one box per row is
     * noise next to the 2048-term loop it guards.
     */
-  def signature(a: ArrayData): java.lang.Long = {
+  def signature(a: ArrayData): java.lang.Long = signature(a, 0)
+
+  /** Table-t signature — the same fused loop over `WT(t)`. */
+  def signature(a: ArrayData, t: Int): java.lang.Long = {
     if (a.numElements() != Dim) return null
     val q = new Array[Long](Dim)
     var d = 0
@@ -86,6 +128,7 @@ object SrpSig {
       q(d) = quantize(a.getDouble(d))
       d += 1
     }
+    val w = WT(t)
     var sig = 0L
     var b = 0
     while (b < Bits) {
@@ -93,7 +136,7 @@ object SrpSig {
       var i = 0
       val off = b * Dim
       while (i < Dim) {
-        dp += q(i) * W(off + i)
+        dp += q(i) * w(off + i)
         i += 1
       }
       if (dp >= 0) sig |= 1L << b
@@ -105,6 +148,10 @@ object SrpSig {
   /** `srpSignature($"v")` — the column-level entry point. */
   def srpSignature(c: Column): Column =
     Bridge.column(SrpSignature(Bridge.expression(c)))
+
+  /** Table-t signature column (s19 multi-table). */
+  def srpSignatureT(c: Column, table: Int): Column =
+    Bridge.column(SrpSignature(Bridge.expression(c), table))
 }
 
 /** The Catalyst expression tier (same rung as DotProduct/NormalizeText):
@@ -112,7 +159,11 @@ object SrpSig {
   * stays inside whole-stage codegen — no UDF boundary, no per-bit
   * lambda interpretation, no intermediate arrays.
   */
-case class SrpSignature(child: Expression) extends UnaryExpression {
+case class SrpSignature(child: Expression, table: Int = 0)
+    extends UnaryExpression {
+
+  require(table >= 0 && table < SrpSig.Tables,
+    s"srp_signature table $table out of [0, ${SrpSig.Tables})")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -125,7 +176,7 @@ case class SrpSignature(child: Expression) extends UnaryExpression {
   override def prettyName: String = "srp_signature"
 
   override protected def nullSafeEval(input: Any): Any =
-    SrpSig.signature(input.asInstanceOf[ArrayData]) match {
+    SrpSig.signature(input.asInstanceOf[ArrayData], table) match {
       case null => null
       case v => v.longValue()
     }
@@ -135,7 +186,8 @@ case class SrpSignature(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val boxed = ctx.freshName("sig")
       s"""
-         |java.lang.Long $boxed = graft.functions.SrpSig.signature($a);
+         |java.lang.Long $boxed =
+         |  graft.functions.SrpSig.signature($a, $table);
          |if ($boxed == null) {
          |  ${ev.isNull} = true;
          |} else {

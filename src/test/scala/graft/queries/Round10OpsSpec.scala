@@ -58,6 +58,59 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("s19: table 0 reproduces the s15 signature; other tables diverge") {
+    val nT = graft.functions.SrpSig.Tables
+    val e = Similarity.vectors(spark, dir)
+    val sigs = e.select(
+      graft.functions.SrpSig.srpSignature(col("v")).as("s15") +:
+        (0 until nT).map(t =>
+          graft.functions.SrpSig.srpSignatureT(col("v"), t).as(s"t$t")): _*)
+      .collect()
+    sigs.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      "table 0 must be bit-identical to the s15 signature"))
+    // independence: every extra table disagrees with table 0 somewhere
+    (2 to nT).foreach { i =>
+      assert(sigs.exists(r => r.getLong(1) != r.getLong(i)),
+        s"table ${i - 1} is a copy of table 0")
+    }
+  }
+
+  test("s19: recall beats s15 decisively; the candidate prune still bites") {
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(spark, dir)
+      .select(col("q_id"), col("vec_id")))
+    val s15 = hits(Similarity.srpLshTopK(spark, dir)
+      .select(col("q_id"), col("vec_id")))
+    val s19 = hits(Similarity.srpMultiTopK(spark, dir)
+      .select(col("q_id"), col("vec_id")))
+    val (r15, r19) = (
+      (exact & s15).size.toDouble / exact.size,
+      (exact & s19).size.toDouble / exact.size)
+    info(f"recall vs exact: s15 $r15%.2f, s19 $r19%.2f")
+    assert(r19 > r15,
+      f"8 tables + directed probe did not beat s15: $r19%.2f <= $r15%.2f")
+    assert(r19 >= 0.9, f"s19 recall regressed below 0.90: $r19%.2f")
+    // the candidate prune must still bite: distinct (q, cand) pairs
+    // well under the brute-force q × (n − 1) surface. Measured at
+    // sf0.1 (2000 vectors, the largest corpus in the testdata): 0.72
+    // for recall 0.92, vs s15's 0.45 for recall 0.70 — the full
+    // Pareto sweep is in the srpMultiTopK Scaladoc. The FRACTION is
+    // inflated by the micro-corpus (buckets hold a ~constant-density
+    // neighbourhood while the denominator grows with corpus size; the
+    // 500-vector SF scans 0.66 with the same absolute bucket sizes),
+    // so the bound here is the micro-corpus bound, not the scale
+    // claim.
+    val big = "/root/testdata/sf0.1"
+    val n = Similarity.vectors(spark, big).count()
+    val nCand = Similarity.srpMultiCandidates(spark, big).count()
+    val n15 = Similarity.srpCandidates(spark, big).count()
+    val denom = (Similarity.NumQueries * (n - 1)).toDouble
+    val (frac, frac15) = (nCand / denom, n15 / denom)
+    info(f"scan fraction at sf0.1: s19 $frac%.2f, s15 $frac15%.2f ($nCand vs $n15 of ${denom.toLong})")
+    assert(frac < 0.8, f"candidate prune does not bite: $frac%.2f >= 0.8")
+  }
+
   test("d24 on the corpus: a strict subset of d19's removals, spans all ≥ L") {
     val d19 = Dedup.dupSpanRemoval(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap // removed_words
