@@ -53,7 +53,8 @@ object TextOps {
 
   /** Every session-cached frame this module owns — see SessionCache.warm. */
   private[queries] def warmFrames(spark: SparkSession, dir: String): Seq[DataFrame] =
-    Seq(cachedWords(spark, dir), cachedQualityScore(spark, dir))
+    Seq(cachedWords(spark, dir), cachedQualityScore(spark, dir),
+      cachedTfidf(spark, dir))
 
   /** F1/W4/A7 — sentence segmentation with ordered re-assembly:
     * group words into 10-word sentences, re-join in word order
@@ -373,6 +374,17 @@ object TextOps {
       .orderBy(col("doc_id"), col("word"))
   }
 
+  /** Session-cached TF-IDF scores: t24 ranks them, and t8's tf agg
+    * otherwise appears TWICE in any consumer's static plan (once as
+    * the tf branch, once inside the df branch — runtime exchange
+    * reuse dedupes it, but the persisted copy makes the static plan
+    * honest). t8's registered query stays the UNCACHED `tfidf` (the
+    * s2 discipline: its bench number must measure the computation,
+    * not a persisted-scan read).
+    */
+  def cachedTfidf(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "tfidf")(tfidf(spark, dir))
+
   /** Keywords per document for t24. */
   val KeywordsPerDoc = 5
 
@@ -383,16 +395,16 @@ object TextOps {
     * the 6-dp rounding is t8's established cross-engine-exact score,
     * and the word tiebreak totalizes equal scores.
     *
-    * Scale shape: t8's two hash aggs + broadcast total, then a
-    * per-doc rank whose `rnk <= 5` filter plans as `WindowGroupLimit`
-    * (each task keeps 5 rows per doc before the shuffle — the
-    * w10/w20 shape); output is 5 rows per doc, not the doc×vocab
-    * matrix.
+    * Scale shape: ONE scan of the session-cached t8 score frame, then
+    * a per-doc rank whose `rnk <= 5` filter plans as
+    * `WindowGroupLimit` (each task keeps 5 rows per doc before the
+    * shuffle — the w10/w20 shape); output is 5 rows per doc, not the
+    * doc×vocab matrix.
     */
   def keywords(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word"))
-    tfidf(spark, dir)
+    cachedTfidf(spark, dir)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= KeywordsPerDoc)
       .select(col("doc_id"), col("rnk"), col("word"), col("tfidf"))

@@ -273,11 +273,12 @@ class PlanAuditSpec extends SparkSpec {
                                // (uncached, recomputed per call) +
                                // probe agg/broadcast + bucket join +
                                // top-k window + output sort
-    "t24_keywords" -> 10, // measured ceiling: t8's tf agg appears in
-                          // BOTH the df branch and the score join (the
-                          // static plan re-counts what runtime exchange
-                          // reuse dedupes, t8's own shape) + total
-                          // broadcast + group-limit window + sort
+    "t24_keywords" -> 3, // measured ceiling: one scan of the cached
+                         // t8 score frame + group-limit window
+                         // exchange + output sort (the former budget
+                         // of 10 paid t8's tf agg TWICE — both the df
+                         // branch and the score join — before the
+                         // frame was session-cached)
     "d23_pagerank_central" -> 2, // final-round join sides + output sort
                                  // over the per-round localCheckpoints
                                  // (lineage truncated — the unbroken
