@@ -59,7 +59,42 @@ object StreamNearDedup {
   case class DocSig(bucket: Long, docId: Long, ts: java.sql.Timestamp, sv: Long)
   /** dupOf = -1 when the doc is the first of its neighborhood. */
   case class Flag(docId: Long, dupOf: Long, hamming: Int)
+  /** [[Flag]] + the doc's event time, for downstream stateful stages. */
+  case class FlagTs(
+      docId: Long, dupOf: Long, hamming: Int, ts: java.sql.Timestamp)
   case class BucketState(seen: List[(Long, Long, Long)]) // (docId, sv, tsMillis)
+
+  /** The shared bucket scan: prune state to the watermark, process the
+    * micro-batch in (event time, doc id) order (arrival order is
+    * nondeterministic — this makes flags replay-stable), flag each doc
+    * against the closest in-state signature, update state + timeout.
+    * Returns each doc WITH its flag so callers choose the output shape
+    * ([[update]] drops the timestamp; [[updateTs]] keeps it for the
+    * composed windowed stage downstream).
+    */
+  private def scanBucket(
+      docs: Iterator[DocSig],
+      state: GroupState[BucketState]): Seq[(DocSig, Flag)] = {
+    val wm = state.getCurrentWatermarkMs()
+    val kept = state.getOption.map(_.seen).getOrElse(Nil)
+      .filter(_._3 >= wm)
+    val batch = docs.toSeq.sortBy(d => (d.ts.getTime, d.docId))
+    var seen = kept
+    val flags = batch.map { d =>
+      val hit = seen
+        .map { case (id, sv, _) => (java.lang.Long.bitCount(d.sv ^ sv), id) }
+        .filter(_._1 <= HammingMax)
+        .sortBy(identity).headOption
+      seen = (d.docId, d.sv, d.ts.getTime) :: seen
+      d -> hit.fold(Flag(d.docId, -1L, 0)) {
+        case (h, id) => Flag(d.docId, id, h)
+      }
+    }
+    state.update(BucketState(seen))
+    // reclaim the bucket once its newest entry ages past the watermark
+    state.setTimeoutTimestamp(seen.map(_._3).max, "1 minute")
+    flags
+  }
 
   def update(
       bucket: Long,
@@ -69,27 +104,22 @@ object StreamNearDedup {
       // quiet bucket: every entry is older than the watermark now
       state.remove()
       Iterator.empty
-    } else {
-      val wm = state.getCurrentWatermarkMs()
-      val kept = state.getOption.map(_.seen).getOrElse(Nil)
-        .filter(_._3 >= wm)
-      // micro-batch arrival order is nondeterministic — process in
-      // (event time, doc id) order so flags are replay-stable
-      val batch = docs.toSeq.sortBy(d => (d.ts.getTime, d.docId))
-      var seen = kept
-      val flags = batch.map { d =>
-        val hit = seen
-          .map { case (id, sv, _) => (java.lang.Long.bitCount(d.sv ^ sv), id) }
-          .filter(_._1 <= HammingMax)
-          .sortBy(identity).headOption
-        seen = (d.docId, d.sv, d.ts.getTime) :: seen
-        hit.fold(Flag(d.docId, -1L, 0)) { case (h, id) => Flag(d.docId, id, h) }
-      }
-      state.update(BucketState(seen))
-      // reclaim the bucket once its newest entry ages past the watermark
-      state.setTimeoutTimestamp(seen.map(_._3).max, "1 minute")
-      flags.iterator
-    }
+    } else scanBucket(docs, state).map(_._2).iterator
+  }
+
+  /** [[update]] with the event time kept on the output row — the form
+    * a downstream stateful stage (windowed aggregation) can consume.
+    */
+  def updateTs(
+      bucket: Long,
+      docs: Iterator[DocSig],
+      state: GroupState[BucketState]): Iterator[FlagTs] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else scanBucket(docs, state).map { case (d, f) =>
+      FlagTs(f.docId, f.dupOf, f.hamming, d.ts)
+    }.iterator
   }
 
   /** docs: streaming frame with (doc_id, `eventTimeCol` timestamp,
@@ -110,5 +140,27 @@ object StreamNearDedup {
       .groupByKey(_.bucket)(Encoders.scalaLong)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** [[apply]] with the event time carried through — the composable
+    * form [[StreamDedupSketch]] chains a windowed aggregation onto.
+    */
+  def withTime(
+      docs: DataFrame, eventTimeCol: String,
+      delay: String): Dataset[FlagTs] = {
+    implicit val enc = Encoders.product[FlagTs]
+    implicit val senc = Encoders.product[BucketState]
+    docs
+      .withColumn("sv", simhashCol(col("text")))
+      .withWatermark(eventTimeCol, delay)
+      .select(
+        col("sv").bitwiseAND(lit(BandMask)).as("bucket"),
+        col("doc_id").as("docId"),
+        col(eventTimeCol).as("ts"),
+        col("sv"))
+      .as[DocSig](Encoders.product[DocSig])
+      .groupByKey(_.bucket)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateTs)
   }
 }
