@@ -130,7 +130,10 @@ object Bench {
         times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        // full trace, not getMessage: the x20 r9/r10 flake hunt burned
+        // a session because transient failures left no cause behind
+        System.err.println(s"[bench] $name FAILED: $e")
+        e.printStackTrace()
       }
     }
     val ok = names.filterNot(failed)

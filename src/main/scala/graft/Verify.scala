@@ -62,11 +62,13 @@ object Verify {
         try attempt()
         catch { case e: Throwable =>
           System.err.println(
-            s"[verify] $name failed (will retry): ${e.getMessage}")
+            s"[verify] $name failed (will retry): $e")
+          e.printStackTrace()
           try attempt()
           catch { case e2: Throwable =>
             System.err.println(
-              s"[verify] $name FAILED after retry: ${e2.getMessage}")
+              s"[verify] $name FAILED after retry: $e2")
+            e2.printStackTrace()
           }
         }
       }

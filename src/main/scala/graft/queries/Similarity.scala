@@ -335,7 +335,16 @@ object Similarity {
     * cancels the bias to the small (b−128) residual: recall 0.78, with
     * the exact-integer-math oracle property untouched.
     */
-  private def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
+  private def sq8Codes(spark: SparkSession, dir: String): DataFrame =
+    sqCodes(spark, dir, 256)
+
+  /** The shared scalar-quantization encoder at any level count — the
+    * per-dim min/max fit is level-INDEPENDENT, so s6 (256 levels) and
+    * s20 (16 levels) read one memoized fit and their codes share the
+    * same affine map, differing only in resolution.
+    */
+  private def sqCodes(
+      spark: SparkSession, dir: String, levels: Int): DataFrame = {
     val e = vectors(spark, dir)
     val (mns, mxs) = SessionCache.memo(spark, dir, "sq8Stats") {
       val stats = e.select(posexplode(col("v")).as(Seq("d", "x")))
@@ -350,8 +359,9 @@ object Similarity {
       val mn = element_at(mnLit, i + 1)
       val mx = element_at(mxLit, i + 1)
       when(mx > mn,
-        least(floor((x - mn) / (mx - mn) * lit(256)), lit(255.0)))
-        .otherwise(lit(0.0)).cast("long") - lit(128L)
+        least(floor((x - mn) / (mx - mn) * lit(levels)),
+          lit((levels - 1).toDouble)))
+        .otherwise(lit(0.0)).cast("long") - lit(levels / 2L)
     })
     e.select(col("vec_id"), codes.as("qv"))
   }
@@ -366,6 +376,29 @@ object Similarity {
 
   def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
     val enc = sq8Codes(spark, dir)
+    val q = enc.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    broadcast(q)
+      .join(enc, col("q_id") =!= col("vec_id"))
+      .withColumn("score", sq8Dot)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s20 — scalar quantization at FOUR bits (FAISS `SQ4`): the same
+    * per-dim affine fit as s6, 16 levels instead of 256, codes
+    * centered to [−8, 7] — 16× smaller than raw doubles (vs SQ8's
+    * 8×), the tier a 100 TB corpus reaches for when even int8 codes
+    * don't fit the scan budget. Same exact-integer score discipline,
+    * so the recall cost of dropping 4 bits is a MEASURED number in
+    * the s18 ladder, not a datasheet claim.
+    */
+  def sq4TopK(spark: SparkSession, dir: String): DataFrame = {
+    val enc = sqCodes(spark, dir, 16)
     val q = enc.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("qv").as("qq"))
     val w = Window.partitionBy(col("q_id"))
@@ -1519,6 +1552,7 @@ object Similarity {
     "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2,
     "s5_kmeans_ivf_topk" -> kmeansIvfTopK,
     "s6_sq8_topk" -> sq8TopK,
+    "s20_sq4_topk" -> sq4TopK,
     "s11_ivf_sq8_topk" -> ivfSq8TopK,
     "s13_ivf_pq_topk" -> ivfPqTopK,
     "s16_ivf_respq_topk" -> ivfResidualPqTopK,
@@ -1625,7 +1659,7 @@ object Similarity {
   private val EvalVariants = Seq(
     "s3_ivf_topk", "s6_sq8_topk", "s7_pq_topk",
     "s13_ivf_pq_topk", "s15_srp_lsh_topk", "s16_ivf_respq_topk",
-    "s19_srp_multi_topk")
+    "s19_srp_multi_topk", "s20_sq4_topk")
 
   /** s18 — the retrieval-quality eval REPORT as a first-class query:
     * recall@k of every ANN variant against the exact s1 top-k, in
@@ -1651,7 +1685,8 @@ object Similarity {
       "s13_ivf_pq_topk" -> ivfPqTopK(spark, dir),
       "s15_srp_lsh_topk" -> srpLshTopK(spark, dir),
       "s16_ivf_respq_topk" -> ivfResidualPqTopK(spark, dir),
-      "s19_srp_multi_topk" -> srpMultiTopK(spark, dir))
+      "s19_srp_multi_topk" -> srpMultiTopK(spark, dir),
+      "s20_sq4_topk" -> sq4TopK(spark, dir))
     EvalVariants.map { n =>
       variantDfs(n)
         .select(col("q_id"), col("vec_id"))
@@ -1995,6 +2030,28 @@ object Similarity {
                      ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS BIGINT) AS rank
             FROM ec q JOIN ec e ON q.centroid_id = e.centroid_id
             WHERE q.vec_id < $NumQueries AND q.vec_id <> e.vec_id)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
+    // s20: s6's pipeline at 16 levels / offset 8
+    "s20_sq4_topk" ->
+      s"""WITH $vecCte,
+          dims AS (SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e),
+          stats AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY d),
+          qd AS (
+            SELECT vec_id, d,
+                   CAST(CASE WHEN mx > mn
+                        THEN LEAST(FLOOR((x - mn) / (mx - mn) * 16), 15)
+                        ELSE 0 END AS BIGINT) - 8 AS qx
+            FROM dims JOIN stats USING (d)),
+          scores AS (
+            SELECT q.vec_id AS q_id, e.vec_id, CAST(SUM(q.qx * e.qx) AS BIGINT) AS score
+            FROM qd q JOIN qd e ON e.d = q.d
+            WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id
+            GROUP BY 1, 2)
+          SELECT q_id, vec_id, score, rank FROM (
+            SELECT q_id, vec_id, score,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+            FROM scores)
           WHERE rank <= $TopK ORDER BY q_id, rank""",
     "s6_sq8_topk" ->
       s"""WITH $vecCte,

@@ -111,6 +111,24 @@ class Round10OpsSpec extends SparkSpec {
     assert(frac < 0.8, f"candidate prune does not bite: $frac%.2f >= 0.8")
   }
 
+  test("s20: SQ4 codes stay in [-8, 7]; recall floor holds; SQ8 wins on bits") {
+    val exact = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val hits = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & hits).size.toDouble / exact.size
+    }
+    val (r4, r8) = (
+      recall(Similarity.sq4TopK(spark, dir)
+        .select(col("q_id"), col("vec_id"))),
+      recall(Similarity.sq8TopK(spark, dir)
+        .select(col("q_id"), col("vec_id"))))
+    info(f"recall vs exact: SQ4 $r4%.2f, SQ8 $r8%.2f")
+    assert(r4 >= 0.4, f"SQ4 recall collapsed: $r4%.2f")
+    assert(r8 >= r4,
+      f"8-bit codes must not lose to 4-bit: SQ8 $r8%.2f < SQ4 $r4%.2f")
+  }
+
   test("d24 on the corpus: a strict subset of d19's removals, spans all ≥ L") {
     val d19 = Dedup.dupSpanRemoval(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap // removed_words

@@ -167,7 +167,7 @@ class Round9OpsSpec extends SparkSpec {
     val rows = Similarity.retrievalEval(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
-    assert(rows.length == 7 && rows.map(_._1) == rows.map(_._1).sorted)
+    assert(rows.length == 8 && rows.map(_._1) == rows.map(_._1).sorted)
     rows.foreach { case (v, h, t, ppm) =>
       assert(t == Similarity.NumQueries * Similarity.TopK, s"$v total $t")
       assert(h >= 0 && h <= t, s"$v hits $h")
