@@ -47,6 +47,14 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] pq codebook dump failed: ${e.getMessage}")
     }
+    // Dump the x20 bloom bytes BEFORE the query pass (r10 verdict #1):
+    // with the file present, x20/x21's registered path runs zero
+    // stat.bloomFilter jobs — the bloom is read like any other
+    // fit-time dump.
+    try graft.queries.Extended.dumpBloom(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] x20 bloom dump failed: ${e.getMessage}")
+    }
     // One retry per query: a missing parquet dir silently drops the
     // query from the driver's correctness artifact (this is how
     // x20_bloom_join lost its r9 row to a transient failure), so a
