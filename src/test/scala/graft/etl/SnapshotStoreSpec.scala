@@ -2,6 +2,8 @@ package graft.etl
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
@@ -33,16 +35,16 @@ class SnapshotStoreSpec extends SparkSpec {
       (1L, "a", 1L), (2L, "B", 2L), (3L, "c", 1L), (4L, "d", 2L)))
   }
 
-  test("within-batch duplicates keep one row per key under the tie-break") {
+  test("within-batch duplicates keep the HIGHEST tie-break per key (latest-wins)") {
     val root = freshRoot
     SnapshotStore.init(spark, root, rows((1L, "a", 1L)), "b0")
     SnapshotStore.upsert(spark, root,
-      rows((5L, "late", 9L), (5L, "early", 2L)),
+      rows((5L, "early", 2L), (5L, "late", 9L)),
       keys = Seq("id"), tieBreak = Seq("ver"), batchId = "b1")
     val five = SnapshotStore.read(spark, root)
       .filter(col("id") === 5L).collect()
-    assert(five.length == 1 && five.head.getString(1) == "early",
-      s"tie-break must keep the first row per key: ${five.toSeq}")
+    assert(five.length == 1 && five.head.getString(1) == "late",
+      s"MERGE dedup must keep the latest row per key: ${five.toSeq}")
   }
 
   test("replaying a batch id is a no-op: same version, same rows, no new dir") {
@@ -73,22 +75,68 @@ class SnapshotStoreSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq == Seq("new"))
   }
 
-  test("torn-state: a crash before the pointer swap leaves readers on the old snapshot") {
+  test("torn-state: a crash before the claim leaves readers on the old snapshot") {
     val root = freshRoot
     SnapshotStore.init(spark, root, rows((1L, "old", 1L)), "b0")
-    // simulate the crash window: the new data directory is fully
-    // written but the pointer swap never ran (the protocol's write
-    // order guarantees this is the ONLY intermediate state)
+    // simulate the crash window: an attempt data directory is fully
+    // written but the commit-log claim never ran (the protocol's
+    // write order guarantees this is the ONLY intermediate state)
     rows((1L, "half-committed", 2L)).write
-      .parquet(Paths.get(root, "data", "v2").toString)
+      .parquet(Paths.get(root, "data", "v2-deadbeef").toString)
     val s = SnapshotStore.latest(root).get
-    assert(s.version == 1L, "pointer moved without a commit")
+    assert(s.version == 1L, "latest moved without a commit-log claim")
     assert(SnapshotStore.read(spark, root)
       .collect().map(_.getString(1)).toSeq == Seq("old"))
-    // and the pointer file is always a complete, parseable whole
+    // and the pointer mirror is always a complete, parseable whole
     val body = new String(
       Files.readAllBytes(Paths.get(root, "_latest")), "UTF-8")
     assert(body.contains("version=1") && body.contains("batch=b0"))
+  }
+
+  test("a crashed commit attempt is retryable: redelivery lands the batch") {
+    val root = freshRoot
+    SnapshotStore.init(spark, root, rows((1L, "old", 1L)), "b0")
+    // the exact at-least-once scenario: attempt for b1 crashed after
+    // the data write, orphan dir on disk, no claim — then the source
+    // redelivers b1
+    rows((1L, "crashed", 2L)).write
+      .parquet(Paths.get(root, "data", "v2-deadbeef").toString)
+    val s = SnapshotStore.upsert(spark, root, rows((1L, "retried", 2L)),
+      Seq("id"), Seq("ver"), "b1")
+    assert(s.version == 2L, "redelivered batch must commit, not collide")
+    assert(SnapshotStore.read(spark, root)
+      .collect().map(_.getString(1)).toSeq == Seq("retried"))
+    // the orphan is untouched (vacuum is out-of-band by design)
+    assert(Files.exists(Paths.get(root, "data", "v2-deadbeef")))
+  }
+
+  test("two contending writers: both batches land exactly once, loser re-merges") {
+    val root = freshRoot
+    SnapshotStore.init(spark, root, rows((1L, "base", 1L)), "b0")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val writers = Seq("bA" -> (2L, "a", 2L), "bB" -> (3L, "b", 2L)).map {
+      case (bid, row) =>
+        new Thread(() => {
+          try {
+            gate.await()
+            SnapshotStore.upsert(spark, root, rows(row),
+              Seq("id"), Seq("ver"), bid)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+    }
+    writers.foreach(_.start()); gate.countDown()
+    writers.foreach(_.join(60000))
+    assert(errs.isEmpty, s"writer failed: ${errs.asScala.toSeq}")
+    // both rows present: the claim loser re-merged on the winner
+    val got = SnapshotStore.read(spark, root)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("base", "a", "b"), s"lost a contender's batch: $got")
+    assert(SnapshotStore.latest(root).get.version == 3L)
+    // and each batch is recorded exactly once: replaying either is a no-op
+    val v = SnapshotStore.upsert(spark, root, rows((9L, "dup", 9L)),
+      Seq("id"), Seq("ver"), "bA")
+    assert(v.version == 3L, "replay of a contended batch must be a no-op")
   }
 
   test("pointer swaps are atomic under a concurrent re-resolving reader") {
@@ -102,7 +150,7 @@ class SnapshotStoreSpec extends SparkSpec {
         // and batch agree — a torn read would mix fields
         val s = SnapshotStore.latest(root).get
         val ok = s.batchId == s"b${s.version - 1}" &&
-          s.dataPath.endsWith(s"v${s.version}")
+          s.dataPath.contains(s"/v${s.version}-")
         if (!ok) torn = Some(s.toString)
       }
     })
