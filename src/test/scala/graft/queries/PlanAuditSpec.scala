@@ -73,7 +73,13 @@ class PlanAuditSpec extends SparkSpec {
     "wh_q6_rolling" -> ("reference-verbatim rolling window over the " +
       "warehouse sentence fixture (6 rows at any SF — the warehouse is " +
       "a bounded ETL fixture, not the corpus); the corpus-scale rolling " +
-      "query is q6_rolling_sentiment, which is two-phase GlobalPrefix")
+      "query is q6_rolling_sentiment, which is two-phase GlobalPrefix"),
+    "t25_bpe_encode" -> ("base-vocab id assignment ranks the DISTINCT " +
+      "CHARACTER alphabet (bounded by the script, not the corpus — a " +
+      "few hundred rows at any SF); ranking in-plan rather than on the " +
+      "driver keeps the tie order in UTF8String binary = code-point " +
+      "order, matching DuckDB where a driver-side Java sort would not " +
+      "for supplementary-plane characters")
   )
 
   test("no unpartitioned windows anywhere in the registry (whitelist audited)") {
