@@ -1443,7 +1443,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The d25 evaluation set: every APPROXIMATE pair-finding method
+    * with a certified oracle and (a_id, b_id) pair columns, scored
+    * against d2's exact-Jaccard ground truth.
+    */
+  private val DedupEvalMethods =
+    Seq("d3_minhash_lsh", "d6_simhash_neardup", "d12_winnow_pairs")
+
+  /** d25 — the dedup-quality eval REPORT as a first-class query (the
+    * s18 discipline applied to the dedup family): pair-recall AND
+    * pair-precision of each approximate near-dup method — d3 MinHash
+    * LSH, d6 SimHash banding, d12 winnowing — against d2's exact
+    * Jaccard ≥ 0.5 ground truth (the df-capped definition all four
+    * share), in exact ppm integers. This closes "does the LSH
+    * actually catch the near-dups" with a measured number instead of
+    * a spec bound: d3 estimates the same Jaccard the truth computes
+    * (recall gap = minhash variance at the 0.5 cut), while d6/d12
+    * target DIFFERENT similarity notions (Hamming on term-frequency
+    * hyperplanes; shared winnowed fingerprints), so their rows
+    * quantify how each proxy tracks Jaccard — the number a pipeline
+    * owner reads before picking the cheap pass.
+    *
+    * Scale shape: every input frame is the registered query riding
+    * the session caches; the truth pair set is the banding-bounded
+    * near-dup sliver (broadcast-sized by construction — pairs at
+    * Jaccard ≥ 0.5 after df capping, not corpus²); per method ONE
+    * left-semi hit join + two 1-row counts; output is 3 bounded rows.
+    */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+    val methods: Map[String, DataFrame] = Map(
+      "d3_minhash_lsh" -> minhashLsh(spark, dir),
+      "d6_simhash_neardup" -> simhashNearDup(spark, dir),
+      "d12_winnow_pairs" -> winnowPairs(spark, dir))
+    DedupEvalMethods.map { n =>
+      val p = methods(n).select(col("a_id"), col("b_id"))
+      p.agg(count(lit(1)).as("n_pred"))
+        .crossJoin(
+          p.join(broadcast(truth), Seq("a_id", "b_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits")))
+        .select(lit(n).as("method"), col("n_pred"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(
+        col("method"), col("n_truth"), col("n_pred"), col("n_hits"),
+        expr("n_hits * 1000000 div n_truth").as("recall_ppm"),
+        expr("case when n_pred = 0 then cast(0 as bigint) " +
+          "else n_hits * 1000000 div n_pred end").as("precision_ppm"))
+      .orderBy(col("method"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_dedup_eval" -> dedupEval,
     "d22_cdc_chunks" -> cdcChunks,
     "d23_pagerank_central" -> pagerankCentrality,
     "d21_sketch_calibration" -> sketchCalibration,
@@ -1576,7 +1627,36 @@ object Dedup {
           JOIN p$prev d ON d.doc_id = i.doc_id)"""
   }
 
-  val oracleSql: Map[String, String] = Map(
+  /** The d25 oracle composed from the methods' own certified strings
+    * (the s18 discipline): each method replayed as a subquery, hit =
+    * equi-join against the replayed d2 truth — an eval row is exactly
+    * as trustworthy as the method's own gate.
+    */
+  private def dedupEvalOracle(o: Map[String, String]): String = {
+    val vs = DedupEvalMethods.map { m =>
+      s"""SELECT '$m' AS method,
+             (SELECT COUNT(*) FROM (${o(m)}) p) AS n_pred,
+             (SELECT COUNT(*) FROM (${o(m)}) p
+              JOIN truth ON p.a_id = truth.a_id AND p.b_id = truth.b_id)
+               AS n_hits"""
+    }.mkString("(", ") UNION ALL (", ")")
+    s"""WITH truth AS (
+          SELECT a_id, b_id FROM (${o("d2_ngram_jaccard")}) t)
+        SELECT method,
+               (SELECT COUNT(*) FROM truth) AS n_truth,
+               CAST(n_pred AS BIGINT) AS n_pred,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               n_hits * 1000000 // (SELECT COUNT(*) FROM truth)
+                 AS recall_ppm,
+               CASE WHEN n_pred = 0 THEN CAST(0 AS BIGINT)
+                    ELSE n_hits * 1000000 // n_pred END AS precision_ppm
+        FROM ($vs) ORDER BY method"""
+  }
+
+  val oracleSql: Map[String, String] = baseOracleSql +
+    ("d25_dedup_eval" -> dedupEvalOracle(baseOracleSql))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     // d23: the shared cand/sim CTEs + the same fixed-round integer
     // power iteration, unrolled (the t21 discipline) — identical
     // truncation order, exact hash
