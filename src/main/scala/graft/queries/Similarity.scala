@@ -259,7 +259,10 @@ object Similarity {
       cachedIvfAssign(spark, dir),
       cachedCentroids(spark, dir),
       cachedPqCodebooks(spark, dir),
-      cachedResPqCodebooks(spark, dir))
+      cachedResPqCodebooks(spark, dir),
+      cachedSrpBands(spark, dir),
+      cachedSrpMultiBands(spark, dir),
+      cachedSrpQueryProbes(spark, dir))
 
   /** Fixed absolute path the s5 oracle reads the fitted centroids from
     * (the warehouse-dump pattern, WarehouseQueries.DumpPath).
@@ -304,6 +307,70 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s21 batch split: vectors with `vec_id % MaintBatchMod ==
+    * MaintBatchRem` play the newly-ingested batch; the rest are the
+    * standing corpus the index was trained on. Deterministic, so the
+    * oracle replays it exactly.
+    */
+  val MaintBatchMod = 16L
+  val MaintBatchRem = 7L
+
+  /** s21 — incremental IVF maintenance: assign a bounded NEW batch to
+    * the EXISTING trained centroids (no refit — d14's asymmetry applied
+    * to the ANN side) and report per-bucket drift, the daily production
+    * shape for a living index. Per centroid: the standing corpus count,
+    * the batch count, a scaled count delta (`batch_n × (mod−1) −
+    * base_n`, expectation 0 when the batch is drawn from the indexed
+    * distribution — per-row arithmetic, no totals pass), and the
+    * batch's summed/mean assignment residual in exact e6 integers
+    * (`residual = 1 − round(cos, 6)`; a rising mean residual says the
+    * centroids no longer fit the incoming data → time to refit).
+    *
+    * Scale shape: the centroids are the fit-time k×d control matrix
+    * (broadcast — the index never shuffles); both assignment passes are
+    * map-side broadcast joins over the session-cached vectors with
+    * partial aggregation down to ≤ NumCentroids rows, so total shuffle
+    * is k rows regardless of corpus size. At 100 TB the base counts
+    * would come from the index's own bucket metadata; they are
+    * recomputed here so the oracle can replay the whole report.
+    * Oracle: s5's dumped-centroid discipline (CentroidDumpPath).
+    */
+  def ivfMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents = cachedCentroids(spark, dir).withColumn("cn", vecNorm(col("cv")))
+    val isBatch = pmod(col("vec_id"), lit(MaintBatchMod)) === lit(MaintBatchRem)
+    val baseAgg = assignTo(e.filter(!isBatch), cents)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("base_n"))
+    val batchAgg = assignTo(e.filter(isBatch), cents)
+      .withColumn(
+        "resid_e6",
+        floor((lit(1.0) - round(col("cos_sim"), 6)) * lit(1000000.0) + lit(0.5)))
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("batch_n"),
+        sum(col("resid_e6")).as("sum_resid_e6"))
+    cents.select(col("centroid_id"))
+      .join(baseAgg, Seq("centroid_id"), "left")
+      .join(batchAgg, Seq("centroid_id"), "left")
+      .select(
+        col("centroid_id"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("batch_n"), lit(0L)).as("batch_n"),
+        coalesce(col("sum_resid_e6"), lit(0L)).as("sum_resid_e6"))
+      .withColumn(
+        "drift_scaled",
+        col("batch_n") * lit(MaintBatchMod - 1L) - col("base_n"))
+      .withColumn(
+        "mean_resid_e6",
+        when(col("batch_n") > 0L,
+          expr("sum_resid_e6 div batch_n")).otherwise(lit(0L)))
+      .select(
+        col("centroid_id"), col("base_n"), col("batch_n"),
+        col("drift_scaled"), col("sum_resid_e6"), col("mean_resid_e6"))
+      .orderBy(col("centroid_id"))
   }
 
   /** s6 — scalar-quantized (8-bit) similarity top-k, the FAISS-SQ8
@@ -1321,16 +1388,28 @@ object Similarity {
     * banding prunes the corpus down to; exposed so the spec can assert
     * the prune bites.
     */
+  /** Session-cached s15 corpus band frame (vec_id, band_id, band_val):
+    * the signature projection + band explode feed the s15 registered
+    * query AND its s18 ladder replay — one narrow persisted copy per
+    * (session, dir) instead of re-signing the corpus per consumer
+    * (the t24 caching discipline, applied per the r10 verdict).
+    */
+  private[queries] def cachedSrpBands(
+      spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "srpBands") {
+      vectors(spark, dir).withColumn("sig", srpSig)
+        .withColumn(
+          "band_id",
+          explode(array((0 until SrpBands).map(i => lit(i.toLong)): _*)))
+        .withColumn(
+          "band_val",
+          expr(s"shiftright(sig, cast(band_id * $SrpBandBits as int))")
+            .bitwiseAND(lit((1 << SrpBandBits) - 1)))
+        .select(col("vec_id"), col("band_id"), col("band_val"))
+    }
+
   private[queries] def srpCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir).withColumn("sig", srpSig)
-    val bands = e
-      .withColumn(
-        "band_id",
-        explode(array((0 until SrpBands).map(i => lit(i.toLong)): _*)))
-      .withColumn(
-        "band_val",
-        expr(s"shiftright(sig, cast(band_id * $SrpBandBits as int))")
-          .bitwiseAND(lit((1 << SrpBandBits) - 1)))
+    val bands = cachedSrpBands(spark, dir)
     // multi-probe: the query side fans out to every band value within
     // Hamming ≤ SrpProbe of its own — 4 bands × Σ C(8,i) = 148 probe
     // keys per query, pure control data (the corpus side stays at ONE
@@ -1480,32 +1559,53 @@ object Similarity {
       .unionByName(flips)
   }
 
+  /** Session-cached directed probe set — `(1 + SrpMarginProbes) ×
+    * SrpBands × SrpTables` rows per query (bounded control data), but
+    * its PLAN re-runs the query-dot fan-out + two windows on every
+    * consumer (s19 registered + s18 replay) without the cache.
+    */
+  private[queries] def cachedSrpQueryProbes(
+      spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "srpQueryProbes")(
+      srpQueryProbes(spark, dir))
+
+  /** Session-cached s19 corpus band frame
+    * (vec_id, tbl, band_id, band_val): the L fused signature
+    * projections + table/band explode are the expensive corpus pass
+    * shared by the s19 registered query and its s18 replay — one
+    * persisted copy per (session, dir), same rationale as
+    * [[cachedSrpBands]].
+    */
+  private[queries] def cachedSrpMultiBands(
+      spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "srpMultiBands") {
+      vectors(spark, dir)
+        .select(
+          col("vec_id") +:
+            (0 until SrpTables).map(t =>
+              graft.functions.SrpSig.srpSignatureT(col("v"), t)
+                .as(s"sig_$t")): _*)
+        .select(
+          col("vec_id"),
+          explode(array((0 until SrpTables).map(t =>
+            struct(
+              lit(t.toLong).as("tbl"),
+              col(s"sig_$t").as("sig"))): _*)).as("ts"))
+        .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
+        .withColumn(
+          "band_id",
+          explode(array((0 until Srp19Bands).map(i => lit(i.toLong)): _*)))
+        .withColumn(
+          "band_val",
+          expr(s"shiftright(sig, cast(band_id * $Srp19BandBits as int))")
+            .bitwiseAND(lit((1 << Srp19BandBits) - 1)))
+        .select(col("vec_id"), col("tbl"), col("band_id"), col("band_val"))
+    }
+
   private[queries] def srpMultiCandidates(
       spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    val sigs = e
-      .select(
-        col("vec_id") +:
-          (0 until SrpTables).map(t =>
-            graft.functions.SrpSig.srpSignatureT(col("v"), t)
-              .as(s"sig_$t")): _*)
-      .select(
-        col("vec_id"),
-        explode(array((0 until SrpTables).map(t =>
-          struct(
-            lit(t.toLong).as("tbl"),
-            col(s"sig_$t").as("sig"))): _*)).as("ts"))
-      .select(col("vec_id"), col("ts.tbl").as("tbl"), col("ts.sig").as("sig"))
-    val bands = sigs
-      .withColumn(
-        "band_id",
-        explode(array((0 until Srp19Bands).map(i => lit(i.toLong)): _*)))
-      .withColumn(
-        "band_val",
-        expr(s"shiftright(sig, cast(band_id * $Srp19BandBits as int))")
-          .bitwiseAND(lit((1 << Srp19BandBits) - 1)))
-      .select(col("vec_id"), col("tbl"), col("band_id"), col("band_val"))
-    val qb = srpQueryProbes(spark, dir)
+    val bands = cachedSrpMultiBands(spark, dir)
+    val qb = cachedSrpQueryProbes(spark, dir)
     broadcast(qb)
       .join(
         bands.select(
@@ -1551,6 +1651,7 @@ object Similarity {
     "s3_ivf_topk" -> ivfTopK,
     "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2,
     "s5_kmeans_ivf_topk" -> kmeansIvfTopK,
+    "s21_ivf_maintenance" -> ivfMaintenance,
     "s6_sq8_topk" -> sq8TopK,
     "s20_sq4_topk" -> sq4TopK,
     "s11_ivf_sq8_topk" -> ivfSq8TopK,
@@ -2006,6 +2107,49 @@ object Similarity {
     // Assignment ordering uses the RAW cosine, exactly as assignTo's
     // max_by does — identical IEEE ops on identical inputs, so the
     // argmax agrees; the emitted score is the usual rounded cosine.
+    // s21: s5's dumped-centroid assignment replayed, split into the
+    // standing corpus and the vec_id-mod batch, aggregated to the
+    // per-bucket drift report (scaled delta + exact-e6 residuals)
+    "s21_ivf_maintenance" ->
+      s"""WITH $vecCte,
+          cents AS (
+            SELECT centroid_id, cv
+            FROM read_parquet('$CentroidDumpPath/*.parquet')),
+          assign AS (
+            SELECT vec_id, centroid_id, cos_sim FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     list_dot_product(e.v, c.cv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))) AS cos_sim,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.cv)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.centroid_id) AS rn
+              FROM e CROSS JOIN cents c)
+            WHERE rn = 1),
+          base AS (
+            SELECT centroid_id, COUNT(*) AS base_n FROM assign
+            WHERE vec_id % $MaintBatchMod <> $MaintBatchRem GROUP BY 1),
+          bat AS (
+            SELECT centroid_id, COUNT(*) AS batch_n,
+                   CAST(SUM(CAST(FLOOR((1 - ROUND(cos_sim, 6)) * 1000000
+                     + 0.5) AS BIGINT)) AS BIGINT) AS sum_resid_e6
+            FROM assign
+            WHERE vec_id % $MaintBatchMod = $MaintBatchRem GROUP BY 1)
+          SELECT c.centroid_id,
+                 COALESCE(base_n, 0) AS base_n,
+                 COALESCE(batch_n, 0) AS batch_n,
+                 COALESCE(batch_n, 0) * ${MaintBatchMod - 1L}
+                   - COALESCE(base_n, 0) AS drift_scaled,
+                 COALESCE(sum_resid_e6, 0) AS sum_resid_e6,
+                 CAST(CASE WHEN COALESCE(batch_n, 0) > 0
+                   THEN COALESCE(sum_resid_e6, 0) // batch_n
+                   ELSE 0 END AS BIGINT) AS mean_resid_e6
+          FROM cents c
+          LEFT JOIN base ON base.centroid_id = c.centroid_id
+          LEFT JOIN bat ON bat.centroid_id = c.centroid_id
+          ORDER BY c.centroid_id""",
     "s5_kmeans_ivf_topk" ->
       s"""WITH $vecCte,
           cents AS (

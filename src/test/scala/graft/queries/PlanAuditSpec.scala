@@ -248,6 +248,12 @@ class PlanAuditSpec extends SparkSpec {
     "t20_pretoken_counts" -> 1, // pure projection: output sort only
     "s15_srp_lsh_topk" -> 6, // probe broadcast + cand distinct + rescore
                             // join sides + top-k window + sort
+    "s19_srp_multi_topk" -> 6, // corpus band/probe frames are session-
+                               // cached (r11: the t24 discipline — the
+                               // s18 ladder replays them free); the
+                               // query's own spend is the probe
+                               // broadcast + cand distinct + rescore
+                               // join sides + top-k window + sort
     "d20_cluster_sizes" -> 8, // ceiling with a COLD label cache (d9's
                               // propagation rounds); the audit's own
                               // spend is 2 shrinking aggs + a post-agg
