@@ -38,12 +38,32 @@ object StreamDedupSketch {
 
   val WindowLength = "1 day"
 
+  /** The session conf this chain requires, surfaced so callers don't
+    * have to discover it from the spec: Spark's blanket
+    * fMGWS→aggregation check must be off for THIS query (see the
+    * class doc for why the chain is nevertheless watermark-correct).
+    * Set it before `writeStream.start()`:
+    * `spark.conf.set(RequiredConf._1, RequiredConf._2)`.
+    */
+  val RequiredConf: (String, String) =
+    ("spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+
   /** docs: streaming frame with (doc_id, `timeCol` timestamp, text).
     * Emits one (day_start, approx_unique_docs) row per closed day
     * window, counting only the docs the dedup stage kept.
     */
   def apply(
-      docs: DataFrame, timeCol: String, delay: String): DataFrame =
+      docs: DataFrame, timeCol: String, delay: String): DataFrame = {
+    val conf = docs.sparkSession.conf
+    require(
+      conf.getOption(RequiredConf._1).contains(RequiredConf._2),
+      s"StreamDedupSketch chains flatMapGroupsWithState into a windowed " +
+        s"aggregation, which Spark's blanket correctness check rejects at " +
+        s"query start even though this chain holds no rows back (see the " +
+        s"Scaladoc). Set ${RequiredConf._1}=${RequiredConf._2} before " +
+        s"building the query — e.g. spark.conf.set(StreamDedupSketch." +
+        s"RequiredConf._1, StreamDedupSketch.RequiredConf._2).")
     StreamNearDedup.withTime(docs, timeCol, delay)
       .filter(col("dupOf") === -1L)
       .withWatermark("ts", delay)
@@ -52,4 +72,5 @@ object StreamDedupSketch {
       .select(
         col("window.start").as("day_start"),
         col("approx_unique_docs"))
+  }
 }

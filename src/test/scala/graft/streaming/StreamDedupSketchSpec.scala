@@ -68,9 +68,9 @@ class StreamDedupSketchSpec extends SparkSpec {
     // the dedup stage is same-batch pass-through with equal delays, so
     // the blanket fMGWS-before-agg correctness flag does not apply —
     // see the StreamDedupSketch Scaladoc for the full argument
-    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val (checkKey, checkVal) = StreamDedupSketch.RequiredConf
     val prior = spark.conf.getOption(checkKey)
-    spark.conf.set(checkKey, "false")
+    spark.conf.set(checkKey, checkVal)
     val q = StreamDedupSketch(
       in.toDF.toDF("doc_id", "ts", "text"), "ts", "2 days")
       .writeStream.format("memory").queryName("dedup_sketch_out")
@@ -113,5 +113,20 @@ class StreamDedupSketchSpec extends SparkSpec {
         case None => spark.conf.unset(checkKey)
       }
     }
+  }
+
+  test("building the chain without the required conf fails loudly, naming the key") {
+    implicit val sqlCtx = spark.sqlContext
+    val (checkKey, _) = StreamDedupSketch.RequiredConf
+    val prior = spark.conf.getOption(checkKey)
+    spark.conf.unset(checkKey) // default: check enabled
+    try {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val ex = intercept[IllegalArgumentException] {
+        StreamDedupSketch(in.toDF.toDF("doc_id", "ts", "text"), "ts", "2 days")
+      }
+      assert(ex.getMessage.contains(checkKey),
+        s"error must name the conf key: ${ex.getMessage}")
+    } finally prior.foreach(spark.conf.set(checkKey, _))
   }
 }
