@@ -64,22 +64,30 @@ object SrpSig {
     */
   val Tables = 8
 
-  /** Per-table LCG multipliers — the classic published constants
-    * (glibc, Numerical Recipes, Marsaglia/VAX, Borland, MSVC, Delphi,
-    * RANDU, Lehmer minimal-standard).
-    * All distinct
-    * and odd mod 2048 (1645, 1549, 1485, 1589, 1021, 1029, 3, 423),
-    * so no two tables'
-    * weight streams are shifts of each other.
+  /** Per-table LCG multipliers — classic published constants (glibc,
+    * Numerical Recipes, Marsaglia/VAX, Borland, Borosh–Niederreiter,
+    * Knuth TAOCP-vol2 1812433253, BCPL, Lehmer minimal-standard). All
+    * distinct and odd mod 2048 (1645, 1549, 1485, 1589, 1157, 357,
+    * 1005, 423) so no two tables' weight streams are shifts of each
+    * other — AND every table's 32×64 hyperplane matrix is FULL RANK
+    * over the 2048-periodic weight stream, the property the original
+    * picks silently lacked: RANDU (65539 ≡ 3 mod 2048, c = 0) made
+    * table 6's weights the affine ramp α_b + 3i, so all 32 of its bits
+    * were functions of just two scalars of the input (Σq and Σ i·q_i)
+    * — probe/scan cost with almost no independent recall — and MSVC's
+    * 214013 / Delphi's 134775813 (≡ 1021 / 1029 ≈ ±2048/2, an
+    * alternating ±step) ranked only 8 / 12. SrpSignatureSpec now pins
+    * full rank and ~0.5 cross-table bit agreement for every table.
     */
   val TableA: Array[Long] =
-    Array(1103515245L, 1664525L, 69069L, 22695477L, 214013L, 134775813L, 65539L, 16807L)
+    Array(1103515245L, 1664525L, 69069L, 22695477L, 3039177861L,
+      1812433253L, 2147001325L, 16807L)
 
   /** Per-table LCG increments (glibc, Numerical Recipes, Marsaglia
-    * xorwow, Borland, MSVC, Delphi; zero for the two multiplicative
-    * streams). */
+    * xorwow, Borland c=1, Knuth c=1, BCPL; zero for the two
+    * multiplicative streams). */
   val TableC: Array[Long] =
-    Array(12345L, 1013904223L, 362437L, 1L, 2531011L, 1L, 0L, 0L)
+    Array(12345L, 1013904223L, 362437L, 1L, 0L, 1L, 715136305L, 0L)
 
   /** Hyperplane component for table t — [[weight]] generalized to the
     * per-table LCG stream.

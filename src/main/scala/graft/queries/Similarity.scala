@@ -1455,11 +1455,14 @@ object Similarity {
     * rather than s15's blind all-Hamming-1 neighbourhood. A sign bit
     * flips between near-duplicates exactly when its dot sits near
     * zero, so the lowest-|margin| flip is the bucket a missed
-    * neighbour most likely fell into: ONE directed probe per band
-    * lifted sf0.001 recall 0.86 → 0.92 where eight blind ones would
-    * pay 8× the probe mass for the same lift.
+    * neighbour most likely fell into. Two directed probes per band
+    * with the full-rank hyperplane tables (see SrpSig.TableA) hold
+    * sf0.001 recall at 0.92 for a 0.64 sf0.1 scan fraction — the
+    * round-10 configuration (degenerate tables, 1 probe) paid 0.72
+    * scan for the same recall, because its low-rank tables' correlated
+    * bits inflated candidates without independent information.
     */
-  val SrpMarginProbes = 1
+  val SrpMarginProbes = 2
 
   /** Number of SRP tables (s19) — [[graft.functions.SrpSig.Tables]]. */
   val SrpTables = graft.functions.SrpSig.Tables
@@ -1486,12 +1489,15 @@ object Similarity {
     * (Lv 2007). A true neighbour is missed only if it misses in all
     * 8 tables: miss probability drops from p to p⁸.
     *
-    * Measured frontier (sf0.1, 2000 vectors; recall@10 vs exact s1 /
-    * fraction of corpus rescored): s15 0.70/0.45 · 6T,3probes
-    * 0.90/0.63 · 8T,0probes 0.92/0.65 · THIS (8T,1probe) 0.92/0.72 ·
-    * 8T,2probes 0.98/0.76. The frontier is nearly linear because this
-    * corpus's neighbour/non-neighbour per-bit agreement gap is narrow;
-    * on a larger corpus the scanned FRACTION falls (buckets hold a
+    * Measured frontier (full-rank tables, r11 — see SrpSig.TableA;
+    * sf0.1 2000 vectors scan fraction, sf0.001 recall@10 vs exact s1):
+    * s15 0.76 recall/0.45 scan · THIS (8T, 2 directed probes)
+    * 0.92/0.64 (0.90 recall at sf0.1) · 8T,3probes 0.94/0.70. The
+    * round-10 configuration (RANDU/MSVC/Delphi low-rank tables,
+    * 1 probe) needed 0.72 scan for the same 0.92 recall — correlated
+    * bits inflate candidates without independent information, so
+    * fixing the tables moved the whole frontier left. On a larger
+    * corpus the scanned FRACTION falls (buckets hold a
     * ~constant-density neighbourhood while the denominator grows) —
     * the 500-vector SF scans 0.66 for the same absolute bucket sizes.
     *

@@ -85,6 +85,64 @@ class SrpSignatureSpec extends SparkSpec {
     assert(withNullElem(0).isNullAt(0), "null element must yield NULL")
   }
 
+  /** Rank of a table's 32×64 hyperplane matrix via Gaussian
+    * elimination with partial pivoting (entries are ≤1024 integers, so
+    * double arithmetic with a 1e-6 pivot threshold is exact enough by
+    * orders of magnitude).
+    */
+  private def hyperplaneRank(t: Int): Int = {
+    val m = Array.tabulate(SrpSig.Bits, SrpSig.Dim)((b, d) =>
+      SrpSig.weightT(t, b, d).toDouble)
+    var rank = 0
+    var col = 0
+    while (rank < SrpSig.Bits && col < SrpSig.Dim) {
+      val piv = (rank until SrpSig.Bits).maxBy(r => math.abs(m(r)(col)))
+      if (math.abs(m(piv)(col)) > 1e-6) {
+        val tmp = m(rank); m(rank) = m(piv); m(piv) = tmp
+        for (r <- rank + 1 until SrpSig.Bits) {
+          val f = m(r)(col) / m(rank)(col)
+          for (c <- col until SrpSig.Dim) m(r)(c) -= f * m(rank)(c)
+        }
+        rank += 1
+      }
+      col += 1
+    }
+    rank
+  }
+
+  test("every table's hyperplane matrix is full rank (no RANDU-style ramps)") {
+    // RANDU's 65539 ≡ 3 mod 2048 made table 6 rank 5 (every bit a
+    // function of two input scalars); MSVC/Delphi residues ≈ ±1024
+    // ranked 8/12. A degenerate table adds probe/scan cost with almost
+    // no independent recall — pin full rank so a constants change
+    // can't silently reintroduce one.
+    for (t <- 0 until SrpSig.Tables)
+      assert(hyperplaneRank(t) == SrpSig.Bits,
+        s"table $t hyperplane matrix rank ${hyperplaneRank(t)} < ${SrpSig.Bits}")
+  }
+
+  test("cross-table bit agreement stays near 1/2 on the corpus (independence)") {
+    // two independent sign-projection tables agree on ~half their bits;
+    // a pair that shares structure drifts toward 0 or 1. Measured range
+    // on this corpus is [0.485, 0.525] — assert a loose [0.40, 0.60].
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val sigs = e.select(
+      (0 until SrpSig.Tables).map(t =>
+        SrpSig.srpSignatureT(col("v"), t).as(s"t$t")): _*)
+    val agreeCols = for {
+      t <- 0 until SrpSig.Tables; u <- (t + 1) until SrpSig.Tables
+    } yield avg(
+      lit(SrpSig.Bits) - bit_count(expr(s"t$t") bitwiseXOR expr(s"t$u")))
+      .as(s"a${t}_$u")
+    val row = sigs.agg(agreeCols.head, agreeCols.tail: _*).head()
+    for (i <- 0 until row.length) {
+      val frac = row.getDouble(i) / SrpSig.Bits
+      assert(frac > 0.40 && frac < 0.60,
+        s"pair ${row.schema(i).name} bit agreement $frac outside [0.40, 0.60]")
+    }
+  }
+
   test("quantize matches Spark round-half-up then long cast at midpoints") {
     // ±.5 µ-midpoints are where HALF_UP vs HALF_EVEN vs floor diverge —
     // pin the exact spelling shared with the generated code
