@@ -51,10 +51,21 @@ object TextOps {
   def cachedQualityScore(spark: SparkSession, dir: String): DataFrame =
     SessionCache.cached(spark, dir, "qualityScore")(qualityScore(spark, dir))
 
+  /** Session-cached per-doc REAL tokenizer counts — t25's encode
+    * narrowed to (doc_id, bpe_tokens), the frame every downstream
+    * budget/packing op consumes in a production pipeline (p22 today).
+    * One persisted copy per (session, dir); t25's registered query
+    * stays UNcached so its bench number measures the encode.
+    */
+  def cachedBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "bpeTokens")(
+      bpeEncode(spark, dir)
+        .select(col("doc_id"), col("n_tokens").as("bpe_tokens")))
+
   /** Every session-cached frame this module owns — see SessionCache.warm. */
   private[queries] def warmFrames(spark: SparkSession, dir: String): Seq[DataFrame] =
     Seq(cachedWords(spark, dir), cachedQualityScore(spark, dir),
-      cachedTfidf(spark, dir))
+      cachedTfidf(spark, dir), cachedBpeTokens(spark, dir))
 
   /** F1/W4/A7 — sentence segmentation with ordered re-assembly:
     * group words into 10-word sentences, re-join in word order

@@ -113,6 +113,44 @@ object TrainingSet {
       .orderBy(col("cum_tokens"))
   }
 
+  /** p22 — p2's half-the-corpus token-budget selection re-run on REAL
+    * tokenizer counts: the greedy quality-ordered prefix is unchanged,
+    * but the budget currency is t25's BPE token ids per document
+    * (`bpe_tokens`) instead of whitespace words — the form every
+    * production pipeline actually budgets in (model context and
+    * training FLOPs are counted in tokenizer tokens, and fertility
+    * varies by document, so the whitespace prefix and the BPE prefix
+    * select DIFFERENT documents near the cut). Consumes the
+    * session-cached t25 encode (TextOps.cachedBpeTokens); the oracle
+    * composes t25's certified oracle as a subquery (the s18
+    * discipline), so this report is exactly as trustworthy as t25's
+    * own gate.
+    *
+    * Scale shape: p2's — GlobalPrefix two-phase running sum (no
+    * unpartitioned window), 1-row broadcast budget, and the
+    * quality⋈tokens join is doc_id-keyed (docs-sized, not corpus
+    * words).
+    */
+  def bpeTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.cachedBpeTokens(spark, dir)
+    val q = TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("stopword_ratio"), col("type_token_ratio"))
+      .join(toks, "doc_id")
+      .withColumn(
+        "neg_quality",
+        -(col("stopword_ratio") + col("type_token_ratio")) / lit(2.0))
+    val ranked = graft.operators.GlobalPrefix.withPrefix(
+      q, col("neg_quality"), Seq(col("doc_id")), col("bpe_tokens"))
+      .withColumnRenamed("prefix", "cum_tokens")
+    val budget = toks.agg(expr("sum(bpe_tokens) div 2").as("b"))
+    ranked.crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("b"))
+      .select(
+        col("doc_id"), col("bpe_tokens"), col("cum_tokens"),
+        (-col("neg_quality")).as("quality_key"))
+      .orderBy(col("cum_tokens"))
+  }
+
   /** Language-mix sampling — p2 per group: each language contributes
     * its best documents up to half of ITS token mass, so the corpus mix
     * preserves language proportions instead of letting one language
@@ -982,6 +1020,7 @@ object TrainingSet {
     "p8_quality_curriculum" -> qualityCurriculum,
     "p1_training_select" -> select,
     "p2_token_budget" -> tokenBudget,
+    "p22_bpe_budget" -> bpeTokenBudget,
     "p3_language_mix" -> languageMix,
     "p4_shard_stats" -> shardStats,
     "p5_sequence_pack" -> sequencePack,
@@ -1391,6 +1430,25 @@ object TrainingSet {
             FROM ranked r JOIN budgets b ON b.lang = r.lang
             WHERE r.cum_tokens <= b.lang_budget
             ORDER BY r.lang, r.cum_tokens""",
+      // p22: p2's selection with the token currency swapped for t25's
+      // certified BPE counts (nested verbatim — the s18 composition
+      // discipline; inner CTE names are scoped to the subquery)
+      "p22_bpe_budget" ->
+        s"""WITH $qualityCtes,
+            bpe AS (SELECT doc_id, n_tokens AS bpe_tokens
+                    FROM (${TextOps.oracleSql("t25_bpe_encode")}) t),
+            ranked AS (
+              SELECT q.doc_id, bpe_tokens,
+                     (stopword_ratio + type_token_ratio) / 2.0 AS quality_key,
+                     CAST(SUM(bpe_tokens) OVER (
+                       ORDER BY -((stopword_ratio + type_token_ratio) / 2.0), q.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+              FROM quality q JOIN bpe ON bpe.doc_id = q.doc_id),
+            budget AS (SELECT CAST(SUM(bpe_tokens) // 2 AS BIGINT) AS b FROM bpe)
+            SELECT doc_id, bpe_tokens, cum_tokens, quality_key
+            FROM ranked CROSS JOIN budget
+            WHERE cum_tokens <= b
+            ORDER BY cum_tokens""",
       "p2_token_budget" ->
         s"""WITH $qualityCtes,
             ranked AS (
