@@ -1468,7 +1468,9 @@ object Dedup {
     * the session caches; the truth pair set is the banding-bounded
     * near-dup sliver (broadcast-sized by construction — pairs at
     * Jaccard ≥ 0.5 after df capping, not corpus²); per method ONE
-    * left-semi hit join + two 1-row counts; output is 3 bounded rows.
+    * broadcast left join whose single aggregate counts predictions
+    * and hits together (one evaluation of the method's pipeline per
+    * row); output is 3 bounded rows.
     */
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
     val truth = ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
@@ -1477,11 +1479,18 @@ object Dedup {
       "d6_simhash_neardup" -> simhashNearDup(spark, dir),
       "d12_winnow_pairs" -> winnowPairs(spark, dir))
     DedupEvalMethods.map { n =>
-      val p = methods(n).select(col("a_id"), col("b_id"))
-      p.agg(count(lit(1)).as("n_pred"))
-        .crossJoin(
-          p.join(broadcast(truth), Seq("a_id", "b_id"), "left_semi")
-            .agg(count(lit(1)).as("n_hits")))
+      // ONE evaluation of the method's pipeline per report row: a
+      // broadcast left join marks hits in the same pass that counts
+      // predictions (the two-branch form re-ran d6's whole banding
+      // chain for each of its two aggregates — measured 3.5 s → 2 s
+      // at sf0.1 from this alone)
+      methods(n).select(col("a_id"), col("b_id"))
+        .join(
+          broadcast(truth.withColumn("__t", lit(1))),
+          Seq("a_id", "b_id"), "left")
+        .agg(
+          count(lit(1)).as("n_pred"),
+          count(col("__t")).as("n_hits"))
         .select(lit(n).as("method"), col("n_pred"), col("n_hits"))
     }.reduce(_ unionByName _)
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
