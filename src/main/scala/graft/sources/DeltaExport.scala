@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+/** Write-side complement of [[DeltaLog]]: export DataFrames AS a
+  * Delta table by authoring the open transaction-log protocol
+  * directly — protocol (1, 2), metaData with the Spark JSON schema,
+  * one add action per parquet file with hive-layout partitionValues.
+  * With [[DeltaLog]] this closes the Delta interop gap in both
+  * directions without the (offline-unresolvable) delta-spark jar; the
+  * round-trip is pinned by spec, and the emitted actions use only
+  * fields PROTOCOL.md marks required for v1 readers, so a real
+  * delta-spark reader has nothing unsupported to trip on.
+  *
+  * Concurrency: versions are claimed with the same atomic-exclusive
+  * hardlink discipline as [[graft.etl.SnapshotStore]] (temp file +
+  * `createLink` onto the zero-padded name — exactly one contender
+  * wins a version; the loser retries on the next). Data files land
+  * under hive-style `k=v/` directories BEFORE the commit is linked,
+  * so a reader never sees a version whose files aren't durable
+  * (Delta's own write-then-commit order).
+  *
+  * Scale shape: the data write is a plain distributed
+  * `df.write.partitionBy(...).parquet` (one job, no driver rows); the
+  * log authoring is metadata work bounded by files-added-per-commit.
+  */
+object DeltaExport {
+
+  private def logDir(table: String): Path = Paths.get(table, "_delta_log")
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** URL-encode one path segment the way Delta encodes `add.path`
+    * (percent-encoding; keep '/', encode spaces as %20 not '+').
+    */
+  private def enc(rel: String): String =
+    rel.split('/')
+      .map(seg =>
+        java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+      .mkString("/")
+
+  private def listParquet(root: Path): Set[String] = {
+    if (!Files.isDirectory(root)) return Set.empty
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p)
+        && p.getFileName.toString.endsWith(".parquet")
+        && !p.toAbsolutePath.toString.contains("/_delta_log/"))
+      .map(p => root.relativize(p).toString)
+      .toSet
+    finally s.close()
+  }
+
+  /** Hive-layout `k=v` partition values of a relative file path, in
+    * `partitionCols` order; values are URL-decoded like Spark writes
+    * them encoded.
+    */
+  private def partitionValuesOf(
+      rel: String, partitionCols: Seq[String]): Map[String, String] = {
+    val dirs = rel.split('/').dropRight(1)
+    val kv = dirs.flatMap { d =>
+      val i = d.indexOf('=')
+      if (i > 0)
+        Some(d.take(i) -> java.net.URLDecoder.decode(d.drop(i + 1), "UTF-8"))
+      else None
+    }.toMap
+    partitionCols.flatMap(c => kv.get(c).map(c -> _)).toMap
+  }
+
+  private def addJson(table: String, rel: String, pv: Map[String, String]): String = {
+    val size = Files.size(Paths.get(table, rel))
+    val pvJson = pv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    s"""{"add":{"path":"${enc(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(Paths.get(table, rel)).toMillis},"dataChange":true}}"""
+  }
+
+  private def metaDataJson(
+      tableId: String, schema: StructType, partitionCols: Seq[String]): String = {
+    val pcs = partitionCols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
+    s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schema.json)}","partitionColumns":$pcs,"configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+  }
+
+  /** Atomically claim `version`: returns false when another writer
+    * owns it (the SnapshotStore hardlink discipline).
+    */
+  private def claim(table: String, version: Long, lines: Seq[String]): Boolean = {
+    val dir = logDir(table)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID}")
+    Files.write(tmp,
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    try {
+      Files.createLink(dir.resolve(f"$version%020d.json"), tmp); true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def nextVersion(table: String): Long = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return 0L
+    val s = Files.list(dir)
+    val vs =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).toVector
+      finally s.close()
+    vs.maxOption.map(_ + 1L).getOrElse(0L)
+  }
+
+  /** Write `df` to a PRIVATE staging directory, then move each file
+    * into the table tree — concurrent writers therefore never share a
+    * Spark `_temporary` committer directory and never see each
+    * other's files when enumerating what THEY added (the two races a
+    * naive `mode("append")` to the shared path has). File names carry
+    * task UUIDs, so moves cannot collide. Returns the added relative
+    * paths.
+    */
+  private def stageIn(
+      df: DataFrame, table: String, partitionBy: Seq[String]): Seq[String] = {
+    val stage = Files.createTempDirectory("delta_stage")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    val rels = listParquet(stage).toSeq.sorted
+    rels.foreach { rel =>
+      val dest = Paths.get(table, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(stage.resolve(rel), dest)
+    }
+    rels
+  }
+
+  /** Create a Delta table at `table` from `df`, hive-partitioned by
+    * `partitionBy`. Commit 0 = protocol + metaData + the written
+    * files' adds. Fails if the table already has a log.
+    */
+  def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    require(nextVersion(table) == 0L,
+      s"$table already has a Delta log; use append")
+    val added = stageIn(df, table, partitionBy)
+    val lines =
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaDataJson(java.util.UUID.randomUUID.toString, df.schema, partitionBy)) ++
+        added.map(rel =>
+          addJson(table, rel, partitionValuesOf(rel, partitionBy))) :+
+        s"""{"commitInfo":{"operation":"CREATE TABLE AS SELECT"}}"""
+    if (!claim(table, 0L, lines))
+      throw new IllegalStateException(
+        s"lost the race for $table version 0 — another writer created it")
+  }
+
+  /** Append `df` as the next version. The data files land (staged,
+    * privately enumerated) BEFORE the commit is claimed, and the
+    * claim retries on the next version on conflict — appends add
+    * disjoint uniquely-named files, so contending appends are always
+    * safe to serialize this way (a conflicting REPLACE would need
+    * Delta's full conflict checker; out of scope, append-only here).
+    */
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+    val added = stageIn(df, table, partitionBy)
+    val lines = added.map(rel =>
+      addJson(table, rel, partitionValuesOf(rel, partitionBy))) :+
+      s"""{"commitInfo":{"operation":"WRITE"}}"""
+    var v = nextVersion(table)
+    while (!claim(table, v, lines)) v = nextVersion(table)
+    v
+  }
+}

@@ -248,6 +248,12 @@ class PlanAuditSpec extends SparkSpec {
     "t20_pretoken_counts" -> 1, // pure projection: output sort only
     "s15_srp_lsh_topk" -> 6, // probe broadcast + cand distinct + rescore
                             // join sides + top-k window + sort
+    "s21_ivf_maintenance" -> 8, // measured ceiling: two assignment passes
+                                // (broadcast centroids, map-side agg to
+                                // <= k rows) + base/batch joins + sort
+    "p22_bpe_budget" -> 11, // measured ceiling: quality⋈tokens join +
+                           // GlobalPrefix two-phase + budget broadcast
+                           // + output sort (BPE frame session-cached)
     "s19_srp_multi_topk" -> 6, // corpus band/probe frames are session-
                                // cached (r11: the t24 discipline — the
                                // s18 ladder replays them free); the
