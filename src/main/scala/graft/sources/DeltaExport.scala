@@ -108,9 +108,14 @@ object DeltaExport {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return 0L
     val s = Files.list(dir)
+    // checkpoint files count: after log pruning (expired JSON deleted
+    // behind a checkpoint) the next version continues PAST the
+    // checkpoint, it does not restart at 0
     val vs =
       try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).toVector
+        .filter(n => n.matches("\\d{20}\\.json")
+          || n.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet"))
+        .map(_.take(20).toLong).toVector
       finally s.close()
     vs.maxOption.map(_ + 1L).getOrElse(0L)
   }
@@ -171,6 +176,106 @@ object DeltaExport {
       s"""{"commitInfo":{"operation":"WRITE"}}"""
     var v = nextVersion(table)
     while (!claim(table, v, lines)) v = nextVersion(table)
+    v
+  }
+
+  /** EXACTLY-ONCE streaming append — Delta's `txn` handshake: commit
+    * `df` tagged (appId, batchId); a replayed batch (at-least-once
+    * redelivery after a sink restart) whose batchId ≤ the table's last
+    * committed txn version for `appId` is a NO-OP — no data files, no
+    * commit. Orphan files from a crash between stage-in and commit are
+    * never referenced by any log entry, so readers never see them (the
+    * same crash-window story as SnapshotStore's per-attempt dirs).
+    * Returns the committed version, or None for a skipped replay.
+    *
+    * Wire it to Structured Streaming as
+    * `ds.writeStream.foreachBatch((b, id) =>
+    *   DeltaExport.appendBatch(b, table, appId, id)): exactly-once
+    * Delta sink semantics from an at-least-once foreachBatch.
+    */
+  def appendBatch(
+      df: DataFrame, table: String, appId: String, batchId: Long,
+      partitionBy: Seq[String] = Nil): Option[Long] = {
+    val spark = df.sparkSession
+    if (DeltaLog.lastTxnVersion(spark, table, appId).exists(_ >= batchId))
+      return None
+    val added = stageIn(df, table, partitionBy)
+    val lines =
+      s"""{"txn":{"appId":"${esc(appId)}","version":$batchId,"lastUpdated":${System.currentTimeMillis()}}}""" +:
+        added.map(rel =>
+          addJson(table, rel, partitionValuesOf(rel, partitionBy))) :+
+        s"""{"commitInfo":{"operation":"STREAMING UPDATE"}}"""
+    var v = nextVersion(table)
+    while (!claim(table, v, lines)) {
+      // a contender landed meanwhile — it may have been THIS batch
+      // (two attempts racing after a driver failover): re-check the
+      // txn watermark before retrying the claim
+      if (DeltaLog.lastTxnVersion(spark, table, appId).exists(_ >= batchId))
+        return None
+      v = nextVersion(table)
+    }
+    Some(v)
+  }
+
+  /** Compact the snapshot at the table's latest version into a parquet
+    * checkpoint + `_last_checkpoint`, bounding future readers' JSON
+    * replay to commits after it (the log-growth control every
+    * long-lived Delta table runs; [[DeltaLog]] consumes it). The
+    * checkpoint carries protocol, metaData, every active add AND the
+    * txn map — dropping txns would silently break exactly-once replay
+    * detection after a compaction.
+    */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession, table: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v = DeltaLog.version(spark, table)
+    val st = DeltaLog.stateAt(spark, table, Some(v))
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows =
+      Seq(Row(Row(st.minReader, 2), null, null, null),
+        Row(null, Row(table, st.schemaJson.get, st.partitionCols), null, null)) ++
+        st.txns.toSeq.sortBy(_._1).map { case (a, ver) =>
+          Row(null, null, Row(a, ver), null)
+        } ++
+        st.active.values.toSeq.sortBy(_.path).map { a =>
+          Row(null, null, null,
+            Row(a.path, a.partitionValues, 0L, true))
+        }
+    val tmp = Files.createTempDirectory("delta_ckpt_w")
+    spark.createDataFrame(
+      rows.asJava, ckptSchema).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val dir = logDir(table)
+    Files.move(part, dir.resolve(f"$v%020d.checkpoint.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val lcTmp = dir.resolve(s".lc-${java.util.UUID.randomUUID}")
+    Files.write(lcTmp,
+      s"""{"version":$v,"size":${rows.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(lcTmp, dir.resolve("_last_checkpoint"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     v
   }
 }

@@ -45,14 +45,16 @@ object DeltaLog {
   /** Zero-padded 20-digit version of a commit/checkpoint file name. */
   private def versionOf(name: String): Long = name.take(20).toLong
 
-  private case class AddFile(path: String, partitionValues: Map[String, String])
-  private case class State(
+  private[sources] case class AddFile(
+      path: String, partitionValues: Map[String, String])
+  private[sources] case class State(
       schemaJson: Option[String],
       partitionCols: Seq[String],
       minReader: Int,
-      active: Map[String, AddFile])
+      active: Map[String, AddFile],
+      txns: Map[String, Long])
 
-  private val empty = State(None, Nil, 1, Map.empty)
+  private val empty = State(None, Nil, 1, Map.empty, Map.empty)
 
   private def applyAction(s: State, a: JsonNode): State = {
     if (a.has("metaData")) {
@@ -77,7 +79,13 @@ object DeltaLog {
       s.copy(active = s.active + (path -> AddFile(path, pv)))
     } else if (a.has("remove")) {
       s.copy(active = s.active - a.get("remove").get("path").asText())
-    } else s // commitInfo, txn, cdc, domainMetadata — no reader state
+    } else if (a.has("txn")) {
+      // streaming-sink idempotence state: last committed version per
+      // application id (Delta's exactly-once handshake)
+      val t = a.get("txn")
+      s.copy(txns =
+        s.txns + (t.get("appId").asText() -> t.get("version").asLong()))
+    } else s // commitInfo, cdc, domainMetadata — no reader state
   }
 
   /** Replay one newline-delimited-JSON commit file. */
@@ -111,6 +119,12 @@ object DeltaLog {
           schemaJson = Some(r.getString(0)),
           partitionCols = r.getSeq[String](1)))
     }
+    if (cols.contains("txn")) {
+      val ts = df.select(col("txn.appId"), col("txn.version"))
+        .filter(col("appId").isNotNull).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      st = st.copy(txns = st.txns ++ ts)
+    }
     if (cols.contains("add")) {
       // the checkpoint's add set IS the active set at its version —
       // bounded by files-in-table (the state delta-spark also holds)
@@ -131,7 +145,7 @@ object DeltaLog {
     * version if one exists, then the JSON commits after it, replayed
     * in order.
     */
-  private def stateAt(
+  private[sources] def stateAt(
       spark: SparkSession, table: String, versionAsOf: Option[Long]): State = {
     val dir = logDir(table)
     require(Files.isDirectory(dir), s"not a Delta table (no _delta_log): $table")
@@ -247,6 +261,14 @@ object DeltaLog {
   private def udfFreeCanon(c: org.apache.spark.sql.Column) =
     regexp_replace(
       url_decode(regexp_replace(c, "^file:/*", "/")), "/+", "/")
+
+  /** The last `txn` version committed for `appId`, or None — the
+    * reader half of Delta's exactly-once streaming handshake: a
+    * restarted sink asks this before re-committing a replayed batch.
+    */
+  def lastTxnVersion(
+      spark: SparkSession, table: String, appId: String): Option[Long] =
+    stateAt(spark, table, None).txns.get(appId)
 
   /** Latest snapshot version of the table. */
   def version(spark: SparkSession, table: String): Long = {

@@ -67,6 +67,91 @@ class DeltaExportSpec extends SparkSpec {
     assert(ex.getMessage.contains("already has a Delta log"))
   }
 
+  test("appendBatch is exactly-once: a replayed batchId commits nothing") {
+    val table = Files.createTempDirectory("delta_txn").toString
+    Files.delete(Paths.get(table))
+    DeltaExport.create(Seq((1L, "a")).toDF("id", "payload"), table)
+    val v1 = DeltaExport.appendBatch(
+      Seq((2L, "b")).toDF("id", "payload"), table, "app-1", batchId = 0L)
+    assert(v1.contains(1L))
+    // at-least-once redelivery of batch 0 — same or different content,
+    // the txn watermark gates it
+    val replay = DeltaExport.appendBatch(
+      Seq((99L, "dup")).toDF("id", "payload"), table, "app-1", batchId = 0L)
+    assert(replay.isEmpty, "replayed batch must be a no-op")
+    assert(DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L))
+    // the next batch lands; a DIFFERENT app's batch 0 is not gated
+    assert(DeltaExport.appendBatch(
+      Seq((3L, "c")).toDF("id", "payload"), table, "app-1", 1L).contains(2L))
+    assert(DeltaExport.appendBatch(
+      Seq((4L, "d")).toDF("id", "payload"), table, "app-2", 0L).contains(3L))
+    assert(DeltaLog.lastTxnVersion(spark, table, "app-1").contains(1L))
+    assert(DeltaLog.lastTxnVersion(spark, table, "app-2").contains(0L))
+  }
+
+  test("checkpoint compaction preserves adds AND the txn watermark") {
+    val table = Files.createTempDirectory("delta_ckw").toString
+    Files.delete(Paths.get(table))
+    DeltaExport.create(
+      Seq((1L, "a", "en")).toDF("id", "payload", "lang"),
+      table, partitionBy = Seq("lang"))
+    DeltaExport.appendBatch(
+      Seq((2L, "b", "fr")).toDF("id", "payload", "lang"),
+      table, "sink", 0L, partitionBy = Seq("lang"))
+    val v = DeltaExport.checkpoint(spark, table)
+    assert(v == 1L)
+    // delete every JSON the checkpoint subsumes: replay must not miss
+    val dir = Paths.get(table, "_delta_log")
+    Files.delete(dir.resolve(f"${0L}%020d.json"))
+    Files.delete(dir.resolve(f"${1L}%020d.json"))
+    assert(rows(DeltaLog.read(spark, table)) ==
+      Seq((1L, "a", "en"), (2L, "b", "fr")))
+    // exactly-once survives compaction: the replayed batch still skips
+    assert(DeltaExport.appendBatch(
+      Seq((9L, "dup", "fr")).toDF("id", "payload", "lang"),
+      table, "sink", 0L, partitionBy = Seq("lang")).isEmpty)
+    // and the next real batch lands on top of the checkpoint
+    assert(DeltaExport.appendBatch(
+      Seq((3L, "c", "en")).toDF("id", "payload", "lang"),
+      table, "sink", 1L, partitionBy = Seq("lang")).contains(2L))
+    assert(rows(DeltaLog.read(spark, table)) ==
+      Seq((1L, "a", "en"), (2L, "b", "fr"), (3L, "c", "en")))
+  }
+
+  test("foreachBatch sink end-to-end: restart redelivery does not duplicate rows") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val table = Files.createTempDirectory("delta_stream").toString
+    Files.delete(Paths.get(table))
+    DeltaExport.create(
+      spark.emptyDataset[(Long, String)].toDF("id", "payload"), table)
+    val ckpt = Files.createTempDirectory("delta_stream_ck").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("id", "payload").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        DeltaExport.appendBatch(b, table, "e2e-sink", id): Unit
+      }
+      .start()
+    try {
+      in.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      in.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    // redeliver BOTH already-committed batch ids (the foreachBatch
+    // retry a crash between the Delta commit and the streaming
+    // checkpoint write produces) — the txn watermark gates them
+    assert(DeltaExport.appendBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"),
+      table, "e2e-sink", 0L).isEmpty)
+    assert(DeltaExport.appendBatch(
+      Seq((3L, "c")).toDF("id", "payload"),
+      table, "e2e-sink", 1L).isEmpty)
+    assert(DeltaLog.read(spark, table).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("two contending appends claim distinct versions and lose no rows") {
     val table = Files.createTempDirectory("delta_cc").toString
     Files.delete(Paths.get(table))
