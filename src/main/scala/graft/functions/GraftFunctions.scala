@@ -51,6 +51,26 @@ object GraftFunctions {
       arity("graft_vec_dot_long", 2)(es => DotProductLong(es(0), es(1))),
     "graft_srp_signature" ->
       arity("graft_srp_signature", 1)(es => SrpSignature(es(0))),
+    // multi-table form (s19): the table index must be a literal int —
+    // it selects which generated weight array the codegen inlines, so
+    // a non-foldable index has no plannable form
+    "graft_srp_signature_t" ->
+      arity("graft_srp_signature_t", 2) { es =>
+        val t = es(1) match {
+          case e if e.foldable && e.dataType ==
+              org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new AnalysisException(
+            "INVALID_PARAMETER_VALUE.INTEGER",
+            Map(
+              "parameter" -> "table",
+              "functionName" -> "`graft_srp_signature_t`",
+              "invalidValue" -> other.sql))
+        }
+        require(t >= 0 && t < SrpSig.Tables,
+          s"graft_srp_signature_t: table $t outside [0, ${SrpSig.Tables - 1}]")
+        SrpSignature(es(0), t)
+      },
     "graft_normalize_text" ->
       arity("graft_normalize_text", 1)(es => NormalizeText(es(0))),
     "graft_sentences" ->

@@ -49,6 +49,36 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql == viaApi)
   }
 
+  test("graft_srp_signature_t selects tables from SQL; bad indices fail at plan time") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    df.createOrReplaceTempView("gfs_vecs_t")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_srp_signature_t(v, 3) AS sig FROM gfs_vecs_t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = df
+      .select(col("vec_id"), SrpSig.srpSignatureT(col("v"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+    // table 0 ≡ the single-table function (the s15/s19 contract)
+    val t0 = spark.sql(
+      "SELECT graft_srp_signature_t(v, 0) = graft_srp_signature(v) FROM gfs_vecs_t")
+      .collect()
+    assert(t0.forall(_.getBoolean(0)))
+    // non-literal index: no plannable form — plan-time failure
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_srp_signature_t(v, CAST(vec_id AS INT)) FROM gfs_vecs_t")
+        .collect()
+    }
+    // out-of-range literal
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT graft_srp_signature_t(v, 99) FROM gfs_vecs_t").collect()
+    }
+  }
+
   test("graft_normalize_text and graft_sentences work from SQL") {
     val n = spark.sql("SELECT graft_normalize_text('Café  STOP')")
       .head().getString(0)
