@@ -37,12 +37,16 @@ object DeltaExport {
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** URL-encode one path segment the way Delta encodes `add.path`
-    * (percent-encoding; keep '/', encode spaces as %20 not '+').
+    * (percent-encoding; keep '/', encode spaces as %20 not '+', and
+    * keep '=' literal — delta-spark writes hive `k=v` dirs unescaped,
+    * and over-encoding would break any consumer matching paths for a
+    * remove).
     */
   private def enc(rel: String): String =
     rel.split('/')
       .map(seg =>
-        java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20"))
+        java.net.URLEncoder.encode(seg, "UTF-8")
+          .replace("+", "%20").replace("%3D", "="))
       .mkString("/")
 
   private def listParquet(root: Path): Set[String] = {
@@ -215,6 +219,32 @@ object DeltaExport {
       v = nextVersion(table)
     }
     Some(v)
+  }
+
+  /** Delete data files the CURRENT snapshot no longer references and
+    * whose modification time is older than `retentionMs` — removed
+    * files past their tombstone use, and orphans from appends that
+    * crashed between stage-in and commit. The retention window is the
+    * same safety Delta's VACUUM has: a file younger than it may belong
+    * to an in-flight commit (staged, not yet claimed) or serve a
+    * reader pinned to an older version, so it survives; vacuuming
+    * also (deliberately, like Delta) forfeits time travel to versions
+    * whose files it reclaims. Returns the deleted relative paths.
+    */
+  def vacuum(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      retentionMs: Long): Seq[String] = {
+    val st = DeltaLog.stateAt(spark, table, None)
+    val active = st.active.values
+      .map(a => java.net.URLDecoder.decode(a.path, "UTF-8")).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val victims = listParquet(Paths.get(table))
+      .filterNot(active)
+      .filter(rel =>
+        Files.getLastModifiedTime(Paths.get(table, rel)).toMillis < cutoff)
+      .toSeq.sorted
+    victims.foreach(rel => Files.delete(Paths.get(table, rel)))
+    victims
   }
 
   /** Compact the snapshot at the table's latest version into a parquet

@@ -152,6 +152,41 @@ class DeltaExportSpec extends SparkSpec {
       .toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("vacuum reclaims removed files and crash orphans, never active or fresh files") {
+    val table = Files.createTempDirectory("delta_vac").toString
+    Files.delete(Paths.get(table))
+    DeltaExport.create(
+      Seq((1L, "a", "en"), (2L, "b", "fr")).toDF("id", "payload", "lang"),
+      table, partitionBy = Seq("lang"))
+    // tombstone the fr file via the log (remove without rewrite)
+    val st = DeltaLog.activeFiles(spark, table)
+      .collect().map(_.getString(0))
+    val frRel = Paths.get(table).toAbsolutePath
+      .relativize(Paths.get(st.find(_.contains("lang=fr")).get)).toString
+    val dir = Paths.get(table, "_delta_log")
+    Files.write(dir.resolve(f"${1L}%020d.json"),
+      s"""{"remove":{"path":"$frRel","deletionTimestamp":1,"dataChange":true}}\n"""
+        .getBytes("UTF-8"))
+    // a crash orphan: staged data never referenced by any commit
+    val orphan = Paths.get(table, "lang=de/orphan.parquet")
+    Files.createDirectories(orphan.getParent)
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    // age both past the retention window
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10_000_000L)
+    Files.setLastModifiedTime(Paths.get(table, frRel), old)
+    Files.setLastModifiedTime(orphan, old)
+    // a FRESH orphan (in-flight commit's staged file) must survive
+    val fresh = Paths.get(table, "lang=de/inflight.parquet")
+    Files.write(fresh, Array[Byte](4, 5))
+    val deleted = DeltaExport.vacuum(spark, table, retentionMs = 3600_000L)
+    assert(deleted.toSet == Set(frRel, "lang=de/orphan.parquet"),
+      s"vacuum deleted: $deleted")
+    assert(Files.exists(fresh), "fresh unreferenced file must survive retention")
+    assert(rows(DeltaLog.read(spark, table)) == Seq((1L, "a", "en")),
+      "the surviving snapshot must be untouched")
+  }
+
   test("two contending appends claim distinct versions and lose no rows") {
     val table = Files.createTempDirectory("delta_cc").toString
     Files.delete(Paths.get(table))
