@@ -247,6 +247,31 @@ object TrainingSet {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** p23 — p5's greedy sequence packing in the REAL token currency
+    * (t25's BPE counts), the p22 treatment for the packing side: bins
+    * are `SeqLen` tokenizer tokens, which is what the training job's
+    * context window actually holds — whitespace-word bins mis-size
+    * sequences by each document's fertility. Same content-addressed
+    * shard + per-shard running-prefix shape (partitioned windows,
+    * parallel by shard); the token source is the session-cached t25
+    * encode and the oracle nests t25's certified string.
+    */
+  def bpeSequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextOps.cachedBpeTokens(spark, dir)
+      .withColumn("shard", shardOf(col("doc_id")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    q.withColumn(
+        "tokens_before", coalesce(sum(col("bpe_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"tokens_before div $SeqLen"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bpe_tokens")).as("n_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
   val BenchmarkDocs = 50L
   val ContaminationThreshold = 0.5
 
@@ -1024,6 +1049,7 @@ object TrainingSet {
     "p3_language_mix" -> languageMix,
     "p4_shard_stats" -> shardStats,
     "p5_sequence_pack" -> sequencePack,
+    "p23_bpe_pack" -> bpeSequencePack,
     "p6_contamination" -> contamination,
     "p7_dsir_weights" -> dsirWeights,
     "p17_compaction_plan" -> compactionPlan)
@@ -1245,6 +1271,23 @@ object TrainingSet {
             SELECT doc_id, COUNT(*) AS n_tokens,
                    CAST(SUM(lr) AS DOUBLE) / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS avg_llr
             FROM lq GROUP BY doc_id ORDER BY doc_id""",
+      // p23: p5's packing CTEs with the token source swapped for t25's
+      // certified BPE counts (nested verbatim, the p22 discipline)
+      "p23_bpe_pack" ->
+        s"""WITH bpe AS (SELECT doc_id, n_tokens AS bpe_tokens
+                         FROM (${TextOps.oracleSql("t25_bpe_encode")}) t),
+            sharded AS (
+              SELECT doc_id, bpe_tokens, $shardSql AS shard
+              FROM bpe),
+            packed AS (
+              SELECT shard, doc_id, bpe_tokens,
+                     COALESCE(SUM(bpe_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+              FROM sharded)
+            SELECT shard, CAST(tokens_before // $SeqLen AS BIGINT) AS bin,
+                   COUNT(*) AS n_docs, CAST(SUM(bpe_tokens) AS BIGINT) AS n_tokens
+            FROM packed GROUP BY 1, 2 ORDER BY shard, bin""",
       "p5_sequence_pack" ->
         s"""WITH $qualityCtes,
             sharded AS (
