@@ -21,8 +21,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   *
   * Queries chosen for their spill surfaces: q6 (GlobalPrefix rolling
   * window — ExternalAppendOnlyUnsafeRowArray in WindowExec), w15
-  * (7-day distinct fan-out windows), d17/d19 (gram pipelines: wide
-  * hash aggs + per-doc windows + joins).
+  * (7-day distinct fan-out windows), d17/d19/d24 (gram pipelines:
+  * wide hash aggs + per-doc windows + joins), t25 (BPE encode:
+  * vocabulary join + corpus-wide checksum aggregation).
   */
 class SpillPressureSpec extends SparkSpec {
 
@@ -30,7 +31,11 @@ class SpillPressureSpec extends SparkSpec {
 
   private val Queries = Seq(
     "q6_rolling_sentiment", "w15_rolling_distinct",
-    "d17_dup_spans", "d19_dup_span_removal")
+    "d17_dup_spans", "d19_dup_span_removal",
+    // r11: the two heaviest new pipelines — d24's gram join + per-doc
+    // windows + span explode, t25's distinct-word merge rewrite +
+    // corpus join + per-doc checksum agg
+    "d24_minlen_span_removal", "t25_bpe_encode")
 
   // 64-row buffers / spill every 256 rows: small enough that every
   // window partition group beyond a page forces the external path,
