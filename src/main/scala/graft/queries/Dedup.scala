@@ -55,7 +55,8 @@ object Dedup {
       cached(spark, dir, "sigs")(minhashSignatures(spark, dir)),
       cached(spark, dir, "simhashValues")(simhashValues(spark, dir)),
       cached(spark, dir, "clusterLabels")(clusterLabels(spark, dir)),
-      cachedWinnowFps(spark, dir))
+      cachedWinnowFps(spark, dir),
+      cachedTruthPairs(spark, dir))
 
   /** Exact dedup (hash-groupBy on normalized-text fingerprint): one
     * surviving doc_id per distinct content + multiplicity. The groupBy
@@ -1472,8 +1473,18 @@ object Dedup {
     * and hits together (one evaluation of the method's pipeline per
     * row); output is 3 bounded rows.
     */
+  /** Session-cached d2 truth pairs for the d25 report — the eval
+    * consumes the sliver four times (three method hit joins + the
+    * total); one persisted copy instead of re-running d2's band join
+    * per consumer. d2's REGISTERED query stays uncached (the s2
+    * discipline: its bench number measures the computation).
+    */
+  private def cachedTruthPairs(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "jaccardTruthPairs")(
+      ngramJaccard(spark, dir).select(col("a_id"), col("b_id")))
+
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+    val truth = cachedTruthPairs(spark, dir)
     val methods: Map[String, DataFrame] = Map(
       "d3_minhash_lsh" -> minhashLsh(spark, dir),
       "d6_simhash_neardup" -> simhashNearDup(spark, dir),
