@@ -652,6 +652,55 @@ object EventWindows {
       .orderBy(col("event_type"), col("rnk"))
   }
 
+  /** w21 — SCD2 dimension history (slowly-changing-dimension type 2),
+    * the warehouse-modeling op the reference's INSERT IGNORE dims
+    * deliberately lack (E6 keeps FIRST-write-wins with no history):
+    * fold each user's event-type stream into versioned validity
+    * intervals — consecutive equal types collapse into one version
+    * (no-change rows never open a new version, the SCD2 contract),
+    * `valid_from` = the run's first event time, `valid_to` = the next
+    * version's start (−1 sentinel + `is_current` for the open one).
+    * This is the `MERGE ... WHEN MATCHED AND changed` history table
+    * every dimensional warehouse maintains, derived set-based in one
+    * pass instead of row-at-a-time upserts.
+    *
+    * Scale shape: gaps-and-islands (d17's discipline) — one per-user
+    * window pass (lag + running sum over the unique (tus, event_id)
+    * order, parallel across users), a hash agg to runs, and a second
+    * per-user window over the RUNS frame (≤ one row per change, far
+    * smaller than events). No global window, no self-join.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val versions = eventsUs(spark, dir)
+      .select(col("user_id"), col("tus"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn(
+        "chg",
+        when(
+          col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("version"))
+      .agg(
+        min(col("event_type")).as("event_type"),
+        min(col("tus")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    versions
+      .withColumn(
+        "valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1).over(byVer), lit(-1L)))
+      .withColumn("is_current", col("valid_to_us") === lit(-1L))
+      .select(
+        col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** w14 — session transition matrix: the next-event Markov model
     * funnel/path analytics reads (Amplitude Pathfinder, GA behavior
     * flow): for every ordered pair of event types, how often a user's
@@ -927,6 +976,7 @@ object EventWindows {
     "w1_tumbling" -> tumbling,
     "w2_sliding" -> sliding,
     "w3_sessions" -> sessions,
+    "w21_scd2_history" -> scd2History,
     "w20_top_paths" -> topPaths)
 
   /** The AS-OF contract in DuckDB's native ASOF JOIN — shared by w4
@@ -1270,6 +1320,37 @@ object EventWindows {
           WHERE tus // $UsPerSec >= window_start
             AND tus // $UsPerSec < window_start + $SlideSizeSec
           GROUP BY window_start ORDER BY window_start""",
+    // w21: gaps-and-islands to SCD2 intervals — same lag+run-sum CTEs
+    // as w3 but flagged on TYPE change, aggregated to versions, and a
+    // second window over the runs frame for valid_to / is_current
+    "w21_scd2_history" ->
+      s"""WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+          ver AS (
+            SELECT user_id, event_type, tus,
+                   CAST(SUM(chg) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS version
+            FROM flagged),
+          agg AS (
+            SELECT user_id, version, MIN(event_type) AS event_type,
+                   CAST(MIN(tus) AS BIGINT) AS valid_from_us,
+                   COUNT(*) AS n_events
+            FROM ver GROUP BY 1, 2)
+          SELECT user_id, version, event_type, valid_from_us,
+                 CAST(COALESCE(LEAD(valid_from_us) OVER pv, -1) AS BIGINT)
+                   AS valid_to_us,
+                 LEAD(valid_from_us) OVER pv IS NULL AS is_current,
+                 n_events
+          FROM agg
+          WINDOW pv AS (PARTITION BY user_id ORDER BY version)
+          ORDER BY user_id, version""",
     "w3_sessions" ->
       s"""WITH flagged AS (
             SELECT user_id, event_id, epoch_us(ts) AS tus,
