@@ -701,6 +701,38 @@ object EventWindows {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** w22 — point-in-time (PIT) dimension enrichment: join each
+    * purchase fact to the SCD2 version (w21) in effect STRICTLY
+    * BEFORE it — "what state was the user in when they bought", the
+    * canonical dimensional-warehouse fact⋈dim-history join (and the
+    * feature-store training-set join: features as-of the label's
+    * time minus ε, never leaking the label's own interval). Runs on
+    * the NATIVE `AsofJoinExec` (greatest valid_from ≤ t−1µs, ties to
+    * the greatest version — matching the version-DESC oracle rank);
+    * purchases whose user has no prior version drop (inner as-of).
+    *
+    * Scale shape: w21's linear version derivation (runs frame ≪
+    * events) + the merge-scan as-of — each side shuffles only its own
+    * rows on user_id, requirement-placed exchanges, one-row lookback
+    * state (the w17 plan shape).
+    */
+  def pitEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val versions = scd2History(spark, dir)
+      .select(
+        col("user_id").as("v_user"), col("valid_from_us"), col("version"),
+        col("event_type").as("state_type"), col("n_events").as("state_n"))
+    val purchases = eventsUs(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), (col("tus") - 1L).as("asof_us"),
+        col("event_id").as("purchase_id"), col("tus").as("purchase_us"))
+    graft.plans.AsofJoin.asof(purchases, versions)
+      .select(
+        col("user_id"), col("purchase_id"), col("purchase_us"),
+        col("version"), col("state_type"), col("state_n"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** w14 — session transition matrix: the next-event Markov model
     * funnel/path analytics reads (Amplitude Pathfinder, GA behavior
     * flow): for every ordered pair of event types, how often a user's
@@ -977,6 +1009,7 @@ object EventWindows {
     "w2_sliding" -> sliding,
     "w3_sessions" -> sessions,
     "w21_scd2_history" -> scd2History,
+    "w22_pit_enrichment" -> pitEnrichment,
     "w20_top_paths" -> topPaths)
 
   /** The AS-OF contract in DuckDB's native ASOF JOIN — shared by w4
@@ -1320,6 +1353,44 @@ object EventWindows {
           WHERE tus // $UsPerSec >= window_start
             AND tus // $UsPerSec < window_start + $SlideSizeSec
           GROUP BY window_start ORDER BY window_start""",
+    // w22: w21's version CTEs + the strictly-before PIT rank (greatest
+    // valid_from <= purchase_us - 1, ties to greatest version — the
+    // native exec's tiebreak contract)
+    "w22_pit_enrichment" ->
+      s"""WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+          ver AS (
+            SELECT user_id, event_type, tus,
+                   CAST(SUM(chg) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS version
+            FROM flagged),
+          v AS (
+            SELECT user_id AS v_user, version,
+                   MIN(event_type) AS state_type,
+                   CAST(MIN(tus) AS BIGINT) AS valid_from_us,
+                   COUNT(*) AS state_n
+            FROM ver GROUP BY 1, 2),
+          p AS (
+            SELECT user_id, event_id AS purchase_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS purchase_us
+            FROM events WHERE event_type = 'purchase'),
+          j AS (
+            SELECT p.user_id, p.purchase_id, p.purchase_us,
+                   v.version, v.state_type, v.state_n,
+                   row_number() OVER (PARTITION BY p.purchase_id
+                     ORDER BY v.valid_from_us DESC, v.version DESC) AS rn
+            FROM p JOIN v ON v.v_user = p.user_id
+             AND v.valid_from_us <= p.purchase_us - 1)
+          SELECT user_id, purchase_id, purchase_us, version,
+                 state_type, state_n
+          FROM j WHERE rn = 1 ORDER BY purchase_id""",
     // w21: gaps-and-islands to SCD2 intervals — same lag+run-sum CTEs
     // as w3 but flagged on TYPE change, aggregated to versions, and a
     // second window over the runs frame for valid_to / is_current
