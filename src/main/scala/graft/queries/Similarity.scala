@@ -309,6 +309,74 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** s22/s23 metadata filter: restrict the searchable corpus to
+    * documents in this language (doc_id ≡ vec_id in the testdata).
+    * Queries themselves are NOT filtered — the production question is
+    * "nearest ENGLISH documents to this query", whatever the query is.
+    */
+  val FilterLang = "en"
+
+  private def filteredIds(spark: SparkSession, dir: String) =
+    graft.Tables.documents(spark, dir)
+      .filter(col("lang") === FilterLang)
+      .select(col("doc_id").as("vec_id"))
+
+  /** s22 — FILTERED exact top-k: brute-force cosine over the corpus
+    * restricted by a metadata predicate (lang = en via the documents
+    * table) — the "filtered search" every production vector store
+    * exposes (Qdrant/Vespa filters, FAISS IDSelector), here the
+    * exact-recall baseline: filter FIRST (an equi-join on ids — at
+    * scale a scan predicate), then score only survivors; never score-
+    * then-filter, which wastes the scan and breaks top-k semantics
+    * (k survivors, not k results filtered down). Query side broadcast,
+    * corpus streams — s1's shape over the filtered sliver.
+    */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir).join(filteredIds(spark, dir), "vec_id")
+    val q = vectors(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    broadcast(q)
+      .join(e, col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine("qv", "qn", "v", "nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** s23 — FILTERED IVF top-k, the scale path for s22: probe the
+    * query's bucket as usual, apply the metadata predicate to the
+    * bucket's CANDIDATES (FAISS's IDSelector-inside-the-probe — the
+    * filter join is bucket-sliver-sized, never corpus-sized), then
+    * rescore survivors. Recall vs s22 is the standard IVF trade
+    * (same bucketing as s3); correctness of the whole
+    * probe+filter+rescore pipeline is exact-oracle-checked, not
+    * spec-bounded.
+    */
+  def ivfFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val assign = cachedIvfAssign(spark, dir)
+      .select(col("vec_id"), col("centroid_id"))
+    val fe = vectors(spark, dir).join(assign, "vec_id")
+      .join(filteredIds(spark, dir), "vec_id")
+    val q = vectors(spark, dir).filter(col("vec_id") < NumQueries)
+      .join(assign, "vec_id")
+      .select(
+        col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("centroid_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    broadcast(q)
+      .join(fe, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosine("qv", "qn", "v", "nrm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** s21 batch split: vectors with `vec_id % MaintBatchMod ==
     * MaintBatchRem` play the newly-ingested batch; the rest are the
     * standing corpus the index was trained on. Deterministic, so the
@@ -1658,6 +1726,8 @@ object Similarity {
     "s4_ivf_topk_nprobe2" -> ivfTopKNprobe2,
     "s5_kmeans_ivf_topk" -> kmeansIvfTopK,
     "s21_ivf_maintenance" -> ivfMaintenance,
+    "s22_filtered_topk" -> filteredTopK,
+    "s23_ivf_filtered_topk" -> ivfFilteredTopK,
     "s6_sq8_topk" -> sq8TopK,
     "s20_sq4_topk" -> sq4TopK,
     "s11_ivf_sq8_topk" -> ivfSq8TopK,
@@ -2425,6 +2495,40 @@ object Similarity {
     "s2_ivf_assign" ->
       s"""WITH $assignCte
           SELECT vec_id, centroid_id, cos_sim FROM assign ORDER BY vec_id""",
+    // s22: s1's exact top-k restricted to the lang-filtered corpus
+    "s22_filtered_topk" ->
+      s"""WITH $vecCte,
+          fe AS (SELECT e.vec_id, e.v FROM e
+                 JOIN documents d ON d.doc_id = e.vec_id
+                 WHERE d.lang = '$FilterLang')
+          SELECT q_id, vec_id, cos_sim, rank FROM (
+            SELECT q.vec_id AS q_id, fe.vec_id,
+                   ${cosSql("q", "fe")} AS cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${cosSql("q", "fe")} DESC, fe.vec_id)
+                     AS BIGINT) AS rank
+            FROM e q JOIN fe ON fe.vec_id <> q.vec_id
+            WHERE q.vec_id < $NumQueries)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
+    // s23: s3's probe with the filter applied INSIDE the bucket
+    "s23_ivf_filtered_topk" ->
+      s"""WITH $assignCte,
+          fe AS (SELECT e.vec_id, e.v, a.centroid_id
+                 FROM e JOIN assign a ON a.vec_id = e.vec_id
+                 JOIN documents d ON d.doc_id = e.vec_id
+                 WHERE d.lang = '$FilterLang'),
+          qe AS (SELECT e.vec_id, e.v, a.centroid_id
+                 FROM e JOIN assign a ON a.vec_id = e.vec_id
+                 WHERE e.vec_id < $NumQueries)
+          SELECT q_id, vec_id, cos_sim, rank FROM (
+            SELECT qe.vec_id AS q_id, fe.vec_id,
+                   ${cosSql("qe", "fe")} AS cos_sim,
+                   CAST(row_number() OVER (PARTITION BY qe.vec_id
+                     ORDER BY ${cosSql("qe", "fe")} DESC, fe.vec_id)
+                     AS BIGINT) AS rank
+            FROM qe JOIN fe ON fe.centroid_id = qe.centroid_id
+             AND fe.vec_id <> qe.vec_id)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
     "s3_ivf_topk" ->
       s"""WITH $assignCte,
           ec AS (SELECT e.vec_id, e.v, a.centroid_id
