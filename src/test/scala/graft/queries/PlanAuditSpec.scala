@@ -248,6 +248,16 @@ class PlanAuditSpec extends SparkSpec {
     "t20_pretoken_counts" -> 1, // pure projection: output sort only
     "s15_srp_lsh_topk" -> 6, // probe broadcast + cand distinct + rescore
                             // join sides + top-k window + sort
+    "w21_scd2_history" -> 2, // ONE user exchange serves the event
+                             // window + runs agg + runs window (same-
+                             // prefix partitionings chain) + output sort
+    "w22_pit_enrichment" -> 5, // w21's 2 + the asof exec's two
+                               // requirement-placed user_id exchanges
+                               // + output sort
+    "s22_filtered_topk" -> 4, // filter equi-join sides + top-k window
+                              // + output sort (query side broadcast)
+    "s23_ivf_filtered_topk" -> 6, // assign/filter join sides + probe
+                                  // bucket join + top-k window + sort
     "s21_ivf_maintenance" -> 8, // measured ceiling: two assignment passes
                                 // (broadcast centroids, map-side agg to
                                 // <= k rows) + base/batch joins + sort
