@@ -87,4 +87,75 @@ class StreamRestartSpec extends SparkSpec {
     assert(flags(2L) == ((1L, 0)),
       s"near-dup after restart must flag the pre-restart original: $flags")
   }
+
+  test("open session-window state survives a query restart (merges across it)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("graft_ck_sess")
+    val out = tmp("graft_out_sess")
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF.toDF("ts", "user_id")
+    def start(): StreamingQuery =
+      StreamSessions(df, "ts", "1 minute").writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    val q1 = start()
+    try {
+      in.addData((ts(0), 1L), (ts(10), 1L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // arrives while the query is DOWN, within the gap of the OPEN
+    // session — only restored session state can merge it; the far
+    // sentinel then closes everything
+    in.addData((ts(20), 1L))
+    in.addData((Timestamp.valueOf("2030-01-01 00:00:00"), 999L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 1L)
+    val t0us = ts(0).getTime * 1000L
+    val t20us = ts(20).getTime * 1000L
+    assert(rows.toSeq == Seq((1L, t0us, t20us, 3L)),
+      s"post-restart event must merge into the pre-restart open session: ${rows.toSeq}")
+  }
+
+  test("open SCD2 version state survives a query restart (closes with pre-restart start)") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("graft_ck_scd2")
+    val out = tmp("graft_out_scd2")
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = in.toDF.toDF("user_id", "ts", "event_id", "event_type")
+    def start(): StreamingQuery =
+      StreamScd2(df, "ts", "1 minute")
+        .toDF("user_id", "version", "event_type",
+          "valid_from_us", "valid_to_us", "n_events")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    val q1 = start()
+    try {
+      in.addData((1L, ts(0), 1L, "A"), (1L, ts(5), 2L, "A"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the type change arrives while the query is DOWN: version 1 can
+    // only close with the correct pre-restart valid_from/n if the
+    // open-version state was restored
+    in.addData((1L, ts(10), 3L, "B"))
+    in.addData((999L, Timestamp.valueOf("2030-01-01 00:00:00"), 9L, "x"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .filter(_._1 == 1L)
+    assert(rows.toSeq == Seq(
+      (1L, 1L, "A", ts(0).getTime * 1000L, ts(10).getTime * 1000L, 2L)),
+      s"version must close across the restart with restored state: ${rows.toSeq}")
+  }
 }
