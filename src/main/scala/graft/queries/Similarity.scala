@@ -779,6 +779,77 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ADC shortlist size for the refine stage, as a multiple of TopK —
+    * FAISS `IndexRefineFlat`'s `k_factor` (default 1; production
+    * deployments run 2–10; 4 here keeps the rescore 4·k rows/query).
+    */
+  val RefineFactor = 4
+
+  /** s24 — IVF+PQ with EXACT REFINE (`IVF<n>,PQ8,RFlat` — FAISS's
+    * IndexRefineFlat, the production two-stage shape): s13's pipeline
+    * shortlists RefineFactor·k candidates per query by ADC inside the
+    * two probed buckets, then ONLY those rows are re-scored with the
+    * exact cosine from the raw vectors and the final top-k is ranked
+    * on the exact score. This is how deployed ANN actually serves: the
+    * compressed index eats the corpus-sized scan, the refine stage
+    * touches 4·k raw vectors per query — at 100 TB the probe reads
+    * ~0.4 TB of 8-byte codes and the refine reads 40 raw vectors by
+    * key (a point-lookup join), so exactness costs O(k) not O(corpus).
+    * s13 (no refine) is the ablation baseline; Round11OpsSpec pins
+    * recall ≥ s13's and ≥ the family's 0.6 bound.
+    *
+    * Deterministic end to end (s13's probe/encode/ADC tie-breaks, the
+    * shortlist cut on (adc DESC, vec_id), s1's rounded exact cosine,
+    * final rank ties → vec_id) → full DuckDB oracle: s13's CTE chain
+    * with the rank cut widened to RefineFactor·k, then the exact
+    * rescore as one self-join on `e`.
+    */
+  def ivfPqRefineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val assign = cachedIvfAssign(spark, dir)
+      .select(col("vec_id"), col("centroid_id"))
+    val enc = pqEncode(e, collectCodebooks(cachedPqCodebooks(spark, dir)))
+      .join(assign, "vec_id")
+    val c = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(c))
+      .withColumn("c_sim", cosine("cv", "cn", "qv", "qn"))
+      .groupBy(col("q_id"))
+      .agg(
+        first(col("qv")).as("qv"),
+        first(col("qn")).as("qn"),
+        slice(
+          array_sort(collect_list(
+            struct((-col("c_sim")).as("neg_sim"), col("centroid_id")))),
+          1, 2).as("top2"))
+      .select(
+        col("q_id"), col("qv"), col("qn"),
+        explode(col("top2").getField("centroid_id")).as("centroid_id"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    val shortlist = broadcast(probes)
+      .join(enc, Seq("centroid_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc_score", round(vecDot(col("qv"), col("rv")), 6))
+      .withColumn("adc_rank", row_number().over(wAdc).cast("long"))
+      .filter(col("adc_rank") <= RefineFactor * TopK)
+      .select(col("q_id"), col("qv"), col("qn"), col("vec_id"),
+        col("adc_rank"))
+    val wX = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    shortlist
+      .join(e, "vec_id")
+      .withColumn("cos_sim", cosine("qv", "qn", "v", "nrm"))
+      .withColumn("rank", row_number().over(wX).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id"), col("adc_rank"), col("cos_sim"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** s16 — RESIDUAL IVF+PQ top-k (`IVF<n>,PQ8` as FAISS actually
     * builds it): real IVF,PQ composites quantize the RESIDUAL
     * v − c(v) — the offset of each vector from its assigned coarse
@@ -1732,6 +1803,7 @@ object Similarity {
     "s20_sq4_topk" -> sq4TopK,
     "s11_ivf_sq8_topk" -> ivfSq8TopK,
     "s13_ivf_pq_topk" -> ivfPqTopK,
+    "s24_ivf_pq_refine" -> ivfPqRefineTopK,
     "s16_ivf_respq_topk" -> ivfResidualPqTopK,
     "s17_bm25_topk" -> bm25TopK,
     "s18_retrieval_eval" -> retrievalEval)
@@ -1753,6 +1825,45 @@ object Similarity {
                      ORDER BY ${cosSql("e", "c")} DESC, c.vec_id) AS rn
             FROM e CROSS JOIN e c WHERE c.vec_id < $NumCentroids)
           WHERE rn = 1)"""
+
+  /** s13's coarse-probe + PQ-encode + ADC-scoring pipeline as DuckDB
+    * CTEs (`e` → `scores`), shared verbatim by the s13 and s24
+    * oracles: the 2-bucket probe (s4's qprobe), encode against the
+    * Verify-dumped trained codebooks, reconstruct, and the rounded
+    * asymmetric dot per (query, in-bucket candidate).
+    */
+  private def pqAdcScoresCtes =
+    s"""$assignCte,
+        qprobe AS (
+          SELECT q_id, centroid_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS centroid_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS pr
+            FROM e q CROSS JOIN e c
+            WHERE c.vec_id < $NumCentroids AND q.vec_id < $NumQueries)
+          WHERE pr <= 2),
+        ms AS (SELECT unnest(range($NumSubspaces)) AS m),
+        cw AS (SELECT m, k, cwv
+               FROM read_parquet('$PqCodebookDumpPath/*.parquet')),
+        sub AS (SELECT e.vec_id, ms.m,
+                       e.v[(ms.m*$SubDim+1):(ms.m*$SubDim+$SubDim)] AS sv
+                FROM e CROSS JOIN ms),
+        enc AS (SELECT vec_id, m, k FROM (
+                  SELECT s.vec_id, s.m, c.k,
+                         row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY list_dot_product(s.sv, c.cwv) DESC, c.k) AS rn
+                  FROM sub s JOIN cw c ON c.m = s.m) WHERE rn = 1),
+        recon AS (SELECT enc.vec_id, flatten(list(c.cwv ORDER BY enc.m)) AS rv
+                  FROM enc JOIN cw c ON c.m = enc.m AND c.k = enc.k
+                  GROUP BY enc.vec_id),
+        encb AS (SELECT r.vec_id, r.rv, a.centroid_id
+                 FROM recon r JOIN assign a ON a.vec_id = r.vec_id),
+        scores AS (SELECT p.q_id, encb.centroid_id, encb.vec_id,
+                     ROUND(list_dot_product(q.v, encb.rv), 6) AS score
+                   FROM qprobe p
+                   JOIN encb ON encb.centroid_id = p.centroid_id
+                   JOIN e q ON q.vec_id = p.q_id
+                   WHERE p.q_id <> encb.vec_id)"""
 
   /** The SRP signature pipeline as DuckDB CTEs (`e` → `sig`): LCG
     * weights from generate_series (the same integer expression as
@@ -1836,7 +1947,7 @@ object Similarity {
   private val EvalVariants = Seq(
     "s3_ivf_topk", "s6_sq8_topk", "s7_pq_topk",
     "s13_ivf_pq_topk", "s15_srp_lsh_topk", "s16_ivf_respq_topk",
-    "s19_srp_multi_topk", "s20_sq4_topk")
+    "s19_srp_multi_topk", "s20_sq4_topk", "s24_ivf_pq_refine")
 
   /** s18 — the retrieval-quality eval REPORT as a first-class query:
     * recall@k of every ANN variant against the exact s1 top-k, in
@@ -1860,6 +1971,7 @@ object Similarity {
       "s6_sq8_topk" -> sq8TopK(spark, dir),
       "s7_pq_topk" -> pqTopK(spark, dir),
       "s13_ivf_pq_topk" -> ivfPqTopK(spark, dir),
+      "s24_ivf_pq_refine" -> ivfPqRefineTopK(spark, dir),
       "s15_srp_lsh_topk" -> srpLshTopK(spark, dir),
       "s16_ivf_respq_topk" -> ivfResidualPqTopK(spark, dir),
       "s19_srp_multi_topk" -> srpMultiTopK(spark, dir),
@@ -2298,42 +2410,36 @@ object Similarity {
     // the same coarse-quantizer restriction as s11 — a query only
     // ADC-scores reconstructions in its own assignment bucket
     "s13_ivf_pq_topk" ->
-      s"""WITH $assignCte,
-          qprobe AS (
-            SELECT q_id, centroid_id FROM (
-              SELECT q.vec_id AS q_id, c.vec_id AS centroid_id,
-                     row_number() OVER (PARTITION BY q.vec_id
-                       ORDER BY ${cosSql("q", "c")} DESC, c.vec_id) AS pr
-              FROM e q CROSS JOIN e c
-              WHERE c.vec_id < $NumCentroids AND q.vec_id < $NumQueries)
-            WHERE pr <= 2),
-          ms AS (SELECT unnest(range($NumSubspaces)) AS m),
-          cw AS (SELECT m, k, cwv
-                 FROM read_parquet('$PqCodebookDumpPath/*.parquet')),
-          sub AS (SELECT e.vec_id, ms.m,
-                         e.v[(ms.m*$SubDim+1):(ms.m*$SubDim+$SubDim)] AS sv
-                  FROM e CROSS JOIN ms),
-          enc AS (SELECT vec_id, m, k FROM (
-                    SELECT s.vec_id, s.m, c.k,
-                           row_number() OVER (PARTITION BY s.vec_id, s.m
-                             ORDER BY list_dot_product(s.sv, c.cwv) DESC, c.k) AS rn
-                    FROM sub s JOIN cw c ON c.m = s.m) WHERE rn = 1),
-          recon AS (SELECT enc.vec_id, flatten(list(c.cwv ORDER BY enc.m)) AS rv
-                    FROM enc JOIN cw c ON c.m = enc.m AND c.k = enc.k
-                    GROUP BY enc.vec_id),
-          encb AS (SELECT r.vec_id, r.rv, a.centroid_id
-                   FROM recon r JOIN assign a ON a.vec_id = r.vec_id),
-          scores AS (SELECT p.q_id, encb.centroid_id, encb.vec_id,
-                       ROUND(list_dot_product(q.v, encb.rv), 6) AS score
-                     FROM qprobe p
-                     JOIN encb ON encb.centroid_id = p.centroid_id
-                     JOIN e q ON q.vec_id = p.q_id
-                     WHERE p.q_id <> encb.vec_id)
+      s"""WITH $pqAdcScoresCtes
           SELECT q_id, centroid_id, vec_id, score, rank FROM (
             SELECT q_id, centroid_id, vec_id, score,
               CAST(row_number() OVER (PARTITION BY q_id
                 ORDER BY score DESC, vec_id) AS BIGINT) AS rank
             FROM scores) WHERE rank <= $TopK ORDER BY q_id, rank""",
+    // s24: s13's chain with the rank cut widened to RefineFactor·k,
+    // then the exact rescore as one self-join on e — the refine stage
+    // replayed literally
+    "s24_ivf_pq_refine" ->
+      s"""WITH $pqAdcScoresCtes,
+          sl AS (
+            SELECT q_id, vec_id, adc_rank FROM (
+              SELECT q_id, vec_id,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, vec_id) AS BIGINT) AS adc_rank
+              FROM scores)
+            WHERE adc_rank <= ${RefineFactor * TopK}),
+          rescored AS (
+            SELECT sl.q_id, sl.vec_id, sl.adc_rank,
+                   ${cosSql("qe", "ce")} AS cos_sim
+            FROM sl
+            JOIN e qe ON qe.vec_id = sl.q_id
+            JOIN e ce ON ce.vec_id = sl.vec_id)
+          SELECT q_id, vec_id, adc_rank, cos_sim, rank FROM (
+            SELECT q_id, vec_id, adc_rank, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+            FROM rescored)
+          WHERE rank <= $TopK ORDER BY q_id, rank""",
     // s16: s13's shape with the residual insertions — the coarse
     // quantizer is the TRAINED s5 centroid dump (assignment + probe by
     // raw/rounded cosine, the s5 CTE verbatim), resid = v − cv (exact

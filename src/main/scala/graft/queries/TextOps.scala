@@ -62,10 +62,36 @@ object TextOps {
       bpeEncode(spark, dir)
         .select(col("doc_id"), col("n_tokens").as("bpe_tokens")))
 
+  /** Session-cached per-doc t22 tercile labels — shared by t22's
+    * report and t26's training pass (one t16 LM evaluation per
+    * (session, dir) instead of one per consumer, the t24 discipline).
+    */
+  private[queries] def cachedPplAssign(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "pplAssign")(pplBucketAssign(spark, dir))
+
+  /** Session-cached wordNgrams=2 feature frame (doc_id, feat) — t26
+    * reads it twice (training counts + inference join); one lead
+    * window + union per (session, dir).
+    */
+  private[queries] def cachedNbFeats(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "nbFeats") {
+      val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      cachedWords(spark, dir)
+        .select(col("doc_id"), col("word").as("feat"))
+        .unionByName(
+          cachedWords(spark, dir)
+            .withColumn("nxt", lead(col("word"), 1).over(wLead))
+            .filter(col("nxt").isNotNull)
+            .select(
+              col("doc_id"),
+              concat(col("word"), lit(" "), col("nxt")).as("feat")))
+    }
+
   /** Every session-cached frame this module owns — see SessionCache.warm. */
   private[queries] def warmFrames(spark: SparkSession, dir: String): Seq[DataFrame] =
     Seq(cachedWords(spark, dir), cachedQualityScore(spark, dir),
-      cachedTfidf(spark, dir), cachedBpeTokens(spark, dir))
+      cachedTfidf(spark, dir), cachedBpeTokens(spark, dir),
+      cachedPplAssign(spark, dir), cachedNbFeats(spark, dir))
 
   /** F1/W4/A7 — sentence segmentation with ordered re-assembly:
     * group words into 10-word sentences, re-join in word order
@@ -1018,7 +1044,11 @@ object TextOps {
     * partition; no global window). Ranking rides t16's hash-agg
     * pipeline; the bucket fold is one hash agg to ≤ 3·|langs| rows.
     */
-  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc tercile assignment t22 aggregates — exposed so t26
+    * can train on the SAME labels t22 reports (doc_id, lang, bucket,
+    * n_bigrams, avg_logprob).
+    */
+  private[queries] def pplBucketAssign(spark: SparkSession, dir: String): DataFrame = {
     val wRank = Window.partitionBy(col("lang"))
       .orderBy(col("avg_logprob").desc, col("doc_id"))
     val wLang = Window.partitionBy(col("lang"))
@@ -1031,6 +1061,10 @@ object TextOps {
         when(expr("(rnk - 1) * 3 div n_lang") === 0L, "head")
           .when(expr("(rnk - 1) * 3 div n_lang") === 1L, "middle")
           .otherwise("tail"))
+  }
+
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    cachedPplAssign(spark, dir)
       .groupBy(col("lang"), col("bucket"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1071,7 +1105,79 @@ object TextOps {
       .orderBy(col("declared_lang"), col("predicted_lang"))
   }
 
+  /** t26 — LEARNED quality classifier (the CCNet/fastText filter as a
+    * distributed op): a multinomial-Naive-Bayes log-odds linear model
+    * TRAINED INSIDE THE QUERY on t22's perplexity terciles as
+    * pseudo-labels (CCNet trains wiki-vs-crawl; self-contained here:
+    * head = fluent, tail = dropped — the middle is held out) and then
+    * applied to every document. Features are fastText's wordNgrams=2
+    * space (unigrams ∪ adjacent bigrams); per feature f: weight(f) =
+    * ln p̂(f|head) − ln p̂(f|tail) with add-1 smoothing, p̂(f|c) =
+    * (n_fc+1)/(T_c+V); doc score = Σ weight over its features,
+    * prediction = score > 0.
+    * This is the missing capability class next to the RULE filters
+    * (t12/t19 thresholds) and the LM filters (t10/t16/t22 ranks):
+    * model TRAINING as aggregation + model INFERENCE as a broadcast
+    * join — no driver loop, no UDF, no collect.
+    *
+    * Exactness: class counts and totals are exact longs; the weight is
+    * ONE ln of ONE division of two exactly-representable doubles
+    * ((n+1)·(T+V) ≤ ~10¹³ < 2⁵³), floor-quantized to nano-nats (t10's
+    * discipline); doc scores are exact BIGINT sums of those, the mean
+    * is one IEEE division, and the sign test is on the exact integer.
+    *
+    * Scale shape: one labels join (docs-sized), one hash agg to
+    * vocab-sized class counts (map-side combinable), a 1-row totals
+    * broadcast, and inference = corpus features ⟕ broadcast
+    * vocab-sized weight table + one hash agg to docs-sized output.
+    * Unseen-in-training features contribute 0 (NB ignores them) via
+    * the left join; the bigram build is the cached words' existing
+    * per-doc lead window (t9/t16's shape), never a self-join.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val labels = cachedPplAssign(spark, dir)
+      .filter(col("bucket").isin("head", "tail"))
+      .select(col("doc_id"), col("bucket"))
+    // fastText's wordNgrams=2 feature space: unigrams ∪ bigrams. The
+    // labels are BIGRAM-LM terciles, so unigram-only features cap the
+    // recoverable signal (measured: 0.64 training accuracy unigram-only
+    // vs 0.95 with bigrams — the label-generating model's features).
+    val feats = cachedNbFeats(spark, dir)
+    val tw = feats.join(labels, "doc_id")
+    val isHead = when(col("bucket") === "head", 1L).otherwise(0L)
+    val cc = tw.groupBy(col("feat")).agg(
+      sum(isHead).as("n_head"),
+      sum(lit(1L) - isHead).as("n_tail"))
+    val tt = tw.agg(
+      sum(isHead).as("t_head"),
+      sum(lit(1L) - isHead).as("t_tail"),
+      countDistinct(col("feat")).as("v"))
+    val weights = cc.crossJoin(broadcast(tt))
+      .select(
+        col("feat"),
+        floor(
+          log(
+            ((col("n_head") + lit(1L)) * (col("t_tail") + col("v")))
+              .cast("double")
+              / ((col("n_tail") + lit(1L)) * (col("t_head") + col("v")))
+                .cast("double"))
+            * lit(1e9)).cast("long").as("wt"))
+    feats.join(broadcast(weights), Seq("feat"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        count(col("wt")).as("n_scored"),
+        sum(coalesce(col("wt"), lit(0L))).as("nb_score"))
+      .select(
+        col("doc_id"), col("n_feats"), col("n_scored"), col("nb_score"),
+        (col("nb_score").cast("double")
+          / (lit(1e9) * col("n_feats").cast("double"))).as("avg_nb"),
+        (col("nb_score") > 0L).as("pred_head"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_quality_classifier" -> qualityClassifier,
     "t23_lang_confusion" -> langConfusion,
     "t22_ppl_buckets" -> pplBuckets,
     "t21_bpe_merges" -> bpeMergesQ,
@@ -1440,6 +1546,64 @@ object TextOps {
       s"""WITH $bigramPplCtes
           SELECT doc_id, n_bigrams, avg_logprob
           FROM ppl ORDER BY doc_id""",
+    // t26: t22's label chain with doc_id retained, then NB training
+    // (class counts + smoothed log-odds in floor-nano-nats) and the
+    // left-join inference replayed
+    "t26_quality_classifier" ->
+      s"""WITH $bigramPplCtes,
+          lab AS (
+            SELECT doc_id,
+                   CASE (rnk - 1) * 3 // n_lang
+                     WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+            FROM (
+              SELECT p.doc_id,
+                     row_number() OVER (PARTITION BY d.lang
+                       ORDER BY p.avg_logprob DESC, p.doc_id) AS rnk,
+                     COUNT(*) OVER (PARTITION BY d.lang) AS n_lang
+              FROM ppl p JOIN documents d USING (doc_id))),
+          feats AS (
+            SELECT doc_id, word AS feat FROM words
+            UNION ALL
+            SELECT doc_id, prev || ' ' || nxt AS feat FROM bg),
+          tw AS (
+            SELECT f.doc_id, f.feat, l.bucket
+            FROM feats f JOIN lab l USING (doc_id)
+            WHERE l.bucket IN ('head', 'tail')),
+          cc AS (
+            SELECT feat,
+                   CAST(SUM(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_head,
+                   CAST(SUM(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_tail
+            FROM tw GROUP BY feat),
+          tt AS (
+            SELECT CAST(SUM(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS t_head,
+                   CAST(SUM(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS t_tail,
+                   CAST(COUNT(DISTINCT feat) AS BIGINT) AS v
+            FROM tw),
+          wt AS (
+            SELECT feat,
+                   CAST(FLOOR(ln(
+                     CAST((n_head + 1) * (t_tail + v) AS DOUBLE)
+                     / CAST((n_tail + 1) * (t_head + v) AS DOUBLE))
+                     * 1e9) AS BIGINT) AS wt
+            FROM cc CROSS JOIN tt),
+          sc AS (
+            SELECT f.doc_id, wt.wt
+            FROM feats f LEFT JOIN wt USING (feat)),
+          agg AS (
+            SELECT doc_id, COUNT(*) AS n_feats,
+                   CAST(COUNT(wt) AS BIGINT) AS n_scored,
+                   CAST(SUM(COALESCE(wt, 0)) AS BIGINT) AS nb_score
+            FROM sc GROUP BY doc_id)
+          SELECT doc_id, n_feats, n_scored, nb_score,
+                 CAST(nb_score AS DOUBLE)
+                   / (1e9 * CAST(n_feats AS DOUBLE)) AS avg_nb,
+                 nb_score > 0 AS pred_head
+          FROM agg ORDER BY doc_id""",
     // t22: the same per-doc LM scores, bucketed into per-language
     // terciles by the same (avg_logprob DESC, doc_id) rank
     "t22_ppl_buckets" ->

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 late additions: s24 (IVF+PQ with exact refine — FAISS
+  * IndexRefineFlat) and its measured win over the unrefined s13.
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("s24: refine recall ≥ s13's and ≥ the family's 0.6 bound") {
+    // the refine stage re-orders s13's candidate pool by the exact
+    // cosine — against the exact s1 top-k it must not lose to the
+    // ADC-ranked s13 it upgrades (measured: strictly better at
+    // sf0.001), and must clear the family's recall floor
+    val exact = Similarity.bruteForceTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = Similarity.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ref = Similarity.ivfPqRefineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rRef = (exact & ref).size.toDouble / exact.size
+    val rRaw = (exact & raw).size.toDouble / exact.size
+    info(f"s24 recall@k vs exact = $rRef%.2f (unrefined s13 = $rRaw%.2f)")
+    assert(rRef >= rRaw,
+      f"refine lost to ADC ranking vs exact: $rRef%.2f < $rRaw%.2f")
+    assert(rRef >= 0.6, f"s24 recall vs exact $rRef%.2f < 0.6")
+    assert(ref.nonEmpty && raw.nonEmpty && exact.nonEmpty)
+  }
+
+  test("s24: output is shortlist-bounded and exactly k rows per query") {
+    val rows = Similarity.ivfPqRefineTopK(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (adcRank, rank) = (r.getLong(2), r.getLong(4))
+      assert(adcRank >= 1L &&
+        adcRank <= Similarity.RefineFactor.toLong * Similarity.TopK,
+        s"row escaped the ADC shortlist: adc_rank $adcRank")
+      assert(rank >= 1L && rank <= Similarity.TopK)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length == Similarity.TopK, s"query $q emitted ${rs.length} rows")
+      // final ordering is on the exact cosine, not the ADC rank
+      val byRank = rs.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q exact scores not non-increasing in rank")
+    }
+  }
+
+  test("t26: NB classifier separates its own training terciles") {
+    // trained on t22's head-vs-tail pseudo-labels, the model must (a)
+    // emit one row per document (middle docs are scored too), and (b)
+    // actually separate the classes it trained on — training-set
+    // accuracy on head∪tail well above chance, and the head class mean
+    // score strictly above the tail class mean
+    val scores = TextOps.qualityClassifier(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(scores.size.toLong == nDocs,
+      s"${scores.size} scored rows for $nDocs documents")
+    val labels = TextOps.pplBucketAssign(spark, dir)
+      .select(col("doc_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trained = labels.filter { case (_, b) => b == "head" || b == "tail" }
+    val correct = trained.count { case (d, b) =>
+      val headPred = scores(d)._1 > 0L
+      (b == "head") == headPred
+    }
+    val acc = correct.toDouble / trained.size
+    val headMean = trained.collect { case (d, "head") => scores(d)._2 }
+    val tailMean = trained.collect { case (d, "tail") => scores(d)._2 }
+    val (hm, tm) = (headMean.sum / headMean.size, tailMean.sum / tailMean.size)
+    info(f"t26 training accuracy = $acc%.2f; mean avg_nb head $hm%.3f vs tail $tm%.3f")
+    assert(acc >= 0.9, f"NB training-set accuracy $acc%.2f < 0.9")
+    assert(hm > tm, f"head mean $hm%.4f not above tail mean $tm%.4f")
+  }
+
+  test("t26: feature accounting is consistent") {
+    val rows = TextOps.qualityClassifier(spark, dir).collect()
+    rows.foreach { r =>
+      val (n, scored) = (r.getLong(1), r.getLong(2))
+      assert(scored >= 0L && scored <= n,
+        s"doc ${r.getLong(0)}: n_scored $scored outside [0, $n]")
+    }
+    // the wordNgrams=2 space has exactly 2n−1 features for an n-token
+    // doc (n ≥ 1): n unigrams + n−1 adjacent bigrams — checked against
+    // t4's independent whitespace token count
+    val t4 = TextOps.tokenCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val expected = 2L * t4(r.getLong(0)) - 1L
+      assert(expected == r.getLong(1),
+        s"doc ${r.getLong(0)}: n_feats ${r.getLong(1)} != 2n-1 = $expected")
+    }
+  }
+
+  test("s24: refined top-k scores dominate s13's ADC-ranked picks") {
+    // the point of paying the 4·k raw reads: the exact quality of the
+    // served set. Per query, the refined set's total exact cosine must
+    // be ≥ s13's picks' total exact cosine (they draw from the same
+    // probed pool; refine picks the pool's exact-best by construction)
+    val e = Similarity.vectors(spark, dir)
+    def exactSum(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), "q_id")
+      .join(e, "vec_id")
+      .withColumn("cs",
+        round(graft.functions.VectorFunctions.vecDot(col("qv"), col("v"))
+          / (col("qn") * col("nrm")), 6))
+      .groupBy(col("q_id")).agg(sum(col("cs")).as("total"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val refined = exactSum(Similarity.ivfPqRefineTopK(spark, dir)
+      .select(col("q_id"), col("vec_id")))
+    val adc = exactSum(Similarity.ivfPqTopK(spark, dir)
+      .select(col("q_id"), col("vec_id")))
+    adc.foreach { case (q, t13) =>
+      val t24 = refined(q)
+      assert(t24 >= t13 - 1e-9,
+        f"query $q: refined exact total $t24%.6f < ADC-picked $t13%.6f")
+    }
+  }
+}
