@@ -1,0 +1,414 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Write-side complement of [[IcebergTable]]: export DataFrames AS an
+  * Apache Iceberg table by authoring the open table spec directly —
+  * `v<N>.metadata.json` (format-version 1), avro manifest lists and
+  * manifests with the spec's field-ids, data files under `data/`.
+  * Append-only and unpartitioned by documented scope (Iceberg data
+  * files carry every column, so partitioning is a pruning hint, not a
+  * correctness feature; REPLACE/row-deletes would need the v2 delete
+  * machinery [[IcebergTable]] deliberately refuses).
+  *
+  * Concurrency: metadata versions are claimed with the same
+  * atomic-exclusive hardlink discipline as [[DeltaExport]] /
+  * [[graft.etl.SnapshotStore]] — exactly the optimistic-commit
+  * protocol Iceberg's HadoopTableOperations implements with an atomic
+  * rename; the loser re-reads the table state and retries, which is
+  * always safe for appends (disjoint uniquely-named data files).
+  * `version-hint.text` is written LAST and non-atomically — the spec
+  * treats it as a hint; [[IcebergTable]] falls back to a directory
+  * scan.
+  *
+  * Scale shape: the data write is one distributed
+  * `df.write.parquet`; manifest/metadata authoring is driver-side
+  * work bounded by files-added-per-commit plus one carried
+  * manifest-list record per prior snapshot's manifest. Record counts
+  * come from parquet FOOTERS (bounded per-commit driver reads), never
+  * a second scan job.
+  */
+object IcebergExport {
+
+  private val mapper = new ObjectMapper()
+
+  /** manifest_entry with the spec's v1 required fields and field-ids
+    * (status, snapshot_id, data_file{file_path, file_format,
+    * partition, record_count, file_size_in_bytes}); `partition` is the
+    * empty struct r102 — the unpartitioned spec (spec-id 0, no
+    * fields).
+    */
+  private val ManifestEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      {"name":"status","type":"int","field-id":0},
+      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        {"name":"file_path","type":"string","field-id":100},
+        {"name":"file_format","type":"string","field-id":101},
+        {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+        {"name":"record_count","type":"long","field-id":103},
+        {"name":"file_size_in_bytes","type":"long","field-id":104}
+      ]}}
+    ]}""".replaceAll("\\s+", " "))
+
+  /** manifest_file (manifest-list entry) with v1 required field-ids. */
+  private val ManifestFileSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      {"name":"manifest_path","type":"string","field-id":500},
+      {"name":"manifest_length","type":"long","field-id":501},
+      {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503},
+      {"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
+      {"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
+      {"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506}
+    ]}""".replaceAll("\\s+", " "))
+
+  private def metaDir(table: String): Path = Paths.get(table, "metadata")
+
+  private[sources] case class Added(
+      absPath: String, sizeBytes: Long, records: Long)
+
+  /** Spark type → Iceberg type JSON node, assigning nested field-ids
+    * from `nextId` (the spec requires every field/element/key/value to
+    * carry a unique id).
+    */
+  private def icebergType(
+      dt: DataType, nextId: () => Int): com.fasterxml.jackson.databind.JsonNode =
+    dt match {
+      case s: StructType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "struct")
+        val fs = n.putArray("fields")
+        // ids for this level first (Iceberg's assignment order), then
+        // recurse — matters only for id stability, not for our reader
+        val ids = s.fields.map(_ => nextId())
+        s.fields.zip(ids).foreach { case (f, id) =>
+          val fn = mapper.createObjectNode()
+          fn.put("id", id)
+          fn.put("name", f.name)
+          fn.put("required", !f.nullable)
+          fn.set[ObjectNode]("type", icebergType(f.dataType, nextId))
+          fs.add(fn)
+        }
+        n
+      case ArrayType(et, containsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", nextId())
+        n.set[ObjectNode]("element", icebergType(et, nextId))
+        n.put("element-required", !containsNull)
+        n
+      case MapType(kt, vt, valueContainsNull) =>
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", nextId())
+        n.set[ObjectNode]("key", icebergType(kt, nextId))
+        n.put("value-id", nextId())
+        n.set[ObjectNode]("value", icebergType(vt, nextId))
+        n.put("value-required", !valueContainsNull)
+        n
+      case p =>
+        val name = p match {
+          case BooleanType => "boolean"
+          case IntegerType | ShortType | ByteType => "int"
+          case LongType => "long"
+          case FloatType => "float"
+          case DoubleType => "double"
+          case StringType => "string"
+          case BinaryType => "binary"
+          case DateType => "date"
+          case TimestampType => "timestamptz"
+          case TimestampNTZType => "timestamp"
+          case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+          case other =>
+            throw new IllegalArgumentException(
+              s"no Iceberg mapping for Spark type $other")
+        }
+        mapper.getNodeFactory.textNode(name)
+    }
+
+  private def icebergSchemaNode(schema: StructType): (ObjectNode, Int) = {
+    var last = 0
+    val next = () => { last += 1; last }
+    val node = icebergType(schema, next).asInstanceOf[ObjectNode]
+    (node, last)
+  }
+
+  /** Iceberg snapshot ids are random positive longs. */
+  private def newSnapshotId(): Long =
+    java.util.UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
+
+  /** Stage `df` privately, move the parquet parts under `data/` with
+    * their task-UUID names, and return (path, size, footer row count)
+    * per file — the [[DeltaExport]] stage-in discipline, so concurrent
+    * writers never share a `_temporary` dir or enumerate each other's
+    * files.
+    */
+  private def stageIn(df: DataFrame, table: String): Seq[Added] = {
+    val stage = Files.createTempDirectory("iceberg_stage")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val parts = {
+      val s = Files.list(stage)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toVector.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    val dataDir = Paths.get(table, "data")
+    Files.createDirectories(dataDir)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    parts.map { p =>
+      val dest = dataDir.resolve(p.getFileName.toString)
+      Files.move(p, dest)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dest.toAbsolutePath.toString), conf))
+      val records = try reader.getRecordCount finally reader.close()
+      Added(dest.toAbsolutePath.toString, Files.size(dest), records)
+    }
+  }
+
+  /** Write one ADDED-entries manifest for `snapId`; returns its
+    * (absolute path, byte length, file count).
+    */
+  private def writeManifest(
+      table: String, snapId: Long, schemaJson: String,
+      files: Seq[Added]): (String, Long, Int) = {
+    val path = metaDir(table)
+      .resolve(s"${java.util.UUID.randomUUID()}-m0.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
+    // the avro key-value metadata real manifests carry (readers like
+    // ours use the embedded record schema; these are for engines that
+    // check them)
+    w.setMeta("schema", schemaJson)
+    w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec-id", "0")
+    w.setMeta("format-version", "1")
+    w.create(ManifestEntrySchema, path.toFile)
+    try files.foreach { f =>
+      val dfRec = new GenericData.Record(
+        ManifestEntrySchema.getField("data_file").schema())
+      dfRec.put("file_path", f.absPath)
+      dfRec.put("file_format", "PARQUET")
+      dfRec.put("partition", new GenericData.Record(
+        dfRec.getSchema.getField("partition").schema()))
+      dfRec.put("record_count", f.records)
+      dfRec.put("file_size_in_bytes", f.sizeBytes)
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapId)
+      e.put("data_file", dfRec)
+      w.append(e)
+    } finally w.close()
+    (path.toAbsolutePath.toString, Files.size(path), files.size)
+  }
+
+  /** Carried-forward manifest-list rows of the previous snapshot —
+    * re-read generically so real tables' extra optional fields don't
+    * break the carry.
+    */
+  private def priorManifests(
+      prevManifestList: Option[String]): Seq[(String, Long, Int, Option[Long])] =
+    prevManifestList.toSeq.flatMap { ml =>
+      val r = new DataFileReader[GenericRecord](
+        new File(ml.replaceFirst("^file:/*", "/")),
+        new GenericDatumReader[GenericRecord]())
+      try r.iterator().asScala.map { rec =>
+        def opt(f: String): Option[AnyRef] =
+          Option(rec.getSchema.getField(f)).flatMap(x => Option(rec.get(x.pos())))
+        (rec.get("manifest_path").toString,
+          rec.get("manifest_length").toString.toLong,
+          opt("added_data_files_count").map(_.toString.toInt).getOrElse(0),
+          opt("added_snapshot_id").map(_.toString.toLong))
+      }.toVector
+      finally r.close()
+    }
+
+  /** Write the snapshot's manifest list (`snap-<id>-<uuid>.avro`). */
+  private def writeManifestList(
+      table: String, snapId: Long,
+      manifests: Seq[(String, Long, Int, Option[Long])]): String = {
+    val path = metaDir(table)
+      .resolve(s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](ManifestFileSchema))
+    w.setMeta("format-version", "1")
+    w.create(ManifestFileSchema, path.toFile)
+    try manifests.foreach { case (mp, len, added, snap) =>
+      val m = new GenericData.Record(ManifestFileSchema)
+      m.put("manifest_path", mp)
+      m.put("manifest_length", len)
+      m.put("partition_spec_id", 0)
+      m.put("added_snapshot_id", snap.map(Long.box).orNull)
+      m.put("added_data_files_count", added)
+      m.put("existing_data_files_count", 0)
+      m.put("deleted_data_files_count", 0)
+      w.append(m)
+    } finally w.close()
+    path.toAbsolutePath.toString
+  }
+
+  /** Atomically claim metadata version `v` (hardlink; exactly one
+    * contender wins), then refresh `version-hint.text`.
+    */
+  private def claim(table: String, v: Int, json: String): Boolean = {
+    val dir = metaDir(table)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+    val won =
+      try { Files.createLink(dir.resolve(s"v$v.metadata.json"), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(tmp)
+    if (won) {
+      val hintTmp = dir.resolve(s".hint-${java.util.UUID.randomUUID()}")
+      Files.write(hintTmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(hintTmp, dir.resolve("version-hint.text"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    won
+  }
+
+  private def buildMetadata(
+      table: String, tableUuid: String, schemaNode: ObjectNode,
+      lastColumnId: Int, snapshots: Seq[ObjectNode],
+      currentSnapshotId: Long,
+      snapshotLog: Seq[(Long, Long)]): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", 1)
+    root.put("table-uuid", tableUuid)
+    root.put("location", Paths.get(table).toAbsolutePath.toString)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    root.put("last-column-id", lastColumnId)
+    root.set[ObjectNode]("schema", schemaNode)
+    root.putArray("partition-spec") // v1 unpartitioned
+    root.put("default-spec-id", 0)
+    val specs = root.putArray("partition-specs")
+    val spec0 = mapper.createObjectNode()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    specs.add(spec0)
+    root.put("last-partition-id", 999)
+    root.putObject("properties")
+    root.put("current-snapshot-id", currentSnapshotId)
+    val snapsArr = root.putArray("snapshots")
+    snapshots.foreach(snapsArr.add)
+    val logArr = root.putArray("snapshot-log")
+    snapshotLog.foreach { case (ts, id) =>
+      val e = mapper.createObjectNode()
+      e.put("timestamp-ms", ts)
+      e.put("snapshot-id", id)
+      logArr.add(e)
+    }
+    root.putArray("metadata-log")
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private def snapshotNode(
+      snapId: Long, parentId: Option[Long], tsMs: Long,
+      manifestList: String, addedFiles: Int, addedRecords: Long): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("snapshot-id", snapId)
+    parentId.foreach(p => n.put("parent-snapshot-id", p))
+    n.put("timestamp-ms", tsMs)
+    val s = n.putObject("summary")
+    s.put("operation", "append")
+    s.put("added-data-files", addedFiles.toString)
+    s.put("added-records", addedRecords.toString)
+    n.put("manifest-list", manifestList)
+    n
+  }
+
+  /** Create an Iceberg table at `table` from `df` (v1 metadata,
+    * snapshot 1 = the written files). Fails if a metadata version
+    * already exists.
+    */
+  def create(df: DataFrame, table: String): Long = {
+    require(!Files.isDirectory(metaDir(table)) || {
+      val s = Files.list(metaDir(table))
+      try !s.iterator().asScala
+        .exists(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+      finally s.close()
+    }, s"$table already has Iceberg metadata; use append")
+    val (schemaNode, lastId) = icebergSchemaNode(df.schema)
+    schemaNode.put("schema-id", 0)
+    val added = stageIn(df, table)
+    val snapId = newSnapshotId()
+    Files.createDirectories(metaDir(table))
+    val (mPath, mLen, mCount) =
+      writeManifest(table, snapId, schemaNode.toString, added)
+    val ml = writeManifestList(
+      table, snapId, Seq((mPath, mLen, mCount, Some(snapId))))
+    val ts = System.currentTimeMillis()
+    val snap = snapshotNode(
+      snapId, None, ts, ml, added.size, added.map(_.records).sum)
+    val json = buildMetadata(
+      table, java.util.UUID.randomUUID().toString, schemaNode, lastId,
+      Seq(snap), snapId, Seq((ts, snapId)))
+    if (!claim(table, 1, json))
+      throw new IllegalStateException(
+        s"lost the race for $table metadata v1 — another writer created it")
+    snapId
+  }
+
+  /** Append `df` as a new snapshot: previous manifests carried
+    * forward + one new ADDED manifest, the HadoopTableOperations
+    * optimistic commit (re-read state and retry on a lost claim —
+    * appends add disjoint files, so the retry is always safe).
+    * Returns the new snapshot id.
+    */
+  def append(df: DataFrame, table: String): Long = {
+    val added = stageIn(df, table)
+    var committed = false
+    var snapId = 0L
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val curSnapId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      val curSnap = curSnapId.flatMap { id =>
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+      }
+      val prevList = curSnap.flatMap(s =>
+        Option(s.get("manifest-list")).map(_.asText()))
+      snapId = newSnapshotId()
+      val schemaNode = (
+        if (meta.has("schema")) meta.get("schema")
+        else meta.get("schemas").elements().asScala.next()
+      ).deepCopy[ObjectNode]()
+      val (mPath, mLen, mCount) =
+        writeManifest(table, snapId, schemaNode.toString, added)
+      val ml = writeManifestList(
+        table, snapId,
+        (mPath, mLen, mCount, Some(snapId)) +: priorManifests(prevList))
+      val ts = System.currentTimeMillis()
+      val newSnap = snapshotNode(
+        snapId, curSnapId, ts, ml, added.size, added.map(_.records).sum)
+      val snaps = meta.get("snapshots").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
+      val log = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())).toSeq
+      else Nil) :+ ((ts, snapId))
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(), schemaNode,
+        meta.get("last-column-id").asInt(), snaps, snapId, log)
+      committed = claim(table, curVersion + 1, json)
+    }
+    snapId
+  }
+}

@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Iceberg interop tier: [[IcebergExport]] authors the open table
+  * spec (v1 metadata JSON + avro manifest lists/manifests) and
+  * [[IcebergTable]] reads it back — the Delta pair's discipline for
+  * the other open lakehouse format.
+  */
+class IcebergSpec extends SparkSpec {
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("iceberg_t_").resolve("t").toString
+
+  private def df(rows: Seq[(Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("id", "name", "score")
+  }
+
+  test("create → read round-trip with schema and types preserved") {
+    val t = tmpTable()
+    val in = Seq((1L, "a", 1.5), (2L, "b", -0.25), (3L, "c", 0.0))
+    IcebergExport.create(df(in), t)
+    val out = IcebergTable.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(out.schema("id").dataType.typeName == "long")
+    val got = out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == in.sortBy(_._1))
+  }
+
+  test("append advances the snapshot; time travel reads the old one") {
+    val t = tmpTable()
+    val first = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+    val second = Seq((3L, "c", 3.0))
+    val snap1 = IcebergExport.create(df(first), t)
+    val snap2 = IcebergExport.append(df(second), t)
+    assert(snap1 != snap2)
+    assert(IcebergTable.snapshotIds(t) == Seq(snap1, snap2))
+    val now = IcebergTable.read(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(now == Seq(1L, 2L, 3L))
+    val then_ = IcebergTable.read(spark, t, Some(snap1)).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(then_ == Seq(1L, 2L), "time travel to snapshot 1 drifted")
+  }
+
+  test("multiple appends: every snapshot equals its cumulative prefix") {
+    val t = tmpTable()
+    val batches = (0 until 4).map(b =>
+      (0 until 3).map(i => (b * 10L + i, s"b$b-$i", b + i * 0.5)))
+    val snaps = IcebergExport.create(df(batches.head), t) +:
+      batches.tail.map(b => IcebergExport.append(df(b), t))
+    snaps.zipWithIndex.foreach { case (s, i) =>
+      val got = IcebergTable.read(spark, t, Some(s))
+        .collect().map(_.getLong(0)).toSet
+      val want = batches.take(i + 1).flatten.map(_._1).toSet
+      assert(got == want, s"snapshot $i (id $s) mismatched")
+    }
+  }
+
+  test("concurrent appends claim distinct versions and lose no rows") {
+    val t = tmpTable()
+    IcebergExport.create(df(Seq((0L, "seed", 0.0))), t)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 3).map { w =>
+      Future(IcebergExport.append(
+        df(Seq((w * 100L, s"w$w", w.toDouble))), t))
+    }
+    val ids = Await.result(Future.sequence(fs), 120.seconds)
+    assert(ids.distinct.size == 3, "snapshot ids collided")
+    val got = IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 100L, 200L, 300L), s"rows lost/duplicated: $got")
+    // metadata versions are dense: v1..v4 all claimed exactly once
+    (1 to 4).foreach { v =>
+      assert(Files.isRegularFile(
+        Paths.get(t, "metadata", s"v$v.metadata.json")),
+        s"metadata v$v missing")
+    }
+  }
+
+  test("version-hint is a hint: discovery survives its absence") {
+    val t = tmpTable()
+    IcebergExport.create(df(Seq((1L, "a", 1.0))), t)
+    IcebergExport.append(df(Seq((2L, "b", 2.0))), t)
+    Files.delete(Paths.get(t, "metadata", "version-hint.text"))
+    val got = IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+    // ...and a STALE hint (written non-atomically, racing a commit)
+    // must not hide the newest version: discovery probes forward
+    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "1")
+    val stale = IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(stale == Set(1L, 2L), "stale hint hid committed metadata v2")
+  }
+
+  test("reader refuses format-version 3 and delete manifests loudly") {
+    val t = tmpTable()
+    IcebergExport.create(df(Seq((1L, "a", 1.0))), t)
+    // forge a v3 metadata file as the newest version
+    val v2 = Paths.get(t, "metadata", "v2.metadata.json")
+    val v1 = Files.readString(Paths.get(t, "metadata", "v1.metadata.json"))
+    Files.writeString(v2, v1.replaceFirst(
+      "\"format-version\" : 1", "\"format-version\" : 3"))
+    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "2")
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.read(spark, t)
+    }
+    assert(e.getMessage.contains("format-version"), e.getMessage)
+    Files.delete(v2)
+    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "1")
+
+    // forge a v2-style delete manifest entry in the manifest list
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val meta = IcebergTable.metadataJson(t)
+    val ml = meta.get("snapshots").elements().next()
+      .get("manifest-list").asText()
+    val withContent = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        {"name":"manifest_path","type":"string"},
+        {"name":"manifest_length","type":"long"},
+        {"name":"partition_spec_id","type":"int"},
+        {"name":"content","type":"int"}
+      ]}""".replaceAll("\\s+", " "))
+    val r = new DataFileReader[GenericRecord](
+      new java.io.File(ml), new GenericDatumReader[GenericRecord]())
+    val rows = try {
+      val it = r.iterator(); val b = Vector.newBuilder[GenericRecord]
+      while (it.hasNext) b += it.next()
+      b.result()
+    } finally r.close()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](withContent))
+    Files.delete(Paths.get(ml))
+    w.create(withContent, new java.io.File(ml))
+    try rows.foreach { old =>
+      val m = new GenericData.Record(withContent)
+      m.put("manifest_path", old.get("manifest_path").toString)
+      m.put("manifest_length", old.get("manifest_length").toString.toLong)
+      m.put("partition_spec_id", 0)
+      m.put("content", 1) // deletes
+      w.append(m)
+    } finally w.close()
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergTable.read(spark, t)
+    }
+    assert(e2.getMessage.contains("delete manifest"), e2.getMessage)
+  }
+
+  test("empty-table create round-trips schema with zero rows") {
+    val t = tmpTable()
+    import spark.implicits._
+    IcebergExport.create(
+      Seq.empty[(Long, String, Double)].toDF("id", "name", "score"), t)
+    val out = IcebergTable.read(spark, t)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(out.count() == 0L)
+  }
+
+  test("nested types survive the schema round-trip") {
+    val t = tmpTable()
+    import spark.implicits._
+    val in = Seq(
+      (1L, Seq(1.0, 2.0), Map("a" -> 1L), ("x", 9L)),
+      (2L, Seq(3.0), Map("b" -> 2L), ("y", 8L)))
+      .toDF("id", "vec", "tags", "pair")
+    IcebergExport.create(in, t)
+    val out = IcebergTable.read(spark, t)
+    assert(out.schema("vec").dataType.typeName == "array")
+    assert(out.schema("tags").dataType.typeName == "map")
+    assert(out.schema("pair").dataType.typeName == "struct")
+    val got = out.orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).getSeq[Double](1) == Seq(1.0, 2.0))
+    assert(got(1).getStruct(3).getString(0) == "y")
+  }
+}
