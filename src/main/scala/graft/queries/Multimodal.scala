@@ -157,7 +157,79 @@ object Multimodal {
       .orderBy(col("doc_id"), col("chunk_index"))
   }
 
+  /** m7 geometry: 60 signature bits, one per 16-hex-char content
+    * region (8 bytes); 4 bands × 15 bits for the Hamming-LSH candidate
+    * join; pairs verified at Hamming ≤ 6. 60 bits (not 64) keeps every
+    * shift inside a nonnegative BIGINT in both engines (the d4 SimHash
+    * precedent).
+    */
+  val PhashBits = 60
+  val PhashRegionHex = 16
+  val PhashBands = 4
+  val PhashBandBits = 15
+  val PhashMaxHamming = 6
+
+  /** Per-item perceptual-hash signature (doc_id, phash): bit b is the
+    * md5-parity of content region b — the aHash/PDQ shape (one bit per
+    * local cell, so an in-place edit flips ONLY the bits of regions it
+    * touches, and Hamming distance measures how much of the content
+    * changed) with the hash-parity standing in for the luma threshold,
+    * the m2 codec-stub discipline. Regions past a short item's end
+    * hash the empty slice — the same deterministic "black padding" on
+    * both engines. A pure per-row projection inside the scan: 60
+    * codegen'd md5 calls, no shuffle, no state.
+    */
+  private[queries] def phashFrame(df: DataFrame): DataFrame = {
+    val sig = (0 until PhashBits).map { b =>
+      shiftleft(
+        conv(substring(md5(
+          substring(col("hx"), b * PhashRegionHex + 1, PhashRegionHex)
+            .cast("binary")), 1, 1), 16, 10).cast("long") % 2, b)
+    }.reduce(_ + _)
+    df.select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+      .select(col("doc_id"), sig.as("phash"))
+  }
+
+  /** m7 — perceptual-hash near-dup (the IMAGE dedup pattern next to
+    * m4's frame containment: pHash/aHash signatures + multi-index
+    * Hamming LSH, how photo-dedup actually ships): items whose
+    * signatures agree on at least one 15-bit band become candidates
+    * (pigeonhole: any pair within Hamming ≤ 3 shares a clean band;
+    * the ≤ 6 verification keeps near-misses that still collide), and
+    * ONLY candidates pay the exact `bit_count(xor)` check — work ∝
+    * band collisions, never all-pairs (d3's LSH shape in Hamming
+    * space). At 100 TB: signatures are 8 bytes/item computed in the
+    * scan, the candidate join is pure equi on (band_id, band_val).
+    */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = phashFrame(
+      documents(spark, dir).select(col("doc_id"), col("text")))
+    val bands = sigs
+      .withColumn(
+        "band_id",
+        explode(array((0 until PhashBands).map(i => lit(i.toLong)): _*)))
+      .withColumn(
+        "band_val",
+        expr(s"shiftright(phash, cast(band_id * $PhashBandBits as int))")
+          .bitwiseAND(lit((1L << PhashBandBits) - 1)))
+    val a = bands.select(
+      col("doc_id").as("a_id"), col("phash").as("a_ph"),
+      col("band_id"), col("band_val"))
+    val b = bands.select(
+      col("doc_id").as("b_id"), col("phash").as("b_ph"),
+      col("band_id"), col("band_val"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        expr("bit_count(a_ph ^ b_ph)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_phash_neardup" -> phashNearDup,
     "m1_binary_meta" -> binaryMeta,
     "m2_content_features" -> contentFeatures,
     "m3_frame_slices" -> frameSlices,
@@ -166,6 +238,36 @@ object Multimodal {
     "m6_av_align" -> avAlign)
 
   val oracleSql: Map[String, String] = Map(
+    // m7: the signature fold, banding and Hamming verification
+    // replayed — md5-parity bits summed as shifted BIGINTs, the same
+    // band arithmetic, DISTINCT over band collisions
+    "m7_phash_neardup" ->
+      s"""WITH h AS (
+            SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents),
+          bits AS (
+            SELECT doc_id, b,
+                   CAST(CAST(concat('0x', substr(md5(
+                     substr(hx, b * $PhashRegionHex + 1, $PhashRegionHex)),
+                     1, 1)) AS BIGINT) % 2 AS BIGINT) AS bit
+            FROM h CROSS JOIN
+              (SELECT unnest(generate_series(0, ${PhashBits - 1})) AS b)),
+          sig AS (
+            SELECT doc_id, CAST(SUM(bit << b) AS BIGINT) AS phash
+            FROM bits GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, phash, band_id,
+                   (phash >> CAST(band_id * $PhashBandBits AS INT))
+                     & ${(1L << PhashBandBits) - 1} AS band_val
+            FROM sig CROSS JOIN
+              (SELECT unnest(generate_series(0, ${PhashBands - 1})) AS band_id)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id)
+          SELECT a_id, b_id, hamming FROM cand
+          WHERE hamming <= $PhashMaxHamming ORDER BY a_id, b_id""",
     "m1_binary_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

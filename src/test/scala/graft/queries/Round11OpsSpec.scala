@@ -96,6 +96,50 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("m7: planted in-place edits are found; unrelated content is not") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 16).trim
+    // doc 2: three in-place single-char edits (same length) — flips
+    // only the touched regions' bits; doc 3: unrelated; doc 4: exact copy
+    val edited = {
+      val sb = new StringBuilder(base)
+      sb.setCharAt(40, 'X'); sb.setCharAt(200, 'Y'); sb.setCharAt(410, 'Z')
+      sb.toString
+    }
+    val other = ("entirely different content with no shared layout " * 15).trim
+    val fdir = java.nio.file.Files.createTempDirectory("m7_fix_").toString
+    Seq((1L, base), (2L, edited), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+    val pairs = Multimodal.phashNearDup(spark, fdir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 0L,
+      s"exact copy must pair at Hamming 0: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 3L,
+      s"3 in-place edits flip at most 3 region bits: $pairs")
+    assert(pairs.contains((2L, 4L)), "edited doc must pair with the copy too")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated content must not collide within Hamming ${Multimodal.PhashMaxHamming}: $pairs")
+  }
+
+  test("m7: signature is a pure projection; bands partition the bits") {
+    import spark.implicits._
+    val sigs = Multimodal.phashFrame(
+      Seq((1L, "abc"), (2L, "abc"), (3L, "abd"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical content must hash identically")
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << 60)),
+      "signatures must stay in the nonnegative 60-bit domain")
+    // reassembling the 4 bands reproduces the signature
+    val s1 = sigs(1L)
+    val re = (0 until Multimodal.PhashBands).map { b =>
+      ((s1 >> (b * Multimodal.PhashBandBits)) &
+        ((1L << Multimodal.PhashBandBits) - 1)) << (b * Multimodal.PhashBandBits)
+    }.sum
+    assert(re == s1, "band decomposition must partition the signature")
+  }
+
   test("s24: refined top-k scores dominate s13's ADC-ranked picks") {
     // the point of paying the 4·k raw reads: the exact quality of the
     // served set. Per query, the refined set's total exact cosine must
