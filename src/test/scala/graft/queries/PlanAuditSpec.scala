@@ -326,6 +326,18 @@ class PlanAuditSpec extends SparkSpec {
                            // group-limit window + output sort; query
                            // terms + df are fit-time control data
                            // (LocalTableScan, no distributed distinct)
+    "s24_ivf_pq_refine" -> 7, // s13's 6 (probe agg + broadcast + bucket
+                              // join sides + ADC window + sort) + the
+                              // refine's raw-vector point join; the
+                              // rescore window rides the ADC window's
+                              // q_id partitioning
+    "t26_quality_classifier" -> 9, // measured ceiling with WARM caches
+                                   // (labels + feature frame session-
+                                   // cached): training agg (countDistinct
+                                   // 2-phase) + totals broadcast + weight
+                                   // broadcast + inference agg + sort
+    "m7_phash_neardup" -> 3, // band equi-join sides (signatures ride the
+                             // scan projection) + pair distinct + sort
     "w16_conversion_latency" -> 4 // w4's user window + bucket agg + the
                                   // global-total window over <=64 post-agg
                                   // rows + sort; the r8 rewrite removed
