@@ -182,6 +182,53 @@ object TrainingSet {
       .orderBy(col("lang"), col("cum_tokens"))
   }
 
+  /** p24 — TEMPERATURE-scaled mixture weights (the alpha-sampling of
+    * mT5 / XLM-R / BLOOM: sampling weight ∝ share^α, α < 1, so
+    * low-resource languages are upsampled and the head is damped —
+    * the knob every multilingual training mix is actually set with;
+    * p3/p9 select at fixed proportions, this COMPUTES the
+    * proportions). α = 1/2 here because sqrt is the IEEE-exact member
+    * of the family (correctly rounded by both engines where a general
+    * `pow` carries no cross-engine guarantee — the established
+    * exactness discipline, documented trade).
+    *
+    * Exactness: share = IEEE division of exact BIGINT token counts;
+    * weight = floor(sqrt(share)·1e9) nano-quantized (the t10
+    * discipline), so the normalization sum is an EXACT integer;
+    * per-language budget = T·w div Σw in pure BIGINT (T = half the
+    * corpus tokens, p2's discipline; max product ~2e6·1e9 ≪ 2⁶³);
+    * `epochs` (budget/n — the upsampling factor the mix implies, >1 =
+    * the low-resource tail trains multiple epochs) is one final IEEE
+    * division.
+    *
+    * Scale shape: one hash agg to |langs| rows + two 1-row broadcasts
+    * — everything after the agg is metadata-sized.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("total"))
+    val scored = perLang.crossJoin(broadcast(tot))
+      .withColumn(
+        "share",
+        col("n_tokens").cast("double") / col("total").cast("double"))
+      .withColumn("wq", floor(sqrt(col("share")) * lit(1e9)).cast("long"))
+    scored
+      .crossJoin(broadcast(scored.agg(sum(col("wq")).as("wq_sum"))))
+      .withColumn("budget_tokens", expr("(total div 2) * wq div wq_sum"))
+      .select(
+        col("lang"), col("n_docs"), col("n_tokens"), col("share"),
+        col("wq"), col("budget_tokens"),
+        (col("budget_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("epochs"))
+      .orderBy(col("lang"))
+  }
+
   val NumShards = 8
 
   /** Content-addressed shard id — THE cross-engine-exactness-critical
@@ -1047,6 +1094,7 @@ object TrainingSet {
     "p2_token_budget" -> tokenBudget,
     "p22_bpe_budget" -> bpeTokenBudget,
     "p3_language_mix" -> languageMix,
+    "p24_temperature_mix" -> temperatureMix,
     "p4_shard_stats" -> shardStats,
     "p5_sequence_pack" -> sequencePack,
     "p23_bpe_pack" -> bpeSequencePack,
@@ -1473,6 +1521,28 @@ object TrainingSet {
             FROM ranked r JOIN budgets b ON b.lang = r.lang
             WHERE r.cum_tokens <= b.lang_budget
             ORDER BY r.lang, r.cum_tokens""",
+      // p24: the alpha-sampling weights replayed — per-lang counts,
+      // nano-quantized sqrt weights, pure-BIGINT budget split
+      "p24_temperature_mix" ->
+        s"""WITH $qualityCtes,
+            pl AS (
+              SELECT d.lang, COUNT(*) AS n_docs,
+                     CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens
+              FROM quality q JOIN documents d USING (doc_id)
+              GROUP BY d.lang),
+            tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM pl),
+            sc AS (
+              SELECT lang, n_docs, n_tokens, total,
+                     CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+                     CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)
+                       / CAST(total AS DOUBLE)) * 1e9) AS BIGINT) AS wq
+              FROM pl CROSS JOIN tot),
+            ws AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_sum FROM sc)
+            SELECT lang, n_docs, n_tokens, share, wq,
+                   CAST((total // 2) * wq // wq_sum AS BIGINT) AS budget_tokens,
+                   CAST((total // 2) * wq // wq_sum AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE) AS epochs
+            FROM sc CROSS JOIN ws ORDER BY lang""",
       // p22: p2's selection with the token currency swapped for t25's
       // certified BPE counts (nested verbatim — the s18 composition
       // discipline; inner CTE names are scoped to the subquery)

@@ -140,6 +140,28 @@ class Round11OpsSpec extends SparkSpec {
     assert(re == s1, "band decomposition must partition the signature")
   }
 
+  test("p24: temperature damps the head and upsamples the tail") {
+    val rows = TrainingSet.temperatureMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getLong(5), r.getDouble(6)))
+    assert(rows.length >= 2, "needs at least two languages to mix")
+    val (smallest, largest) =
+      (rows.minBy(_._2), rows.maxBy(_._2))
+    info(f"p24: ${smallest._1} epochs ${smallest._5}%.3f vs ${largest._1} ${largest._5}%.3f")
+    // α = 0.5: a smaller language's implied epoch count must EXCEED a
+    // larger one's (weight ∝ sqrt(share) ⇒ budget/n ∝ 1/sqrt(share))
+    assert(smallest._5 > largest._5,
+      f"temperature failed to upsample: ${smallest._5}%.4f <= ${largest._5}%.4f")
+    // budget conservation: Σ budgets ≤ T (floor division only loses)
+    val total = rows.map(_._2).sum
+    assert(rows.map(_._4).sum <= total / 2,
+      "budgets exceed the half-corpus target")
+    assert(rows.map(_._4).sum >= total / 2 - rows.length,
+      "floor losses exceed one token per language")
+    // shares sum to 1 within float tolerance
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("s24: refined top-k scores dominate s13's ADC-ranked picks") {
     // the point of paying the 4·k raw reads: the exact quality of the
     // served set. Per query, the refined set's total exact cosine must
