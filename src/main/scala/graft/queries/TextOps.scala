@@ -982,7 +982,14 @@ object TextOps {
     * the vocab join is explicitly broadcast; one hash agg to
     * docs-sized output. No corpus×corpus anywhere.
     */
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained tokenizer as frames, shared by t25 (encode) and t27
+    * (decode roundtrip): `segf` = each DISTINCT word's final
+    * segmentation (word, syms); `vocab` = (token, id) with t25's id
+    * assignment (base chars dense-ranked by code point, merges at
+    * [[MergeIdOffset]]+step, spelling collisions → MIN(id)).
+    */
+  private[queries] def bpeVocabFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val S = BpeSep
     val symsOf = (c: Column) => split(ltrim(rtrim(c, S), S), s"$S$S")
@@ -1004,8 +1011,13 @@ object TextOps {
         (a + b, MergeIdOffset + step)
       }.toDF("token", "id"))
       .groupBy(col("token")).agg(min(col("id")).as("id"))
+    (segf.select(col("word"), symsOf(col("seg")).as("syms")), vocab)
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (segf, vocab) = bpeVocabFrames(spark, dir)
     cachedWords(spark, dir)
-      .join(segf.select(col("word"), symsOf(col("seg")).as("syms")), "word")
+      .join(segf, "word")
       .select(
         col("doc_id"), col("pos").cast("long").as("pos"),
         posexplode(col("syms")).as(Seq("sym_idx", "token")))
@@ -1021,6 +1033,62 @@ object TextOps {
       .withColumn(
         "fertility",
         col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t27 — BPE DECODE / tokenizer-fidelity audit (detokenization, the
+    * inverse every serving path runs, and the roundtrip check a
+    * pipeline runs BEFORE committing an encoded corpus): each distinct
+    * word is encoded to its id sequence (t25's path), the ids are
+    * decoded back through the INVERTED vocab (id → spelling — the
+    * inversion is well-defined: spelling collisions were resolved to
+    * MIN(id) at encode time, so an id names exactly one spelling), the
+    * spellings re-concatenate in sym order (A7's array_sort struct
+    * discipline, never bare collect order), and the decoded word is
+    * compared to the original. Output is per-doc roundtrip evidence:
+    * any id-level corruption, vocab drift, or ordering bug shows as
+    * n_ok < n_words.
+    *
+    * Scale shape: the decode runs on the DISTINCT-WORD table
+    * (vocabulary-sized, Heaps); both vocab joins broadcast; the
+    * corpus-sized work is one words⋈verdict equi-join + one hash agg
+    * to docs-sized output — t25's exact shape.
+    */
+  def bpeDecode(spark: SparkSession, dir: String): DataFrame = {
+    val (segf, vocab) = bpeVocabFrames(spark, dir)
+    bpeDecodeFrom(spark, dir, segf, vocab)
+  }
+
+  /** The decode + roundtrip fold over explicit tokenizer frames, so
+    * the spec can drive it with a CORRUPTED vocab and assert the audit
+    * actually trips (n_ok < n_words) — a fidelity check that cannot
+    * fail is not a check.
+    */
+  private[queries] def bpeDecodeFrom(
+      spark: SparkSession, dir: String,
+      segf: DataFrame, vocab: DataFrame): DataFrame = {
+    val ispell = vocab.groupBy(col("id")).agg(min(col("token")).as("spelling"))
+    val decoded = segf
+      .select(col("word"), posexplode(col("syms")).as(Seq("sym_idx", "token")))
+      .join(broadcast(vocab), "token")
+      .join(broadcast(ispell), "id")
+      .groupBy(col("word"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("sym_idx"), col("spelling")))),
+            x => x.getField("spelling")),
+          "").as("decoded"))
+      .select(col("word"), (col("decoded") === col("word")).as("ok"))
+    cachedWords(spark, dir)
+      .join(decoded, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_ok"),
+        (col("n_words") === col("n_ok")).as("all_ok"))
       .orderBy(col("doc_id"))
   }
 
@@ -1182,6 +1250,7 @@ object TextOps {
     "t22_ppl_buckets" -> pplBuckets,
     "t21_bpe_merges" -> bpeMergesQ,
     "t25_bpe_encode" -> bpeEncode,
+    "t27_bpe_decode" -> bpeDecode,
     "t20_pretoken_counts" -> pretokenCounts,
     "t19_gopher_rules" -> gopherRules,
     "t18_vocab_growth" -> vocabGrowth,
@@ -1321,13 +1390,17 @@ object TextOps {
     * per-doc fold. Weight arithmetic is forced to BIGINT before the
     * multiply — DuckDB INTEGER would overflow-error at pos·1024·id.
     */
-  private def bpeEncodeOracle: String = {
+  /** The t21 chain + the trained vocab as CTEs (`segf`, `vocab`) —
+    * shared by the t25 and t27 oracles exactly as [[bpeVocabFrames]]
+    * is shared on the Spark side.
+    */
+  private def bpeVocabCtes: String = {
     val sep = "chr(31)"
     val mergeRows = (1 to MergeRounds)
       .map(i =>
         s"SELECT a || b AS token, CAST($MergeIdOffset + $i AS BIGINT) AS id FROM best$i")
       .mkString("\n              UNION ALL ")
-    s"""WITH $bpeCtes,
+    s"""$bpeCtes,
         segf AS (
           SELECT word, string_split(trim(seg, $sep), $sep || $sep) AS syms
           FROM seg$MergeRounds),
@@ -1343,7 +1416,37 @@ object TextOps {
           SELECT token, MIN(id) AS id
           FROM (SELECT * FROM baseid
               UNION ALL $mergeRows)
-          GROUP BY token),
+          GROUP BY token)"""
+  }
+
+  /** t27's oracle: the shared vocab chain, the id→spelling inversion,
+    * ordered re-concatenation (string_agg ORDER BY sym_idx) and the
+    * per-doc roundtrip fold.
+    */
+  private def bpeDecodeOracle: String =
+    s"""WITH $bpeVocabCtes,
+        ispell AS (SELECT id, MIN(token) AS spelling FROM vocab GROUP BY id),
+        wenc AS (
+          SELECT s.word,
+                 CAST(generate_subscripts(s.syms, 1) - 1 AS BIGINT) AS sym_idx,
+                 unnest(s.syms) AS token
+          FROM segf s),
+        wtok AS (
+          SELECT w.word, w.sym_idx, v.id
+          FROM wenc w JOIN vocab v USING (token)),
+        dec AS (
+          SELECT t.word,
+                 string_agg(i.spelling, '' ORDER BY t.sym_idx) AS decoded
+          FROM wtok t JOIN ispell i USING (id) GROUP BY t.word),
+        verdict AS (SELECT word, (decoded = word) AS ok FROM dec)
+        SELECT w.doc_id, COUNT(*) AS n_words,
+               CAST(SUM(CASE WHEN v.ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+               COUNT(*) = SUM(CASE WHEN v.ok THEN 1 ELSE 0 END) AS all_ok
+        FROM words w JOIN verdict v USING (word)
+        GROUP BY w.doc_id ORDER BY w.doc_id"""
+
+  private def bpeEncodeOracle: String = {
+    s"""WITH $bpeVocabCtes,
         enc AS (
           SELECT w.doc_id, CAST(w.pos AS BIGINT) AS pos,
                  CAST(generate_subscripts(s.syms, 1) - 1 AS BIGINT) AS sym_idx,
@@ -1368,6 +1471,7 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "t21_bpe_merges" -> bpeOracle,
     "t25_bpe_encode" -> bpeEncodeOracle,
+    "t27_bpe_decode" -> bpeDecodeOracle,
     // t20: the identical pattern (single quote doubled for the SQL
     // literal) — leftmost-first alternation in both engines, so the
     // token stream is character-for-character the same

@@ -79,7 +79,9 @@ class PlanAuditSpec extends SparkSpec {
       "few hundred rows at any SF); ranking in-plan rather than on the " +
       "driver keeps the tie order in UTF8String binary = code-point " +
       "order, matching DuckDB where a driver-side Java sort would not " +
-      "for supplementary-plane characters")
+      "for supplementary-plane characters"),
+    "t27_bpe_decode" -> ("t25's base-vocab alphabet ranking, shared via " +
+      "bpeVocabFrames — same bounded-alphabet argument")
   )
 
   test("no unpartitioned windows anywhere in the registry (whitelist audited)") {
@@ -338,6 +340,13 @@ class PlanAuditSpec extends SparkSpec {
                                    // broadcast + inference agg + sort
     "m7_phash_neardup" -> 3, // band equi-join sides (signatures ride the
                              // scan projection) + pair distinct + sort
+    "t27_bpe_decode" -> 15, // cold ceiling: the shared segf/vocab build
+                            // (distinct-word agg + alphabet ranking +
+                            // vocab agg) + decode joins + verdict join
+                            // + per-doc agg + sort
+    "p24_temperature_mix" -> 15, // cold ceiling incl. the quality-score
+                                 // cache build; own spend is one lang
+                                 // agg + two 1-row broadcasts + sort
     "w16_conversion_latency" -> 4 // w4's user window + bucket agg + the
                                   // global-total window over <=64 post-agg
                                   // rows + sort; the r8 rewrite removed

@@ -140,6 +140,33 @@ class Round11OpsSpec extends SparkSpec {
     assert(re == s1, "band decomposition must partition the signature")
   }
 
+  test("t27: roundtrip holds corpus-wide; a corrupted vocab trips the audit") {
+    import org.apache.spark.sql.functions._
+    val clean = TextOps.bpeDecode(spark, dir).collect()
+    assert(clean.nonEmpty)
+    assert(clean.forall(_.getBoolean(3)),
+      "decode(encode(w)) must equal w for every corpus word")
+    // corrupt the vocab with a COLLISION: the top merge token takes
+    // another token's id (a bijective id swap is a harmless
+    // relabeling — roundtrip is invariant under it; a collision makes
+    // one spelling undecodable) — the audit MUST notice (a fidelity
+    // check that cannot fail checks nothing)
+    val (segf, vocab) = TextOps.bpeVocabFrames(spark, dir)
+    val top2 = vocab.orderBy(col("id").desc).limit(2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top2.length == 2)
+    val corrupted = vocab
+      .withColumn(
+        "id",
+        when(col("token") === top2(0)._1, top2(1)._2)
+          .otherwise(col("id")))
+    val audited = TextOps.bpeDecodeFrom(spark, dir, segf, corrupted).collect()
+    assert(audited.exists(!_.getBoolean(3)),
+      "an id collision must surface as roundtrip failures")
+    val broken = audited.count(!_.getBoolean(3))
+    info(s"t27 audit flagged $broken/${audited.length} docs under the collided vocab")
+  }
+
   test("p24: temperature damps the head and upsamples the tail") {
     val rows = TrainingSet.temperatureMix(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
