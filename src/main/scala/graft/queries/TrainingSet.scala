@@ -229,6 +229,41 @@ object TrainingSet {
       .orderBy(col("lang"))
   }
 
+  /** p25 — CLASSIFIER-gated corpus selection (the actual CCNet/GPT-3
+    * pipeline shape: the learned quality filter — t26 — GATES the
+    * corpus, and the curator reads the per-language keep/drop mass
+    * before committing): every document scored by the trained NB
+    * model, kept iff predicted head, reported as per-language exact
+    * document and token masses + the kept fraction. This is t26's
+    * production consumer the way p22/p23 are t25's — a learned-filter
+    * decision expressed as engine aggregates, no driver loop.
+    *
+    * Exactness: counts and token sums are exact BIGINTs over t26's
+    * oracle-pinned predictions; kept_token_frac is one IEEE division.
+    * Scale shape: t26's inference pipeline + one docs⋈lang join + one
+    * hash agg to ǀlangsǀ rows.
+    */
+  def classifierGate(spark: SparkSession, dir: String): DataFrame = {
+    val pred = TextOps.qualityClassifier(spark, dir)
+      .select(col("doc_id"), col("pred_head"))
+    val kept = when(col("pred_head"), 1L).otherwise(0L)
+    TextOps.cachedQualityScore(spark, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .join(pred, "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        sum(kept).as("n_kept"),
+        sum(lit(1L) - kept).as("n_dropped"),
+        sum(col("n_tokens") * kept).as("kept_tokens"),
+        sum(col("n_tokens") * (lit(1L) - kept)).as("dropped_tokens"))
+      .withColumn(
+        "kept_token_frac",
+        col("kept_tokens").cast("double")
+          / (col("kept_tokens") + col("dropped_tokens")).cast("double"))
+      .orderBy(col("lang"))
+  }
+
   val NumShards = 8
 
   /** Content-addressed shard id — THE cross-engine-exactness-critical
@@ -1095,6 +1130,7 @@ object TrainingSet {
     "p22_bpe_budget" -> bpeTokenBudget,
     "p3_language_mix" -> languageMix,
     "p24_temperature_mix" -> temperatureMix,
+    "p25_classifier_gate" -> classifierGate,
     "p4_shard_stats" -> shardStats,
     "p5_sequence_pack" -> sequencePack,
     "p23_bpe_pack" -> bpeSequencePack,
@@ -1543,6 +1579,27 @@ object TrainingSet {
                    CAST((total // 2) * wq // wq_sum AS DOUBLE)
                      / CAST(n_tokens AS DOUBLE) AS epochs
             FROM sc CROSS JOIN ws ORDER BY lang""",
+      // p25: t26's certified predictions nested verbatim (the s18
+      // trust-inheritance) + the per-language keep/drop mass fold
+      "p25_classifier_gate" ->
+        s"""WITH $qualityCtes,
+            pred AS (
+              SELECT doc_id, pred_head
+              FROM (${TextOps.oracleSql("t26_quality_classifier")}) t),
+            j AS (
+              SELECT d.lang, q.n_tokens,
+                     CASE WHEN p.pred_head THEN 1 ELSE 0 END AS kept
+              FROM quality q
+              JOIN documents d USING (doc_id)
+              JOIN pred p USING (doc_id))
+            SELECT lang,
+                   CAST(SUM(kept) AS BIGINT) AS n_kept,
+                   CAST(SUM(1 - kept) AS BIGINT) AS n_dropped,
+                   CAST(SUM(n_tokens * kept) AS BIGINT) AS kept_tokens,
+                   CAST(SUM(n_tokens * (1 - kept)) AS BIGINT) AS dropped_tokens,
+                   CAST(SUM(n_tokens * kept) AS DOUBLE)
+                     / CAST(SUM(n_tokens) AS DOUBLE) AS kept_token_frac
+            FROM j GROUP BY lang ORDER BY lang""",
       // p22: p2's selection with the token currency swapped for t25's
       // certified BPE counts (nested verbatim — the s18 composition
       // discipline; inner CTE names are scoped to the subquery)
