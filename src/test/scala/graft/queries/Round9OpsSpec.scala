@@ -167,7 +167,7 @@ class Round9OpsSpec extends SparkSpec {
     val rows = Similarity.retrievalEval(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
-    assert(rows.length == 8 && rows.map(_._1) == rows.map(_._1).sorted)
+    assert(rows.length == 9 && rows.map(_._1) == rows.map(_._1).sorted)
     rows.foreach { case (v, h, t, ppm) =>
       assert(t == Similarity.NumQueries * Similarity.TopK, s"$v total $t")
       assert(h >= 0 && h <= t, s"$v hits $h")
@@ -180,6 +180,9 @@ class Round9OpsSpec extends SparkSpec {
     // SRP above the single-table s15
     assert(m("s19_srp_multi_topk") > m("s15_srp_lsh_topk"),
       s"s19 must rank above s15 in the recall ladder: $m")
+    // r11: the refine stage must beat the ADC ranking it rescores
+    assert(m("s24_ivf_pq_refine") >= m("s13_ivf_pq_topk"),
+      s"refine must not lose to unrefined IVF+PQ: $m")
   }
 
   test("m6: boundary-exact chunk→keyframe alignment through the native asof exec") {
