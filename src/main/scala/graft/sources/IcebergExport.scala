@@ -155,6 +155,17 @@ object IcebergExport {
     * writers never share a `_temporary` dir or enumerate each other's
     * files.
     */
+  /** Row count from the parquet FOOTER — a bounded driver read, never
+    * a scan job.
+    */
+  private def footerCount(
+      conf: org.apache.hadoop.conf.Configuration, abs: String): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs), conf))
+    try reader.getRecordCount finally reader.close()
+  }
+
   private def stageIn(df: DataFrame, table: String): Seq[Added] = {
     val stage = Files.createTempDirectory("iceberg_stage")
     df.write.mode("overwrite").parquet(stage.toString)
@@ -171,11 +182,8 @@ object IcebergExport {
     parts.map { p =>
       val dest = dataDir.resolve(p.getFileName.toString)
       Files.move(p, dest)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(dest.toAbsolutePath.toString), conf))
-      val records = try reader.getRecordCount finally reader.close()
-      Added(dest.toAbsolutePath.toString, Files.size(dest), records)
+      Added(dest.toAbsolutePath.toString, Files.size(dest),
+        footerCount(conf, dest.toAbsolutePath.toString))
     }
   }
 
@@ -408,6 +416,87 @@ object IcebergExport {
         table, meta.get("table-uuid").asText(), schemaNode,
         meta.get("last-column-id").asInt(), snaps, snapId, log)
       committed = claim(table, curVersion + 1, json)
+    }
+    snapId
+  }
+
+  /** UniForm-style Delta→Iceberg METADATA conversion: author Iceberg
+    * metadata over a Delta table's CURRENT active file set — the SAME
+    * parquet files, zero data copied or moved (`metadata/` lands next
+    * to `_delta_log/`; both formats then describe one physical
+    * table). Re-running after Delta commits emits a NEW snapshot with
+    * one full manifest of the current active set, so the Iceberg view
+    * tracks the Delta table at each sync point (and earlier sync
+    * points stay time-travelable).
+    *
+    * Scope: unpartitioned Delta tables only, refused loudly —
+    * Delta data files do NOT contain partition columns (the log
+    * carries them), so an Iceberg reader scanning the files directly
+    * would silently drop those columns; real UniForm re-derives
+    * partition metadata, which needs the spec's typed partition
+    * structs (out of the authoring scope documented on this object).
+    *
+    * Returns the new Iceberg snapshot id.
+    */
+  def fromDelta(spark: org.apache.spark.sql.SparkSession, table: String): Long = {
+    val st = DeltaLog.stateAt(spark, table, None)
+    require(st.partitionCols.isEmpty,
+      s"UniForm conversion supports unpartitioned Delta tables only; " +
+        s"$table partitions by ${st.partitionCols.mkString(",")} and its " +
+        "data files do not contain those columns")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(st.schemaJson.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val conf = spark.sparkContext.hadoopConfiguration
+    import org.apache.spark.sql.functions.col
+    val files = DeltaLog.activeFiles(spark, table)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    val added = files.map(f =>
+      Added(f, Files.size(Paths.get(f)), footerCount(conf, f))).toSeq
+    val (schemaNode, lastId) = icebergSchemaNode(schema)
+    schemaNode.put("schema-id", 0)
+    Files.createDirectories(metaDir(table))
+    var committed = false
+    var snapId = 0L
+    while (!committed) {
+      val existing = {
+        val s = Files.list(metaDir(table))
+        try s.iterator().asScala
+          .exists(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+        finally s.close()
+      }
+      snapId = newSnapshotId()
+      val (mPath, mLen, mCount) =
+        writeManifest(table, snapId, schemaNode.toString, added)
+      val ml = writeManifestList(
+        table, snapId, Seq((mPath, mLen, mCount, Some(snapId))))
+      val ts = System.currentTimeMillis()
+      if (!existing) {
+        val snap = snapshotNode(
+          snapId, None, ts, ml, added.size, added.map(_.records).sum)
+        val json = buildMetadata(
+          table, java.util.UUID.randomUUID().toString, schemaNode, lastId,
+          Seq(snap), snapId, Seq((ts, snapId)))
+        committed = claim(table, 1, json)
+      } else {
+        val meta = IcebergTable.metadataJson(table)
+        val curVersion = IcebergTable.currentMetadataVersion(table)
+        val prevId = Option(meta.get("current-snapshot-id"))
+          .map(_.asLong()).filter(_ != -1L)
+        val snap = snapshotNode(
+          snapId, prevId, ts, ml, added.size, added.map(_.records).sum)
+        val snaps = meta.get("snapshots").elements().asScala
+          .map(_.deepCopy[ObjectNode]()).toSeq :+ snap
+        val log = (if (meta.has("snapshot-log"))
+          meta.get("snapshot-log").elements().asScala.map(e =>
+            (e.get("timestamp-ms").asLong(),
+              e.get("snapshot-id").asLong())).toSeq
+        else Nil) :+ ((ts, snapId))
+        val json = buildMetadata(
+          table, meta.get("table-uuid").asText(), schemaNode, lastId,
+          snaps, snapId, log)
+        committed = claim(table, curVersion + 1, json)
+      }
     }
     snapId
   }

@@ -163,6 +163,44 @@ class IcebergSpec extends SparkSpec {
     assert(out.count() == 0L)
   }
 
+  test("UniForm: Delta table converts to Iceberg over the SAME files") {
+    val t = tmpTable()
+    import spark.implicits._
+    val first = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+    DeltaExport.create(first.toDF("id", "name", "score"), t)
+    val snap1 = IcebergExport.fromDelta(spark, t)
+    // identical rows through BOTH format readers
+    val viaDelta = DeltaLog.read(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaIceberg = IcebergTable.read(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaDelta == viaIceberg && viaDelta == Seq(1L, 2L))
+    // ZERO data copied: the Iceberg manifest references the Delta
+    // table's own parquet files
+    val meta = IcebergTable.metadataJson(t)
+    val snap = meta.get("snapshots").elements().next()
+    val icebergFiles = IcebergTable.dataFilesOf(t, meta, snap).toSet
+    val deltaFiles = DeltaLog.activeFiles(spark, t)
+      .collect().map(_.getString(0)).toSet
+    assert(icebergFiles == deltaFiles,
+      s"conversion must reference the same files:\n $icebergFiles\n $deltaFiles")
+    // re-sync after a Delta append: new snapshot sees the new rows,
+    // the first sync point stays time-travelable
+    DeltaExport.append(Seq((3L, "c", 3.0)).toDF("id", "name", "score"), t)
+    val snap2 = IcebergExport.fromDelta(spark, t)
+    assert(snap2 != snap1)
+    assert(IcebergTable.read(spark, t).count() == 3L)
+    assert(IcebergTable.read(spark, t, Some(snap1)).count() == 2L)
+    // partitioned Delta tables are refused loudly
+    val tp = tmpTable()
+    DeltaExport.create(
+      Seq((1L, "x", 1.0)).toDF("id", "name", "score"), tp, Seq("name"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.fromDelta(spark, tp)
+    }
+    assert(e.getMessage.contains("unpartitioned"), e.getMessage)
+  }
+
   test("nested types survive the schema round-trip") {
     val t = tmpTable()
     import spark.implicits._
