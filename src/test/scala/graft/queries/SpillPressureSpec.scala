@@ -35,7 +35,10 @@ class SpillPressureSpec extends SparkSpec {
     // r11: the two heaviest new pipelines — d24's gram join + per-doc
     // windows + span explode, t25's distinct-word merge rewrite +
     // corpus join + per-doc checksum agg
-    "d24_minlen_span_removal", "t25_bpe_encode")
+    "d24_minlen_span_removal", "t25_bpe_encode",
+    // r11 late: t26's train+infer (vocab-sized class-count agg, the
+    // broadcast-weight inference join, per-doc score agg)
+    "t26_quality_classifier")
 
   // 64-row buffers / spill every 256 rows: small enough that every
   // window partition group beyond a page forces the external path,
