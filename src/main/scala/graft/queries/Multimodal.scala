@@ -264,8 +264,32 @@ object Multimodal {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** m8 — media dedup CLUSTERS: m7's near-dup pairs closed into
+    * connected components via d18's star-contraction (O(log²) rounds,
+    * never a driver BFS), every item labeled with its cluster's MIN id
+    * and the survivor flagged — the keep-one-per-cluster assignment an
+    * image-dedup pass actually applies (the d9/d18 output contract on
+    * the media tier, so downstream survivor policies are shared
+    * between text and media). Work ∝ m7's collision pairs; the label
+    * propagation is the spec'd star-contraction, not per-item
+    * iteration.
+    */
+  def mediaClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = phashNearDup(spark, dir)
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+    val labels = Dedup.starContract(pairs)._1
+    documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m7_phash_neardup" -> phashNearDup,
+    "m8_media_clusters" -> mediaClusters,
     "m1_binary_meta" -> binaryMeta,
     "m2_content_features" -> contentFeatures,
     "m3_frame_slices" -> frameSlices,
@@ -273,11 +297,11 @@ object Multimodal {
     "m5_overlap_chunks" -> overlapChunks,
     "m6_av_align" -> avAlign)
 
-  val oracleSql: Map[String, String] = Map(
-    // m7: the signature fold, banding and Hamming verification
-    // replayed — md5-parity bits summed as shifted BIGINTs, the same
-    // band arithmetic, DISTINCT over band collisions
-    "m7_phash_neardup" ->
+  // m7: the signature fold, banding and Hamming verification
+  // replayed — md5-parity bits summed as shifted BIGINTs, the same
+  // band arithmetic, DISTINCT over band collisions; shared with the
+  // m8 closure (nested verbatim, the s18 trust-inheritance)
+  private lazy val phashPairsSql: String =
       s"""WITH h AS (
             SELECT doc_id, upper(hex(encode(text))) AS hx FROM documents),
           bits AS (
@@ -311,7 +335,24 @@ object Multimodal {
               ON a.band_id = b.band_id AND a.band_val = b.band_val
                  AND a.doc_id < b.doc_id)
           SELECT a_id, b_id, hamming FROM cand
-          WHERE hamming <= $PhashMaxHamming ORDER BY a_id, b_id""",
+          WHERE hamming <= $PhashMaxHamming ORDER BY a_id, b_id"""
+
+  val oracleSql: Map[String, String] = Map(
+    "m7_phash_neardup" -> phashPairsSql,
+    // m8: m7's certified pairs nested verbatim, closed by the d18
+    // recursive-reachability oracle (MIN id per component)
+    "m8_media_clusters" ->
+      s"""WITH RECURSIVE
+          pairs AS (SELECT a_id, b_id FROM ($phashPairsSql) t),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                    UNION SELECT b_id, a_id FROM pairs),
+          reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)
+          SELECT src AS doc_id, MIN(dst) AS cluster_id,
+                 MIN(dst) = src AS is_survivor
+          FROM reach GROUP BY src ORDER BY doc_id""",
     "m1_binary_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
