@@ -427,7 +427,10 @@ object IcebergExport {
     * table). Re-running after Delta commits emits a NEW snapshot with
     * one full manifest of the current active set, so the Iceberg view
     * tracks the Delta table at each sync point (and earlier sync
-    * points stay time-travelable).
+    * points stay time-travelable). SINGLE-WRITER CONTRACT: Delta must
+    * stay the only writer of a converted table — a file appended
+    * through [[append]] directly is not in the Delta log, and the next
+    * re-sync drops it (pinned by `IcebergReplayPropsSpec`).
     *
     * Scope: unpartitioned Delta tables only, refused loudly —
     * Delta data files do NOT contain partition columns (the log
