@@ -158,4 +158,83 @@ class StreamRestartSpec extends SparkSpec {
       (1L, 1L, "A", ts(0).getTime * 1000L, ts(10).getTime * 1000L, 2L)),
       s"version must close across the restart with restored state: ${rows.toSeq}")
   }
+
+  test("decay day-bucket state survives a query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("graft_ck_decay")
+    val out = tmp("graft_out_decay")
+    val in = MemoryStream[(Long, Double, Timestamp)]
+    val df = in.toDF.toDF("user_id", "value", "ts")
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    def day(d: Long): Timestamp =
+      new Timestamp(base.getTime + d * 86400000L + 10000L)
+    def start(): StreamingQuery =
+      StreamDecay(df, "ts", "1 day")
+        .toDF("user_id", "day", "n_events", "decayed_cents", "score")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    val q1 = start()
+    try {
+      in.addData((1L, 1.50, day(0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a day-10 event arrives while the query is DOWN: its emitted
+    // score must still carry day 0's 150 cents at one half-life step
+    // (2^31) — possible only from restored bucket state
+    in.addData((1L, 1.00, day(10)))
+    in.addData((999L, 0.01, day(60)))
+    in.addData((999L, 0.01, day(120)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 1L).sortBy(_._2)
+    val baseDay = base.getTime * 1000L / StreamDecay.DayUs
+    assert(rows.map(_._2).toSeq == Seq(baseDay, baseDay + 10L),
+      s"both event days must emit across the restart: ${rows.toSeq}")
+    assert(rows(1)._4 == 150L * (1L << 31) + 100L * (1L << 32),
+      s"day-10 score must include the pre-restart bucket: ${rows(1)}")
+  }
+
+  test("attribution touch state survives a query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmp("graft_ck_attr")
+    val out = tmp("graft_out_attr")
+    val in = MemoryStream[(Long, Long, String, Timestamp)]
+    val df = in.toDF.toDF("user_id", "event_id", "event_type", "ts")
+    def att(sec: Long): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-03-01 00:00:00").getTime
+        + sec * 1000L)
+    def start(): StreamingQuery =
+      StreamAttribution(df, "ts", "1 hour")
+        .toDF("user_id", "pid", "tid", "touch_type", "ppm")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    val q1 = start()
+    try {
+      in.addData((1L, 10L, "view", att(2900)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the purchase lands while the query is DOWN; when it settles
+    // post-restart, its full credit must flow to the pre-restart
+    // touch — possible only from restored touch state
+    in.addData((1L, 100L, "purchase", att(3000)))
+    in.addData((999L, 999L, "view", att(3000 + 7200)))
+    in.addData((999L, 998L, "view", att(3000 + 20000)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .filter(_._1 == 1L)
+    assert(rows.toSeq == Seq((1L, 100L, 10L, 1000000L)),
+      s"the pre-restart touch must take the full credit: ${rows.toSeq}")
+  }
 }
