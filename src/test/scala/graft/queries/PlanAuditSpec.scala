@@ -343,6 +343,9 @@ class PlanAuditSpec extends SparkSpec {
                              // signature frame + 2-phase pair distinct
                              // + sort (was 10 with the signature agg
                              // re-evaluated per branch)
+    "m8_media_clusters" -> 3, // warm-cache spend: doc⟕labels join sides
+                              // over the cached contraction labels +
+                              // output sort
     "t27_bpe_decode" -> 15, // cold ceiling: the shared segf/vocab build
                             // (distinct-word agg + alphabet ranking +
                             // vocab agg) + decode joins + verdict join
