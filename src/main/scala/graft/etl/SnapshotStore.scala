@@ -233,4 +233,36 @@ object SnapshotStore {
       s"upsert of batch $batchId lost $MaxCommitAttempts optimistic " +
         s"claims in a row at $root — contention beyond design load")
   }
+
+  /** The out-of-band vacuum the Scaladoc promises (DeltaExport.vacuum's
+    * retention semantics): reclaim data directories no CURRENT reader
+    * needs — superseded snapshots' dirs (version < latest; forfeits
+    * reads of those versions, Delta's own vacuum trade) and orphan
+    * attempt dirs referenced by no commit marker (crashed/lost
+    * contenders) — but ONLY past `retentionMs`: a fresh directory may
+    * be an in-flight contender's write or serve a reader pinned to a
+    * just-superseded snapshot. Commit markers are never deleted (the
+    * log stays the audit trail; a marker whose data is vacuumed reads
+    * as reclaimed history). The CURRENT snapshot's directory always
+    * survives regardless of age. Returns the reclaimed paths.
+    */
+  def vacuum(root: String, retentionMs: Long): Seq[String] = {
+    val cur = latest(root).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot store at $root has no committed snapshot"))
+    val curDir = Paths.get(cur.dataPath).toAbsolutePath.toString
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return Nil
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val dirs = {
+      val s = Files.list(dataRoot)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    val victims = dirs
+      .filter(d => d.toAbsolutePath.toString != curDir)
+      .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
+      .map(_.toAbsolutePath.toString).sorted
+    victims.foreach(deleteRecursively)
+    victims
+  }
 }

@@ -164,4 +164,43 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(torn.isEmpty, s"reader observed a torn pointer: $torn")
     assert(SnapshotStore.latest(root).get.version == 9L)
   }
+
+  test("vacuum reclaims superseded and orphan dirs; current and fresh survive") {
+    val root = freshRoot
+    SnapshotStore.init(spark, root, rows((1L, "a", 1L)), "b0")
+    SnapshotStore.upsert(spark, root, rows((2L, "b", 2L)),
+      keys = Seq("id"), tieBreak = Seq("ver"), batchId = "b1")
+    val cur = SnapshotStore.upsert(spark, root, rows((3L, "c", 3L)),
+      keys = Seq("id"), tieBreak = Seq("ver"), batchId = "b2")
+    // plant a crash orphan: a data dir no commit marker references
+    val orphan = Paths.get(root, "data", "v9-deadbeef")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-0.parquet"), "junk")
+    def dataDirs = {
+      val s = Files.list(Paths.get(root, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(dataDirs.size == 4, s"expected 3 versions + orphan: $dataDirs")
+    // a generous retention reclaims nothing (everything is fresh —
+    // possibly an in-flight contender or a pinned reader's snapshot)
+    assert(SnapshotStore.vacuum(root, retentionMs = 3600000L).isEmpty)
+    assert(dataDirs.size == 4)
+    Thread.sleep(60)
+    val reclaimed = SnapshotStore.vacuum(root, retentionMs = 10L)
+    assert(reclaimed.size == 3, s"reclaim superseded + orphan: $reclaimed")
+    val left = dataDirs
+    assert(left == Set(Paths.get(cur.dataPath).getFileName.toString),
+      s"only the current snapshot's dir survives: $left")
+    // the store still reads, at the same version, with the full rows
+    assert(SnapshotStore.latest(root).get.version == 3L)
+    assert(SnapshotStore.read(spark, root).count() == 3L)
+    // markers are never deleted — the log stays the audit trail
+    val markers = {
+      val s = Files.list(Paths.get(root, "_commits"))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith("v"))
+      finally s.close()
+    }
+    assert(markers == 3, s"commit markers must survive vacuum: $markers")
+  }
 }
