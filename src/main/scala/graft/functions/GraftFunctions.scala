@@ -71,6 +71,8 @@ object GraftFunctions {
           s"graft_srp_signature_t: table $t outside [0, ${SrpSig.Tables - 1}]")
         SrpSignature(es(0), t)
       },
+    "graft_phash_signature" ->
+      arity("graft_phash_signature", 1)(es => PhashSignature(es(0))),
     "graft_normalize_text" ->
       arity("graft_normalize_text", 1)(es => NormalizeText(es(0))),
     "graft_sentences" ->

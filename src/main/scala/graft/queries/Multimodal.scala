@@ -163,8 +163,8 @@ object Multimodal {
     * shift inside a nonnegative BIGINT in both engines (the d4 SimHash
     * precedent).
     */
-  val PhashBits = 60
-  val PhashRegionHex = 16
+  val PhashBits = graft.functions.Phash.Bits // 60
+  val PhashRegionHex = graft.functions.Phash.RegionHex // 16
   val PhashBands = 4
   val PhashBandBits = 15
   val PhashMaxHamming = 6
@@ -193,12 +193,25 @@ object Multimodal {
     * codegen'd md5 calls, no shuffle, no state.
     */
   private[queries] def phashFrame(df: DataFrame): DataFrame =
-    // explode-then-aggregate, not a 60-term projection: the fused
-    // 60×(shiftleft∘conv∘substring∘md5) expression tree fell out of
-    // whole-stage codegen (measured 2.0 s interpreted vs 0.2 s this
-    // shape at sf0.1 — the SrpSignature lesson in aggregate form).
-    // Partial aggregation collapses each item's 60 bit-rows map-side,
-    // so the shuffle stays items-sized.
+    // the fused PhashSignature Catalyst expression (SrpSignature's
+    // tier): a pure per-row projection inside whole-stage codegen.
+    // The history is its own lesson: the 60-term declarative
+    // projection fell OUT of codegen (2.0 s interpreted at sf0.1), the
+    // explode+re-aggregate reshape codegens but pays a 60× fan-out +
+    // hash agg; the expression is the projection both approximated.
+    // `PhashSignatureSpec` pins bit-equivalence to the declarative
+    // fold so the spellings cannot drift.
+    df.select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+      .select(
+        col("doc_id"),
+        graft.functions.Phash.phashSignature(col("hx")).as("phash"))
+
+  /** The declarative explode+aggregate spelling PhashSignature
+    * replaced — kept as the spec's reference implementation (the
+    * PqReconstruct discipline: the fused expression is pinned
+    * bit-equivalent to the fold it replaced).
+    */
+  private[queries] def phashFrameDeclarative(df: DataFrame): DataFrame =
     df.select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
       .select(
         col("doc_id"),
