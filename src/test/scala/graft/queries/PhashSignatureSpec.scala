@@ -43,8 +43,12 @@ class PhashSignatureSpec extends SparkSpec {
 
   test("whole-stage codegen compiles around the expression") {
     // a LocalRelation input constant-folds the projection away before
-    // codegen — assert on the real parquet-backed scan
+    // codegen, and the UNfiltered corpus frame structurally matches
+    // the session-cached phash plan when m7's tests ran first (the
+    // cache manager swaps in an InMemoryTableScan — zero codegen
+    // subtrees); the filter keeps this a real codegen'd scan
     val docs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"))
     val plan = Multimodal.phashFrame(docs)
       .queryExecution.executedPlan
