@@ -151,6 +151,23 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] result file write failed: ${e.getMessage}")
     }
+    // Per-round per-query HISTORY (r11 verdict #8): the driver's
+    // BENCH_r{N}.json is built from the short stdout line and drops the
+    // per-query map, so round-over-round regression audits had to dig
+    // the map out of mid-round commits of BENCH_RESULT.json. Appending
+    // every full-suite run (timestamped) to a committed jsonl keeps the
+    // whole history greppable in ONE file.
+    try {
+      val stamped = s"""{"at":"${java.time.Instant.now()}",""" +
+        artifact.stripPrefix("{")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(RepoPaths.root, "BENCH_HISTORY.jsonl"),
+        stamped + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] history append failed: ${e.getMessage}")
+    }
     spark.stop()
     println(line)
   }

@@ -48,7 +48,7 @@ object Verify {
       System.err.println(s"[verify] pq codebook dump failed: ${e.getMessage}")
     }
     // Dump the x20 bloom bytes BEFORE the query pass (r10 verdict #1):
-    // with the file present, x20/x21's registered path runs zero
+    // with the file present, x20's registered path runs zero
     // stat.bloomFilter jobs — the bloom is read like any other
     // fit-time dump.
     try graft.queries.Extended.dumpBloom(spark, sfDir)

@@ -245,6 +245,14 @@ object SnapshotStore {
     * log stays the audit trail; a marker whose data is vacuumed reads
     * as reclaimed history). The CURRENT snapshot's directory always
     * survives regardless of age. Returns the reclaimed paths.
+    *
+    * MINIMUM SAFE RETENTION: `retentionMs` must exceed the longest
+    * expected write duration (stage-in through claim) — mtime is the
+    * only signal distinguishing an in-flight contender from an orphan,
+    * so a retention shorter than a live write's duration deletes its
+    * data dir mid-write (the attempt then fails its claim or publishes
+    * a dangling path). This is the same operator contract as Delta's
+    * VACUUM retention vs in-flight transactions.
     */
   def vacuum(root: String, retentionMs: Long): Seq[String] = {
     val cur = latest(root).getOrElse(
@@ -258,8 +266,17 @@ object SnapshotStore {
       val s = Files.list(dataRoot)
       try s.iterator().asScala.toVector finally s.close()
     }
+    // Close the commit-during-vacuum race: a writer may claim a NEWER
+    // version between the latest() read above and the deletes below,
+    // leaving that commit's dir protected only by its age. Re-read
+    // latest() AFTER the listing and spare both currents — the deletes
+    // then never touch a dir that is (or just became) the table head,
+    // regardless of retention.
+    val postCur = latest(root)
+      .map(l => Paths.get(l.dataPath).toAbsolutePath.toString)
+    val keep = Set(curDir) ++ postCur
     val victims = dirs
-      .filter(d => d.toAbsolutePath.toString != curDir)
+      .filter(d => !keep.contains(d.toAbsolutePath.toString))
       .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
       .map(_.toAbsolutePath.toString).sorted
     victims.foreach(deleteRecursively)

@@ -56,7 +56,42 @@ object Dedup {
       cached(spark, dir, "simhashValues")(simhashValues(spark, dir)),
       cached(spark, dir, "clusterLabels")(clusterLabels(spark, dir)),
       cachedWinnowFps(spark, dir),
-      cachedTruthPairs(spark, dir))
+      cachedTruthPairs(spark, dir),
+      cachedMarkedGrams(spark, dir))
+
+  /** Shared d17/d19/d24 frame (r12, the t24/t25 memo discipline): one
+    * occurrence row per duplicated k-gram — (doc_id, pos) of the
+    * occurrence plus the elected survivor (lexicographically-lowest
+    * (doc_id, pos), d19's rule) — computed ONCE per (session, dir).
+    * d17 takes all occurrences (its ≥2-distinct-docs flag is exactly
+    * membership here), d19/d24 filter the survivor out. Before r12
+    * each of the three queries rebuilt the gram window + per-gram hash
+    * agg independently (~1 s of the combined 2.8 s at sf0.1).
+    */
+  private[queries] def cachedMarkedGrams(
+      spark: SparkSession, dir: String): DataFrame =
+    SessionCache.cached(spark, dir, "dedupMarkedGrams") {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams = TextOps.cachedWords(spark, dir)
+        .withColumn(
+          "sh",
+          concat(
+            col("word"), lit(" "),
+            lead(col("word"), 1).over(w), lit(" "),
+            lead(col("word"), 2).over(w)))
+        .filter(col("sh").isNotNull)
+        .select(col("doc_id"), col("pos"), col("sh"))
+      val dup = grams.groupBy(col("sh"))
+        .agg(
+          countDistinct(col("doc_id")).as("ddf"),
+          min(struct(col("doc_id"), col("pos"))).as("surv"))
+        .filter(col("ddf") >= 2)
+        .select(
+          col("sh"),
+          col("surv.doc_id").as("sdoc"), col("surv.pos").as("spos"))
+      grams.join(dup, Seq("sh"))
+        .select(col("doc_id"), col("pos"), col("sdoc"), col("spos"))
+    }
 
   /** Exact dedup (hash-groupBy on normalized-text fingerprint): one
     * surviving doc_id per distinct content + multiplicity. The groupBy
@@ -726,20 +761,11 @@ object Dedup {
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     val k = KGramWords
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = TextOps.cachedWords(spark, dir)
-      .withColumn(
-        "sh",
-        concat(
-          col("word"), lit(" "),
-          lead(col("word"), 1).over(w), lit(" "),
-          lead(col("word"), 2).over(w)))
-      .filter(col("sh").isNotNull)
-      .select(col("doc_id"), col("pos"), col("sh"))
-    val dup = grams.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("ddf"))
-      .filter(col("ddf") >= 2)
-      .select(col("sh"))
-    val spans = grams.join(dup, Seq("sh"), "left_semi")
+    // membership in the shared marked-grams frame IS the duplicated
+    // flag (≥2 distinct docs); d17 keeps every occurrence, survivor
+    // included
+    val spans = cachedMarkedGrams(spark, dir)
+      .select(col("doc_id"), col("pos"))
       // lag is null on each doc's first duplicated gram → `when` is
       // false → break (same null semantics as the oracle's CASE)
       .withColumn(
@@ -797,27 +823,11 @@ object Dedup {
     */
   def dupSpanRemoval(spark: SparkSession, dir: String): DataFrame = {
     val k = KGramWords
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val words = TextOps.cachedWords(spark, dir)
-    val grams = words
-      .withColumn(
-        "sh",
-        concat(
-          col("word"), lit(" "),
-          lead(col("word"), 1).over(w), lit(" "),
-          lead(col("word"), 2).over(w)))
-      .filter(col("sh").isNotNull)
-      .select(col("doc_id"), col("pos"), col("sh"))
-    // one surviving occurrence per duplicated gram: min (doc_id, pos)
-    val dup = grams.groupBy(col("sh"))
-      .agg(
-        countDistinct(col("doc_id")).as("ddf"),
-        min(struct(col("doc_id"), col("pos"))).as("surv"))
-      .filter(col("ddf") >= 2)
-      .select(
-        col("sh"),
-        col("surv.doc_id").as("sdoc"), col("surv.pos").as("spos"))
-    val marked = grams.join(dup, Seq("sh"))
+    // the shared frame already carries each duplicated occurrence with
+    // its elected survivor; everything but the survivor marks its k
+    // positions
+    val marked = cachedMarkedGrams(spark, dir)
       .filter(!(col("doc_id") === col("sdoc") && col("pos") === col("spos")))
       .select(
         col("doc_id"),
@@ -882,11 +892,18 @@ object Dedup {
     * is a subset of d19's.
     */
   def minLenSpanRemoval(spark: SparkSession, dir: String): DataFrame =
-    minLenSpanRemovalFrom(TextOps.cachedWords(spark, dir), MinSpanWords)
+    minLenFromMarks(
+      TextOps.cachedWords(spark, dir),
+      cachedMarkedGrams(spark, dir)
+        .filter(!(col("doc_id") === col("sdoc") && col("pos") === col("spos")))
+        .select(col("doc_id"), col("pos")),
+      MinSpanWords)
 
   /** Core d24 pass over any (doc_id, pos, word) frame — split out (the
     * winnowing-spec pattern) so the spec can plant documents whose
     * duplicated runs sit exactly at L and L−1 words and pin the cut.
+    * Recomputes the marked grams from `words` (no session cache — the
+    * spec's planted frames must not pollute or read the shared one).
     */
   private[queries] def minLenSpanRemovalFrom(
       words: DataFrame, minLen: Int): DataFrame = {
@@ -912,6 +929,17 @@ object Dedup {
     val nonSurv = grams.join(dup, Seq("sh"))
       .filter(!(col("doc_id") === col("sdoc") && col("pos") === col("spos")))
       .select(col("doc_id"), col("pos"))
+    minLenFromMarks(words, nonSurv, minLen)
+  }
+
+  /** The island-merge + length-cut + rewrite tail of d24, over an
+    * explicit non-survivor marks frame (shared-cache path and the
+    * spec's recompute path both land here).
+    */
+  private def minLenFromMarks(
+      words: DataFrame, nonSurv: DataFrame, minLen: Int): DataFrame = {
+    val k = KGramWords
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = nonSurv
       .withColumn(
         "brk",

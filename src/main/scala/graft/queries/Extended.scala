@@ -618,14 +618,12 @@ object Extended {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // x21_bloom_prune2 (r11's one-round A/B alias of this key) retired
+    // in r12 per the pre-registered decision rule: both keys landed
+    // green in CORRECTNESS_r11, proving the task-embedded
+    // df.stat.bloomFilter bytes were the cause and the dump-phase
+    // bloom build (Verify.scala) is the durable fix.
     "x20_bloom_join" -> bloomPrunedJoin,
-    // ONE-ROUND A/B alias (r10 verdict #1): byte-identical semantics
-    // under a fresh key, to isolate whether the r9/r10 driver
-    // artifacts' silently-missing x20 row is driver-side key handling
-    // (alias green, x20 missing again) or anything about the query
-    // itself (both present/absent together). Retire once x20 lands a
-    // green CORRECTNESS row.
-    "x21_bloom_prune2" -> bloomPrunedJoin,
     "x18_fuzzy_join" -> fuzzyJoin,
     "x10_set_ops" -> setOps,
     "x14_rank_family" -> rankFamily,
@@ -651,15 +649,6 @@ object Extended {
     // the residual equi-join removes its false positives, so the plain
     // form IS the correctness contract (the x13 salting argument)
     "x20_bloom_join" ->
-      s"""SELECT o_orderpriority,
-                 COUNT(*) AS n_lineitems,
-                 CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                   AS BIGINT) AS sum_cents
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          WHERE o_totalprice > $BloomOrderDollars
-          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    // x21: the x20 A/B alias — same query fn, same oracle contract
-    "x21_bloom_prune2" ->
       s"""SELECT o_orderpriority,
                  COUNT(*) AS n_lineitems,
                  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))

@@ -195,8 +195,11 @@ object TrainingSet {
     * Exactness: share = IEEE division of exact BIGINT token counts;
     * weight = floor(sqrt(share)·1e9) nano-quantized (the t10
     * discipline), so the normalization sum is an EXACT integer;
-    * per-language budget = T·w div Σw in pure BIGINT (T = half the
-    * corpus tokens, p2's discipline; max product ~2e6·1e9 ≪ 2⁶³);
+    * per-language budget = T·w div Σw with the product held in
+    * DECIMAL(38,0) (T = half the corpus tokens, p2's discipline; T can
+    * reach ~1e19 at 100 TB and w ≤ 1e9, so the ≤29-digit product
+    * exceeds BIGINT but fits decimal exactly; the integral divide
+    * returns BIGINT);
     * `epochs` (budget/n — the upsampling factor the mix implies, >1 =
     * the low-resource tail trains multiple epochs) is one final IEEE
     * division.
@@ -220,7 +223,15 @@ object TrainingSet {
       .withColumn("wq", floor(sqrt(col("share")) * lit(1e9)).cast("long"))
     scored
       .crossJoin(broadcast(scored.agg(sum(col("wq")).as("wq_sum"))))
-      .withColumn("budget_tokens", expr("(total div 2) * wq div wq_sum"))
+      // DECIMAL(38,0) intermediate: total corpus tokens can reach
+      // ~1e19 at 100 TB and wq ≤ 1e9, so the BIGINT product overflows
+      // (and non-ANSI Spark would wrap SILENTLY to a negative budget).
+      // decimal(38,0)·decimal(38,0) holds the ≤29-digit product
+      // exactly; IntegralDivide on decimals returns BIGINT, so the
+      // output schema is unchanged.
+      .withColumn(
+        "budget_tokens",
+        expr("cast(total div 2 as decimal(38,0)) * wq div wq_sum"))
       .select(
         col("lang"), col("n_docs"), col("n_tokens"), col("share"),
         col("wq"), col("budget_tokens"),
@@ -802,6 +813,51 @@ object TrainingSet {
       .orderBy(col("shard"))
   }
 
+  /** p26 — the LEARNED-gate release pipeline (r12): p16's capstone
+    * with the hand-written C4 rule conjunction (t12) swapped for the
+    * TRAINED t26 classifier — the modern release shape (CCNet,
+    * GPT-3's quality filtering, Llama's wiki-similarity gate):
+    * learned quality filter + exact dedup + benchmark holdout +
+    * decontamination, reported per content-addressed shard with
+    * p15's XOR digest and a ROLLUP corpus total. Same receipt schema
+    * as p16, so a curator diffs the two gates' funnel masses
+    * directly.
+    *
+    * Scale shape: identical to p16 — the classifier gate is t26's
+    * broadcast-join inference instead of t12's per-row rule, still
+    * zero driver-side data; all composition joins are narrow doc_id
+    * projections.
+    */
+  def learnedReleasePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = Dedup.exactDedup(spark, dir)
+      .select(col("keep_id").as("doc_id"))
+    val learnedKept = TextOps.qualityClassifier(spark, dir)
+      .filter(col("pred_head")).select(col("doc_id"))
+    val contaminated = contamination(spark, dir).select(col("doc_id"))
+    val released = survivors
+      .join(learnedKept, Seq("doc_id"))
+      .filter(col("doc_id") >= BenchmarkDocs)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .join(released, Seq("doc_id"))
+      .join(
+        TextOps.cachedQualityScore(spark, dir)
+          .select(col("doc_id"), col("n_tokens")),
+        Seq("doc_id"))
+      .withColumn("shard", shardOf(col("doc_id")))
+      .withColumn("term", digestTerm)
+      .rollup(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(term)").as("digest"))
+      .select(
+        coalesce(col("shard"), lit(-1L)).as("shard"),
+        col("n_docs"), col("n_tokens"), col("digest"))
+      .orderBy(col("shard"))
+  }
+
   /** Tokens per compacted output bin for p17 — the "target output file
     * size" of a compaction pass, in the same token units as p2/p4.
     */
@@ -1117,6 +1173,7 @@ object TrainingSet {
     "p19_rendezvous_shards" -> rendezvousShards,
     "p18_budget_waterfill" -> budgetWaterfill,
     "p16_release_pipeline" -> releasePipeline,
+    "p26_learned_release" -> learnedReleasePipeline,
     "p15_dataset_digest" -> datasetDigest,
     "p14_length_histogram" -> lengthHistogram,
     "p13_zorder_layout" -> zorderLayout,
@@ -1220,6 +1277,51 @@ object TrainingSet {
               SELECT s.doc_id FROM surv s JOIN q USING (doc_id)
               WHERE s.doc_id >= $BenchmarkDocs
                 AND NOT (q.n_tokens < 30 OR q.ttr < 0.35 OR q.bl = 1)
+                AND s.doc_id NOT IN (SELECT doc_id FROM contam)),
+            t AS (
+              SELECT doc_id, $shardSql AS shard, q.n_tokens,
+                     CAST(concat('0x', substr(
+                       md5(CAST(doc_id AS VARCHAR) || ':' || d.text), 1, 15))
+                       AS BIGINT) AS term
+              FROM released JOIN documents d USING (doc_id)
+                            JOIN q USING (doc_id))
+            SELECT COALESCE(shard, -1) AS shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, bit_xor(term) AS digest
+            FROM t GROUP BY ROLLUP(shard) ORDER BY shard""",
+      // p26: p16's funnel with the C4 rule gate swapped for t26's
+      // certified predictions (nested verbatim — the p25/s18
+      // trust-inheritance discipline); same receipt schema as p16
+      "p26_learned_release" ->
+        s"""WITH $shingleCtes,
+            q AS (
+              SELECT doc_id, COUNT(*) AS n_tokens
+              FROM words GROUP BY doc_id),
+            surv AS (
+              SELECT MIN(doc_id) AS doc_id FROM (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+                FROM documents)
+              GROUP BY fp),
+            pred AS (
+              SELECT doc_id, pred_head
+              FROM (${TextOps.oracleSql("t26_quality_classifier")}) t26),
+            bench AS (
+              SELECT DISTINCT sh FROM shingles WHERE doc_id < $BenchmarkDocs),
+            sz AS (
+              SELECT doc_id, COUNT(*) AS n_sh FROM shingles
+              WHERE doc_id >= $BenchmarkDocs GROUP BY doc_id),
+            hits AS (
+              SELECT s.doc_id, COUNT(*) AS n_hit
+              FROM shingles s JOIN bench b ON s.sh = b.sh
+              WHERE s.doc_id >= $BenchmarkDocs GROUP BY s.doc_id),
+            contam AS (
+              SELECT z.doc_id FROM sz z LEFT JOIN hits h USING (doc_id)
+              WHERE CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                      / CAST(z.n_sh AS DOUBLE) >= $ContaminationThreshold),
+            released AS (
+              SELECT s.doc_id FROM surv s JOIN pred p USING (doc_id)
+              WHERE s.doc_id >= $BenchmarkDocs
+                AND p.pred_head
                 AND s.doc_id NOT IN (SELECT doc_id FROM contam)),
             t AS (
               SELECT doc_id, $shardSql AS shard, q.n_tokens,

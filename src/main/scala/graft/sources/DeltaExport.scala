@@ -183,6 +183,38 @@ object DeltaExport {
     v
   }
 
+  /** REPLACE the table's content with `df` as the next version —
+    * Delta's `mode("overwrite")`: one commit carrying a `remove` for
+    * every currently-active file plus the staged `add`s, so readers
+    * atomically flip from the old snapshot to the new and TIME TRAVEL
+    * to pre-overwrite versions keeps working (removes are tombstones,
+    * not deletes; `vacuum` reclaims the files later). Contention: the
+    * active set is re-read INSIDE the claim loop, so a lost claim
+    * recomputes its removes against the winner's state — two racing
+    * overwrites serialize with last-writer-wins, the Delta semantic.
+    * Returns the committed version.
+    */
+  def overwrite(
+      df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val added = stageIn(df, table, partitionBy)
+    var v = nextVersion(table)
+    require(v > 0L, s"$table has no Delta log; use create")
+    var committed = false
+    while (!committed) {
+      val st = DeltaLog.stateAt(spark, table, None)
+      val removes = st.active.keys.toSeq.sorted.map(p =>
+        s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""")
+      val lines = removes ++
+        added.map(rel =>
+          addJson(table, rel, partitionValuesOf(rel, partitionBy))) :+
+        s"""{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}"""
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
+    v
+  }
+
   /** EXACTLY-ONCE streaming append — Delta's `txn` handshake: commit
     * `df` tagged (appId, batchId); a replayed batch (at-least-once
     * redelivery after a sink restart) whose batchId ≤ the table's last
@@ -267,7 +299,10 @@ object DeltaExport {
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType))))),
+        StructField("partitionColumns", ArrayType(StringType)),
+        // carried so checkpointing a foreign column-mapped table
+        // cannot silently drop the mapping mode (wrong rows after)
+        StructField("configuration", MapType(StringType, StringType))))),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType)))),
@@ -278,7 +313,9 @@ object DeltaExport {
         StructField("dataChange", BooleanType))))))
     val rows =
       Seq(Row(Row(st.minReader, 2), null, null, null),
-        Row(null, Row(table, st.schemaJson.get, st.partitionCols), null, null)) ++
+        Row(null,
+          Row(table, st.schemaJson.get, st.partitionCols, st.configuration),
+          null, null)) ++
         st.txns.toSeq.sortBy(_._1).map { case (a, ver) =>
           Row(null, null, Row(a, ver), null)
         } ++

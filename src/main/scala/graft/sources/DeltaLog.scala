@@ -23,9 +23,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `add.partitionValues` (Delta does not store them in the data
   * files) and cast to the table schema's types, URL-decoded relative
   * or absolute file paths, multi-part checkpoints, time travel via
-  * `versionAsOf`. Unsupported features fail LOUDLY: a table whose
-  * protocol demands minReaderVersion ≥ 2 (column mapping, deletion
-  * vectors) throws rather than returning wrong rows.
+  * `versionAsOf`, and (r12) NAME-mode column mapping — protocol v2
+  * tables whose `delta.columnMapping.mode=name` store stable physical
+  * parquet names in each field's metadata; the read uses the physical
+  * schema and remaps physical → logical (nested levels included, and
+  * `add.partitionValues`' physical keys). Unsupported features fail
+  * LOUDLY: id-mode mapping (needs parquet field-id resolution) and
+  * minReaderVersion ≥ 3 (deletion vectors / reader features) throw
+  * rather than returning wrong rows.
   *
   * Scale shape: the log replay is metadata work — the same
   * driver-side snapshot state delta-spark itself keeps — bounded by
@@ -52,7 +57,8 @@ object DeltaLog {
       partitionCols: Seq[String],
       minReader: Int,
       active: Map[String, AddFile],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      configuration: Map[String, String] = Map.empty)
 
   private val empty = State(None, Nil, 1, Map.empty, Map.empty)
 
@@ -63,9 +69,15 @@ object DeltaLog {
         if (m.has("partitionColumns"))
           m.get("partitionColumns").elements().asScala.map(_.asText()).toSeq
         else Nil
+      val conf =
+        if (m.has("configuration") && !m.get("configuration").isNull) {
+          val o = m.get("configuration")
+          o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
+        } else Map.empty[String, String]
       s.copy(
         schemaJson = Some(m.get("schemaString").asText()),
-        partitionCols = pcs)
+        partitionCols = pcs,
+        configuration = conf)
     } else if (a.has("protocol")) {
       s.copy(minReader = a.get("protocol").get("minReaderVersion").asInt())
     } else if (a.has("add")) {
@@ -109,15 +121,21 @@ object DeltaLog {
       p.headOption.foreach(r => st = st.copy(minReader = r.getInt(0)))
     }
     if (cols.contains("metaData")) {
+      val hasConf = df.schema("metaData").dataType
+        .asInstanceOf[StructType].fieldNames.contains("configuration")
       val m = df
         .select(
           col("metaData.schemaString"),
-          col("metaData.partitionColumns"))
+          col("metaData.partitionColumns"),
+          if (hasConf) col("metaData.configuration")
+          else lit(null).cast("map<string,string>").as("configuration"))
         .filter(col("schemaString").isNotNull).collect()
       m.headOption.foreach(r =>
         st = st.copy(
           schemaJson = Some(r.getString(0)),
-          partitionCols = r.getSeq[String](1)))
+          partitionCols = r.getSeq[String](1),
+          configuration = Option(r.getMap[String, String](2))
+            .map(_.toMap).getOrElse(Map.empty)))
     }
     if (cols.contains("txn")) {
       val ts = df.select(col("txn.appId"), col("txn.version"))
@@ -175,13 +193,48 @@ object DeltaLog {
     val st = commits
       .filter { case (v, _) => v >= from && v <= latest }
       .foldLeft(base) { case (s, (_, n)) => applyCommit(s, dir.resolve(n)) }
-    require(st.minReader <= 1,
+    // Protocol gate (r12 narrowed): v1 plain tables, plus v2 tables
+    // whose only v2 feature is NAME-mode column mapping (physical →
+    // logical remap at read, below). Still refused loudly: id-mode
+    // mapping (requires parquet field-id resolution) and
+    // minReaderVersion ≥ 3 (deletion vectors / reader features) —
+    // wrong rows would be worse than no rows.
+    val mappingMode = st.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    require(
+      st.minReader <= 1 || (st.minReader == 2 && mappingMode == "name"),
       s"unsupported Delta protocol: table requires minReaderVersion=" +
-        s"${st.minReader} (column mapping / deletion vectors); this " +
-        "reader implements protocol v1 and refuses rather than " +
-        "returning wrong rows")
+        s"${st.minReader} with columnMapping.mode=$mappingMode; this " +
+        "reader implements protocol v1 plus NAME-mode column mapping " +
+        "and refuses id-mode / deletion vectors rather than returning " +
+        "wrong rows")
     require(st.schemaJson.nonEmpty, s"no metaData action found in $table")
     st
+  }
+
+  /** `delta.columnMapping.physicalName` of a field (name-mode tables
+    * store the stable physical parquet name in each field's metadata;
+    * unmapped fields keep their logical name).
+    */
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The schema as written in the parquet files of a name-mapped
+    * table: every field (at every nesting level) renamed to its
+    * physicalName.
+    */
+  private def toPhysical(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(name = physName(f), dataType = toPhysical(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = toPhysical(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = toPhysical(m.keyType),
+        valueType = toPhysical(m.valueType))
+    case other => other
   }
 
   /** `file:`-scheme- and URL-decoding-insensitive canonical path, so
@@ -212,9 +265,18 @@ object DeltaLog {
       versionAsOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val st = stateAt(spark, table, versionAsOf)
+    // name-mapped tables key add.partitionValues by PHYSICAL name;
+    // the emitted columns stay logical (physName = the logical name
+    // on unmapped tables, so this is one code path)
+    val physKey: Map[String, String] = st.schemaJson.map { js =>
+      val schema = DataType.fromJson(js).asInstanceOf[StructType]
+      st.partitionCols.map(c =>
+        c -> schema.fields.find(_.name == c).map(physName).getOrElse(c)).toMap
+    }.getOrElse(Map.empty)
     val rows = st.active.values.toSeq
       .map(a => (absPath(table, a.path),
-        st.partitionCols.map(c => a.partitionValues.getOrElse(c, null))))
+        st.partitionCols.map(c =>
+          a.partitionValues.getOrElse(physKey.getOrElse(c, c), null))))
     rows.map { case (f, pv) => (f, pv) }.toDF("file", "pv")
       .select(
         col("file") +:
@@ -232,8 +294,20 @@ object DeltaLog {
       versionAsOf: Option[Long] = None): DataFrame = {
     val st = stateAt(spark, table, versionAsOf)
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+    val mapped = st.configuration
+      .get("delta.columnMapping.mode").contains("name")
+    val dataFields = schema.fields.filterNot(f =>
+      st.partitionCols.contains(f.name))
+    // name-mapped tables store PHYSICAL column names in the parquet
+    // files: read with the physical schema, then remap physical →
+    // logical below (top level by alias, nested levels by a
+    // structurally-identical cast, which renames positionally)
+    val dataSchema =
+      if (mapped)
+        StructType(dataFields.map(f =>
+          f.copy(name = physName(f),
+            dataType = toPhysical(f.dataType))))
+      else StructType(dataFields)
     val files = st.active.values.toSeq.map(a => absPath(table, a.path))
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -250,7 +324,10 @@ object DeltaLog {
           .drop("__canon_file", "file")
       }
     withParts.select(schema.fields.map { f =>
-      if (st.partitionCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (st.partitionCols.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name)
+      else if (mapped)
+        col(physName(f)).cast(f.dataType).as(f.name)
       else col(f.name)
     }: _*)
   }

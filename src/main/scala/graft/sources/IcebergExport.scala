@@ -17,10 +17,22 @@ import org.apache.spark.sql.types._
   * Apache Iceberg table by authoring the open table spec directly —
   * `v<N>.metadata.json` (format-version 1), avro manifest lists and
   * manifests with the spec's field-ids, data files under `data/`.
-  * Append-only and unpartitioned by documented scope (Iceberg data
-  * files carry every column, so partitioning is a pruning hint, not a
-  * correctness feature; REPLACE/row-deletes would need the v2 delete
-  * machinery [[IcebergTable]] deliberately refuses).
+  * Append-only by documented scope (REPLACE/row-deletes would need
+  * the v2 delete machinery [[IcebergTable]] deliberately refuses).
+  *
+  * Partitioning (r12): IDENTITY transforms over
+  * string/int/long/date/boolean source columns — the default
+  * production table shape. Data is staged with Spark's hive-layout
+  * `partitionBy` (one file belongs to exactly one partition, the
+  * spec's contract), and each manifest entry carries the spec's TYPED
+  * partition struct (r102, field-ids from 1000) decoded from the
+  * hive path. Like a Hive-migrated Iceberg table, the data files do
+  * NOT contain the identity source columns; [[IcebergTable]]
+  * materializes them from partition metadata as per-file constants —
+  * exactly Iceberg's own `PartitionUtil.constantsMap` read path for
+  * identity transforms. Non-identity transforms (bucket/day/truncate)
+  * are refused: they require transform evaluation at write time and
+  * are a pruning optimization, not a semantics feature.
   *
   * Concurrency: metadata versions are claimed with the same
   * atomic-exclusive hardlink discipline as [[DeltaExport]] /
@@ -43,32 +55,90 @@ object IcebergExport {
 
   private val mapper = new ObjectMapper()
 
+  /** Identity-transform partition field: `name` = source column name
+    * (Iceberg's identity naming), `sourceId` = the source column's
+    * schema field-id, `fieldId` = the partition field's own id
+    * (spec: assigned from 1000).
+    */
+  private[sources] case class PartField(
+      name: String, sourceId: Int, fieldId: Int, dt: DataType)
+
+  /** Partition source types this writer supports (identity transform).
+    * Each must round-trip exactly through a hive path segment AND an
+    * avro partition-struct value; float/double/timestamp partitioning
+    * is refused (a correctness hazard in every engine).
+    */
+  private def avroPartType(dt: DataType): String = dt match {
+    case StringType => "\"string\""
+    case IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case BooleanType => "\"boolean\""
+    case DateType => "{\"type\":\"int\",\"logicalType\":\"date\"}"
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg identity-partition source type $other " +
+        "(supported: string, int, long, date, boolean)")
+  }
+
+  /** Hive path / Delta partitionValues string → typed avro value.
+    * `__HIVE_DEFAULT_PARTITION__` is Spark's null marker.
+    */
+  private def partAvroValue(dt: DataType, raw: Option[String]): AnyRef =
+    raw.filter(_ != "__HIVE_DEFAULT_PARTITION__").map[AnyRef] { v =>
+      dt match {
+        case StringType => v
+        case IntegerType => Int.box(v.toInt)
+        case LongType => Long.box(v.toLong)
+        case BooleanType => Boolean.box(v.toBoolean)
+        case DateType =>
+          Int.box(java.time.LocalDate.parse(v).toEpochDay.toInt)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition source type $other")
+      }
+    }.orNull
+
   /** manifest_entry with the spec's v1 required fields and field-ids
     * (status, snapshot_id, data_file{file_path, file_format,
-    * partition, record_count, file_size_in_bytes}); `partition` is the
-    * empty struct r102 — the unpartitioned spec (spec-id 0, no
-    * fields).
+    * partition, record_count, file_size_in_bytes,
+    * block_size_in_bytes}); `partition` is the typed struct r102 —
+    * one field per partition field (empty for spec-id 0 unpartitioned
+    * tables). `block_size_in_bytes` (field-id 105) is required for v1
+    * WRITERS (deprecated in v2) — omitted and a real library
+    * projecting the required v1 schema rejects the manifest.
     */
-  private val ManifestEntrySchema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      {"name":"status","type":"int","field-id":0},
-      {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-        {"name":"file_path","type":"string","field-id":100},
-        {"name":"file_format","type":"string","field-id":101},
-        {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
-        {"name":"record_count","type":"long","field-id":103},
-        {"name":"file_size_in_bytes","type":"long","field-id":104}
-      ]}}
-    ]}""".replaceAll("\\s+", " "))
+  private def manifestEntrySchema(pfs: Seq[PartField]): Schema = {
+    val partFields = pfs.map { pf =>
+      s"""{"name":"${pf.name}","type":["null",${avroPartType(pf.dt)}],""" +
+        s""""default":null,"field-id":${pf.fieldId}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        {"name":"status","type":"int","field-id":0},
+        {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+          {"name":"file_path","type":"string","field-id":100},
+          {"name":"file_format","type":"string","field-id":101},
+          {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
+          {"name":"record_count","type":"long","field-id":103},
+          {"name":"file_size_in_bytes","type":"long","field-id":104},
+          {"name":"block_size_in_bytes","type":"long","field-id":105}
+        ]}}
+      ]}""".replaceAll("\\s+", " "))
+  }
 
-  /** manifest_file (manifest-list entry) with v1 required field-ids. */
+  /** The v1 spec's historical HDFS block size default — the value the
+    * reference implementation wrote before v2 deprecated the field.
+    */
+  private val DefaultBlockSize = 64L * 1024 * 1024
+
+  /** manifest_file (manifest-list entry) with v1 required field-ids.
+    * `added_snapshot_id` (503) is required non-null for v1 writers.
+    */
   private val ManifestFileSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       {"name":"manifest_path","type":"string","field-id":500},
       {"name":"manifest_length","type":"long","field-id":501},
       {"name":"partition_spec_id","type":"int","field-id":502},
-      {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503},
+      {"name":"added_snapshot_id","type":"long","field-id":503},
       {"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
       {"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
       {"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506}
@@ -77,7 +147,8 @@ object IcebergExport {
   private def metaDir(table: String): Path = Paths.get(table, "metadata")
 
   private[sources] case class Added(
-      absPath: String, sizeBytes: Long, records: Long)
+      absPath: String, sizeBytes: Long, records: Long,
+      pv: Map[String, Option[String]] = Map.empty)
 
   /** Spark type → Iceberg type JSON node, assigning nested field-ids
     * from `nextId` (the spec requires every field/element/key/value to
@@ -145,16 +216,27 @@ object IcebergExport {
     (node, last)
   }
 
+  /** Resolve `partitionBy` column names into identity [[PartField]]s
+    * against the authored schema node (source-id = the column's
+    * schema field-id; partition field-ids assigned from 1000).
+    */
+  private def partFieldsOf(
+      schemaNode: ObjectNode, schema: StructType,
+      partitionBy: Seq[String]): Seq[PartField] =
+    partitionBy.zipWithIndex.map { case (c, i) =>
+      val field = schemaNode.get("fields").elements().asScala
+        .find(_.get("name").asText() == c)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column $c is not a top-level schema column"))
+      val dt = schema(c).dataType
+      avroPartType(dt) // validates the type, throws with the full list
+      PartField(c, field.get("id").asInt(), 1000 + i, dt)
+    }
+
   /** Iceberg snapshot ids are random positive longs. */
   private def newSnapshotId(): Long =
     java.util.UUID.randomUUID().getLeastSignificantBits & Long.MaxValue
 
-  /** Stage `df` privately, move the parquet parts under `data/` with
-    * their task-UUID names, and return (path, size, footer row count)
-    * per file — the [[DeltaExport]] stage-in discipline, so concurrent
-    * writers never share a `_temporary` dir or enumerate each other's
-    * files.
-    */
   /** Row count from the parquet FOOTER — a bounded driver read, never
     * a scan job.
     */
@@ -166,55 +248,100 @@ object IcebergExport {
     try reader.getRecordCount finally reader.close()
   }
 
-  private def stageIn(df: DataFrame, table: String): Seq[Added] = {
+  /** Hive `k=v/` dirs of a staged relative path → raw partition
+    * values (URL-decoded, null marker preserved as the marker string
+    * for [[partAvroValue]] to null out).
+    */
+  private def hivePartValues(
+      rel: String, partitionBy: Seq[String]): Map[String, Option[String]] = {
+    val kv = rel.split('/').dropRight(1).flatMap { d =>
+      val i = d.indexOf('=')
+      if (i > 0)
+        Some(d.take(i) -> java.net.URLDecoder.decode(d.drop(i + 1), "UTF-8"))
+      else None
+    }.toMap
+    partitionBy.map { c =>
+      c -> kv.get(c).filter(_ != "__HIVE_DEFAULT_PARTITION__")
+    }.toMap
+  }
+
+  /** Stage `df` privately (hive `partitionBy` layout when
+    * partitioned), move the parquet parts under `data/` preserving
+    * their partition dirs, and return (path, size, footer row count,
+    * partition values) per file — the [[DeltaExport]] stage-in
+    * discipline, so concurrent writers never share a `_temporary` dir
+    * or enumerate each other's files.
+    */
+  private def stageIn(
+      df: DataFrame, table: String, partitionBy: Seq[String]): Seq[Added] = {
     val stage = Files.createTempDirectory("iceberg_stage")
-    df.write.mode("overwrite").parquet(stage.toString)
-    val parts = {
-      val s = Files.list(stage)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    val rels = {
+      val s = Files.walk(stage)
       try s.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .toVector.sortBy(_.getFileName.toString)
+        .filter(p => Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => stage.relativize(p).toString)
+        .toVector.sorted
       finally s.close()
     }
     val dataDir = Paths.get(table, "data")
-    Files.createDirectories(dataDir)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    parts.map { p =>
-      val dest = dataDir.resolve(p.getFileName.toString)
-      Files.move(p, dest)
+    rels.map { rel =>
+      val dest = dataDir.resolve(rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(stage.resolve(rel), dest)
       Added(dest.toAbsolutePath.toString, Files.size(dest),
-        footerCount(conf, dest.toAbsolutePath.toString))
+        footerCount(conf, dest.toAbsolutePath.toString),
+        hivePartValues(rel, partitionBy))
     }
   }
+
+  /** The spec-field JSON shared by `partition-spec`,
+    * `partition-specs[0].fields` and the manifest's `partition-spec`
+    * avro metadata.
+    */
+  private def specFieldsJson(pfs: Seq[PartField]): String =
+    pfs.map(pf =>
+      s"""{"name":"${pf.name}","transform":"identity",""" +
+        s""""source-id":${pf.sourceId},"field-id":${pf.fieldId}}""")
+      .mkString("[", ",", "]")
 
   /** Write one ADDED-entries manifest for `snapId`; returns its
     * (absolute path, byte length, file count).
     */
   private def writeManifest(
       table: String, snapId: Long, schemaJson: String,
-      files: Seq[Added]): (String, Long, Int) = {
+      files: Seq[Added], pfs: Seq[PartField]): (String, Long, Int) = {
+    val entrySchema = manifestEntrySchema(pfs)
     val path = metaDir(table)
       .resolve(s"${java.util.UUID.randomUUID()}-m0.avro")
     val w = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
+      new GenericDatumWriter[GenericRecord](entrySchema))
     // the avro key-value metadata real manifests carry (readers like
     // ours use the embedded record schema; these are for engines that
     // check them)
     w.setMeta("schema", schemaJson)
-    w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec", specFieldsJson(pfs))
     w.setMeta("partition-spec-id", "0")
     w.setMeta("format-version", "1")
-    w.create(ManifestEntrySchema, path.toFile)
+    w.create(entrySchema, path.toFile)
     try files.foreach { f =>
-      val dfRec = new GenericData.Record(
-        ManifestEntrySchema.getField("data_file").schema())
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val dfRec = new GenericData.Record(dfSchema)
       dfRec.put("file_path", f.absPath)
       dfRec.put("file_format", "PARQUET")
-      dfRec.put("partition", new GenericData.Record(
-        dfRec.getSchema.getField("partition").schema()))
+      val part = new GenericData.Record(
+        dfSchema.getField("partition").schema())
+      pfs.foreach(pf =>
+        part.put(pf.name, partAvroValue(pf.dt, f.pv.getOrElse(pf.name, None))))
+      dfRec.put("partition", part)
       dfRec.put("record_count", f.records)
       dfRec.put("file_size_in_bytes", f.sizeBytes)
-      val e = new GenericData.Record(ManifestEntrySchema)
+      dfRec.put("block_size_in_bytes", DefaultBlockSize)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapId)
       e.put("data_file", dfRec)
@@ -244,7 +371,11 @@ object IcebergExport {
       finally r.close()
     }
 
-  /** Write the snapshot's manifest list (`snap-<id>-<uuid>.avro`). */
+  /** Write the snapshot's manifest list (`snap-<id>-<uuid>.avro`).
+    * A carried manifest missing `added_snapshot_id` (legal in foreign
+    * v1 manifests, the field is non-null in OUR schema) falls back to
+    * the committing snapshot's id.
+    */
   private def writeManifestList(
       table: String, snapId: Long,
       manifests: Seq[(String, Long, Int, Option[Long])]): String = {
@@ -259,7 +390,7 @@ object IcebergExport {
       m.put("manifest_path", mp)
       m.put("manifest_length", len)
       m.put("partition_spec_id", 0)
-      m.put("added_snapshot_id", snap.map(Long.box).orNull)
+      m.put("added_snapshot_id", snap.getOrElse(snapId))
       m.put("added_data_files_count", added)
       m.put("existing_data_files_count", 0)
       m.put("deleted_data_files_count", 0)
@@ -294,7 +425,8 @@ object IcebergExport {
       table: String, tableUuid: String, schemaNode: ObjectNode,
       lastColumnId: Int, snapshots: Seq[ObjectNode],
       currentSnapshotId: Long,
-      snapshotLog: Seq[(Long, Long)]): String = {
+      snapshotLog: Seq[(Long, Long)],
+      pfs: Seq[PartField]): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", 1)
     root.put("table-uuid", tableUuid)
@@ -302,14 +434,15 @@ object IcebergExport {
     root.put("last-updated-ms", System.currentTimeMillis())
     root.put("last-column-id", lastColumnId)
     root.set[ObjectNode]("schema", schemaNode)
-    root.putArray("partition-spec") // v1 unpartitioned
+    val specFields = mapper.readTree(specFieldsJson(pfs))
+    root.set[ObjectNode]("partition-spec", specFields) // v1 legacy field
     root.put("default-spec-id", 0)
     val specs = root.putArray("partition-specs")
     val spec0 = mapper.createObjectNode()
     spec0.put("spec-id", 0)
-    spec0.putArray("fields")
+    spec0.set[ObjectNode]("fields", specFields.deepCopy())
     specs.add(spec0)
-    root.put("last-partition-id", 999)
+    root.put("last-partition-id", 999 + pfs.size)
     root.putObject("properties")
     root.put("current-snapshot-id", currentSnapshotId)
     val snapsArr = root.putArray("snapshots")
@@ -341,10 +474,10 @@ object IcebergExport {
   }
 
   /** Create an Iceberg table at `table` from `df` (v1 metadata,
-    * snapshot 1 = the written files). Fails if a metadata version
-    * already exists.
+    * snapshot 1 = the written files), identity-partitioned by
+    * `partitionBy`. Fails if a metadata version already exists.
     */
-  def create(df: DataFrame, table: String): Long = {
+  def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
     require(!Files.isDirectory(metaDir(table)) || {
       val s = Files.list(metaDir(table))
       try !s.iterator().asScala
@@ -353,11 +486,12 @@ object IcebergExport {
     }, s"$table already has Iceberg metadata; use append")
     val (schemaNode, lastId) = icebergSchemaNode(df.schema)
     schemaNode.put("schema-id", 0)
-    val added = stageIn(df, table)
+    val pfs = partFieldsOf(schemaNode, df.schema, partitionBy)
+    val added = stageIn(df, table, partitionBy)
     val snapId = newSnapshotId()
     Files.createDirectories(metaDir(table))
     val (mPath, mLen, mCount) =
-      writeManifest(table, snapId, schemaNode.toString, added)
+      writeManifest(table, snapId, schemaNode.toString, added, pfs)
     val ml = writeManifestList(
       table, snapId, Seq((mPath, mLen, mCount, Some(snapId))))
     val ts = System.currentTimeMillis()
@@ -365,21 +499,41 @@ object IcebergExport {
       snapId, None, ts, ml, added.size, added.map(_.records).sum)
     val json = buildMetadata(
       table, java.util.UUID.randomUUID().toString, schemaNode, lastId,
-      Seq(snap), snapId, Seq((ts, snapId)))
+      Seq(snap), snapId, Seq((ts, snapId)), pfs)
     if (!claim(table, 1, json))
       throw new IllegalStateException(
         s"lost the race for $table metadata v1 — another writer created it")
     snapId
   }
 
+  /** df.schema must MATCH the table schema (names + types, order
+    * included) before a single byte is staged: real Iceberg validates
+    * appends against the table schema, and a renamed/retyped column
+    * committed here would later read as silent nulls — the exact
+    * wrong-rows failure this module's contract refuses.
+    */
+  private def requireSchemaMatch(df: DataFrame, table: String): Unit = {
+    val tbl = IcebergTable.schemaOf(IcebergTable.metadataJson(table))
+    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = tbl.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"append schema mismatch for $table:\n  table:  $want\n  append: $got\n" +
+        "(names and types must match exactly; Iceberg schema evolution " +
+        "is not in this writer's scope)")
+  }
+
   /** Append `df` as a new snapshot: previous manifests carried
     * forward + one new ADDED manifest, the HadoopTableOperations
     * optimistic commit (re-read state and retry on a lost claim —
     * appends add disjoint files, so the retry is always safe).
+    * Partitioned tables stage with the table's own identity spec.
     * Returns the new snapshot id.
     */
   def append(df: DataFrame, table: String): Long = {
-    val added = stageIn(df, table)
+    requireSchemaMatch(df, table)
+    val meta0 = IcebergTable.metadataJson(table)
+    val partitionBy = IcebergTable.identityPartitionSources(meta0).map(_._2)
+    val added = stageIn(df, table, partitionBy)
     var committed = false
     var snapId = 0L
     while (!committed) {
@@ -398,8 +552,10 @@ object IcebergExport {
         if (meta.has("schema")) meta.get("schema")
         else meta.get("schemas").elements().asScala.next()
       ).deepCopy[ObjectNode]()
+      val schema = IcebergTable.schemaOf(meta)
+      val pfs = partFieldsOf(schemaNode, schema, partitionBy)
       val (mPath, mLen, mCount) =
-        writeManifest(table, snapId, schemaNode.toString, added)
+        writeManifest(table, snapId, schemaNode.toString, added, pfs)
       val ml = writeManifestList(
         table, snapId,
         (mPath, mLen, mCount, Some(snapId)) +: priorManifests(prevList))
@@ -414,7 +570,7 @@ object IcebergExport {
       else Nil) :+ ((ts, snapId))
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), schemaNode,
-        meta.get("last-column-id").asInt(), snaps, snapId, log)
+        meta.get("last-column-id").asInt(), snaps, snapId, log, pfs)
       committed = claim(table, curVersion + 1, json)
     }
     snapId
@@ -432,32 +588,35 @@ object IcebergExport {
     * through [[append]] directly is not in the Delta log, and the next
     * re-sync drops it (pinned by `IcebergReplayPropsSpec`).
     *
-    * Scope: unpartitioned Delta tables only, refused loudly —
-    * Delta data files do NOT contain partition columns (the log
-    * carries them), so an Iceberg reader scanning the files directly
-    * would silently drop those columns; real UniForm re-derives
-    * partition metadata, which needs the spec's typed partition
-    * structs (out of the authoring scope documented on this object).
+    * Partitioned Delta tables (r12): the log's per-file
+    * `partitionValues` — the data the old refusal said was missing
+    * is IN the Delta log — become the spec's typed identity partition
+    * structs, and [[IcebergTable]] materializes the source columns
+    * from them exactly as it does for this writer's own partitioned
+    * tables (Delta data files do not contain partition columns).
     *
     * Returns the new Iceberg snapshot id.
     */
   def fromDelta(spark: org.apache.spark.sql.SparkSession, table: String): Long = {
     val st = DeltaLog.stateAt(spark, table, None)
-    require(st.partitionCols.isEmpty,
-      s"UniForm conversion supports unpartitioned Delta tables only; " +
-        s"$table partitions by ${st.partitionCols.mkString(",")} and its " +
-        "data files do not contain those columns")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(st.schemaJson.get)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val conf = spark.sparkContext.hadoopConfiguration
     import org.apache.spark.sql.functions.col
-    val files = DeltaLog.activeFiles(spark, table)
-      .select(col("file")).collect().map(_.getString(0)).sorted
-    val added = files.map(f =>
-      Added(f, Files.size(Paths.get(f)), footerCount(conf, f))).toSeq
     val (schemaNode, lastId) = icebergSchemaNode(schema)
     schemaNode.put("schema-id", 0)
+    val pfs = partFieldsOf(schemaNode, schema, st.partitionCols)
+    val pvFrame = DeltaLog.activeFiles(spark, table)
+      .select(col("file") +: st.partitionCols.map(col): _*)
+      .collect()
+    val added = pvFrame.map { r =>
+      val f = r.getString(0)
+      val pv = st.partitionCols.zipWithIndex.map { case (c, i) =>
+        c -> Option(r.getString(i + 1))
+      }.toMap
+      Added(f, Files.size(Paths.get(f)), footerCount(conf, f), pv)
+    }.toSeq.sortBy(_.absPath)
     Files.createDirectories(metaDir(table))
     var committed = false
     var snapId = 0L
@@ -470,7 +629,7 @@ object IcebergExport {
       }
       snapId = newSnapshotId()
       val (mPath, mLen, mCount) =
-        writeManifest(table, snapId, schemaNode.toString, added)
+        writeManifest(table, snapId, schemaNode.toString, added, pfs)
       val ml = writeManifestList(
         table, snapId, Seq((mPath, mLen, mCount, Some(snapId))))
       val ts = System.currentTimeMillis()
@@ -479,7 +638,7 @@ object IcebergExport {
           snapId, None, ts, ml, added.size, added.map(_.records).sum)
         val json = buildMetadata(
           table, java.util.UUID.randomUUID().toString, schemaNode, lastId,
-          Seq(snap), snapId, Seq((ts, snapId)))
+          Seq(snap), snapId, Seq((ts, snapId)), pfs)
         committed = claim(table, 1, json)
       } else {
         val meta = IcebergTable.metadataJson(table)
@@ -497,7 +656,7 @@ object IcebergExport {
         else Nil) :+ ((ts, snapId))
         val json = buildMetadata(
           table, meta.get("table-uuid").asText(), schemaNode, lastId,
-          snaps, snapId, log)
+          snaps, snapId, log, pfs)
         committed = claim(table, curVersion + 1, json)
       }
     }

@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Read-only Apache Iceberg table reader built from the OPEN Iceberg
@@ -25,14 +25,23 @@ import org.apache.spark.sql.types._
   * current or time-traveled snapshot by snapshot-id, manifest-list or
   * (legacy v1) inline-manifests snapshots, multi-manifest snapshots,
   * `version-hint.text` or max-version discovery, Iceberg→Spark schema
-  * conversion (primitives, struct/list/map, decimal, fixed). Data
-  * files are read directly: unlike Hive/Delta layouts, Iceberg writes
-  * partition SOURCE columns into the data files themselves, so no
-  * partition reconstruction join is needed for any transform.
-  * Unsupported features fail LOUDLY rather than return wrong rows:
-  * format-version ≥ 3, delete manifests (v2 content=1), data files
-  * carrying position/equality deletes, and non-parquet file formats
-  * all throw.
+  * conversion (primitives, struct/list/map, decimal, fixed).
+  * IDENTITY-partition source columns are materialized from the
+  * manifests' typed partition structs as per-file constants — exactly
+  * Iceberg's own `PartitionUtil.constantsMap` read path — via ONE
+  * broadcast equi-join on canonical `input_file_name()`, so
+  * [[IcebergExport]]'s hive-staged tables, UniForm-converted Delta
+  * tables, and Hive-migrated tables (none of which carry the source
+  * columns in their data files) all read correctly; non-identity
+  * transforms need no reconstruction (Iceberg always writes their
+  * source columns into the files). Unsupported features fail LOUDLY
+  * rather than return wrong rows: format-version ≥ 3, delete
+  * manifests (v2 content=1), data files carrying position/equality
+  * deletes, non-parquet file formats, schema EVOLUTION (a `schemas`
+  * history with more than one entry), and a sampled data-file footer
+  * missing current-schema columns (a rename without rewrite — name
+  * resolution would return silent nulls where the spec requires
+  * field-id resolution) all throw.
   *
   * Scale shape: manifest replay is driver-side metadata work bounded
   * by files-in-snapshot (the same state the Iceberg library's
@@ -100,19 +109,69 @@ object IcebergTable {
     node
   }
 
-  /** The table schema as a Spark StructType: v2 `schemas` +
-    * `current-schema-id`, falling back to v1's single `schema`.
+  /** The current schema node: v2 `schemas` + `current-schema-id`,
+    * falling back to v1's single `schema`. A `schemas` HISTORY of more
+    * than one entry means the table has evolved — this reader resolves
+    * parquet columns by NAME where the spec requires field-ids, so an
+    * evolved table (renames especially) could silently read nulls;
+    * refuse loudly instead.
     */
-  private[sources] def schemaOf(meta: JsonNode): StructType = {
-    val schemaNode =
-      if (meta.has("schemas")) {
-        val cur = meta.get("current-schema-id").asInt()
-        meta.get("schemas").elements().asScala
-          .find(_.get("schema-id").asInt() == cur)
-          .getOrElse(throw new IllegalStateException(
-            s"current-schema-id=$cur not present in schemas"))
-      } else meta.get("schema")
-    toSparkType(schemaNode).asInstanceOf[StructType]
+  private def schemaNodeOf(meta: JsonNode): JsonNode =
+    if (meta.has("schemas")) {
+      val n = meta.get("schemas").size()
+      require(n <= 1,
+        s"table has $n schemas (schema evolution): this reader resolves " +
+          "columns by name, not field-id, and refuses evolved tables " +
+          "rather than returning wrong rows")
+      val cur = meta.get("current-schema-id").asInt()
+      meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == cur)
+        .getOrElse(throw new IllegalStateException(
+          s"current-schema-id=$cur not present in schemas"))
+    } else meta.get("schema")
+
+  /** The table schema as a Spark StructType. */
+  private[sources] def schemaOf(meta: JsonNode): StructType =
+    toSparkType(schemaNodeOf(meta)).asInstanceOf[StructType]
+
+  /** Identity-transform partition fields of the DEFAULT spec, as
+    * (partition field name, source column name) with the source
+    * resolved by field-id against the current schema's top-level
+    * columns. Non-identity transforms are skipped (their source
+    * columns live in the data files); an identity transform whose
+    * source-id is not a top-level column is refused (nested
+    * partitioning is out of scope).
+    */
+  private[sources] def identityPartitionSources(
+      meta: JsonNode): Seq[(String, String)] = {
+    val specFields: Seq[JsonNode] =
+      if (meta.has("partition-specs")) {
+        val defId =
+          if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt()
+          else 0
+        meta.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == defId)
+          .map(_.get("fields").elements().asScala.toSeq)
+          .getOrElse(Nil)
+      } else if (meta.has("partition-spec"))
+        meta.get("partition-spec").elements().asScala.toSeq
+      else Nil
+    if (specFields.isEmpty) return Nil
+    val idToName = schemaNodeOf(meta).get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    specFields.flatMap { f =>
+      f.get("transform").asText() match {
+        case "identity" =>
+          val sid = f.get("source-id").asInt()
+          val src = idToName.getOrElse(sid,
+            throw new IllegalStateException(
+              s"identity partition source-id $sid is not a top-level " +
+                "schema column (nested partitioning unsupported)"))
+          Some(f.get("name").asText() -> src)
+        case "void" => None
+        case _ => None // bucket/day/...: source columns are in the files
+      }
+    }
   }
 
   /** Iceberg type JSON → Spark type. Primitive names per the spec's
@@ -199,11 +258,37 @@ object IcebergTable {
   private def opt(r: GenericRecord, field: String): Option[AnyRef] =
     Option(r.getSchema.getField(field)).flatMap(f => Option(r.get(f.pos())))
 
-  /** Data-file paths of a snapshot: manifest list → manifests →
-    * non-deleted entries, refusing delete content loudly.
+  /** Typed avro partition value → Spark-castable string (dates come
+    * back as ISO strings so `cast(string as date)` round-trips).
     */
-  private[sources] def dataFilesOf(
-      table: String, meta: JsonNode, snap: JsonNode): Seq[String] = {
+  private def partValueString(
+      rec: GenericRecord, field: String): Option[String] = {
+    val f = Option(rec.getSchema.getField(field)).getOrElse(
+      throw new IllegalStateException(
+        s"manifest partition struct lacks field $field — cannot " +
+          "reconstruct the identity partition column"))
+    Option(rec.get(f.pos())).map { v =>
+      val base = {
+        val s = f.schema()
+        if (s.getType == org.apache.avro.Schema.Type.UNION)
+          s.getTypes.asScala.find(
+            _.getType != org.apache.avro.Schema.Type.NULL).getOrElse(s)
+        else s
+      }
+      val isDate = Option(base.getLogicalType).exists(_.getName == "date") ||
+        Option(base.getProp("logicalType")).contains("date")
+      if (isDate)
+        java.time.LocalDate.ofEpochDay(v.toString.toLong).toString
+      else v.toString
+    }
+  }
+
+  /** Data files of a snapshot with their manifest partition values
+    * (keyed by partition FIELD name), refusing delete content loudly.
+    */
+  private[sources] def dataFilesWithPartitions(
+      table: String, meta: JsonNode, snap: JsonNode,
+      partFields: Seq[String]): Seq[(String, Map[String, Option[String]])] = {
     val manifestPaths: Seq[String] =
       if (snap.has("manifest-list"))
         avroRecords(snap.get("manifest-list").asText()).map { m =>
@@ -232,11 +317,24 @@ object IcebergTable {
           val fmt = str(df, "file_format").toUpperCase
           require(fmt == "PARQUET",
             s"unsupported file_format=$fmt (only PARQUET is wired)")
-          Some(local(str(df, "file_path")))
+          val pv =
+            if (partFields.isEmpty) Map.empty[String, Option[String]]
+            else {
+              val part = df.get("partition").asInstanceOf[GenericRecord]
+              partFields.map(n => n -> partValueString(part, n)).toMap
+            }
+          Some(local(str(df, "file_path")) -> pv)
         }
       }
-    }.distinct
+    }.distinctBy(_._1)
   }
+
+  /** Data-file paths of a snapshot (partition-value-free view, kept
+    * for audits like the UniForm same-files assertion).
+    */
+  private[sources] def dataFilesOf(
+      table: String, meta: JsonNode, snap: JsonNode): Seq[String] =
+    dataFilesWithPartitions(table, meta, snap, Nil).map(_._1)
 
   /** Snapshot ids in commit order (snapshot-log order when present,
     * else `snapshots` array order) — the time-travel index.
@@ -251,8 +349,44 @@ object IcebergTable {
       .getOrElse(Nil)
   }
 
+  /** Rename-without-rewrite detection (a bounded ONE-footer driver
+    * read): parquet columns are resolved by NAME below, but the spec
+    * requires field-id resolution — a real table whose column was
+    * renamed in place would name-resolve to silent nulls. A sampled
+    * data file whose footer lacks an expected column name fails
+    * loudly instead.
+    */
+  private def requireFooterNames(
+      spark: SparkSession, sample: String, expected: Seq[String]): Unit = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(sample),
+        spark.sparkContext.hadoopConfiguration))
+    val names =
+      try reader.getFooter.getFileMetaData.getSchema
+        .getFields.asScala.map(_.getName).toSet
+      finally reader.close()
+    val missing = expected.filterNot(names)
+    require(missing.isEmpty,
+      s"data file $sample lacks column(s) ${missing.mkString(", ")} " +
+        "present in the table schema — a rename without rewrite; this " +
+        "reader resolves columns by name (not field-id) and refuses " +
+        "rather than returning null columns")
+  }
+
+  /** [[DeltaLog]]'s canonical-path discipline: `input_file_name()`'s
+    * URI spelling → the manifests' absolute-path spelling, as a
+    * codegen column expression (no Scala UDF).
+    */
+  private def canonFile(c: org.apache.spark.sql.Column) =
+    regexp_replace(
+      url_decode(regexp_replace(c, "^file:/*", "/")), "/+", "/")
+
   /** Read the table at `snapshotId` (or the current snapshot).
-    * Columns appear in table-schema order with Iceberg-declared types.
+    * Columns appear in table-schema order with Iceberg-declared
+    * types; identity-partition source columns are materialized from
+    * the manifests' partition structs (see the object Scaladoc) via
+    * one broadcast join on the file path.
     */
   def read(
       spark: SparkSession, table: String,
@@ -260,12 +394,42 @@ object IcebergTable {
     val meta = metadataJson(table)
     val schema = schemaOf(meta)
     val snap = snapshotNode(meta, snapshotId)
-    val files = dataFilesOf(table, meta, snap)
+    val idParts = identityPartitionSources(meta)
+      .filter { case (_, src) => schema.fieldNames.contains(src) }
+    val filesPv = dataFilesWithPartitions(
+      table, meta, snap, idParts.map(_._1))
+    val files = filesPv.map(_._1)
     if (files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).parquet(files: _*)
-        .select(schema.fieldNames.map(col): _*)
+    val srcCols = idParts.map(_._2)
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => srcCols.contains(f.name)))
+    requireFooterNames(spark, files.head, dataSchema.fieldNames.toSeq)
+    val data = spark.read.schema(dataSchema).parquet(files: _*)
+    val withParts =
+      if (idParts.isEmpty) data
+      else {
+        // (file, one STRING column per identity source) — metadata-
+        // sized build side, broadcast; values cast to declared types
+        import spark.implicits._
+        val pvRows = filesPv.map { case (f, pv) =>
+          (f, idParts.map { case (pn, _) => pv(pn).orNull })
+        }
+        val pvFrame = pvRows.toDF("__file", "__pv")
+          .select(
+            col("__file") +:
+              idParts.zipWithIndex.map { case ((_, src), i) =>
+                col("__pv").getItem(i).as(src)
+              }: _*)
+        data
+          .withColumn("__canon_file", canonFile(input_file_name()))
+          .join(broadcast(pvFrame), col("__canon_file") === col("__file"))
+          .drop("__canon_file", "__file")
+      }
+    withParts.select(schema.fields.map { f =>
+      if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else col(f.name)
+    }: _*)
   }
 }

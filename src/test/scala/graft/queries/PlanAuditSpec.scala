@@ -411,11 +411,15 @@ class PlanAuditSpec extends SparkSpec {
       "wh_q7 regressed to a shuffled join")
   }
 
-  test("d17 flags duplicated grams via semi join — no pair join, no cartesian") {
+  test("d17 reads the shared marked-grams frame — no pair join, no cartesian") {
+    // r12: d17/d19/d24 share ONE duplicated-gram computation per
+    // (session, dir) — the flag join (1:1 per gram, no fan-out) lives
+    // inside the cached frame; each consumer's own plan must read the
+    // cache, never rebuild the gram agg
     val p = plan("d17_dup_spans")
     assert(!p.contains("CartesianProduct"), "d17 has a cartesian join")
-    assert(p.contains("LeftSemi"),
-      "d17 lost its LEFT SEMI flag join (1:1 per gram — the no-fan-out shape)")
+    assert(p.contains("InMemoryTableScan"),
+      "d17 no longer reads the shared marked-grams session cache")
     assert(!p.contains("a_id"), "d17 unexpectedly builds document pairs")
   }
 

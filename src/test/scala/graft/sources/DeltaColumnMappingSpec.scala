@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** NAME-mode column mapping (r12): a protocol-v2 Delta table whose
+  * fields carry `delta.columnMapping.physicalName` metadata stores
+  * PHYSICAL column names in its parquet files — the reader must remap
+  * physical → logical at every nesting level, key
+  * `add.partitionValues` by physical name, and keep refusing id-mode
+  * and minReaderVersion ≥ 3. Fixture authored by the spec, exactly as
+  * delta-spark writes it after `ALTER TABLE ... RENAME COLUMN`
+  * (rename = metadata-only: physical names never change).
+  */
+class DeltaColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(n: Long): String = f"$n%020d"
+
+  private def writeCommit(table: Path, version: Long, lines: Seq[String]): Unit = {
+    val dir = table.resolve("_delta_log")
+    Files.createDirectories(dir)
+    Files.write(
+      dir.resolve(s"${v(version)}.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def mapMeta(id: Long, phys: String): Metadata =
+    new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys)
+      .build()
+
+  /** Logical schema: (doc_id, body, info{words}, region) — physical
+    * names are the uuid-ish stable ones delta-spark assigns.
+    */
+  private val logicalSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true, mapMeta(1, "col-aa11")),
+    StructField("body", StringType, nullable = true, mapMeta(2, "col-bb22")),
+    StructField("info",
+      StructType(Seq(
+        StructField("words", LongType, nullable = true, mapMeta(4, "col-dd44")))),
+      nullable = true, mapMeta(3, "col-cc33")),
+    StructField("region", StringType, nullable = true, mapMeta(5, "col-ee55"))))
+
+  private def metaDataJson(mode: String): String = {
+    val ss = logicalSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"metaData":{"id":"cm-fixture","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":["region"],"configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"5"},"createdTime":1700000000000}}"""
+  }
+
+  /** One parquet file with PHYSICAL column names (no partition col —
+    * Delta never stores it in the data).
+    */
+  private def writePhysicalFile(
+      table: Path, rel: String, rows: Seq[(Long, String, Long)]): Unit = {
+    val tmp = Files.createTempDirectory("cm_part")
+    rows.toDF("col-aa11", "col-bb22", "w")
+      .select(col("col-aa11"), col("col-bb22"),
+        struct(col("w").as("col-dd44")).as("col-cc33"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val dest = table.resolve(rel)
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest)
+  }
+
+  private def makeTable(mode: String = "name", minReader: Int = 2): Path = {
+    val table = Files.createTempDirectory("delta_cm")
+    writePhysicalFile(table, "f1.parquet", Seq((1L, "alpha", 5L), (2L, "beta", 7L)))
+    writePhysicalFile(table, "f2.parquet", Seq((3L, "gamma", 9L)))
+    writeCommit(table, 0, Seq(
+      s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":5}}""",
+      metaDataJson(mode),
+      // partitionValues keyed by the partition column's PHYSICAL name
+      """{"add":{"path":"f1.parquet","partitionValues":{"col-ee55":"us"},"size":512,"modificationTime":1700000000000,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{"col-ee55":"de"},"size":512,"modificationTime":1700000000000,"dataChange":true}}"""))
+    table
+  }
+
+  test("name-mode: physical parquet names remap to logical, nested levels included") {
+    val t = makeTable()
+    val df = DeltaLog.read(spark, t.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "body", "info", "region"),
+      "logical names in table-schema order")
+    assert(df.schema("info").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("words"),
+      "nested physical names must remap too")
+    val got = df.select(
+      col("doc_id"), col("body"), col("info.words"), col("region"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, "alpha", 5L, "us"), (2L, "beta", 7L, "us"), (3L, "gamma", 9L, "de")),
+      s"values drifted: $got")
+  }
+
+  test("name-mode partition reconstruction keys partitionValues by physical name") {
+    val t = makeTable()
+    val af = DeltaLog.activeFiles(spark, t.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(af.map(_._2).sorted == Seq("de", "us"),
+      s"physical-keyed partitionValues must resolve: $af")
+  }
+
+  test("a logical rename is metadata-only: same files, new logical name") {
+    val t = makeTable()
+    // delta-spark RENAME COLUMN = a new metaData with a changed
+    // logical name, same physicalName — no file is rewritten
+    val renamed = StructType(logicalSchema.fields.map(f =>
+      if (f.name == "body") f.copy(name = "text") else f))
+    val ss = renamed.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeCommit(t, 1, Seq(
+      s"""{"metaData":{"id":"cm-fixture","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":["region"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5"},"createdTime":1700000000000}}"""))
+    val df = DeltaLog.read(spark, t.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "text", "info", "region"))
+    assert(df.filter(col("text") === "beta").count() == 1L)
+    // time travel to v0 still reads the OLD logical name
+    assert(DeltaLog.read(spark, t.toString, Some(0L))
+      .schema.fieldNames.contains("body"))
+  }
+
+  test("id-mode and minReaderVersion 3 stay refused loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, makeTable(mode = "id").toString)
+    }
+    assert(e1.getMessage.contains("columnMapping.mode=id"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, makeTable(minReader = 3).toString)
+    }
+    assert(e2.getMessage.contains("minReaderVersion=3"), e2.getMessage)
+  }
+
+  test("checkpointing a mapped table carries the configuration") {
+    val t = makeTable()
+    DeltaExport.checkpoint(spark, t.toString)
+    // drop the JSON commit: the checkpoint is now the only state source
+    Files.delete(t.resolve("_delta_log").resolve(s"${v(0)}.json"))
+    val df = DeltaLog.read(spark, t.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "body", "info", "region"))
+    assert(df.count() == 3L,
+      "mapping mode lost through the checkpoint → physical names would " +
+        "have name-resolved to null columns")
+    assert(df.filter(col("doc_id").isNull).count() == 0L)
+  }
+}

@@ -191,14 +191,120 @@ class IcebergSpec extends SparkSpec {
     assert(snap2 != snap1)
     assert(IcebergTable.read(spark, t).count() == 3L)
     assert(IcebergTable.read(spark, t, Some(snap1)).count() == 2L)
-    // partitioned Delta tables are refused loudly
-    val tp = tmpTable()
-    DeltaExport.create(
-      Seq((1L, "x", 1.0)).toDF("id", "name", "score"), tp, Seq("name"))
+  }
+
+  test("UniForm: PARTITIONED Delta converts — partition values from the log") {
+    val t = tmpTable()
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "us", 1.0), (2L, "us", 2.0), (3L, "de", 3.0), (4L, "fr", 4.0))
+    DeltaExport.create(rows.toDF("id", "region", "score"), t, Seq("region"))
+    IcebergExport.fromDelta(spark, t)
+    // identical (id, region, score) rows through BOTH format readers —
+    // the partition column is reconstructed from typed manifest structs
+    // on the Iceberg side and from the Delta log on the Delta side
+    val viaDelta = DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val viaIceberg = IcebergTable.read(spark, t)
+      .select("id", "region", "score").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(viaIceberg == rows.sortBy(_._1), s"iceberg read drifted: $viaIceberg")
+    assert(viaDelta == viaIceberg)
+    // zero data copied: same physical files
+    val meta = IcebergTable.metadataJson(t)
+    val snap = meta.get("snapshots").elements().next()
+    assert(IcebergTable.dataFilesOf(t, meta, snap).toSet ==
+      DeltaLog.activeFiles(spark, t).collect().map(_.getString(0)).toSet)
+  }
+
+  test("partitioned create/append round-trip: typed identity partition structs") {
+    val t = tmpTable()
+    import spark.implicits._
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val first = Seq(
+      (1L, "us", d("2024-01-01"), 1.5),
+      (2L, "us", d("2024-01-02"), 2.5),
+      (3L, "de", d("2024-01-01"), 3.5))
+      .toDF("id", "region", "day", "score")
+    val snap1 = IcebergExport.create(first, t, Seq("region", "day"))
+    val out = IcebergTable.read(spark, t)
+    // schema order + declared types preserved, partition cols included
+    assert(out.schema.fieldNames.toSeq == Seq("id", "region", "day", "score"))
+    assert(out.schema("day").dataType.typeName == "date")
+    val got = out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, "us", "2024-01-01", 1.5),
+      (2L, "us", "2024-01-02", 2.5),
+      (3L, "de", "2024-01-01", 3.5)))
+    // append stages with the TABLE's spec; time travel keeps partitions
+    val snap2 = IcebergExport.append(
+      Seq((4L, "fr", d("2024-01-03"), 4.5)).toDF("id", "region", "day", "score"), t)
+    assert(snap2 != snap1)
+    assert(IcebergTable.read(spark, t).count() == 4L)
+    assert(IcebergTable.read(spark, t, Some(snap1)).count() == 3L)
+    val fr = IcebergTable.read(spark, t)
+      .filter($"region" === "fr").collect()
+    assert(fr.length == 1 && fr.head.getLong(0) == 4L)
+    // the metadata carries the spec both v1-legacy and v2 style
+    val meta = IcebergTable.metadataJson(t)
+    assert(IcebergTable.identityPartitionSources(meta) ==
+      Seq("region" -> "region", "day" -> "day"))
+    // unsupported partition source types are refused loudly
     val e = intercept[IllegalArgumentException] {
-      IcebergExport.fromDelta(spark, tp)
+      IcebergExport.create(
+        Seq((1L, 0.5)).toDF("id", "weight"), tmpTable(), Seq("weight"))
     }
-    assert(e.getMessage.contains("unpartitioned"), e.getMessage)
+    assert(e.getMessage.contains("identity-partition source type"), e.getMessage)
+  }
+
+  test("append refuses a mismatched schema before staging a byte") {
+    val t = tmpTable()
+    import spark.implicits._
+    IcebergExport.create(df(Seq((1L, "a", 1.0))), t)
+    // renamed column
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergExport.append(
+        Seq((2L, "b", 2.0)).toDF("id", "title", "score"), t)
+    }
+    assert(e1.getMessage.contains("schema mismatch"), e1.getMessage)
+    // retyped column
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergExport.append(
+        Seq((2, "b", 2.0)).toDF("id", "name", "score"), t)
+    }
+    assert(e2.getMessage.contains("schema mismatch"), e2.getMessage)
+    // nothing was staged by either refusal, and the table still reads
+    assert(IcebergTable.read(spark, t).count() == 1L)
+  }
+
+  test("rename-without-rewrite and schema evolution are refused loudly") {
+    val t = tmpTable()
+    IcebergExport.create(df(Seq((1L, "a", 1.0))), t)
+    // forge a renamed column in the current schema (name → title):
+    // the data files still carry "name", so name resolution would
+    // return silent nulls — the footer check must throw instead
+    val v1 = Paths.get(t, "metadata", "v1.metadata.json")
+    val renamed = Files.readString(v1).replace("\"name\" : \"name\"", "\"name\" : \"title\"")
+    Files.writeString(Paths.get(t, "metadata", "v2.metadata.json"), renamed)
+    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "2")
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.read(spark, t).collect()
+    }
+    assert(e.getMessage.contains("rename without rewrite"), e.getMessage)
+    // forge a v2-style schemas HISTORY (two entries = evolution)
+    val evolved = Files.readString(v1).replaceFirst(
+      "\"schema\" : \\{",
+      """"schemas" : [ {"schema-id": 9}, {"schema-id": 0} ],
+         "current-schema-id" : 0,
+         "schema" : {""")
+    Files.writeString(Paths.get(t, "metadata", "v3.metadata.json"), evolved)
+    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "3")
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergTable.read(spark, t)
+    }
+    assert(e2.getMessage.contains("schema evolution"), e2.getMessage)
   }
 
   test("nested types survive the schema round-trip") {
