@@ -195,24 +195,45 @@ object DeltaExport {
     * Returns the committed version.
     */
   def overwrite(
-      df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+      df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long =
+    overwriteTxn(df, table, partitionBy, None).get
+
+  /** [[overwrite]] carrying an optional `txn` action — the
+    * exactly-once handshake for REPLACE commits (the appendBatch
+    * discipline): a (appId, batchId) at or below the table's txn
+    * watermark is a NO-OP (None; the staged files stay orphans for
+    * vacuum), and the watermark is re-checked inside the claim loop so
+    * two attempts of the same batch racing after a driver failover
+    * commit once.
+    */
+  def overwriteTxn(
+      df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Option[Long] = {
     val spark = df.sparkSession
+    def replayed: Boolean = txn.exists { case (appId, batchId) =>
+      DeltaLog.lastTxnVersion(spark, table, appId).exists(_ >= batchId)
+    }
+    if (replayed) return None
     val added = stageIn(df, table, partitionBy)
     var v = nextVersion(table)
     require(v > 0L, s"$table has no Delta log; use create")
     var committed = false
     while (!committed) {
+      if (replayed) return None
       val st = DeltaLog.stateAt(spark, table, None)
       val removes = st.active.keys.toSeq.sorted.map(p =>
         s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""")
-      val lines = removes ++
+      val txnLines = txn.toSeq.map { case (appId, batchId) =>
+        s"""{"txn":{"appId":"${esc(appId)}","version":$batchId,"lastUpdated":${System.currentTimeMillis()}}}"""
+      }
+      val lines = txnLines ++ removes ++
         added.map(rel =>
           addJson(table, rel, partitionValuesOf(rel, partitionBy))) :+
         s"""{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}"""
       committed = claim(table, v, lines)
       if (!committed) v = nextVersion(table)
     }
-    v
+    Some(v)
   }
 
   /** EXACTLY-ONCE streaming append — Delta's `txn` handshake: commit

@@ -48,7 +48,35 @@ object DeltaScd2 {
     * batch changed nothing (no commit — re-running the same batch is
     * idempotent).
     */
-  def merge(spark: SparkSession, table: String, updates: DataFrame): Long = {
+  def merge(spark: SparkSession, table: String, updates: DataFrame): Long =
+    mergeCore(spark, table, updates, None).getOrElse(-1L)
+
+  /** EXACTLY-ONCE streaming SCD2 maintenance — [[merge]] carrying
+    * Delta's `txn` handshake, so a micro-batch redelivered after a
+    * sink restart is a clean NO-OP instead of tripping the
+    * monotonicity refusal (a replayed multi-run batch would otherwise
+    * look back-dated against the state it itself committed). Wire it
+    * as the foreachBatch sink of an observation stream:
+    * `facts.writeStream.foreachBatch((b, id) =>
+    *   DeltaScd2.mergeBatch(spark, dim, b, appId, id))` — the
+    * streaming dimension-update path, landing in a REAL Delta table
+    * with time travel per batch. Returns the committed version, None
+    * for a replayed or no-change batch.
+    */
+  def mergeBatch(
+      spark: SparkSession, table: String, updates: DataFrame,
+      appId: String, batchId: Long): Option[Long] = {
+    val exists = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(table, "_delta_log"))
+    if (exists &&
+      DeltaLog.lastTxnVersion(spark, table, appId).exists(_ >= batchId))
+      return None
+    mergeCore(spark, table, updates, Some((appId, batchId)))
+  }
+
+  private def mergeCore(
+      spark: SparkSession, table: String, updates: DataFrame,
+      txn: Option[(String, Long)]): Option[Long] = {
     val exists = java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(table, "_delta_log"))
     val cur =
@@ -109,7 +137,7 @@ object DeltaScd2 {
         col("user_id"), col("version"), col("event_type"),
         col("tus").as("valid_from_us"), col("valid_to_us"),
         (col("valid_to_us") === lit(-1L)).as("is_current"))
-    if (newVersions.isEmpty) return -1L
+    if (newVersions.isEmpty) return None
     // close the prior open version of every key that gained versions
     val firstNew = newVersions
       .groupBy(col("user_id"))
@@ -129,7 +157,16 @@ object DeltaScd2 {
     val next = untouched
       .unionByName(revisedOpen)
       .unionByName(newVersions)
-    if (exists) DeltaExport.overwrite(next, table)
-    else { DeltaExport.create(next, table); 0L }
+    if (exists) DeltaExport.overwriteTxn(next, table, Nil, txn)
+    else txn match {
+      case None =>
+        DeltaExport.create(next, table); Some(0L)
+      case Some(_) =>
+        // the txn watermark must ride the FIRST data commit too (a
+        // replayed creation batch must no-op): commit 0 = the empty
+        // table, version 1 = the batch's rows + its txn, atomically
+        DeltaExport.create(cur, table)
+        DeltaExport.overwriteTxn(next, table, Nil, txn)
+    }
   }
 }

@@ -426,7 +426,8 @@ object IcebergExport {
       lastColumnId: Int, snapshots: Seq[ObjectNode],
       currentSnapshotId: Long,
       snapshotLog: Seq[(Long, Long)],
-      pfs: Seq[PartField]): String = {
+      pfs: Seq[PartField],
+      schemaHistory: Seq[ObjectNode] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", 1)
     root.put("table-uuid", tableUuid)
@@ -434,6 +435,15 @@ object IcebergExport {
     root.put("last-updated-ms", System.currentTimeMillis())
     root.put("last-column-id", lastColumnId)
     root.set[ObjectNode]("schema", schemaNode)
+    // v2-style schema HISTORY alongside the v1 field: evolution commits
+    // append to it; the reader resolves per-manifest by field-id
+    val history =
+      if (schemaHistory.nonEmpty) schemaHistory else Seq(schemaNode)
+    root.put("current-schema-id",
+      if (schemaNode.has("schema-id")) schemaNode.get("schema-id").asInt()
+      else 0)
+    val schemasArr = root.putArray("schemas")
+    history.foreach(s => schemasArr.add(s.deepCopy[ObjectNode]()))
     val specFields = mapper.readTree(specFieldsJson(pfs))
     root.set[ObjectNode]("partition-spec", specFields) // v1 legacy field
     root.put("default-spec-id", 0)
@@ -548,10 +558,9 @@ object IcebergExport {
       val prevList = curSnap.flatMap(s =>
         Option(s.get("manifest-list")).map(_.asText()))
       snapId = newSnapshotId()
-      val schemaNode = (
-        if (meta.has("schema")) meta.get("schema")
-        else meta.get("schemas").elements().asScala.next()
-      ).deepCopy[ObjectNode]()
+      val schemaNode =
+        IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
+      val history = schemaHistoryOf(meta)
       val schema = IcebergTable.schemaOf(meta)
       val pfs = partFieldsOf(schemaNode, schema, partitionBy)
       val (mPath, mLen, mCount) =
@@ -570,11 +579,134 @@ object IcebergExport {
       else Nil) :+ ((ts, snapId))
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), schemaNode,
-        meta.get("last-column-id").asInt(), snaps, snapId, log, pfs)
+        meta.get("last-column-id").asInt(), snaps, snapId, log, pfs,
+        history)
       committed = claim(table, curVersion + 1, json)
     }
     snapId
   }
+
+  /** The table's full schema history (v2 `schemas` array, or the v1
+    * single schema) as mutable copies.
+    */
+  private def schemaHistoryOf(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[ObjectNode] =
+    if (meta.has("schemas"))
+      meta.get("schemas").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toSeq
+    else Seq(meta.get("schema").deepCopy[ObjectNode]())
+
+  /** Commit a SCHEMA-EVOLUTION metadata version: `mutate` receives a
+    * copy of the current schema node (plus the current last-column-id)
+    * and returns the new node + new last-column-id; the new schema
+    * gets the next schema-id and joins the `schemas` history, data and
+    * snapshots untouched. The reader resolves old data files through
+    * their manifests' embedded write-time schemas by field-id, so
+    * evolution never rewrites a byte of data.
+    */
+  private def evolveSchema(
+      table: String)(
+      mutate: (ObjectNode, Int) => (ObjectNode, Int)): Unit = {
+    var committed = false
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val history = schemaHistoryOf(meta)
+      val cur = IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
+      val (next, lastId) = mutate(cur, meta.get("last-column-id").asInt())
+      val nextId = history
+        .map(s => if (s.has("schema-id")) s.get("schema-id").asInt() else 0)
+        .max + 1
+      next.put("schema-id", nextId)
+      val curSnapId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L).getOrElse(-1L)
+      val snaps = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala.map(_.deepCopy[ObjectNode]()).toSeq)
+      val log = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())).toSeq
+      else Nil)
+      val schema = IcebergTable.schemaOf(meta)
+      val partitionBy = IcebergTable.identityPartitionSources(meta).map(_._2)
+      // partition spec source-ids survive renames; resolve pfs against
+      // the NEW schema node (same ids, possibly new names)
+      val pfs = partitionBy.zipWithIndex.map { case (srcOld, i) =>
+        // map the old source NAME to its id, then to the new name
+        val oldField = IcebergTable.schemaNodeOf(meta).get("fields")
+          .elements().asScala
+          .find(_.get("name").asText() == srcOld)
+          .getOrElse(throw new IllegalStateException(
+            s"partition source $srcOld vanished from the schema"))
+        val id = oldField.get("id").asInt()
+        val newField = next.get("fields").elements().asScala
+          .find(_.get("id").asInt() == id)
+          .getOrElse(throw new IllegalArgumentException(
+            s"cannot drop/lose partition source column $srcOld " +
+              s"(field-id $id): the partition spec references it"))
+        PartField(newField.get("name").asText(), id, 1000 + i,
+          schema(srcOld).dataType)
+      }
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(), next, lastId,
+        snaps, curSnapId, log, pfs, history :+ next)
+      committed = claim(table, curVersion + 1, json)
+    }
+  }
+
+  /** RENAME a top-level column — metadata-only (the field-id is the
+    * identity; no data file is touched; old files resolve through
+    * their manifests' embedded schemas).
+    */
+  def renameColumn(table: String, from: String, to: String): Unit =
+    evolveSchema(table) { (s, lastId) =>
+      val f = s.get("fields").elements().asScala
+        .find(_.get("name").asText() == from)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $from to rename"))
+      require(!s.get("fields").elements().asScala
+        .exists(_.get("name").asText() == to),
+        s"column $to already exists")
+      f.asInstanceOf[ObjectNode].put("name", to)
+      (s, lastId)
+    }
+
+  /** ADD a nullable top-level column (new field-id = last-column-id+1;
+    * files written before it read null — the spec's answer).
+    */
+  def addColumn(
+      table: String, name: String, dt: DataType): Unit =
+    evolveSchema(table) { (s, lastId) =>
+      require(!s.get("fields").elements().asScala
+        .exists(_.get("name").asText() == name),
+        s"column $name already exists")
+      var last = lastId
+      val nextId = () => { last += 1; last }
+      val fn = mapper.createObjectNode()
+      fn.put("id", nextId())
+      fn.put("name", name)
+      fn.put("required", false)
+      fn.set[ObjectNode]("type", icebergType(dt, nextId))
+      s.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+        .add(fn)
+      (s, last)
+    }
+
+  /** DROP a top-level column — metadata-only; the column simply stops
+    * being projected (old files keep their bytes; a re-ADD gets a NEW
+    * field-id and reads null from them, never the dropped values —
+    * the spec's id-identity rule). Partition source columns are
+    * refused (the spec still references them).
+    */
+  def dropColumn(table: String, name: String): Unit =
+    evolveSchema(table) { (s, lastId) =>
+      val fields = s.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+      val idx = (0 until fields.size())
+        .find(i => fields.get(i).get("name").asText() == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $name to drop"))
+      fields.remove(idx)
+      (s, lastId)
+    }
 
   /** UniForm-style Delta→Iceberg METADATA conversion: author Iceberg
     * metadata over a Delta table's CURRENT active file set — the SAME

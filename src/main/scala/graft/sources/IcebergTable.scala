@@ -110,19 +110,12 @@ object IcebergTable {
   }
 
   /** The current schema node: v2 `schemas` + `current-schema-id`,
-    * falling back to v1's single `schema`. A `schemas` HISTORY of more
-    * than one entry means the table has evolved — this reader resolves
-    * parquet columns by NAME where the spec requires field-ids, so an
-    * evolved table (renames especially) could silently read nulls;
-    * refuse loudly instead.
+    * falling back to v1's single `schema`. Evolved tables (a `schemas`
+    * HISTORY) are read via FIELD-ID resolution through each manifest's
+    * embedded writer schema — see [[read]].
     */
-  private def schemaNodeOf(meta: JsonNode): JsonNode =
+  private[sources] def schemaNodeOf(meta: JsonNode): JsonNode =
     if (meta.has("schemas")) {
-      val n = meta.get("schemas").size()
-      require(n <= 1,
-        s"table has $n schemas (schema evolution): this reader resolves " +
-          "columns by name, not field-id, and refuses evolved tables " +
-          "rather than returning wrong rows")
       val cur = meta.get("current-schema-id").asInt()
       meta.get("schemas").elements().asScala
         .find(_.get("schema-id").asInt() == cur)
@@ -135,15 +128,15 @@ object IcebergTable {
     toSparkType(schemaNodeOf(meta)).asInstanceOf[StructType]
 
   /** Identity-transform partition fields of the DEFAULT spec, as
-    * (partition field name, source column name) with the source
-    * resolved by field-id against the current schema's top-level
-    * columns. Non-identity transforms are skipped (their source
-    * columns live in the data files); an identity transform whose
-    * source-id is not a top-level column is refused (nested
-    * partitioning is out of scope).
+    * (partition field name, source column name, partition field-id)
+    * with the source resolved by field-id against the current
+    * schema's top-level columns. Non-identity transforms are skipped
+    * (their source columns live in the data files); an identity
+    * transform whose source-id is not a top-level column is refused
+    * (nested partitioning is out of scope).
     */
   private[sources] def identityPartitionSources(
-      meta: JsonNode): Seq[(String, String)] = {
+      meta: JsonNode): Seq[(String, String, Int)] = {
     val specFields: Seq[JsonNode] =
       if (meta.has("partition-specs")) {
         val defId =
@@ -167,7 +160,8 @@ object IcebergTable {
             throw new IllegalStateException(
               s"identity partition source-id $sid is not a top-level " +
                 "schema column (nested partitioning unsupported)"))
-          Some(f.get("name").asText() -> src)
+          Some((f.get("name").asText(), src,
+            Option(f.get("field-id")).map(_.asInt()).getOrElse(-1)))
         case "void" => None
         case _ => None // bucket/day/...: source columns are in the files
       }
@@ -241,10 +235,19 @@ object IcebergTable {
   /** Decode every record of an avro file with its embedded writer
     * schema (driver-side; manifests are metadata-sized).
     */
-  private def avroRecords(path: String): Vector[GenericRecord] = {
+  private def avroRecords(path: String): Vector[GenericRecord] =
+    avroRecordsWithMeta(path)._1
+
+  /** Records plus the file's `schema` key-value metadata — the Iceberg
+    * TABLE SCHEMA AT WRITE TIME the spec requires every manifest to
+    * embed; it is what field-id resolution resolves through.
+    */
+  private def avroRecordsWithMeta(
+      path: String): (Vector[GenericRecord], Option[String]) = {
     val reader = new DataFileReader[GenericRecord](
       new File(local(path)), new GenericDatumReader[GenericRecord]())
-    try reader.iterator().asScala.toVector
+    try (reader.iterator().asScala.toVector,
+      Option(reader.getMetaString("schema")))
     finally reader.close()
   }
 
@@ -260,13 +263,21 @@ object IcebergTable {
 
   /** Typed avro partition value → Spark-castable string (dates come
     * back as ISO strings so `cast(string as date)` round-trips).
+    * Resolution is BY FIELD-ID first (the `field-id` prop the spec
+    * stamps on partition-struct fields — a renamed partition source
+    * keeps its id while old manifests keep the old NAME), name as the
+    * fallback for foreign manifests without the prop.
     */
   private def partValueString(
-      rec: GenericRecord, field: String): Option[String] = {
-    val f = Option(rec.getSchema.getField(field)).getOrElse(
-      throw new IllegalStateException(
-        s"manifest partition struct lacks field $field — cannot " +
-          "reconstruct the identity partition column"))
+      rec: GenericRecord, field: String, fieldId: Int): Option[String] = {
+    val f = rec.getSchema.getFields.asScala
+      .find(f => Option(f.getObjectProp("field-id"))
+        .map(_.toString).contains(fieldId.toString))
+      .orElse(Option(rec.getSchema.getField(field)))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest partition struct lacks field $field " +
+          s"(field-id $fieldId) — cannot reconstruct the identity " +
+          "partition column"))
     Option(rec.get(f.pos())).map { v =>
       val base = {
         val s = f.schema()
@@ -283,12 +294,19 @@ object IcebergTable {
     }
   }
 
+  private[sources] case class FileEntry(
+      path: String,
+      pv: Map[String, Option[String]],
+      writerSchemaJson: Option[String])
+
   /** Data files of a snapshot with their manifest partition values
-    * (keyed by partition FIELD name), refusing delete content loudly.
+    * (keyed by partition FIELD name) and the manifest's embedded
+    * writer schema (for field-id resolution), refusing delete content
+    * loudly.
     */
   private[sources] def dataFilesWithPartitions(
       table: String, meta: JsonNode, snap: JsonNode,
-      partFields: Seq[String]): Seq[(String, Map[String, Option[String]])] = {
+      partFields: Seq[(String, Int)]): Seq[FileEntry] = {
     val manifestPaths: Seq[String] =
       if (snap.has("manifest-list"))
         avroRecords(snap.get("manifest-list").asText()).map { m =>
@@ -305,7 +323,8 @@ object IcebergTable {
       else throw new IllegalStateException(
         "snapshot has neither manifest-list nor manifests")
     manifestPaths.flatMap { mp =>
-      avroRecords(mp).flatMap { entry =>
+      val (records, writerSchema) = avroRecordsWithMeta(mp)
+      records.flatMap { entry =>
         val status = entry.get("status").toString.toInt
         if (status == 2) None // DELETED: not part of this snapshot
         else {
@@ -321,12 +340,14 @@ object IcebergTable {
             if (partFields.isEmpty) Map.empty[String, Option[String]]
             else {
               val part = df.get("partition").asInstanceOf[GenericRecord]
-              partFields.map(n => n -> partValueString(part, n)).toMap
+              partFields.map { case (n, fid) =>
+                n -> partValueString(part, n, fid)
+              }.toMap
             }
-          Some(local(str(df, "file_path")) -> pv)
+          Some(FileEntry(local(str(df, "file_path")), pv, writerSchema))
         }
       }
-    }.distinctBy(_._1)
+    }.distinctBy(_.path)
   }
 
   /** Data-file paths of a snapshot (partition-value-free view, kept
@@ -334,7 +355,7 @@ object IcebergTable {
     */
   private[sources] def dataFilesOf(
       table: String, meta: JsonNode, snap: JsonNode): Seq[String] =
-    dataFilesWithPartitions(table, meta, snap, Nil).map(_._1)
+    dataFilesWithPartitions(table, meta, snap, Nil).map(_.path)
 
   /** Snapshot ids in commit order (snapshot-log order when present,
     * else `snapshots` array order) — the time-travel index.
@@ -382,44 +403,143 @@ object IcebergTable {
     regexp_replace(
       url_decode(regexp_replace(c, "^file:/*", "/")), "/+", "/")
 
+  /** Structural compatibility ignoring field NAMES (renames are the
+    * point of field-id resolution), admitting exactly the spec's
+    * LOSSLESS type promotions (int → long, float → double, decimal
+    * precision widening at the same scale — the cast below is then
+    * value-preserving); anything else — narrowing, reshapes, changed
+    * primitives — is refused loudly rather than miscast.
+    */
+  private def promotable(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case (x: StructType, y: StructType) =>
+        x.fields.length == y.fields.length &&
+          x.fields.zip(y.fields).forall { case (f, g) =>
+            promotable(f.dataType, g.dataType)
+          }
+      case (x: ArrayType, y: ArrayType) =>
+        promotable(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        promotable(x.keyType, y.keyType) &&
+          promotable(x.valueType, y.valueType)
+      case _ => false
+    }
+
+  /** Fully-nullable rendering of a type — file sources force nullable
+    * output, so cast TARGETS must not demand non-null (a cast to a
+    * non-null array element is unresolvable even when types match).
+    */
+  private def asNullableType(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(dataType = asNullableType(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      ArrayType(asNullableType(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(asNullableType(m.keyType), asNullableType(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
   /** Read the table at `snapshotId` (or the current snapshot).
-    * Columns appear in table-schema order with Iceberg-declared
-    * types; identity-partition source columns are materialized from
-    * the manifests' partition structs (see the object Scaladoc) via
-    * one broadcast join on the file path.
+    * Columns appear in CURRENT-schema order with Iceberg-declared
+    * types. SCHEMA EVOLUTION (r12) is resolved the way the spec
+    * demands — by FIELD-ID, not name: every manifest embeds the table
+    * schema at write time (`schema` avro metadata, required by the
+    * spec), so each group of data files is read under ITS OWN
+    * physical column names (current field-id → that era's name) and
+    * remapped to current names; a column added after a manifest was
+    * written reads as null there, a renamed column resolves to its
+    * old physical name, a dropped column is simply not projected.
+    * Groups = DISTINCT historical schemas (a handful on any real
+    * table), unioned by name. Manifests WITHOUT the embedded schema
+    * (out-of-spec) fall back to name resolution guarded by the
+    * footer check. Identity-partition source columns are materialized
+    * from the manifests' partition structs (see the object Scaladoc)
+    * via one broadcast join on the file path.
     */
   def read(
       spark: SparkSession, table: String,
       snapshotId: Option[Long] = None): DataFrame = {
     val meta = metadataJson(table)
-    val schema = schemaOf(meta)
+    val schemaNode = schemaNodeOf(meta)
+    val schema = toSparkType(schemaNode).asInstanceOf[StructType]
     val snap = snapshotNode(meta, snapshotId)
     val idParts = identityPartitionSources(meta)
-      .filter { case (_, src) => schema.fieldNames.contains(src) }
-    val filesPv = dataFilesWithPartitions(
-      table, meta, snap, idParts.map(_._1))
-    val files = filesPv.map(_._1)
-    if (files.isEmpty)
+      .filter { case (_, src, _) => schema.fieldNames.contains(src) }
+    val entries = dataFilesWithPartitions(
+      table, meta, snap, idParts.map(p => (p._1, p._3)))
+    if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val srcCols = idParts.map(_._2)
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => srcCols.contains(f.name)))
-    requireFooterNames(spark, files.head, dataSchema.fieldNames.toSeq)
-    val data = spark.read.schema(dataSchema).parquet(files: _*)
+    val curFields = schemaNode.get("fields").elements().asScala.toSeq
+      .filterNot(f => srcCols.contains(f.get("name").asText()))
+    val branches = entries.groupBy(_.writerSchemaJson).toSeq
+      .sortBy(_._1.getOrElse(""))
+      .map { case (ws, files) =>
+        val writerById: Map[Int, JsonNode] = ws.map { js =>
+          mapper.readTree(js).get("fields").elements().asScala
+            .map(f => f.get("id").asInt() -> f).toMap
+        }.getOrElse(Map.empty)
+        val resolved = curFields.map { cf =>
+          val name = cf.get("name").asText()
+          val logicalDt = toSparkType(cf.get("type"))
+          val nullable = !cf.get("required").asBoolean()
+          writerById.get(cf.get("id").asInt()) match {
+            case Some(wf) =>
+              val physName = wf.get("name").asText()
+              val physDt = toSparkType(wf.get("type"))
+              require(promotable(physDt, logicalDt),
+                s"column $name (field-id ${cf.get("id").asInt()}) changed " +
+                  s"TYPE across the schema history ($physDt → $logicalDt) " +
+                  "beyond the spec's lossless promotions (int→long, " +
+                  "float→double, decimal widening): refused rather than " +
+                  "miscast")
+              val colExpr =
+                if (physName == name && physDt == logicalDt) col(name)
+                else
+                  // the structurally-identical cast renames nested
+                  // levels positionally (the DeltaLog column-mapping
+                  // discipline); fully-nullable target — file sources
+                  // force nullable output
+                  col(physName).cast(asNullableType(logicalDt)).as(name)
+              (Some(StructField(physName, physDt, nullable)), colExpr)
+            case None if ws.isDefined =>
+              // the column was ADDED after this manifest's files were
+              // written: null is the spec's answer
+              (None, lit(null).cast(asNullableType(logicalDt)).as(name))
+            case None =>
+              // out-of-spec manifest without an embedded schema: name
+              // resolution, guarded by the footer check below
+              (Some(StructField(name, logicalDt, nullable)), col(name))
+          }
+        }
+        val readSchema = StructType(resolved.flatMap(_._1))
+        if (ws.isEmpty)
+          requireFooterNames(spark, files.head.path, readSchema.fieldNames.toSeq)
+        spark.read.schema(readSchema).parquet(files.map(_.path): _*)
+          .select(resolved.map(_._2): _*)
+      }
+    val data = branches.reduce(_.unionByName(_))
     val withParts =
       if (idParts.isEmpty) data
       else {
         // (file, one STRING column per identity source) — metadata-
         // sized build side, broadcast; values cast to declared types
         import spark.implicits._
-        val pvRows = filesPv.map { case (f, pv) =>
-          (f, idParts.map { case (pn, _) => pv(pn).orNull })
+        val pvRows = entries.map { e =>
+          (e.path, idParts.map { case (pn, _, _) => e.pv(pn).orNull })
         }
         val pvFrame = pvRows.toDF("__file", "__pv")
           .select(
             col("__file") +:
-              idParts.zipWithIndex.map { case ((_, src), i) =>
+              idParts.zipWithIndex.map { case ((_, src, _), i) =>
                 col("__pv").getItem(i).as(src)
               }: _*)
         data

@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iceberg SCHEMA EVOLUTION (r12): rename/add/drop are metadata-only
+  * commits; the reader resolves every manifest's data files through
+  * that manifest's embedded write-time schema BY FIELD-ID — the
+  * spec's resolution rule — so old files read correctly under new
+  * names, added columns read null from pre-add files, and a re-added
+  * name (new field-id) never resurrects dropped values.
+  */
+class IcebergEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("iceberg_evo_").resolve("t").toString
+
+  test("rename resolves OLD data files by field-id; appends use the new name") {
+    val t = tmpTable()
+    IcebergExport.create(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"), t)
+    IcebergExport.renameColumn(t, "name", "title")
+    // current schema shows the new name; old files' values resolve
+    val afterRename = IcebergTable.read(spark, t)
+    assert(afterRename.schema.fieldNames.toSeq == Seq("id", "title", "score"))
+    assert(afterRename.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")),
+      "old files must resolve the renamed column by field-id, not null")
+    // an append AFTER the rename writes (and validates) the new name
+    IcebergExport.append(
+      Seq((3L, "c", 3.0)).toDF("id", "title", "score"), t)
+    val all = IcebergTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(all == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"mixed-era read drifted: $all")
+    // the OLD name is refused on append now
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.append(
+        Seq((9L, "x", 9.0)).toDF("id", "name", "score"), t)
+    }
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+  }
+
+  test("added column reads null from pre-add files, values from post-add files") {
+    val t = tmpTable()
+    IcebergExport.create(Seq((1L, "a")).toDF("id", "name"), t)
+    IcebergExport.addColumn(t, "lang", StringType)
+    val afterAdd = IcebergTable.read(spark, t).collect()
+    assert(afterAdd.length == 1 && afterAdd.head.isNullAt(2),
+      "pre-add files must read the new column as null")
+    IcebergExport.append(
+      Seq((2L, "b", "en")).toDF("id", "name", "lang"), t)
+    val got = IcebergTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    assert(got == Seq((1L, None), (2L, Some("en"))), s"add drifted: $got")
+  }
+
+  test("drop is metadata-only; a re-added name gets a NEW id and never old values") {
+    val t = tmpTable()
+    IcebergExport.create(Seq((1L, "secret", 1.0)).toDF("id", "name", "score"), t)
+    IcebergExport.dropColumn(t, "name")
+    assert(IcebergTable.read(spark, t).schema.fieldNames.toSeq ==
+      Seq("id", "score"))
+    // re-add under the same name: a fresh field-id — the spec's
+    // id-identity rule means the dropped values must NOT come back
+    IcebergExport.addColumn(t, "name", StringType)
+    val got = IcebergTable.read(spark, t).collect()
+    assert(got.length == 1 && got.head.isNullAt(2),
+      "a re-added column must not resurrect dropped values")
+  }
+
+  test("renaming a partition SOURCE keeps partition reconstruction working") {
+    val t = tmpTable()
+    IcebergExport.create(
+      Seq((1L, "us", 1.0), (2L, "de", 2.0)).toDF("id", "region", "score"),
+      t, Seq("region"))
+    IcebergExport.renameColumn(t, "region", "geo")
+    val got = IcebergTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "us"), (2L, "de")),
+      s"partition values must attach under the renamed source: $got")
+    // dropping a partition source is refused — the spec references it
+    val e = intercept[Exception] {
+      IcebergExport.dropColumn(t, "geo")
+    }
+    assert(e.getMessage.contains("partition source"), e.getMessage)
+  }
+
+  test("TYPE evolution: lossless promotions read; anything else is refused") {
+    val t = tmpTable()
+    IcebergExport.create(Seq((1, 1.5)).toDF("id", "score"), t)
+    val v1 = Paths.get(t, "metadata", "v1.metadata.json")
+    // the spec's int → long promotion: old int files read as long
+    val promoted = Files.readString(v1)
+      .replace("\"type\" : \"int\"", "\"type\" : \"long\"")
+    Files.writeString(Paths.get(t, "metadata", "v2.metadata.json"), promoted)
+    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "2")
+    val got = IcebergTable.read(spark, t)
+    assert(got.schema("id").dataType.typeName == "long")
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "int→long promotion must read the old int values")
+    // a NON-promotion change (double → string) is refused
+    val forged = Files.readString(v1)
+      .replace("\"type\" : \"double\"", "\"type\" : \"string\"")
+    Files.writeString(Paths.get(t, "metadata", "v3.metadata.json"), forged)
+    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "3")
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.read(spark, t).collect()
+    }
+    assert(e.getMessage.contains("changed TYPE"), e.getMessage)
+  }
+
+  test("time travel across evolution reads each snapshot under the CURRENT schema") {
+    // Iceberg semantics: time travel picks a SNAPSHOT (data), not a
+    // schema — the current schema projects whatever files that
+    // snapshot had
+    val t = tmpTable()
+    val s1 = IcebergExport.create(Seq((1L, "a")).toDF("id", "name"), t)
+    IcebergExport.renameColumn(t, "name", "title")
+    val s2 = IcebergExport.append(Seq((2L, "b")).toDF("id", "title"), t)
+    assert(s1 != s2)
+    val old = IcebergTable.read(spark, t, Some(s1))
+    assert(old.schema.fieldNames.toSeq == Seq("id", "title"))
+    assert(old.collect().map(_.getString(1)).toSeq == Seq("a"))
+  }
+}

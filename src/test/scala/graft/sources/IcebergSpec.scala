@@ -250,7 +250,7 @@ class IcebergSpec extends SparkSpec {
     // the metadata carries the spec both v1-legacy and v2 style
     val meta = IcebergTable.metadataJson(t)
     assert(IcebergTable.identityPartitionSources(meta) ==
-      Seq("region" -> "region", "day" -> "day"))
+      Seq(("region", "region", 1000), ("day", "day", 1001)))
     // unsupported partition source types are refused loudly
     val e = intercept[IllegalArgumentException] {
       IcebergExport.create(
@@ -279,32 +279,48 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).count() == 1L)
   }
 
-  test("rename-without-rewrite and schema evolution are refused loudly") {
+  test("out-of-spec manifest (no embedded schema): renames are refused by the footer check") {
+    // field-id resolution needs the manifest's embedded write-time
+    // schema (spec-required); a manifest WITHOUT it falls back to name
+    // resolution, where a renamed column would silently read nulls —
+    // the sampled-footer check must throw instead
     val t = tmpTable()
     IcebergExport.create(df(Seq((1L, "a", 1.0))), t)
-    // forge a renamed column in the current schema (name → title):
-    // the data files still carry "name", so name resolution would
-    // return silent nulls — the footer check must throw instead
+    // strip the schema metadata off the manifest by rewriting it
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val meta = IcebergTable.metadataJson(t)
+    val ml = meta.get("snapshots").elements().next()
+      .get("manifest-list").asText()
+    val mp = {
+      val r = new DataFileReader[GenericRecord](
+        new java.io.File(ml), new GenericDatumReader[GenericRecord]())
+      try r.iterator().next().get("manifest_path").toString finally r.close()
+    }
+    val r = new DataFileReader[GenericRecord](
+      new java.io.File(mp), new GenericDatumReader[GenericRecord]())
+    val (rows, sch) = try {
+      val it = r.iterator(); val b = Vector.newBuilder[GenericRecord]
+      while (it.hasNext) b += it.next()
+      (b.result(), r.getSchema)
+    } finally r.close()
+    Files.delete(Paths.get(mp))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, new java.io.File(mp)) // no setMeta("schema", ...)
+    try rows.foreach(w.append) finally w.close()
+    // sanity: without a rename the legacy path still reads fine
+    assert(IcebergTable.read(spark, t).count() == 1L)
+    // forge a renamed current schema; legacy manifests cannot resolve it
     val v1 = Paths.get(t, "metadata", "v1.metadata.json")
-    val renamed = Files.readString(v1).replace("\"name\" : \"name\"", "\"name\" : \"title\"")
+    val renamed = Files.readString(v1)
+      .replace("\"name\" : \"name\"", "\"name\" : \"title\"")
     Files.writeString(Paths.get(t, "metadata", "v2.metadata.json"), renamed)
     Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "2")
     val e = intercept[IllegalArgumentException] {
       IcebergTable.read(spark, t).collect()
     }
     assert(e.getMessage.contains("rename without rewrite"), e.getMessage)
-    // forge a v2-style schemas HISTORY (two entries = evolution)
-    val evolved = Files.readString(v1).replaceFirst(
-      "\"schema\" : \\{",
-      """"schemas" : [ {"schema-id": 9}, {"schema-id": 0} ],
-         "current-schema-id" : 0,
-         "schema" : {""")
-    Files.writeString(Paths.get(t, "metadata", "v3.metadata.json"), evolved)
-    Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "3")
-    val e2 = intercept[IllegalArgumentException] {
-      IcebergTable.read(spark, t)
-    }
-    assert(e2.getMessage.contains("schema evolution"), e2.getMessage)
   }
 
   test("nested types survive the schema round-trip") {
