@@ -637,16 +637,13 @@ object TrainingSet {
   /** z >> 22 → 1024 contiguous-z buckets standing in for files. */
   val ZBucketShift = 22
 
-  /** The interleave Σ_i bit_i(x)·4^i·(1) + bit_i(y)·4^i·(2) written as
-    * pure non-negative integer arithmetic (`(v div 2^i) % 2`) so ONE
-    * builder emits bit-identical expressions for both engines — only
-    * the integer-division spelling differs (`div` vs `//`).
+  /** The interleave Σ_i bit_i(x)·4^i·(1) + bit_i(y)·4^i·(2) — shared
+    * builder (`functions.ZOrder`) so p13's audit and the Delta
+    * `OPTIMIZE ZORDER` write path stay bit-identical; only the
+    * integer-division spelling differs per engine (`div` vs `//`).
     */
   private def zExprStr(x: String, y: String, div: (String, Long) => String): String =
-    (0 until ZBits).map { i =>
-      s"((${div(x, 1L << i)}) % 2) * ${1L << (2 * i)}" +
-        s" + ((${div(y, 1L << i)}) % 2) * ${1L << (2 * i + 1)}"
-    }.mkString("(", " + ", ")")
+    graft.functions.ZOrder.exprStr(x, y, ZBits, div)
 
   /** p13 — Z-order (Morton-curve) layout audit, the multi-dimensional
     * clustering behind Delta `OPTIMIZE ZORDER BY` / Iceberg sort

@@ -77,12 +77,129 @@ object DeltaExport {
     partitionCols.flatMap(c => kv.get(c).map(c -> _)).toMap
   }
 
-  private def addJson(table: String, rel: String, pv: Map[String, String]): String = {
+  /** Per-file column statistics as Delta's `add.stats` JSON string —
+    * `{"numRecords":N,"minValues":{...},"maxValues":{...},
+    * "nullCount":{...}}` — read from the parquet FOOTER (a bounded
+    * driver read per staged file, never a scan job). This is the data
+    * the log-level FILE SKIPPING reads ([[DeltaLog.readRange]]): at
+    * 100 TB the win is not scanning faster but not scanning at all.
+    * Scope: top-level int/long/float/double/date/boolean columns, plus
+    * strings ≤ 32 chars (longer strings are omitted — Delta's own
+    * truncation needs round-up tie handling; a missing stat only makes
+    * the file unprunable, never wrong). A column chunk without valid
+    * statistics omits the column.
+    */
+  private def fileStats(
+      conf: org.apache.hadoop.conf.Configuration, abs: String): Option[String] =
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(abs), conf))
+      try {
+        val footer = reader.getFooter
+        val n = reader.getRecordCount
+        val schema = footer.getFileMetaData.getSchema
+        // aggregate per-column min/max/nulls across row groups
+        val mins = scala.collection.mutable.LinkedHashMap[String, String]()
+        val maxs = scala.collection.mutable.LinkedHashMap[String, String]()
+        val nulls = scala.collection.mutable.LinkedHashMap[String, Long]()
+        val bad = scala.collection.mutable.Set[String]()
+        footer.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { cc =>
+            val path = cc.getPath.toDotString
+            if (!path.contains('.')) { // top-level only
+              val st = cc.getStatistics
+              if (st == null || !st.hasNonNullValue && st.getNumNulls < 0) {
+                bad += path
+              } else {
+                nulls(path) = nulls.getOrElse(path, 0L) + math.max(0L, st.getNumNulls)
+                if (st.hasNonNullValue) {
+                  val fieldType = schema
+                    .getType(Seq(path): _*).asPrimitiveType()
+                  jsonStatValue(
+                    fieldType, st.genericGetMin.asInstanceOf[AnyRef]) match {
+                    case Some(mn) =>
+                      val mx = jsonStatValue(
+                        fieldType,
+                        st.genericGetMax.asInstanceOf[AnyRef]).get
+                      mins(path) = mins.get(path)
+                        .map(o => orderedPick(o, mn, takeMin = true))
+                        .getOrElse(mn)
+                      maxs(path) = maxs.get(path)
+                        .map(o => orderedPick(o, mx, takeMin = false))
+                        .getOrElse(mx)
+                    case None => bad += path
+                  }
+                }
+              }
+            }
+          }
+        }
+        bad.foreach { p => mins.remove(p); maxs.remove(p) }
+        def obj(m: scala.collection.Map[String, String]): String =
+          m.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+        val nullsJson = nulls
+          .map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+        Some(
+          s"""{"numRecords":$n,"minValues":${obj(mins)},""" +
+            s""""maxValues":${obj(maxs)},"nullCount":$nullsJson}""")
+      } finally reader.close()
+    } catch { case _: Exception => None } // stats are an optimization
+
+  /** One parquet statistics value as a JSON literal, or None for
+    * unsupported/unsafe types (binary, >32-char strings, int96, …).
+    */
+  private def jsonStatValue(
+      t: org.apache.parquet.schema.PrimitiveType, v: AnyRef): Option[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val logical = t.getLogicalTypeAnnotation
+    t.getPrimitiveTypeName match {
+      case INT32 if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        Some("\"" + java.time.LocalDate
+          .ofEpochDay(v.asInstanceOf[Number].longValue()) + "\"")
+      case INT32 | INT64 => Some(v.asInstanceOf[Number].toString)
+      case FLOAT | DOUBLE =>
+        val d = v.asInstanceOf[Number].doubleValue()
+        if (d.isNaN || d.isInfinite) None else Some(d.toString)
+      case BOOLEAN => Some(v.toString)
+      case BINARY if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        val s = new String(
+          v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+          StandardCharsets.UTF_8)
+        if (s.length <= 32) Some(s""""${esc(s)}"""") else None
+      case _ => None
+    }
+  }
+
+  /** min/max fold across row groups, comparing in the VALUE domain the
+    * JSON literals encode (numeric, boolean, or lexicographic for the
+    * quoted string/date forms).
+    */
+  private def orderedPick(
+      a: String, b: String, takeMin: Boolean): String = {
+    val lt: Boolean =
+      if (a.startsWith("\"")) a < b
+      else if (a == "true" || a == "false") a < b // false < true
+      else {
+        val (x, y) = (BigDecimal(a), BigDecimal(b))
+        x < y
+      }
+    if (lt == takeMin) a else b
+  }
+
+  private def addJson(
+      table: String, rel: String, pv: Map[String, String],
+      conf: Option[org.apache.hadoop.conf.Configuration] = None,
+      dataChange: Boolean = true): String = {
     val size = Files.size(Paths.get(table, rel))
     val pvJson = pv.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    s"""{"add":{"path":"${enc(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(Paths.get(table, rel)).toMillis},"dataChange":true}}"""
+    val stats = conf
+      .flatMap(c => fileStats(c, Paths.get(table, rel).toAbsolutePath.toString))
+      .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+    s"""{"add":{"path":"${enc(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(Paths.get(table, rel)).toMillis},"dataChange":$dataChange$stats}}"""
   }
 
   private def metaDataJson(
@@ -159,7 +276,8 @@ object DeltaExport {
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
         metaDataJson(java.util.UUID.randomUUID.toString, df.schema, partitionBy)) ++
         added.map(rel =>
-          addJson(table, rel, partitionValuesOf(rel, partitionBy))) :+
+          addJson(table, rel, partitionValuesOf(rel, partitionBy),
+            Some(df.sparkSession.sparkContext.hadoopConfiguration))) :+
         s"""{"commitInfo":{"operation":"CREATE TABLE AS SELECT"}}"""
     if (!claim(table, 0L, lines))
       throw new IllegalStateException(
@@ -176,7 +294,8 @@ object DeltaExport {
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
     val added = stageIn(df, table, partitionBy)
     val lines = added.map(rel =>
-      addJson(table, rel, partitionValuesOf(rel, partitionBy))) :+
+      addJson(table, rel, partitionValuesOf(rel, partitionBy),
+            Some(df.sparkSession.sparkContext.hadoopConfiguration))) :+
       s"""{"commitInfo":{"operation":"WRITE"}}"""
     var v = nextVersion(table)
     while (!claim(table, v, lines)) v = nextVersion(table)
@@ -228,7 +347,8 @@ object DeltaExport {
       }
       val lines = txnLines ++ removes ++
         added.map(rel =>
-          addJson(table, rel, partitionValuesOf(rel, partitionBy))) :+
+          addJson(table, rel, partitionValuesOf(rel, partitionBy),
+            Some(df.sparkSession.sparkContext.hadoopConfiguration))) :+
         s"""{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}"""
       committed = claim(table, v, lines)
       if (!committed) v = nextVersion(table)
@@ -260,7 +380,8 @@ object DeltaExport {
     val lines =
       s"""{"txn":{"appId":"${esc(appId)}","version":$batchId,"lastUpdated":${System.currentTimeMillis()}}}""" +:
         added.map(rel =>
-          addJson(table, rel, partitionValuesOf(rel, partitionBy))) :+
+          addJson(table, rel, partitionValuesOf(rel, partitionBy),
+            Some(df.sparkSession.sparkContext.hadoopConfiguration))) :+
         s"""{"commitInfo":{"operation":"STREAMING UPDATE"}}"""
     var v = nextVersion(table)
     while (!claim(table, v, lines)) {
@@ -272,6 +393,131 @@ object DeltaExport {
       v = nextVersion(table)
     }
     Some(v)
+  }
+
+  /** OPTIMIZE (bin-packing compaction): rewrite each partition's
+    * under-`targetBytes` files into ~`targetBytes` outputs — the
+    * small-file fix every streaming-fed table needs (per-file open/
+    * seek/scheduler overhead at 100 TB is paid per FILE, not per
+    * byte; p17 plans this, here it executes at the Delta layer). One
+    * commit of `dataChange:false` removes+adds (Delta's OPTIMIZE
+    * marker: the table's CONTENT is unchanged, so streaming sources
+    * must not re-read it), add.stats recomputed for the new files so
+    * file skipping keeps working, time travel to pre-compaction
+    * versions intact (removes are tombstones; [[vacuum]] reclaims
+    * them later). Contention: claims retry on the next version —
+    * safe against concurrent APPENDS (disjoint files); a concurrent
+    * REMOVE-writer would need Delta's full conflict checker (out of
+    * scope, append-only module contract). Returns (active files
+    * before, after).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      targetBytes: Long): (Int, Int) = {
+    import org.apache.spark.sql.types.DataType
+    val st = DeltaLog.stateAt(spark, table, None)
+    require(!st.configuration.get("delta.columnMapping.mode").exists(_ != "none"),
+      "compact reads data files by logical name; column-mapped tables " +
+        "are out of this writer's scope")
+    val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+    val before = st.active.size
+    val groups = st.active.values.toSeq.groupBy(_.partitionValues)
+    val rewrites = groups.toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+      .flatMap { case (pv, adds) =>
+        val withSize = adds.map(a =>
+          a.path -> Files.size(
+            Paths.get(DeltaLog.absPath(table, a.path))))
+        val smalls = withSize.filter(_._2 < targetBytes)
+        if (smalls.size < 2) None
+        else {
+          val nOut = math.max(1,
+            math.ceil(smalls.map(_._2).sum.toDouble / targetBytes).toInt)
+          Some((pv, smalls.map(_._1), nOut))
+        }
+      }
+    if (rewrites.isEmpty) return (before, before)
+    val newRels = rewrites.flatMap { case (pv, rels, nOut) =>
+      val abs = rels.map(DeltaLog.absPath(table, _))
+      val df = spark.read.schema(dataSchema).parquet(abs: _*).coalesce(nOut)
+      val stage = Files.createTempDirectory("delta_compact")
+      df.write.mode("overwrite").parquet(stage.toString)
+      val pdir = st.partitionCols
+        .flatMap(c => pv.get(c).map(v => s"$c=${enc(v)}")).mkString("/")
+      listParquet(stage).toSeq.sorted.map { name =>
+        val rel = if (pdir.isEmpty) name else s"$pdir/$name"
+        val dest = Paths.get(table, rel)
+        Files.createDirectories(dest.getParent)
+        Files.move(stage.resolve(name), dest)
+        rel
+      }
+    }
+    val conf = Some(spark.sparkContext.hadoopConfiguration)
+    val lines = rewrites.flatMap(_._2).map(p =>
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}""") ++
+      newRels.map(rel =>
+        addJson(table, rel, partitionValuesOf(rel, st.partitionCols),
+          conf, dataChange = false)) :+
+      s"""{"commitInfo":{"operation":"OPTIMIZE"}}"""
+    var v = nextVersion(table)
+    while (!claim(table, v, lines)) v = nextVersion(table)
+    (before, before - rewrites.map(_._2.size).sum + newRels.size)
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the (unpartitioned) table clustered by
+    * the 2-D Morton curve over `(xCol, yCol)` into `nFiles` files —
+    * `functions.ZOrder`'s interleave (p13 audits this layout; here it
+    * EXECUTES). The win composes with [[DeltaLog.readRange]]: a
+    * linear sort leaves the second dimension's per-file span ≈ the
+    * full domain, so min/max stats prune only one predicate; z-sorted
+    * files are tight on BOTH, so either column's range probe skips
+    * most of the table from the LOG, scanning nothing. One
+    * `dataChange:false` commit (content unchanged), stats recomputed,
+    * time travel intact. Returns the committed version.
+    */
+  def zorder(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      xCol: String, yCol: String, nFiles: Int, bits: Int = 16): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val st = DeltaLog.stateAt(spark, table, None)
+    require(st.partitionCols.isEmpty,
+      "zorder supports unpartitioned tables (cluster within partitions " +
+        "by partitioning first)")
+    val dim = 1L << bits
+    val z = graft.functions.ZOrder.exprStr(
+      s"pmod($xCol, $dim)", s"pmod($yCol, $dim)", bits,
+      (v, p) => s"($v) div $p")
+    val df = DeltaLog.read(spark, table)
+      .withColumn("__z", expr(z))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val stage = Files.createTempDirectory("delta_zorder")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val newRels = listParquet(stage).toSeq.sorted.map { name =>
+      Files.move(stage.resolve(name), Paths.get(table, name))
+      name
+    }
+    val conf = Some(spark.sparkContext.hadoopConfiguration)
+    var v = nextVersion(table)
+    var committed = false
+    while (!committed) {
+      // removes recomputed per attempt: a concurrent append's files
+      // must survive the rewrite commit untombstoned
+      val cur = DeltaLog.stateAt(spark, table, None)
+      val lines = cur.active.keys.toSeq.sorted
+        .filterNot(newRels.contains)
+        .map(p =>
+          s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}""") ++
+        newRels.map(rel =>
+          addJson(table, rel, Map.empty, conf, dataChange = false)) :+
+        s"""{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{"zOrderBy":"[$xCol,$yCol]"}}}"""
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
+    v
   }
 
   /** Delete data files the CURRENT snapshot no longer references and
@@ -331,7 +577,9 @@ object DeltaExport {
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        // carried so compaction cannot silently disable file skipping
+        StructField("stats", StringType))))))
     val rows =
       Seq(Row(Row(st.minReader, 2), null, null, null),
         Row(null,
@@ -342,7 +590,7 @@ object DeltaExport {
         } ++
         st.active.values.toSeq.sortBy(_.path).map { a =>
           Row(null, null, null,
-            Row(a.path, a.partitionValues, 0L, true))
+            Row(a.path, a.partitionValues, 0L, true, a.stats.orNull))
         }
     val tmp = Files.createTempDirectory("delta_ckpt_w")
     spark.createDataFrame(

@@ -51,7 +51,8 @@ object DeltaLog {
   private def versionOf(name: String): Long = name.take(20).toLong
 
   private[sources] case class AddFile(
-      path: String, partitionValues: Map[String, String])
+      path: String, partitionValues: Map[String, String],
+      stats: Option[String] = None)
   private[sources] case class State(
       schemaJson: Option[String],
       partitionCols: Seq[String],
@@ -88,7 +89,11 @@ object DeltaLog {
           val o = ad.get("partitionValues")
           o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
         } else Map.empty[String, String]
-      s.copy(active = s.active + (path -> AddFile(path, pv)))
+      val stats =
+        if (ad.has("stats") && !ad.get("stats").isNull)
+          Some(ad.get("stats").asText())
+        else None
+      s.copy(active = s.active + (path -> AddFile(path, pv, stats)))
     } else if (a.has("remove")) {
       s.copy(active = s.active - a.get("remove").get("path").asText())
     } else if (a.has("txn")) {
@@ -146,14 +151,19 @@ object DeltaLog {
     if (cols.contains("add")) {
       // the checkpoint's add set IS the active set at its version —
       // bounded by files-in-table (the state delta-spark also holds)
+      val hasStats = df.schema("add").dataType
+        .asInstanceOf[StructType].fieldNames.contains("stats")
       val adds = df
-        .select(col("add.path"), col("add.partitionValues"))
+        .select(col("add.path"), col("add.partitionValues"),
+          if (hasStats) col("add.stats")
+          else lit(null).cast("string").as("stats"))
         .filter(col("path").isNotNull).collect()
         .map(r =>
           r.getString(0) -> AddFile(
             r.getString(0),
             Option(r.getMap[String, String](1))
-              .map(_.toMap).getOrElse(Map.empty)))
+              .map(_.toMap).getOrElse(Map.empty),
+            Option(r.getString(2))))
       st = st.copy(active = st.active ++ adds)
     }
     st
@@ -249,7 +259,7 @@ object DeltaLog {
   /** Absolute data-file path for an add entry (add.path may be
     * URL-encoded and relative to the table root, or absolute).
     */
-  private def absPath(table: String, rel: String): String = {
+  private[sources] def absPath(table: String, rel: String): String = {
     val decoded = java.net.URLDecoder.decode(rel, "UTF-8")
     if (decoded.startsWith("/") || decoded.contains("://"))
       canon(decoded)
@@ -291,8 +301,89 @@ object DeltaLog {
     */
   def read(
       spark: SparkSession, table: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None): DataFrame =
+    readCore(spark, table, versionAsOf, _ => true)
+
+  /** One add.stats JSON value ordered against a predicate bound in the
+    * value domain: numbers numerically, ISO dates and strings
+    * lexicographically (ISO dates ARE lexicographic), booleans
+    * false < true.
+    */
+  private def statLeq(a: JsonNode, b: Any): Boolean = (a, b) match {
+    case (n, x: java.lang.Number) if n.isNumber =>
+      BigDecimal(n.asText()) <= BigDecimal(x.toString)
+    case (n, x) if n.isTextual => n.asText() <= x.toString
+    case (n, x: Boolean) if n.isBoolean => !n.asBoolean() || x
+    case _ => true // incomparable → cannot prune on it
+  }
+  private def statGeq(a: JsonNode, b: Any): Boolean = (a, b) match {
+    case (n, x: java.lang.Number) if n.isNumber =>
+      BigDecimal(n.asText()) >= BigDecimal(x.toString)
+    case (n, x) if n.isTextual => n.asText() >= x.toString
+    case (n, x: Boolean) if n.isBoolean => n.asBoolean() || !x
+    case _ => true
+  }
+
+  /** The active files that COULD hold a row with `column` ∈ [lo, hi],
+    * by their add.stats min/max — (kept, total). Files without stats
+    * for the column are kept (skipping is an optimization, never a
+    * correctness decision); a file whose column is entirely null is
+    * dropped (a range predicate never matches null). Driver-side
+    * metadata work bounded by files-in-table.
+    */
+  def prunedFiles(
+      spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any,
+      versionAsOf: Option[Long] = None): (Seq[String], Int) = {
     val st = stateAt(spark, table, versionAsOf)
+    val kept = st.active.values.toSeq.filter { a =>
+      a.stats.forall { js =>
+        try {
+          val s = mapper.readTree(js)
+          val mn = Option(s.get("minValues")).flatMap(m => Option(m.get(column)))
+          val mx = Option(s.get("maxValues")).flatMap(m => Option(m.get(column)))
+          val allNull = for {
+            nc <- Option(s.get("nullCount")).flatMap(m => Option(m.get(column)))
+            n <- Option(s.get("numRecords"))
+          } yield nc.asLong() == n.asLong() && n.asLong() > 0L
+          if (allNull.contains(true)) false
+          else (mn, mx) match {
+            // keep iff [min,max] ∩ [lo,hi] ≠ ∅
+            case (Some(a2), Some(b2)) => statLeq(a2, hi) && statGeq(b2, lo)
+            case _ => true
+          }
+        } catch { case _: Exception => true }
+      }
+    }.map(_.path).sorted
+    (kept, st.active.size)
+  }
+
+  /** Log-level FILE SKIPPING read: `read(...)` restricted to the
+    * [[prunedFiles]] of `column` ∈ [lo, hi], with the row-level filter
+    * still applied — semantics identical to
+    * `read(...).filter(col(column).between(lo, hi))`, cost proportional
+    * to the files that can match. At 100 TB this is THE scan lever: a
+    * z-ordered table answers a 2-D range probe from a handful of
+    * files.
+    */
+  def readRange(
+      spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val keep = prunedFiles(spark, table, column, lo, hi, versionAsOf)
+      ._1.toSet
+    readCore(spark, table, versionAsOf, a => keep.contains(a.path))
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  private def readCore(
+      spark: SparkSession, table: String,
+      versionAsOf: Option[Long],
+      fileFilter: AddFile => Boolean): DataFrame = {
+    val st0 = stateAt(spark, table, versionAsOf)
+    val st = st0.copy(active = st0.active.filter {
+      case (_, a) => fileFilter(a)
+    })
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
     val mapped = st.configuration
       .get("delta.columnMapping.mode").contains("name")
