@@ -120,7 +120,16 @@ object IcebergExport {
           {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
           {"name":"record_count","type":"long","field-id":103},
           {"name":"file_size_in_bytes","type":"long","field-id":104},
-          {"name":"block_size_in_bytes","type":"long","field-id":105}
+          {"name":"block_size_in_bytes","type":"long","field-id":105},
+          {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
+            {"name":"key","type":"int","field-id":121},
+            {"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
+          {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+            {"name":"key","type":"int","field-id":126},
+            {"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
+          {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+            {"name":"key","type":"int","field-id":129},
+            {"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128}
         ]}}
       ]}""".replaceAll("\\s+", " "))
   }
@@ -146,9 +155,98 @@ object IcebergExport {
 
   private def metaDir(table: String): Path = Paths.get(table, "metadata")
 
+  private[sources] case class FileBounds(
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      nullCounts: Map[Int, Long])
+
   private[sources] case class Added(
       absPath: String, sizeBytes: Long, records: Long,
-      pv: Map[String, Option[String]] = Map.empty)
+      pv: Map[String, Option[String]] = Map.empty,
+      bounds: Option[FileBounds] = None)
+
+  /** Top-level column name → schema field-id (the bounds map keys). */
+  private def topFieldIds(
+      schemaNode: com.fasterxml.jackson.databind.JsonNode): Map[String, Int] =
+    schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+
+  /** Row-group statistics min/max fold in the parquet value domain. */
+  private def statPick(a: AnyRef, b: AnyRef, takeMin: Boolean): AnyRef = {
+    val lt = (a, b) match {
+      case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+      case (x: java.lang.Long, y: java.lang.Long) => x < y
+      case (x: java.lang.Float, y: java.lang.Float) => x < y
+      case (x: java.lang.Double, y: java.lang.Double) => x < y
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
+      case (x: org.apache.parquet.io.api.Binary,
+        y: org.apache.parquet.io.api.Binary) =>
+        new String(x.getBytes, StandardCharsets.UTF_8) <
+          new String(y.getBytes, StandardCharsets.UTF_8)
+      case _ => true
+    }
+    if (lt == takeMin) a else b
+  }
+
+  /** (record count, per-column spec bounds) from ONE parquet footer
+    * read — the [[DeltaExport]] add.stats discipline for the Iceberg
+    * manifest's `lower_bounds`/`upper_bounds`/`null_value_counts`.
+    */
+  private def footerInfo(
+      conf: org.apache.hadoop.conf.Configuration, abs: String,
+      fieldIds: Map[String, Int]): (Long, Option[FileBounds]) = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs), conf))
+    try {
+      val n = reader.getRecordCount
+      if (fieldIds.isEmpty) return (n, None)
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val mins = scala.collection.mutable.Map[String, AnyRef]()
+      val maxs = scala.collection.mutable.Map[String, AnyRef]()
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      val bad = scala.collection.mutable.Set[String]()
+      footer.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val path = cc.getPath.toDotString
+          if (!path.contains('.') && fieldIds.contains(path)) {
+            val st = cc.getStatistics
+            if (st == null || (!st.hasNonNullValue && st.getNumNulls < 0)) {
+              bad += path
+            } else {
+              nulls(path) =
+                nulls.getOrElse(path, 0L) + math.max(0L, st.getNumNulls)
+              if (st.hasNonNullValue) {
+                val mn = st.genericGetMin.asInstanceOf[AnyRef]
+                val mx = st.genericGetMax.asInstanceOf[AnyRef]
+                mins(path) = mins.get(path)
+                  .map(statPick(_, mn, takeMin = true)).getOrElse(mn)
+                maxs(path) = maxs.get(path)
+                  .map(statPick(_, mx, takeMin = false)).getOrElse(mx)
+              }
+            }
+          }
+        }
+      }
+      def encode(m: scala.collection.Map[String, AnyRef]): Map[Int, Array[Byte]] =
+        m.toSeq.filterNot(kv => bad(kv._1)).flatMap { case (path, v) =>
+          IcebergBounds.encodeStat(
+            schema.getType(Seq(path): _*).asPrimitiveType(), v)
+            .map(fieldIds(path) -> _)
+        }.toMap
+      val lower = encode(mins)
+      val upper = encode(maxs)
+      // a bound is sound only as a PAIR: drop ids present on one side
+      val both = lower.keySet intersect upper.keySet
+      (n, Some(FileBounds(
+        lower.view.filterKeys(both).toMap,
+        upper.view.filterKeys(both).toMap,
+        nulls.toSeq.filterNot(kv => bad(kv._1))
+          .map { case (p, c) => fieldIds(p) -> c }.toMap)))
+    } catch {
+      case _: Exception => (footerCount(conf, abs), None) // optimization only
+    } finally reader.close()
+  }
 
   /** Spark type → Iceberg type JSON node, assigning nested field-ids
     * from `nextId` (the spec requires every field/element/key/value to
@@ -273,7 +371,8 @@ object IcebergExport {
     * or enumerate each other's files.
     */
   private def stageIn(
-      df: DataFrame, table: String, partitionBy: Seq[String]): Seq[Added] = {
+      df: DataFrame, table: String, partitionBy: Seq[String],
+      fieldIds: Map[String, Int] = Map.empty): Seq[Added] = {
     val stage = Files.createTempDirectory("iceberg_stage")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -293,9 +392,10 @@ object IcebergExport {
       val dest = dataDir.resolve(rel)
       Files.createDirectories(dest.getParent)
       Files.move(stage.resolve(rel), dest)
-      Added(dest.toAbsolutePath.toString, Files.size(dest),
-        footerCount(conf, dest.toAbsolutePath.toString),
-        hivePartValues(rel, partitionBy))
+      val (records, bounds) =
+        footerInfo(conf, dest.toAbsolutePath.toString, fieldIds)
+      Added(dest.toAbsolutePath.toString, Files.size(dest), records,
+        hivePartValues(rel, partitionBy), bounds)
     }
   }
 
@@ -328,6 +428,22 @@ object IcebergExport {
     w.setMeta("partition-spec-id", "0")
     w.setMeta("format-version", "1")
     w.create(entrySchema, path.toFile)
+    // the spec's int-keyed maps encode in avro as arrays of
+    // key/value records (logicalType map)
+    def kvArray(
+        dfSchema: Schema, field: String,
+        entries: Seq[(Int, AnyRef)]): AnyRef = {
+      val arr = dfSchema.getField(field).schema().getTypes.asScala
+        .find(_.getType == Schema.Type.ARRAY).get
+      val a = new GenericData.Array[GenericRecord](entries.size, arr)
+      entries.sortBy(_._1).foreach { case (k, v) =>
+        val r = new GenericData.Record(arr.getElementType)
+        r.put("key", k)
+        r.put("value", v)
+        a.add(r)
+      }
+      a
+    }
     try files.foreach { f =>
       val dfSchema = entrySchema.getField("data_file").schema()
       val dfRec = new GenericData.Record(dfSchema)
@@ -341,6 +457,24 @@ object IcebergExport {
       dfRec.put("record_count", f.records)
       dfRec.put("file_size_in_bytes", f.sizeBytes)
       dfRec.put("block_size_in_bytes", DefaultBlockSize)
+      f.bounds match {
+        case Some(b) =>
+          dfRec.put("null_value_counts", kvArray(dfSchema,
+            "null_value_counts",
+            b.nullCounts.toSeq.map { case (k, v) => k -> Long.box(v) }))
+          dfRec.put("lower_bounds", kvArray(dfSchema, "lower_bounds",
+            b.lower.toSeq.map { case (k, v) =>
+              k -> java.nio.ByteBuffer.wrap(v)
+            }))
+          dfRec.put("upper_bounds", kvArray(dfSchema, "upper_bounds",
+            b.upper.toSeq.map { case (k, v) =>
+              k -> java.nio.ByteBuffer.wrap(v)
+            }))
+        case None =>
+          dfRec.put("null_value_counts", null)
+          dfRec.put("lower_bounds", null)
+          dfRec.put("upper_bounds", null)
+      }
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapId)
@@ -497,7 +631,7 @@ object IcebergExport {
     val (schemaNode, lastId) = icebergSchemaNode(df.schema)
     schemaNode.put("schema-id", 0)
     val pfs = partFieldsOf(schemaNode, df.schema, partitionBy)
-    val added = stageIn(df, table, partitionBy)
+    val added = stageIn(df, table, partitionBy, topFieldIds(schemaNode))
     val snapId = newSnapshotId()
     Files.createDirectories(metaDir(table))
     val (mPath, mLen, mCount) =
@@ -543,7 +677,8 @@ object IcebergExport {
     requireSchemaMatch(df, table)
     val meta0 = IcebergTable.metadataJson(table)
     val partitionBy = IcebergTable.identityPartitionSources(meta0).map(_._2)
-    val added = stageIn(df, table, partitionBy)
+    val added = stageIn(df, table, partitionBy,
+      topFieldIds(IcebergTable.schemaNodeOf(meta0)))
     var committed = false
     var snapId = 0L
     while (!committed) {
@@ -708,6 +843,81 @@ object IcebergExport {
       (s, lastId)
     }
 
+  /** EXPIRE SNAPSHOTS — the Iceberg tier's retention op
+    * ([[DeltaExport.vacuum]]'s analog): commit a metadata version
+    * keeping only the newest `keepLast` snapshots (the current one
+    * always survives), then delete the files ONLY the expired
+    * snapshots referenced — the exact set expired-refs MINUS
+    * kept-refs, so an in-flight append's fresh files (referenced by
+    * nothing we expired) are never candidates. Data-file deletion is
+    * further restricted to the writer's own `data/` directory:
+    * UniForm-converted tables share their files WITH the Delta log,
+    * whose own vacuum owns their lifecycle. Forfeits time travel to
+    * the expired snapshots (their ids now throw), like every engine's
+    * expire. Returns the deleted paths.
+    */
+  def expireSnapshots(table: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    var committed = false
+    var deleted: Seq[String] = Nil
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val snaps = meta.get("snapshots").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toVector
+      val order: Vector[Long] =
+        if (meta.has("snapshot-log"))
+          meta.get("snapshot-log").elements().asScala
+            .map(_.get("snapshot-id").asLong()).toVector
+        else snaps.map(_.get("snapshot-id").asLong())
+      val curId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      val keptIds = order.takeRight(keepLast).toSet ++ curId
+      if (snaps.forall(s => keptIds(s.get("snapshot-id").asLong())))
+        return Nil // nothing to expire
+      val (kept, expired) =
+        snaps.partition(s => keptIds(s.get("snapshot-id").asLong()))
+      // file references per snapshot set (driver metadata work)
+      def refs(ss: Seq[ObjectNode]): (Set[String], Set[String]) = {
+        val lists = ss.flatMap(s =>
+          Option(s.get("manifest-list")).map(_.asText())).toSet
+        val manifests = ss.flatMap { s =>
+          IcebergTable.manifestPathsOf(s)
+        }.toSet
+        (lists, manifests)
+      }
+      val (keptLists, keptManifests) = refs(kept)
+      val (expLists, expManifests) = refs(expired)
+      val dataPrefix = Paths.get(table, "data").toAbsolutePath.toString + "/"
+      val keptData = kept.flatMap(s =>
+        IcebergTable.dataFilesOf(table, meta, s)).toSet
+      val expData = expired.flatMap(s =>
+        IcebergTable.dataFilesOf(table, meta, s)).toSet
+      val victims =
+        (expLists -- keptLists).toSeq ++
+          (expManifests -- keptManifests).toSeq ++
+          (expData -- keptData).filter(_.startsWith(dataPrefix)).toSeq
+      val root = meta.deepCopy[ObjectNode]()
+      val snapsArr = root.putArray("snapshots")
+      kept.foreach(snapsArr.add)
+      if (meta.has("snapshot-log")) {
+        val logArr = root.putArray("snapshot-log")
+        meta.get("snapshot-log").elements().asScala
+          .filter(e => keptIds(e.get("snapshot-id").asLong()))
+          .foreach(e => logArr.add(e.deepCopy[ObjectNode]()))
+      }
+      root.put("last-updated-ms", System.currentTimeMillis())
+      committed = claim(table, curVersion + 1,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+      if (committed) {
+        victims.foreach(p => Files.deleteIfExists(
+          Paths.get(p.replaceFirst("^file:/*", "/"))))
+        deleted = victims.sorted
+      }
+    }
+    deleted
+  }
+
   /** UniForm-style Delta→Iceberg METADATA conversion: author Iceberg
     * metadata over a Delta table's CURRENT active file set — the SAME
     * parquet files, zero data copied or moved (`metadata/` lands next
@@ -742,12 +952,14 @@ object IcebergExport {
     val pvFrame = DeltaLog.activeFiles(spark, table)
       .select(col("file") +: st.partitionCols.map(col): _*)
       .collect()
+    val fieldIds = topFieldIds(schemaNode)
     val added = pvFrame.map { r =>
       val f = r.getString(0)
       val pv = st.partitionCols.zipWithIndex.map { case (c, i) =>
         c -> Option(r.getString(i + 1))
       }.toMap
-      Added(f, Files.size(Paths.get(f)), footerCount(conf, f), pv)
+      val (records, bounds) = footerInfo(conf, f, fieldIds)
+      Added(f, Files.size(Paths.get(f)), records, pv, bounds)
     }.toSeq.sortBy(_.absPath)
     Files.createDirectories(metaDir(table))
     var committed = false

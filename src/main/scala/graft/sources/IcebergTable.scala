@@ -297,7 +297,29 @@ object IcebergTable {
   private[sources] case class FileEntry(
       path: String,
       pv: Map[String, Option[String]],
-      writerSchemaJson: Option[String])
+      writerSchemaJson: Option[String],
+      records: Long = -1L,
+      lower: Map[Int, Array[Byte]] = Map.empty,
+      upper: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
+
+  /** Decode the spec's int-keyed manifest map (avro array of
+    * key/value records; real avro maps cannot key by int).
+    */
+  private def kvMap(v: Option[AnyRef]): Map[Int, AnyRef] = v match {
+    case Some(c: java.util.Collection[_]) =>
+      c.asScala.collect { case r: GenericRecord =>
+        r.get("key").toString.toInt -> r.get("value")
+      }.toMap
+    case _ => Map.empty
+  }
+
+  private def byteArr(v: AnyRef): Array[Byte] = v match {
+    case b: java.nio.ByteBuffer =>
+      val d = new Array[Byte](b.remaining()); b.duplicate().get(d); d
+    case a: Array[Byte] => a
+    case other => other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** Data files of a snapshot with their manifest partition values
     * (keyed by partition FIELD name) and the manifest's embedded
@@ -344,7 +366,16 @@ object IcebergTable {
                 n -> partValueString(part, n, fid)
               }.toMap
             }
-          Some(FileEntry(local(str(df, "file_path")), pv, writerSchema))
+          Some(FileEntry(
+            local(str(df, "file_path")), pv, writerSchema,
+            records = opt(df, "record_count")
+              .map(_.toString.toLong).getOrElse(-1L),
+            lower = kvMap(opt(df, "lower_bounds"))
+              .map { case (k, v) => k -> byteArr(v) },
+            upper = kvMap(opt(df, "upper_bounds"))
+              .map { case (k, v) => k -> byteArr(v) },
+            nullCounts = kvMap(opt(df, "null_value_counts"))
+              .map { case (k, v) => k -> v.toString.toLong }))
         }
       }
     }.distinctBy(_.path)
@@ -356,6 +387,17 @@ object IcebergTable {
   private[sources] def dataFilesOf(
       table: String, meta: JsonNode, snap: JsonNode): Seq[String] =
     dataFilesWithPartitions(table, meta, snap, Nil).map(_.path)
+
+  /** Manifest paths one snapshot references (manifest-list or the
+    * legacy inline form) — the expire-snapshots reference set.
+    */
+  private[sources] def manifestPathsOf(snap: JsonNode): Seq[String] =
+    if (snap.has("manifest-list"))
+      avroRecords(snap.get("manifest-list").asText())
+        .map(m => str(m, "manifest_path"))
+    else if (snap.has("manifests"))
+      snap.get("manifests").elements().asScala.map(_.asText()).toSeq
+    else Nil
 
   /** Snapshot ids in commit order (snapshot-log order when present,
     * else `snapshots` array order) — the time-travel index.
@@ -465,15 +507,102 @@ object IcebergTable {
     */
   def read(
       spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None): DataFrame =
+    readCore(spark, table, snapshotId, None)
+
+  /** MANIFEST-level file skipping — (kept, total): the data files
+    * whose spec bounds (`lower_bounds`/`upper_bounds`, decoded per
+    * [[IcebergBounds]]) or identity-partition VALUE could admit a row
+    * with `column` ∈ [lo, hi]. Files without bounds for the column
+    * are kept (skipping is an optimization, never a correctness
+    * decision); all-null files (null_value_counts == record_count)
+    * and out-of-range partition values drop. Driver-side metadata
+    * work bounded by files-in-snapshot — exactly the pruning
+    * Iceberg's own planning does before a scan task is ever created.
+    */
+  def prunedDataFiles(
+      table: String, column: String, lo: Any, hi: Any,
+      snapshotId: Option[Long] = None): (Seq[String], Int) = {
+    val meta = metadataJson(table)
+    val schemaNode = schemaNodeOf(meta)
+    val snap = snapshotNode(meta, snapshotId)
+    val idParts = identityPartitionSources(meta)
+    val entries = dataFilesWithPartitions(
+      table, meta, snap, idParts.map(p => (p._1, p._3)))
+    val field = schemaNode.get("fields").elements().asScala
+      .find(_.get("name").asText() == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no top-level column $column to prune on"))
+    val fid = field.get("id").asInt()
+    val dt = toSparkType(field.get("type"))
+    val total = entries.size
+    val (loB, hiB) = (IcebergBounds.bound(dt, lo), IcebergBounds.bound(dt, hi))
+    if (loB.isEmpty || hiB.isEmpty) return (entries.map(_.path).sorted, total)
+    def rawVal(raw: String): Option[Any] = dt match {
+      case DateType =>
+        scala.util.Try(java.time.LocalDate.parse(raw)).toOption
+      case StringType => Some(raw)
+      case BooleanType => scala.util.Try(raw.toBoolean).toOption
+      case _ => scala.util.Try(BigDecimal(raw)).toOption
+    }
+    val asPart = idParts.find(_._2 == column)
+    val kept = entries.filter { e =>
+      asPart match {
+        case Some((pfName, _, _)) =>
+          // identity partition: the VALUE itself is the bound
+          e.pv.get(pfName).flatten match {
+            case None => false // a null never matches a range predicate
+            case Some(raw) => rawVal(raw).forall(x =>
+              IcebergBounds.leq(loB.get, x) && IcebergBounds.leq(x, hiB.get))
+          }
+        case None =>
+          val allNull =
+            e.records > 0L && e.nullCounts.get(fid).contains(e.records)
+          if (allNull) false
+          else {
+            val lom = e.lower.get(fid).flatMap(IcebergBounds.decode(dt, _))
+            val him = e.upper.get(fid).flatMap(IcebergBounds.decode(dt, _))
+            (lom, him) match {
+              case (Some(a), Some(b)) =>
+                IcebergBounds.leq(a, hiB.get) && IcebergBounds.leq(loB.get, b)
+              case _ => true
+            }
+          }
+      }
+    }.map(_.path).sorted
+    (kept, total)
+  }
+
+  /** Manifest-level file-skipping read: [[read]] restricted to
+    * [[prunedDataFiles]] of `column` ∈ [lo, hi] with the row filter
+    * still applied — identical rows to the unpruned filtered read,
+    * cost ∝ files that can match (the [[DeltaLog.readRange]] twin
+    * for the other format).
+    */
+  def readRange(
+      spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any, snapshotId: Option[Long] = None): DataFrame = {
+    val keep = prunedDataFiles(table, column, lo, hi, snapshotId)._1.toSet
+    readCore(spark, table, snapshotId, Some(keep))
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  private def readCore(
+      spark: SparkSession, table: String,
+      snapshotId: Option[Long],
+      keep: Option[Set[String]]): DataFrame = {
     val meta = metadataJson(table)
     val schemaNode = schemaNodeOf(meta)
     val schema = toSparkType(schemaNode).asInstanceOf[StructType]
     val snap = snapshotNode(meta, snapshotId)
     val idParts = identityPartitionSources(meta)
       .filter { case (_, src, _) => schema.fieldNames.contains(src) }
-    val entries = dataFilesWithPartitions(
+    val entries0 = dataFilesWithPartitions(
       table, meta, snap, idParts.map(p => (p._1, p._3)))
+    val entries = keep match {
+      case Some(k) => entries0.filter(e => k.contains(e.path))
+      case None => entries0
+    }
     if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
