@@ -395,6 +395,95 @@ object DeltaExport {
     Some(v)
   }
 
+  /** Row-level DELETE via DELETION VECTORS: mark the rows matching
+    * `condition` deleted WITHOUT rewriting a data file — each affected
+    * file's deleted row indexes (parquet `_metadata.row_index`,
+    * merged with any existing vector) serialize to a roaring-bitmap
+    * DV file ([[DeltaDv]]) and the commit re-adds the SAME data file
+    * with the vector attached (remove + add, `dataChange:true`),
+    * upgrading the protocol to the feature-gated v3/v7 form with
+    * `deletionVectors` the first time. Time travel to pre-delete
+    * versions still sees the rows (the old adds had no vector);
+    * add.stats stay attached (bounds remain sound supersets, so file
+    * skipping keeps working). The matched (file, index) set is
+    * driver-held — bounded by rows DELETED in this call, the
+    * metadata-not-data discipline every DV writer shares. Returns the
+    * committed version, or None when nothing matched. Single
+    * delete-writer contract per table (concurrent deleteWhere calls
+    * would need Delta's full conflict checker).
+    */
+  def deleteWhere(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Option[Long] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types.DataType
+    val st = DeltaLog.stateAt(spark, table, None)
+    require(st.configuration
+      .getOrElse("delta.columnMapping.mode", "none") == "none",
+      "deleteWhere on column-mapped tables is out of this writer's scope")
+    val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+    if (st.active.isEmpty) return None
+    val filesAbs = st.active.values.toSeq.map(a =>
+      DeltaLog.absPath(table, a.path))
+    val canonF = org.apache.spark.sql.functions.regexp_replace(
+      org.apache.spark.sql.functions.url_decode(
+        org.apache.spark.sql.functions.regexp_replace(
+          col("_metadata.file_path"), "^file:/*", "/")), "/+", "/")
+    val base = spark.read.schema(dataSchema).parquet(filesAbs: _*)
+      .select(col("*"), canonF.as("__f"),
+        col("_metadata.row_index").as("__i"))
+    val withPv =
+      if (st.partitionCols.isEmpty) base
+      else {
+        val pvFrame = DeltaLog.activeFiles(spark, table)
+          .withColumnRenamed("file", "__pv_file")
+        val joined = base.join(
+          broadcast(pvFrame), col("__f") === col("__pv_file"))
+        st.partitionCols.foldLeft(joined.drop("__pv_file")) { (d, c) =>
+          d.withColumn(c, col(c).cast(schema(c).dataType))
+        }
+      }
+    // the matched set: bounded by rows deleted in THIS call
+    val matched = withPv.filter(condition)
+      .select(col("__f"), col("__i")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (matched.isEmpty) return None
+    val byFile = matched.groupBy(_._1)
+    // per affected file: merge with the existing vector, write the new
+    // one, author the re-add carrying the original pv + stats
+    val affected = st.active.values.toSeq
+      .filter(a => byFile.contains(DeltaLog.absPath(table, a.path)))
+      .sortBy(_.path)
+    val lines = affected.flatMap { a =>
+      val abs = DeltaLog.absPath(table, a.path)
+      val existing = a.dv.map(DeltaDv.readFile).getOrElse(Array.empty[Long])
+      val merged = (existing ++ byFile(abs).map(_._2)).distinct.sorted
+      val d = DeltaDv.writeFile(table, merged)
+      val pvJson = a.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString("{", ",", "}")
+      val statsPart = a.stats
+        .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+      val dvJson =
+        s"""{"storageType":"p","pathOrInlineDv":"${esc(d.pathOrInlineDv)}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+      Seq(
+        s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""",
+        s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(Paths.get(abs))},"modificationTime":${Files.getLastModifiedTime(Paths.get(abs)).toMillis},"dataChange":true$statsPart,"deletionVector":$dvJson}}""")
+    }
+    // first delete upgrades the protocol to the feature-gated form
+    val protocolLine =
+      if (st.readerFeatures.contains("deletionVectors")) Nil
+      else Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    val all = protocolLine ++ lines :+
+      s"""{"commitInfo":{"operation":"DELETE"}}"""
+    var v = nextVersion(table)
+    while (!claim(table, v, all)) v = nextVersion(table)
+    Some(v)
+  }
+
   /** OPTIMIZE (bin-packing compaction): rewrite each partition's
     * under-`targetBytes` files into ~`targetBytes` outputs — the
     * small-file fix every streaming-fed table needs (per-file open/
@@ -427,7 +516,10 @@ object DeltaExport {
     val rewrites = groups.toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       .flatMap { case (pv, adds) =>
-        val withSize = adds.map(a =>
+        // DV'd files are skipped: a naive rewrite would resurrect
+        // their deleted rows (compacting them means applying the
+        // vector first — a DELETE+OPTIMIZE composition out of scope)
+        val withSize = adds.filter(_.dv.isEmpty).map(a =>
           a.path -> Files.size(
             Paths.get(DeltaLog.absPath(table, a.path))))
         val smalls = withSize.filter(_._2 < targetBytes)
@@ -562,7 +654,10 @@ object DeltaExport {
     val ckptSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        // carried so checkpointing a feature-gated (v3) table cannot
+        // silently drop the reader-feature list the gate checks
+        StructField("readerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
@@ -579,9 +674,19 @@ object DeltaExport {
         StructField("size", LongType),
         StructField("dataChange", BooleanType),
         // carried so compaction cannot silently disable file skipping
-        StructField("stats", StringType))))))
+        StructField("stats", StringType),
+        // carried so compaction cannot silently UNDELETE rows
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
     val rows =
-      Seq(Row(Row(st.minReader, 2), null, null, null),
+      Seq(Row(Row(st.minReader,
+        if (st.readerFeatures.nonEmpty) 7 else 2,
+        if (st.readerFeatures.nonEmpty) st.readerFeatures.toSeq.sorted
+        else null), null, null, null),
         Row(null,
           Row(table, st.schemaJson.get, st.partitionCols, st.configuration),
           null, null)) ++
@@ -590,7 +695,9 @@ object DeltaExport {
         } ++
         st.active.values.toSeq.sortBy(_.path).map { a =>
           Row(null, null, null,
-            Row(a.path, a.partitionValues, 0L, true, a.stats.orNull))
+            Row(a.path, a.partitionValues, 0L, true, a.stats.orNull,
+              a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+                d.offset, d.sizeInBytes, d.cardinality)).orNull))
         }
     val tmp = Files.createTempDirectory("delta_ckpt_w")
     spark.createDataFrame(

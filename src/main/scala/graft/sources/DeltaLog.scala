@@ -52,14 +52,16 @@ object DeltaLog {
 
   private[sources] case class AddFile(
       path: String, partitionValues: Map[String, String],
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      dv: Option[DeltaDv.Descriptor] = None)
   private[sources] case class State(
       schemaJson: Option[String],
       partitionCols: Seq[String],
       minReader: Int,
       active: Map[String, AddFile],
       txns: Map[String, Long],
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      readerFeatures: Set[String] = Set.empty)
 
   private val empty = State(None, Nil, 1, Map.empty, Map.empty)
 
@@ -80,7 +82,14 @@ object DeltaLog {
         partitionCols = pcs,
         configuration = conf)
     } else if (a.has("protocol")) {
-      s.copy(minReader = a.get("protocol").get("minReaderVersion").asInt())
+      val p = a.get("protocol")
+      val feats =
+        if (p.has("readerFeatures") && !p.get("readerFeatures").isNull)
+          p.get("readerFeatures").elements().asScala.map(_.asText()).toSet
+        else Set.empty[String]
+      s.copy(
+        minReader = p.get("minReaderVersion").asInt(),
+        readerFeatures = feats)
     } else if (a.has("add")) {
       val ad = a.get("add")
       val path = ad.get("path").asText()
@@ -93,7 +102,17 @@ object DeltaLog {
         if (ad.has("stats") && !ad.get("stats").isNull)
           Some(ad.get("stats").asText())
         else None
-      s.copy(active = s.active + (path -> AddFile(path, pv, stats)))
+      val dv =
+        if (ad.has("deletionVector") && !ad.get("deletionVector").isNull) {
+          val d = ad.get("deletionVector")
+          Some(DeltaDv.Descriptor(
+            d.get("storageType").asText(),
+            d.get("pathOrInlineDv").asText(),
+            Option(d.get("offset")).map(_.asInt()).getOrElse(0),
+            d.get("sizeInBytes").asInt(),
+            d.get("cardinality").asLong()))
+        } else None
+      s.copy(active = s.active + (path -> AddFile(path, pv, stats, dv)))
     } else if (a.has("remove")) {
       s.copy(active = s.active - a.get("remove").get("path").asText())
     } else if (a.has("txn")) {
@@ -121,9 +140,17 @@ object DeltaLog {
     val cols = df.columns.toSet
     var st = s
     if (cols.contains("protocol")) {
-      val p = df.select(col("protocol.minReaderVersion"))
+      val hasFeats = df.schema("protocol").dataType
+        .asInstanceOf[StructType].fieldNames.contains("readerFeatures")
+      val p = df.select(
+        col("protocol.minReaderVersion"),
+        if (hasFeats) col("protocol.readerFeatures")
+        else lit(null).cast("array<string>").as("readerFeatures"))
         .filter(col("minReaderVersion").isNotNull).collect()
-      p.headOption.foreach(r => st = st.copy(minReader = r.getInt(0)))
+      p.headOption.foreach(r => st = st.copy(
+        minReader = r.getInt(0),
+        readerFeatures = Option(r.getSeq[String](1))
+          .map(_.toSet).getOrElse(Set.empty)))
     }
     if (cols.contains("metaData")) {
       val hasConf = df.schema("metaData").dataType
@@ -151,19 +178,31 @@ object DeltaLog {
     if (cols.contains("add")) {
       // the checkpoint's add set IS the active set at its version —
       // bounded by files-in-table (the state delta-spark also holds)
-      val hasStats = df.schema("add").dataType
-        .asInstanceOf[StructType].fieldNames.contains("stats")
+      val addFields = df.schema("add").dataType
+        .asInstanceOf[StructType].fieldNames.toSet
+      val dvCol =
+        if (addFields.contains("deletionVector")) col("add.deletionVector")
+        else lit(null).cast(
+          "struct<storageType:string,pathOrInlineDv:string," +
+            "offset:int,sizeInBytes:int,cardinality:bigint>")
+          .as("deletionVector")
       val adds = df
         .select(col("add.path"), col("add.partitionValues"),
-          if (hasStats) col("add.stats")
-          else lit(null).cast("string").as("stats"))
+          if (addFields.contains("stats")) col("add.stats")
+          else lit(null).cast("string").as("stats"),
+          dvCol)
         .filter(col("path").isNotNull).collect()
-        .map(r =>
+        .map { r =>
+          val dv = Option(r.getStruct(3)).filter(!_.isNullAt(0)).map(s =>
+            DeltaDv.Descriptor(s.getString(0), s.getString(1),
+              s.getInt(2), s.getInt(3), s.getLong(4)))
           r.getString(0) -> AddFile(
             r.getString(0),
             Option(r.getMap[String, String](1))
               .map(_.toMap).getOrElse(Map.empty),
-            Option(r.getString(2))))
+            Option(r.getString(2)),
+            dv)
+        }
       st = st.copy(active = st.active ++ adds)
     }
     st
@@ -203,20 +242,31 @@ object DeltaLog {
     val st = commits
       .filter { case (v, _) => v >= from && v <= latest }
       .foldLeft(base) { case (s, (_, n)) => applyCommit(s, dir.resolve(n)) }
-    // Protocol gate (r12 narrowed): v1 plain tables, plus v2 tables
-    // whose only v2 feature is NAME-mode column mapping (physical →
-    // logical remap at read, below). Still refused loudly: id-mode
-    // mapping (requires parquet field-id resolution) and
-    // minReaderVersion ≥ 3 (deletion vectors / reader features) —
-    // wrong rows would be worse than no rows.
+    // Protocol gate (r12, narrowed twice): v1 plain tables; v2 tables
+    // whose only v2 feature is NAME-mode column mapping; and v3
+    // feature-gated tables whose readerFeatures this module actually
+    // implements — deletionVectors (applied in the read below) and
+    // name-mode columnMapping. Everything else — id-mode mapping,
+    // unknown reader features — is refused loudly: wrong rows would
+    // be worse than no rows.
     val mappingMode = st.configuration
       .getOrElse("delta.columnMapping.mode", "none")
-    require(
-      st.minReader <= 1 || (st.minReader == 2 && mappingMode == "name"),
+    val implemented = Set("deletionVectors", "columnMapping")
+    val ok = st.minReader match {
+      case v if v <= 1 => true
+      case 2 => mappingMode == "name"
+      case 3 =>
+        st.readerFeatures.nonEmpty &&
+          st.readerFeatures.subsetOf(implemented) &&
+          (mappingMode == "none" || mappingMode == "name")
+      case _ => false
+    }
+    require(ok,
       s"unsupported Delta protocol: table requires minReaderVersion=" +
-        s"${st.minReader} with columnMapping.mode=$mappingMode; this " +
-        "reader implements protocol v1 plus NAME-mode column mapping " +
-        "and refuses id-mode / deletion vectors rather than returning " +
+        s"${st.minReader} (readerFeatures=${st.readerFeatures.toSeq.sorted
+          .mkString(",")}) with columnMapping.mode=$mappingMode; this " +
+        "reader implements protocol v1, NAME-mode column mapping and " +
+        "deletion vectors, and refuses the rest rather than returning " +
         "wrong rows")
     require(st.schemaJson.nonEmpty, s"no metaData action found in $table")
     st
@@ -404,7 +454,35 @@ object DeltaLog {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .select(schema.fieldNames.map(col): _*)
-    val data = spark.read.schema(dataSchema).parquet(files: _*)
+    val scanned = spark.read.schema(dataSchema).parquet(files: _*)
+    // DELETION VECTORS: a DV'd file's rows filter by their in-file
+    // row index — the deleted (file, index) pairs build an anti-join
+    // side (bounded by total deleted rows; the metadata-not-data
+    // discipline every DV reader shares), resolved per row against
+    // parquet's _metadata.row_index
+    val dvPairs: Seq[(String, Long)] = st.active.values.toSeq.flatMap { a =>
+      a.dv.toSeq.flatMap { d =>
+        require(d.storageType == "p",
+          s"unsupported deletion-vector storageType=${d.storageType} " +
+            "(only absolute-path 'p' vectors are wired; 'u'/'i' " +
+            "storage is refused rather than returning undeleted rows)")
+        DeltaDv.readFile(d).map(idx => (absPath(table, a.path), idx))
+      }
+    }
+    val data =
+      if (dvPairs.isEmpty) scanned
+      else {
+        import spark.implicits._
+        val deleted = dvPairs.toDF("__dv_file", "__dv_idx")
+        scanned
+          .withColumn("__dv_f", udfFreeCanon(col("_metadata.file_path")))
+          .withColumn("__dv_i", col("_metadata.row_index"))
+          .join(broadcast(deleted),
+            col("__dv_f") === col("__dv_file") &&
+              col("__dv_i") === col("__dv_idx"),
+            "left_anti")
+          .drop("__dv_f", "__dv_i")
+      }
     val withParts =
       if (st.partitionCols.isEmpty) data
       else {

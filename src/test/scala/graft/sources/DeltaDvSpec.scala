@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.nio.file.Files
+import scala.util.Random
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors end to end: the portable roaring codec
+  * round-trips every container type, deleteWhere marks rows without
+  * rewriting data files, reads honour the vectors (time travel shows
+  * the pre-delete rows), repeated deletes merge, and checkpoints
+  * carry both the vector and the feature-gated protocol.
+  */
+class DeltaDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(): String =
+    Files.createTempDirectory("delta_dv_").resolve("t").toString
+
+  test("roaring round-trip: sparse, dense (bitmap) and multi-bucket index sets") {
+    for (seed <- Seq(3L, 71L)) {
+      val rnd = new Random(seed)
+      val sparse = Array.fill(200)(rnd.nextLong(1L << 40)).distinct.sorted
+      // >4096 values inside one 16-bit container → bitmap container
+      val dense = (0L until 60000L by 3L).toArray
+      val multi = (sparse ++ dense ++
+        Array(0L, (1L << 32) - 1, 1L << 32, (1L << 33) + 7)).distinct.sorted
+      for (set <- Seq(sparse, dense, multi)) {
+        val got = DeltaDv.deserialize(DeltaDv.serialize(set))
+        assert(got.toSeq == set.toSeq, s"seed $seed: roaring drifted")
+      }
+    }
+  }
+
+  test("run-container bitmaps (cookie 12347) decode too") {
+    // author a run-encoded 32-bit bitmap by hand: one container,
+    // runs [5,9] and [100,100]
+    import java.nio.{ByteBuffer, ByteOrder}
+    val buf = ByteBuffer.allocate(64)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(1L) // one 32-bit bucket
+    buf.putInt(0) // high key 0
+    buf.putInt(12347 | (0 << 16)) // SERIAL_COOKIE, containers = 0+1
+    buf.put(1.toByte) // run flag bitset: container 0 is runs
+    buf.putShort(0) // key
+    buf.putShort(5) // cardinality-1 (6 values)
+    buf.putShort(2) // nRuns
+    buf.putShort(5); buf.putShort(4) // [5..9]
+    buf.putShort(100); buf.putShort(0) // [100]
+    val got = DeltaDv.deserialize(
+      java.util.Arrays.copyOf(buf.array(), buf.position()))
+    assert(got.toSeq == Seq(5L, 6L, 7L, 8L, 9L, 100L), got.toSeq)
+  }
+
+  test("deleteWhere removes rows without rewriting files; time travel sees them") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 20L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    val preFiles = DeltaLog.activeFiles(spark, t)
+      .collect().map(_.getString(0)).toSet
+    val v0 = DeltaLog.version(spark, t)
+    val v1 = DeltaExport.deleteWhere(spark, t, col("id") % 2 === 0)
+    assert(v1.contains(v0 + 1))
+    val got = DeltaLog.read(spark, t).collect().map(_.getLong(0)).toSorted
+    assert(got == (1L until 20L by 2).toSeq, s"evens must be gone: $got")
+    // the SAME physical file serves the table — no rewrite happened
+    val postFiles = DeltaLog.activeFiles(spark, t)
+      .collect().map(_.getString(0)).toSet
+    assert(postFiles == preFiles, "deleteWhere must not rewrite data files")
+    // time travel to the pre-delete version still sees all rows
+    assert(DeltaLog.read(spark, t, Some(v0)).count() == 20L)
+    // a delete that matches nothing is a no-op
+    assert(DeltaExport.deleteWhere(spark, t, col("id") > 999L).isEmpty)
+  }
+
+  test("repeated deletes MERGE vectors; file skipping still works") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 30L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), t)
+    DeltaExport.deleteWhere(spark, t, col("id") < 5L)
+    DeltaExport.deleteWhere(spark, t, col("id") >= 25L)
+    val got = DeltaLog.read(spark, t).collect().map(_.getLong(0)).toSorted
+    assert(got == (5L until 25L).toSeq, s"merged deletes drifted: $got")
+    // stats stay attached to the re-added file → pruning still sound
+    val (kept, total) = DeltaLog.prunedFiles(spark, t, "id", 10L, 12L)
+    assert(total == 1 && kept.size == 1)
+    assert(DeltaLog.readRange(spark, t, "id", 0L, 6L)
+      .collect().map(_.getLong(0)).toSorted == Seq(5L, 6L))
+  }
+
+  test("deletes work across multiple files and on partitioned tables") {
+    val t = tbl()
+    DeltaExport.create(
+      Seq((1L, "us"), (2L, "us"), (3L, "de"), (4L, "de"))
+        .toDF("id", "region").coalesce(1),
+      t, Seq("region"))
+    DeltaExport.deleteWhere(
+      spark, t, col("region") === "de" && col("id") === 3L)
+    val got = DeltaLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "us"), (2L, "us"), (4L, "de")), got)
+  }
+
+  test("checkpoint carries vectors AND the feature-gated protocol") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaExport.deleteWhere(spark, t, col("id") === 7L)
+    DeltaExport.checkpoint(spark, t)
+    // the checkpoint is now the only state source
+    val dir = java.nio.file.Paths.get(t, "_delta_log")
+    (0L to 1L).foreach(v => Files.delete(dir.resolve(f"$v%020d.json")))
+    val got = DeltaLog.read(spark, t).collect().map(_.getLong(0)).toSorted
+    assert(got == (0L until 10L).filterNot(_ == 7L),
+      "a checkpoint that drops the DV silently UNDELETES rows")
+  }
+
+  test("unknown reader features stay refused loudly") {
+    val t = tbl()
+    DeltaExport.create(Seq((1L, "a")).toDF("id", "s"), t)
+    val dir = java.nio.file.Paths.get(t, "_delta_log")
+    Files.writeString(dir.resolve(f"${1L}%020d.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" + "\n")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, t)
+    }
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+  }
+
+  private implicit class SortedOps(a: Array[Long]) {
+    def toSorted: Seq[Long] = a.toSeq.sorted
+  }
+}
