@@ -151,16 +151,111 @@ private[sources] object DeltaDv {
     }.toArray
   }
 
+  // ---- z85 (ZeroMQ base85) — the encoding `u`/`i` storage uses ----
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Reverse: Array[Int] = {
+    val r = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => r(c.toInt) = i }
+    r
+  }
+
+  /** 4-byte groups → 5 chars, big-endian per the z85 spec. */
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, "z85 encodes 4-byte groups")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    bytes.grouped(4).foreach { g =>
+      var v = 0L
+      g.foreach(b => v = (v << 8) | (b & 0xFFL))
+      val chars = new Array[Char](5)
+      (4 to 0 by -1).foreach { i =>
+        chars(i) = Z85Alphabet((v % 85).toInt); v /= 85
+      }
+      sb.appendAll(chars)
+    }
+    sb.toString
+  }
+
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 decodes 5-char groups: '$s'")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var o = 0
+    s.grouped(5).foreach { g =>
+      var v = 0L
+      g.foreach { c =>
+        val d = if (c < 128) Z85Reverse(c.toInt) else -1
+        require(d >= 0, s"invalid z85 character '$c'")
+        v = v * 85 + d
+      }
+      (3 to 0 by -1).foreach { i => out(o + i) = (v & 0xFF).toByte; v >>= 8 }
+      o += 4
+    }
+    out
+  }
+
   // ---- DV file IO ----
 
   case class Descriptor(
       storageType: String, pathOrInlineDv: String, offset: Int,
       sizeInBytes: Int, cardinality: Long)
 
-  /** Write one deletion vector into a fresh DV file under the table;
-    * returns its absolute-path descriptor.
+  /** Resolve a `u`-storage descriptor to its on-disk DV file: the
+    * LAST 20 chars of pathOrInlineDv are the z85-encoded 16-byte
+    * UUID, anything before them an optional directory prefix; the
+    * file is `<table>/<prefix>/deletion_vector_<uuid>.bin`.
     */
-  def writeFile(table: String, sortedIndexes: Array[Long]): Descriptor = {
+  def uuidPath(table: String, pathOrInlineDv: String): String = {
+    require(pathOrInlineDv.length >= 20,
+      s"u-storage pathOrInlineDv too short: '$pathOrInlineDv'")
+    val bytes = z85Decode(pathOrInlineDv.takeRight(20))
+    val prefix = pathOrInlineDv.dropRight(20)
+    val bb = ByteBuffer.wrap(bytes) // big-endian
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val name = s"deletion_vector_$uuid.bin"
+    (if (prefix.isEmpty) Paths.get(table, name)
+    else Paths.get(table, prefix, name)).toAbsolutePath.toString
+  }
+
+  /** Decode an `i`-storage (inline) descriptor: pathOrInlineDv IS the
+    * z85 of the magic+bitmap data (padded to a 4-byte boundary; the
+    * descriptor's sizeInBytes is the unpadded length).
+    */
+  def readInline(d: Descriptor): Array[Long] = {
+    val padded = z85Decode(d.pathOrInlineDv)
+    require(padded.length >= d.sizeInBytes,
+      s"inline DV shorter (${padded.length}) than declared ${d.sizeInBytes}")
+    val data = java.util.Arrays.copyOf(padded, d.sizeInBytes)
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt
+    require(magic == Magic, s"bad inline DV magic $magic")
+    val bitmap = new Array[Byte](d.sizeInBytes - 4)
+    buf.get(bitmap)
+    val got = deserialize(bitmap)
+    require(got.length == d.cardinality,
+      s"inline DV cardinality mismatch: ${got.length} vs ${d.cardinality}")
+    got
+  }
+
+  /** Resolve ANY descriptor's deleted indexes (`p` absolute path, `u`
+    * table-relative UUID, `i` inline).
+    */
+  def indexesOf(table: String, d: Descriptor): Array[Long] =
+    d.storageType match {
+      case "p" => readFile(d)
+      case "u" => readFile(d.copy(
+        storageType = "p", pathOrInlineDv = uuidPath(table, d.pathOrInlineDv)))
+      case "i" => readInline(d)
+      case other => throw new IllegalArgumentException(
+        s"unknown deletion-vector storageType=$other: refused rather " +
+          "than returning undeleted rows")
+    }
+
+  /** (file blob, data length) for one vector — version byte, BE size,
+    * LE magic + bitmap, BE CRC-32 of the data.
+    */
+  private def frame(sortedIndexes: Array[Long]): (Array[Byte], Int) = {
     val bitmap = serialize(sortedIndexes)
     val data = ByteBuffer.allocate(4 + bitmap.length)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -174,10 +269,34 @@ private[sources] object DeltaDv {
       .put(data)
       .putInt(crc.getValue.toInt)
       .array()
+    (blob, data.length)
+  }
+
+  /** Write one deletion vector into a fresh DV file under the table;
+    * returns its absolute-path (`p`) descriptor.
+    */
+  def writeFile(table: String, sortedIndexes: Array[Long]): Descriptor = {
+    val (blob, dataLen) = frame(sortedIndexes)
     val path = Paths.get(
       table, s"deletion_vector_${java.util.UUID.randomUUID()}.bin")
     Files.write(path, blob, StandardOpenOption.CREATE_NEW)
-    Descriptor("p", path.toAbsolutePath.toString, 1, data.length,
+    Descriptor("p", path.toAbsolutePath.toString, 1, dataLen,
+      sortedIndexes.length.toLong)
+  }
+
+  /** Write one deletion vector in the `u` (table-relative z85 UUID)
+    * storage delta-spark itself defaults to; same blob framing.
+    */
+  def writeFileU(table: String, sortedIndexes: Array[Long]): Descriptor = {
+    val (blob, dataLen) = frame(sortedIndexes)
+    val uuid = java.util.UUID.randomUUID()
+    Files.write(
+      Paths.get(table, s"deletion_vector_$uuid.bin"), blob,
+      StandardOpenOption.CREATE_NEW)
+    val bb = ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits)
+    Descriptor("u", z85Encode(bb.array()), 1, dataLen,
       sortedIndexes.length.toLong)
   }
 

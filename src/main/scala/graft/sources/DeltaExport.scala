@@ -458,16 +458,19 @@ object DeltaExport {
       .sortBy(_.path)
     val lines = affected.flatMap { a =>
       val abs = DeltaLog.absPath(table, a.path)
-      val existing = a.dv.map(DeltaDv.readFile).getOrElse(Array.empty[Long])
+      val existing = a.dv
+        .map(DeltaDv.indexesOf(table, _)).getOrElse(Array.empty[Long])
       val merged = (existing ++ byFile(abs).map(_._2)).distinct.sorted
-      val d = DeltaDv.writeFile(table, merged)
+      // `u` storage — the table-relative z85-UUID form delta-spark
+      // itself defaults to
+      val d = DeltaDv.writeFileU(table, merged)
       val pvJson = a.partitionValues.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
         .mkString("{", ",", "}")
       val statsPart = a.stats
         .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
       val dvJson =
-        s"""{"storageType":"p","pathOrInlineDv":"${esc(d.pathOrInlineDv)}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+        s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${esc(d.pathOrInlineDv)}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
       Seq(
         s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""",
         s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(Paths.get(abs))},"modificationTime":${Files.getLastModifiedTime(Paths.get(abs)).toMillis},"dataChange":true$statsPart,"deletionVector":$dvJson}}""")

@@ -461,13 +461,8 @@ object DeltaLog {
     // discipline every DV reader shares), resolved per row against
     // parquet's _metadata.row_index
     val dvPairs: Seq[(String, Long)] = st.active.values.toSeq.flatMap { a =>
-      a.dv.toSeq.flatMap { d =>
-        require(d.storageType == "p",
-          s"unsupported deletion-vector storageType=${d.storageType} " +
-            "(only absolute-path 'p' vectors are wired; 'u'/'i' " +
-            "storage is refused rather than returning undeleted rows)")
-        DeltaDv.readFile(d).map(idx => (absPath(table, a.path), idx))
-      }
+      a.dv.toSeq.flatMap(d =>
+        DeltaDv.indexesOf(table, d).map(idx => (absPath(table, a.path), idx)))
     }
     val data =
       if (dvPairs.isEmpty) scanned

@@ -116,6 +116,52 @@ class DeltaDvSpec extends SparkSpec {
       "a checkpoint that drops the DV silently UNDELETES rows")
   }
 
+  test("z85 round-trips; deleteWhere emits the u-storage form delta-spark defaults to") {
+    for (seed <- Seq(9L, 44L)) {
+      val rnd = new Random(seed)
+      val bytes = Array.fill(4 * (1 + rnd.nextInt(8)))(rnd.nextInt().toByte)
+      assert(DeltaDv.z85Decode(DeltaDv.z85Encode(bytes)).toSeq == bytes.toSeq)
+    }
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaExport.deleteWhere(spark, t, col("id") === 4L)
+    val commit = Files.readString(java.nio.file.Paths.get(
+      t, "_delta_log", f"${1L}%020d.json"))
+    assert(commit.contains("\"storageType\":\"u\""),
+      "deleteWhere must write table-relative u-storage vectors")
+    assert(DeltaLog.read(spark, t).collect().map(_.getLong(0)).toSorted ==
+      (0L until 10L).filterNot(_ == 4L))
+  }
+
+  test("inline (i-storage) vectors decode from the descriptor itself") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    // hand-author an inline DV deleting rows 1 and 3 of the only file
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bitmap = DeltaDv.serialize(Array(1L, 3L))
+    val data = ByteBuffer.allocate(4 + bitmap.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(DeltaDv.Magic).put(bitmap).array()
+    val padded = java.util.Arrays.copyOf(data, ((data.length + 3) / 4) * 4)
+    val inline = DeltaDv.z85Encode(padded)
+    val st = DeltaLog.read(spark, t) // force a read to prove the baseline
+    assert(st.count() == 6L)
+    val addPath = DeltaLog.activeFiles(spark, t)
+      .collect().map(_.getString(0)).head
+    val rel = java.nio.file.Paths.get(t).toAbsolutePath
+      .relativize(java.nio.file.Paths.get(addPath)).toString
+    val dir = java.nio.file.Paths.get(t, "_delta_log")
+    Files.writeString(dir.resolve(f"${1L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+{"remove":{"path":"$rel","deletionTimestamp":1700000000000,"dataChange":true}}
+{"add":{"path":"$rel","partitionValues":{},"size":512,"modificationTime":1700000000000,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","offset":0,"sizeInBytes":${data.length},"cardinality":2}}}
+""")
+    val got = DeltaLog.read(spark, t).collect().map(_.getLong(0)).toSorted
+    assert(got == Seq(0L, 2L, 4L, 5L), s"inline DV must drop rows 1,3: $got")
+  }
+
   test("unknown reader features stay refused loudly") {
     val t = tbl()
     DeltaExport.create(Seq((1L, "a")).toDF("id", "s"), t)
