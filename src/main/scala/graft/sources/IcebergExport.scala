@@ -115,6 +115,7 @@ object IcebergExport {
         {"name":"status","type":"int","field-id":0},
         {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
         {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+          {"name":"content","type":"int","default":0,"field-id":134},
           {"name":"file_path","type":"string","field-id":100},
           {"name":"file_format","type":"string","field-id":101},
           {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
@@ -147,6 +148,7 @@ object IcebergExport {
       {"name":"manifest_path","type":"string","field-id":500},
       {"name":"manifest_length","type":"long","field-id":501},
       {"name":"partition_spec_id","type":"int","field-id":502},
+      {"name":"content","type":"int","default":0,"field-id":517},
       {"name":"added_snapshot_id","type":"long","field-id":503},
       {"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
       {"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
@@ -414,7 +416,8 @@ object IcebergExport {
     */
   private def writeManifest(
       table: String, snapId: Long, schemaJson: String,
-      files: Seq[Added], pfs: Seq[PartField]): (String, Long, Int) = {
+      files: Seq[Added], pfs: Seq[PartField],
+      entryContent: Int = 0): (String, Long, Int) = {
     val entrySchema = manifestEntrySchema(pfs)
     val path = metaDir(table)
       .resolve(s"${java.util.UUID.randomUUID()}-m0.avro")
@@ -447,6 +450,7 @@ object IcebergExport {
     try files.foreach { f =>
       val dfSchema = entrySchema.getField("data_file").schema()
       val dfRec = new GenericData.Record(dfSchema)
+      dfRec.put("content", entryContent) // 0=data, 1=position deletes
       dfRec.put("file_path", f.absPath)
       dfRec.put("file_format", "PARQUET")
       val part = new GenericData.Record(
@@ -488,8 +492,12 @@ object IcebergExport {
     * re-read generically so real tables' extra optional fields don't
     * break the carry.
     */
+  private[sources] case class ManifestRef(
+      path: String, length: Long, added: Int, snapId: Option[Long],
+      content: Int = 0)
+
   private def priorManifests(
-      prevManifestList: Option[String]): Seq[(String, Long, Int, Option[Long])] =
+      prevManifestList: Option[String]): Seq[ManifestRef] =
     prevManifestList.toSeq.flatMap { ml =>
       val r = new DataFileReader[GenericRecord](
         new File(ml.replaceFirst("^file:/*", "/")),
@@ -497,10 +505,14 @@ object IcebergExport {
       try r.iterator().asScala.map { rec =>
         def opt(f: String): Option[AnyRef] =
           Option(rec.getSchema.getField(f)).flatMap(x => Option(rec.get(x.pos())))
-        (rec.get("manifest_path").toString,
+        ManifestRef(
+          rec.get("manifest_path").toString,
           rec.get("manifest_length").toString.toLong,
           opt("added_data_files_count").map(_.toString.toInt).getOrElse(0),
-          opt("added_snapshot_id").map(_.toString.toLong))
+          opt("added_snapshot_id").map(_.toString.toLong),
+          // carried DELETE manifests must keep their content flag — a
+          // dropped flag silently UNDELETES rows
+          opt("content").map(_.toString.toInt).getOrElse(0))
       }.toVector
       finally r.close()
     }
@@ -512,20 +524,21 @@ object IcebergExport {
     */
   private def writeManifestList(
       table: String, snapId: Long,
-      manifests: Seq[(String, Long, Int, Option[Long])]): String = {
+      manifests: Seq[ManifestRef]): String = {
     val path = metaDir(table)
       .resolve(s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](ManifestFileSchema))
     w.setMeta("format-version", "1")
     w.create(ManifestFileSchema, path.toFile)
-    try manifests.foreach { case (mp, len, added, snap) =>
+    try manifests.foreach { mr =>
       val m = new GenericData.Record(ManifestFileSchema)
-      m.put("manifest_path", mp)
-      m.put("manifest_length", len)
+      m.put("manifest_path", mr.path)
+      m.put("manifest_length", mr.length)
       m.put("partition_spec_id", 0)
-      m.put("added_snapshot_id", snap.getOrElse(snapId))
-      m.put("added_data_files_count", added)
+      m.put("content", mr.content)
+      m.put("added_snapshot_id", mr.snapId.getOrElse(snapId))
+      m.put("added_data_files_count", mr.added)
       m.put("existing_data_files_count", 0)
       m.put("deleted_data_files_count", 0)
       w.append(m)
@@ -561,9 +574,16 @@ object IcebergExport {
       currentSnapshotId: Long,
       snapshotLog: Seq[(Long, Long)],
       pfs: Seq[PartField],
-      schemaHistory: Seq[ObjectNode] = Nil): String = {
+      schemaHistory: Seq[ObjectNode] = Nil,
+      formatVersion: Int = 1,
+      lastSequenceNumber: Long = 0L): String = {
     val root = mapper.createObjectNode()
-    root.put("format-version", 1)
+    root.put("format-version", formatVersion)
+    // v2 requires the sequence-number watermark (deletes bumped the
+    // table to v2; sequence numbers are written but not needed by our
+    // reader — position deletes target files by unique PATH)
+    if (formatVersion >= 2)
+      root.put("last-sequence-number", lastSequenceNumber)
     root.put("table-uuid", tableUuid)
     root.put("location", Paths.get(table).toAbsolutePath.toString)
     root.put("last-updated-ms", System.currentTimeMillis())
@@ -604,18 +624,30 @@ object IcebergExport {
 
   private def snapshotNode(
       snapId: Long, parentId: Option[Long], tsMs: Long,
-      manifestList: String, addedFiles: Int, addedRecords: Long): ObjectNode = {
+      manifestList: String, addedFiles: Int, addedRecords: Long,
+      sequenceNumber: Option[Long] = None,
+      operation: String = "append"): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("snapshot-id", snapId)
     parentId.foreach(p => n.put("parent-snapshot-id", p))
+    sequenceNumber.foreach(q => n.put("sequence-number", q))
     n.put("timestamp-ms", tsMs)
     val s = n.putObject("summary")
-    s.put("operation", "append")
+    s.put("operation", operation)
     s.put("added-data-files", addedFiles.toString)
     s.put("added-records", addedRecords.toString)
     n.put("manifest-list", manifestList)
     n
   }
+
+  /** (format-version, last-sequence-number) of existing metadata —
+    * preserved by every commit after a delete upgraded the table.
+    */
+  private def fvOf(
+      meta: com.fasterxml.jackson.databind.JsonNode): (Int, Long) =
+    (meta.get("format-version").asInt(),
+      Option(meta.get("last-sequence-number"))
+        .map(_.asLong()).getOrElse(0L))
 
   /** Create an Iceberg table at `table` from `df` (v1 metadata,
     * snapshot 1 = the written files), identity-partitioned by
@@ -637,7 +669,7 @@ object IcebergExport {
     val (mPath, mLen, mCount) =
       writeManifest(table, snapId, schemaNode.toString, added, pfs)
     val ml = writeManifestList(
-      table, snapId, Seq((mPath, mLen, mCount, Some(snapId))))
+      table, snapId, Seq(ManifestRef(mPath, mLen, mCount, Some(snapId))))
     val ts = System.currentTimeMillis()
     val snap = snapshotNode(
       snapId, None, ts, ml, added.size, added.map(_.records).sum)
@@ -702,10 +734,13 @@ object IcebergExport {
         writeManifest(table, snapId, schemaNode.toString, added, pfs)
       val ml = writeManifestList(
         table, snapId,
-        (mPath, mLen, mCount, Some(snapId)) +: priorManifests(prevList))
+        ManifestRef(mPath, mLen, mCount, Some(snapId)) +: priorManifests(prevList))
       val ts = System.currentTimeMillis()
+      val (fv, lastSeq) = fvOf(meta)
+      val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
       val newSnap = snapshotNode(
-        snapId, curSnapId, ts, ml, added.size, added.map(_.records).sum)
+        snapId, curSnapId, ts, ml, added.size, added.map(_.records).sum,
+        if (fv >= 2) Some(nextSeq) else None)
       val snaps = meta.get("snapshots").elements().asScala
         .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
       val log = (if (meta.has("snapshot-log"))
@@ -715,7 +750,7 @@ object IcebergExport {
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), schemaNode,
         meta.get("last-column-id").asInt(), snaps, snapId, log, pfs,
-        history)
+        history, fv, nextSeq)
       committed = claim(table, curVersion + 1, json)
     }
     snapId
@@ -781,9 +816,10 @@ object IcebergExport {
         PartField(newField.get("name").asText(), id, 1000 + i,
           schema(srcOld).dataType)
       }
+      val (fv, lastSeq) = fvOf(meta)
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), next, lastId,
-        snaps, curSnapId, log, pfs, history :+ next)
+        snaps, curSnapId, log, pfs, history :+ next, fv, lastSeq)
       committed = claim(table, curVersion + 1, json)
     }
   }
@@ -889,10 +925,14 @@ object IcebergExport {
       val (keptLists, keptManifests) = refs(kept)
       val (expLists, expManifests) = refs(expired)
       val dataPrefix = Paths.get(table, "data").toAbsolutePath.toString + "/"
+      // position-delete files are table content too: expired-only
+      // ones reclaim, kept-referenced ones survive
       val keptData = kept.flatMap(s =>
-        IcebergTable.dataFilesOf(table, meta, s)).toSet
+        IcebergTable.dataFilesOf(table, meta, s) ++
+          IcebergTable.positionDeleteFiles(table, meta, s)).toSet
       val expData = expired.flatMap(s =>
-        IcebergTable.dataFilesOf(table, meta, s)).toSet
+        IcebergTable.dataFilesOf(table, meta, s) ++
+          IcebergTable.positionDeleteFiles(table, meta, s)).toSet
       val victims =
         (expLists -- keptLists).toSeq ++
           (expManifests -- keptManifests).toSeq ++
@@ -975,7 +1015,7 @@ object IcebergExport {
       val (mPath, mLen, mCount) =
         writeManifest(table, snapId, schemaNode.toString, added, pfs)
       val ml = writeManifestList(
-        table, snapId, Seq((mPath, mLen, mCount, Some(snapId))))
+        table, snapId, Seq(ManifestRef(mPath, mLen, mCount, Some(snapId))))
       val ts = System.currentTimeMillis()
       if (!existing) {
         val snap = snapshotNode(
@@ -998,12 +1038,153 @@ object IcebergExport {
             (e.get("timestamp-ms").asLong(),
               e.get("snapshot-id").asLong())).toSeq
         else Nil) :+ ((ts, snapId))
+        val (fv, lastSeq) = fvOf(meta)
         val json = buildMetadata(
           table, meta.get("table-uuid").asText(), schemaNode, lastId,
-          snaps, snapId, log, pfs)
+          snaps, snapId, log, pfs,
+          formatVersion = fv,
+          lastSequenceNumber = if (fv >= 2) lastSeq + 1 else 0L)
         committed = claim(table, curVersion + 1, json)
       }
     }
     snapId
+  }
+
+  /** Row-level DELETE via v2 POSITION DELETES — the
+    * [[DeltaExport.deleteWhere]] analog in the other format: the rows
+    * matching `condition` are named (data file path, in-file row
+    * index) in a position-delete parquet file; a new snapshot carries
+    * the prior manifests forward PLUS one content=1 delete manifest,
+    * upgrading the table to format-version 2 on first use. No data
+    * file is rewritten; time travel to pre-delete snapshots sees the
+    * rows; deletes are CUMULATIVE across snapshots (re-deleting an
+    * already-deleted position is harmless — the reader's anti-join
+    * dedups). Position deletes target files by UNIQUE path, so the
+    * application needs no sequence-number bookkeeping (the numbers
+    * are still written for spec shape). Scope: tables whose manifests
+    * all carry the CURRENT schema (delete-after-evolution would need
+    * per-era scan plumbing) and equality deletes never. Returns the
+    * new snapshot id, or None when nothing matched.
+    */
+  def deleteWhere(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Option[Long] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace, url_decode}
+    val meta0 = IcebergTable.metadataJson(table)
+    val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
+    val schema = IcebergTable.schemaOf(meta0)
+    val idParts = IcebergTable.identityPartitionSources(meta0)
+    val snap0 = IcebergTable.currentSnapshotNode(meta0)
+    val entries = IcebergTable.dataFilesWithPartitions(
+      table, meta0, snap0, idParts.map(p => (p._1, p._3)))
+    require(entries.forall(_.writerSchemaJson.forall(
+      _ == schemaNode0.toString)),
+      "deleteWhere on schema-evolved tables is out of scope: manifests " +
+        "written under older schemas need per-era scan plumbing; " +
+        "rewrite the table (or delete before evolving)")
+    if (entries.isEmpty) return None
+    val srcCols = idParts.map(_._2)
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => srcCols.contains(f.name)))
+    val canonF = regexp_replace(
+      url_decode(regexp_replace(
+        col("_metadata.file_path"), "^file:/*", "/")), "/+", "/")
+    val base = spark.read.schema(dataSchema)
+      .parquet(entries.map(_.path): _*)
+      .select(col("*"), canonF.as("__f"),
+        col("_metadata.row_index").as("__i"))
+    // identity partition sources attach as per-file constants so the
+    // condition may reference them (the reader's own discipline)
+    val withPv =
+      if (idParts.isEmpty) base
+      else {
+        import spark.implicits._
+        val pvRows = entries.map(e =>
+          (e.path, idParts.map { case (pn, _, _) => e.pv(pn).orNull }))
+        val pvFrame = pvRows.toDF("__pv_file", "__pv")
+          .select(
+            col("__pv_file") +:
+              idParts.zipWithIndex.map { case ((_, src, _), i) =>
+                col("__pv").getItem(i).as(src)
+              }: _*)
+        val joined = base.join(
+          broadcast(pvFrame), col("__f") === col("__pv_file"))
+          .drop("__pv_file")
+        srcCols.foldLeft(joined) { (d, c) =>
+          d.withColumn(c, col(c).cast(schema(c).dataType))
+        }
+      }
+    // matched set: bounded by rows deleted in THIS call
+    val matched = withPv.filter(condition)
+      .select(col("__f"), col("__i")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (matched.isEmpty) return None
+    // ONE sorted position-delete parquet file under data/
+    import spark.implicits._
+    val stage = Files.createTempDirectory("iceberg_del")
+    matched.toSeq.sorted.toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = {
+      val s = Files.list(stage)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val dataDir = Paths.get(table, "data")
+    Files.createDirectories(dataDir)
+    val delDest = dataDir.resolve(
+      s"delete-${java.util.UUID.randomUUID()}.parquet")
+    Files.move(part, delDest)
+    val delAdded = Added(
+      delDest.toAbsolutePath.toString, Files.size(delDest),
+      matched.length.toLong)
+    var committed = false
+    var snapId = 0L
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val curSnapId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      val curSnap = curSnapId.flatMap { id =>
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+      }
+      val prevList = curSnap.flatMap(s =>
+        Option(s.get("manifest-list")).map(_.asText()))
+      snapId = newSnapshotId()
+      val schemaNode =
+        IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
+      val history = schemaHistoryOf(meta)
+      val (dPath, dLen, dCount) = writeManifest(
+        table, snapId, schemaNode.toString, Seq(delAdded), Nil,
+        entryContent = 1)
+      val ml = writeManifestList(
+        table, snapId,
+        priorManifests(prevList) :+
+          ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1))
+      val ts = System.currentTimeMillis()
+      val (_, lastSeq) = fvOf(meta)
+      val nextSeq = lastSeq + 1
+      val newSnap = snapshotNode(
+        snapId, curSnapId, ts, ml, 1, matched.length.toLong,
+        Some(nextSeq), operation = "delete")
+      val snaps = meta.get("snapshots").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
+      val log = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(),
+            e.get("snapshot-id").asLong())).toSeq
+      else Nil) :+ ((ts, snapId))
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(), schemaNode,
+        meta.get("last-column-id").asInt(), snaps, snapId, log,
+        partFieldsOf(schemaNode, IcebergTable.schemaOf(meta),
+          IcebergTable.identityPartitionSources(meta).map(_._2)),
+        history,
+        formatVersion = 2, // position deletes are a v2 feature
+        lastSequenceNumber = nextSeq)
+      committed = claim(table, curVersion + 1, json)
+    }
+    Some(snapId)
   }
 }

@@ -232,6 +232,12 @@ object IcebergTable {
     }
   }
 
+  /** The CURRENT snapshot node (the writer-side deleteWhere needs it
+    * to enumerate the files the condition scans).
+    */
+  private[sources] def currentSnapshotNode(meta: JsonNode): JsonNode =
+    snapshotNode(meta, None)
+
   /** Decode every record of an avro file with its embedded writer
     * schema (driver-side; manifests are metadata-sized).
     */
@@ -326,24 +332,55 @@ object IcebergTable {
     * writer schema (for field-id resolution), refusing delete content
     * loudly.
     */
+  /** (manifest path, content) per manifest of a snapshot — v2
+    * manifest lists flag content 0=data, 1=deletes; legacy inline
+    * manifests are data.
+    */
+  private def manifestsWithContent(snap: JsonNode): Seq[(String, Int)] =
+    if (snap.has("manifest-list"))
+      avroRecords(snap.get("manifest-list").asText()).map { m =>
+        val content = opt(m, "content").map(_.toString.toInt).getOrElse(0)
+        require(content <= 1,
+          s"unknown manifest content=$content: refused rather than " +
+            "returning wrong rows")
+        (str(m, "manifest_path"), content)
+      }
+    else if (snap.has("manifests")) // legacy v1 inline form
+      snap.get("manifests").elements().asScala.map(p => (p.asText(), 0)).toSeq
+    else throw new IllegalStateException(
+      "snapshot has neither manifest-list nor manifests")
+
+  /** POSITION-delete files of a snapshot (v2 merge-on-read): parquet
+    * files of (file_path, pos) rows naming deleted positions of data
+    * files. Position deletes target files BY PATH (paths are unique),
+    * so applying them needs no sequence-number bookkeeping — the
+    * path-targeted application is exact. EQUALITY deletes (content=2)
+    * are refused loudly: applying them needs value comparison
+    * semantics this reader does not implement.
+    */
+  private[sources] def positionDeleteFiles(
+      table: String, meta: JsonNode, snap: JsonNode): Seq[String] =
+    manifestsWithContent(snap).filter(_._2 == 1).flatMap { case (mp, _) =>
+      avroRecords(mp).flatMap { entry =>
+        val status = entry.get("status").toString.toInt
+        if (status == 2) None
+        else {
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
+          require(content == 1,
+            s"delete manifest entry with content=$content: equality " +
+              "deletes (2) and malformed data entries (0) are refused " +
+              "rather than returning wrong rows")
+          Some(local(str(df, "file_path")))
+        }
+      }
+    }.distinct
+
   private[sources] def dataFilesWithPartitions(
       table: String, meta: JsonNode, snap: JsonNode,
       partFields: Seq[(String, Int)]): Seq[FileEntry] = {
     val manifestPaths: Seq[String] =
-      if (snap.has("manifest-list"))
-        avroRecords(snap.get("manifest-list").asText()).map { m =>
-          // v2 manifest lists carry content: 0=data, 1=deletes
-          val content = opt(m, "content").map(_.toString.toInt).getOrElse(0)
-          require(content == 0,
-            s"delete manifest in snapshot (content=$content): this " +
-              "append-only reader refuses v2 row-level deletes rather " +
-              "than returning undeleted rows")
-          str(m, "manifest_path")
-        }
-      else if (snap.has("manifests")) // legacy v1 inline form
-        snap.get("manifests").elements().asScala.map(_.asText()).toSeq
-      else throw new IllegalStateException(
-        "snapshot has neither manifest-list nor manifests")
+      manifestsWithContent(snap).filter(_._2 == 0).map(_._1)
     manifestPaths.flatMap { mp =>
       val (records, writerSchema) = avroRecordsWithMeta(mp)
       records.flatMap { entry =>
@@ -353,8 +390,8 @@ object IcebergTable {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
           require(content == 0,
-            s"data_file with content=$content (position/equality " +
-              "deletes): refused by this append-only reader")
+            s"data_file with content=$content inside a DATA manifest: " +
+              "refused as malformed")
           val fmt = str(df, "file_format").toUpperCase
           require(fmt == "PARQUET",
             s"unsupported file_format=$fmt (only PARQUET is wired)")
@@ -603,6 +640,7 @@ object IcebergTable {
       case Some(k) => entries0.filter(e => k.contains(e.path))
       case None => entries0
     }
+    val posDeletes = positionDeleteFiles(table, meta, snap)
     if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -652,13 +690,45 @@ object IcebergTable {
         val readSchema = StructType(resolved.flatMap(_._1))
         if (ws.isEmpty)
           requireFooterNames(spark, files.head.path, readSchema.fieldNames.toSeq)
+        // the scan's own file/row-index metadata feeds BOTH the
+        // position-delete anti-join and the partition attach — it
+        // must come from inside each branch (expressions like
+        // input_file_name() cannot span the joins below)
+        val needFile = posDeletes.nonEmpty || idParts.nonEmpty
+        val metaCols =
+          (if (needFile)
+            Seq(canonFile(col("_metadata.file_path")).as("__ib_f"))
+          else Nil) ++
+            (if (posDeletes.nonEmpty)
+              Seq(col("_metadata.row_index").as("__ib_i"))
+            else Nil)
         spark.read.schema(readSchema).parquet(files.map(_.path): _*)
-          .select(resolved.map(_._2): _*)
+          .select(resolved.map(_._2) ++ metaCols: _*)
       }
-    val data = branches.reduce(_.unionByName(_))
-    val withParts =
-      if (idParts.isEmpty) data
+    val data0 = branches.reduce(_.unionByName(_))
+    val data =
+      if (posDeletes.isEmpty) data0
       else {
+        // the delete frame is bounded by DELETED rows; broadcast
+        // anti-join on (canonical path, in-file row index) — the
+        // DeltaLog deletion-vector discipline in manifest form
+        val del = spark.read
+          .schema(StructType.fromDDL("file_path STRING, pos BIGINT"))
+          .parquet(posDeletes: _*)
+          .select(
+            canonFile(col("file_path")).as("__del_f"),
+            col("pos").as("__del_i"))
+        data0.join(
+          broadcast(del),
+          col("__ib_f") === col("__del_f") &&
+            col("__ib_i") === col("__del_i"),
+          "left_anti")
+          .drop("__ib_i")
+      }
+    val withParts =
+      if (idParts.isEmpty) {
+        if (posDeletes.isEmpty) data else data.drop("__ib_f")
+      } else {
         // (file, one STRING column per identity source) — metadata-
         // sized build side, broadcast; values cast to declared types
         import spark.implicits._
@@ -672,9 +742,8 @@ object IcebergTable {
                 col("__pv").getItem(i).as(src)
               }: _*)
         data
-          .withColumn("__canon_file", canonFile(input_file_name()))
-          .join(broadcast(pvFrame), col("__canon_file") === col("__file"))
-          .drop("__canon_file", "__file")
+          .join(broadcast(pvFrame), col("__ib_f") === col("__file"))
+          .drop("__ib_f", "__file")
       }
     withParts.select(schema.fields.map { f =>
       if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)

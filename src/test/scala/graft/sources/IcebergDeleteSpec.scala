@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Iceberg v2 POSITION deletes — the Delta deletion-vector analog in
+  * the other format: deleteWhere names (file, row index) in a
+  * position-delete parquet file carried by a content=1 manifest; no
+  * data file is rewritten, time travel sees pre-delete rows, deletes
+  * accumulate across snapshots, appends after a delete keep both the
+  * new rows and the old deletions, and equality deletes stay refused.
+  */
+class IcebergDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(): String =
+    Files.createTempDirectory("iceberg_del_").resolve("t").toString
+
+  test("deleteWhere removes rows without rewriting files; time travel sees them") {
+    val t = tbl()
+    val s1 = IcebergExport.create(
+      (0L until 20L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    val before = {
+      val meta = IcebergTable.metadataJson(t)
+      IcebergTable.dataFilesOf(
+        t, meta, IcebergTable.currentSnapshotNode(meta)).toSet
+    }
+    val s2 = IcebergExport.deleteWhere(spark, t, col("id") % 2 === 0)
+    assert(s2.isDefined && !s2.contains(s1))
+    val got = IcebergTable.read(spark, t)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == (1L until 20L by 2), s"evens must be gone: $got")
+    // the SAME data files serve the table — no rewrite happened
+    val after = {
+      val meta = IcebergTable.metadataJson(t)
+      IcebergTable.dataFilesOf(
+        t, meta, IcebergTable.currentSnapshotNode(meta)).toSet
+    }
+    assert(after == before, "position deletes must not rewrite data files")
+    // pre-delete snapshot still shows everything
+    assert(IcebergTable.read(spark, t, Some(s1)).count() == 20L)
+    // the table upgraded to format-version 2
+    assert(IcebergTable.metadataJson(t).get("format-version").asInt() == 2)
+    // a no-match delete is a no-op
+    assert(IcebergExport.deleteWhere(spark, t, col("id") > 999L).isEmpty)
+  }
+
+  test("deletes accumulate; appends after a delete keep both semantics") {
+    val t = tbl()
+    IcebergExport.create(
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.deleteWhere(spark, t, col("id") < 3L)
+    IcebergExport.deleteWhere(spark, t, col("id") === 9L)
+    assert(IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSeq.sorted ==
+      (3L until 9L))
+    // an append AFTER deletes: new rows visible, old deletions intact
+    IcebergExport.append(
+      Seq((100L, "new")).toDF("id", "s").coalesce(1), t)
+    val got = IcebergTable.read(spark, t)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == ((3L until 9L) :+ 100L),
+      s"append must carry the delete manifest forward: $got")
+    // re-deleting an already-deleted row is a no-op (it no longer
+    // matches the scan of LIVE rows... it matches the RAW scan, which
+    // is harmless-by-dedup; assert the visible result either way)
+    IcebergExport.deleteWhere(spark, t, col("id") === 100L)
+    assert(IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSeq.sorted ==
+      (3L until 9L))
+  }
+
+  test("partitioned tables delete with conditions on the partition source") {
+    val t = tbl()
+    IcebergExport.create(
+      Seq((1L, "us", 1.0), (2L, "us", 2.0), (3L, "de", 3.0), (4L, "fr", 4.0))
+        .toDF("id", "region", "score").coalesce(1),
+      t, Seq("region"))
+    IcebergExport.deleteWhere(
+      spark, t, col("region") === "us" && col("id") === 2L)
+    val got = IcebergTable.read(spark, t)
+      .select("id", "region").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "us"), (3L, "de"), (4L, "fr")), got)
+  }
+
+  test("file skipping and expire compose with deletes") {
+    val t = tbl()
+    IcebergExport.create(
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.append(
+      (10L until 20L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.deleteWhere(spark, t, col("id") === 15L)
+    // bounds pruning still sound (supersets) and the pruned read
+    // applies the deletes
+    val got = IcebergTable.readRange(spark, t, "id", 14L, 16L)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(14L, 16L), s"pruned read must honour deletes: $got")
+    // expire to the delete snapshot only: reads stay correct
+    IcebergExport.expireSnapshots(t, keepLast = 1)
+    assert(IcebergTable.read(spark, t).count() == 19L)
+  }
+
+  test("equality deletes stay refused loudly") {
+    val t = tbl()
+    IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.deleteWhere(spark, t, col("id") === 99L) // no-op, stays v1
+    IcebergExport.deleteWhere(spark, t, col("id") === 1L)
+    // forge the delete manifest's entry content to 2 (equality)
+    val meta = IcebergTable.metadataJson(t)
+    val snap = IcebergTable.currentSnapshotNode(meta)
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val ml = snap.get("manifest-list").asText()
+    val r = new DataFileReader[GenericRecord](
+      new java.io.File(ml), new GenericDatumReader[GenericRecord]())
+    val (rows, sch) = try {
+      val it = r.iterator(); val b = Vector.newBuilder[GenericRecord]
+      while (it.hasNext) b += it.next()
+      (b.result(), r.getSchema)
+    } finally r.close()
+    val delManifest = rows.find(x =>
+      x.get("content").toString.toInt == 1).get.get("manifest_path").toString
+    val r2 = new DataFileReader[GenericRecord](
+      new java.io.File(delManifest), new GenericDatumReader[GenericRecord]())
+    val (entries, esch) = try {
+      val it = r2.iterator(); val b = Vector.newBuilder[GenericRecord]
+      while (it.hasNext) b += it.next()
+      (b.result(), r2.getSchema)
+    } finally r2.close()
+    Files.delete(java.nio.file.Paths.get(delManifest))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](esch))
+    w.create(esch, new java.io.File(delManifest))
+    try entries.foreach { e =>
+      e.get("data_file").asInstanceOf[GenericRecord].put("content", 2)
+      w.append(e)
+    } finally w.close()
+    val ex = intercept[IllegalArgumentException] {
+      IcebergTable.read(spark, t).collect()
+    }
+    assert(ex.getMessage.contains("equality"), ex.getMessage)
+  }
+}
