@@ -9,8 +9,11 @@ import org.apache.spark.sql.types.StructType
 
 /** Write-side complement of [[DeltaLog]]: export DataFrames AS a
   * Delta table by authoring the open transaction-log protocol
-  * directly — protocol (1, 2), metaData with the Spark JSON schema,
-  * one add action per parquet file with hive-layout partitionValues.
+  * directly — protocol (1, 2; upgraded to the feature-gated 3/7 form
+  * by [[deleteWhere]]), metaData with the Spark JSON schema, one add
+  * action per parquet file with hive-layout partitionValues and
+  * footer-derived `stats` (the file-skipping data
+  * [[DeltaLog.readRange]] reads).
   * With [[DeltaLog]] this closes the Delta interop gap in both
   * directions without the (offline-unresolvable) delta-spark jar; the
   * round-trip is pinned by spec, and the emitted actions use only

@@ -15,10 +15,13 @@ import org.apache.spark.sql.types._
 
 /** Write-side complement of [[IcebergTable]]: export DataFrames AS an
   * Apache Iceberg table by authoring the open table spec directly —
-  * `v<N>.metadata.json` (format-version 1), avro manifest lists and
-  * manifests with the spec's field-ids, data files under `data/`.
-  * Append-only by documented scope (REPLACE/row-deletes would need
-  * the v2 delete machinery [[IcebergTable]] deliberately refuses).
+  * `v<N>.metadata.json` (format-version 1; 2 once [[deleteWhere]]
+  * runs), avro manifest lists and manifests with the spec's
+  * field-ids (incl. per-file `lower_bounds`/`upper_bounds` for file
+  * skipping), data files under `data/`. Append + row-level DELETE
+  * (v2 position deletes) + schema evolution
+  * ([[renameColumn]]/[[addColumn]]/[[dropColumn]]) + retention
+  * ([[expireSnapshots]]); full REPLACE/MERGE stays out of scope.
   *
   * Partitioning (r12): IDENTITY transforms over
   * string/int/long/date/boolean source columns — the default

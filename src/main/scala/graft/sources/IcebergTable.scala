@@ -21,27 +21,31 @@ import org.apache.spark.sql.types._
   * lakehouse formats' interop tier; [[IcebergExport]] is the write
   * side.
   *
-  * Supported: format-version 1 and 2 READS of append-only tables —
-  * current or time-traveled snapshot by snapshot-id, manifest-list or
-  * (legacy v1) inline-manifests snapshots, multi-manifest snapshots,
+  * Supported: format-version 1 and 2 READS — current or
+  * time-traveled snapshot by snapshot-id, manifest-list or (legacy
+  * v1) inline-manifests snapshots, multi-manifest snapshots,
   * `version-hint.text` or max-version discovery, Iceberg→Spark schema
-  * conversion (primitives, struct/list/map, decimal, fixed).
+  * conversion (primitives, struct/list/map, decimal, fixed), SCHEMA
+  * EVOLUTION resolved by FIELD-ID through each manifest's embedded
+  * write-time schema (see [[read]]) incl. the spec's lossless type
+  * promotions, v2 POSITION deletes applied as a broadcast anti-join
+  * on (canonical path, `_metadata.row_index`), and manifest-bounds
+  * file skipping ([[prunedDataFiles]]/[[readRange]]).
   * IDENTITY-partition source columns are materialized from the
   * manifests' typed partition structs as per-file constants — exactly
   * Iceberg's own `PartitionUtil.constantsMap` read path — via ONE
-  * broadcast equi-join on canonical `input_file_name()`, so
+  * broadcast equi-join on the scan's canonical file path, so
   * [[IcebergExport]]'s hive-staged tables, UniForm-converted Delta
   * tables, and Hive-migrated tables (none of which carry the source
   * columns in their data files) all read correctly; non-identity
   * transforms need no reconstruction (Iceberg always writes their
   * source columns into the files). Unsupported features fail LOUDLY
-  * rather than return wrong rows: format-version ≥ 3, delete
-  * manifests (v2 content=1), data files carrying position/equality
-  * deletes, non-parquet file formats, schema EVOLUTION (a `schemas`
-  * history with more than one entry), and a sampled data-file footer
-  * missing current-schema columns (a rename without rewrite — name
-  * resolution would return silent nulls where the spec requires
-  * field-id resolution) all throw.
+  * rather than return wrong rows: format-version ≥ 3, EQUALITY
+  * deletes (content=2), non-parquet file formats, type changes
+  * beyond the spec's promotions, and — for out-of-spec manifests
+  * without an embedded schema — a sampled data-file footer missing
+  * current-schema columns (a rename without rewrite would
+  * name-resolve to silent nulls) all throw.
   *
   * Scale shape: manifest replay is driver-side metadata work bounded
   * by files-in-snapshot (the same state the Iceberg library's
