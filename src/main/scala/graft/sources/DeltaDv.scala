@@ -15,9 +15,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * serialization (RoaringFormatSpec): a little-endian i64 count of
   * 32-bit buckets, then per bucket a LE u32 high-key followed by the
   * standard 32-bit roaring serialization (cookie 12346/12347, array /
-  * bitmap / run containers). This codec DECODES all three container
-  * types and ENCODES array (<4096 values) and bitmap containers —
-  * what a writer needs; run containers are a reader-side concern.
+  * bitmap / run containers). This codec DECODES and ENCODES all three
+  * container types, picking the smallest per the spec's heuristic —
+  * a 1M-row contiguous delete serializes as run containers in under
+  * 100 bytes per 64K bucket, not 8 KiB bitmap blocks.
   *
   * On-disk DV file: one version byte (1), then per stored vector a
   * BIG-endian i32 data size, a LE i32 magic (1681511377), the
@@ -39,6 +40,14 @@ private[sources] object DeltaDv {
   /** Serialize sorted distinct non-negative ints < 2^32 grouped by
     * container key (their high 16 bits). `values` are the low-16-bit
     * payloads per key, sorted.
+    *
+    * Container choice per the spec's size heuristic: RUN when its
+    * serialization (2 + 4·nRuns bytes) beats both alternatives,
+    * otherwise ARRAY for cardinality ≤ 4096 (the spec's boundary —
+    * exactly-4096 containers are stored as arrays, matching
+    * [[read32]]'s `cards(i) <= 4096`), else an 8 KiB BITMAP. Run
+    * emission makes a contiguous range-delete serialize in bytes,
+    * not 8 KiB bitmap blocks.
     */
   private def write32(sorted: Array[Long]): Array[Byte] = {
     // group by high 16 bits of the 32-bit value
@@ -46,25 +55,60 @@ private[sources] object DeltaDv {
       .groupBy(v => ((v >> 16) & 0xFFFF).toInt).toSeq.sortBy(_._1)
       .map { case (k, vs) => k -> vs.map(v => (v & 0xFFFF).toInt) }
     val nC = groups.size
-    val headerBytes = 4 + 4 + 4 * nC + 4 * nC // cookie + count + descr + offsets
-    val bodyBytes = groups.map { case (_, vs) =>
-      if (vs.length < 4096) 2 * vs.length else 8192
-    }.sum
-    val buf = ByteBuffer.allocate(headerBytes + bodyBytes)
+    // (start, extraLen) runs of consecutive values, per container
+    def runsOf(vs: Array[Int]): Array[(Int, Int)] = {
+      val out = Array.newBuilder[(Int, Int)]
+      var start = vs(0); var prev = vs(0)
+      vs.iterator.drop(1).foreach { v =>
+        if (v != prev + 1) { out += ((start, prev - start)); start = v }
+        prev = v
+      }
+      out += ((start, prev - start))
+      out.result()
+    }
+    val runs = groups.map { case (_, vs) => runsOf(vs) }
+    def altBytes(card: Int): Int = if (card <= 4096) 2 * card else 8192
+    val asRun = groups.indices.map { i =>
+      2 + 4 * runs(i).length < altBytes(groups(i)._2.length)
+    }
+    val anyRun = asRun.exists(identity)
+    val bodyOf = groups.indices.map { i =>
+      if (asRun(i)) 2 + 4 * runs(i).length else altBytes(groups(i)._2.length)
+    }
+    val runFlagBytes = if (anyRun) (nC + 7) / 8 else 0
+    // offsets present for the no-run cookie, or with runs when nC >= 4
+    val hasOffsets = !anyRun || nC >= 4
+    val headerBytes = 4 + (if (anyRun) 0 else 4) + runFlagBytes +
+      4 * nC + (if (hasOffsets) 4 * nC else 0)
+    val buf = ByteBuffer.allocate(headerBytes + bodyOf.sum)
       .order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(SerialCookieNoRun)
-    buf.putInt(nC)
+    if (anyRun) {
+      buf.putInt(SerialCookie | ((nC - 1) << 16))
+      val flags = new Array[Byte](runFlagBytes)
+      groups.indices.foreach { i =>
+        if (asRun(i)) flags(i / 8) = (flags(i / 8) | (1 << (i % 8))).toByte
+      }
+      buf.put(flags)
+    } else {
+      buf.putInt(SerialCookieNoRun)
+      buf.putInt(nC)
+    }
     groups.foreach { case (k, vs) =>
       buf.putShort(k.toShort)
       buf.putShort((vs.length - 1).toShort)
     }
-    var off = headerBytes
-    groups.foreach { case (_, vs) =>
-      buf.putInt(off)
-      off += (if (vs.length < 4096) 2 * vs.length else 8192)
+    if (hasOffsets) {
+      var off = headerBytes
+      bodyOf.foreach { b => buf.putInt(off); off += b }
     }
-    groups.foreach { case (_, vs) =>
-      if (vs.length < 4096) vs.foreach(v => buf.putShort(v.toShort))
+    groups.indices.foreach { i =>
+      val vs = groups(i)._2
+      if (asRun(i)) {
+        buf.putShort(runs(i).length.toShort)
+        runs(i).foreach { case (s, l) =>
+          buf.putShort(s.toShort); buf.putShort(l.toShort)
+        }
+      } else if (vs.length <= 4096) vs.foreach(v => buf.putShort(v.toShort))
       else {
         val words = new Array[Long](1024)
         vs.foreach(v => words(v >> 6) |= (1L << (v & 63)))

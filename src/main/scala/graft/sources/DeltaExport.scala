@@ -39,6 +39,20 @@ object DeltaExport {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  /** The writer features a legacy `minWriterVersion` IMPLIES
+    * (PROTOCOL.md "Table Features"): a table-features upgrade must
+    * enumerate them so downstream writers keep enforcing them.
+    */
+  private def legacyWriterFeatures(minWriter: Int): Set[String] = {
+    val ladder = Seq(
+      2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("changeDataFeed", "generatedColumns"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns"))
+    ladder.filter(_._1 <= minWriter).flatMap(_._2).toSet
+  }
+
   /** URL-encode one path segment the way Delta encodes `add.path`
     * (percent-encoding; keep '/', encode spaces as %20 not '+', and
     * keep '=' literal — delta-spark writes hive `k=v` dirs unescaped,
@@ -478,11 +492,23 @@ object DeltaExport {
         s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""",
         s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(Paths.get(abs))},"modificationTime":${Files.getLastModifiedTime(Paths.get(abs)).toMillis},"dataChange":true$statsPart,"deletionVector":$dvJson}}""")
     }
-    // first delete upgrades the protocol to the feature-gated form
+    // first delete upgrades the protocol to the feature-gated form;
+    // PROTOCOL.md: a table-features upgrade must ENUMERATE the
+    // features the prior legacy protocol implied (minWriterVersion 2
+    // implies appendOnly + invariants, 3 adds checkConstraints, …) —
+    // an upgrade listing only deletionVectors under-specifies what
+    // delta-spark writers must continue to enforce
     val protocolLine =
       if (st.readerFeatures.contains("deletionVectors")) Nil
-      else Seq(
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+      else {
+        val implied =
+          if (st.writerFeatures.nonEmpty) st.writerFeatures
+          else legacyWriterFeatures(st.minWriter)
+        val wf = (implied + "deletionVectors").toSeq.sorted
+          .map(f => s""""$f"""").mkString("[", ",", "]")
+        Seq(
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":$wf}}""")
+      }
     val all = protocolLine ++ lines :+
       s"""{"commitInfo":{"operation":"DELETE"}}"""
     var v = nextVersion(table)
@@ -662,8 +688,11 @@ object DeltaExport {
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),
         // carried so checkpointing a feature-gated (v3) table cannot
-        // silently drop the reader-feature list the gate checks
-        StructField("readerFeatures", ArrayType(StringType))))),
+        // silently drop the feature lists the gate checks (writer
+        // features included — delta-spark writers read them from the
+        // checkpoint once the JSON commits are cleaned up)
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
@@ -690,8 +719,10 @@ object DeltaExport {
           StructField("cardinality", LongType)))))))))
     val rows =
       Seq(Row(Row(st.minReader,
-        if (st.readerFeatures.nonEmpty) 7 else 2,
+        st.minWriter,
         if (st.readerFeatures.nonEmpty) st.readerFeatures.toSeq.sorted
+        else null,
+        if (st.writerFeatures.nonEmpty) st.writerFeatures.toSeq.sorted
         else null), null, null, null),
         Row(null,
           Row(table, st.schemaJson.get, st.partitionCols, st.configuration),

@@ -61,7 +61,9 @@ object DeltaLog {
       active: Map[String, AddFile],
       txns: Map[String, Long],
       configuration: Map[String, String] = Map.empty,
-      readerFeatures: Set[String] = Set.empty)
+      readerFeatures: Set[String] = Set.empty,
+      minWriter: Int = 2,
+      writerFeatures: Set[String] = Set.empty)
 
   private val empty = State(None, Nil, 1, Map.empty, Map.empty)
 
@@ -87,9 +89,16 @@ object DeltaLog {
         if (p.has("readerFeatures") && !p.get("readerFeatures").isNull)
           p.get("readerFeatures").elements().asScala.map(_.asText()).toSet
         else Set.empty[String]
+      val wFeats =
+        if (p.has("writerFeatures") && !p.get("writerFeatures").isNull)
+          p.get("writerFeatures").elements().asScala.map(_.asText()).toSet
+        else Set.empty[String]
       s.copy(
         minReader = p.get("minReaderVersion").asInt(),
-        readerFeatures = feats)
+        readerFeatures = feats,
+        minWriter = Option(p.get("minWriterVersion"))
+          .map(_.asInt()).getOrElse(s.minWriter),
+        writerFeatures = wFeats)
     } else if (a.has("add")) {
       val ad = a.get("add")
       val path = ad.get("path").asText()
@@ -140,16 +149,25 @@ object DeltaLog {
     val cols = df.columns.toSet
     var st = s
     if (cols.contains("protocol")) {
-      val hasFeats = df.schema("protocol").dataType
-        .asInstanceOf[StructType].fieldNames.contains("readerFeatures")
+      val protoFields = df.schema("protocol").dataType
+        .asInstanceOf[StructType].fieldNames.toSet
+      def featCol(name: String) =
+        if (protoFields.contains(name)) col(s"protocol.$name")
+        else lit(null).cast("array<string>").as(name)
       val p = df.select(
         col("protocol.minReaderVersion"),
-        if (hasFeats) col("protocol.readerFeatures")
-        else lit(null).cast("array<string>").as("readerFeatures"))
+        featCol("readerFeatures"),
+        if (protoFields.contains("minWriterVersion"))
+          col("protocol.minWriterVersion")
+        else lit(null).cast("int").as("minWriterVersion"),
+        featCol("writerFeatures"))
         .filter(col("minReaderVersion").isNotNull).collect()
       p.headOption.foreach(r => st = st.copy(
         minReader = r.getInt(0),
         readerFeatures = Option(r.getSeq[String](1))
+          .map(_.toSet).getOrElse(Set.empty),
+        minWriter = if (r.isNullAt(2)) st.minWriter else r.getInt(2),
+        writerFeatures = Option(r.getSeq[String](3))
           .map(_.toSet).getOrElse(Set.empty)))
     }
     if (cols.contains("metaData")) {
@@ -355,21 +373,56 @@ object DeltaLog {
     readCore(spark, table, versionAsOf, _ => true)
 
   /** One add.stats JSON value ordered against a predicate bound in the
-    * value domain: numbers numerically, ISO dates and strings
-    * lexicographically (ISO dates ARE lexicographic), booleans
-    * false < true.
+    * value domain: numbers numerically, booleans false < true, strings
+    * and ISO dates lexicographically (ISO dates ARE lexicographic).
+    * TEMPORAL bounds (Timestamp/Instant/Date/LocalDateTime) are parsed
+    * into the time domain on BOTH sides — foreign delta-spark tables
+    * write timestamp stats in ISO 'T' form while
+    * `java.sql.Timestamp.toString` uses a space, and since 'T' > ' ' a
+    * lexicographic comparison inverts same-day bounds and prunes files
+    * that match. If the stat text does not parse temporally the file
+    * is KEPT (skipping is an optimization, never a correctness call).
     */
+  private def toInstant(s: String): Option[java.time.Instant] = {
+    import java.time._
+    val t = s.trim
+    def tryP(f: => Instant): Option[Instant] =
+      try Some(f) catch { case _: Exception => None }
+    tryP(Instant.parse(t))
+      .orElse(tryP(OffsetDateTime.parse(t).toInstant))
+      .orElse(tryP(LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(ZoneOffset.UTC)))
+      .orElse(tryP(LocalDate.parse(t).atStartOfDay.toInstant(ZoneOffset.UTC)))
+  }
+  private def boundInstant(b: Any): Option[java.time.Instant] = b match {
+    case t: java.sql.Timestamp => Some(t.toInstant)
+    // Date via its ISO string (not getTime, which is JVM-TZ-local) so
+    // both sides land in the same UTC frame
+    case d: java.sql.Date => toInstant(d.toString)
+    case i: java.time.Instant => Some(i)
+    case d: java.time.LocalDate =>
+      Some(d.atStartOfDay.toInstant(java.time.ZoneOffset.UTC))
+    case d: java.time.LocalDateTime =>
+      Some(d.toInstant(java.time.ZoneOffset.UTC))
+    case _ => None
+  }
   private def statLeq(a: JsonNode, b: Any): Boolean = (a, b) match {
     case (n, x: java.lang.Number) if n.isNumber =>
       BigDecimal(n.asText()) <= BigDecimal(x.toString)
-    case (n, x) if n.isTextual => n.asText() <= x.toString
+    case (n, x) if n.isTextual => boundInstant(x) match {
+      case Some(bi) => toInstant(n.asText()).forall(!_.isAfter(bi))
+      case None => n.asText() <= x.toString
+    }
     case (n, x: Boolean) if n.isBoolean => !n.asBoolean() || x
     case _ => true // incomparable → cannot prune on it
   }
   private def statGeq(a: JsonNode, b: Any): Boolean = (a, b) match {
     case (n, x: java.lang.Number) if n.isNumber =>
       BigDecimal(n.asText()) >= BigDecimal(x.toString)
-    case (n, x) if n.isTextual => n.asText() >= x.toString
+    case (n, x) if n.isTextual => boundInstant(x) match {
+      case Some(bi) => toInstant(n.asText()).forall(!_.isBefore(bi))
+      case None => n.asText() >= x.toString
+    }
     case (n, x: Boolean) if n.isBoolean => n.asBoolean() || !x
     case _ => true
   }

@@ -33,6 +33,40 @@ class DeltaDvSpec extends SparkSpec {
     }
   }
 
+  test("exactly-4096-value containers round-trip as ARRAY (spec boundary)") {
+    // cardinality 4096 is stored as an array container per the
+    // RoaringFormatSpec — a writer that picks bitmap here produces
+    // bytes real readers misdecode. Pin the boundary and both sides.
+    for (card <- Seq(4095, 4096, 4097)) {
+      // every-other value defeats run encoding so the array/bitmap
+      // boundary itself is exercised
+      val set = (0 until card).map(i => 2L * i).toArray
+      val got = DeltaDv.deserialize(DeltaDv.serialize(set))
+      assert(got.toSeq == set.toSeq, s"card=$card container drifted")
+    }
+    // and spanning multiple buckets at the boundary
+    val multi = ((0 until 4096).map(i => 2L * i) ++
+      (0 until 4096).map(i => (1L << 32) + 2L * i)).toArray
+    assert(DeltaDv.deserialize(DeltaDv.serialize(multi)).toSeq == multi.toSeq)
+  }
+
+  test("contiguous deletes serialize as RUN containers, tiny and lossless") {
+    // 1M contiguous row indexes: 16 full 16-bit containers, each one
+    // run → ~6 bytes body each. Well under 100 bytes per container,
+    // vs 8 KiB bitmap blocks before run emission.
+    val set = (0L until 1048576L).toArray
+    val bytes = DeltaDv.serialize(set)
+    assert(bytes.length < 400,
+      s"1M-row contiguous delete must run-encode (got ${bytes.length}B)")
+    assert(DeltaDv.deserialize(bytes).toSeq == set.toSeq)
+    // mixed: runs + a sparse tail in the same bitmap
+    val mixed = ((100L to 9000L) ++ Seq(70000L, 80001L, 90002L)).toArray
+    assert(DeltaDv.deserialize(DeltaDv.serialize(mixed)).toSeq == mixed.toSeq)
+    // few-container run case (< 4 containers → no offsets section)
+    val small = (5L to 9L).toArray ++ Array(100L)
+    assert(DeltaDv.deserialize(DeltaDv.serialize(small)).toSeq == small.toSeq)
+  }
+
   test("run-container bitmaps (cookie 12347) decode too") {
     // author a run-encoded 32-bit bitmap by hand: one container,
     // runs [5,9] and [100,100]
@@ -130,6 +164,11 @@ class DeltaDvSpec extends SparkSpec {
       t, "_delta_log", f"${1L}%020d.json"))
     assert(commit.contains("\"storageType\":\"u\""),
       "deleteWhere must write table-relative u-storage vectors")
+    // PROTOCOL.md: the table-features upgrade must enumerate the
+    // features the prior legacy minWriterVersion=2 implied
+    assert(commit.contains(
+      """"writerFeatures":["appendOnly","deletionVectors","invariants"]"""),
+      s"feature upgrade must carry legacy-implied writer features: $commit")
     assert(DeltaLog.read(spark, t).collect().map(_.getLong(0)).toSorted ==
       (0L until 10L).filterNot(_ == 4L))
   }

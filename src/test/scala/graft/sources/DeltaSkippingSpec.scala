@@ -50,6 +50,42 @@ class DeltaSkippingSpec extends SparkSpec {
     assert(pruned == full && full.size == 17, s"pruned read drifted")
   }
 
+  test("ISO-'T' timestamp stats compare temporally against Timestamp bounds") {
+    // foreign delta-spark tables write timestamp stats in ISO 'T'
+    // form; java.sql.Timestamp.toString uses a space. 'T' > ' ', so a
+    // lexicographic compare inverts same-day bounds and DROPS matching
+    // files. Author the foreign stat form by hand and probe with
+    // Timestamp bounds.
+    val t = tbl()
+    DeltaExport.create(
+      Seq((1L, "x")).toDF("id", "s").coalesce(1), t)
+    val rel = DeltaLog.activeFiles(spark, t).collect().map(_.getString(0))
+      .map(p => java.nio.file.Paths.get(t).toAbsolutePath
+        .relativize(java.nio.file.Paths.get(p)).toString).head
+    val dir = java.nio.file.Paths.get(t, "_delta_log")
+    // replace the add with one carrying a foreign ts stat column
+    Files.writeString(dir.resolve(f"${1L}%020d.json"),
+      s"""{"remove":{"path":"$rel","deletionTimestamp":1700000000000,"dataChange":false}}
+{"add":{"path":"$rel","partitionValues":{},"size":512,"modificationTime":1700000000000,"dataChange":false,"stats":"{\\"numRecords\\":1,\\"minValues\\":{\\"ts\\":\\"2024-03-05T08:00:00.000Z\\"},\\"maxValues\\":{\\"ts\\":\\"2024-03-05T20:00:00.000Z\\"}}"}}
+""")
+    def probe(lo: String, hi: String): Int =
+      DeltaLog.prunedFiles(spark, t, "ts",
+        java.sql.Timestamp.valueOf(lo), java.sql.Timestamp.valueOf(hi))._1.size
+    // same-day overlap: lexicographic 'T' vs ' ' used to prune this
+    assert(probe("2024-03-05 10:00:00", "2024-03-05 12:00:00") == 1,
+      "a same-day overlapping Timestamp range must keep the file")
+    // genuinely disjoint ranges still prune
+    assert(probe("2024-03-06 00:00:00", "2024-03-07 00:00:00") == 0)
+    assert(probe("2024-03-04 00:00:00", "2024-03-05 07:00:00") == 0)
+    // boundary-inclusive on both ends
+    assert(probe("2024-03-05 20:00:00", "2024-03-05 23:00:00") == 1)
+    assert(probe("2024-03-05 00:00:00", "2024-03-05 08:00:00") == 1)
+    // plain-string bounds on string-ish stats stay lexicographic
+    val (keptStr, _) = DeltaLog.prunedFiles(spark, t, "ts",
+      "2024-03-05T00:00:00.000Z", "2024-03-05T09:00:00.000Z")
+    assert(keptStr.size == 1)
+  }
+
   test("a column with only nulls in a file prunes that file; rows still match") {
     val t = tbl()
     DeltaExport.create(
