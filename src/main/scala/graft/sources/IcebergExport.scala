@@ -117,6 +117,7 @@ object IcebergExport {
       s"""{"type":"record","name":"manifest_entry","fields":[
         {"name":"status","type":"int","field-id":0},
         {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
         {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
           {"name":"content","type":"int","default":0,"field-id":134},
           {"name":"file_path","type":"string","field-id":100},
@@ -125,6 +126,7 @@ object IcebergExport {
           {"name":"record_count","type":"long","field-id":103},
           {"name":"file_size_in_bytes","type":"long","field-id":104},
           {"name":"block_size_in_bytes","type":"long","field-id":105},
+          {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
           {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
             {"name":"key","type":"int","field-id":121},
             {"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
@@ -152,6 +154,8 @@ object IcebergExport {
       {"name":"manifest_length","type":"long","field-id":501},
       {"name":"partition_spec_id","type":"int","field-id":502},
       {"name":"content","type":"int","default":0,"field-id":517},
+      {"name":"sequence_number","type":["null","long"],"default":null,"field-id":515},
+      {"name":"min_sequence_number","type":["null","long"],"default":null,"field-id":516},
       {"name":"added_snapshot_id","type":"long","field-id":503},
       {"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
       {"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
@@ -420,7 +424,8 @@ object IcebergExport {
   private def writeManifest(
       table: String, snapId: Long, schemaJson: String,
       files: Seq[Added], pfs: Seq[PartField],
-      entryContent: Int = 0): (String, Long, Int) = {
+      entryContent: Int = 0, specId: Int = 0,
+      equalityIds: Seq[Int] = Nil): (String, Long, Int) = {
     val entrySchema = manifestEntrySchema(pfs)
     val path = metaDir(table)
       .resolve(s"${java.util.UUID.randomUUID()}-m0.avro")
@@ -431,7 +436,7 @@ object IcebergExport {
     // check them)
     w.setMeta("schema", schemaJson)
     w.setMeta("partition-spec", specFieldsJson(pfs))
-    w.setMeta("partition-spec-id", "0")
+    w.setMeta("partition-spec-id", specId.toString)
     w.setMeta("format-version", "1")
     w.create(entrySchema, path.toFile)
     // the spec's int-keyed maps encode in avro as arrays of
@@ -453,7 +458,14 @@ object IcebergExport {
     try files.foreach { f =>
       val dfSchema = entrySchema.getField("data_file").schema()
       val dfRec = new GenericData.Record(dfSchema)
-      dfRec.put("content", entryContent) // 0=data, 1=position deletes
+      dfRec.put("content", entryContent) // 0=data, 1=position, 2=equality deletes
+      if (equalityIds.nonEmpty) {
+        val arrSchema = dfSchema.getField("equality_ids").schema()
+          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+        val a = new GenericData.Array[AnyRef](equalityIds.size, arrSchema)
+        equalityIds.foreach(id => a.add(Int.box(id)))
+        dfRec.put("equality_ids", a)
+      }
       dfRec.put("file_path", f.absPath)
       dfRec.put("file_format", "PARQUET")
       val part = new GenericData.Record(
@@ -497,7 +509,7 @@ object IcebergExport {
     */
   private[sources] case class ManifestRef(
       path: String, length: Long, added: Int, snapId: Option[Long],
-      content: Int = 0)
+      content: Int = 0, specId: Int = 0, seq: Option[Long] = None)
 
   private def priorManifests(
       prevManifestList: Option[String]): Seq[ManifestRef] =
@@ -515,7 +527,12 @@ object IcebergExport {
           opt("added_snapshot_id").map(_.toString.toLong),
           // carried DELETE manifests must keep their content flag — a
           // dropped flag silently UNDELETES rows
-          opt("content").map(_.toString.toInt).getOrElse(0))
+          opt("content").map(_.toString.toInt).getOrElse(0),
+          // carried manifests keep their spec-id and SEQUENCE NUMBER —
+          // a dropped sequence would re-scope equality deletes to
+          // nothing (every data file would look newer than the delete)
+          opt("partition_spec_id").map(_.toString.toInt).getOrElse(0),
+          opt("sequence_number").map(_.toString.toLong))
       }.toVector
       finally r.close()
     }
@@ -538,8 +555,12 @@ object IcebergExport {
       val m = new GenericData.Record(ManifestFileSchema)
       m.put("manifest_path", mr.path)
       m.put("manifest_length", mr.length)
-      m.put("partition_spec_id", 0)
+      m.put("partition_spec_id", mr.specId)
       m.put("content", mr.content)
+      // all-ADDED manifests inherit this sequence number at the entry
+      // level (spec inheritance); min == the manifest's own seq then
+      m.put("sequence_number", mr.seq.map(Long.box).orNull)
+      m.put("min_sequence_number", mr.seq.map(Long.box).orNull)
       m.put("added_snapshot_id", mr.snapId.getOrElse(snapId))
       m.put("added_data_files_count", mr.added)
       m.put("existing_data_files_count", 0)
@@ -579,7 +600,8 @@ object IcebergExport {
       pfs: Seq[PartField],
       schemaHistory: Seq[ObjectNode] = Nil,
       formatVersion: Int = 1,
-      lastSequenceNumber: Long = 0L): String = {
+      lastSequenceNumber: Long = 0L,
+      extraSpecs: Seq[ObjectNode] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", formatVersion)
     // v2 requires the sequence-number watermark (deletes bumped the
@@ -609,6 +631,12 @@ object IcebergExport {
     spec0.put("spec-id", 0)
     spec0.set[ObjectNode]("fields", specFields.deepCopy())
     specs.add(spec0)
+    // carried/delete specs (e.g. the dedicated UNPARTITIONED spec
+    // delete manifests of a partitioned table declare — their
+    // manifest-list rows must reference a spec whose partition type
+    // matches the manifests' empty partition struct)
+    extraSpecs.filter(_.get("spec-id").asInt() != 0)
+      .foreach(s => specs.add(s.deepCopy[ObjectNode]()))
     root.put("last-partition-id", 999 + pfs.size)
     root.putObject("properties")
     root.put("current-snapshot-id", currentSnapshotId)
@@ -735,12 +763,17 @@ object IcebergExport {
       val pfs = partFieldsOf(schemaNode, schema, partitionBy)
       val (mPath, mLen, mCount) =
         writeManifest(table, snapId, schemaNode.toString, added, pfs)
-      val ml = writeManifestList(
-        table, snapId,
-        ManifestRef(mPath, mLen, mCount, Some(snapId)) +: priorManifests(prevList))
       val ts = System.currentTimeMillis()
       val (fv, lastSeq) = fvOf(meta)
       val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
+      // v2: the new manifest carries the commit's sequence number so
+      // its ADDED entries inherit it — equality deletes scope against
+      // exactly this number (deleteSeq > dataSeq)
+      val ml = writeManifestList(
+        table, snapId,
+        ManifestRef(mPath, mLen, mCount, Some(snapId),
+          seq = if (fv >= 2) Some(nextSeq) else None) +:
+          priorManifests(prevList))
       val newSnap = snapshotNode(
         snapId, curSnapId, ts, ml, added.size, added.map(_.records).sum,
         if (fv >= 2) Some(nextSeq) else None)
@@ -753,7 +786,7 @@ object IcebergExport {
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), schemaNode,
         meta.get("last-column-id").asInt(), snaps, snapId, log, pfs,
-        history, fv, nextSeq)
+        history, fv, nextSeq, extraSpecsOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     snapId
@@ -768,6 +801,42 @@ object IcebergExport {
       meta.get("schemas").elements().asScala
         .map(_.deepCopy[ObjectNode]()).toSeq
     else Seq(meta.get("schema").deepCopy[ObjectNode]())
+
+  /** Partition specs beyond the default spec 0 (e.g. the unpartitioned
+    * delete spec) — every commit must carry them forward: carried
+    * delete manifests still declare their spec-id.
+    */
+  private def extraSpecsOf(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[ObjectNode] =
+    if (meta.has("partition-specs"))
+      meta.get("partition-specs").elements().asScala
+        .filter(_.get("spec-id").asInt() != 0)
+        .map(_.deepCopy[ObjectNode]()).toSeq
+    else Nil
+
+  /** The spec-id delete manifests declare: 0 on an unpartitioned table
+    * (spec 0 is already the empty struct); on a partitioned table a
+    * DEDICATED unpartitioned spec (id = max existing + 1 on first use)
+    * — the delete files are table-global, and a manifest-list row
+    * declaring spec 0 with an empty partition struct would make a
+    * spec-compliant reader project spec 0's partition type and reject
+    * or misread the delete manifest.
+    */
+  private def deleteSpec(
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      pfs: Seq[PartField]): (Int, Seq[ObjectNode]) = {
+    val carried = extraSpecsOf(meta)
+    if (pfs.isEmpty) (0, carried)
+    else carried.find(_.get("fields").isEmpty) match {
+      case Some(s) => (s.get("spec-id").asInt(), carried)
+      case None =>
+        val id = (0 +: carried.map(_.get("spec-id").asInt())).max + 1
+        val s = mapper.createObjectNode()
+        s.put("spec-id", id)
+        s.putArray("fields")
+        (id, carried :+ s)
+    }
+  }
 
   /** Commit a SCHEMA-EVOLUTION metadata version: `mutate` receives a
     * copy of the current schema node (plus the current last-column-id)
@@ -822,7 +891,8 @@ object IcebergExport {
       val (fv, lastSeq) = fvOf(meta)
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), next, lastId,
-        snaps, curSnapId, log, pfs, history :+ next, fv, lastSeq)
+        snaps, curSnapId, log, pfs, history :+ next, fv, lastSeq,
+        extraSpecsOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
   }
@@ -928,14 +998,14 @@ object IcebergExport {
       val (keptLists, keptManifests) = refs(kept)
       val (expLists, expManifests) = refs(expired)
       val dataPrefix = Paths.get(table, "data").toAbsolutePath.toString + "/"
-      // position-delete files are table content too: expired-only
-      // ones reclaim, kept-referenced ones survive
+      // delete files (position AND equality) are table content too:
+      // expired-only ones reclaim, kept-referenced ones survive
       val keptData = kept.flatMap(s =>
         IcebergTable.dataFilesOf(table, meta, s) ++
-          IcebergTable.positionDeleteFiles(table, meta, s)).toSet
+          IcebergTable.deleteFilesOf(table, meta, s).map(_.path)).toSet
       val expData = expired.flatMap(s =>
         IcebergTable.dataFilesOf(table, meta, s) ++
-          IcebergTable.positionDeleteFiles(table, meta, s)).toSet
+          IcebergTable.deleteFilesOf(table, meta, s).map(_.path)).toSet
       val victims =
         (expLists -- keptLists).toSeq ++
           (expManifests -- keptManifests).toSeq ++
@@ -1046,7 +1116,8 @@ object IcebergExport {
           table, meta.get("table-uuid").asText(), schemaNode, lastId,
           snaps, snapId, log, pfs,
           formatVersion = fv,
-          lastSequenceNumber = if (fv >= 2) lastSeq + 1 else 0L)
+          lastSequenceNumber = if (fv >= 2) lastSeq + 1 else 0L,
+          extraSpecs = extraSpecsOf(meta))
         committed = claim(table, curVersion + 1, json)
       }
     }
@@ -1122,25 +1193,24 @@ object IcebergExport {
       .select(col("__f"), col("__i")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     if (matched.isEmpty) return None
-    // ONE sorted position-delete parquet file under data/
-    import spark.implicits._
-    val stage = Files.createTempDirectory("iceberg_del")
-    matched.toSeq.sorted.toDF("file_path", "pos")
-      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = {
-      val s = Files.list(stage)
-      try s.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      finally s.close()
-    }
-    val dataDir = Paths.get(table, "data")
-    Files.createDirectories(dataDir)
-    val delDest = dataDir.resolve(
-      s"delete-${java.util.UUID.randomUUID()}.parquet")
-    Files.move(part, delDest)
-    val delAdded = Added(
-      delDest.toAbsolutePath.toString, Files.size(delDest),
-      matched.length.toLong)
+    // ONE sorted position-delete parquet file under data/, with the
+    // spec's RESERVED field-ids in the parquet schema (file_path =
+    // 2147483546, pos = 2147483545) so spec-compliant readers resolve
+    // the delete columns by id
+    val delAdded = writeDeleteFile(
+      spark, table,
+      matched.toSeq.sorted.map { case (f, i) =>
+        org.apache.spark.sql.Row(f, i)
+      },
+      StructType(Seq(
+        StructField("file_path", org.apache.spark.sql.types.StringType,
+          nullable = false,
+          new MetadataBuilder().putLong("parquet.field.id", 2147483546L)
+            .build()),
+        StructField("pos", org.apache.spark.sql.types.LongType,
+          nullable = false,
+          new MetadataBuilder().putLong("parquet.field.id", 2147483545L)
+            .build()))))
     var committed = false
     var snapId = 0L
     while (!committed) {
@@ -1158,16 +1228,20 @@ object IcebergExport {
       val schemaNode =
         IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
       val history = schemaHistoryOf(meta)
+      val pfsNow = partFieldsOf(schemaNode, IcebergTable.schemaOf(meta),
+        IcebergTable.identityPartitionSources(meta).map(_._2))
+      val (delSpecId, specs) = deleteSpec(meta, pfsNow)
       val (dPath, dLen, dCount) = writeManifest(
         table, snapId, schemaNode.toString, Seq(delAdded), Nil,
-        entryContent = 1)
-      val ml = writeManifestList(
-        table, snapId,
-        priorManifests(prevList) :+
-          ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1))
+        entryContent = 1, specId = delSpecId)
       val ts = System.currentTimeMillis()
       val (_, lastSeq) = fvOf(meta)
       val nextSeq = lastSeq + 1
+      val ml = writeManifestList(
+        table, snapId,
+        priorManifests(prevList) :+
+          ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
+            specId = delSpecId, seq = Some(nextSeq)))
       val newSnap = snapshotNode(
         snapId, curSnapId, ts, ml, 1, matched.length.toLong,
         Some(nextSeq), operation = "delete")
@@ -1181,11 +1255,131 @@ object IcebergExport {
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), schemaNode,
         meta.get("last-column-id").asInt(), snaps, snapId, log,
-        partFieldsOf(schemaNode, IcebergTable.schemaOf(meta),
-          IcebergTable.identityPartitionSources(meta).map(_._2)),
+        pfsNow,
         history,
         formatVersion = 2, // position deletes are a v2 feature
-        lastSequenceNumber = nextSeq)
+        lastSequenceNumber = nextSeq,
+        extraSpecs = specs)
+      committed = claim(table, curVersion + 1, json)
+    }
+    Some(snapId)
+  }
+
+  /** Write `rows` as ONE parquet delete file under `data/` with the
+    * given schema (field-ids carried via `parquet.field.id` metadata —
+    * Spark's parquet writer emits them when
+    * `spark.sql.parquet.fieldId.write.enabled` is on, its default).
+    */
+  private def writeDeleteFile(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      rows: Seq[org.apache.spark.sql.Row], schema: StructType): Added = {
+    val stage = Files.createTempDirectory("iceberg_del")
+    spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = {
+      val s = Files.list(stage)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val dataDir = Paths.get(table, "data")
+    Files.createDirectories(dataDir)
+    val delDest = dataDir.resolve(
+      s"delete-${java.util.UUID.randomUUID()}.parquet")
+    Files.move(part, delDest)
+    Added(delDest.toAbsolutePath.toString, Files.size(delDest),
+      rows.length.toLong)
+  }
+
+  /** Row-level DELETE via v2 EQUALITY DELETES — the CDC writer shape
+    * (what Flink upserts and Hudi migrations emit): `keys` is a SMALL
+    * frame whose columns name top-level table columns; every table row
+    * whose values null-safe-equal ANY key row is deleted, but only in
+    * data files with sequence number STRICTLY BELOW this commit's (the
+    * spec's scope rule — rows appended after the delete are untouched,
+    * which is exactly what makes blind CDC deletes safe). No table
+    * data is read or rewritten: the commit is the key file + one
+    * content=2 manifest entry carrying `equality_ids`. Upgrades the
+    * table to format-version 2 on first use. Returns the snapshot id,
+    * or None for an empty key frame.
+    *
+    * The key file carries the equality columns under their table
+    * FIELD-IDS (parquet field-id metadata), per the spec's
+    * "equality delete files store values by their field ids".
+    */
+  def deleteWhereEquality(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      keys: DataFrame): Option[Long] = {
+    val meta0 = IcebergTable.metadataJson(table)
+    val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
+    val schema = IcebergTable.schemaOf(meta0)
+    val ids = topFieldIds(schemaNode0)
+    val eqIds = keys.schema.fieldNames.toSeq.map { c =>
+      ids.getOrElse(c, throw new IllegalArgumentException(
+        s"equality-delete column $c is not a top-level table column"))
+    }
+    val keySchema = StructType(keys.schema.fieldNames.toSeq.map { c =>
+      val want = schema(c).dataType
+      val got = keys.schema(c).dataType
+      require(got == want,
+        s"equality-delete column $c has type $got but the table " +
+          s"declares $want: refused rather than matched via coercion")
+      StructField(c, want, nullable = true,
+        new MetadataBuilder()
+          .putLong("parquet.field.id", ids(c).toLong).build())
+    })
+    val keyRows = keys.distinct().collect().toSeq
+    if (keyRows.isEmpty) return None
+    val delAdded = writeDeleteFile(spark, table, keyRows, keySchema)
+    var committed = false
+    var snapId = 0L
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val curSnapId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      val curSnap = curSnapId.flatMap { id =>
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+      }
+      val prevList = curSnap.flatMap(s =>
+        Option(s.get("manifest-list")).map(_.asText()))
+      snapId = newSnapshotId()
+      val schemaNode =
+        IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
+      val history = schemaHistoryOf(meta)
+      val pfsNow = partFieldsOf(schemaNode, IcebergTable.schemaOf(meta),
+        IcebergTable.identityPartitionSources(meta).map(_._2))
+      val (delSpecId, specs) = deleteSpec(meta, pfsNow)
+      val (dPath, dLen, dCount) = writeManifest(
+        table, snapId, schemaNode.toString, Seq(delAdded), Nil,
+        entryContent = 2, specId = delSpecId, equalityIds = eqIds)
+      val ts = System.currentTimeMillis()
+      val (_, lastSeq) = fvOf(meta)
+      val nextSeq = lastSeq + 1
+      val ml = writeManifestList(
+        table, snapId,
+        priorManifests(prevList) :+
+          ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
+            specId = delSpecId, seq = Some(nextSeq)))
+      val newSnap = snapshotNode(
+        snapId, curSnapId, ts, ml, 1, keyRows.length.toLong,
+        Some(nextSeq), operation = "delete")
+      val snaps = meta.get("snapshots").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
+      val log = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(),
+            e.get("snapshot-id").asLong())).toSeq
+      else Nil) :+ ((ts, snapId))
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(), schemaNode,
+        meta.get("last-column-id").asInt(), snaps, snapId, log,
+        pfsNow,
+        history,
+        formatVersion = 2, // equality deletes are a v2 feature
+        lastSequenceNumber = nextSeq,
+        extraSpecs = specs)
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)

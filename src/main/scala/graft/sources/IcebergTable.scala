@@ -29,8 +29,12 @@ import org.apache.spark.sql.types._
   * EVOLUTION resolved by FIELD-ID through each manifest's embedded
   * write-time schema (see [[read]]) incl. the spec's lossless type
   * promotions, v2 POSITION deletes applied as a broadcast anti-join
-  * on (canonical path, `_metadata.row_index`), and manifest-bounds
-  * file skipping ([[prunedDataFiles]]/[[readRange]]).
+  * on (canonical path, `_metadata.row_index`), v2 EQUALITY deletes
+  * (content=2 — what CDC writers like Flink emit) applied as
+  * broadcast anti-joins on the `equality_ids` key columns scoped by
+  * SEQUENCE NUMBER (a delete hits only data files with a strictly
+  * smaller data sequence number, the spec's rule), and
+  * manifest-bounds file skipping ([[prunedDataFiles]]/[[readRange]]).
   * IDENTITY-partition source columns are materialized from the
   * manifests' typed partition structs as per-file constants — exactly
   * Iceberg's own `PartitionUtil.constantsMap` read path — via ONE
@@ -40,12 +44,12 @@ import org.apache.spark.sql.types._
   * columns in their data files) all read correctly; non-identity
   * transforms need no reconstruction (Iceberg always writes their
   * source columns into the files). Unsupported features fail LOUDLY
-  * rather than return wrong rows: format-version ≥ 3, EQUALITY
-  * deletes (content=2), non-parquet file formats, type changes
-  * beyond the spec's promotions, and — for out-of-spec manifests
-  * without an embedded schema — a sampled data-file footer missing
-  * current-schema columns (a rename without rewrite would
-  * name-resolve to silent nulls) all throw.
+  * rather than return wrong rows: format-version ≥ 3, non-parquet
+  * file formats, type changes beyond the spec's promotions, equality
+  * deletes whose key field-id left the current schema, and — for
+  * out-of-spec manifests without an embedded schema — a sampled
+  * data-file footer missing current-schema columns (a rename without
+  * rewrite would name-resolve to silent nulls) all throw.
   *
   * Scale shape: manifest replay is driver-side metadata work bounded
   * by files-in-snapshot (the same state the Iceberg library's
@@ -311,7 +315,8 @@ object IcebergTable {
       records: Long = -1L,
       lower: Map[Int, Array[Byte]] = Map.empty,
       upper: Map[Int, Array[Byte]] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      seq: Long = 0L)
 
   /** Decode the spec's int-keyed manifest map (avro array of
     * key/value records; real avro maps cannot key by int).
@@ -331,61 +336,82 @@ object IcebergTable {
     case other => other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** Data files of a snapshot with their manifest partition values
-    * (keyed by partition FIELD name) and the manifest's embedded
-    * writer schema (for field-id resolution), refusing delete content
-    * loudly.
+  /** (manifest path, content, sequence number) per manifest of a
+    * snapshot — v2 manifest lists flag content 0=data, 1=deletes and
+    * carry the manifest's sequence number (which its ADDED entries
+    * inherit, the spec's inheritance rule); legacy inline manifests
+    * are data at sequence 0 (the spec's v1-read-as-v2 rule).
     */
-  /** (manifest path, content) per manifest of a snapshot — v2
-    * manifest lists flag content 0=data, 1=deletes; legacy inline
-    * manifests are data.
-    */
-  private def manifestsWithContent(snap: JsonNode): Seq[(String, Int)] =
+  private def manifestsWithContent(snap: JsonNode): Seq[(String, Int, Long)] =
     if (snap.has("manifest-list"))
       avroRecords(snap.get("manifest-list").asText()).map { m =>
         val content = opt(m, "content").map(_.toString.toInt).getOrElse(0)
         require(content <= 1,
           s"unknown manifest content=$content: refused rather than " +
             "returning wrong rows")
-        (str(m, "manifest_path"), content)
+        val seq = opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L)
+        (str(m, "manifest_path"), content, seq)
       }
     else if (snap.has("manifests")) // legacy v1 inline form
-      snap.get("manifests").elements().asScala.map(p => (p.asText(), 0)).toSeq
+      snap.get("manifests").elements().asScala
+        .map(p => (p.asText(), 0, 0L)).toSeq
     else throw new IllegalStateException(
       "snapshot has neither manifest-list nor manifests")
 
-  /** POSITION-delete files of a snapshot (v2 merge-on-read): parquet
-    * files of (file_path, pos) rows naming deleted positions of data
-    * files. Position deletes target files BY PATH (paths are unique),
-    * so applying them needs no sequence-number bookkeeping — the
-    * path-targeted application is exact. EQUALITY deletes (content=2)
-    * are refused loudly: applying them needs value comparison
-    * semantics this reader does not implement.
+  /** One v2 merge-on-read delete file: content 1 = POSITION (parquet
+    * of (file_path, pos) rows naming deleted positions), content 2 =
+    * EQUALITY (parquet of deleted-key values; `equalityIds` names the
+    * key columns by schema field-id). `seq` scopes equality deletes:
+    * they delete matching rows only in data files with a STRICTLY
+    * SMALLER sequence number (the spec's rule that makes blind CDC
+    * deletes safe against later re-inserts).
+    */
+  private[sources] case class DeleteFile(
+      path: String, content: Int, seq: Long, equalityIds: Seq[Int])
+
+  /** All delete files of a snapshot, position and equality. */
+  private[sources] def deleteFilesOf(
+      table: String, meta: JsonNode, snap: JsonNode): Seq[DeleteFile] =
+    manifestsWithContent(snap).filter(_._2 == 1)
+      .flatMap { case (mp, _, listSeq) =>
+        avroRecords(mp).flatMap { entry =>
+          val status = entry.get("status").toString.toInt
+          if (status == 2) None
+          else {
+            val df = entry.get("data_file").asInstanceOf[GenericRecord]
+            val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
+            require(content == 1 || content == 2,
+              s"delete manifest entry with content=$content: malformed " +
+                "data entries are refused rather than returning wrong rows")
+            val seq = opt(entry, "sequence_number")
+              .map(_.toString.toLong).getOrElse(listSeq)
+            val eqIds = opt(df, "equality_ids") match {
+              case Some(c: java.util.Collection[_]) =>
+                c.asScala.map(_.toString.toInt).toSeq
+              case _ => Nil
+            }
+            require(content == 1 || eqIds.nonEmpty,
+              "equality delete file without equality_ids: refused " +
+                "rather than guessing the key columns")
+            Some(DeleteFile(local(str(df, "file_path")), content, seq, eqIds))
+          }
+        }
+      }.distinctBy(_.path)
+
+  /** POSITION-delete file paths of a snapshot (the path-targeted
+    * subset; equality deletes live beside them in the same content=1
+    * manifests — see [[deleteFilesOf]]).
     */
   private[sources] def positionDeleteFiles(
       table: String, meta: JsonNode, snap: JsonNode): Seq[String] =
-    manifestsWithContent(snap).filter(_._2 == 1).flatMap { case (mp, _) =>
-      avroRecords(mp).flatMap { entry =>
-        val status = entry.get("status").toString.toInt
-        if (status == 2) None
-        else {
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
-          require(content == 1,
-            s"delete manifest entry with content=$content: equality " +
-              "deletes (2) and malformed data entries (0) are refused " +
-              "rather than returning wrong rows")
-          Some(local(str(df, "file_path")))
-        }
-      }
-    }.distinct
+    deleteFilesOf(table, meta, snap).filter(_.content == 1).map(_.path)
 
   private[sources] def dataFilesWithPartitions(
       table: String, meta: JsonNode, snap: JsonNode,
       partFields: Seq[(String, Int)]): Seq[FileEntry] = {
-    val manifestPaths: Seq[String] =
-      manifestsWithContent(snap).filter(_._2 == 0).map(_._1)
-    manifestPaths.flatMap { mp =>
+    val manifests: Seq[(String, Long)] =
+      manifestsWithContent(snap).filter(_._2 == 0).map(m => (m._1, m._3))
+    manifests.flatMap { case (mp, listSeq) =>
       val (records, writerSchema) = avroRecordsWithMeta(mp)
       records.flatMap { entry =>
         val status = entry.get("status").toString.toInt
@@ -416,7 +442,9 @@ object IcebergTable {
             upper = kvMap(opt(df, "upper_bounds"))
               .map { case (k, v) => k -> byteArr(v) },
             nullCounts = kvMap(opt(df, "null_value_counts"))
-              .map { case (k, v) => k -> v.toString.toLong }))
+              .map { case (k, v) => k -> v.toString.toLong },
+            seq = opt(entry, "sequence_number")
+              .map(_.toString.toLong).getOrElse(listSeq)))
         }
       }
     }.distinctBy(_.path)
@@ -644,7 +672,9 @@ object IcebergTable {
       case Some(k) => entries0.filter(e => k.contains(e.path))
       case None => entries0
     }
-    val posDeletes = positionDeleteFiles(table, meta, snap)
+    val deletes = deleteFilesOf(table, meta, snap)
+    val posDeletes = deletes.filter(_.content == 1).map(_.path)
+    val eqDeletes = deletes.filter(_.content == 2)
     if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -694,11 +724,13 @@ object IcebergTable {
         val readSchema = StructType(resolved.flatMap(_._1))
         if (ws.isEmpty)
           requireFooterNames(spark, files.head.path, readSchema.fieldNames.toSeq)
-        // the scan's own file/row-index metadata feeds BOTH the
-        // position-delete anti-join and the partition attach — it
-        // must come from inside each branch (expressions like
-        // input_file_name() cannot span the joins below)
-        val needFile = posDeletes.nonEmpty || idParts.nonEmpty
+        // the scan's own file/row-index metadata feeds the
+        // position-delete anti-join, the partition attach AND the
+        // equality-delete sequence scope — it must come from inside
+        // each branch (expressions like input_file_name() cannot span
+        // the joins below)
+        val needFile =
+          posDeletes.nonEmpty || idParts.nonEmpty || eqDeletes.nonEmpty
         val metaCols =
           (if (needFile)
             Seq(canonFile(col("_metadata.file_path")).as("__ib_f"))
@@ -729,27 +761,69 @@ object IcebergTable {
           "left_anti")
           .drop("__ib_i")
       }
+    // per-file constants (identity partition sources + the file's
+    // data sequence number when equality deletes need it) attach via
+    // ONE metadata-sized broadcast equi-join on the canonical path
     val withParts =
-      if (idParts.isEmpty) {
+      if (idParts.isEmpty && eqDeletes.isEmpty) {
         if (posDeletes.isEmpty) data else data.drop("__ib_f")
       } else {
-        // (file, one STRING column per identity source) — metadata-
-        // sized build side, broadcast; values cast to declared types
         import spark.implicits._
         val pvRows = entries.map { e =>
-          (e.path, idParts.map { case (pn, _, _) => e.pv(pn).orNull })
+          (e.path, idParts.map { case (pn, _, _) => e.pv(pn).orNull }, e.seq)
         }
-        val pvFrame = pvRows.toDF("__file", "__pv")
+        val pvFrame = pvRows.toDF("__file", "__pv", "__seq")
           .select(
-            col("__file") +:
+            Seq(col("__file")) ++
               idParts.zipWithIndex.map { case ((_, src, _), i) =>
                 col("__pv").getItem(i).as(src)
-              }: _*)
+              } ++
+              (if (eqDeletes.nonEmpty) Seq(col("__seq").as("__ib_seq"))
+              else Nil): _*)
         data
           .join(broadcast(pvFrame), col("__ib_f") === col("__file"))
           .drop("__ib_f", "__file")
       }
-    withParts.select(schema.fields.map { f =>
+    // EQUALITY deletes (v2 merge-on-read, the CDC-writer form): a row
+    // is deleted when its equality-column values null-safe-match ANY
+    // delete row whose sequence number is STRICTLY ABOVE the row's
+    // file's. One broadcast anti-join per distinct key-column set
+    // (build side bounded by deleted keys); applied AFTER the
+    // partition attach so key columns living only in partition
+    // metadata still compare.
+    val afterEq =
+      if (eqDeletes.isEmpty) withParts
+      else {
+        val idToField = schemaNode.get("fields").elements().asScala
+          .map(f => f.get("id").asInt() -> f).toMap
+        eqDeletes.groupBy(_.equalityIds).toSeq.sortBy(_._1.mkString(","))
+          .foldLeft(withParts) { case (d, (ids, files)) =>
+            val keyCols = ids.map { id =>
+              val f = idToField.getOrElse(id,
+                throw new IllegalStateException(
+                  s"equality delete references field-id $id which is " +
+                    "not in the current schema (dropped key column): " +
+                    "refused rather than returning undeleted rows"))
+              (f.get("name").asText(), toSparkType(f.get("type")))
+            }
+            val del = files.map { df =>
+              spark.read.parquet(df.path)
+                .select(keyCols.map { case (n, dt) =>
+                  col(n).cast(dt).as(s"__eq_$n")
+                } :+ lit(df.seq).as("__eq_seq"): _*)
+            }.reduce(_.unionByName(_))
+            // the delete frame's columns are all __eq_-prefixed, so
+            // bare col(n) resolves to the data side unambiguously;
+            // identity-partition sources are still the attach's STRING
+            // form here — cast to the declared type before comparing
+            val cond = keyCols.map { case (n, dt) =>
+              val lhs = if (srcCols.contains(n)) col(n).cast(dt) else col(n)
+              lhs <=> col(s"__eq_$n")
+            }.reduce(_ && _) && col("__ib_seq") < col("__eq_seq")
+            d.join(broadcast(del), cond, "left_anti")
+          }
+      }
+    afterEq.select(schema.fields.map { f =>
       if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else col(f.name)
     }: _*)

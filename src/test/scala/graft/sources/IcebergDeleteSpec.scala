@@ -1,16 +1,20 @@
 package graft.sources
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Iceberg v2 POSITION deletes — the Delta deletion-vector analog in
-  * the other format: deleteWhere names (file, row index) in a
-  * position-delete parquet file carried by a content=1 manifest; no
-  * data file is rewritten, time travel sees pre-delete rows, deletes
-  * accumulate across snapshots, appends after a delete keep both the
-  * new rows and the old deletions, and equality deletes stay refused.
+/** Iceberg v2 merge-on-read deletes, both kinds. POSITION deletes —
+  * the Delta deletion-vector analog: deleteWhere names (file, row
+  * index) in a position-delete parquet file carried by a content=1
+  * manifest; no data file is rewritten, time travel sees pre-delete
+  * rows, deletes accumulate across snapshots, appends after a delete
+  * keep both the new rows and the old deletions. EQUALITY deletes —
+  * the CDC-writer form: deleteWhereEquality commits key rows blind
+  * (no table read), scoped by sequence number so rows appended AFTER
+  * the delete survive even when their keys match.
   */
 class IcebergDeleteSpec extends SparkSpec {
   import spark.implicits._
@@ -101,7 +105,131 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).count() == 19L)
   }
 
-  test("equality deletes stay refused loudly") {
+  test("equality deletes remove matching rows from OLDER files only") {
+    val t = tbl()
+    IcebergExport.create(
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    val sd = IcebergExport.deleteWhereEquality(
+      spark, t, Seq(2L, 5L, 7L).toDF("id"))
+    assert(sd.isDefined)
+    assert(IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSeq.sorted ==
+      Seq(0L, 1L, 3L, 4L, 6L, 8L, 9L))
+    // time travel to the pre-delete snapshot sees all rows
+    val firstSnap = IcebergTable.snapshotIds(t).head
+    assert(IcebergTable.read(spark, t, Some(firstSnap)).count() == 10L)
+    // the SEQUENCE SCOPE: re-insert a deleted key AFTER the delete —
+    // the new row must survive (its file's data sequence number is
+    // above the delete's)
+    IcebergExport.append(Seq((5L, "reborn")).toDF("id", "s").coalesce(1), t)
+    val got = IcebergTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.contains((5L, "reborn")),
+      s"a row appended after the equality delete must survive: $got")
+    assert(got.map(_._1) == Set(0L, 1L, 3L, 4L, 5L, 6L, 8L, 9L), got)
+    // a later equality delete hits BOTH eras below it
+    IcebergExport.deleteWhereEquality(spark, t, Seq(5L, 0L).toDF("id"))
+    assert(IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSeq.sorted ==
+      Seq(1L, 3L, 4L, 6L, 8L, 9L))
+    // an empty key frame is a no-op
+    assert(IcebergExport.deleteWhereEquality(
+      spark, t, Seq.empty[Long].toDF("id")).isEmpty)
+  }
+
+  test("position and equality deletes compose in one table") {
+    val t = tbl()
+    IcebergExport.create(
+      (0L until 12L).map(i => (i, i % 3L)).toDF("id", "grp").coalesce(1), t)
+    IcebergExport.deleteWhere(spark, t, col("id") === 11L) // position
+    IcebergExport.deleteWhereEquality(spark, t, Seq(1L).toDF("grp")) // equality
+    val expected = (0L until 12L)
+      .filterNot(_ == 11L).filterNot(_ % 3 == 1L)
+    val got = IcebergTable.read(spark, t)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == expected, s"mixed deletes drifted: $got vs $expected")
+    // readRange still honours both
+    assert(IcebergTable.readRange(spark, t, "id", 0L, 5L)
+      .collect().map(_.getLong(0)).toSeq.sorted == Seq(0L, 2L, 3L, 5L))
+  }
+
+  test("multi-column equality keys null-safe-match; type mismatches refused") {
+    val t = tbl()
+    IcebergExport.create(
+      Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("a")),
+        (2L, Some("b")))
+        .toDF("k", "tag").coalesce(1), t)
+    // (2, null) must match ONLY the null-tagged row (null = null in
+    // equality delete matching)
+    IcebergExport.deleteWhereEquality(
+      spark, t, Seq((2L, None: Option[String])).toDF("k", "tag"))
+    val got = IcebergTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1L, Some("a")), (3L, Some("a")), (2L, Some("b"))), got)
+    // wrong key type is refused, not coerced
+    val ex = intercept[IllegalArgumentException] {
+      IcebergExport.deleteWhereEquality(spark, t, Seq(1).toDF("k"))
+    }
+    assert(ex.getMessage.contains("type"), ex.getMessage)
+    // unknown key column is refused
+    val ex2 = intercept[IllegalArgumentException] {
+      IcebergExport.deleteWhereEquality(spark, t, Seq(1L).toDF("nope"))
+    }
+    assert(ex2.getMessage.contains("top-level"), ex2.getMessage)
+  }
+
+  test("equality deletes work on partitioned tables, incl. partition-source keys") {
+    val t = tbl()
+    IcebergExport.create(
+      Seq((1L, "us"), (2L, "us"), (3L, "de"), (4L, "fr"))
+        .toDF("id", "region").coalesce(1),
+      t, Seq("region"))
+    // key on the partition source column (lives only in metadata)
+    IcebergExport.deleteWhereEquality(spark, t, Seq("us").toDF("region"))
+    val got = IcebergTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((3L, "de"), (4L, "fr")), got)
+    // the delete manifest declares an UNPARTITIONED spec, not spec 0
+    // (its partition struct is empty; a spec-compliant reader projects
+    // the declared spec's partition type)
+    val meta = IcebergTable.metadataJson(t)
+    val specs = meta.get("partition-specs").elements()
+    var sawEmpty = false
+    while (specs.hasNext) {
+      val s = specs.next()
+      if (s.get("spec-id").asInt() != 0) {
+        assert(s.get("fields").isEmpty, "delete spec must be unpartitioned")
+        sawEmpty = true
+      }
+    }
+    assert(sawEmpty, "partitioned table deletes must add an unpartitioned spec")
+    // and a data-column key still works
+    IcebergExport.deleteWhereEquality(spark, t, Seq(3L).toDF("id"))
+    assert(IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSet ==
+      Set(4L))
+  }
+
+  test("position-delete files carry the spec's reserved parquet field-ids") {
+    val t = tbl()
+    IcebergExport.create(
+      (0L until 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.deleteWhere(spark, t, col("id") === 2L)
+    val meta = IcebergTable.metadataJson(t)
+    val delPath = IcebergTable.positionDeleteFiles(
+      t, meta, IcebergTable.currentSnapshotNode(meta)).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(delPath),
+        spark.sparkContext.hadoopConfiguration))
+    val ids = try {
+      reader.getFooter.getFileMetaData.getSchema.getFields
+        .asScala.map(f => f.getName -> Option(f.getId).map(_.intValue())).toMap
+    } finally reader.close()
+    assert(ids.get("file_path").flatten.contains(2147483546),
+      s"file_path must carry reserved field-id 2147483546: $ids")
+    assert(ids.get("pos").flatten.contains(2147483545),
+      s"pos must carry reserved field-id 2147483545: $ids")
+  }
+
+  test("equality deletes without equality_ids are refused loudly") {
     val t = tbl()
     IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
     IcebergExport.deleteWhere(spark, t, col("id") === 99L) // no-op, stays v1
