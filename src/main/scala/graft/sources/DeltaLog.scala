@@ -23,14 +23,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `add.partitionValues` (Delta does not store them in the data
   * files) and cast to the table schema's types, URL-decoded relative
   * or absolute file paths, multi-part checkpoints, time travel via
-  * `versionAsOf`, and (r12) NAME-mode column mapping — protocol v2
-  * tables whose `delta.columnMapping.mode=name` store stable physical
-  * parquet names in each field's metadata; the read uses the physical
-  * schema and remaps physical → logical (nested levels included, and
-  * `add.partitionValues`' physical keys). Unsupported features fail
-  * LOUDLY: id-mode mapping (needs parquet field-id resolution) and
-  * minReaderVersion ≥ 3 (deletion vectors / reader features) throw
-  * rather than returning wrong rows.
+  * `versionAsOf`, and COLUMN MAPPING in both modes: NAME mode (r12)
+  * reads with the stable physical parquet names each field's metadata
+  * stores and remaps physical → logical (nested levels included, and
+  * `add.partitionValues`' physical keys); ID mode (r13) resolves by
+  * parquet FOOTER FIELD-IDS — the read schema keeps logical names and
+  * carries `parquet.field.id` = `delta.columnMapping.id`, Spark's
+  * field-id read path does the per-file resolution, so renames and
+  * early-adopter id-mode tables read correctly with zero remap.
+  * Unsupported reader features (v2 checkpoints, timestampNtz, …)
+  * fail LOUDLY rather than returning wrong rows.
   *
   * Scale shape: the log replay is metadata work — the same
   * driver-side snapshot state delta-spark itself keeps — bounded by
@@ -260,32 +262,34 @@ object DeltaLog {
     val st = commits
       .filter { case (v, _) => v >= from && v <= latest }
       .foldLeft(base) { case (s, (_, n)) => applyCommit(s, dir.resolve(n)) }
-    // Protocol gate (r12, narrowed twice): v1 plain tables; v2 tables
-    // whose only v2 feature is NAME-mode column mapping; and v3
-    // feature-gated tables whose readerFeatures this module actually
-    // implements — deletionVectors (applied in the read below) and
-    // name-mode columnMapping. Everything else — id-mode mapping,
-    // unknown reader features — is refused loudly: wrong rows would
-    // be worse than no rows.
+    // Protocol gate (narrowed again r13): v1 plain tables; v2 tables
+    // with NAME- or ID-mode column mapping; and v3 feature-gated
+    // tables whose readerFeatures this module actually implements —
+    // deletionVectors (applied in the read below) and columnMapping
+    // (both modes: name resolves by stable physical name, id by
+    // parquet footer field-ids). Everything else — unknown reader
+    // features like v2Checkpoint/timestampNtz — is refused loudly:
+    // wrong rows would be worse than no rows.
     val mappingMode = st.configuration
       .getOrElse("delta.columnMapping.mode", "none")
     val implemented = Set("deletionVectors", "columnMapping")
+    val modes = Set("none", "name", "id")
     val ok = st.minReader match {
       case v if v <= 1 => true
-      case 2 => mappingMode == "name"
+      case 2 => mappingMode == "name" || mappingMode == "id"
       case 3 =>
         st.readerFeatures.nonEmpty &&
           st.readerFeatures.subsetOf(implemented) &&
-          (mappingMode == "none" || mappingMode == "name")
+          modes(mappingMode)
       case _ => false
     }
     require(ok,
       s"unsupported Delta protocol: table requires minReaderVersion=" +
         s"${st.minReader} (readerFeatures=${st.readerFeatures.toSeq.sorted
           .mkString(",")}) with columnMapping.mode=$mappingMode; this " +
-        "reader implements protocol v1, NAME-mode column mapping and " +
-        "deletion vectors, and refuses the rest rather than returning " +
-        "wrong rows")
+        "reader implements protocol v1, name- and id-mode column " +
+        "mapping and deletion vectors, and refuses the rest rather " +
+        "than returning wrong rows")
     require(st.schemaJson.nonEmpty, s"no metaData action found in $table")
     st
   }
@@ -312,6 +316,32 @@ object DeltaLog {
     case m: org.apache.spark.sql.types.MapType =>
       m.copy(keyType = toPhysical(m.keyType),
         valueType = toPhysical(m.valueType))
+    case other => other
+  }
+
+  /** The ID-mode read schema: every field (at every nesting level)
+    * KEEPS its logical name but carries `parquet.field.id` =
+    * `delta.columnMapping.id`, so Spark's parquet reader (with
+    * `spark.sql.parquet.fieldId.read.enabled`) resolves the column
+    * from the footer's field-ids regardless of its physical name —
+    * the protocol's id-mode resolution rule. No physical→logical
+    * remap is needed afterwards: the scan's output names ARE logical.
+    */
+  private def withFieldIds(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map { f =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        if (f.metadata.contains("delta.columnMapping.id"))
+          mb.putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id"))
+        f.copy(metadata = mb.build(), dataType = withFieldIds(f.dataType))
+      })
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = withFieldIds(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = withFieldIds(m.keyType),
+        valueType = withFieldIds(m.valueType))
     case other => other
   }
 
@@ -488,25 +518,37 @@ object DeltaLog {
       case (_, a) => fileFilter(a)
     })
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
-    val mapped = st.configuration
-      .get("delta.columnMapping.mode").contains("name")
+    val mapMode = st.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    val mapped = mapMode == "name"
+    val idMapped = mapMode == "id"
     val dataFields = schema.fields.filterNot(f =>
       st.partitionCols.contains(f.name))
     // name-mapped tables store PHYSICAL column names in the parquet
     // files: read with the physical schema, then remap physical →
     // logical below (top level by alias, nested levels by a
-    // structurally-identical cast, which renames positionally)
+    // structurally-identical cast, which renames positionally).
+    // id-mapped tables resolve by parquet FOOTER FIELD-IDS instead —
+    // the read schema keeps logical names and carries the ids.
     val dataSchema =
       if (mapped)
         StructType(dataFields.map(f =>
           f.copy(name = physName(f),
             dataType = toPhysical(f.dataType))))
+      else if (idMapped)
+        withFieldIds(StructType(dataFields)).asInstanceOf[StructType]
       else StructType(dataFields)
     val files = st.active.values.toSeq.map(a => absPath(table, a.path))
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .select(schema.fieldNames.map(col): _*)
+    if (idMapped) {
+      // runtime-settable; only changes behavior for read schemas that
+      // carry parquet.field.id metadata (exactly this scan). A footer
+      // WITHOUT ids then fails loudly instead of name-matching.
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    }
     val scanned = spark.read.schema(dataSchema).parquet(files: _*)
     // DELETION VECTORS: a DV'd file's rows filter by their in-file
     // row index — the deleted (file, index) pairs build an anti-join
@@ -545,7 +587,7 @@ object DeltaLog {
         col(f.name).cast(f.dataType).as(f.name)
       else if (mapped)
         col(physName(f)).cast(f.dataType).as(f.name)
-      else col(f.name)
+      else col(f.name) // id-mapped scans already emit logical names
     }: _*)
   }
 

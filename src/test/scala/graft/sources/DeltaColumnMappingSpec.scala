@@ -8,14 +8,17 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** NAME-mode column mapping (r12): a protocol-v2 Delta table whose
-  * fields carry `delta.columnMapping.physicalName` metadata stores
-  * PHYSICAL column names in its parquet files — the reader must remap
-  * physical → logical at every nesting level, key
-  * `add.partitionValues` by physical name, and keep refusing id-mode
-  * and minReaderVersion ≥ 3. Fixture authored by the spec, exactly as
-  * delta-spark writes it after `ALTER TABLE ... RENAME COLUMN`
-  * (rename = metadata-only: physical names never change).
+/** COLUMN MAPPING, both modes. NAME mode (r12): a protocol-v2 Delta
+  * table whose fields carry `delta.columnMapping.physicalName`
+  * metadata stores PHYSICAL column names in its parquet files — the
+  * reader must remap physical → logical at every nesting level and
+  * key `add.partitionValues` by physical name. ID mode (r13): the
+  * parquet files carry FIELD-IDS matching `delta.columnMapping.id`;
+  * resolution goes through the footer ids (physical names are
+  * irrelevant), and a file WITHOUT footer ids fails loudly instead of
+  * name-matching to wrong columns. Fixtures authored by the spec,
+  * exactly as delta-spark writes them after
+  * `ALTER TABLE ... RENAME COLUMN` (rename = metadata-only).
   */
 class DeltaColumnMappingSpec extends SparkSpec {
   import spark.implicits._
@@ -130,11 +133,96 @@ class DeltaColumnMappingSpec extends SparkSpec {
       .schema.fieldNames.contains("body"))
   }
 
-  test("id-mode and minReaderVersion 3 stay refused loudly") {
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaLog.read(spark, makeTable(mode = "id").toString)
+  // ---- ID mode ----
+
+  private def fid(id: Long): Metadata =
+    new MetadataBuilder().putLong("parquet.field.id", id).build()
+
+  /** One parquet file whose footer carries FIELD-IDS under arbitrary
+    * physical names — what an id-mode writer (e.g. an Iceberg
+    * migration) produces.
+    */
+  private def writeIdFile(
+      table: Path, rel: String, rows: Seq[(Long, String, Long)],
+      physPrefix: String = "col"): Unit = {
+    val tmp = Files.createTempDirectory("cm_id_part")
+    rows.toDF("a", "b", "w")
+      .select(
+        col("a").as(s"$physPrefix-aa11", fid(1)),
+        col("b").as(s"$physPrefix-bb22", fid(2)),
+        struct(col("w").as(s"$physPrefix-dd44", fid(4)))
+          .as(s"$physPrefix-cc33", fid(3)))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
     }
-    assert(e1.getMessage.contains("columnMapping.mode=id"), e1.getMessage)
+    val dest = table.resolve(rel)
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest)
+  }
+
+  private def makeIdTable(): Path = {
+    val table = Files.createTempDirectory("delta_cm_id")
+    writeIdFile(table, "f1.parquet", Seq((1L, "alpha", 5L), (2L, "beta", 7L)))
+    // the second file uses DIFFERENT physical names for the same ids —
+    // exactly why id-mode cannot resolve by name
+    writeIdFile(table, "f2.parquet", Seq((3L, "gamma", 9L)),
+      physPrefix = "renamed")
+    writeCommit(table, 0, Seq(
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaDataJson("id"),
+      """{"add":{"path":"f1.parquet","partitionValues":{"col-ee55":"us"},"size":512,"modificationTime":1700000000000,"dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{"col-ee55":"de"},"size":512,"modificationTime":1700000000000,"dataChange":true}}"""))
+    table
+  }
+
+  test("id-mode: footer field-ids resolve columns, nested levels included") {
+    val t = makeIdTable()
+    val df = DeltaLog.read(spark, t.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "body", "info", "region"))
+    val got = df.select(
+      col("doc_id"), col("body"), col("info.words"), col("region"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, "alpha", 5L, "us"), (2L, "beta", 7L, "us"), (3L, "gamma", 9L, "de")),
+      s"id-resolved values drifted (f2 has different physical names): $got")
+  }
+
+  test("id-mode: a logical rename is metadata-only; ids keep resolving") {
+    val t = makeIdTable()
+    val renamed = StructType(logicalSchema.fields.map(f =>
+      if (f.name == "body") f.copy(name = "text") else f))
+    val ss = renamed.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeCommit(t, 1, Seq(
+      s"""{"metaData":{"id":"cm-fixture","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":["region"],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"5"},"createdTime":1700000000000}}"""))
+    val df = DeltaLog.read(spark, t.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "text", "info", "region"))
+    assert(df.filter(col("text") === "beta").count() == 1L)
+    assert(DeltaLog.read(spark, t.toString, Some(0L))
+      .schema.fieldNames.contains("body"))
+  }
+
+  test("id-mode files WITHOUT footer ids fail loudly, never name-match") {
+    // the name-mode fixture's files carry physical names but no ids;
+    // an id-mode table pointing at them must refuse, not return
+    // accidental name matches or silent nulls
+    val t = makeTable(mode = "id")
+    val e = intercept[Exception] {
+      DeltaLog.read(spark, t.toString).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ").toLowerCase
+    assert(messages.contains("field id"),
+      s"expected a loud missing-field-id error, got: $messages")
+  }
+
+  test("unknown reader features stay refused loudly") {
     val e2 = intercept[IllegalArgumentException] {
       DeltaLog.read(spark, makeTable(minReader = 3).toString)
     }
