@@ -168,10 +168,17 @@ object IcebergExport {
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
       nullCounts: Map[Int, Long])
 
+  /** One manifest entry to write. `seq` — an EXPLICIT data sequence
+    * number (compaction survivors keep their original one so equality
+    * deletes keep scoping correctly); None inherits the manifest's.
+    * `status` — 1 ADDED (default) or 0 EXISTING (carried forward).
+    */
   private[sources] case class Added(
       absPath: String, sizeBytes: Long, records: Long,
       pv: Map[String, Option[String]] = Map.empty,
-      bounds: Option[FileBounds] = None)
+      bounds: Option[FileBounds] = None,
+      seq: Option[Long] = None,
+      status: Int = 1)
 
   /** Top-level column name → schema field-id (the bounds map keys). */
   private def topFieldIds(
@@ -495,8 +502,9 @@ object IcebergExport {
           dfRec.put("upper_bounds", null)
       }
       val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED
+      e.put("status", f.status)
       e.put("snapshot_id", snapId)
+      e.put("sequence_number", f.seq.map(Long.box).orNull)
       e.put("data_file", dfRec)
       w.append(e)
     } finally w.close()
@@ -509,7 +517,8 @@ object IcebergExport {
     */
   private[sources] case class ManifestRef(
       path: String, length: Long, added: Int, snapId: Option[Long],
-      content: Int = 0, specId: Int = 0, seq: Option[Long] = None)
+      content: Int = 0, specId: Int = 0, seq: Option[Long] = None,
+      minSeq: Option[Long] = None)
 
   private def priorManifests(
       prevManifestList: Option[String]): Seq[ManifestRef] =
@@ -532,7 +541,8 @@ object IcebergExport {
           // a dropped sequence would re-scope equality deletes to
           // nothing (every data file would look newer than the delete)
           opt("partition_spec_id").map(_.toString.toInt).getOrElse(0),
-          opt("sequence_number").map(_.toString.toLong))
+          opt("sequence_number").map(_.toString.toLong),
+          opt("min_sequence_number").map(_.toString.toLong))
       }.toVector
       finally r.close()
     }
@@ -558,9 +568,13 @@ object IcebergExport {
       m.put("partition_spec_id", mr.specId)
       m.put("content", mr.content)
       // all-ADDED manifests inherit this sequence number at the entry
-      // level (spec inheritance); min == the manifest's own seq then
+      // level (spec inheritance); min defaults to the manifest's own
+      // seq, except compaction manifests carrying EXISTING entries
+      // with older explicit seqs (a too-high min would let foreign
+      // planners skip equality deletes that still apply)
       m.put("sequence_number", mr.seq.map(Long.box).orNull)
-      m.put("min_sequence_number", mr.seq.map(Long.box).orNull)
+      m.put("min_sequence_number",
+        mr.minSeq.orElse(mr.seq).map(Long.box).orNull)
       m.put("added_snapshot_id", mr.snapId.getOrElse(snapId))
       m.put("added_data_files_count", mr.added)
       m.put("existing_data_files_count", 0)
@@ -601,7 +615,8 @@ object IcebergExport {
       schemaHistory: Seq[ObjectNode] = Nil,
       formatVersion: Int = 1,
       lastSequenceNumber: Long = 0L,
-      extraSpecs: Seq[ObjectNode] = Nil): String = {
+      extraSpecs: Seq[ObjectNode] = Nil,
+      properties: Map[String, String] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", formatVersion)
     // v2 requires the sequence-number watermark (deletes bumped the
@@ -638,7 +653,10 @@ object IcebergExport {
     extraSpecs.filter(_.get("spec-id").asInt() != 0)
       .foreach(s => specs.add(s.deepCopy[ObjectNode]()))
     root.put("last-partition-id", 999 + pfs.size)
-    root.putObject("properties")
+    val propsNode = root.putObject("properties")
+    properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      propsNode.put(k, v)
+    }
     root.put("current-snapshot-id", currentSnapshotId)
     val snapsArr = root.putArray("snapshots")
     snapshots.foreach(snapsArr.add)
@@ -736,7 +754,40 @@ object IcebergExport {
     * Partitioned tables stage with the table's own identity spec.
     * Returns the new snapshot id.
     */
-  def append(df: DataFrame, table: String): Long = {
+  def append(df: DataFrame, table: String): Long =
+    appendTxn(df, table, None).get
+
+  /** The last batch id `appId` committed to this table, from the
+    * `graft.txn.<appId>` TABLE PROPERTY — carried by every commit and
+    * immune to [[expireSnapshots]] (a summary-only watermark dies with
+    * its snapshot, which is exactly when a restarted job would
+    * double-commit). The reader half of the exactly-once handshake.
+    */
+  def lastBatchId(table: String, appId: String): Option[Long] =
+    propsOf(IcebergTable.metadataJson(table))
+      .get(s"graft.txn.$appId").map(_.toLong)
+
+  /** Exactly-once STREAMING SINK append — the
+    * [[DeltaExport.appendBatch]] twin in the other format (use from
+    * `foreachBatch((b, id) => IcebergExport.appendBatch(b, table,
+    * appId, id))`): a replayed `batchId` at or below the committed
+    * watermark is a NO-OP (its staged files are removed), otherwise
+    * the data commit and the watermark update land in ONE metadata
+    * claim — atomic, so a crash between them cannot split. The
+    * watermark re-checks inside the claim-retry loop: two attempts of
+    * the same batch racing after a driver failover resolve to one
+    * commit. Returns the new snapshot id, or None for a replay.
+    */
+  def appendBatch(
+      df: DataFrame, table: String, appId: String,
+      batchId: Long): Option[Long] = {
+    if (lastBatchId(table, appId).exists(_ >= batchId)) return None
+    appendTxn(df, table, Some((appId, batchId)))
+  }
+
+  private def appendTxn(
+      df: DataFrame, table: String,
+      txn: Option[(String, Long)]): Option[Long] = {
     requireSchemaMatch(df, table)
     val meta0 = IcebergTable.metadataJson(table)
     val partitionBy = IcebergTable.identityPartitionSources(meta0).map(_._2)
@@ -746,6 +797,15 @@ object IcebergExport {
     var snapId = 0L
     while (!committed) {
       val meta = IcebergTable.metadataJson(table)
+      txn.foreach { case (appId, batchId) =>
+        if (propsOf(meta).get(s"graft.txn.$appId").map(_.toLong)
+          .exists(_ >= batchId)) {
+          // a contender committed THIS batch meanwhile — clean the
+          // staged files and report the no-op
+          added.foreach(a => Files.deleteIfExists(Paths.get(a.absPath)))
+          return None
+        }
+      }
       val curVersion = IcebergTable.currentMetadataVersion(table)
       val curSnapId = Option(meta.get("current-snapshot-id"))
         .map(_.asLong()).filter(_ != -1L)
@@ -783,13 +843,16 @@ object IcebergExport {
         meta.get("snapshot-log").elements().asScala.map(e =>
           (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())).toSeq
       else Nil) :+ ((ts, snapId))
+      val props = propsOf(meta) ++ txn.map { case (appId, batchId) =>
+        s"graft.txn.$appId" -> batchId.toString
+      }
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), schemaNode,
         meta.get("last-column-id").asInt(), snaps, snapId, log, pfs,
-        history, fv, nextSeq, extraSpecsOf(meta))
+        history, fv, nextSeq, extraSpecsOf(meta), props)
       committed = claim(table, curVersion + 1, json)
     }
-    snapId
+    Some(snapId)
   }
 
   /** The table's full schema history (v2 `schemas` array, or the v1
@@ -801,6 +864,16 @@ object IcebergExport {
       meta.get("schemas").elements().asScala
         .map(_.deepCopy[ObjectNode]()).toSeq
     else Seq(meta.get("schema").deepCopy[ObjectNode]())
+
+  /** The table's `properties` map — carried through every commit
+    * (losing it would drop the streaming-sink txn watermarks below).
+    */
+  private def propsOf(
+      meta: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    if (meta.has("properties")) {
+      val o = meta.get("properties")
+      o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
+    } else Map.empty
 
   /** Partition specs beyond the default spec 0 (e.g. the unpartitioned
     * delete spec) — every commit must carry them forward: carried
@@ -892,7 +965,7 @@ object IcebergExport {
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), next, lastId,
         snaps, curSnapId, log, pfs, history :+ next, fv, lastSeq,
-        extraSpecsOf(meta))
+        extraSpecsOf(meta), propsOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
   }
@@ -1031,6 +1104,118 @@ object IcebergExport {
     deleted
   }
 
+  /** COMPACTION — the `rewrite_data_files` analog, matching the Delta
+    * tier's OPTIMIZE ([[DeltaExport.compact]]): per partition, data
+    * files under `targetBytes` are re-read (merge-on-read deletes
+    * APPLIED — position deletes on rewritten paths and equality
+    * deletes older than the new sequence number then naturally stop
+    * matching the new files) and rewritten into ~`targetBytes`
+    * outputs. One `replace` snapshot commits a fresh data manifest:
+    * surviving files carry over as EXISTING entries with their
+    * ORIGINAL data sequence numbers (so older equality deletes keep
+    * applying to them — the manifest's min_sequence_number reflects
+    * the oldest), new files are ADDED at the commit's sequence number;
+    * delete manifests carry forward unchanged. Snapshot lineage stays
+    * intact (time travel to pre-compaction snapshots reads the old
+    * small files; [[expireSnapshots]] reclaims them later). The
+    * small-file fix every streaming-fed table needs: per-file open/
+    * seek/scheduler overhead at 100 TB is paid per FILE, not per byte.
+    * Scope: tables whose manifests all carry the current schema (the
+    * [[deleteWhere]] guard — compaction after evolution would need
+    * per-era rewrite plumbing). Returns (files before, files after).
+    */
+  def rewriteDataFiles(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      targetBytes: Long): (Int, Int) = {
+    val meta0 = IcebergTable.metadataJson(table)
+    val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
+    val idParts0 = IcebergTable.identityPartitionSources(meta0)
+    val partitionBy = idParts0.map(_._2)
+    val snap0 = IcebergTable.currentSnapshotNode(meta0)
+    val entries0 = IcebergTable.dataFilesWithPartitions(
+      table, meta0, snap0, idParts0.map(p => (p._1, p._3)))
+    require(entries0.forall(_.writerSchemaJson.forall(
+      _ == schemaNode0.toString)),
+      "rewriteDataFiles on schema-evolved tables is out of scope: " +
+        "manifests written under older schemas need per-era rewrite " +
+        "plumbing")
+    val before = entries0.size
+    // candidates: partitions with ≥2 under-target files
+    val victims = entries0.groupBy(_.pv).values.flatMap { fs =>
+      val small = fs.filter(f =>
+        Files.size(Paths.get(f.path)) < targetBytes)
+      if (small.size >= 2) small else Nil
+    }.map(_.path).toSet
+    if (victims.isEmpty) return (before, before)
+    // MoR-resolved rows of exactly the victim files, bin-packed into
+    // ~targetBytes write tasks (partitionBy then splits per dir) and
+    // rewritten in the table's own partition layout — one distributed
+    // job
+    val victimBytes = entries0.filter(e => victims(e.path))
+      .map(e => Files.size(Paths.get(e.path))).sum
+    val bins = math.max(1L,
+      (victimBytes + targetBytes - 1) / targetBytes).toInt
+    val rows = IcebergTable.readKeep(spark, table, victims).coalesce(bins)
+    val added = stageIn(rows, table, partitionBy, topFieldIds(schemaNode0))
+    var committed = false
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val curSnapId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      val curSnap = curSnapId.flatMap { id =>
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+      }
+      val prevList = curSnap.flatMap(s =>
+        Option(s.get("manifest-list")).map(_.asText()))
+      // survivors recomputed from the FRESH state so a concurrent
+      // append's files are never dropped by the full-manifest rewrite
+      val snapNow = IcebergTable.currentSnapshotNode(meta)
+      val entriesNow = IcebergTable.dataFilesWithPartitions(
+        table, meta, snapNow, idParts0.map(p => (p._1, p._3)))
+      val survivors = entriesNow.filterNot(e => victims(e.path))
+        .map(e => Added(e.path, Files.size(Paths.get(e.path)), e.records,
+          e.pv,
+          if (e.lower.isEmpty && e.upper.isEmpty && e.nullCounts.isEmpty) None
+          else Some(FileBounds(e.lower, e.upper, e.nullCounts)),
+          seq = Some(e.seq), status = 0))
+      val snapId2 = newSnapshotId()
+      val schemaNode = IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
+      val history = schemaHistoryOf(meta)
+      val pfs = partFieldsOf(schemaNode, IcebergTable.schemaOf(meta),
+        partitionBy)
+      val (fv, lastSeq) = fvOf(meta)
+      val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
+      val (mPath, mLen, mCount) = writeManifest(
+        table, snapId2, schemaNode.toString, added ++ survivors, pfs)
+      val minSeq = (survivors.flatMap(_.seq) :+ nextSeq).min
+      val ml = writeManifestList(
+        table, snapId2,
+        ManifestRef(mPath, mLen, mCount, Some(snapId2),
+          seq = if (fv >= 2) Some(nextSeq) else None,
+          minSeq = if (fv >= 2) Some(minSeq) else None) +:
+          priorManifests(prevList).filter(_.content == 1))
+      val ts = System.currentTimeMillis()
+      val newSnap = snapshotNode(
+        snapId2, curSnapId, ts, ml, added.size, added.map(_.records).sum,
+        if (fv >= 2) Some(nextSeq) else None, operation = "replace")
+      val snaps = meta.get("snapshots").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
+      val log = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(),
+            e.get("snapshot-id").asLong())).toSeq
+      else Nil) :+ ((ts, snapId2))
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(), schemaNode,
+        meta.get("last-column-id").asInt(), snaps, snapId2, log, pfs,
+        history, fv, nextSeq, extraSpecsOf(meta), propsOf(meta))
+      committed = claim(table, curVersion + 1, json)
+    }
+    (before, before - victims.size + added.size)
+  }
+
   /** UniForm-style Delta→Iceberg METADATA conversion: author Iceberg
     * metadata over a Delta table's CURRENT active file set — the SAME
     * parquet files, zero data copied or moved (`metadata/` lands next
@@ -1117,7 +1302,8 @@ object IcebergExport {
           snaps, snapId, log, pfs,
           formatVersion = fv,
           lastSequenceNumber = if (fv >= 2) lastSeq + 1 else 0L,
-          extraSpecs = extraSpecsOf(meta))
+          extraSpecs = extraSpecsOf(meta),
+          properties = propsOf(meta))
         committed = claim(table, curVersion + 1, json)
       }
     }
@@ -1259,7 +1445,8 @@ object IcebergExport {
         history,
         formatVersion = 2, // position deletes are a v2 feature
         lastSequenceNumber = nextSeq,
-        extraSpecs = specs)
+        extraSpecs = specs,
+        properties = propsOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)
@@ -1379,7 +1566,8 @@ object IcebergExport {
         history,
         formatVersion = 2, // equality deletes are a v2 feature
         lastSequenceNumber = nextSeq,
-        extraSpecs = specs)
+        extraSpecs = specs,
+        properties = propsOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)

@@ -579,6 +579,13 @@ object IcebergTable {
       snapshotId: Option[Long] = None): DataFrame =
     readCore(spark, table, snapshotId, None)
 
+  /** [[read]] restricted to the given data files, deletes still
+    * applied — the MoR-resolved row view compaction rewrites.
+    */
+  private[sources] def readKeep(
+      spark: SparkSession, table: String, keep: Set[String]): DataFrame =
+    readCore(spark, table, None, Some(keep))
+
   /** MANIFEST-level file skipping — (kept, total): the data files
     * whose spec bounds (`lower_bounds`/`upper_bounds`, decoded per
     * [[IcebergBounds]]) or identity-partition VALUE could admit a row
