@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Multimodal.queries ++
       graft.queries.Extended.queries ++
       graft.queries.TrainingSet.queries ++
-      graft.queries.WarehouseQueries.queries
+      graft.queries.WarehouseQueries.queries ++
+      graft.queries.LakehouseScan.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Multimodal.oracleSql ++
       graft.queries.Extended.oracleSql ++
       graft.queries.TrainingSet.oracleSql ++
-      graft.queries.WarehouseQueries.oracleSql
+      graft.queries.WarehouseQueries.oracleSql ++
+      graft.queries.LakehouseScan.oracleSql
 }

@@ -55,6 +55,13 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] x20 bloom dump failed: ${e.getMessage}")
     }
+    // Author the lakehouse tables (Delta DV / Iceberg v2 deletes /
+    // SCD2 MERGE dim) BEFORE the query pass — x22/x23/w23 then read
+    // them like any other fit-time dump.
+    try graft.queries.LakehouseScan.dumpTables(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] lakehouse table dump failed: ${e.getMessage}")
+    }
     // One retry per query: a missing parquet dir silently drops the
     // query from the driver's correctness artifact (this is how
     // x20_bloom_join lost its r9 row to a transient failure), so a

@@ -1,0 +1,205 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.sources.{DeltaExport, DeltaLog, DeltaScd2, IcebergExport, IcebergTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lakehouse readers under the HARD oracle gate (r13): the Delta and
+  * Iceberg byte-level formats were spec-only — proven against this
+  * repo's own assertions. These queries author a real table from the
+  * driver's testdata in a dump phase (create + row-level deletes, so
+  * the deletion-vector / position-delete / equality-delete read paths
+  * are all on the hot path), then read it back; the DuckDB oracle
+  * computes the same result from the ORIGINAL parquet minus the
+  * deleted keys. A byte off in the DV codec, the manifest decode or
+  * the sequence-number scoping now fails a correctness row, not just
+  * a spec.
+  *
+  * Tables build once per session per sf-dir (same fit-once discipline
+  * as the warehouse/centroid dumps) under `target/graft_lakehouse/`,
+  * rebuilt fresh per JVM so stale tables from prior rounds never leak
+  * in.
+  */
+object LakehouseScan {
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+
+  /** Build `kind` for `dir` exactly once per session; fresh per JVM. */
+  private def buildOnce(kind: String, dir: String)(
+      f: String => Unit): String =
+    built.computeIfAbsent(s"$kind|$dir", { _ =>
+      val sf = new java.io.File(dir).getName
+      val t = graft.RepoPaths.target(s"graft_lakehouse/$sf/$kind")
+      deleteRec(Paths.get(t))
+      f(t)
+      t
+    })
+
+  /** Delta table from `customer` with a deletion-vector row delete:
+    * every `c_custkey % 7 == 0` row is DV-deleted (no file rewrite).
+    */
+  private def deltaCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("delta_customer", dir) { t =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+        .repartition(1).sortWithinPartitions("c_custkey")
+      DeltaExport.create(cust, t)
+      DeltaExport.deleteWhere(spark, t, col("c_custkey") % 7 === 0)
+    }
+
+  /** Iceberg v2 table from `orders` with BOTH merge-on-read delete
+    * kinds: position deletes (`o_orderkey % 5 == 0`) and an equality
+    * delete on the `o_custkey` values `% 10 == 3`.
+    */
+  private def icebergOrders(spark: SparkSession, dir: String): String =
+    buildOnce("iceberg_orders", dir) { t =>
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .repartition(1).sortWithinPartitions("o_orderkey")
+      IcebergExport.create(orders, t)
+      IcebergExport.deleteWhere(spark, t, col("o_orderkey") % 5 === 0)
+      val keys = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey")).filter(col("o_custkey") % 10 === 3)
+        .distinct()
+      IcebergExport.deleteWhereEquality(spark, t, keys)
+    }
+
+  /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
+    * chronological observation batches of the events stream (tercile
+    * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
+    * the write path and the as-of read path certify each other.
+    */
+  private def scd2Dim(spark: SparkSession, dir: String): String =
+    buildOnce("scd2_dim", dir) { t =>
+      val ev = graft.Tables.eventsUs(spark, dir)
+        .select(col("user_id"), col("event_type"), col("tus"),
+          col("event_id"))
+      val r = ev.agg(min(col("tus")), max(col("tus"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val (b1, b2) = (mn + (mx - mn) / 3, mn + 2 * ((mx - mn) / 3))
+      DeltaScd2.merge(spark, t, ev.filter(col("tus") < b1))
+      DeltaScd2.merge(spark, t,
+        ev.filter(col("tus") >= b1 && col("tus") < b2))
+      DeltaScd2.merge(spark, t, ev.filter(col("tus") >= b2))
+    }
+
+  /** Pre-build all tables — Verify's dump phase calls this BEFORE the
+    * query pass so first-query latency never includes a table build.
+    */
+  def dumpTables(spark: SparkSession, dir: String): Unit = {
+    deltaCustomer(spark, dir)
+    icebergOrders(spark, dir)
+    scd2Dim(spark, dir)
+  }
+
+  /** x22 — Delta scan through the log replay + deletion-vector
+    * anti-join, filtered and ordered. Oracle: the original customer
+    * parquet minus the DV-deleted keys.
+    */
+  def deltaScan(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.read(spark, deltaCustomer(spark, dir))
+      .filter(col("c_nationkey") < 13)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** x23 — Iceberg v2 scan through manifest replay + BOTH
+    * merge-on-read delete kinds (position anti-join on
+    * (path, row_index); equality anti-join on o_custkey scoped by
+    * sequence number). Oracle: the original orders parquet minus both
+    * deleted sets.
+    */
+  def icebergScan(spark: SparkSession, dir: String): DataFrame =
+    IcebergTable.read(spark, icebergOrders(spark, dir))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  /** w23 — w22's point-in-time enrichment reading the REAL
+    * MERGE-maintained Delta dimension (not the in-memory w21 frame):
+    * each purchase joins to the SCD2 version in effect strictly
+    * before it via the native as-of operator. Batch-merged history
+    * equals the from-scratch w21 derivation (pinned by
+    * DeltaScd2Spec), so the oracle is w22's SQL minus the per-version
+    * event count a merge cannot see.
+    */
+  def scd2DeltaPit(spark: SparkSession, dir: String): DataFrame = {
+    val dim = DeltaLog.read(spark, scd2Dim(spark, dir))
+      .select(
+        col("user_id").as("v_user"), col("valid_from_us"), col("version"),
+        col("event_type").as("state_type"))
+    val purchases = graft.Tables.eventsUs(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), (col("tus") - 1L).as("asof_us"),
+        col("event_id").as("purchase_id"), col("tus").as("purchase_us"))
+    graft.plans.AsofJoin.asof(purchases, dim)
+      .select(
+        col("user_id"), col("purchase_id"), col("purchase_us"),
+        col("version"), col("state_type"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x22_delta_scan" -> deltaScan,
+    "x23_iceberg_scan" -> icebergScan,
+    "w23_scd2_delta_pit" -> scd2DeltaPit)
+
+  val oracleSql: Map[String, String] = Map(
+    "x22_delta_scan" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_custkey % 7 <> 0 AND c_nationkey < 13
+         ORDER BY c_custkey""",
+    "x23_iceberg_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+         FROM orders
+         WHERE o_orderkey % 5 <> 0 AND o_custkey % 10 <> 3
+         ORDER BY o_orderkey""",
+    "w23_scd2_delta_pit" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+                  CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         ver AS (
+           SELECT user_id, event_type, tus,
+                  CAST(SUM(chg) OVER (PARTITION BY user_id
+                    ORDER BY tus, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS version
+           FROM flagged),
+         v AS (
+           SELECT user_id AS v_user, version,
+                  MIN(event_type) AS state_type,
+                  CAST(MIN(tus) AS BIGINT) AS valid_from_us
+           FROM ver GROUP BY 1, 2),
+         p AS (
+           SELECT user_id, event_id AS purchase_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS purchase_us
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.user_id, p.purchase_id, p.purchase_us,
+                  v.version, v.state_type,
+                  row_number() OVER (PARTITION BY p.purchase_id
+                    ORDER BY v.valid_from_us DESC, v.version DESC) AS rn
+           FROM p JOIN v ON v.v_user = p.user_id
+            AND v.valid_from_us <= p.purchase_us - 1)
+         SELECT user_id, purchase_id, purchase_us, version, state_type
+         FROM j WHERE rn = 1 ORDER BY purchase_id""")
+}
