@@ -23,37 +23,65 @@ object Bench {
   private def strArr(xs: Seq[String]): String =
     xs.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+  /** PINNED artifact statistic (r13, the r12 verdict's protocol fix):
+    * per-query MEDIAN of the round-robin reps. The median is two-sided
+    * robust — one contention burst inflates at most one sample per
+    * query (round-robin spreading) and the median ignores it, while
+    * staying honest about sustained load in a way min-of-reps (the
+    * floor, always the luckiest sample) is not. Cross-round ratios are
+    * computed median-vs-median; the artifact still carries "mins" and
+    * the raw "reps" so both statistics stay auditable.
+    */
+  def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** 1-minute system load average — the LOAD MARKER recorded at bench
+    * start and end, so a contended artifact is visibly contended
+    * instead of having to be inferred from round-over-round deltas.
+    */
+  def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   /** The single stdout result line. Deliberately CONTAINS NO PER-QUERY
     * MAP: with 94 registered queries even ms-precision values made the
     * line ~2.6 KB, and round 6 proved the driver's stdout tail buffer
     * clips somewhere below that (the leading `{` was cut → "parsed":
     * null in the official artifact, two rounds running, two shrinks
-    * running). Totals + failures fit in ~150 bytes, which no plausible
+    * running). Totals + failures fit in ~200 bytes, which no plausible
     * tail buffer clips; the full per-query map and per-rep samples live
     * in the committed artifact named by `queries_file`. Public for the
     * format spec, which pins the length budget.
     */
   def stdoutLine(total: Double, nQueries: Int, failed: Seq[String],
-      sfDir: String): String =
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":$nQueries,""" +
+      sfDir: String, load: (Double, Double)): String =
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median","nqueries":$nQueries,""" +
+      s""""load":[${fmt(load._1)},${fmt(load._2)}],""" +
       s""""failed":${strArr(failed.sorted)},"queries_file":"BENCH_RESULT.json","sf":"$sfDir"}"""
 
   /** The full artifact (written to BENCH_RESULT.json, committed per
-    * round): per-query min-of-reps under "queries" (the headline
-    * statistic) AND the raw per-rep samples under "reps" — so a
-    * host-contention burst is VISIBLE in the artifact itself (one
-    * inflated sample among flat ones) instead of having to be inferred
-    * from round-over-round deltas, as round 6's adjudication had to.
+    * round): per-query median-of-reps under "queries" (the PINNED
+    * headline statistic, see [[median]]), min-of-reps under "mins",
+    * AND the raw per-rep samples under "reps" — so a host-contention
+    * burst is VISIBLE in the artifact itself (one inflated sample
+    * among flat ones), with the load markers beside it.
     */
-  def fileJson(mins: Seq[(String, Double)], reps: Seq[(String, Seq[Double])],
-      failed: Seq[String], sfDir: String): String = {
-    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val rs = reps.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val total = mins.map(_._2).sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+  def fileJson(meds: Seq[(String, Double)], mins: Seq[(String, Double)],
+      reps: Seq[(String, Seq[Double])],
+      failed: Seq[String], sfDir: String, load: (Double, Double)): String = {
+    def obj(kv: Seq[(String, String)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(meds.map { case (k, v) => k -> fmt(v) })
+    val ms = obj(mins.map { case (k, v) => k -> fmt(v) })
+    val rs = obj(reps.map { case (k, ts) =>
+      k -> ts.map(fmt).mkString("[", ",", "]")
+    })
+    val total = meds.map(_._2).sum
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median",""" +
+      s""""load":[${fmt(load._1)},${fmt(load._2)}],"queries":$qs,"mins":$ms,""" +
       s""""reps":$rs,"failed":${strArr(failed.sorted)},"sf":"$sfDir"}"""
   }
 
@@ -119,6 +147,7 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap(
       names.map(_ -> Vector.empty[Double]): _*)
     var failed = Set.empty[String]
+    val loadStart = loadAvg()
     for (rep <- 1 to reps; name <- names if !failed(name)) {
       val t0 = System.nanoTime()
       // A query that THROWS (e.g. the d5 corpus-size guard tripping at
@@ -137,10 +166,13 @@ object Bench {
       }
     }
     val ok = names.filterNot(failed)
+    val load = (loadStart, loadAvg())
+    val meds = ok.map(n => n -> median(times(n)))
     val mins = ok.map(n => n -> times(n).min)
-    val total = mins.map(_._2).sum
-    val artifact = fileJson(mins, ok.map(n => n -> times(n)), failed.toSeq, sfDir)
-    val line = stdoutLine(total, ok.size, failed.toSeq, sfDir)
+    val total = meds.map(_._2).sum
+    val artifact = fileJson(
+      meds, mins, ok.map(n => n -> times(n)), failed.toSeq, sfDir, load)
+    val line = stdoutLine(total, ok.size, failed.toSeq, sfDir, load)
     // Belt and braces for the driver's parser: the full artifact goes
     // to a file (stable path, no log interleaving, no size limit) and
     // ONLY the short line is the final stdout line of the run. The file

@@ -65,10 +65,14 @@ object LakehouseScan {
     */
   private def icebergOrders(spark: SparkSession, dir: String): String =
     buildOnce("iceberg_orders", dir) { t =>
+      // 8 data files, not 1: the scan parallelizes (a one-file table
+      // reads single-task — measured 2.4 s vs ~0.4 s at sf0.1), the
+      // position deletes name MULTIPLE files and the per-file
+      // sequence-number attach is exercised across files
       val orders = spark.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_orderpriority"))
-        .repartition(1).sortWithinPartitions("o_orderkey")
+        .repartition(8, col("o_orderkey")).sortWithinPartitions("o_orderkey")
       IcebergExport.create(orders, t)
       IcebergExport.deleteWhere(spark, t, col("o_orderkey") % 5 === 0)
       val keys = spark.read.parquet(s"$dir/orders.parquet")

@@ -31,8 +31,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * carries `parquet.field.id` = `delta.columnMapping.id`, Spark's
   * field-id read path does the per-file resolution, so renames and
   * early-adopter id-mode tables read correctly with zero remap.
-  * Unsupported reader features (v2 checkpoints, timestampNtz, …)
-  * fail LOUDLY rather than returning wrong rows.
+  * Implemented reader features: deletionVectors, columnMapping
+  * (both modes), timestampNtz (native TimestampNTZType), and
+  * v2Checkpoint (UUID-named checkpoints incl. sidecar file actions).
+  * Genuinely unknown reader features fail LOUDLY rather than
+  * returning wrong rows.
   *
   * Scale shape: the log replay is metadata work — the same
   * driver-side snapshot state delta-spark itself keeps — bounded by
@@ -141,15 +144,35 @@ object DeltaLog {
       .filter(_.nonEmpty)
       .foldLeft(s)((st, line) => applyAction(st, mapper.readTree(line)))
 
-  /** Load a (possibly multi-part) parquet checkpoint into a State —
-    * a checkpoint row has exactly one non-null action column, same
-    * action vocabulary as the JSON form.
+  /** Load a (possibly multi-part v1, or UUID-named V2) parquet
+    * checkpoint into a State — a checkpoint row has exactly one
+    * non-null action column, same action vocabulary as the JSON form.
+    * V2 checkpoints (PROTOCOL.md "V2 Spec Checkpoints") may move
+    * their file actions into SIDECAR parquet files under
+    * `_delta_log/_sidecars/`, referenced by `sidecar` action rows in
+    * the main file — those load through this same function
+    * (recursion depth 1: sidecars cannot reference sidecars). The
+    * `checkpointMetadata` action is structural and carries no reader
+    * state.
     */
   private def applyCheckpoint(
       spark: SparkSession, s: State, parts: Seq[Path]): State = {
     val df = spark.read.parquet(parts.map(_.toString): _*)
     val cols = df.columns.toSet
     var st = s
+    if (cols.contains("sidecar")) {
+      val sidecarDir = parts.head.getParent.resolve("_sidecars")
+      val sidecars = df.select(col("sidecar.path"))
+        .filter(col("path").isNotNull).collect().map(_.getString(0))
+        .map { p =>
+          // a bare file name resolves under _sidecars/; URIs strip
+          // their scheme (local-path module contract)
+          val clean = p.replaceFirst("^file:/*", "/")
+          if (clean.startsWith("/")) Paths.get(clean)
+          else sidecarDir.resolve(clean)
+        }.toSeq
+      if (sidecars.nonEmpty) st = applyCheckpoint(spark, st, sidecars)
+    }
     if (cols.contains("protocol")) {
       val protoFields = df.schema("protocol").dataType
         .asInstanceOf[StructType].fieldNames.toSet
@@ -243,8 +266,12 @@ object DeltaLog {
     }
     val commits = entries.filter(_.matches("\\d{20}\\.json"))
       .map(n => versionOf(n) -> n).sortBy(_._1)
+    // classic (single or .N.M multi-part) checkpoints, plus the
+    // UUID-named V2 form
     val checkpoints = entries
-      .filter(n => n.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet"))
+      .filter(n =>
+        n.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet") ||
+          n.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F][0-9a-fA-F-]{7,}\\.parquet"))
       .groupBy(versionOf).toSeq.sortBy(_._1)
     val latest = versionAsOf.getOrElse(
       (commits.map(_._1) ++ checkpoints.map(_._1)).maxOption.getOrElse(
@@ -265,14 +292,21 @@ object DeltaLog {
     // Protocol gate (narrowed again r13): v1 plain tables; v2 tables
     // with NAME- or ID-mode column mapping; and v3 feature-gated
     // tables whose readerFeatures this module actually implements —
-    // deletionVectors (applied in the read below) and columnMapping
+    // deletionVectors (applied in the read below), columnMapping
     // (both modes: name resolves by stable physical name, id by
-    // parquet footer field-ids). Everything else — unknown reader
-    // features like v2Checkpoint/timestampNtz — is refused loudly:
-    // wrong rows would be worse than no rows.
+    // parquet footer field-ids), and timestampNtz (schemaString
+    // parses to Spark's native TimestampNTZType; the parquet encoding
+    // is INT64 isAdjustedToUTC=false, which the scan reads directly —
+    // the feature flag exists because OLD readers would misread NTZ
+    // as instants, which this reader does not), and v2Checkpoint
+    // (UUID-named checkpoints with sidecar file actions — see
+    // applyCheckpoint). Everything else — genuinely unknown reader
+    // features — is refused loudly: wrong rows would be worse than
+    // no rows.
     val mappingMode = st.configuration
       .getOrElse("delta.columnMapping.mode", "none")
-    val implemented = Set("deletionVectors", "columnMapping")
+    val implemented =
+      Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
     val modes = Set("none", "name", "id")
     val ok = st.minReader match {
       case v if v <= 1 => true
@@ -615,7 +649,9 @@ object DeltaLog {
       finally s.close()
     }
     (entries.filter(_.matches("\\d{20}\\.json")) ++
-      entries.filter(_.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet")))
+      entries.filter(n =>
+        n.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet") ||
+          n.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F][0-9a-fA-F-]{7,}\\.parquet")))
       .map(versionOf).maxOption
       .getOrElse(throw new IllegalStateException(s"empty _delta_log at $table"))
   }

@@ -541,6 +541,39 @@ object IcebergTable {
       case _ => false
     }
 
+  /** NESTED alignment check for the positional cast below: the
+    * structurally-identical cast renames nested struct fields BY
+    * POSITION, which is only value-correct when the writer's and the
+    * current schema's nested fields pair up by FIELD-ID in the same
+    * order. A foreign table whose nested struct fields were reordered
+    * across schema eras (two same-typed fields swapped) would pass
+    * the structural check and silently SWAP VALUES — refuse loudly
+    * instead (full nested by-id projection is out of scope; top-level
+    * columns already resolve by id). Ids compare when both sides
+    * carry them (the spec requires them); names are the fallback for
+    * out-of-spec nodes.
+    */
+  private def nestedAligned(wt: JsonNode, ct: JsonNode): Boolean =
+    if (wt.isTextual || ct.isTextual) true // primitives: promotable() rules
+    else (wt.get("type").asText(), ct.get("type").asText()) match {
+      case ("struct", "struct") =>
+        val wf = wt.get("fields").elements().asScala.toSeq
+        val cf = ct.get("fields").elements().asScala.toSeq
+        wf.length == cf.length && wf.zip(cf).forall { case (w, c) =>
+          val idsOk = (Option(w.get("id")), Option(c.get("id"))) match {
+            case (Some(a), Some(b)) => a.asInt() == b.asInt()
+            case _ => w.get("name").asText() == c.get("name").asText()
+          }
+          idsOk && nestedAligned(w.get("type"), c.get("type"))
+        }
+      case ("list", "list") =>
+        nestedAligned(wt.get("element"), ct.get("element"))
+      case ("map", "map") =>
+        nestedAligned(wt.get("key"), ct.get("key")) &&
+          nestedAligned(wt.get("value"), ct.get("value"))
+      case _ => true // shape mismatch: promotable() refuses it anyway
+    }
+
   /** Fully-nullable rendering of a type — file sources force nullable
     * output, so cast TARGETS must not demand non-null (a cast to a
     * non-null array element is unresolvable even when types match).
@@ -709,6 +742,11 @@ object IcebergTable {
                   "beyond the spec's lossless promotions (int→long, " +
                   "float→double, decimal widening): refused rather than " +
                   "miscast")
+              require(nestedAligned(wf.get("type"), cf.get("type")),
+                s"column $name (field-id ${cf.get("id").asInt()}): nested " +
+                  "fields were REORDERED across the schema history — the " +
+                  "positional nested rename would silently swap values; " +
+                  "refused (rewrite the data, or keep nested field order)")
               val colExpr =
                 if (physName == name && physDt == logicalDt) col(name)
                 else
@@ -770,10 +808,19 @@ object IcebergTable {
       }
     // per-file constants (identity partition sources + the file's
     // data sequence number when equality deletes need it) attach via
-    // ONE metadata-sized broadcast equi-join on the canonical path
+    // ONE metadata-sized broadcast equi-join on the canonical path.
+    // Fast path: an unpartitioned snapshot whose files all share one
+    // sequence number (every table until its first post-delete
+    // append) attaches the seq as a LITERAL — no join at all.
+    val oneSeq = entries.map(_.seq).distinct match {
+      case Seq(s) => Some(s)
+      case _ => None
+    }
     val withParts =
       if (idParts.isEmpty && eqDeletes.isEmpty) {
         if (posDeletes.isEmpty) data else data.drop("__ib_f")
+      } else if (idParts.isEmpty && oneSeq.isDefined) {
+        data.withColumn("__ib_seq", lit(oneSeq.get)).drop("__ib_f")
       } else {
         import spark.implicits._
         val pvRows = entries.map { e =>

@@ -206,11 +206,11 @@ class DeltaDvSpec extends SparkSpec {
     DeltaExport.create(Seq((1L, "a")).toDF("id", "s"), t)
     val dir = java.nio.file.Paths.get(t, "_delta_log")
     Files.writeString(dir.resolve(f"${1L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" + "\n")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":["variantType"]}}""" + "\n")
     val e = intercept[IllegalArgumentException] {
       DeltaLog.read(spark, t)
     }
-    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    assert(e.getMessage.contains("variantType"), e.getMessage)
   }
 
   private implicit class SortedOps(a: Array[Long]) {

@@ -115,6 +115,58 @@ class IcebergEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("changed TYPE"), e.getMessage)
   }
 
+  test("nested struct REORDER is refused; nested rename in place reads fine") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+    def forge(mutate: ArrayNode => Unit): String = {
+      val t = tmpTable()
+      IcebergExport.create(
+        Seq((1L, "x", "y")).toDF("id", "a", "b")
+          .select(col("id"), struct(col("a"), col("b")).as("s")), t)
+      val root = mapper.readTree(
+        Paths.get(t, "metadata", "v1.metadata.json").toFile)
+        .asInstanceOf[ObjectNode]
+      val evolved = root.get("schemas").get(0).deepCopy[ObjectNode]()
+      val nested = evolved.get("fields").elements().asScala
+        .find(_.get("name").asText() == "s").get
+        .get("type").withArray[ArrayNode]("fields")
+      mutate(nested)
+      evolved.put("schema-id", 1)
+      root.put("current-schema-id", 1)
+      root.withArray[ArrayNode]("schemas").add(evolved)
+      root.set[ObjectNode]("schema", evolved.deepCopy[ObjectNode]())
+      Files.writeString(
+        Paths.get(t, "metadata", "v2.metadata.json"), root.toString)
+      Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "2")
+      t
+    }
+    // two same-typed nested strings SWAPPED (ids keep their names):
+    // the positional cast would silently exchange the values
+    val swapped = forge { nested =>
+      val (f0, f1) = (nested.get(0).deepCopy[ObjectNode](),
+        nested.get(1).deepCopy[ObjectNode]())
+      nested.removeAll()
+      nested.add(f1); nested.add(f0)
+    }
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.read(spark, swapped).collect()
+    }
+    assert(e.getMessage.contains("REORDERED"), e.getMessage)
+    // a nested RENAME in place (same ids, same order) stays readable —
+    // position equals identity here, so the rename is value-correct
+    val renamed = forge { nested =>
+      nested.get(0).asInstanceOf[ObjectNode].put("name", "a2")
+    }
+    val df = IcebergTable.read(spark, renamed)
+    assert(df.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("a2", "b"))
+    val r = df.select(col("s.a2"), col("s.b")).collect().head
+    assert((r.getString(0), r.getString(1)) == ("x", "y"),
+      "in-place nested rename must keep values with their ids")
+  }
+
   test("time travel across evolution reads each snapshot under the CURRENT schema") {
     // Iceberg semantics: time travel picks a SNAPSHOT (data), not a
     // schema — the current schema projects whatever files that
