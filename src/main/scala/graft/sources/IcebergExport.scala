@@ -1329,54 +1329,19 @@ object IcebergExport {
   def deleteWhere(
       spark: org.apache.spark.sql.SparkSession, table: String,
       condition: org.apache.spark.sql.Column): Option[Long] = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace, url_decode}
+    import org.apache.spark.sql.functions.col
     val meta0 = IcebergTable.metadataJson(table)
-    val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
-    val schema = IcebergTable.schemaOf(meta0)
-    val idParts = IcebergTable.identityPartitionSources(meta0)
     val snap0 = IcebergTable.currentSnapshotNode(meta0)
-    val entries = IcebergTable.dataFilesWithPartitions(
-      table, meta0, snap0, idParts.map(p => (p._1, p._3)))
-    require(entries.forall(_.writerSchemaJson.forall(
-      _ == schemaNode0.toString)),
-      "deleteWhere on schema-evolved tables is out of scope: manifests " +
-        "written under older schemas need per-era scan plumbing; " +
-        "rewrite the table (or delete before evolving)")
-    if (entries.isEmpty) return None
-    val srcCols = idParts.map(_._2)
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => srcCols.contains(f.name)))
-    val canonF = regexp_replace(
-      url_decode(regexp_replace(
-        col("_metadata.file_path"), "^file:/*", "/")), "/+", "/")
-    val base = spark.read.schema(dataSchema)
-      .parquet(entries.map(_.path): _*)
-      .select(col("*"), canonF.as("__f"),
-        col("_metadata.row_index").as("__i"))
-    // identity partition sources attach as per-file constants so the
-    // condition may reference them (the reader's own discipline)
-    val withPv =
-      if (idParts.isEmpty) base
-      else {
-        import spark.implicits._
-        val pvRows = entries.map(e =>
-          (e.path, idParts.map { case (pn, _, _) => e.pv(pn).orNull }))
-        val pvFrame = pvRows.toDF("__pv_file", "__pv")
-          .select(
-            col("__pv_file") +:
-              idParts.zipWithIndex.map { case ((_, src, _), i) =>
-                col("__pv").getItem(i).as(src)
-              }: _*)
-        val joined = base.join(
-          broadcast(pvFrame), col("__f") === col("__pv_file"))
-          .drop("__pv_file")
-        srcCols.foldLeft(joined) { (d, c) =>
-          d.withColumn(c, col(c).cast(schema(c).dataType))
-        }
-      }
-    // matched set: bounded by rows deleted in THIS call
-    val matched = withPv.filter(condition)
-      .select(col("__f"), col("__i")).collect()
+    if (IcebergTable.dataFilesOf(table, meta0, snap0).isEmpty) return None
+    // per-era position-preserving scan (r13 — the schema-evolution
+    // refusal lifted): evolution resolves by field-id exactly as a
+    // read does, identity partition sources attach so the condition
+    // may reference them, and each row carries its (file, row index).
+    // Rows already dead under existing deletes may re-match — a
+    // duplicate position entry is harmless by the reader's anti-join.
+    val matched = IcebergTable.readWithPos(spark, table)
+      .filter(condition)
+      .select(col("__pos_file"), col("__pos_index")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     if (matched.isEmpty) return None
     // ONE sorted position-delete parquet file under data/, with the

@@ -696,10 +696,22 @@ object IcebergTable {
       .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
+  /** [[readCore]] keeping each row's physical position: the table's
+    * schema columns PLUS `__pos_file` (canonical data-file path) and
+    * `__pos_index` (in-file row index) — what a row-level delete
+    * writer needs to name positions. Evolution resolves per era like
+    * any read; existing deletes are NOT applied (re-deleting an
+    * already-dead position is harmless by the reader's anti-join).
+    */
+  private[sources] def readWithPos(
+      spark: SparkSession, table: String): DataFrame =
+    readCore(spark, table, None, None, withPos = true)
+
   private def readCore(
       spark: SparkSession, table: String,
       snapshotId: Option[Long],
-      keep: Option[Set[String]]): DataFrame = {
+      keep: Option[Set[String]],
+      withPos: Boolean = false): DataFrame = {
     val meta = metadataJson(table)
     val schemaNode = schemaNodeOf(meta)
     val schema = toSparkType(schemaNode).asInstanceOf[StructType]
@@ -712,12 +724,15 @@ object IcebergTable {
       case Some(k) => entries0.filter(e => k.contains(e.path))
       case None => entries0
     }
-    val deletes = deleteFilesOf(table, meta, snap)
+    val deletes =
+      if (withPos) Nil else deleteFilesOf(table, meta, snap)
     val posDeletes = deletes.filter(_.content == 1).map(_.path)
     val eqDeletes = deletes.filter(_.content == 2)
-    if (entries.isEmpty)
+    if (entries.isEmpty) {
+      require(!withPos, "readWithPos on an empty snapshot")
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val srcCols = idParts.map(_._2)
     val curFields = schemaNode.get("fields").elements().asScala.toSeq
       .filterNot(f => srcCols.contains(f.get("name").asText()))
@@ -774,13 +789,13 @@ object IcebergTable {
         // equality-delete sequence scope — it must come from inside
         // each branch (expressions like input_file_name() cannot span
         // the joins below)
-        val needFile =
+        val needFile = withPos ||
           posDeletes.nonEmpty || idParts.nonEmpty || eqDeletes.nonEmpty
         val metaCols =
           (if (needFile)
             Seq(canonFile(col("_metadata.file_path")).as("__ib_f"))
           else Nil) ++
-            (if (posDeletes.nonEmpty)
+            (if (posDeletes.nonEmpty || withPos)
               Seq(col("_metadata.row_index").as("__ib_i"))
             else Nil)
         spark.read.schema(readSchema).parquet(files.map(_.path): _*)
@@ -818,7 +833,7 @@ object IcebergTable {
     }
     val withParts =
       if (idParts.isEmpty && eqDeletes.isEmpty) {
-        if (posDeletes.isEmpty) data else data.drop("__ib_f")
+        if (posDeletes.isEmpty || withPos) data else data.drop("__ib_f")
       } else if (idParts.isEmpty && oneSeq.isDefined) {
         data.withColumn("__ib_seq", lit(oneSeq.get)).drop("__ib_f")
       } else {
@@ -834,9 +849,10 @@ object IcebergTable {
               } ++
               (if (eqDeletes.nonEmpty) Seq(col("__seq").as("__ib_seq"))
               else Nil): _*)
-        data
+        val joined = data
           .join(broadcast(pvFrame), col("__ib_f") === col("__file"))
-          .drop("__ib_f", "__file")
+          .drop("__file")
+        if (withPos) joined else joined.drop("__ib_f")
       }
     // EQUALITY deletes (v2 merge-on-read, the CDC-writer form): a row
     // is deleted when its equality-column values null-safe-match ANY
@@ -877,9 +893,13 @@ object IcebergTable {
             d.join(broadcast(del), cond, "left_anti")
           }
       }
+    val posCols =
+      if (withPos)
+        Seq(col("__ib_f").as("__pos_file"), col("__ib_i").as("__pos_index"))
+      else Nil
     afterEq.select(schema.fields.map { f =>
       if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else col(f.name)
-    }: _*)
+    } ++ posCols: _*)
   }
 }

@@ -229,6 +229,22 @@ class IcebergDeleteSpec extends SparkSpec {
       s"pos must carry reserved field-id 2147483545: $ids")
   }
 
+  test("deleteWhere works AFTER schema evolution (per-era position scan)") {
+    val t = tbl()
+    IcebergExport.create(
+      Seq((1L, "keep"), (2L, "drop")).toDF("id", "name").coalesce(1), t)
+    IcebergExport.renameColumn(t, "name", "title")
+    IcebergExport.append(
+      Seq((3L, "drop"), (4L, "keep")).toDF("id", "title").coalesce(1), t)
+    // the condition uses the CURRENT name and must hit BOTH eras —
+    // the old file resolves 'title' to its physical 'name' by field-id
+    IcebergExport.deleteWhere(spark, t, col("title") === "drop")
+    val got = IcebergTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "keep"), (4L, "keep")),
+      s"evolution-era delete drifted: $got")
+  }
+
   test("equality deletes without equality_ids are refused loudly") {
     val t = tbl()
     IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
