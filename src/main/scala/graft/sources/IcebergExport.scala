@@ -1120,9 +1120,11 @@ object IcebergExport {
     * small files; [[expireSnapshots]] reclaims them later). The
     * small-file fix every streaming-fed table needs: per-file open/
     * seek/scheduler overhead at 100 TB is paid per FILE, not per byte.
-    * Scope: tables whose manifests all carry the current schema (the
-    * [[deleteWhere]] guard — compaction after evolution would need
-    * per-era rewrite plumbing). Returns (files before, files after).
+    * Schema-EVOLVED tables compact too (r13): survivors group into
+    * per-ERA manifests, each embedding its own era's write-time
+    * schema, so field-id resolution through old eras keeps working —
+    * a single current-schema manifest would re-brand old files and
+    * null their renamed columns. Returns (files before, files after).
     */
   def rewriteDataFiles(
       spark: org.apache.spark.sql.SparkSession, table: String,
@@ -1134,11 +1136,6 @@ object IcebergExport {
     val snap0 = IcebergTable.currentSnapshotNode(meta0)
     val entries0 = IcebergTable.dataFilesWithPartitions(
       table, meta0, snap0, idParts0.map(p => (p._1, p._3)))
-    require(entries0.forall(_.writerSchemaJson.forall(
-      _ == schemaNode0.toString)),
-      "rewriteDataFiles on schema-evolved tables is out of scope: " +
-        "manifests written under older schemas need per-era rewrite " +
-        "plumbing")
     val before = entries0.size
     // candidates: partitions with ≥2 under-target files
     val victims = entries0.groupBy(_.pv).values.flatMap { fs =>
@@ -1174,12 +1171,13 @@ object IcebergExport {
       val snapNow = IcebergTable.currentSnapshotNode(meta)
       val entriesNow = IcebergTable.dataFilesWithPartitions(
         table, meta, snapNow, idParts0.map(p => (p._1, p._3)))
-      val survivors = entriesNow.filterNot(e => victims(e.path))
-        .map(e => Added(e.path, Files.size(Paths.get(e.path)), e.records,
+      val survivorEntries = entriesNow.filterNot(e => victims(e.path))
+      def toAdded(e: IcebergTable.FileEntry): Added =
+        Added(e.path, Files.size(Paths.get(e.path)), e.records,
           e.pv,
           if (e.lower.isEmpty && e.upper.isEmpty && e.nullCounts.isEmpty) None
           else Some(FileBounds(e.lower, e.upper, e.nullCounts)),
-          seq = Some(e.seq), status = 0))
+          seq = Some(e.seq), status = 0)
       val snapId2 = newSnapshotId()
       val schemaNode = IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
       val history = schemaHistoryOf(meta)
@@ -1187,14 +1185,30 @@ object IcebergExport {
         partitionBy)
       val (fv, lastSeq) = fvOf(meta)
       val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
+      // per-ERA survivor manifests: each embeds ITS OWN era's write-
+      // time schema, so field-id resolution through old eras keeps
+      // working after compaction (a single current-schema manifest
+      // would re-brand old files and null their renamed columns);
+      // NEW files were read under the current schema and go in a
+      // current-schema manifest
+      val survivorGroups = survivorEntries.groupBy(_.writerSchemaJson)
+        .toSeq.sortBy(_._1.getOrElse(""))
+      val eraRefs = survivorGroups.map { case (ws, files) =>
+        val (sPath, sLen, sCount) = writeManifest(
+          table, snapId2, ws.getOrElse(schemaNode.toString),
+          files.map(toAdded), pfs)
+        val eraMin = files.map(_.seq).min
+        ManifestRef(sPath, sLen, sCount, Some(snapId2),
+          seq = if (fv >= 2) Some(nextSeq) else None,
+          minSeq = if (fv >= 2) Some(math.min(eraMin, nextSeq)) else None)
+      }
       val (mPath, mLen, mCount) = writeManifest(
-        table, snapId2, schemaNode.toString, added ++ survivors, pfs)
-      val minSeq = (survivors.flatMap(_.seq) :+ nextSeq).min
+        table, snapId2, schemaNode.toString, added, pfs)
       val ml = writeManifestList(
         table, snapId2,
-        ManifestRef(mPath, mLen, mCount, Some(snapId2),
+        (ManifestRef(mPath, mLen, mCount, Some(snapId2),
           seq = if (fv >= 2) Some(nextSeq) else None,
-          minSeq = if (fv >= 2) Some(minSeq) else None) +:
+          minSeq = if (fv >= 2) Some(nextSeq) else None) +: eraRefs) ++
           priorManifests(prevList).filter(_.content == 1))
       val ts = System.currentTimeMillis()
       val newSnap = snapshotNode(

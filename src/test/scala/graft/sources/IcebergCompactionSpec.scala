@@ -75,6 +75,38 @@ class IcebergCompactionSpec extends SparkSpec {
     assert(total == 2 && kept.size == 1, s"$kept of $total")
   }
 
+  test("schema-EVOLVED tables compact: survivors keep per-era resolution") {
+    val t = tbl()
+    // era 0: a BIG file under the original column name (will survive)
+    IcebergExport.create(
+      (0L until 2000L).map(i => (i, s"old$i")).toDF("id", "name")
+        .coalesce(1), t)
+    val bigFile = dataFiles(t).head
+    IcebergExport.renameColumn(t, "name", "title")
+    // era 1: small files under the new name (will compact)
+    (0 until 3).foreach { k =>
+      IcebergExport.append(
+        Seq((9000L + k, s"new$k")).toDF("id", "title").coalesce(1), t)
+    }
+    val pre = IcebergTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val target = Files.size(Paths.get(bigFile))
+    val (before, after) = IcebergExport.rewriteDataFiles(spark, t, target)
+    assert(before == 4 && after == 2, s"$before → $after")
+    assert(dataFiles(t).contains(bigFile), "the old-era file must survive")
+    val post = IcebergTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(post == pre,
+      "the surviving old-era file must keep resolving 'title' to its " +
+        "physical 'name' by field-id — a current-schema re-brand would " +
+        s"null it: ${pre.diff(post).take(3)} lost")
+    // and the survivor still reads under a LATER rename too
+    IcebergExport.renameColumn(t, "title", "headline")
+    val again = IcebergTable.read(spark, t)
+    assert(again.schema.fieldNames.contains("headline"))
+    assert(again.filter(col("headline") === "old7").count() == 1L)
+  }
+
   test("merge-on-read deletes survive compaction, both directions") {
     val t = tbl()
     // one BIG file that will survive (above target) …

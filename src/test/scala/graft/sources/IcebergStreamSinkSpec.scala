@@ -74,11 +74,11 @@ class IcebergStreamSinkSpec extends SparkSpec {
     assert(IcebergExport.appendBatch(
       Seq((2L, "b")).toDF("id", "s"), t, "app1", 5L).isDefined)
     assert(IcebergExport.lastBatchId(t, "app1").contains(5L))
-    // other commit kinds preserve it (compaction before the rename —
-    // rewriting schema-evolved manifests is out of scope by contract)
+    // other commit kinds preserve it — incl. compaction AFTER the
+    // rename (schema-evolved tables compact via per-era manifests)
     IcebergExport.deleteWhereEquality(spark, t, Seq(1L).toDF("id"))
-    IcebergExport.rewriteDataFiles(spark, t, 64L * 1024 * 1024)
     IcebergExport.renameColumn(t, "s", "payload")
+    IcebergExport.rewriteDataFiles(spark, t, 64L * 1024 * 1024)
     assert(IcebergExport.lastBatchId(t, "app1").contains(5L),
       "delete/evolve/compact must carry the txn watermark forward")
     // expire the early snapshots: the PROPERTY-stored watermark stays
