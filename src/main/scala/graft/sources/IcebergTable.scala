@@ -541,17 +541,17 @@ object IcebergTable {
       case _ => false
     }
 
-  /** NESTED alignment check for the positional cast below: the
-    * structurally-identical cast renames nested struct fields BY
-    * POSITION, which is only value-correct when the writer's and the
-    * current schema's nested fields pair up by FIELD-ID in the same
-    * order. A foreign table whose nested struct fields were reordered
-    * across schema eras (two same-typed fields swapped) would pass
-    * the structural check and silently SWAP VALUES — refuse loudly
-    * instead (full nested by-id projection is out of scope; top-level
-    * columns already resolve by id). Ids compare when both sides
-    * carry them (the spec requires them); names are the fallback for
-    * out-of-spec nodes.
+  /** NESTED alignment check choosing between the two evolved-read
+    * strategies below: the structurally-identical cast renames nested
+    * struct fields BY POSITION, which is only value-correct when the
+    * writer's and the current schema's nested fields pair up by
+    * FIELD-ID in the same order — the overwhelmingly common case, and
+    * codegen-friendly (one cast). When they DON'T (a foreign table
+    * whose nested struct fields were reordered across schema eras —
+    * two same-typed fields swapped would otherwise silently SWAP
+    * VALUES), [[remapByIds]] rebuilds the nested value field-by-field
+    * instead. Ids compare when both sides carry them (the spec
+    * requires them); names are the fallback for out-of-spec nodes.
     */
   private def nestedAligned(wt: JsonNode, ct: JsonNode): Boolean =
     if (wt.isTextual || ct.isTextual) true // primitives: promotable() rules
@@ -573,6 +573,86 @@ object IcebergTable {
           nestedAligned(wt.get("value"), ct.get("value"))
       case _ => true // shape mismatch: promotable() refuses it anyway
     }
+
+  /** Writer nested field matching one current field — by id when both
+    * sides carry ids (the spec requires them), by name otherwise.
+    */
+  private def writerNestedField(
+      wt: JsonNode, cf: JsonNode): Option[JsonNode] = {
+    val wfs = wt.get("fields").elements().asScala.toSeq
+    (Option(cf.get("id")) match {
+      case Some(id) =>
+        wfs.find(w => Option(w.get("id")).exists(_.asInt() == id.asInt()))
+      case None => None
+    }).orElse(wfs.find(_.get("name").asText() == cf.get("name").asText()))
+  }
+
+  /** By-ID structural promotability — [[promotable]] generalized to
+    * nested REORDERS and nested adds/drops: every current nested
+    * field either matches a writer field by id (recursively
+    * remappable, incl. the spec's lossless primitive promotions) or
+    * reads null (added after this era). The guard for [[remapByIds]].
+    */
+  private def remappable(wt: JsonNode, ct: JsonNode): Boolean =
+    if (wt.isTextual || ct.isTextual)
+      wt.isTextual && ct.isTextual &&
+        promotable(toSparkType(wt), toSparkType(ct))
+    else (wt.get("type").asText(), ct.get("type").asText()) match {
+      case ("struct", "struct") =>
+        ct.get("fields").elements().asScala.forall { cf =>
+          writerNestedField(wt, cf)
+            .forall(wf => remappable(wf.get("type"), cf.get("type")))
+        }
+      case ("list", "list") =>
+        remappable(wt.get("element"), ct.get("element"))
+      case ("map", "map") =>
+        remappable(wt.get("key"), ct.get("key")) &&
+          remappable(wt.get("value"), ct.get("value"))
+      case _ => false
+    }
+
+  /** Full NESTED BY-ID projection (r13): rebuild an evolved nested
+    * value field-by-field so reordered/renamed/added/dropped nested
+    * fields resolve by FIELD-ID exactly like top-level columns —
+    * struct fields look up their writer-era counterpart by id (null
+    * when added later), lists remap per element via `transform`, maps
+    * per key/value. Used only when [[nestedAligned]] fails; the
+    * aligned fast path stays a single cast.
+    */
+  private def remapByIds(
+      e: org.apache.spark.sql.Column, wt: JsonNode,
+      ct: JsonNode): org.apache.spark.sql.Column = {
+    val target = asNullableType(toSparkType(ct))
+    if (wt.isTextual || ct.isTextual) {
+      if (toSparkType(wt) == toSparkType(ct)) e else e.cast(target)
+    } else (wt.get("type").asText(), ct.get("type").asText()) match {
+      case ("struct", "struct") =>
+        val parts = ct.get("fields").elements().asScala.toSeq.map { cf =>
+          val cName = cf.get("name").asText()
+          writerNestedField(wt, cf) match {
+            case Some(wf) =>
+              remapByIds(e.getField(wf.get("name").asText()),
+                wf.get("type"), cf.get("type")).as(cName)
+            case None =>
+              lit(null).cast(asNullableType(toSparkType(cf.get("type"))))
+                .as(cName)
+          }
+        }
+        // a null input struct must stay null (struct() of nulls isn't)
+        when(e.isNotNull, struct(parts: _*).cast(target))
+      case ("list", "list") =>
+        transform(e, x =>
+          remapByIds(x, wt.get("element"), ct.get("element"))).cast(target)
+      case ("map", "map") =>
+        map_from_arrays(
+          transform(map_keys(e), k =>
+            remapByIds(k, wt.get("key"), ct.get("key"))),
+          transform(map_values(e), v =>
+            remapByIds(v, wt.get("value"), ct.get("value")))).cast(target)
+      case _ => throw new IllegalStateException(
+        s"unremappable shape change (guarded by remappable): $wt → $ct")
+    }
+  }
 
   /** Fully-nullable rendering of a type — file sources force nullable
     * output, so cast TARGETS must not demand non-null (a cast to a
@@ -751,25 +831,27 @@ object IcebergTable {
             case Some(wf) =>
               val physName = wf.get("name").asText()
               val physDt = toSparkType(wf.get("type"))
-              require(promotable(physDt, logicalDt),
+              val aligned = nestedAligned(wf.get("type"), cf.get("type"))
+              require(
+                if (aligned) promotable(physDt, logicalDt)
+                else remappable(wf.get("type"), cf.get("type")),
                 s"column $name (field-id ${cf.get("id").asInt()}) changed " +
                   s"TYPE across the schema history ($physDt → $logicalDt) " +
                   "beyond the spec's lossless promotions (int→long, " +
                   "float→double, decimal widening): refused rather than " +
                   "miscast")
-              require(nestedAligned(wf.get("type"), cf.get("type")),
-                s"column $name (field-id ${cf.get("id").asInt()}): nested " +
-                  "fields were REORDERED across the schema history — the " +
-                  "positional nested rename would silently swap values; " +
-                  "refused (rewrite the data, or keep nested field order)")
               val colExpr =
                 if (physName == name && physDt == logicalDt) col(name)
-                else
+                else if (aligned)
                   // the structurally-identical cast renames nested
                   // levels positionally (the DeltaLog column-mapping
                   // discipline); fully-nullable target — file sources
                   // force nullable output
                   col(physName).cast(asNullableType(logicalDt)).as(name)
+                else
+                  // nested REORDER across eras: rebuild by field-id
+                  remapByIds(col(physName), wf.get("type"), cf.get("type"))
+                    .as(name)
               (Some(StructField(physName, physDt, nullable)), colExpr)
             case None if ws.isDefined =>
               // the column was ADDED after this manifest's files were

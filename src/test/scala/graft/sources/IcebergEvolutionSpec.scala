@@ -115,7 +115,7 @@ class IcebergEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("changed TYPE"), e.getMessage)
   }
 
-  test("nested struct REORDER is refused; nested rename in place reads fine") {
+  test("nested struct REORDER and rename resolve by field-id, never position") {
     import com.fasterxml.jackson.databind.ObjectMapper
     import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
     import scala.jdk.CollectionConverters._
@@ -143,17 +143,34 @@ class IcebergEvolutionSpec extends SparkSpec {
       t
     }
     // two same-typed nested strings SWAPPED (ids keep their names):
-    // the positional cast would silently exchange the values
+    // the positional cast would silently exchange the values — the
+    // by-id nested remap must keep each value with its field-id
     val swapped = forge { nested =>
       val (f0, f1) = (nested.get(0).deepCopy[ObjectNode](),
         nested.get(1).deepCopy[ObjectNode]())
       nested.removeAll()
       nested.add(f1); nested.add(f0)
     }
-    val e = intercept[IllegalArgumentException] {
-      IcebergTable.read(spark, swapped).collect()
+    val sw = IcebergTable.read(spark, swapped)
+    assert(sw.schema("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("b", "a"), "current order is the output order")
+    val swRow = sw.select(col("s.a"), col("s.b")).collect().head
+    assert((swRow.getString(0), swRow.getString(1)) == ("x", "y"),
+      "reordered nested fields must keep values with their FIELD-IDS — " +
+        s"a positional read swaps them: $swRow")
+    // a nested field SWAP-plus-RENAME (a→bb at a's id, b→aa): values
+    // must follow the ids, not the lookalike names
+    val renamedSwap = forge { nested =>
+      val (f0, f1) = (nested.get(0).deepCopy[ObjectNode](),
+        nested.get(1).deepCopy[ObjectNode]())
+      f0.put("name", "bb"); f1.put("name", "aa")
+      nested.removeAll()
+      nested.add(f1); nested.add(f0)
     }
-    assert(e.getMessage.contains("REORDERED"), e.getMessage)
+    val rs = IcebergTable.read(spark, renamedSwap)
+      .select(col("s.bb"), col("s.aa")).collect().head
+    assert((rs.getString(0), rs.getString(1)) == ("x", "y"),
+      s"renamed+reordered nested fields must resolve by id: $rs")
     // a nested RENAME in place (same ids, same order) stays readable —
     // position equals identity here, so the rename is value-correct
     val renamed = forge { nested =>
