@@ -58,13 +58,70 @@ object IcebergExport {
 
   private val mapper = new ObjectMapper()
 
-  /** Identity-transform partition field: `name` = source column name
-    * (Iceberg's identity naming), `sourceId` = the source column's
-    * schema field-id, `fieldId` = the partition field's own id
-    * (spec: assigned from 1000).
+  /** One partition field: `name` = partition field name (identity's
+    * is the source column name; transforms get the spec's
+    * `src_day`/`src_bucket`/… names), `sourceId` = the source
+    * column's schema field-id, `fieldId` = the partition field's own
+    * id (spec: assigned from 1000), `dt` = the partition VALUE's type
+    * (identity/truncate: the source type; day: date; year/month/hour/
+    * bucket: int), `transform` per the spec's grammar
+    * (`identity`, `day`, `year`, `month`, `hour`, `bucket[N]`,
+    * `truncate[W]`), `srcName` = the source column's current name.
     */
   private[sources] case class PartField(
-      name: String, sourceId: Int, fieldId: Int, dt: DataType)
+      name: String, sourceId: Int, fieldId: Int, dt: DataType,
+      transform: String = "identity", srcName: String = "") {
+    def sourceName: String = if (srcName.isEmpty) name else srcName
+  }
+
+  /** The spec's 32-bit Murmur3 (x86, seed 0) — the BUCKET transform's
+    * hash (Appendix B): ints/longs/dates/timestamps hash their 8-byte
+    * little-endian long form, strings their UTF-8 bytes;
+    * `bucket = (hash & Int.MaxValue) % N`. Hand-rolled from the
+    * public algorithm; pinned against the spec's own test vectors.
+    */
+  private[sources] def murmur3(bytes: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h = seed
+    val n = bytes.length / 4 * 4
+    var i = 0
+    while (i < n) {
+      var k = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8) |
+        ((bytes(i + 2) & 0xFF) << 16) | ((bytes(i + 3) & 0xFF) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    (bytes.length & 3) match {
+      case 3 =>
+        k ^= (bytes(n + 2) & 0xFF) << 16
+        k ^= (bytes(n + 1) & 0xFF) << 8
+        k ^= bytes(n) & 0xFF
+      case 2 =>
+        k ^= (bytes(n + 1) & 0xFF) << 8
+        k ^= bytes(n) & 0xFF
+      case 1 => k ^= bytes(n) & 0xFF
+      case _ =>
+    }
+    if ((bytes.length & 3) != 0) {
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+    }
+    h ^= bytes.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
+    h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+
+  private[sources] def longLeBytes(v: Long): Array[Byte] = {
+    val b = new Array[Byte](8)
+    var x = v; var i = 0
+    while (i < 8) { b(i) = (x & 0xFF).toByte; x >>>= 8; i += 1 }
+    b
+  }
+
+  private[sources] def bucketOf(hash: Int, n: Int): Int =
+    (hash & Int.MaxValue) % n
 
   /** Partition source types this writer supports (identity transform).
     * Each must round-trip exactly through a hive path segment AND an
@@ -344,7 +401,141 @@ object IcebergExport {
           s"partition column $c is not a top-level schema column"))
       val dt = schema(c).dataType
       avroPartType(dt) // validates the type, throws with the full list
-      PartField(c, field.get("id").asInt(), 1000 + i, dt)
+      PartField(c, field.get("id").asInt(), 1000 + i, dt,
+        "identity", c)
+    }
+
+  /** The partition VALUE type a transform produces over a source
+    * type (spec "Partition Transforms"): identity/truncate keep the
+    * source type, day is a date, year/month/hour/bucket are ints.
+    */
+  private def transformValueType(transform: String, srcDt: DataType): DataType =
+    transform match {
+      case "identity" => srcDt
+      case "day" => DateType
+      case "year" | "month" | "hour" => IntegerType
+      case t if t.startsWith("bucket[") => IntegerType
+      case t if t.startsWith("truncate[") => srcDt
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform $other (supported: identity, " +
+          "day, year, month, hour, bucket[N], truncate[W])")
+    }
+
+  /** The staging column computing one transform over its source — the
+    * value that becomes the hive dir segment and, parsed back, the
+    * manifest's typed partition value. Timestamps transform in UTC
+    * (the spec's frame).
+    */
+  private def transformColumn(pf: PartField, srcDt: DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val src = col(pf.sourceName)
+    val bucketRe = "^bucket\\[(\\d+)\\]$".r
+    val truncRe = "^truncate\\[(\\d+)\\]$".r
+    def epochSeconds = srcDt match {
+      case TimestampType | TimestampNTZType => src.cast(LongType)
+      case DateType => src.cast(TimestampType).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"temporal transform over non-temporal type $other")
+    }
+    pf.transform match {
+      case "identity" => src
+      case "day" => src.cast(DateType)
+      case "year" => year(src.cast(DateType)) - lit(1970)
+      case "month" =>
+        (year(src.cast(DateType)) - lit(1970)) * lit(12) +
+          month(src.cast(DateType)) - lit(1)
+      case "hour" => floor(epochSeconds / lit(3600)).cast(IntegerType)
+      case bucketRe(n) =>
+        val buckets = n.toInt
+        require(buckets > 0, s"bucket[$n] needs N > 0")
+        srcDt match {
+          case IntegerType | LongType =>
+            val f = udf((v: java.lang.Long) =>
+              if (v == null) null
+              else Int.box(bucketOf(murmur3(longLeBytes(v)), buckets)))
+            f(src.cast(LongType))
+          case DateType =>
+            val f = udf((v: java.sql.Date) =>
+              if (v == null) null
+              else Int.box(bucketOf(
+                murmur3(longLeBytes(v.toLocalDate.toEpochDay)), buckets)))
+            f(src)
+          case StringType =>
+            val f = udf((v: String) =>
+              if (v == null) null
+              else Int.box(bucketOf(murmur3(
+                v.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+                buckets)))
+            f(src)
+          case other => throw new IllegalArgumentException(
+            s"bucket transform over unsupported type $other")
+        }
+      case truncRe(w) =>
+        val width = w.toInt
+        require(width > 0, s"truncate[$w] needs W > 0")
+        srcDt match {
+          case StringType => substring(src, 1, width)
+          case IntegerType | LongType =>
+            // spec: v - (((v % W) + W) % W) — floors toward -inf
+            (src - (((src % width) + width) % width)).cast(srcDt)
+          case other => throw new IllegalArgumentException(
+            s"truncate transform over unsupported type $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform $other")
+    }
+  }
+
+  /** Parse the table's DEFAULT partition spec into [[PartField]]s —
+    * the non-create commit paths' source of truth (the spec JSON
+    * itself carries forward VERBATIM; these typed fields drive the
+    * manifest partition struct and staging).
+    */
+  private def partFieldsFromMeta(
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[PartField] = {
+    val specFields: Seq[com.fasterxml.jackson.databind.JsonNode] =
+      if (meta.has("partition-specs")) {
+        val defId =
+          if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt()
+          else 0
+        meta.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == defId)
+          .map(_.get("fields").elements().asScala.toSeq)
+          .getOrElse(Nil)
+      } else if (meta.has("partition-spec"))
+        meta.get("partition-spec").elements().asScala.toSeq
+      else Nil
+    if (specFields.isEmpty) return Nil
+    val schemaNode = IcebergTable.schemaNodeOf(meta)
+    val byId = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f).toMap
+    val schema = IcebergTable.schemaOf(meta)
+    specFields.flatMap { f =>
+      val transform = f.get("transform").asText()
+      if (transform == "void") None
+      else {
+        val sid = f.get("source-id").asInt()
+        val srcField = byId.getOrElse(sid,
+          throw new IllegalStateException(
+            s"partition source-id $sid is not a top-level schema column"))
+        val srcName = srcField.get("name").asText()
+        val srcDt = schema(srcName).dataType
+        Some(PartField(
+          f.get("name").asText(), sid,
+          Option(f.get("field-id")).map(_.asInt()).getOrElse(-1),
+          transformValueType(transform, srcDt), transform, srcName))
+      }
+    }
+  }
+
+  /** Add the DERIVED staging columns for non-identity transforms
+    * (identity stages on the source column itself, whose name IS the
+    * partition field name).
+    */
+  private def deriveCols(df: DataFrame, pfs: Seq[PartField]): DataFrame =
+    pfs.filterNot(_.transform == "identity").foldLeft(df) { (d, pf) =>
+      d.withColumn(pf.name, transformColumn(pf, df.schema(pf.sourceName).dataType))
     }
 
   /** Iceberg snapshot ids are random positive longs. */
@@ -421,7 +612,7 @@ object IcebergExport {
     */
   private def specFieldsJson(pfs: Seq[PartField]): String =
     pfs.map(pf =>
-      s"""{"name":"${pf.name}","transform":"identity",""" +
+      s"""{"name":"${pf.name}","transform":"${pf.transform}",""" +
         s""""source-id":${pf.sourceId},"field-id":${pf.fieldId}}""")
       .mkString("[", ",", "]")
 
@@ -652,7 +843,7 @@ object IcebergExport {
     // matches the manifests' empty partition struct)
     extraSpecs.filter(_.get("spec-id").asInt() != 0)
       .foreach(s => specs.add(s.deepCopy[ObjectNode]()))
-    root.put("last-partition-id", 999 + pfs.size)
+    root.put("last-partition-id", (999 +: pfs.map(_.fieldId)).max)
     val propsNode = root.putObject("properties")
     properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
       propsNode.put(k, v)
@@ -702,7 +893,32 @@ object IcebergExport {
     * snapshot 1 = the written files), identity-partitioned by
     * `partitionBy`. Fails if a metadata version already exists.
     */
-  def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+  def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long =
+    createWithSpec(df, table, partitionBy.map(c => ("identity", c)))
+
+  /** The spec's partition-field name for a (transform, source). */
+  private def transformFieldName(transform: String, src: String): String =
+    transform match {
+      case "identity" => src
+      case t if t.startsWith("bucket[") => s"${src}_bucket"
+      case t if t.startsWith("truncate[") => s"${src}_trunc"
+      case t => s"${src}_$t" // day/year/month/hour
+    }
+
+  /** CREATE with a full PARTITION SPEC — `spec` items are
+    * (transform, source column) with the spec grammar's transforms:
+    * `identity`, `day`, `year`, `month`, `hour`, `bucket[N]`,
+    * `truncate[W]`. Non-identity transforms keep their SOURCE COLUMNS
+    * in the data files (the spec's contract — only identity sources
+    * reconstruct from partition metadata), stage in hive layout on
+    * the DERIVED value (day = date, bucket = the spec's 32-bit
+    * murmur3 bucket, truncate = prefix/floored value), and the
+    * manifests carry the typed transform partition structs real
+    * planners prune on. The production table shape at 100 TB is
+    * day(event_time) + bucket(user_id) — both write correctly here.
+    */
+  def createWithSpec(
+      df: DataFrame, table: String, spec: Seq[(String, String)]): Long = {
     require(!Files.isDirectory(metaDir(table)) || {
       val s = Files.list(metaDir(table))
       try !s.iterator().asScala
@@ -711,8 +927,17 @@ object IcebergExport {
     }, s"$table already has Iceberg metadata; use append")
     val (schemaNode, lastId) = icebergSchemaNode(df.schema)
     schemaNode.put("schema-id", 0)
-    val pfs = partFieldsOf(schemaNode, df.schema, partitionBy)
-    val added = stageIn(df, table, partitionBy, topFieldIds(schemaNode))
+    val ids = topFieldIds(schemaNode)
+    val pfs = spec.zipWithIndex.map { case ((transform, src), i) =>
+      require(ids.contains(src),
+        s"partition source $src is not a top-level schema column")
+      val vt = transformValueType(transform, df.schema(src).dataType)
+      avroPartType(vt) // validates the value type, throws with the list
+      PartField(transformFieldName(transform, src), ids(src), 1000 + i,
+        vt, transform, src)
+    }
+    val added = stageIn(
+      deriveCols(df, pfs), table, pfs.map(_.name), topFieldIds(schemaNode))
     val snapId = newSnapshotId()
     Files.createDirectories(metaDir(table))
     val (mPath, mLen, mCount) =
@@ -790,8 +1015,9 @@ object IcebergExport {
       txn: Option[(String, Long)]): Option[Long] = {
     requireSchemaMatch(df, table)
     val meta0 = IcebergTable.metadataJson(table)
-    val partitionBy = IcebergTable.identityPartitionSources(meta0).map(_._2)
-    val added = stageIn(df, table, partitionBy,
+    val pfs0 = partFieldsFromMeta(meta0)
+    val added = stageIn(
+      deriveCols(df, pfs0), table, pfs0.map(_.name),
       topFieldIds(IcebergTable.schemaNodeOf(meta0)))
     var committed = false
     var snapId = 0L
@@ -819,8 +1045,7 @@ object IcebergExport {
       val schemaNode =
         IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
       val history = schemaHistoryOf(meta)
-      val schema = IcebergTable.schemaOf(meta)
-      val pfs = partFieldsOf(schemaNode, schema, partitionBy)
+      val pfs = partFieldsFromMeta(meta)
       val (mPath, mLen, mCount) =
         writeManifest(table, snapId, schemaNode.toString, added, pfs)
       val ts = System.currentTimeMillis()
@@ -941,25 +1166,19 @@ object IcebergExport {
         meta.get("snapshot-log").elements().asScala.map(e =>
           (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())).toSeq
       else Nil)
-      val schema = IcebergTable.schemaOf(meta)
-      val partitionBy = IcebergTable.identityPartitionSources(meta).map(_._2)
-      // partition spec source-ids survive renames; resolve pfs against
-      // the NEW schema node (same ids, possibly new names)
-      val pfs = partitionBy.zipWithIndex.map { case (srcOld, i) =>
-        // map the old source NAME to its id, then to the new name
-        val oldField = IcebergTable.schemaNodeOf(meta).get("fields")
-          .elements().asScala
-          .find(_.get("name").asText() == srcOld)
-          .getOrElse(throw new IllegalStateException(
-            s"partition source $srcOld vanished from the schema"))
-        val id = oldField.get("id").asInt()
+      // partition spec source-ids survive renames; every spec field's
+      // source must still exist in the NEW schema, and IDENTITY
+      // fields' names track their source's rename (Iceberg's identity
+      // naming); transform fields keep their own names
+      val pfs = partFieldsFromMeta(meta).map { pf =>
         val newField = next.get("fields").elements().asScala
-          .find(_.get("id").asInt() == id)
+          .find(_.get("id").asInt() == pf.sourceId)
           .getOrElse(throw new IllegalArgumentException(
-            s"cannot drop/lose partition source column $srcOld " +
-              s"(field-id $id): the partition spec references it"))
-        PartField(newField.get("name").asText(), id, 1000 + i,
-          schema(srcOld).dataType)
+            s"cannot drop/lose partition source column ${pf.sourceName} " +
+              s"(field-id ${pf.sourceId}): the partition spec references it"))
+        val newSrc = newField.get("name").asText()
+        if (pf.transform == "identity") pf.copy(name = newSrc, srcName = newSrc)
+        else pf.copy(srcName = newSrc)
       }
       val (fv, lastSeq) = fvOf(meta)
       val json = buildMetadata(
@@ -1131,11 +1350,12 @@ object IcebergExport {
       targetBytes: Long): (Int, Int) = {
     val meta0 = IcebergTable.metadataJson(table)
     val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
-    val idParts0 = IcebergTable.identityPartitionSources(meta0)
-    val partitionBy = idParts0.map(_._2)
+    val pfs0 = partFieldsFromMeta(meta0)
     val snap0 = IcebergTable.currentSnapshotNode(meta0)
+    // pv over the FULL spec (transforms included) so bin-packing
+    // never mixes files across any partition boundary
     val entries0 = IcebergTable.dataFilesWithPartitions(
-      table, meta0, snap0, idParts0.map(p => (p._1, p._3)))
+      table, meta0, snap0, pfs0.map(p => (p.name, p.fieldId)))
     val before = entries0.size
     // candidates: partitions with ≥2 under-target files
     val victims = entries0.groupBy(_.pv).values.flatMap { fs =>
@@ -1153,7 +1373,9 @@ object IcebergExport {
     val bins = math.max(1L,
       (victimBytes + targetBytes - 1) / targetBytes).toInt
     val rows = IcebergTable.readKeep(spark, table, victims).coalesce(bins)
-    val added = stageIn(rows, table, partitionBy, topFieldIds(schemaNode0))
+    val added = stageIn(
+      deriveCols(rows, pfs0), table, pfs0.map(_.name),
+      topFieldIds(schemaNode0))
     var committed = false
     while (!committed) {
       val meta = IcebergTable.metadataJson(table)
@@ -1169,8 +1391,9 @@ object IcebergExport {
       // survivors recomputed from the FRESH state so a concurrent
       // append's files are never dropped by the full-manifest rewrite
       val snapNow = IcebergTable.currentSnapshotNode(meta)
+      val pfsNow = partFieldsFromMeta(meta)
       val entriesNow = IcebergTable.dataFilesWithPartitions(
-        table, meta, snapNow, idParts0.map(p => (p._1, p._3)))
+        table, meta, snapNow, pfsNow.map(p => (p.name, p.fieldId)))
       val survivorEntries = entriesNow.filterNot(e => victims(e.path))
       def toAdded(e: IcebergTable.FileEntry): Added =
         Added(e.path, Files.size(Paths.get(e.path)), e.records,
@@ -1181,8 +1404,7 @@ object IcebergExport {
       val snapId2 = newSnapshotId()
       val schemaNode = IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
       val history = schemaHistoryOf(meta)
-      val pfs = partFieldsOf(schemaNode, IcebergTable.schemaOf(meta),
-        partitionBy)
+      val pfs = pfsNow
       val (fv, lastSeq) = fvOf(meta)
       val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
       // per-ERA survivor manifests: each embeds ITS OWN era's write-
@@ -1393,8 +1615,7 @@ object IcebergExport {
       val schemaNode =
         IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
       val history = schemaHistoryOf(meta)
-      val pfsNow = partFieldsOf(schemaNode, IcebergTable.schemaOf(meta),
-        IcebergTable.identityPartitionSources(meta).map(_._2))
+      val pfsNow = partFieldsFromMeta(meta)
       val (delSpecId, specs) = deleteSpec(meta, pfsNow)
       val (dPath, dLen, dCount) = writeManifest(
         table, snapId, schemaNode.toString, Seq(delAdded), Nil,
@@ -1514,8 +1735,7 @@ object IcebergExport {
       val schemaNode =
         IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
       val history = schemaHistoryOf(meta)
-      val pfsNow = partFieldsOf(schemaNode, IcebergTable.schemaOf(meta),
-        IcebergTable.identityPartitionSources(meta).map(_._2))
+      val pfsNow = partFieldsFromMeta(meta)
       val (delSpecId, specs) = deleteSpec(meta, pfsNow)
       val (dPath, dLen, dCount) = writeManifest(
         table, snapId, schemaNode.toString, Seq(delAdded), Nil,
