@@ -81,6 +81,30 @@ object LakehouseScan {
       IcebergExport.deleteWhereEquality(spark, t, keys)
     }
 
+  /** Iceberg table from `lineitem` under a NON-IDENTITY partition
+    * spec — `month(l_shipdate) × bucket[4](l_orderkey)` (the
+    * production lakehouse table shape) — with an equality delete on
+    * top, so the transform write path (spec murmur3 bucketing, hive
+    * staging on derived values, typed transform partition structs)
+    * sits under the hard oracle gate. Input pre-clustered by the
+    * month so each partition dir gets ~one file, not one per task.
+    */
+  private def icebergLineitem(spark: SparkSession, dir: String): String =
+    buildOnce("iceberg_lineitem", dir) { t =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate"))
+        .repartition(16,
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))))
+      IcebergExport.createWithSpec(li, t,
+        Seq(("month", "l_shipdate"), ("bucket[4]", "l_orderkey")))
+      IcebergExport.deleteWhereEquality(
+        spark, t,
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_linenumber")).filter(col("l_linenumber") === 7)
+          .distinct())
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -106,6 +130,7 @@ object LakehouseScan {
   def dumpTables(spark: SparkSession, dir: String): Unit = {
     deltaCustomer(spark, dir)
     icebergOrders(spark, dir)
+    icebergLineitem(spark, dir)
     scd2Dim(spark, dir)
   }
 
@@ -157,9 +182,26 @@ object LakehouseScan {
       .orderBy(col("purchase_id"))
   }
 
+  /** x24 — scan of the month×bucket TRANSFORM-partitioned Iceberg
+    * table: 84 months × 4 spec-murmur3 buckets of hive dirs, the
+    * equality delete applied, aggregated per order. Oracle: the
+    * original lineitem parquet minus the deleted line numbers. A
+    * wrong bucket hash, a mis-derived month dir or a dropped
+    * transform field in any later commit's spec now fails a
+    * correctness row.
+    */
+  def transformScan(spark: SparkSession, dir: String): DataFrame =
+    IcebergTable.read(spark, icebergLineitem(spark, dir))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_delta_scan" -> deltaScan,
     "x23_iceberg_scan" -> icebergScan,
+    "x24_transform_scan" -> transformScan,
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
@@ -173,6 +215,13 @@ object LakehouseScan {
          FROM orders
          WHERE o_orderkey % 5 <> 0 AND o_custkey % 10 <> 3
          ORDER BY o_orderkey""",
+    "x24_transform_scan" ->
+      """SELECT l_orderkey, COUNT(*) AS n_lines,
+                SUM(l_quantity) AS sum_qty
+         FROM lineitem
+         WHERE l_linenumber <> 7
+         GROUP BY l_orderkey
+         ORDER BY l_orderkey""",
     "w23_scd2_delta_pit" ->
       """WITH flagged AS (
            SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
