@@ -709,6 +709,62 @@ object IcebergTable {
     * work bounded by files-in-snapshot — exactly the pruning
     * Iceberg's own planning does before a scan task is ever created.
     */
+  /** ALL default-spec partition fields as (name, transform,
+    * source-id, partition-field-id) — temporal-transform pruning
+    * needs the non-identity ones [[identityPartitionSources]] skips.
+    */
+  private def allPartitionFields(
+      meta: JsonNode): Seq[(String, String, Int, Int)] = {
+    val specFields: Seq[JsonNode] =
+      if (meta.has("partition-specs")) {
+        val defId =
+          if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt()
+          else 0
+        meta.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == defId)
+          .map(_.get("fields").elements().asScala.toSeq)
+          .getOrElse(Nil)
+      } else if (meta.has("partition-spec"))
+        meta.get("partition-spec").elements().asScala.toSeq
+      else Nil
+    specFields.map(f => (
+      f.get("name").asText(), f.get("transform").asText(),
+      f.get("source-id").asInt(),
+      Option(f.get("field-id")).map(_.asInt()).getOrElse(-1)))
+  }
+
+  /** The TEMPORAL transforms' int ordinal of a probe bound — these
+    * transforms are MONOTONIC, so a value range maps to an ordinal
+    * range and partition values prune exactly like identity values
+    * (bucket/truncate are not monotonic and never prune ranges).
+    */
+  private def temporalOrdinal(transform: String, v: Any): Option[Long] = {
+    import java.time._
+    val utc = ZoneOffset.UTC
+    val zdt: Option[ZonedDateTime] = v match {
+      case t: java.sql.Timestamp => Some(t.toInstant.atZone(utc))
+      case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay(utc))
+      case d: LocalDate => Some(d.atStartOfDay(utc))
+      case d: LocalDateTime => Some(d.atZone(utc))
+      case i: Instant => Some(i.atZone(utc))
+      case s: String =>
+        scala.util.Try(LocalDate.parse(s).atStartOfDay(utc)).toOption
+          .orElse(scala.util.Try(Instant.parse(s).atZone(utc)).toOption)
+      case _ => None
+    }
+    zdt.flatMap { z =>
+      transform match {
+        case "day" => Some(z.toLocalDate.toEpochDay)
+        case "month" =>
+          Some((z.getYear - 1970).toLong * 12 + z.getMonthValue - 1)
+        case "year" => Some((z.getYear - 1970).toLong)
+        case "hour" =>
+          Some(Math.floorDiv(z.toInstant.getEpochSecond, 3600L))
+        case _ => None
+      }
+    }
+  }
+
   def prunedDataFiles(
       table: String, column: String, lo: Any, hi: Any,
       snapshotId: Option[Long] = None): (Seq[String], Int) = {
@@ -716,17 +772,31 @@ object IcebergTable {
     val schemaNode = schemaNodeOf(meta)
     val snap = snapshotNode(meta, snapshotId)
     val idParts = identityPartitionSources(meta)
-    val entries = dataFilesWithPartitions(
-      table, meta, snap, idParts.map(p => (p._1, p._3)))
     val field = schemaNode.get("fields").elements().asScala
       .find(_.get("name").asText() == column)
       .getOrElse(throw new IllegalArgumentException(
         s"no top-level column $column to prune on"))
     val fid = field.get("id").asInt()
     val dt = toSparkType(field.get("type"))
+    // temporal transform fields over THIS column, with their probe
+    // ordinal ranges (None when the bound doesn't parse → no pruning)
+    val temporal = allPartitionFields(meta)
+      .filter(f => f._3 == fid &&
+        Set("day", "month", "year", "hour")(f._2))
+      .flatMap { case (pfName, transform, _, pfId) =>
+        for {
+          l <- temporalOrdinal(transform, lo)
+          h <- temporalOrdinal(transform, hi)
+        } yield (pfName, pfId, l, h)
+      }
+    val entries = dataFilesWithPartitions(
+      table, meta, snap,
+      idParts.map(p => (p._1, p._3)) ++ temporal.map(t => (t._1, t._2)))
     val total = entries.size
+    // bounds in the value domain — when the probe type has no bound
+    // encoding (e.g. timestamps), identity/temporal partition pruning
+    // below still applies; only the min/max check degrades to keep
     val (loB, hiB) = (IcebergBounds.bound(dt, lo), IcebergBounds.bound(dt, hi))
-    if (loB.isEmpty || hiB.isEmpty) return (entries.map(_.path).sorted, total)
     def rawVal(raw: String): Option[Any] = dt match {
       case DateType =>
         scala.util.Try(java.time.LocalDate.parse(raw)).toOption
@@ -736,28 +806,49 @@ object IcebergTable {
     }
     val asPart = idParts.find(_._2 == column)
     val kept = entries.filter { e =>
-      asPart match {
+      val identityAdmits = asPart match {
         case Some((pfName, _, _)) =>
           // identity partition: the VALUE itself is the bound
           e.pv.get(pfName).flatten match {
             case None => false // a null never matches a range predicate
-            case Some(raw) => rawVal(raw).forall(x =>
-              IcebergBounds.leq(loB.get, x) && IcebergBounds.leq(x, hiB.get))
-          }
-        case None =>
-          val allNull =
-            e.records > 0L && e.nullCounts.get(fid).contains(e.records)
-          if (allNull) false
-          else {
-            val lom = e.lower.get(fid).flatMap(IcebergBounds.decode(dt, _))
-            val him = e.upper.get(fid).flatMap(IcebergBounds.decode(dt, _))
-            (lom, him) match {
-              case (Some(a), Some(b)) =>
-                IcebergBounds.leq(a, hiB.get) && IcebergBounds.leq(loB.get, b)
+            case Some(raw) => (loB, hiB) match {
+              case (Some(l), Some(h)) => rawVal(raw).forall(x =>
+                IcebergBounds.leq(l, x) && IcebergBounds.leq(x, h))
               case _ => true
             }
           }
+        case None => true
       }
+      // each temporal transform's partition ordinal must fall in the
+      // probe's ordinal range (missing value → all-null file → drop)
+      val temporalAdmits = temporal.forall { case (pfName, _, l, h) =>
+        e.pv.get(pfName).flatten match {
+          case None => false
+          case Some(raw) =>
+            // the ordinal arrives as an int, except day values whose
+            // date logical type decodes to an ISO string
+            scala.util.Try(raw.toLong).toOption
+              .orElse(scala.util.Try(
+                java.time.LocalDate.parse(raw).toEpochDay).toOption)
+              .forall(o => o >= l && o <= h)
+        }
+      }
+      val boundsAdmit = {
+        val allNull =
+          e.records > 0L && e.nullCounts.get(fid).contains(e.records)
+        if (allNull) false
+        else {
+          val lom = e.lower.get(fid).flatMap(IcebergBounds.decode(dt, _))
+          val him = e.upper.get(fid).flatMap(IcebergBounds.decode(dt, _))
+          (lom, him, loB, hiB) match {
+            case (Some(a), Some(b), Some(l), Some(h)) =>
+              IcebergBounds.leq(a, h) && IcebergBounds.leq(l, b)
+            case _ => true
+          }
+        }
+      }
+      identityAdmits && temporalAdmits &&
+        (asPart.isDefined || boundsAdmit)
     }.map(_.path).sorted
     (kept, total)
   }

@@ -107,6 +107,39 @@ class IcebergTransformSpec extends SparkSpec {
     assert(files.forall(_.contains("ts_day=")), files)
   }
 
+  test("temporal transform PARTITION VALUES prune range probes") {
+    val t = tbl()
+    val rows = (0 until 6).map { m =>
+      (java.sql.Timestamp.valueOf(f"2024-0${m + 1}%d-10 12:00:00"), m.toLong)
+    }
+    IcebergExport.createWithSpec(
+      rows.toDF("ts", "id").repartition(6, col("ts")), t,
+      Seq(("month", "ts")))
+    val meta = IcebergTable.metadataJson(t)
+    val files = IcebergTable.dataFilesOf(
+      t, meta, IcebergTable.currentSnapshotNode(meta))
+    assert(files.size == 6, s"one file per month: ${files.size}")
+    // a one-month probe keeps ONE file purely from the month ordinal
+    val (kept, total) = IcebergTable.prunedDataFiles(
+      t, "ts",
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-31 23:59:59"))
+    assert(total == 6 && kept.size == 1,
+      s"month-transform pruning drifted: ${kept.size} of $total")
+    // the pruned read equals the unpruned filtered read
+    val got = IcebergTable.readRange(spark, t, "ts",
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-31 23:59:59"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(2L), s"pruned read drifted: $got")
+    // a straddling probe keeps both months
+    val (kept2, _) = IcebergTable.prunedDataFiles(
+      t, "ts",
+      java.sql.Timestamp.valueOf("2024-03-20 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-04-05 00:00:00"))
+    assert(kept2.size == 2, s"straddle must keep 2: ${kept2.size}")
+  }
+
   test("truncate and temporal int transforms derive per the spec") {
     val t = tbl()
     IcebergExport.createWithSpec(
