@@ -661,8 +661,15 @@ object DeltaExport {
     val active = st.active.values
       .map(a => java.net.URLDecoder.decode(a.path, "UTF-8")).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
+    // UniForm-converted tables share the directory with an Iceberg
+    // view whose OWN files (position-delete parquet under data/) are
+    // not in the Delta log — they are Iceberg-owned (expireSnapshots
+    // reclaims them), not crash orphans; mirror of the Iceberg side's
+    // "only its own data/" restraint
+    val uniform = Files.isDirectory(Paths.get(table, "metadata"))
     val victims = listParquet(Paths.get(table))
       .filterNot(active)
+      .filterNot(rel => uniform && rel.startsWith("data/"))
       .filter(rel =>
         Files.getLastModifiedTime(Paths.get(table, rel)).toMillis < cutoff)
       .toSeq.sorted

@@ -1495,6 +1495,24 @@ object IcebergExport {
       val (records, bounds) = footerInfo(conf, f, fieldIds)
       Added(f, Files.size(Paths.get(f)), records, pv, bounds)
     }.toSeq.sortBy(_.absPath)
+    // Delta DELETION VECTORS convert to Iceberg POSITION DELETES
+    // (UniForm's own rule — exposing the raw files would RESURRECT
+    // deleted rows in the Iceberg view): each DV'd file's deleted
+    // indexes (driver-held, bounded by deleted rows) become
+    // (file_path, pos) rows in one delete file + a content=1
+    // manifest, and the table converts as format-version 2.
+    val dvPairs: Seq[(String, Long)] = st.active.values.toSeq
+      .sortBy(_.path).flatMap { a =>
+        a.dv.toSeq.flatMap(d =>
+          DeltaDv.indexesOf(table, d)
+            .map(i => (DeltaLog.absPath(table, a.path), i)))
+      }
+    val delAdded: Option[Added] =
+      if (dvPairs.isEmpty) None
+      else Some(writeDeleteFile(
+        spark, table,
+        dvPairs.sorted.map { case (f, i) => org.apache.spark.sql.Row(f, i) },
+        posDeleteSchema))
     Files.createDirectories(metaDir(table))
     var committed = false
     var snapId = 0L
@@ -1506,25 +1524,64 @@ object IcebergExport {
         finally s.close()
       }
       snapId = newSnapshotId()
+      val fvWanted = if (delAdded.isDefined) 2 else 1
       val (mPath, mLen, mCount) =
         writeManifest(table, snapId, schemaNode.toString, added, pfs)
-      val ml = writeManifestList(
-        table, snapId, Seq(ManifestRef(mPath, mLen, mCount, Some(snapId))))
       val ts = System.currentTimeMillis()
       if (!existing) {
+        val nextSeq = if (fvWanted >= 2) 1L else 0L
+        val (delSpecId, extraSpecs) =
+          if (pfs.isEmpty || delAdded.isEmpty) (0, Nil)
+          else {
+            val sp = mapper.createObjectNode()
+            sp.put("spec-id", 1)
+            sp.putArray("fields")
+            (1, Seq(sp))
+          }
+        val refs = ManifestRef(mPath, mLen, mCount, Some(snapId),
+          seq = if (fvWanted >= 2) Some(nextSeq) else None) +:
+          delAdded.toSeq.map { da =>
+            val (dPath, dLen, dCount) = writeManifest(
+              table, snapId, schemaNode.toString, Seq(da), Nil,
+              entryContent = 1, specId = delSpecId)
+            ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
+              specId = delSpecId, seq = Some(nextSeq))
+          }
+        val ml = writeManifestList(table, snapId, refs)
         val snap = snapshotNode(
-          snapId, None, ts, ml, added.size, added.map(_.records).sum)
+          snapId, None, ts, ml, added.size, added.map(_.records).sum,
+          if (fvWanted >= 2) Some(nextSeq) else None)
         val json = buildMetadata(
           table, java.util.UUID.randomUUID().toString, schemaNode, lastId,
-          Seq(snap), snapId, Seq((ts, snapId)), pfs)
+          Seq(snap), snapId, Seq((ts, snapId)), pfs,
+          formatVersion = fvWanted,
+          lastSequenceNumber = nextSeq,
+          extraSpecs = extraSpecs)
         committed = claim(table, 1, json)
       } else {
         val meta = IcebergTable.metadataJson(table)
         val curVersion = IcebergTable.currentMetadataVersion(table)
         val prevId = Option(meta.get("current-snapshot-id"))
           .map(_.asLong()).filter(_ != -1L)
+        val (fv0, lastSeq) = fvOf(meta)
+        val fv = math.max(fv0, fvWanted)
+        val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
+        val (delSpecId, extraSpecs) =
+          if (delAdded.isEmpty) (0, extraSpecsOf(meta))
+          else deleteSpec(meta, pfs)
+        val refs = ManifestRef(mPath, mLen, mCount, Some(snapId),
+          seq = if (fv >= 2) Some(nextSeq) else None) +:
+          delAdded.toSeq.map { da =>
+            val (dPath, dLen, dCount) = writeManifest(
+              table, snapId, schemaNode.toString, Seq(da), Nil,
+              entryContent = 1, specId = delSpecId)
+            ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
+              specId = delSpecId, seq = Some(nextSeq))
+          }
+        val ml = writeManifestList(table, snapId, refs)
         val snap = snapshotNode(
-          snapId, prevId, ts, ml, added.size, added.map(_.records).sum)
+          snapId, prevId, ts, ml, added.size, added.map(_.records).sum,
+          if (fv >= 2) Some(nextSeq) else None)
         val snaps = meta.get("snapshots").elements().asScala
           .map(_.deepCopy[ObjectNode]()).toSeq :+ snap
         val log = (if (meta.has("snapshot-log"))
@@ -1532,13 +1589,12 @@ object IcebergExport {
             (e.get("timestamp-ms").asLong(),
               e.get("snapshot-id").asLong())).toSeq
         else Nil) :+ ((ts, snapId))
-        val (fv, lastSeq) = fvOf(meta)
         val json = buildMetadata(
           table, meta.get("table-uuid").asText(), schemaNode, lastId,
           snaps, snapId, log, pfs,
           formatVersion = fv,
-          lastSequenceNumber = if (fv >= 2) lastSeq + 1 else 0L,
-          extraSpecs = extraSpecsOf(meta),
+          lastSequenceNumber = nextSeq,
+          extraSpecs = extraSpecs,
           properties = propsOf(meta))
         committed = claim(table, curVersion + 1, json)
       }
@@ -1589,15 +1645,7 @@ object IcebergExport {
       matched.toSeq.sorted.map { case (f, i) =>
         org.apache.spark.sql.Row(f, i)
       },
-      StructType(Seq(
-        StructField("file_path", org.apache.spark.sql.types.StringType,
-          nullable = false,
-          new MetadataBuilder().putLong("parquet.field.id", 2147483546L)
-            .build()),
-        StructField("pos", org.apache.spark.sql.types.LongType,
-          nullable = false,
-          new MetadataBuilder().putLong("parquet.field.id", 2147483545L)
-            .build()))))
+      posDeleteSchema)
     var committed = false
     var snapId = 0L
     while (!committed) {
@@ -1651,6 +1699,19 @@ object IcebergExport {
     }
     Some(snapId)
   }
+
+  /** The position-delete file schema with the spec's RESERVED
+    * parquet field-ids (file_path = 2147483546, pos = 2147483545).
+    */
+  private def posDeleteSchema: StructType = StructType(Seq(
+    StructField("file_path", org.apache.spark.sql.types.StringType,
+      nullable = false,
+      new MetadataBuilder().putLong("parquet.field.id", 2147483546L)
+        .build()),
+    StructField("pos", org.apache.spark.sql.types.LongType,
+      nullable = false,
+      new MetadataBuilder().putLong("parquet.field.id", 2147483545L)
+        .build())))
 
   /** Write `rows` as ONE parquet delete file under `data/` with the
     * given schema (field-ids carried via `parquet.field.id` metadata —

@@ -193,6 +193,49 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t, Some(snap1)).count() == 2L)
   }
 
+  test("UniForm: Delta DELETION VECTORS convert to Iceberg position deletes") {
+    val t = tmpTable()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    DeltaExport.create(
+      (0L until 20L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaExport.deleteWhere(spark, t, col("id") % 3 === 0)
+    val snap1 = IcebergExport.fromDelta(spark, t)
+    // the Iceberg view must NOT resurrect the DV-deleted rows
+    val viaDelta = DeltaLog.read(spark, t)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val viaIceberg = IcebergTable.read(spark, t)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(viaIceberg == viaDelta,
+      s"UniForm resurrected DV-deleted rows: $viaIceberg vs $viaDelta")
+    assert(!viaIceberg.contains(0L) && !viaIceberg.contains(3L))
+    // the conversion upgraded to v2 with a position-delete manifest
+    val meta = IcebergTable.metadataJson(t)
+    assert(meta.get("format-version").asInt() == 2)
+    assert(IcebergTable.positionDeleteFiles(
+      t, meta, IcebergTable.currentSnapshotNode(meta)).nonEmpty)
+    // re-sync after MORE Delta deletes stays row-identical
+    DeltaExport.deleteWhere(spark, t, col("id") === 7L)
+    IcebergExport.fromDelta(spark, t)
+    assert(IcebergTable.read(spark, t).collect().map(_.getLong(0)).sorted
+      .toSeq == DeltaLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq)
+    // Delta's vacuum must NOT reclaim the Iceberg-owned delete file
+    // (it is not in the Delta log; it IS the Iceberg view's content)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 100_000_000L)
+    val delFiles = IcebergTable.positionDeleteFiles(
+      t, IcebergTable.metadataJson(t),
+      IcebergTable.currentSnapshotNode(IcebergTable.metadataJson(t)))
+    delFiles.foreach(f => java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(f), old))
+    DeltaExport.vacuum(spark, t, retentionMs = 1000L)
+    assert(delFiles.forall(f =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(f))),
+      "Delta vacuum reclaimed an Iceberg-owned delete file")
+    assert(IcebergTable.read(spark, t, Some(snap1)).count() == 13L,
+      "the first sync point must stay time-travelable (20 - 7 multiples of 3)")
+  }
+
   test("UniForm: PARTITIONED Delta converts — partition values from the log") {
     val t = tmpTable()
     import spark.implicits._
