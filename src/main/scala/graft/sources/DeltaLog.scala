@@ -503,14 +503,20 @@ object DeltaLog {
       lo: Any, hi: Any,
       versionAsOf: Option[Long] = None): (Seq[String], Int) = {
     val st = stateAt(spark, table, versionAsOf)
+    // column-mapped tables key add.stats by PHYSICAL name — the
+    // logical-name lookup would silently degrade to keep-all
+    val statKey = st.schemaJson.flatMap { js =>
+      DataType.fromJson(js).asInstanceOf[StructType]
+        .fields.find(_.name == column).map(physName)
+    }.getOrElse(column)
     val kept = st.active.values.toSeq.filter { a =>
       a.stats.forall { js =>
         try {
           val s = mapper.readTree(js)
-          val mn = Option(s.get("minValues")).flatMap(m => Option(m.get(column)))
-          val mx = Option(s.get("maxValues")).flatMap(m => Option(m.get(column)))
+          val mn = Option(s.get("minValues")).flatMap(m => Option(m.get(statKey)))
+          val mx = Option(s.get("maxValues")).flatMap(m => Option(m.get(statKey)))
           val allNull = for {
-            nc <- Option(s.get("nullCount")).flatMap(m => Option(m.get(column)))
+            nc <- Option(s.get("nullCount")).flatMap(m => Option(m.get(statKey)))
             n <- Option(s.get("numRecords"))
           } yield nc.asLong() == n.asLong() && n.asLong() > 0L
           if (allNull.contains(true)) false

@@ -229,6 +229,25 @@ class DeltaColumnMappingSpec extends SparkSpec {
     assert(e2.getMessage.contains("minReaderVersion=3"), e2.getMessage)
   }
 
+  test("file skipping on mapped tables resolves stats by PHYSICAL name") {
+    val t = makeTable()
+    // hand-attach physical-keyed stats, as delta-spark writes them
+    val rel1 = "f1.parquet"
+    val rel2 = "f2.parquet"
+    writeCommit(t, 1, Seq(
+      s"""{"remove":{"path":"$rel1","deletionTimestamp":1,"dataChange":false}}""",
+      s"""{"remove":{"path":"$rel2","deletionTimestamp":1,"dataChange":false}}""",
+      s"""{"add":{"path":"$rel1","partitionValues":{"col-ee55":"us"},"size":512,"modificationTime":1,"dataChange":false,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-aa11\\":1},\\"maxValues\\":{\\"col-aa11\\":2}}"}}""",
+      s"""{"add":{"path":"$rel2","partitionValues":{"col-ee55":"de"},"size":512,"modificationTime":1,"dataChange":false,"stats":"{\\"numRecords\\":1,\\"minValues\\":{\\"col-aa11\\":3},\\"maxValues\\":{\\"col-aa11\\":3}}"}}"""))
+    // probe by the LOGICAL name: the physical-keyed stats must prune
+    val (kept, total) = DeltaLog.prunedFiles(spark, t.toString, "doc_id", 3L, 9L)
+    assert(total == 2 && kept == Seq(rel2),
+      s"physical-keyed stats must resolve from the logical probe: $kept")
+    val got = DeltaLog.readRange(spark, t.toString, "doc_id", 3L, 9L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L), got)
+  }
+
   test("checkpointing a mapped table carries the configuration") {
     val t = makeTable()
     DeltaExport.checkpoint(spark, t.toString)
