@@ -545,13 +545,15 @@ object DeltaExport {
       schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
     val before = st.active.size
     val groups = st.active.values.toSeq.groupBy(_.partitionValues)
+    val byPath = st.active
     val rewrites = groups.toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       .flatMap { case (pv, adds) =>
-        // DV'd files are skipped: a naive rewrite would resurrect
-        // their deleted rows (compacting them means applying the
-        // vector first — a DELETE+OPTIMIZE composition out of scope)
-        val withSize = adds.filter(_.dv.isEmpty).map(a =>
+        // DV'd files compact too (r13 — Delta's own OPTIMIZE/PURGE
+        // behavior): the rewrite APPLIES each file's deletion vector,
+        // so the new files carry the same LOGICAL content physically
+        // purged; dataChange:false stays correct
+        val withSize = adds.map(a =>
           a.path -> Files.size(
             Paths.get(DeltaLog.absPath(table, a.path))))
         val smalls = withSize.filter(_._2 < targetBytes)
@@ -565,7 +567,31 @@ object DeltaExport {
     if (rewrites.isEmpty) return (before, before)
     val newRels = rewrites.flatMap { case (pv, rels, nOut) =>
       val abs = rels.map(DeltaLog.absPath(table, _))
-      val df = spark.read.schema(dataSchema).parquet(abs: _*).coalesce(nOut)
+      // deleted (file, index) pairs of the victims — bounded by rows
+      // DELETED, the DV discipline; anti-joined away during rewrite
+      val dvPairs: Seq[(String, Long)] = rels.flatMap { rel =>
+        byPath.get(rel).toSeq.flatMap(_.dv.toSeq.flatMap(d =>
+          DeltaDv.indexesOf(table, d)
+            .map(i => (DeltaLog.absPath(table, rel), i))))
+      }
+      val scanned = spark.read.schema(dataSchema).parquet(abs: _*)
+      val purged =
+        if (dvPairs.isEmpty) scanned
+        else {
+          import org.apache.spark.sql.functions.{broadcast, col, regexp_replace, url_decode}
+          import spark.implicits._
+          val canon = regexp_replace(
+            url_decode(regexp_replace(
+              col("_metadata.file_path"), "^file:/*", "/")), "/+", "/")
+          scanned
+            .withColumn("__cf", canon)
+            .withColumn("__ci", col("_metadata.row_index"))
+            .join(broadcast(dvPairs.toDF("__df", "__di")),
+              col("__cf") === col("__df") && col("__ci") === col("__di"),
+              "left_anti")
+            .drop("__cf", "__ci")
+        }
+      val df = purged.coalesce(nOut)
       val stage = Files.createTempDirectory("delta_compact")
       df.write.mode("overwrite").parquet(stage.toString)
       val pdir = st.partitionCols

@@ -139,6 +139,37 @@ class DeltaSkippingSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t, Some(preVersion)).count() == 40L)
   }
 
+  test("compact APPLIES deletion vectors: purged rewrite, nothing resurrected") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaExport.append(
+      (10L until 20L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaExport.deleteWhere(spark, t, col("id") % 4 === 0)
+    val pre = DeltaLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(!pre(0L) && !pre(4L) && !pre(16L))
+    val preVersion = DeltaLog.version(spark, t)
+    val (before, after) = DeltaExport.compact(spark, t, 64L * 1024 * 1024)
+    assert(before == 2 && after == 1, s"$before → $after")
+    // deleted rows stay deleted — and are PHYSICALLY purged (the new
+    // file carries no DV and no dead rows)
+    val post = DeltaLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(post == pre, s"compaction resurrected: ${post.diff(pre)}")
+    val st = DeltaLog.activeFiles(spark, t).collect().map(_.getString(0))
+    assert(st.length == 1)
+    val raw = spark.read.parquet(st.head).count()
+    assert(raw == pre.size.toLong,
+      s"the rewrite must purge DV'd rows physically: $raw raw vs ${pre.size}")
+    // time travel to the pre-compaction version still applies the DV
+    assert(DeltaLog.read(spark, t, Some(preVersion))
+      .collect().map(_.getLong(0)).toSet == pre)
+    // and the OPTIMIZE commit is dataChange:false
+    val commit = Files.readString(java.nio.file.Paths.get(
+      t, "_delta_log", f"${preVersion + 1}%020d.json"))
+    assert(!commit.contains("\"dataChange\":true"),
+      "OPTIMIZE must not signal a content change")
+  }
+
   test("compact respects partition boundaries") {
     val t = tbl()
     DeltaExport.create(
