@@ -537,12 +537,32 @@ object DeltaExport {
       targetBytes: Long): (Int, Int) = {
     import org.apache.spark.sql.types.DataType
     val st = DeltaLog.stateAt(spark, table, None)
-    require(!st.configuration.get("delta.columnMapping.mode").exists(_ != "none"),
-      "compact reads data files by logical name; column-mapped tables " +
-        "are out of this writer's scope")
+    val mapMode = st.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    require(mapMode == "none" || st.partitionCols.isEmpty,
+      "compact on PARTITIONED column-mapped tables is out of scope " +
+        "(physical-keyed hive relayout); unpartitioned mapped tables " +
+        "and all unmapped tables compact")
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+    // mapped tables read and REWRITE under their mapping: name mode
+    // by stable physical names (plain schema — its files may lack
+    // footer ids), id mode by footer field-ids (the read schema
+    // carries the ids under physicalName names; the rewrite re-emits
+    // both, so either resolution style keeps working on the new
+    // files). Recomputed add.stats key by the footer names =
+    // physical — what mapped prunedFiles expects.
+    val dataFields = schema.fields.filterNot(f =>
+      st.partitionCols.contains(f.name))
+    val physFields = StructType(dataFields.map(f =>
+      f.copy(name = DeltaLog.physName(f),
+        dataType = DeltaLog.toPhysical(f.dataType))))
+    val dataSchema = mapMode match {
+      case "none" => StructType(dataFields)
+      case "name" => physFields
+      case _ => // id
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        DeltaLog.withFieldIds(physFields).asInstanceOf[StructType]
+    }
     val before = st.active.size
     val groups = st.active.values.toSeq.groupBy(_.partitionValues)
     val byPath = st.active

@@ -332,7 +332,7 @@ object DeltaLog {
     * store the stable physical parquet name in each field's metadata;
     * unmapped fields keep their logical name).
     */
-  private def physName(f: org.apache.spark.sql.types.StructField): String =
+  private[sources] def physName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
@@ -341,7 +341,7 @@ object DeltaLog {
     * table: every field (at every nesting level) renamed to its
     * physicalName.
     */
-  private def toPhysical(dt: DataType): DataType = dt match {
+  private[sources] def toPhysical(dt: DataType): DataType = dt match {
     case s: StructType =>
       StructType(s.fields.map(f =>
         f.copy(name = physName(f), dataType = toPhysical(f.dataType))))
@@ -361,7 +361,7 @@ object DeltaLog {
     * the protocol's id-mode resolution rule. No physical→logical
     * remap is needed afterwards: the scan's output names ARE logical.
     */
-  private def withFieldIds(dt: DataType): DataType = dt match {
+  private[sources] def withFieldIds(dt: DataType): DataType = dt match {
     case s: StructType =>
       StructType(s.fields.map { f =>
         val mb = new org.apache.spark.sql.types.MetadataBuilder()

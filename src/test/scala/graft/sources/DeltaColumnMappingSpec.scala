@@ -248,6 +248,55 @@ class DeltaColumnMappingSpec extends SparkSpec {
     assert(got == Seq(3L), got)
   }
 
+  test("compaction works on mapped tables, keeping both resolution styles") {
+    // UNPARTITIONED name-mode fixture: two physical-named small files
+    def makeFlat(mode: String): Path = {
+      val table = Files.createTempDirectory("delta_cm_flat")
+      if (mode == "name") {
+        writePhysicalFile(table, "f1.parquet", Seq((1L, "alpha", 5L)))
+        writePhysicalFile(table, "f2.parquet", Seq((2L, "beta", 7L)))
+      } else {
+        writeIdFile(table, "f1.parquet", Seq((1L, "alpha", 5L)))
+        writeIdFile(table, "f2.parquet", Seq((2L, "beta", 7L)),
+          physPrefix = "other") // different physical names, same ids
+      }
+      val flatSchema = StructType(logicalSchema.fields.filterNot(_.name == "region"))
+      val ss = flatSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      writeCommit(table, 0, Seq(
+        s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cm-flat","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"5"},"createdTime":1700000000000}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":512,"modificationTime":1700000000000,"dataChange":true}}""",
+        """{"add":{"path":"f2.parquet","partitionValues":{},"size":512,"modificationTime":1700000000000,"dataChange":true}}"""))
+      table
+    }
+    for (mode <- Seq("name", "id")) {
+      val t = makeFlat(mode)
+      val pre = DeltaLog.read(spark, t.toString).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val (before, after) = DeltaExport.compact(
+        spark, t.toString, 64L * 1024 * 1024)
+      assert(before == 2 && after == 1, s"$mode: $before → $after")
+      val post = DeltaLog.read(spark, t.toString).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(post == pre, s"$mode-mode compaction drifted: $post vs $pre")
+      assert(post == Set((1L, "alpha"), (2L, "beta")))
+      // the id-mode rewrite carries footer FIELD-IDS under the
+      // physicalName names, so either resolution style keeps working
+      if (mode == "id") {
+        val newFile = DeltaLog.activeFiles(spark, t.toString)
+          .collect().map(_.getString(0)).head
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(newFile),
+            spark.sparkContext.hadoopConfiguration))
+        val ids = try reader.getFooter.getFileMetaData.getSchema.getFields
+          .asScala.flatMap(f => Option(f.getId).map(_.intValue())).toSet
+        finally reader.close()
+        assert(ids == Set(1, 2, 3), s"rewrite must emit field-ids: $ids")
+      }
+    }
+  }
+
   test("checkpointing a mapped table carries the configuration") {
     val t = makeTable()
     DeltaExport.checkpoint(spark, t.toString)
