@@ -66,6 +66,14 @@ object DeltaExport {
           .replace("+", "%20").replace("%3D", "="))
       .mkString("/")
 
+  /** A deletion-vector descriptor as its action JSON (PROTOCOL.md) —
+    * shared by the add that attaches it and the remove that carries
+    * the REPLACED vector (so log consumers and vacuum can track the
+    * old DV file's lifecycle).
+    */
+  private def dvJson(d: DeltaDv.Descriptor): String =
+    s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${esc(d.pathOrInlineDv)}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+
   private def listParquet(root: Path): Set[String] = {
     if (!Files.isDirectory(root)) return Set.empty
     val s = Files.walk(root)
@@ -486,11 +494,14 @@ object DeltaExport {
         .mkString("{", ",", "}")
       val statsPart = a.stats
         .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
-      val dvJson =
-        s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${esc(d.pathOrInlineDv)}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+      // the remove carries the REPLACED vector's descriptor (if any)
+      // so the superseded deletion_vector_*.bin stays trackable —
+      // vacuum reclaims it once no active add references it
+      val oldDvPart = a.dv
+        .map(od => s""","deletionVector":${dvJson(od)}""").getOrElse("")
       Seq(
-        s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""",
-        s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(Paths.get(abs))},"modificationTime":${Files.getLastModifiedTime(Paths.get(abs)).toMillis},"dataChange":true$statsPart,"deletionVector":$dvJson}}""")
+        s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true$oldDvPart}}""",
+        s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(Paths.get(abs))},"modificationTime":${Files.getLastModifiedTime(Paths.get(abs)).toMillis},"dataChange":true$statsPart,"deletionVector":${dvJson(d)}}}""")
     }
     // first delete upgrades the protocol to the feature-gated form;
     // PROTOCOL.md: a table-features upgrade must ENUMERATE the
@@ -625,8 +636,14 @@ object DeltaExport {
       }
     }
     val conf = Some(spark.sparkContext.hadoopConfiguration)
-    val lines = rewrites.flatMap(_._2).map(p =>
-      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}""") ++
+    val lines = rewrites.flatMap(_._2).map { p =>
+      // a compacted-away DV'd file's remove carries its vector's
+      // descriptor (PROTOCOL.md) so the now-orphaned
+      // deletion_vector_*.bin stays trackable for vacuum
+      val dvPart = byPath.get(p).flatMap(_.dv)
+        .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":false$dvPart}}"""
+    } ++
       newRels.map(rel =>
         addJson(table, rel, partitionValuesOf(rel, st.partitionCols),
           conf, dataChange = false)) :+
@@ -719,8 +736,34 @@ object DeltaExport {
       .filter(rel =>
         Files.getLastModifiedTime(Paths.get(table, rel)).toMillis < cutoff)
       .toSeq.sorted
-    victims.foreach(rel => Files.delete(Paths.get(table, rel)))
-    victims
+    // DELETION-VECTOR files are table content too: a DV superseded by
+    // a later merged vector (or compacted away) is referenced by no
+    // active add and reclaims past retention like any tombstoned file
+    val activeDvAbs: Set[String] = st.active.values.flatMap(_.dv)
+      .flatMap { d =>
+        d.storageType match {
+          case "p" => Some(Paths.get(
+            d.pathOrInlineDv.replaceFirst("^file:/*", "/"))
+            .toAbsolutePath.toString)
+          case "u" => Some(DeltaDv.uuidPath(table, d.pathOrInlineDv))
+          case _ => None // inline vectors have no file
+        }
+      }.toSet
+    val root = Paths.get(table)
+    val dvVictims = {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && p.getFileName.toString.startsWith("deletion_vector_")
+          && p.getFileName.toString.endsWith(".bin")
+          && !activeDvAbs.contains(p.toAbsolutePath.toString)
+          && Files.getLastModifiedTime(p).toMillis < cutoff)
+        .map(p => root.relativize(p).toString)
+        .toVector.sorted
+      finally s.close()
+    }
+    (victims ++ dvVictims).foreach(rel => Files.delete(Paths.get(table, rel)))
+    victims ++ dvVictims
   }
 
   /** Compact the snapshot at the table's latest version into a parquet

@@ -175,6 +175,7 @@ object IcebergExport {
         {"name":"status","type":"int","field-id":0},
         {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
         {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
         {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
           {"name":"content","type":"int","default":0,"field-id":134},
           {"name":"file_path","type":"string","field-id":100},
@@ -432,20 +433,39 @@ object IcebergExport {
     val src = col(pf.sourceName)
     val bucketRe = "^bucket\\[(\\d+)\\]$".r
     val truncRe = "^truncate\\[(\\d+)\\]$".r
-    def epochSeconds = srcDt match {
-      case TimestampType | TimestampNTZType => src.cast(LongType)
-      case DateType => src.cast(TimestampType).cast(LongType)
+    // the spec's temporal frame is UTC. TIMESTAMP (an instant)
+    // derives from epoch seconds — a cast(DateType) would be
+    // SESSION-timezone dependent (a non-UTC session would write
+    // misplaced partition values that the reader's UTC
+    // temporalOrdinal pruning then prunes incorrectly). DATE and
+    // TIMESTAMP_NTZ are zoneless: field extraction on them is
+    // session-independent already (and NTZ cannot cast to BIGINT).
+    def utcDate = srcDt match {
+      case DateType => src
+      case TimestampNTZType => src.cast(DateType)
+      case TimestampType =>
+        date_from_unix_date(
+          floor(src.cast(LongType) / lit(86400)).cast(IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"temporal transform over non-temporal type $other")
+    }
+    def hourOrdinal = srcDt match {
+      case TimestampType =>
+        floor(src.cast(LongType) / lit(3600)).cast(IntegerType)
+      case TimestampNTZType =>
+        (unix_date(src.cast(DateType)) * lit(24) + hour(src))
+          .cast(IntegerType)
+      case DateType => (unix_date(src) * lit(24)).cast(IntegerType)
       case other => throw new IllegalArgumentException(
         s"temporal transform over non-temporal type $other")
     }
     pf.transform match {
       case "identity" => src
-      case "day" => src.cast(DateType)
-      case "year" => year(src.cast(DateType)) - lit(1970)
+      case "day" => utcDate
+      case "year" => year(utcDate) - lit(1970)
       case "month" =>
-        (year(src.cast(DateType)) - lit(1970)) * lit(12) +
-          month(src.cast(DateType)) - lit(1)
-      case "hour" => floor(epochSeconds / lit(3600)).cast(IntegerType)
+        (year(utcDate) - lit(1970)) * lit(12) + month(utcDate) - lit(1)
+      case "hour" => hourOrdinal
       case bucketRe(n) =>
         val buckets = n.toInt
         require(buckets > 0, s"bucket[$n] needs N > 0")
@@ -623,7 +643,7 @@ object IcebergExport {
       table: String, snapId: Long, schemaJson: String,
       files: Seq[Added], pfs: Seq[PartField],
       entryContent: Int = 0, specId: Int = 0,
-      equalityIds: Seq[Int] = Nil): (String, Long, Int) = {
+      equalityIds: Seq[Int] = Nil, fv: Int = 1): (String, Long, Int) = {
     val entrySchema = manifestEntrySchema(pfs)
     val path = metaDir(table)
       .resolve(s"${java.util.UUID.randomUUID()}-m0.avro")
@@ -631,11 +651,15 @@ object IcebergExport {
       new GenericDatumWriter[GenericRecord](entrySchema))
     // the avro key-value metadata real manifests carry (readers like
     // ours use the embedded record schema; these are for engines that
-    // check them)
+    // check them). The format-version must match the TABLE's — a v2
+    // manifest stamped "1" makes a real reader pick the v1 projection
+    // and ignore sequence numbers / reject delete manifests
     w.setMeta("schema", schemaJson)
     w.setMeta("partition-spec", specFieldsJson(pfs))
     w.setMeta("partition-spec-id", specId.toString)
-    w.setMeta("format-version", "1")
+    w.setMeta("format-version", math.max(1, fv).toString)
+    if (fv >= 2)
+      w.setMeta("content", if (entryContent == 0) "data" else "deletes")
     w.create(entrySchema, path.toFile)
     // the spec's int-keyed maps encode in avro as arrays of
     // key/value records (logicalType map)
@@ -745,12 +769,12 @@ object IcebergExport {
     */
   private def writeManifestList(
       table: String, snapId: Long,
-      manifests: Seq[ManifestRef]): String = {
+      manifests: Seq[ManifestRef], fv: Int = 1): String = {
     val path = metaDir(table)
       .resolve(s"snap-$snapId-${java.util.UUID.randomUUID()}.avro")
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](ManifestFileSchema))
-    w.setMeta("format-version", "1")
+    w.setMeta("format-version", math.max(1, fv).toString)
     w.create(ManifestFileSchema, path.toFile)
     try manifests.foreach { mr =>
       val m = new GenericData.Record(ManifestFileSchema)
@@ -1046,10 +1070,11 @@ object IcebergExport {
         IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
       val history = schemaHistoryOf(meta)
       val pfs = partFieldsFromMeta(meta)
-      val (mPath, mLen, mCount) =
-        writeManifest(table, snapId, schemaNode.toString, added, pfs)
-      val ts = System.currentTimeMillis()
       val (fv, lastSeq) = fvOf(meta)
+      val (mPath, mLen, mCount) =
+        writeManifest(table, snapId, schemaNode.toString, added, pfs,
+          fv = fv)
+      val ts = System.currentTimeMillis()
       val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
       // v2: the new manifest carries the commit's sequence number so
       // its ADDED entries inherit it — equality deletes scope against
@@ -1058,7 +1083,7 @@ object IcebergExport {
         table, snapId,
         ManifestRef(mPath, mLen, mCount, Some(snapId),
           seq = if (fv >= 2) Some(nextSeq) else None) +:
-          priorManifests(prevList))
+          priorManifests(prevList), fv = fv)
       val newSnap = snapshotNode(
         snapId, curSnapId, ts, ml, added.size, added.map(_.records).sum,
         if (fv >= 2) Some(nextSeq) else None)
@@ -1347,7 +1372,18 @@ object IcebergExport {
     */
   def rewriteDataFiles(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      targetBytes: Long): (Int, Int) = {
+      targetBytes: Long): (Int, Int) =
+    rewriteDataFiles(spark, table, targetBytes, () => ())
+
+  /** [[rewriteDataFiles]] with a commit-window seam: `beforeCommit`
+    * runs once after the victims were read and rewritten but before
+    * the claim loop — the window a concurrent row-level delete races
+    * into. Production calls the no-op overload; the concurrency spec
+    * injects a real deleteWhere here to pin the abort deterministically.
+    */
+  private[sources] def rewriteDataFiles(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      targetBytes: Long, beforeCommit: () => Unit): (Int, Int) = {
     val meta0 = IcebergTable.metadataJson(table)
     val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
     val pfs0 = partFieldsFromMeta(meta0)
@@ -1356,6 +1392,15 @@ object IcebergExport {
     // never mixes files across any partition boundary
     val entries0 = IcebergTable.dataFilesWithPartitions(
       table, meta0, snap0, pfs0.map(p => (p.name, p.fieldId)))
+    // the delete files the victim rows were MoR-resolved against —
+    // the claim loop validates no newer delete landed meanwhile
+    // (Iceberg RewriteFiles' validateNoNewDeletes): a position/
+    // equality delete committed after this read could no longer
+    // match the rewritten files (new files get seq = nextSeq >
+    // deleteSeq; position deletes reference the replaced paths) and
+    // would silently RESURRECT the concurrently-deleted rows
+    val deletes0 = IcebergTable.deleteFilesOf(table, meta0, snap0)
+      .map(_.path).toSet
     val before = entries0.size
     // candidates: partitions with ≥2 under-target files
     val victims = entries0.groupBy(_.pv).values.flatMap { fs =>
@@ -1376,6 +1421,7 @@ object IcebergExport {
     val added = stageIn(
       deriveCols(rows, pfs0), table, pfs0.map(_.name),
       topFieldIds(schemaNode0))
+    beforeCommit()
     var committed = false
     while (!committed) {
       val meta = IcebergTable.metadataJson(table)
@@ -1391,6 +1437,21 @@ object IcebergExport {
       // survivors recomputed from the FRESH state so a concurrent
       // append's files are never dropped by the full-manifest rewrite
       val snapNow = IcebergTable.currentSnapshotNode(meta)
+      // ABORT on a delete committed since the victims were read: the
+      // rewritten rows no longer reflect it, and carrying the new
+      // delete metadata forward would not re-apply it to the new
+      // files. Loud failure, never resurrected rows; the caller
+      // re-runs against the post-delete state.
+      val deletesNow = IcebergTable.deleteFilesOf(table, meta, snapNow)
+        .map(_.path).toSet
+      if ((deletesNow -- deletes0).nonEmpty) {
+        added.foreach(a => Files.deleteIfExists(Paths.get(a.absPath)))
+        throw new IllegalStateException(
+          s"concurrent row-level delete committed to $table during " +
+            "rewriteDataFiles (validateNoNewDeletes): compaction " +
+            "aborted without committing — re-run it against the " +
+            "post-delete snapshot")
+      }
       val pfsNow = partFieldsFromMeta(meta)
       val entriesNow = IcebergTable.dataFilesWithPartitions(
         table, meta, snapNow, pfsNow.map(p => (p.name, p.fieldId)))
@@ -1418,20 +1479,20 @@ object IcebergExport {
       val eraRefs = survivorGroups.map { case (ws, files) =>
         val (sPath, sLen, sCount) = writeManifest(
           table, snapId2, ws.getOrElse(schemaNode.toString),
-          files.map(toAdded), pfs)
+          files.map(toAdded), pfs, fv = fv)
         val eraMin = files.map(_.seq).min
         ManifestRef(sPath, sLen, sCount, Some(snapId2),
           seq = if (fv >= 2) Some(nextSeq) else None,
           minSeq = if (fv >= 2) Some(math.min(eraMin, nextSeq)) else None)
       }
       val (mPath, mLen, mCount) = writeManifest(
-        table, snapId2, schemaNode.toString, added, pfs)
+        table, snapId2, schemaNode.toString, added, pfs, fv = fv)
       val ml = writeManifestList(
         table, snapId2,
         (ManifestRef(mPath, mLen, mCount, Some(snapId2),
           seq = if (fv >= 2) Some(nextSeq) else None,
           minSeq = if (fv >= 2) Some(nextSeq) else None) +: eraRefs) ++
-          priorManifests(prevList).filter(_.content == 1))
+          priorManifests(prevList).filter(_.content == 1), fv = fv)
       val ts = System.currentTimeMillis()
       val newSnap = snapshotNode(
         snapId2, curSnapId, ts, ml, added.size, added.map(_.records).sum,
@@ -1525,10 +1586,10 @@ object IcebergExport {
       }
       snapId = newSnapshotId()
       val fvWanted = if (delAdded.isDefined) 2 else 1
-      val (mPath, mLen, mCount) =
-        writeManifest(table, snapId, schemaNode.toString, added, pfs)
       val ts = System.currentTimeMillis()
       if (!existing) {
+        val (mPath, mLen, mCount) = writeManifest(
+          table, snapId, schemaNode.toString, added, pfs, fv = fvWanted)
         val nextSeq = if (fvWanted >= 2) 1L else 0L
         val (delSpecId, extraSpecs) =
           if (pfs.isEmpty || delAdded.isEmpty) (0, Nil)
@@ -1543,11 +1604,11 @@ object IcebergExport {
           delAdded.toSeq.map { da =>
             val (dPath, dLen, dCount) = writeManifest(
               table, snapId, schemaNode.toString, Seq(da), Nil,
-              entryContent = 1, specId = delSpecId)
+              entryContent = 1, specId = delSpecId, fv = fvWanted)
             ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
               specId = delSpecId, seq = Some(nextSeq))
           }
-        val ml = writeManifestList(table, snapId, refs)
+        val ml = writeManifestList(table, snapId, refs, fv = fvWanted)
         val snap = snapshotNode(
           snapId, None, ts, ml, added.size, added.map(_.records).sum,
           if (fvWanted >= 2) Some(nextSeq) else None)
@@ -1565,6 +1626,8 @@ object IcebergExport {
           .map(_.asLong()).filter(_ != -1L)
         val (fv0, lastSeq) = fvOf(meta)
         val fv = math.max(fv0, fvWanted)
+        val (mPath, mLen, mCount) = writeManifest(
+          table, snapId, schemaNode.toString, added, pfs, fv = fv)
         val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
         val (delSpecId, extraSpecs) =
           if (delAdded.isEmpty) (0, extraSpecsOf(meta))
@@ -1574,11 +1637,11 @@ object IcebergExport {
           delAdded.toSeq.map { da =>
             val (dPath, dLen, dCount) = writeManifest(
               table, snapId, schemaNode.toString, Seq(da), Nil,
-              entryContent = 1, specId = delSpecId)
+              entryContent = 1, specId = delSpecId, fv = fv)
             ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
               specId = delSpecId, seq = Some(nextSeq))
           }
-        val ml = writeManifestList(table, snapId, refs)
+        val ml = writeManifestList(table, snapId, refs, fv = fv)
         val snap = snapshotNode(
           snapId, prevId, ts, ml, added.size, added.map(_.records).sum,
           if (fv >= 2) Some(nextSeq) else None)
@@ -1667,7 +1730,7 @@ object IcebergExport {
       val (delSpecId, specs) = deleteSpec(meta, pfsNow)
       val (dPath, dLen, dCount) = writeManifest(
         table, snapId, schemaNode.toString, Seq(delAdded), Nil,
-        entryContent = 1, specId = delSpecId)
+        entryContent = 1, specId = delSpecId, fv = 2)
       val ts = System.currentTimeMillis()
       val (_, lastSeq) = fvOf(meta)
       val nextSeq = lastSeq + 1
@@ -1675,7 +1738,7 @@ object IcebergExport {
         table, snapId,
         priorManifests(prevList) :+
           ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
-            specId = delSpecId, seq = Some(nextSeq)))
+            specId = delSpecId, seq = Some(nextSeq)), fv = 2)
       val newSnap = snapshotNode(
         snapId, curSnapId, ts, ml, 1, matched.length.toLong,
         Some(nextSeq), operation = "delete")
@@ -1800,7 +1863,7 @@ object IcebergExport {
       val (delSpecId, specs) = deleteSpec(meta, pfsNow)
       val (dPath, dLen, dCount) = writeManifest(
         table, snapId, schemaNode.toString, Seq(delAdded), Nil,
-        entryContent = 2, specId = delSpecId, equalityIds = eqIds)
+        entryContent = 2, specId = delSpecId, equalityIds = eqIds, fv = 2)
       val ts = System.currentTimeMillis()
       val (_, lastSeq) = fvOf(meta)
       val nextSeq = lastSeq + 1
@@ -1808,7 +1871,7 @@ object IcebergExport {
         table, snapId,
         priorManifests(prevList) :+
           ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
-            specId = delSpecId, seq = Some(nextSeq)))
+            specId = delSpecId, seq = Some(nextSeq)), fv = 2)
       val newSnap = snapshotNode(
         snapId, curSnapId, ts, ml, 1, keyRows.length.toLong,
         Some(nextSeq), operation = "delete")

@@ -1,6 +1,7 @@
 package graft.sources
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 import graft.SparkSpec
@@ -211,6 +212,41 @@ class DeltaDvSpec extends SparkSpec {
       DeltaLog.read(spark, t)
     }
     assert(e.getMessage.contains("variantType"), e.getMessage)
+  }
+
+  test("superseded DV files are remove-tracked and vacuum-reclaimable") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 30L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaExport.deleteWhere(spark, t, col("id") === 1L)
+    DeltaExport.deleteWhere(spark, t, col("id") === 2L) // merges → new DV file
+    val dvFiles = {
+      val s = java.nio.file.Files.list(Paths.get(t))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("deletion_vector_") && n.endsWith(".bin"))
+        .toVector
+      finally s.close()
+    }
+    assert(dvFiles.size == 2, s"expected old + merged DV files: $dvFiles")
+    // the second delete's remove carries the REPLACED descriptor
+    val commit2 = java.nio.file.Files.readString(
+      Paths.get(t, "_delta_log", f"${2L}%020d.json"))
+    val removeLine = commit2.linesIterator
+      .find(_.contains("\"remove\"")).get
+    assert(removeLine.contains("deletionVector"),
+      s"remove must carry the replaced DV: $removeLine")
+    // vacuum reclaims ONLY the superseded (unreferenced) vector once
+    // aged past retention; the active one survives
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10_000_000L)
+    dvFiles.foreach(n =>
+      java.nio.file.Files.setLastModifiedTime(Paths.get(t, n), old))
+    val deleted = DeltaExport.vacuum(spark, t, retentionMs = 3600_000L)
+    assert(deleted.size == 1 && deleted.head.startsWith("deletion_vector_"),
+      s"vacuum must reclaim exactly the superseded DV: $deleted")
+    // the table still reads correctly through the surviving vector
+    assert(DeltaLog.read(spark, t).collect().map(_.getLong(0)).toSorted
+      == ((0L until 30L).toSet -- Set(1L, 2L)).toSeq.sorted)
   }
 
   private implicit class SortedOps(a: Array[Long]) {

@@ -146,4 +146,32 @@ class IcebergCompactionSpec extends SparkSpec {
     assert(!IcebergTable.read(spark, t)
       .collect().map(_.getLong(0)).toSet.contains(5L))
   }
+
+  test("a delete racing into the compaction commit window ABORTS the rewrite") {
+    // Iceberg RewriteFiles' validateNoNewDeletes: a row-level delete
+    // committed AFTER the victims were MoR-resolved can no longer
+    // match the rewritten files (new seq > delete seq; position
+    // deletes reference the replaced paths) — committing anyway would
+    // silently resurrect the concurrently-deleted rows. The seam
+    // injects the delete exactly into the read→commit window.
+    val t = tbl()
+    IcebergExport.create(
+      (0L until 40L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartition(4), t)
+    val ex = intercept[IllegalStateException] {
+      IcebergExport.rewriteDataFiles(
+        spark, t, 64L * 1024 * 1024,
+        () => { IcebergExport.deleteWhere(spark, t, col("id") === 7L); () })
+    }
+    assert(ex.getMessage.contains("concurrent row-level delete"),
+      ex.getMessage)
+    // nothing committed: the delete holds, no rows resurrected, and a
+    // RE-RUN against the post-delete snapshot succeeds
+    val got = IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 40L).toSet - 7L, s"post-abort rows drifted")
+    val (b2, a2) = IcebergExport.rewriteDataFiles(spark, t, 64L * 1024 * 1024)
+    assert(a2 < b2, s"re-run must compact: $b2 → $a2")
+    assert(IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSet
+      == (0L until 40L).toSet - 7L)
+  }
 }

@@ -285,4 +285,49 @@ class IcebergDeleteSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("equality"), ex.getMessage)
   }
+
+  test("v2 tables stamp format-version=2 on their avro manifests") {
+    // a v2 manifest whose avro meta still says format-version=1 makes
+    // real readers pick the v1 projection — sequence numbers ignored,
+    // delete manifests rejected
+    val t = tbl()
+    IcebergExport.create(
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.deleteWhere(spark, t, col("id") === 3L)
+    IcebergExport.append(Seq((100L, "x")).toDF("id", "s").coalesce(1), t)
+    def metaOf(path: String): (String, Option[String]) = {
+      val r = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](
+        new java.io.File(path.replaceFirst("^file:/*", "/")),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try (r.getMetaString("format-version"),
+        Option(r.getMetaString("content")))
+      finally r.close()
+    }
+    val meta = IcebergTable.metadataJson(t)
+    assert(meta.get("format-version").asInt() == 2)
+    val snap = IcebergTable.currentSnapshotNode(meta)
+    val ml = snap.get("manifest-list").asText()
+    assert(metaOf(ml)._1 == "2", "manifest list must stamp v2")
+    // every manifest WRITTEN AT OR AFTER the upgrade stamps v2 with
+    // the content key; the pre-upgrade v1 manifest legitimately
+    // carries "1" (it was written by a v1 table)
+    val manifests = IcebergTable.manifestPathsOf(snap).map(metaOf)
+    assert(manifests.exists(m => m._1 == "2" && m._2.contains("deletes")),
+      s"delete manifest must stamp v2/deletes: $manifests")
+    assert(manifests.exists(m => m._1 == "2" && m._2.contains("data")),
+      s"post-upgrade data manifest must stamp v2/data: $manifests")
+    // the entry schema carries the v2 file_sequence_number field
+    val r = new org.apache.avro.file.DataFileReader[
+      org.apache.avro.generic.GenericRecord](
+      new java.io.File(IcebergTable.manifestPathsOf(snap).head
+        .replaceFirst("^file:/*", "/")),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val fields =
+      try r.getSchema.getFields.asScala.map(_.name()).toSet
+      finally r.close()
+    assert(fields.contains("file_sequence_number"), fields)
+  }
 }

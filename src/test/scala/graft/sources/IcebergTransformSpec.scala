@@ -171,4 +171,28 @@ class IcebergTransformSpec extends SparkSpec {
     assert(dirs2.contains("d_month=650"), dirs2) // 54*12 + 2
     assert(IcebergTable.read(spark, t2).count() == 1L)
   }
+
+  test("temporal transforms stay UTC under a non-UTC session timezone") {
+    // the spec's temporal frame is UTC; a cast(DateType) derivation
+    // would place 2024-03-06T02:00Z into day 2024-03-05 under an LA
+    // session — and the reader's UTC temporalOrdinal pruning would
+    // then prune the file incorrectly
+    val t = tbl()
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-06T02:00:00Z"))
+      IcebergExport.createWithSpec(
+        Seq((ts, 1L)).toDF("ts", "id").coalesce(1), t,
+        Seq(("day", "ts")))
+      assert(Files.isDirectory(Paths.get(t, "data", "ts_day=2024-03-06")),
+        "day transform must derive in UTC, not the session zone")
+      // and the UTC-frame pruning finds it on a UTC day probe
+      val (kept, total) = IcebergTable.prunedDataFiles(
+        t, "ts",
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-03-06T00:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-03-06T23:59:59Z")))
+      assert(total == 1 && kept.size == 1, s"$kept of $total")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 }
