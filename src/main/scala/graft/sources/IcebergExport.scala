@@ -831,7 +831,8 @@ object IcebergExport {
       formatVersion: Int = 1,
       lastSequenceNumber: Long = 0L,
       extraSpecs: Seq[ObjectNode] = Nil,
-      properties: Map[String, String] = Map.empty): String = {
+      properties: Map[String, String] = Map.empty,
+      refs: Map[String, (Long, String)] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", formatVersion)
     // v2 requires the sequence-number watermark (deletes bumped the
@@ -873,6 +874,16 @@ object IcebergExport {
       propsNode.put(k, v)
     }
     root.put("current-snapshot-id", currentSnapshotId)
+    // named SNAPSHOT REFS (branches/tags — the spec's `refs` map);
+    // "main" stays implicit in current-snapshot-id
+    if (refs.nonEmpty) {
+      val refsNode = root.putObject("refs")
+      refs.toSeq.sortBy(_._1).foreach { case (n, (id, tpe)) =>
+        val r = refsNode.putObject(n)
+        r.put("snapshot-id", id)
+        r.put("type", tpe)
+      }
+    }
     val snapsArr = root.putArray("snapshots")
     snapshots.foreach(snapsArr.add)
     val logArr = root.putArray("snapshot-log")
@@ -1036,7 +1047,8 @@ object IcebergExport {
 
   private def appendTxn(
       df: DataFrame, table: String,
-      txn: Option[(String, Long)]): Option[Long] = {
+      txn: Option[(String, Long)],
+      branch: Option[String] = None): Option[Long] = {
     requireSchemaMatch(df, table)
     val meta0 = IcebergTable.metadataJson(table)
     val pfs0 = partFieldsFromMeta(meta0)
@@ -1057,8 +1069,21 @@ object IcebergExport {
         }
       }
       val curVersion = IcebergTable.currentMetadataVersion(table)
-      val curSnapId = Option(meta.get("current-snapshot-id"))
+      val refs = refsOf(meta)
+      val mainSnapId = Option(meta.get("current-snapshot-id"))
         .map(_.asLong()).filter(_ != -1L)
+      // the append's BASE: the branch head when targeting a branch
+      // (write-audit-publish staging), else the main current snapshot
+      val curSnapId = branch match {
+        case Some(b) =>
+          val (id, tpe) = refs.getOrElse(b,
+            throw new IllegalArgumentException(
+              s"no branch $b on $table (createBranch first)"))
+          require(tpe == "branch",
+            s"ref $b is a $tpe — appends target branches, never tags")
+          Some(id)
+        case None => mainSnapId
+      }
       val curSnap = curSnapId.flatMap { id =>
         meta.get("snapshots").elements().asScala
           .find(_.get("snapshot-id").asLong() == id)
@@ -1089,21 +1114,39 @@ object IcebergExport {
         if (fv >= 2) Some(nextSeq) else None)
       val snaps = meta.get("snapshots").elements().asScala
         .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
-      val log = (if (meta.has("snapshot-log"))
+      val log0 = (if (meta.has("snapshot-log"))
         meta.get("snapshot-log").elements().asScala.map(e =>
           (e.get("timestamp-ms").asLong(), e.get("snapshot-id").asLong())).toSeq
-      else Nil) :+ ((ts, snapId))
+      else Nil)
       val props = propsOf(meta) ++ txn.map { case (appId, batchId) =>
         s"graft.txn.$appId" -> batchId.toString
       }
+      // a branch append moves ONLY the branch ref; main's current
+      // snapshot and log are untouched (readers of the table see
+      // nothing until fastForward publishes)
+      val (curAfter, logAfter, refsAfter) = branch match {
+        case Some(b) =>
+          (mainSnapId.getOrElse(-1L), log0,
+            refs + (b -> (snapId, "branch")))
+        case None => (snapId, log0 :+ ((ts, snapId)), refs)
+      }
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), schemaNode,
-        meta.get("last-column-id").asInt(), snaps, snapId, log, pfs,
-        history, fv, nextSeq, extraSpecsOf(meta), props)
+        meta.get("last-column-id").asInt(), snaps, curAfter, logAfter,
+        pfs, history, fv, nextSeq, extraSpecsOf(meta), props,
+        refsAfter)
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)
   }
+
+  /** Append `df` to a NAMED BRANCH (write-audit-publish staging): the
+    * new snapshot's parent is the branch head and only the branch ref
+    * moves — `main` readers see nothing until [[fastForward]]
+    * publishes. Returns the new snapshot id.
+    */
+  def appendToBranch(df: DataFrame, table: String, branch: String): Long =
+    appendTxn(df, table, None, Some(branch)).get
 
   /** The table's full schema history (v2 `schemas` array, or the v1
     * single schema) as mutable copies.
@@ -1123,6 +1166,22 @@ object IcebergExport {
     if (meta.has("properties")) {
       val o = meta.get("properties")
       o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
+    } else Map.empty
+
+  /** The table's named snapshot refs (branches/tags) — carried
+    * through every commit like properties; losing them would orphan
+    * staged write-audit-publish branches.
+    */
+  private[sources] def refsOf(
+      meta: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, (Long, String)] =
+    if (meta.has("refs")) {
+      val o = meta.get("refs")
+      o.fieldNames().asScala.map { k =>
+        val r = o.get(k)
+        k -> (r.get("snapshot-id").asLong(),
+          Option(r.get("type")).map(_.asText()).getOrElse("branch"))
+      }.toMap
     } else Map.empty
 
   /** Partition specs beyond the default spec 0 (e.g. the unpartitioned
@@ -1209,7 +1268,7 @@ object IcebergExport {
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), next, lastId,
         snaps, curSnapId, log, pfs, history :+ next, fv, lastSeq,
-        extraSpecsOf(meta), propsOf(meta))
+        extraSpecsOf(meta), propsOf(meta), refsOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
   }
@@ -1252,6 +1311,44 @@ object IcebergExport {
       (s, last)
     }
 
+  /** PROMOTE a top-level column's type — metadata-only (r14),
+    * restricted to the spec's LOSSLESS promotions (int → long,
+    * float → double, decimal precision widening at the same scale):
+    * no data file is rewritten; old files keep their narrower bytes
+    * and the reader widens them through its promotable() cast (the
+    * same field-id era resolution every other evolution uses), new
+    * appends must present the promoted type
+    * ([[requireSchemaMatch]]). Anything else — narrowing, scale
+    * changes, cross-kind casts — is refused loudly rather than
+    * committed as a schema real readers would miscast under.
+    */
+  def evolveType(table: String, name: String, to: DataType): Unit =
+    evolveSchema(table) { (s, lastId) =>
+      val f = s.get("fields").elements().asScala
+        .find(_.get("name").asText() == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $name to promote"))
+      val fromNode = f.get("type")
+      require(fromNode.isTextual,
+        s"type promotion of nested column $name is out of scope")
+      val fromDt = IcebergTable.toSparkType(fromNode)
+      val lossless = (fromDt, to) match {
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (a: DecimalType, b: DecimalType) =>
+          b.scale == a.scale && b.precision > a.precision
+        case _ => false
+      }
+      require(lossless,
+        s"cannot promote $name: $fromDt -> $to is not one of the " +
+          "spec's lossless promotions (int->long, float->double, " +
+          "decimal precision widening at the same scale) — refused " +
+          "rather than committing a schema that would miscast")
+      f.asInstanceOf[ObjectNode]
+        .set[ObjectNode]("type", icebergType(to, () => lastId))
+      (s, lastId)
+    }
+
   /** DROP a top-level column — metadata-only; the column simply stops
     * being projected (old files keep their bytes; a re-ADD gets a NEW
     * field-id and reads null from them, never the dropped values —
@@ -1268,6 +1365,126 @@ object IcebergExport {
       fields.remove(idx)
       (s, lastId)
     }
+
+  /** Commit a REFS-ONLY metadata version: `f` maps the current refs
+    * map to the next one (validated against the current snapshots);
+    * everything else carries forward verbatim (deep copy, like
+    * [[expireSnapshots]]).
+    */
+  private def updateRefs(table: String)(
+      f: (Map[String, (Long, String)],
+        com.fasterxml.jackson.databind.JsonNode)
+        => Map[String, (Long, String)]): Unit = {
+    var committed = false
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val next = f(refsOf(meta), meta)
+      val root = meta.deepCopy[ObjectNode]()
+      root.remove("refs")
+      if (next.nonEmpty) {
+        val refsNode = root.putObject("refs")
+        next.toSeq.sortBy(_._1).foreach { case (n, (id, tpe)) =>
+          val r = refsNode.putObject(n)
+          r.put("snapshot-id", id)
+          r.put("type", tpe)
+        }
+      }
+      root.put("last-updated-ms", System.currentTimeMillis())
+      committed = claim(table, curVersion + 1,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    }
+  }
+
+  private def requireSnapshotExists(
+      meta: com.fasterxml.jackson.databind.JsonNode, id: Long): Unit =
+    require(Option(meta.get("snapshots")).exists(_.elements().asScala
+      .exists(_.get("snapshot-id").asLong() == id)),
+      s"snapshot $id does not exist (expired or never committed)")
+
+  /** Create a BRANCH ref at `from` (default: the current snapshot) —
+    * the write-audit-publish staging target. Metadata-only.
+    */
+  def createBranch(
+      table: String, name: String, from: Option[Long] = None): Unit =
+    updateRefs(table) { (refs, meta) =>
+      require(!refs.contains(name), s"ref $name already exists")
+      val base = from.orElse(
+        Option(meta.get("current-snapshot-id")).map(_.asLong())
+          .filter(_ != -1L))
+        .getOrElse(throw new IllegalStateException(
+          "cannot branch an empty table (no current snapshot)"))
+      requireSnapshotExists(meta, base)
+      refs + (name -> (base, "branch"))
+    }
+
+  /** Create a TAG ref — an immutable named snapshot pin
+    * ([[expireSnapshots]] keeps every ref'd snapshot alive).
+    */
+  def createTag(table: String, name: String, snapshotId: Long): Unit =
+    updateRefs(table) { (refs, meta) =>
+      require(!refs.contains(name), s"ref $name already exists")
+      requireSnapshotExists(meta, snapshotId)
+      refs + (name -> (snapshotId, "tag"))
+    }
+
+  /** Drop a branch or tag ref; its snapshots become expirable. */
+  def dropRef(table: String, name: String): Unit =
+    updateRefs(table) { (refs, _) =>
+      require(refs.contains(name), s"no ref $name to drop")
+      refs - name
+    }
+
+  /** PUBLISH a branch: fast-forward `main` (current-snapshot-id) to
+    * the branch head — the write-audit-publish commit. Requires main
+    * to be an ANCESTOR of the head (a true fast-forward; anything
+    * else would need a merge, out of scope like every engine's
+    * fast_forward). The branch ref survives (Iceberg's behavior);
+    * drop it separately. The walked branch-line snapshots join the
+    * snapshot-log in commit order.
+    */
+  def fastForward(table: String, branch: String): Unit = {
+    var committed = false
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val refs = refsOf(meta)
+      val (head, tpe) = refs.getOrElse(branch,
+        throw new IllegalArgumentException(s"no ref $branch"))
+      require(tpe == "branch", s"ref $branch is a $tpe, not a branch")
+      val cur = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      val byId = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(s => s.get("snapshot-id").asLong() -> s).toMap
+      // walk head → parents until main's current snapshot: the
+      // branch-line path, newest first
+      var path = List.empty[com.fasterxml.jackson.databind.JsonNode]
+      var at: Option[Long] = Some(head)
+      while (at.isDefined && at != cur) {
+        val node = byId.getOrElse(at.get,
+          throw new IllegalStateException(
+            s"branch lineage references expired snapshot ${at.get}"))
+        path = node :: path
+        at = Option(node.get("parent-snapshot-id")).map(_.asLong())
+      }
+      require(at == cur || cur.isEmpty,
+        s"main is not an ancestor of $branch's head — not a " +
+          "fast-forward (diverged branches need a merge, out of scope)")
+      val root = meta.deepCopy[ObjectNode]()
+      root.put("current-snapshot-id", head)
+      val logArr = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      path.foreach { s =>
+        val e = mapper.createObjectNode()
+        e.put("timestamp-ms", s.get("timestamp-ms").asLong())
+        e.put("snapshot-id", s.get("snapshot-id").asLong())
+        logArr.add(e)
+      }
+      root.put("last-updated-ms", System.currentTimeMillis())
+      committed = claim(table, curVersion + 1,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    }
+  }
 
   /** EXPIRE SNAPSHOTS — the Iceberg tier's retention op
     * ([[DeltaExport.vacuum]]'s analog): commit a metadata version
@@ -1298,7 +1515,24 @@ object IcebergExport {
         else snaps.map(_.get("snapshot-id").asLong())
       val curId = Option(meta.get("current-snapshot-id"))
         .map(_.asLong()).filter(_ != -1L)
-      val keptIds = order.takeRight(keepLast).toSet ++ curId
+      // ref'd snapshots are PINNED — expiring a tagged release or a
+      // staged WAP branch would orphan the ref (Iceberg's expire
+      // keeps them too). Branches keep their whole UNPUBLISHED
+      // lineage (head → first already-kept ancestor): fastForward
+      // must be able to walk it at publish time.
+      val byId = snaps
+        .map(s => s.get("snapshot-id").asLong() -> s).toMap
+      var keptIds = order.takeRight(keepLast).toSet ++ curId ++
+        refsOf(meta).values.filter(_._2 == "tag").map(_._1)
+      refsOf(meta).values.filter(_._2 == "branch").foreach {
+        case (head, _) =>
+          var at = Option(head)
+          while (at.isDefined && !keptIds(at.get)) {
+            keptIds += at.get
+            at = byId.get(at.get).flatMap(n =>
+              Option(n.get("parent-snapshot-id")).map(_.asLong()))
+          }
+      }
       if (snaps.forall(s => keptIds(s.get("snapshot-id").asLong())))
         return Nil // nothing to expire
       val (kept, expired) =
@@ -1507,7 +1741,8 @@ object IcebergExport {
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), schemaNode,
         meta.get("last-column-id").asInt(), snaps, snapId2, log, pfs,
-        history, fv, nextSeq, extraSpecsOf(meta), propsOf(meta))
+        history, fv, nextSeq, extraSpecsOf(meta), propsOf(meta),
+        refsOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     (before, before - victims.size + added.size)
@@ -1658,7 +1893,8 @@ object IcebergExport {
           formatVersion = fv,
           lastSequenceNumber = nextSeq,
           extraSpecs = extraSpecs,
-          properties = propsOf(meta))
+          properties = propsOf(meta),
+          refs = refsOf(meta))
         committed = claim(table, curVersion + 1, json)
       }
     }
@@ -1757,7 +1993,8 @@ object IcebergExport {
         formatVersion = 2, // position deletes are a v2 feature
         lastSequenceNumber = nextSeq,
         extraSpecs = specs,
-        properties = propsOf(meta))
+        properties = propsOf(meta),
+        refs = refsOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)
@@ -1890,7 +2127,8 @@ object IcebergExport {
         formatVersion = 2, // equality deletes are a v2 feature
         lastSequenceNumber = nextSeq,
         extraSpecs = specs,
-        properties = propsOf(meta))
+        properties = propsOf(meta),
+        refs = refsOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)

@@ -692,6 +692,26 @@ object IcebergTable {
       snapshotId: Option[Long] = None): DataFrame =
     readCore(spark, table, snapshotId, None)
 
+  /** Named snapshot refs of the table (`refs` metadata map):
+    * ref name → (snapshot id, "branch" | "tag"). `main` is implicit
+    * (current-snapshot-id), per the spec.
+    */
+  def refs(table: String): Map[String, (Long, String)] =
+    IcebergExport.refsOf(metadataJson(table))
+
+  /** Read the table AT A NAMED REF — `VERSION AS OF 'name'` for
+    * branches and tags; `"main"` reads the current snapshot.
+    */
+  def readRef(
+      spark: SparkSession, table: String, ref: String): DataFrame =
+    if (ref == "main") read(spark, table)
+    else {
+      val (id, _) = refs(table).getOrElse(ref,
+        throw new IllegalArgumentException(
+          s"no branch or tag named $ref on $table"))
+      read(spark, table, Some(id))
+    }
+
   /** [[read]] restricted to the given data files, deletes still
     * applied — the MoR-resolved row view compaction rewrites.
     */

@@ -197,4 +197,48 @@ class IcebergEvolutionSpec extends SparkSpec {
     assert(old.schema.fieldNames.toSeq == Seq("id", "title"))
     assert(old.collect().map(_.getString(1)).toSeq == Seq("a"))
   }
+
+  test("WRITE-side type promotion: evolveType commits metadata-only; both eras read") {
+    val t = tmpTable()
+    IcebergExport.create(
+      Seq((1, 1.5f, BigDecimal("12.34"))).toDF("id", "score", "amt")
+        .select(col("id"), col("score"),
+          col("amt").cast(DecimalType(9, 2)).as("amt")).coalesce(1), t)
+    val filesBefore = {
+      val m = IcebergTable.metadataJson(t)
+      IcebergTable.dataFilesOf(t, m, IcebergTable.currentSnapshotNode(m)).toSet
+    }
+    IcebergExport.evolveType(t, "id", LongType)
+    IcebergExport.evolveType(t, "score", DoubleType)
+    IcebergExport.evolveType(t, "amt", DecimalType(18, 2))
+    // metadata-only: no data file touched
+    val filesAfter = {
+      val m = IcebergTable.metadataJson(t)
+      IcebergTable.dataFilesOf(t, m, IcebergTable.currentSnapshotNode(m)).toSet
+    }
+    assert(filesAfter == filesBefore, "promotion must not rewrite data")
+    // appends must present the PROMOTED types; both eras read widened
+    IcebergExport.append(
+      Seq((10_000_000_000L, 2.5, BigDecimal("9999999999999999.99")))
+        .toDF("id", "score", "amt")
+        .select(col("id"), col("score"),
+          col("amt").cast(DecimalType(18, 2)).as("amt")).coalesce(1), t)
+    val got = IcebergTable.read(spark, t).orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 10_000_000_000L))
+    assert(got.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5))
+    assert(got.map(_.getDecimal(2).toString).toSeq
+      == Seq("12.34", "9999999999999999.99"))
+    // non-lossless promotions refuse loudly
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergExport.evolveType(t, "id", IntegerType) // narrowing
+    }
+    assert(e1.getMessage.contains("lossless"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergExport.evolveType(t, "amt", DecimalType(20, 4)) // scale change
+    }
+    assert(e2.getMessage.contains("lossless"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      IcebergExport.evolveType(t, "score", StringType) // cross-kind
+    }
+  }
 }

@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Iceberg SNAPSHOT REFS (r14): named branches and tags in the
+  * metadata `refs` map, and the WRITE-AUDIT-PUBLISH workflow they
+  * exist for — stage appends on a branch (main readers see nothing),
+  * audit the branch by name, fast-forward main to publish atomically.
+  * Tags pin releases: expireSnapshots keeps every ref'd snapshot and
+  * the unpublished branch lineage alive.
+  */
+class IcebergRefsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(): String =
+    Files.createTempDirectory("iceberg_refs_").resolve("t").toString
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.collect().map(_.getLong(0)).toSet
+
+  test("write-audit-publish: branch commits invisible on main until fastForward") {
+    val t = tbl()
+    IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.createBranch(t, "audit")
+    // two staged commits on the branch
+    IcebergExport.appendToBranch(
+      Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "audit")
+    IcebergExport.appendToBranch(
+      Seq((3L, "c")).toDF("id", "s").coalesce(1), t, "audit")
+    // main is untouched; the branch sees the staged rows (the audit)
+    assert(ids(IcebergTable.read(spark, t)) == Set(1L),
+      "main must not see staged branch commits")
+    assert(ids(IcebergTable.readRef(spark, t, "audit")) == Set(1L, 2L, 3L))
+    assert(ids(IcebergTable.readRef(spark, t, "main")) == Set(1L))
+    // PUBLISH: fast-forward main to the branch head
+    IcebergExport.fastForward(t, "audit")
+    assert(ids(IcebergTable.read(spark, t)) == Set(1L, 2L, 3L),
+      "publish must atomically expose the staged commits")
+    // the branch ref survives the publish (drop it explicitly)
+    assert(IcebergTable.refs(t).contains("audit"))
+    IcebergExport.dropRef(t, "audit")
+    assert(!IcebergTable.refs(t).contains("audit"))
+  }
+
+  test("fastForward refuses a diverged branch (not an ancestor)") {
+    val t = tbl()
+    IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.createBranch(t, "wip")
+    IcebergExport.appendToBranch(
+      Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "wip")
+    // main moves on its own → the branch has diverged
+    IcebergExport.append(Seq((9L, "z")).toDF("id", "s").coalesce(1), t)
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.fastForward(t, "wip")
+    }
+    assert(e.getMessage.contains("fast-forward"), e.getMessage)
+    // both lines still read correctly
+    assert(ids(IcebergTable.read(spark, t)) == Set(1L, 9L))
+    assert(ids(IcebergTable.readRef(spark, t, "wip")) == Set(1L, 2L))
+  }
+
+  test("tags pin snapshots through expireSnapshots; dropped refs expire") {
+    val t = tbl()
+    val s1 = IcebergExport.create(
+      Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.createTag(t, "rel-1.0", s1)
+    IcebergExport.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+    // keepLast=1 would normally expire s1 — the tag pins it
+    val deleted = IcebergExport.expireSnapshots(t, keepLast = 1)
+    assert(ids(IcebergTable.readRef(spark, t, "rel-1.0")) == Set(1L),
+      "tagged snapshot must survive expire and read by name")
+    // time travel by the tagged id still works too
+    assert(ids(IcebergTable.read(spark, t, Some(s1))) == Set(1L))
+    // drop the tag → the snapshot becomes expirable
+    IcebergExport.dropRef(t, "rel-1.0")
+    IcebergExport.expireSnapshots(t, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      IcebergTable.read(spark, t, Some(s1)).collect()
+    }
+    assert(ids(IcebergTable.read(spark, t)) == Set(1L, 2L, 3L),
+      "the current snapshot is never harmed")
+    assert(deleted.isEmpty || deleted.forall(p => !p.contains("snap-" + s1)),
+      "the tagged snapshot's manifest list must not have been reclaimed")
+  }
+
+  test("branch lineage survives expire so a later publish still works") {
+    val t = tbl()
+    IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.createBranch(t, "stage")
+    IcebergExport.appendToBranch(
+      Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "stage")
+    IcebergExport.appendToBranch(
+      Seq((3L, "c")).toDF("id", "s").coalesce(1), t, "stage")
+    // expire aggressively; the branch's unpublished lineage is pinned
+    IcebergExport.expireSnapshots(t, keepLast = 1)
+    IcebergExport.fastForward(t, "stage")
+    assert(ids(IcebergTable.read(spark, t)) == Set(1L, 2L, 3L))
+  }
+
+  test("ref hygiene: duplicate names, tag appends and unknown refs refuse") {
+    val t = tbl()
+    val s1 = IcebergExport.create(
+      Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.createTag(t, "pin", s1)
+    intercept[IllegalArgumentException] {
+      IcebergExport.createBranch(t, "pin") // name taken
+    }
+    intercept[IllegalArgumentException] {
+      IcebergExport.appendToBranch(
+        Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "pin") // a tag
+    }
+    intercept[IllegalArgumentException] {
+      IcebergExport.appendToBranch(
+        Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "ghost")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergTable.readRef(spark, t, "ghost")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergExport.createTag(t, "bad", 12345L) // no such snapshot
+    }
+    // refs survive unrelated commits (schema evolution, deletes)
+    IcebergExport.renameColumn(t, "s", "name")
+    IcebergExport.deleteWhere(spark, t, col("id") === 999L)
+    assert(IcebergTable.refs(t).contains("pin"),
+      "refs must be carried through every commit path")
+  }
+}
