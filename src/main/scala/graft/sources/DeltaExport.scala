@@ -545,16 +545,30 @@ object DeltaExport {
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      targetBytes: Long): (Int, Int) = {
+      targetBytes: Long): (Int, Int) =
+    compact(spark, table, targetBytes, () => ())
+
+  /** [[compact]] with the read→commit seam the concurrency spec
+    * injects a competing writer into; production uses the no-op
+    * overload.
+    */
+  private[sources] def compact(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      targetBytes: Long, beforeCommit: () => Unit): (Int, Int) = {
     import org.apache.spark.sql.types.DataType
     val st = DeltaLog.stateAt(spark, table, None)
     val mapMode = st.configuration
       .getOrElse("delta.columnMapping.mode", "none")
-    require(mapMode == "none" || st.partitionCols.isEmpty,
-      "compact on PARTITIONED column-mapped tables is out of scope " +
-        "(physical-keyed hive relayout); unpartitioned mapped tables " +
-        "and all unmapped tables compact")
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    // PARTITIONED mapped tables (r14, the r13 refusal lifted): the
+    // relayout is keyed by the partition columns' PHYSICAL names
+    // throughout — group keys and add.partitionValues come from the
+    // log (already physical on mapped tables), and the rewritten
+    // files' hive dirs + new add.partitionValues use the physical
+    // key, which is what mapped readers resolve
+    // (physName = the logical name on unmapped tables: one code path)
+    val physPartCols = st.partitionCols.map(c =>
+      DeltaLog.physName(schema(c)))
     // mapped tables read and REWRITE under their mapping: name mode
     // by stable physical names (plain schema — its files may lack
     // footer ids), id mode by footer field-ids (the read schema
@@ -625,7 +639,7 @@ object DeltaExport {
       val df = purged.coalesce(nOut)
       val stage = Files.createTempDirectory("delta_compact")
       df.write.mode("overwrite").parquet(stage.toString)
-      val pdir = st.partitionCols
+      val pdir = physPartCols
         .flatMap(c => pv.get(c).map(v => s"$c=${enc(v)}")).mkString("/")
       listParquet(stage).toSeq.sorted.map { name =>
         val rel = if (pdir.isEmpty) name else s"$pdir/$name"
@@ -645,12 +659,108 @@ object DeltaExport {
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":false$dvPart}}"""
     } ++
       newRels.map(rel =>
-        addJson(table, rel, partitionValuesOf(rel, st.partitionCols),
+        addJson(table, rel, partitionValuesOf(rel, physPartCols),
           conf, dataChange = false)) :+
       s"""{"commitInfo":{"operation":"OPTIMIZE"}}"""
+    beforeCommit()
     var v = nextVersion(table)
-    while (!claim(table, v, lines)) v = nextVersion(table)
+    var committed = false
+    while (!committed) {
+      // CONFLICT CHECK (r14, the append-only contract widened): every
+      // victim must still be active with an UNCHANGED deletion vector
+      // — a concurrent deleteWhere (new DV) or overwrite/compact
+      // (remove) of a victim would be silently undone by committing
+      // removes+adds computed against the stale state. Disjoint
+      // writers (appends, other partitions' compactions) pass and the
+      // claim retries; overlapping ones abort loudly.
+      val cur = DeltaLog.stateAt(spark, table, None)
+      rewrites.flatMap(_._2).foreach { p =>
+        val now = cur.active.get(p)
+        val was = byPath.get(p)
+        if (now.isEmpty || now.flatMap(_.dv.map(_.pathOrInlineDv))
+          != was.flatMap(_.dv.map(_.pathOrInlineDv)))
+          throw new java.util.ConcurrentModificationException(
+            s"OPTIMIZE conflict on $table: victim $p was removed or " +
+              "re-deleted by a concurrent writer — compaction aborted " +
+              "without committing; re-run against the new snapshot")
+      }
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
     (before, before - rewrites.map(_._2.size).sum + newRels.size)
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE — Delta's `replaceWhere`/dynamic
+    * `partitionOverwriteMode` shape: atomically replace EXACTLY the
+    * partitions present in `df` (removes for their currently-active
+    * files + adds for the staged ones, one commit); partitions not in
+    * `df` are untouched. The multi-writer contract this repo's
+    * SnapshotStore discipline promises, now with real CONFLICT
+    * CHECKING instead of a documented scope bound: two racing
+    * overwriteWhere writers on DISJOINT partition sets both land (the
+    * loser's claim retries against the winner's state and passes
+    * validation); on OVERLAPPING partitions exactly one wins and the
+    * loser throws `ConcurrentModificationException` — serializable
+    * semantics, no lost rows, never last-writer-wins-silently.
+    * Unmapped tables only (this writer authors none mapped). Returns
+    * the committed version.
+    */
+  def overwriteWhere(
+      df: DataFrame, table: String, partitionBy: Seq[String]): Long =
+    overwriteWhere(df, table, partitionBy, () => ())
+
+  /** [[overwriteWhere]] with the read→commit seam the concurrency
+    * spec injects a competing writer into (the rewriteDataFiles
+    * discipline); production uses the no-op overload.
+    */
+  private[sources] def overwriteWhere(
+      df: DataFrame, table: String, partitionBy: Seq[String],
+      beforeCommit: () => Unit): Long = {
+    val spark = df.sparkSession
+    val st0 = DeltaLog.stateAt(spark, table, None)
+    require(st0.configuration
+      .getOrElse("delta.columnMapping.mode", "none") == "none",
+      "overwriteWhere on column-mapped tables is out of this writer's scope")
+    require(st0.partitionCols == partitionBy,
+      s"table is partitioned by ${st0.partitionCols.mkString(",")}, " +
+        s"not ${partitionBy.mkString(",")}")
+    require(partitionBy.nonEmpty,
+      "unpartitioned tables replace via overwrite (full snapshot)")
+    val added = stageIn(df, table, partitionBy)
+    val targetPvs: Set[Map[String, String]] =
+      added.map(rel => partitionValuesOf(rel, partitionBy)).toSet
+    def filesIn(st: DeltaLog.State): Map[String, Option[String]] =
+      st.active.collect {
+        case (p, a) if targetPvs.contains(
+          a.partitionValues.view.filterKeys(partitionBy.toSet).toMap) =>
+          p -> a.dv.map(_.pathOrInlineDv)
+      }.toMap
+    // the baseline: what THIS writer believes its target partitions
+    // hold — validated unchanged at commit time
+    val base = filesIn(st0)
+    val conf = Some(spark.sparkContext.hadoopConfiguration)
+    beforeCommit()
+    var v = nextVersion(table)
+    var committed = false
+    while (!committed) {
+      val cur = DeltaLog.stateAt(spark, table, None)
+      val now = filesIn(cur)
+      if (now != base)
+        throw new java.util.ConcurrentModificationException(
+          s"overwriteWhere conflict on $table: a concurrent writer " +
+            s"changed partition(s) ${targetPvs.mkString(", ")} since " +
+            "this overwrite read them — aborted without committing " +
+            "(the staged files are vacuum-reclaimable orphans); " +
+            "re-run against the new snapshot")
+      val lines = now.keys.toSeq.sorted.map(p =>
+        s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""") ++
+        added.map(rel =>
+          addJson(table, rel, partitionValuesOf(rel, partitionBy), conf)) :+
+        s"""{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite","partitionBy":"[${partitionBy.mkString(",")}]"}}}"""
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
+    v
   }
 
   /** OPTIMIZE ZORDER: rewrite the (unpartitioned) table clustered by

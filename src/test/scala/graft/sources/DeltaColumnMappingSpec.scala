@@ -297,6 +297,57 @@ class DeltaColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("PARTITIONED mapped tables compact per partition under physical keys") {
+    // the r13 refusal lifted (r14): the relayout is keyed by the
+    // partition column's PHYSICAL name end-to-end — group keys and
+    // the rewritten adds' partitionValues — so mapped readers keep
+    // resolving partitions after OPTIMIZE
+    def makePartitioned(mode: String): Path = {
+      val table = Files.createTempDirectory("delta_cm_part")
+      if (mode == "name") {
+        writePhysicalFile(table, "f1.parquet", Seq((1L, "alpha", 5L)))
+        writePhysicalFile(table, "f2.parquet", Seq((2L, "beta", 7L)))
+        writePhysicalFile(table, "f3.parquet", Seq((3L, "gamma", 9L)))
+      } else {
+        writeIdFile(table, "f1.parquet", Seq((1L, "alpha", 5L)))
+        writeIdFile(table, "f2.parquet", Seq((2L, "beta", 7L)),
+          physPrefix = "other") // same ids, different physical names
+        writeIdFile(table, "f3.parquet", Seq((3L, "gamma", 9L)))
+      }
+      writeCommit(table, 0, Seq(
+        s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        metaDataJson(mode),
+        // f1+f2 share the us partition (compaction candidates); f3 is de
+        """{"add":{"path":"f1.parquet","partitionValues":{"col-ee55":"us"},"size":512,"modificationTime":1700000000000,"dataChange":true}}""",
+        """{"add":{"path":"f2.parquet","partitionValues":{"col-ee55":"us"},"size":512,"modificationTime":1700000000000,"dataChange":true}}""",
+        """{"add":{"path":"f3.parquet","partitionValues":{"col-ee55":"de"},"size":512,"modificationTime":1700000000000,"dataChange":true}}"""))
+      table
+    }
+    for (mode <- Seq("name", "id")) {
+      val t = makePartitioned(mode)
+      val pre = DeltaLog.read(spark, t.toString).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+      assert(pre == Set((1L, "alpha", "us"), (2L, "beta", "us"),
+        (3L, "gamma", "de")))
+      val (before, after) = DeltaExport.compact(
+        spark, t.toString, 64L * 1024 * 1024)
+      assert(before == 3 && after == 2,
+        s"$mode: us compacts 2→1, de untouched: $before → $after")
+      val post = DeltaLog.read(spark, t.toString).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+      assert(post == pre, s"$mode-mode partitioned compaction drifted")
+      // the rewritten add keys partitionValues by the PHYSICAL name
+      // and stages under a physical-keyed hive dir
+      val newPaths = DeltaLog.activeFiles(spark, t.toString)
+        .collect().map(_.getString(0)).toSeq
+      assert(newPaths.exists(_.contains("col-ee55=us")),
+        s"$mode: rewritten file must live under the physical key: $newPaths")
+      // partition pruning via reconstruction still works
+      assert(DeltaLog.read(spark, t.toString)
+        .filter(col("region") === "us").count() == 2L)
+    }
+  }
+
   test("checkpointing a mapped table carries the configuration") {
     val t = makeTable()
     DeltaExport.checkpoint(spark, t.toString)
