@@ -105,6 +105,26 @@ object LakehouseScan {
           .distinct())
     }
 
+  /** Iceberg FORMAT-VERSION 3 table from `supplier` with row lineage
+    * and TWO puffin deletion-vector deletes (the second merges into
+    * the first — the at-most-one-DV-per-file rewrite is on the hot
+    * path). Written sorted by s_suppkey across 4 range files, so the
+    * explicit `first_row_id` assignment makes `_row_id` equal the
+    * global 0-based rank — which the DuckDB oracle can reproduce
+    * with a window function, putting LINEAGE itself under the hash
+    * gate, not just the surviving row set.
+    */
+  private def icebergV3Supplier(spark: SparkSession, dir: String): String =
+    buildOnce("iceberg_v3_supplier", dir) { t =>
+      val supp = spark.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .repartitionByRange(4, col("s_suppkey"))
+        .sortWithinPartitions("s_suppkey")
+      IcebergExport.createV3(supp, t)
+      IcebergExport.deleteWhereDv(spark, t, col("s_suppkey") % 3 === 0)
+      IcebergExport.deleteWhereDv(spark, t, col("s_nationkey") === 5)
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -131,6 +151,7 @@ object LakehouseScan {
     deltaCustomer(spark, dir)
     icebergOrders(spark, dir)
     icebergLineitem(spark, dir)
+    icebergV3Supplier(spark, dir)
     scd2Dim(spark, dir)
   }
 
@@ -198,10 +219,26 @@ object LakehouseScan {
         sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_orderkey"))
 
+  /** x25 — Iceberg v3 scan: puffin deletion vectors applied (two
+    * merged generations) AND the row-lineage columns read back.
+    * Oracle: the original supplier parquet minus both deleted sets,
+    * with `_row_id` reproduced as the 0-based global s_suppkey rank
+    * over the PRE-delete table (survivors keep their original ids —
+    * exactly the lineage contract).
+    */
+  def icebergV3Scan(spark: SparkSession, dir: String): DataFrame =
+    IcebergTable.readLineage(spark, icebergV3Supplier(spark, dir))
+      .select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("_row_id").as("row_id"),
+        col("_last_updated_sequence_number").as("last_seq"))
+      .orderBy(col("s_suppkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_delta_scan" -> deltaScan,
     "x23_iceberg_scan" -> icebergScan,
     "x24_transform_scan" -> transformScan,
+    "x25_iceberg_v3_scan" -> icebergV3Scan,
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
@@ -222,6 +259,17 @@ object LakehouseScan {
          WHERE l_linenumber <> 7
          GROUP BY l_orderkey
          ORDER BY l_orderkey""",
+    "x25_iceberg_v3_scan" ->
+      """WITH base AS (
+           SELECT s_suppkey, s_name, s_nationkey,
+                  CAST(row_number() OVER (ORDER BY s_suppkey) - 1
+                    AS BIGINT) AS row_id
+           FROM supplier)
+         SELECT s_suppkey, s_name, s_nationkey, row_id,
+                CAST(1 AS BIGINT) AS last_seq
+         FROM base
+         WHERE s_suppkey % 3 <> 0 AND s_nationkey <> 5
+         ORDER BY s_suppkey""",
     "w23_scd2_delta_pit" ->
       """WITH flagged AS (
            SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,

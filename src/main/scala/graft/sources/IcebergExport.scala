@@ -185,6 +185,10 @@ object IcebergExport {
           {"name":"file_size_in_bytes","type":"long","field-id":104},
           {"name":"block_size_in_bytes","type":"long","field-id":105},
           {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
+          {"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
+          {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+          {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+          {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145},
           {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
             {"name":"key","type":"int","field-id":121},
             {"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
@@ -236,7 +240,12 @@ object IcebergExport {
       pv: Map[String, Option[String]] = Map.empty,
       bounds: Option[FileBounds] = None,
       seq: Option[Long] = None,
-      status: Int = 1)
+      status: Int = 1,
+      format: String = "PARQUET",
+      firstRowId: Option[Long] = None,
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSizeInBytes: Option[Long] = None)
 
   /** Top-level column name → schema field-id (the bounds map keys). */
   private def topFieldIds(
@@ -689,7 +698,12 @@ object IcebergExport {
         dfRec.put("equality_ids", a)
       }
       dfRec.put("file_path", f.absPath)
-      dfRec.put("file_format", "PARQUET")
+      dfRec.put("file_format", f.format)
+      f.firstRowId.foreach(v => dfRec.put("first_row_id", Long.box(v)))
+      f.referencedDataFile.foreach(v => dfRec.put("referenced_data_file", v))
+      f.contentOffset.foreach(v => dfRec.put("content_offset", Long.box(v)))
+      f.contentSizeInBytes.foreach(v =>
+        dfRec.put("content_size_in_bytes", Long.box(v)))
       val part = new GenericData.Record(
         dfSchema.getField("partition").schema())
       pfs.foreach(pf =>
@@ -832,7 +846,8 @@ object IcebergExport {
       lastSequenceNumber: Long = 0L,
       extraSpecs: Seq[ObjectNode] = Nil,
       properties: Map[String, String] = Map.empty,
-      refs: Map[String, (Long, String)] = Map.empty): String = {
+      refs: Map[String, (Long, String)] = Map.empty,
+      nextRowId: Option[Long] = None): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", formatVersion)
     // v2 requires the sequence-number watermark (deletes bumped the
@@ -840,6 +855,10 @@ object IcebergExport {
     // reader — position deletes target files by unique PATH)
     if (formatVersion >= 2)
       root.put("last-sequence-number", lastSequenceNumber)
+    // v3 ROW LINEAGE: the next unassigned row id — every commit that
+    // adds data advances it by the rows added
+    if (formatVersion >= 3)
+      root.put("next-row-id", nextRowId.getOrElse(0L))
     root.put("table-uuid", tableUuid)
     root.put("location", Paths.get(table).toAbsolutePath.toString)
     root.put("last-updated-ms", System.currentTimeMillis())
@@ -901,11 +920,13 @@ object IcebergExport {
       snapId: Long, parentId: Option[Long], tsMs: Long,
       manifestList: String, addedFiles: Int, addedRecords: Long,
       sequenceNumber: Option[Long] = None,
-      operation: String = "append"): ObjectNode = {
+      operation: String = "append",
+      firstRowId: Option[Long] = None): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("snapshot-id", snapId)
     parentId.foreach(p => n.put("parent-snapshot-id", p))
     sequenceNumber.foreach(q => n.put("sequence-number", q))
+    firstRowId.foreach(r => n.put("first-row-id", r))
     n.put("timestamp-ms", tsMs)
     val s = n.putObject("summary")
     s.put("operation", operation)
@@ -923,6 +944,27 @@ object IcebergExport {
     (meta.get("format-version").asInt(),
       Option(meta.get("last-sequence-number"))
         .map(_.asLong()).getOrElse(0L))
+
+  /** The v3 row-lineage watermark (`next-row-id`); None on v1/v2. */
+  private def nextRowIdOf(
+      meta: com.fasterxml.jackson.databind.JsonNode): Option[Long] =
+    Option(meta.get("next-row-id")).map(_.asLong())
+
+  /** Assign explicit `first_row_id`s from `start` in staged-file
+    * order (the spec permits explicit assignment; inheritance is for
+    * writers that leave them null). Returns the files and the new
+    * next-row-id.
+    */
+  private def assignRowIds(
+      added: Seq[Added], start: Long): (Seq[Added], Long) = {
+    var next = start
+    val out = added.map { a =>
+      val withId = a.copy(firstRowId = Some(next))
+      next += math.max(0L, a.records)
+      withId
+    }
+    (out, next)
+  }
 
   /** Create an Iceberg table at `table` from `df` (v1 metadata,
     * snapshot 1 = the written files), identity-partitioned by
@@ -953,7 +995,11 @@ object IcebergExport {
     * day(event_time) + bucket(user_id) — both write correctly here.
     */
   def createWithSpec(
-      df: DataFrame, table: String, spec: Seq[(String, String)]): Long = {
+      df: DataFrame, table: String, spec: Seq[(String, String)],
+      formatVersion: Int = 1): Long = {
+    require(formatVersion == 1 || formatVersion == 3,
+      s"createWithSpec writes v1 (v2 arrives with the first delete) " +
+        s"or v3 (row lineage + deletion vectors): not $formatVersion")
     require(!Files.isDirectory(metaDir(table)) || {
       val s = Files.list(metaDir(table))
       try !s.iterator().asScala
@@ -971,25 +1017,46 @@ object IcebergExport {
       PartField(transformFieldName(transform, src), ids(src), 1000 + i,
         vt, transform, src)
     }
-    val added = stageIn(
+    val staged = stageIn(
       deriveCols(df, pfs), table, pfs.map(_.name), topFieldIds(schemaNode))
+    // v3: explicit row-lineage assignment from 0
+    val (added, nextRowId) =
+      if (formatVersion >= 3) assignRowIds(staged, 0L)
+      else (staged, 0L)
     val snapId = newSnapshotId()
     Files.createDirectories(metaDir(table))
+    val fv = formatVersion
+    val seq1 = if (fv >= 2) Some(1L) else None
     val (mPath, mLen, mCount) =
-      writeManifest(table, snapId, schemaNode.toString, added, pfs)
+      writeManifest(table, snapId, schemaNode.toString, added, pfs, fv = fv)
     val ml = writeManifestList(
-      table, snapId, Seq(ManifestRef(mPath, mLen, mCount, Some(snapId))))
+      table, snapId,
+      Seq(ManifestRef(mPath, mLen, mCount, Some(snapId), seq = seq1)),
+      fv = fv)
     val ts = System.currentTimeMillis()
     val snap = snapshotNode(
-      snapId, None, ts, ml, added.size, added.map(_.records).sum)
+      snapId, None, ts, ml, added.size, added.map(_.records).sum,
+      seq1, firstRowId = if (fv >= 3) Some(0L) else None)
     val json = buildMetadata(
       table, java.util.UUID.randomUUID().toString, schemaNode, lastId,
-      Seq(snap), snapId, Seq((ts, snapId)), pfs)
+      Seq(snap), snapId, Seq((ts, snapId)), pfs,
+      formatVersion = fv,
+      lastSequenceNumber = seq1.getOrElse(0L),
+      nextRowId = if (fv >= 3) Some(nextRowId) else None)
     if (!claim(table, 1, json))
       throw new IllegalStateException(
         s"lost the race for $table metadata v1 — another writer created it")
     snapId
   }
+
+  /** Create a FORMAT-VERSION 3 table (row lineage on from the first
+    * commit; row-level deletes go through [[deleteWhereDv]] puffin
+    * deletion vectors). Identity partitioning only, like [[create]].
+    */
+  def createV3(
+      df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long =
+    createWithSpec(df, table, partitionBy.map(c => ("identity", c)),
+      formatVersion = 3)
 
   /** df.schema must MATCH the table schema (names + types, order
     * included) before a single byte is staged: real Iceberg validates
@@ -1096,8 +1163,14 @@ object IcebergExport {
       val history = schemaHistoryOf(meta)
       val pfs = partFieldsFromMeta(meta)
       val (fv, lastSeq) = fvOf(meta)
+      // v3 row lineage: this commit's files take explicit row ids
+      // from the CURRENT next-row-id (re-derived per claim attempt —
+      // a lost race means the winner advanced the watermark)
+      val rowBase = if (fv >= 3) nextRowIdOf(meta).getOrElse(0L) else 0L
+      val (addedIds, rowNext) =
+        if (fv >= 3) assignRowIds(added, rowBase) else (added, 0L)
       val (mPath, mLen, mCount) =
-        writeManifest(table, snapId, schemaNode.toString, added, pfs,
+        writeManifest(table, snapId, schemaNode.toString, addedIds, pfs,
           fv = fv)
       val ts = System.currentTimeMillis()
       val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
@@ -1111,7 +1184,8 @@ object IcebergExport {
           priorManifests(prevList), fv = fv)
       val newSnap = snapshotNode(
         snapId, curSnapId, ts, ml, added.size, added.map(_.records).sum,
-        if (fv >= 2) Some(nextSeq) else None)
+        if (fv >= 2) Some(nextSeq) else None,
+        firstRowId = if (fv >= 3) Some(rowBase) else None)
       val snaps = meta.get("snapshots").elements().asScala
         .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
       val log0 = (if (meta.has("snapshot-log"))
@@ -1134,7 +1208,8 @@ object IcebergExport {
         table, meta.get("table-uuid").asText(), schemaNode,
         meta.get("last-column-id").asInt(), snaps, curAfter, logAfter,
         pfs, history, fv, nextSeq, extraSpecsOf(meta), props,
-        refsAfter)
+        refsAfter,
+        nextRowId = if (fv >= 3) Some(rowNext) else None)
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)
@@ -1268,7 +1343,8 @@ object IcebergExport {
       val json = buildMetadata(
         table, meta.get("table-uuid").asText(), next, lastId,
         snaps, curSnapId, log, pfs, history :+ next, fv, lastSeq,
-        extraSpecsOf(meta), propsOf(meta), refsOf(meta))
+        extraSpecsOf(meta), propsOf(meta), refsOf(meta),
+        nextRowIdOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
   }
@@ -1619,6 +1695,12 @@ object IcebergExport {
       spark: org.apache.spark.sql.SparkSession, table: String,
       targetBytes: Long, beforeCommit: () => Unit): (Int, Int) = {
     val meta0 = IcebergTable.metadataJson(table)
+    require(fvOf(meta0)._1 <= 2,
+      "rewriteDataFiles on format-version 3 tables is out of scope: " +
+        "compaction rewrites rows, and v3 row lineage requires the " +
+        "rewritten files to MATERIALIZE the original _row_id / " +
+        "_last_updated_sequence_number columns — refused rather than " +
+        "silently re-identifying every row")
     val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
     val pfs0 = partFieldsFromMeta(meta0)
     val snap0 = IcebergTable.currentSnapshotNode(meta0)
@@ -1922,6 +2004,10 @@ object IcebergExport {
       condition: org.apache.spark.sql.Column): Option[Long] = {
     import org.apache.spark.sql.functions.col
     val meta0 = IcebergTable.metadataJson(table)
+    require(fvOf(meta0)._1 <= 2,
+      "format-version 3 forbids parquet position-delete files — " +
+        "row-level deletes on v3 tables go through deleteWhereDv " +
+        "(puffin deletion vectors)")
     val snap0 = IcebergTable.currentSnapshotNode(meta0)
     if (IcebergTable.dataFilesOf(table, meta0, snap0).isEmpty) return None
     // per-era position-preserving scan (r13 — the schema-evolution
@@ -2098,9 +2184,13 @@ object IcebergExport {
       val history = schemaHistoryOf(meta)
       val pfsNow = partFieldsFromMeta(meta)
       val (delSpecId, specs) = deleteSpec(meta, pfsNow)
+      // equality deletes are legal in v2 AND v3: an existing v3
+      // table must NOT be downgraded to 2 by this commit
+      val fvNow = math.max(fvOf(meta)._1, 2)
       val (dPath, dLen, dCount) = writeManifest(
         table, snapId, schemaNode.toString, Seq(delAdded), Nil,
-        entryContent = 2, specId = delSpecId, equalityIds = eqIds, fv = 2)
+        entryContent = 2, specId = delSpecId, equalityIds = eqIds,
+        fv = fvNow)
       val ts = System.currentTimeMillis()
       val (_, lastSeq) = fvOf(meta)
       val nextSeq = lastSeq + 1
@@ -2108,7 +2198,7 @@ object IcebergExport {
         table, snapId,
         priorManifests(prevList) :+
           ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
-            specId = delSpecId, seq = Some(nextSeq)), fv = 2)
+            specId = delSpecId, seq = Some(nextSeq)), fv = fvNow)
       val newSnap = snapshotNode(
         snapId, curSnapId, ts, ml, 1, keyRows.length.toLong,
         Some(nextSeq), operation = "delete")
@@ -2124,11 +2214,179 @@ object IcebergExport {
         meta.get("last-column-id").asInt(), snaps, snapId, log,
         pfsNow,
         history,
-        formatVersion = 2, // equality deletes are a v2 feature
+        formatVersion = fvNow, // equality deletes: v2 feature, v3 legal
         lastSequenceNumber = nextSeq,
         extraSpecs = specs,
         properties = propsOf(meta),
-        refs = refsOf(meta))
+        refs = refsOf(meta),
+        nextRowId = nextRowIdOf(meta))
+      committed = claim(table, curVersion + 1, json)
+    }
+    Some(snapId)
+  }
+
+  /** The live entries' file_format values of one delete manifest —
+    * classifies carried manifests during a DV rewrite (puffin DV
+    * manifests are REPLACED, equality-delete manifests carry).
+    */
+  private def deleteManifestKinds(mp: String): Set[String] = {
+    val r = new DataFileReader[GenericRecord](
+      new File(mp.replaceFirst("^file:/*", "/")),
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala
+      .filter(_.get("status").toString.toInt != 2)
+      .map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        df.get("file_format").toString.toUpperCase
+      }.toSet
+    finally r.close()
+  }
+
+  /** Row-level DELETE via v3 DELETION VECTORS (format-version 3's
+    * replacement for parquet position-delete files): the rows
+    * matching `condition` merge into ONE roaring bitmap per affected
+    * data file, stored as `deletion-vector-v1` blobs in a single
+    * PUFFIN file; the commit writes one content=1 delete manifest
+    * whose entries carry the spec's `referenced_data_file` /
+    * `content_offset` / `content_size_in_bytes` fields. The spec's
+    * at-most-one-DV-per-file invariant holds because every commit
+    * REWRITES the complete DV set (merged with the existing vectors,
+    * driver-held and bounded by rows deleted) and drops the prior DV
+    * manifests — equality-delete manifests carry forward untouched
+    * with their sequence scoping intact. Time travel to pre-delete
+    * snapshots sees the rows (old snapshots keep the old puffin
+    * files; [[expireSnapshots]] reclaims them). Returns the snapshot
+    * id, or None when nothing matched.
+    */
+  def deleteWhereDv(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      condition: org.apache.spark.sql.Column): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val meta0 = IcebergTable.metadataJson(table)
+    require(fvOf(meta0)._1 >= 3,
+      "deleteWhereDv needs a format-version 3 table " +
+        "(v1/v2 row deletes go through deleteWhere)")
+    val snap0 = IcebergTable.currentSnapshotNode(meta0)
+    if (IcebergTable.dataFilesOf(table, meta0, snap0).isEmpty) return None
+    // per-era position-preserving scan; rows already dead under
+    // existing vectors may re-match — the merge below dedups
+    val matched = IcebergTable.readWithPos(spark, table)
+      .filter(condition)
+      .select(col("__pos_file"), col("__pos_index")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (matched.isEmpty) return None
+    val newByFile: Map[String, Array[Long]] =
+      matched.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var committed = false
+    var snapId = 0L
+    var stale: Option[Path] = None
+    while (!committed) {
+      // a lost claim leaves the attempt's puffin file orphaned —
+      // clean it before rewriting against the fresh state
+      stale.foreach(Files.deleteIfExists)
+      stale = None
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val curSnapId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      val curSnap = curSnapId.flatMap { id =>
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+      }
+      val prevList = curSnap.flatMap(s =>
+        Option(s.get("manifest-list")).map(_.asText()))
+      val snapNow = IcebergTable.currentSnapshotNode(meta)
+      val deletes = IcebergTable.deleteFilesOf(table, meta, snapNow)
+      require(deletes.forall(d => d.content != 1 || d.format == "PUFFIN"),
+        s"v3 table $table carries parquet position-delete files " +
+          "(out of spec): refused rather than merged wrongly")
+      // existing vectors, decoded driver-side (bounded by deleted rows)
+      val existing: Map[String, Array[Long]] = deletes
+        .filter(_.format == "PUFFIN")
+        .groupBy(_.referencedDataFile.get)
+        .view.mapValues(_.flatMap(d =>
+          Puffin.dvBlobIndexes(Puffin.readBlob(
+            d.path, d.contentOffset.getOrElse(
+              throw new IllegalStateException(
+                s"DV entry without content_offset in $table")),
+            d.contentSize.get)).toSeq).toArray)
+        .toMap
+      val merged: Seq[(String, Array[Long])] =
+        (existing.keySet ++ newByFile.keySet).toSeq.sorted.map { f =>
+          f -> (existing.getOrElse(f, Array.empty[Long]) ++
+            newByFile.getOrElse(f, Array.empty[Long])).distinct.sorted
+        }
+      snapId = newSnapshotId()
+      val (_, lastSeq) = fvOf(meta)
+      val nextSeq = lastSeq + 1
+      val dataDir = Paths.get(table, "data")
+      Files.createDirectories(dataDir)
+      val puffinPath = dataDir.resolve(
+        s"dv-${java.util.UUID.randomUUID()}.puffin")
+      val blobs = merged.map { case (f, idxs) =>
+        Puffin.Blob("deletion-vector-v1", Nil, snapId, nextSeq,
+          Map("referenced-data-file" -> f,
+            "cardinality" -> idxs.length.toString),
+          Puffin.dvBlobBytes(idxs))
+      }
+      val blobMetas = Puffin.write(puffinPath, blobs)
+      stale = Some(puffinPath)
+      val pAbs = puffinPath.toAbsolutePath.toString
+      val pSize = Files.size(puffinPath)
+      val dvAdds = merged.zip(blobMetas).map { case ((f, idxs), m) =>
+        Added(pAbs, pSize, idxs.length.toLong,
+          format = "PUFFIN", referencedDataFile = Some(f),
+          contentOffset = Some(m.offset),
+          contentSizeInBytes = Some(m.length))
+      }
+      val schemaNode =
+        IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
+      val history = schemaHistoryOf(meta)
+      val pfsNow = partFieldsFromMeta(meta)
+      val (delSpecId, specs) = deleteSpec(meta, pfsNow)
+      val (dPath, dLen, dCount) = writeManifest(
+        table, snapId, schemaNode.toString, dvAdds, Nil,
+        entryContent = 1, specId = delSpecId, fv = 3)
+      // carried: every data manifest; delete manifests WITHOUT puffin
+      // entries (equality deletes keep their sequence scope). Prior
+      // DV manifests are replaced by the rewritten one — the
+      // at-most-one-DV-per-file rule.
+      val carried = priorManifests(prevList).filter { mr =>
+        if (mr.content == 0) true
+        else {
+          val kinds = deleteManifestKinds(mr.path)
+          require(!kinds.contains("PUFFIN") || kinds == Set("PUFFIN"),
+            s"delete manifest ${mr.path} mixes puffin DVs with other " +
+              "delete files: refused rather than partially replaced")
+          !kinds.contains("PUFFIN")
+        }
+      }
+      val ml = writeManifestList(
+        table, snapId,
+        carried :+ ManifestRef(dPath, dLen, dCount, Some(snapId),
+          content = 1, specId = delSpecId, seq = Some(nextSeq)),
+        fv = 3)
+      val ts = System.currentTimeMillis()
+      val newSnap = snapshotNode(
+        snapId, curSnapId, ts, ml, merged.size, matched.length.toLong,
+        Some(nextSeq), operation = "delete")
+      val snaps = meta.get("snapshots").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
+      val log = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(),
+            e.get("snapshot-id").asLong())).toSeq
+      else Nil) :+ ((ts, snapId))
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(), schemaNode,
+        meta.get("last-column-id").asInt(), snaps, snapId, log,
+        pfsNow, history,
+        formatVersion = 3,
+        lastSequenceNumber = nextSeq,
+        extraSpecs = specs,
+        properties = propsOf(meta),
+        refs = refsOf(meta),
+        nextRowId = nextRowIdOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)

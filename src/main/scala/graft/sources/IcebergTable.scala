@@ -110,10 +110,11 @@ object IcebergTable {
     val node = mapper.readTree(
       metaDir(table).resolve(s"v$v.metadata.json").toFile)
     val fv = node.get("format-version").asInt()
-    require(fv <= 2,
+    require(fv <= 3,
       s"unsupported Iceberg format-version=$fv at $table: this reader " +
-        "implements v1/v2 and refuses rather than returning wrong rows " +
-        "(v3 adds row lineage / deletion vectors)")
+        "implements v1/v2/v3 (v3 incl. puffin deletion vectors and row " +
+        "lineage) and refuses newer versions rather than returning " +
+        "wrong rows")
     node
   }
 
@@ -316,7 +317,8 @@ object IcebergTable {
       lower: Map[Int, Array[Byte]] = Map.empty,
       upper: Map[Int, Array[Byte]] = Map.empty,
       nullCounts: Map[Int, Long] = Map.empty,
-      seq: Long = 0L)
+      seq: Long = 0L,
+      firstRowId: Option[Long] = None)
 
   /** Decode the spec's int-keyed manifest map (avro array of
     * key/value records; real avro maps cannot key by int).
@@ -367,9 +369,18 @@ object IcebergTable {
     * deletes safe against later re-inserts).
     */
   private[sources] case class DeleteFile(
-      path: String, content: Int, seq: Long, equalityIds: Seq[Int])
+      path: String, content: Int, seq: Long, equalityIds: Seq[Int],
+      format: String = "PARQUET",
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None)
 
-  /** All delete files of a snapshot, position and equality. */
+  /** All delete files of a snapshot: position (parquet), equality,
+    * and v3 puffin DELETION VECTORS (file_format=PUFFIN entries whose
+    * `referenced_data_file`/`content_offset`/`content_size_in_bytes`
+    * name one blob per referenced data file — several DV entries may
+    * share one puffin PATH, so dedup keys on (path, offset)).
+    */
   private[sources] def deleteFilesOf(
       table: String, meta: JsonNode, snap: JsonNode): Seq[DeleteFile] =
     manifestsWithContent(snap).filter(_._2 == 1)
@@ -393,10 +404,19 @@ object IcebergTable {
             require(content == 1 || eqIds.nonEmpty,
               "equality delete file without equality_ids: refused " +
                 "rather than guessing the key columns")
-            Some(DeleteFile(local(str(df, "file_path")), content, seq, eqIds))
+            val format = str(df, "file_format").toUpperCase
+            val refFile = opt(df, "referenced_data_file").map(_.toString)
+            require(format != "PUFFIN" || refFile.isDefined,
+              "puffin deletion-vector entry without " +
+                "referenced_data_file: refused rather than guessing")
+            Some(DeleteFile(
+              local(str(df, "file_path")), content, seq, eqIds,
+              format, refFile.map(local),
+              opt(df, "content_offset").map(_.toString.toLong),
+              opt(df, "content_size_in_bytes").map(_.toString.toLong)))
           }
         }
-      }.distinctBy(_.path)
+      }.distinctBy(d => (d.path, d.contentOffset))
 
   /** POSITION-delete file paths of a snapshot (the path-targeted
     * subset; equality deletes live beside them in the same content=1
@@ -444,7 +464,8 @@ object IcebergTable {
             nullCounts = kvMap(opt(df, "null_value_counts"))
               .map { case (k, v) => k -> v.toString.toLong },
             seq = opt(entry, "sequence_number")
-              .map(_.toString.toLong).getOrElse(listSeq)))
+              .map(_.toString.toLong).getOrElse(listSeq),
+            firstRowId = opt(df, "first_row_id").map(_.toString.toLong)))
         }
       }
     }.distinctBy(_.path)
@@ -898,12 +919,25 @@ object IcebergTable {
       spark: SparkSession, table: String): DataFrame =
     readCore(spark, table, None, None, withPos = true)
 
+  /** [[read]] plus the v3 ROW LINEAGE columns — `_row_id` (the file's
+    * `first_row_id` + the row's in-file position; null for files
+    * written before the table carried lineage) and
+    * `_last_updated_sequence_number` (the file's data sequence
+    * number) — the spec's inheritance rules for rows without
+    * materialized lineage columns. Deletes apply as in any read;
+    * surviving rows keep their ids.
+    */
+  def readLineage(spark: SparkSession, table: String): DataFrame =
+    readCore(spark, table, None, None, withLineage = true)
+
   private def readCore(
       spark: SparkSession, table: String,
       snapshotId: Option[Long],
       keep: Option[Set[String]],
-      withPos: Boolean = false): DataFrame = {
+      withPos: Boolean = false,
+      withLineage: Boolean = false): DataFrame = {
     val meta = metadataJson(table)
+    val fv = meta.get("format-version").asInt()
     val schemaNode = schemaNodeOf(meta)
     val schema = toSparkType(schemaNode).asInstanceOf[StructType]
     val snap = snapshotNode(meta, snapshotId)
@@ -917,7 +951,16 @@ object IcebergTable {
     }
     val deletes =
       if (withPos) Nil else deleteFilesOf(table, meta, snap)
-    val posDeletes = deletes.filter(_.content == 1).map(_.path)
+    // v3 splits position deletes: puffin DELETION VECTORS (decoded
+    // driver-side, bounded by deleted rows) vs the v2 parquet
+    // position-delete files v3 FORBIDS (a v3 table carrying them is
+    // out of spec — refused rather than guessing which to trust)
+    val dvFiles = deletes.filter(d => d.content == 1 && d.format == "PUFFIN")
+    val posDeletes = deletes
+      .filter(d => d.content == 1 && d.format != "PUFFIN").map(_.path)
+    require(fv < 3 || posDeletes.isEmpty,
+      s"format-version 3 table $table carries parquet position-delete " +
+        "files (the spec requires deletion vectors): refused")
     val eqDeletes = deletes.filter(_.content == 2)
     if (entries.isEmpty) {
       require(!withPos, "readWithPos on an empty snapshot")
@@ -982,38 +1025,93 @@ object IcebergTable {
         // equality-delete sequence scope — it must come from inside
         // each branch (expressions like input_file_name() cannot span
         // the joins below)
-        val needFile = withPos ||
-          posDeletes.nonEmpty || idParts.nonEmpty || eqDeletes.nonEmpty
+        val needFile = withPos || withLineage ||
+          posDeletes.nonEmpty || dvFiles.nonEmpty ||
+          idParts.nonEmpty || eqDeletes.nonEmpty
         val metaCols =
           (if (needFile)
             Seq(canonFile(col("_metadata.file_path")).as("__ib_f"))
           else Nil) ++
-            (if (posDeletes.nonEmpty || withPos)
+            (if (posDeletes.nonEmpty || dvFiles.nonEmpty ||
+              withPos || withLineage)
               Seq(col("_metadata.row_index").as("__ib_i"))
             else Nil)
         spark.read.schema(readSchema).parquet(files.map(_.path): _*)
           .select(resolved.map(_._2) ++ metaCols: _*)
       }
     val data0 = branches.reduce(_.unionByName(_))
-    val data =
-      if (posDeletes.isEmpty) data0
+    val data1 =
+      if (posDeletes.isEmpty && dvFiles.isEmpty) data0
       else {
         // the delete frame is bounded by DELETED rows; broadcast
         // anti-join on (canonical path, in-file row index) — the
-        // DeltaLog deletion-vector discipline in manifest form
-        val del = spark.read
-          .schema(StructType.fromDDL("file_path STRING, pos BIGINT"))
-          .parquet(posDeletes: _*)
-          .select(
-            canonFile(col("file_path")).as("__del_f"),
-            col("pos").as("__del_i"))
+        // DeltaLog deletion-vector discipline in manifest form.
+        // Parquet position deletes read distributed; puffin DVs
+        // decode driver-side (each blob names one data file's
+        // deleted positions) and union in.
+        import spark.implicits._
+        val parquetDel =
+          if (posDeletes.isEmpty) None
+          else Some(spark.read
+            .schema(StructType.fromDDL("file_path STRING, pos BIGINT"))
+            .parquet(posDeletes: _*)
+            .select(
+              canonFile(col("file_path")).as("__del_f"),
+              col("pos").as("__del_i")))
+        val dvDel =
+          if (dvFiles.isEmpty) None
+          else {
+            val pairs: Seq[(String, Long)] = dvFiles.flatMap { d =>
+              val blob = (d.contentOffset, d.contentSize) match {
+                case (Some(off), Some(len)) =>
+                  Puffin.readBlob(d.path, off, len)
+                case _ =>
+                  // a foreign writer relying on the footer alone:
+                  // resolve the blob by referenced-data-file property
+                  val metaBlob = Puffin.readFooter(d.path)
+                    .find(b => b.tpe == "deletion-vector-v1" &&
+                      b.properties.get("referenced-data-file")
+                        .map(local).contains(d.referencedDataFile.get))
+                    .getOrElse(throw new IllegalStateException(
+                      s"no deletion-vector-v1 blob for " +
+                        s"${d.referencedDataFile.get} in ${d.path}"))
+                  Puffin.readBlob(d.path, metaBlob.offset, metaBlob.length)
+              }
+              Puffin.dvBlobIndexes(blob)
+                .map(i => (d.referencedDataFile.get, i))
+            }
+            Some(pairs.toDF("__del_f", "__del_i"))
+          }
+        val del = (parquetDel.toSeq ++ dvDel.toSeq).reduce(_.unionByName(_))
         data0.join(
           broadcast(del),
           col("__ib_f") === col("__del_f") &&
             col("__ib_i") === col("__del_i"),
           "left_anti")
-          .drop("__ib_i")
       }
+    // v3 ROW LINEAGE attaches per-file constants (first_row_id, seq)
+    // through one metadata-sized broadcast join, BEFORE __ib_i is
+    // dropped: _row_id = first_row_id + position (null when the file
+    // predates lineage), _last_updated_sequence_number = the file's
+    // data sequence number — the spec's inheritance rules
+    val data = {
+      val base =
+        if (!withLineage) data1
+        else {
+          import spark.implicits._
+          val lf = entries.map(e => (e.path, e.firstRowId, e.seq))
+            .toDF("__lf", "__lfr", "__lseq")
+          data1
+            .join(broadcast(lf), col("__ib_f") === col("__lf"))
+            .withColumn("_row_id",
+              when(col("__lfr").isNotNull, col("__lfr") + col("__ib_i")))
+            .withColumn("_last_updated_sequence_number", col("__lseq"))
+            .drop("__lf", "__lfr", "__lseq")
+        }
+      if ((posDeletes.nonEmpty || dvFiles.nonEmpty) && !withPos)
+        base.drop("__ib_i")
+      else base
+    }
     // per-file constants (identity partition sources + the file's
     // data sequence number when equality deletes need it) attach via
     // ONE metadata-sized broadcast equi-join on the canonical path.
@@ -1087,9 +1185,12 @@ object IcebergTable {
           }
       }
     val posCols =
-      if (withPos)
+      (if (withPos)
         Seq(col("__ib_f").as("__pos_file"), col("__ib_i").as("__pos_index"))
-      else Nil
+      else Nil) ++
+        (if (withLineage)
+          Seq(col("_row_id"), col("_last_updated_sequence_number"))
+        else Nil)
     afterEq.select(schema.fields.map { f =>
       if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else col(f.name)

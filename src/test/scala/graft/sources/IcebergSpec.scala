@@ -98,14 +98,15 @@ class IcebergSpec extends SparkSpec {
     assert(stale == Set(1L, 2L), "stale hint hid committed metadata v2")
   }
 
-  test("reader refuses format-version 3 and delete manifests loudly") {
+  test("reader refuses format-version 4 and delete manifests loudly") {
     val t = tmpTable()
     IcebergExport.create(df(Seq((1L, "a", 1.0))), t)
-    // forge a v3 metadata file as the newest version
+    // forge a FUTURE format version as the newest metadata (v3 is
+    // implemented since r14 — the refusal now starts at 4)
     val v2 = Paths.get(t, "metadata", "v2.metadata.json")
     val v1 = Files.readString(Paths.get(t, "metadata", "v1.metadata.json"))
     Files.writeString(v2, v1.replaceFirst(
-      "\"format-version\" : 1", "\"format-version\" : 3"))
+      "\"format-version\" : 1", "\"format-version\" : 4"))
     Files.writeString(Paths.get(t, "metadata", "version-hint.text"), "2")
     val e = intercept[IllegalArgumentException] {
       IcebergTable.read(spark, t)

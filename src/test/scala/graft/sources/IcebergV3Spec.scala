@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Iceberg FORMAT-VERSION 3 (r14): puffin-stored DELETION VECTORS
+  * replace parquet position-delete files, and ROW LINEAGE gives every
+  * row a stable `_row_id` + `_last_updated_sequence_number`. The
+  * table authors itself (createV3 / append / deleteWhereDv) and reads
+  * back through [[IcebergTable]] — DV'd rows absent, lineage correct
+  * across appends and deletes, the at-most-one-DV-per-file invariant
+  * maintained by whole-set rewrite, equality deletes coexisting, and
+  * the old v3 refusal narrowed to genuinely unknown versions.
+  */
+class IcebergV3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tbl(): String =
+    Files.createTempDirectory("iceberg_v3_").resolve("t").toString
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("puffin codec: blobs round-trip; DV blob frames per the spec") {
+    val tmp = Files.createTempDirectory("puffin_").resolve("p.puffin")
+    val idxs = Array(0L, 5L, 6L, 7L, 70000L)
+    val blob = Puffin.dvBlobBytes(idxs)
+    // spec framing: BE length of magic+vector, then the 4-byte magic
+    // sequence D1 D3 39 64 (int 1681511377 little-endian)
+    val len = java.nio.ByteBuffer.wrap(blob.take(4)).getInt
+    assert(len == blob.length - 8, s"BE length prefix: $len")
+    assert((blob(4) & 0xFF) == 0xD1 && (blob(5) & 0xFF) == 0xD3 &&
+      blob(6) == 0x39 && blob(7) == 0x64,
+      "magic must be D1 D3 39 64")
+    assert(Puffin.dvBlobIndexes(blob).toSeq == idxs.toSeq)
+    val metas = Puffin.write(tmp, Seq(
+      Puffin.Blob("deletion-vector-v1", Nil, 7L, 1L,
+        Map("referenced-data-file" -> "/x.parquet",
+          "cardinality" -> "5"), blob),
+      Puffin.Blob("deletion-vector-v1", Nil, 7L, 1L,
+        Map("referenced-data-file" -> "/y.parquet",
+          "cardinality" -> "1"), Puffin.dvBlobBytes(Array(3L)))))
+    assert(metas.size == 2 && metas.head.offset == 4L)
+    val footer = Puffin.readFooter(tmp.toString)
+    assert(footer.map(_.tpe).toSet == Set("deletion-vector-v1"))
+    assert(footer.head.properties("referenced-data-file") == "/x.parquet")
+    val back = Puffin.readBlob(
+      tmp.toString, footer.head.offset, footer.head.length)
+    assert(Puffin.dvBlobIndexes(back).toSeq == idxs.toSeq)
+  }
+
+  test("createV3 + append: row lineage assigned, inherited and read back") {
+    val t = tbl()
+    IcebergExport.createV3(
+      (0L until 10L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    val meta = IcebergTable.metadataJson(t)
+    assert(meta.get("format-version").asInt() == 3)
+    assert(meta.get("next-row-id").asLong() == 10L)
+    IcebergExport.append(
+      (10L until 14L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    assert(IcebergTable.metadataJson(t).get("next-row-id").asLong() == 14L)
+    // single sorted file per commit → _row_id = id; second commit's
+    // seq = 2
+    val got = IcebergTable.readLineage(spark, t)
+      .select(col("id"), col("_row_id"),
+        col("_last_updated_sequence_number"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == got.map(_._1).toSeq,
+      s"_row_id must equal the write position here: ${got.toSeq}")
+    assert(got.filter(_._1 < 10L).forall(_._3 == 1L) &&
+      got.filter(_._1 >= 10L).forall(_._3 == 2L),
+      s"_last_updated_sequence_number per commit: ${got.toSeq}")
+  }
+
+  test("deleteWhereDv: rows gone, files unrewritten, lineage and time travel intact") {
+    val t = tbl()
+    val s1 = IcebergExport.createV3(
+      (0L until 20L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"), t)
+    val filesBefore = {
+      val m = IcebergTable.metadataJson(t)
+      IcebergTable.dataFilesOf(t, m, IcebergTable.currentSnapshotNode(m)).toSet
+    }
+    val s2 = IcebergExport.deleteWhereDv(spark, t, col("id") % 4 === 0)
+    assert(s2.isDefined && !s2.contains(s1))
+    assert(ids(IcebergTable.read(spark, t))
+      == (0L until 20L).filter(_ % 4 != 0).toSet)
+    // merge-on-read: same data files serve the table
+    val filesAfter = {
+      val m = IcebergTable.metadataJson(t)
+      IcebergTable.dataFilesOf(t, m, IcebergTable.currentSnapshotNode(m)).toSet
+    }
+    assert(filesAfter == filesBefore, "DV delete must not rewrite data")
+    // time travel sees the pre-delete rows
+    assert(ids(IcebergTable.read(spark, t, Some(s1))) == (0L until 20L).toSet)
+    // survivors keep their ORIGINAL row ids (lineage survives deletes)
+    val lin = IcebergTable.readLineage(spark, t)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lin.size == 15 && lin.forall { case (id, rid) => rid == id },
+      s"surviving rows must keep their ids: $lin")
+    // a matching-nothing delete is a no-op
+    assert(IcebergExport.deleteWhereDv(spark, t, col("id") > 999L).isEmpty)
+  }
+
+  test("repeated DV deletes MERGE; at most one DV per file per snapshot") {
+    val t = tbl()
+    IcebergExport.createV3(
+      (0L until 30L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.deleteWhereDv(spark, t, col("id") < 5L)
+    IcebergExport.deleteWhereDv(spark, t, col("id") >= 25L)
+    assert(ids(IcebergTable.read(spark, t)) == (5L until 25L).toSet)
+    // the CURRENT snapshot references exactly one DV per data file
+    val meta = IcebergTable.metadataJson(t)
+    val dvs = IcebergTable.deleteFilesOf(
+      t, meta, IcebergTable.currentSnapshotNode(meta))
+      .filter(_.format == "PUFFIN")
+    assert(dvs.map(_.referencedDataFile.get).distinct.size == dvs.size,
+      s"one DV per referenced file: $dvs")
+    assert(dvs.size == 1, s"single data file → single merged DV: $dvs")
+    // and its cardinality is the merged set
+    val blob = Puffin.readBlob(
+      dvs.head.path, dvs.head.contentOffset.get, dvs.head.contentSize.get)
+    assert(Puffin.dvBlobIndexes(blob).length == 10)
+  }
+
+  test("equality deletes coexist with DVs on v3; scoping intact") {
+    val t = tbl()
+    IcebergExport.createV3(
+      (0L until 12L).map(i => (i, s"tag${i % 3}")).toDF("id", "tag")
+        .coalesce(1), t)
+    IcebergExport.deleteWhereEquality(spark, t, Seq("tag0").toDF("tag"))
+    // still v3 after the equality commit (no downgrade)
+    assert(IcebergTable.metadataJson(t).get("format-version").asInt() == 3)
+    IcebergExport.deleteWhereDv(spark, t, col("id") === 7L)
+    assert(ids(IcebergTable.read(spark, t))
+      == (0L until 12L).filter(i => i % 3 != 0 && i != 7L).toSet)
+    // rows appended AFTER the equality delete survive despite key match
+    IcebergExport.append(Seq((100L, "tag0")).toDF("id", "tag").coalesce(1), t)
+    assert(ids(IcebergTable.read(spark, t)).contains(100L),
+      "the equality delete must stay sequence-scoped")
+  }
+
+  test("v3 guards: wrong-path deletes, v3 compaction and future versions refuse") {
+    val t = tbl()
+    IcebergExport.createV3(
+      (0L until 8L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergExport.deleteWhere(spark, t, col("id") === 1L)
+    }
+    assert(e1.getMessage.contains("deleteWhereDv"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergExport.rewriteDataFiles(spark, t, 64L * 1024 * 1024)
+    }
+    assert(e2.getMessage.contains("row lineage")
+      || e2.getMessage.contains("out of scope"), e2.getMessage)
+    // deleteWhereDv on a v2 table refuses
+    val t2 = tbl()
+    IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t2)
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergExport.deleteWhereDv(spark, t2, col("id") === 1L)
+    }
+    assert(e3.getMessage.contains("format-version 3"), e3.getMessage)
+  }
+
+  test("snapshot refs, evolution and expire carry v3 state (next-row-id survives)") {
+    val t = tbl()
+    IcebergExport.createV3(
+      (0L until 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.renameColumn(t, "s", "name")
+    assert(IcebergTable.metadataJson(t).get("next-row-id").asLong() == 6L,
+      "schema evolution must carry next-row-id")
+    IcebergExport.deleteWhereDv(spark, t, col("id") === 0L)
+    IcebergExport.append(
+      Seq((6L, "x")).toDF("id", "name").coalesce(1), t)
+    assert(IcebergTable.metadataJson(t).get("next-row-id").asLong() == 7L)
+    val lin = IcebergTable.readLineage(spark, t)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lin == (1L to 6L).map(i => i -> i).toMap, s"$lin")
+    // expire reclaims superseded puffin files of expired snapshots
+    IcebergExport.deleteWhereDv(spark, t, col("id") === 1L)
+    val puffinsBefore = {
+      val s = Files.list(Paths.get(t, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .count(_.endsWith(".puffin"))
+      finally s.close()
+    }
+    assert(puffinsBefore == 2, s"two DV generations on disk: $puffinsBefore")
+    IcebergExport.expireSnapshots(t, keepLast = 1)
+    val puffinsAfter = {
+      val s = Files.list(Paths.get(t, "data"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .count(_.endsWith(".puffin"))
+      finally s.close()
+    }
+    assert(puffinsAfter == 1, "expire must reclaim the superseded DV file")
+    assert(ids(IcebergTable.read(spark, t)) == (2L to 6L).toSet)
+  }
+}
