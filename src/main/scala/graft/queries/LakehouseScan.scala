@@ -234,8 +234,26 @@ object LakehouseScan {
         col("_last_updated_sequence_number").as("last_seq"))
       .orderBy(col("s_suppkey"))
 
+  /** x26 — Delta CHANGE DATA FEED over the x22 table's history: the
+    * create's rows feed as version-0 inserts, the deletion-vector
+    * delete as version-1 deletes of exactly the newly-marked
+    * positions. Oracle: the original customer parquet stamped with
+    * both change kinds. A drifted DV diff or a double-counted file
+    * action fails the hash, not just a spec.
+    */
+  def deltaCdfScan(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaCdf
+      .readChangeFeed(spark, deltaCustomer(spark, dir), 0L)
+      .select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+      .orderBy(col("commit_version"), col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_delta_scan" -> deltaScan,
+    "x26_delta_cdf" -> deltaCdfScan,
     "x23_iceberg_scan" -> icebergScan,
     "x24_transform_scan" -> transformScan,
     "x25_iceberg_v3_scan" -> icebergV3Scan,
@@ -259,6 +277,17 @@ object LakehouseScan {
          WHERE l_linenumber <> 7
          GROUP BY l_orderkey
          ORDER BY l_orderkey""",
+    "x26_delta_cdf" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                'insert' AS change_type,
+                CAST(0 AS BIGINT) AS commit_version
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                'delete' AS change_type,
+                CAST(1 AS BIGINT) AS commit_version
+         FROM customer WHERE c_custkey % 7 = 0
+         ORDER BY commit_version, c_custkey""",
     "x25_iceberg_v3_scan" ->
       """WITH base AS (
            SELECT s_suppkey, s_name, s_nationkey,
