@@ -36,14 +36,14 @@ object DeltaExport {
 
   private def logDir(table: String): Path = Paths.get(table, "_delta_log")
 
-  private def esc(s: String): String =
+  private[sources] def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** The writer features a legacy `minWriterVersion` IMPLIES
     * (PROTOCOL.md "Table Features"): a table-features upgrade must
     * enumerate them so downstream writers keep enforcing them.
     */
-  private def legacyWriterFeatures(minWriter: Int): Set[String] = {
+  private[sources] def legacyWriterFeatures(minWriter: Int): Set[String] = {
     val ladder = Seq(
       2 -> Set("appendOnly", "invariants"),
       3 -> Set("checkConstraints"),
@@ -59,7 +59,7 @@ object DeltaExport {
     * and over-encoding would break any consumer matching paths for a
     * remove).
     */
-  private def enc(rel: String): String =
+  private[sources] def enc(rel: String): String =
     rel.split('/')
       .map(seg =>
         java.net.URLEncoder.encode(seg, "UTF-8")
@@ -71,10 +71,10 @@ object DeltaExport {
     * the REPLACED vector (so log consumers and vacuum can track the
     * old DV file's lifecycle).
     */
-  private def dvJson(d: DeltaDv.Descriptor): String =
+  private[sources] def dvJson(d: DeltaDv.Descriptor): String =
     s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${esc(d.pathOrInlineDv)}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
 
-  private def listParquet(root: Path): Set[String] = {
+  private[sources] def listParquet(root: Path): Set[String] = {
     if (!Files.isDirectory(root)) return Set.empty
     val s = Files.walk(root)
     try s.iterator().asScala
@@ -90,7 +90,7 @@ object DeltaExport {
     * `partitionCols` order; values are URL-decoded like Spark writes
     * them encoded.
     */
-  private def partitionValuesOf(
+  private[sources] def partitionValuesOf(
       rel: String, partitionCols: Seq[String]): Map[String, String] = {
     val dirs = rel.split('/').dropRight(1)
     val kv = dirs.flatMap { d =>
@@ -213,7 +213,7 @@ object DeltaExport {
     if (lt == takeMin) a else b
   }
 
-  private def addJson(
+  private[sources] def addJson(
       table: String, rel: String, pv: Map[String, String],
       conf: Option[org.apache.hadoop.conf.Configuration] = None,
       dataChange: Boolean = true): String = {
@@ -227,16 +227,20 @@ object DeltaExport {
     s"""{"add":{"path":"${enc(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(Paths.get(table, rel)).toMillis},"dataChange":$dataChange$stats}}"""
   }
 
-  private def metaDataJson(
-      tableId: String, schema: StructType, partitionCols: Seq[String]): String = {
+  private[sources] def metaDataJson(
+      tableId: String, schema: StructType, partitionCols: Seq[String],
+      configuration: Map[String, String] = Map.empty): String = {
     val pcs = partitionCols.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
-    s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schema.json)}","partitionColumns":$pcs,"configuration":{},"createdTime":${System.currentTimeMillis()}}}"""
+    val conf = configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schema.json)}","partitionColumns":$pcs,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}"""
   }
 
   /** Atomically claim `version`: returns false when another writer
     * owns it (the SnapshotStore hardlink discipline).
     */
-  private def claim(table: String, version: Long, lines: Seq[String]): Boolean = {
+  private[sources] def claim(table: String, version: Long, lines: Seq[String]): Boolean = {
     val dir = logDir(table)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID}")
@@ -250,7 +254,7 @@ object DeltaExport {
     } finally Files.deleteIfExists(tmp)
   }
 
-  private def nextVersion(table: String): Long = {
+  private[sources] def nextVersion(table: String): Long = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return 0L
     val s = Files.list(dir)
@@ -274,7 +278,7 @@ object DeltaExport {
     * task UUIDs, so moves cannot collide. Returns the added relative
     * paths.
     */
-  private def stageIn(
+  private[sources] def stageIn(
       df: DataFrame, table: String, partitionBy: Seq[String]): Seq[String] = {
     val stage = Files.createTempDirectory("delta_stage")
     val w = df.write.mode("overwrite")
@@ -293,13 +297,29 @@ object DeltaExport {
     * `partitionBy`. Commit 0 = protocol + metaData + the written
     * files' adds. Fails if the table already has a log.
     */
-  def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+  def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit =
+    create(df, table, partitionBy, Map.empty[String, String])
+
+  /** [[create]] with table properties in the metaData configuration.
+    * Setting `delta.enableChangeDataFeed=true` declares the
+    * changeDataFeed writer feature, so the protocol starts at its
+    * legacy gate (minWriterVersion 4) instead of 2 — delta-spark
+    * writers joining later must keep writing change data
+    * (PROTOCOL.md "Change Data Files").
+    */
+  def create(
+      df: DataFrame, table: String, partitionBy: Seq[String],
+      properties: Map[String, String]): Unit = {
     require(nextVersion(table) == 0L,
       s"$table already has a Delta log; use append")
+    val minWriter =
+      if (properties.get("delta.enableChangeDataFeed").contains("true")) 4
+      else 2
     val added = stageIn(df, table, partitionBy)
     val lines =
-      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-        metaDataJson(java.util.UUID.randomUUID.toString, df.schema, partitionBy)) ++
+      Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}""",
+        metaDataJson(java.util.UUID.randomUUID.toString, df.schema,
+          partitionBy, properties)) ++
         added.map(rel =>
           addJson(table, rel, partitionValuesOf(rel, partitionBy),
             Some(df.sparkSession.sparkContext.hadoopConfiguration))) :+
@@ -307,6 +327,58 @@ object DeltaExport {
     if (!claim(table, 0L, lines))
       throw new IllegalStateException(
         s"lost the race for $table version 0 — another writer created it")
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES — merge `props` into the table's
+    * metaData configuration as a metadata-only commit (no data files
+    * touched). The metaData `id` is carried forward UNCHANGED: it is
+    * the table's stable identity (streaming readers key offsets on
+    * it), so a re-emit with a fresh id would silently reset every
+    * downstream consumer. Enabling `delta.enableChangeDataFeed` on a
+    * legacy-protocol table upgrades `minWriterVersion` to 4
+    * (PROTOCOL.md's ladder: changeDataFeed is a writer feature);
+    * feature-gated tables get `changeDataFeed` appended to
+    * `writerFeatures`. Returns the committed version.
+    */
+  def setProperties(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      props: Map[String, String]): Long = {
+    var v = nextVersion(table)
+    var committed = false
+    while (!committed) {
+      // recompute against the current state: a lost claim means
+      // another writer's commit may itself have changed metaData
+      val st = DeltaLog.stateAt(spark, table, None)
+      val merged = st.configuration ++ props
+      val conf = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString("{", ",", "}")
+      val pcs = st.partitionCols.map(c => s""""${esc(c)}"""")
+        .mkString("[", ",", "]")
+      val id = st.tableId.getOrElse(java.util.UUID.randomUUID.toString)
+      val metaLine =
+        s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(st.schemaJson.get)}","partitionColumns":$pcs,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}"""
+      val cdfOn = props.get("delta.enableChangeDataFeed").contains("true")
+      val protocolLine =
+        if (!cdfOn) Nil
+        else if (st.writerFeatures.nonEmpty) {
+          if (st.writerFeatures.contains("changeDataFeed")) Nil
+          else {
+            val wf = (st.writerFeatures + "changeDataFeed").toSeq.sorted
+              .map(f => s""""$f"""").mkString("[", ",", "]")
+            val rf = st.readerFeatures.toSeq.sorted
+              .map(f => s""""$f"""").mkString("[", ",", "]")
+            Seq(s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}""")
+          }
+        } else if (st.minWriter < 4)
+          Seq(s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":4}}""")
+        else Nil
+      val lines = protocolLine ++ Seq(metaLine,
+        s"""{"commitInfo":{"operation":"SET TBLPROPERTIES"}}""")
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
+    v
   }
 
   /** Append `df` as the next version. The data files land (staged,
@@ -931,7 +1003,8 @@ object DeltaExport {
         if (st.writerFeatures.nonEmpty) st.writerFeatures.toSeq.sorted
         else null), null, null, null),
         Row(null,
-          Row(table, st.schemaJson.get, st.partitionCols, st.configuration),
+          Row(st.tableId.getOrElse(table), st.schemaJson.get,
+            st.partitionCols, st.configuration),
           null, null)) ++
         st.txns.toSeq.sortBy(_._1).map { case (a, ver) =>
           Row(null, null, Row(a, ver), null)

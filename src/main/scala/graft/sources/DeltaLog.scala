@@ -68,7 +68,11 @@ object DeltaLog {
       configuration: Map[String, String] = Map.empty,
       readerFeatures: Set[String] = Set.empty,
       minWriter: Int = 2,
-      writerFeatures: Set[String] = Set.empty)
+      writerFeatures: Set[String] = Set.empty,
+      // the metaData id — a STABLE table identity (delta-spark
+      // streaming readers key their offsets on it), so metadata-only
+      // re-emits (setProperties) must carry it forward unchanged
+      tableId: Option[String] = None)
 
   private val empty = State(None, Nil, 1, Map.empty, Map.empty)
 
@@ -87,7 +91,10 @@ object DeltaLog {
       s.copy(
         schemaJson = Some(m.get("schemaString").asText()),
         partitionCols = pcs,
-        configuration = conf)
+        configuration = conf,
+        tableId =
+          if (m.has("id") && !m.get("id").isNull) Some(m.get("id").asText())
+          else s.tableId)
     } else if (a.has("protocol")) {
       val p = a.get("protocol")
       val feats =
@@ -196,21 +203,26 @@ object DeltaLog {
           .map(_.toSet).getOrElse(Set.empty)))
     }
     if (cols.contains("metaData")) {
-      val hasConf = df.schema("metaData").dataType
-        .asInstanceOf[StructType].fieldNames.contains("configuration")
+      val mdFields = df.schema("metaData").dataType
+        .asInstanceOf[StructType].fieldNames.toSet
+      val hasConf = mdFields.contains("configuration")
+      val hasId = mdFields.contains("id")
       val m = df
         .select(
           col("metaData.schemaString"),
           col("metaData.partitionColumns"),
           if (hasConf) col("metaData.configuration")
-          else lit(null).cast("map<string,string>").as("configuration"))
+          else lit(null).cast("map<string,string>").as("configuration"),
+          if (hasId) col("metaData.id")
+          else lit(null).cast("string").as("id"))
         .filter(col("schemaString").isNotNull).collect()
       m.headOption.foreach(r =>
         st = st.copy(
           schemaJson = Some(r.getString(0)),
           partitionCols = r.getSeq[String](1),
           configuration = Option(r.getMap[String, String](2))
-            .map(_.toMap).getOrElse(Map.empty)))
+            .map(_.toMap).getOrElse(Map.empty),
+          tableId = Option(r.getString(3)).orElse(st.tableId)))
     }
     if (cols.contains("txn")) {
       val ts = df.select(col("txn.appId"), col("txn.version"))
