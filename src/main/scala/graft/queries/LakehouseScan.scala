@@ -125,6 +125,43 @@ object LakehouseScan {
       IcebergExport.deleteWhereDv(spark, t, col("s_nationkey") === 5)
     }
 
+  /** CDF-enabled Delta table from `customer` maintained by TWO
+    * [[graft.sources.DeltaMerge]] commits — an upsert (every
+    * `% 4 == 1` key updated, a `% 100 == 0`-derived set of new keys
+    * inserted) and a matched DELETE (`% 10 == 5`, which intersects
+    * the UPDATED keys, so the delete feed must carry post-update
+    * values, not originals). Both the final state (x27) and the
+    * change feed the merges authored as `cdc` files (x28) sit under
+    * the hard oracle gate.
+    */
+  private def deltaMergeCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("delta_merge_customer", dir) { t =>
+      import graft.sources.DeltaMerge
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      DeltaExport.create(
+        cust.repartition(4, col("c_custkey"))
+          .sortWithinPartitions("c_custkey"),
+        t, Nil, Map("delta.enableChangeDataFeed" -> "true"))
+      val updates = cust.filter(col("c_custkey") % 4 === 1)
+        .withColumn("c_name", concat(lit("U:"), col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val inserts = cust.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("N:"), col("c_name")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"))
+      DeltaMerge.merge(spark, t, updates.unionByName(inserts),
+        Seq("c_custkey"), Some(DeltaMerge.UpdateAll),
+        insertNotMatched = true)
+      DeltaMerge.merge(spark, t,
+        cust.filter(col("c_custkey") % 10 === 5)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_acctbal")),
+        Seq("c_custkey"), Some(DeltaMerge.DeleteMatched),
+        insertNotMatched = false)
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -149,6 +186,7 @@ object LakehouseScan {
     */
   def dumpTables(spark: SparkSession, dir: String): Unit = {
     deltaCustomer(spark, dir)
+    deltaMergeCustomer(spark, dir)
     icebergOrders(spark, dir)
     icebergLineitem(spark, dir)
     icebergV3Supplier(spark, dir)
@@ -251,8 +289,74 @@ object LakehouseScan {
         col("_commit_version").as("commit_version"))
       .orderBy(col("commit_version"), col("c_custkey"))
 
+  /** x27 — the MERGE-maintained table's final state: upsert (update
+    * + insert) then matched-delete, read through the log replay.
+    * Oracle: the same two merges replayed in SQL over the original
+    * customer parquet. A merge that loses carried rows, resurrects a
+    * deleted one or mis-rewrites a touched file fails the hash.
+    */
+  def deltaMergeScan(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.read(spark, deltaMergeCustomer(spark, dir))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** x28 — the change feed the two MERGEs authored as `cdc` change
+    * files (not computed from file actions — [[graft.sources.DeltaCdf]]
+    * takes cdc verbatim): update_preimage/update_postimage pairs and
+    * inserts at version 1, deletes at version 2 carrying POST-update
+    * values for the keys the first merge touched. The write side of
+    * CDF under the hard gate.
+    */
+  def deltaMergeCdfScan(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaCdf
+      .readChangeFeed(spark, deltaMergeCustomer(spark, dir), 1L, Some(2L))
+      .select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"),
+        col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+      .orderBy(col("commit_version"), col("change_type"), col("c_custkey"))
+
+  /** x29 — the Iceberg CHANGELOG of the x23 orders table's history:
+    * create feeds ordinal-0 inserts, the position delete feeds
+    * exactly its rows at ordinal 1, the equality delete feeds the
+    * rows its keys still found LIVE at ordinal 2 (already-dead
+    * positions excluded — the newly-dead diff is what's gated).
+    * Oracle: the original orders parquet stamped with the three
+    * change sets.
+    */
+  def icebergChangelogScan(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergChangelog
+      .changelog(spark, icebergOrders(spark, dir))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("_change_type").as("change_type"),
+        col("_change_ordinal").as("change_ordinal"))
+      .orderBy(col("change_ordinal"), col("o_orderkey"))
+
+  /** x30 — the changelog of the x25 v3 supplier table: the two
+    * MERGED deletion-vector generations must diff per referenced
+    * file, so ordinal 2 feeds only the POSITIONS the second delete
+    * newly marked (s_nationkey=5 minus the s_suppkey%3=0 rows already
+    * dead) — a DV diff off by one position fails the hash.
+    */
+  def icebergV3ChangelogScan(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergChangelog
+      .changelog(spark, icebergV3Supplier(spark, dir))
+      .select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("_change_type").as("change_type"),
+        col("_change_ordinal").as("change_ordinal"))
+      .orderBy(col("change_ordinal"), col("s_suppkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_delta_scan" -> deltaScan,
+    "x27_delta_merge" -> deltaMergeScan,
+    "x28_delta_merge_cdf" -> deltaMergeCdfScan,
+    "x29_iceberg_changelog" -> icebergChangelogScan,
+    "x30_iceberg_v3_changelog" -> icebergV3ChangelogScan,
     "x26_delta_cdf" -> deltaCdfScan,
     "x23_iceberg_scan" -> icebergScan,
     "x24_transform_scan" -> transformScan,
@@ -260,6 +364,76 @@ object LakehouseScan {
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
+    "x27_delta_merge" ->
+      """WITH v1 AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 4 = 1
+                       THEN 'U:' || c_name ELSE c_name END AS c_name,
+                  c_nationkey,
+                  CASE WHEN c_custkey % 4 = 1
+                       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000, 'N:' || c_name, c_nationkey, c_acctbal
+           FROM customer WHERE c_custkey % 100 = 0)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM v1 WHERE c_custkey % 10 <> 5
+         ORDER BY c_custkey""",
+    "x28_delta_merge_cdf" ->
+      """WITH v1 AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 4 = 1
+                       THEN 'U:' || c_name ELSE c_name END AS c_name,
+                  c_nationkey,
+                  CASE WHEN c_custkey % 4 = 1
+                       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000, 'N:' || c_name, c_nationkey, c_acctbal
+           FROM customer WHERE c_custkey % 100 = 0)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                'update_preimage' AS change_type,
+                CAST(1 AS BIGINT) AS commit_version
+         FROM customer WHERE c_custkey % 4 = 1
+         UNION ALL
+         SELECT c_custkey, 'U:' || c_name, c_nationkey, c_acctbal + 100.0,
+                'update_postimage', CAST(1 AS BIGINT)
+         FROM customer WHERE c_custkey % 4 = 1
+         UNION ALL
+         SELECT c_custkey + 1000000, 'N:' || c_name, c_nationkey, c_acctbal,
+                'insert', CAST(1 AS BIGINT)
+         FROM customer WHERE c_custkey % 100 = 0
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                'delete', CAST(2 AS BIGINT)
+         FROM v1 WHERE c_custkey % 10 = 5
+         ORDER BY commit_version, change_type, c_custkey""",
+    "x29_iceberg_changelog" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                'insert' AS change_type, CAST(0 AS INTEGER) AS change_ordinal
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                'delete', CAST(1 AS INTEGER)
+         FROM orders WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                'delete', CAST(2 AS INTEGER)
+         FROM orders WHERE o_custkey % 10 = 3 AND o_orderkey % 5 <> 0
+         ORDER BY change_ordinal, o_orderkey""",
+    "x30_iceberg_v3_changelog" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+                'insert' AS change_type, CAST(0 AS INTEGER) AS change_ordinal
+         FROM supplier
+         UNION ALL
+         SELECT s_suppkey, s_name, s_nationkey,
+                'delete', CAST(1 AS INTEGER)
+         FROM supplier WHERE s_suppkey % 3 = 0
+         UNION ALL
+         SELECT s_suppkey, s_name, s_nationkey,
+                'delete', CAST(2 AS INTEGER)
+         FROM supplier WHERE s_nationkey = 5 AND s_suppkey % 3 <> 0
+         ORDER BY change_ordinal, s_suppkey""",
     "x22_delta_scan" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
          FROM customer

@@ -224,7 +224,7 @@ object IcebergTable {
         throw new IllegalStateException(s"unsupported Iceberg type: $other")
     }
 
-  private def snapshotNode(meta: JsonNode, snapshotId: Option[Long]): JsonNode = {
+  private[sources] def snapshotNode(meta: JsonNode, snapshotId: Option[Long]): JsonNode = {
     val snaps = Option(meta.get("snapshots"))
       .map(_.elements().asScala.toVector).getOrElse(Vector.empty)
     snapshotId match {
@@ -930,7 +930,7 @@ object IcebergTable {
   def readLineage(spark: SparkSession, table: String): DataFrame =
     readCore(spark, table, None, None, withLineage = true)
 
-  private def readCore(
+  private[sources] def readCore(
       spark: SparkSession, table: String,
       snapshotId: Option[Long],
       keep: Option[Set[String]],
