@@ -329,6 +329,94 @@ object DeltaExport {
         s"lost the race for $table version 0 — another writer created it")
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF — make the table equal
+    * `version` again as a NEW commit (time travel backwards that
+    * keeps the history; the standard recovery from a bad write):
+    * re-adds for files active then but not now — or whose deletion
+    * vector has since CHANGED, re-attached with the old vector —
+    * removes for files active now but not then, and the old metaData
+    * re-emitted when schema/partitioning/configuration drifted (id
+    * carried forward; RESTORE restores table state, not identity).
+    * Stats and DV descriptors re-serialize from the target snapshot,
+    * so file skipping and deleted rows come back exactly. A restore
+    * whose files were since VACUUMED refuses loudly naming the first
+    * missing file. A no-op restore (already at that state) commits
+    * nothing. Note: `readChangeFeed` over a restore that UN-deletes
+    * rows (a DV that shrank back) refuses by design — the computed
+    * feed cannot represent resurrection.
+    */
+  def restore(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      version: Long): Option[Long] = {
+    var v = nextVersion(table)
+    var committed = false
+    var result: Option[Long] = None
+    while (!committed) {
+      val target = DeltaLog.stateAt(spark, table, Some(version))
+      val cur = DeltaLog.stateAt(spark, table, None)
+      val reAdds = target.active.values.toSeq.sortBy(_.path).filter { a =>
+        cur.active.get(a.path) match {
+          case None => true
+          case Some(c) =>
+            c.dv.map(_.pathOrInlineDv) != a.dv.map(_.pathOrInlineDv)
+        }
+      }
+      reAdds.foreach { a =>
+        val abs = DeltaLog.absPath(table, a.path)
+        require(Files.exists(Paths.get(abs)),
+          s"cannot RESTORE $table to $version: data file ${a.path} was " +
+            "vacuumed — the snapshot is no longer reconstructible")
+        a.dv.filter(_.storageType == "u").foreach { d =>
+          require(Files.exists(Paths.get(DeltaDv.uuidPath(table, d.pathOrInlineDv))),
+            s"cannot RESTORE $table to $version: deletion vector of " +
+              s"${a.path} was vacuumed")
+        }
+      }
+      val removes = cur.active.values.toSeq.sortBy(_.path)
+        .filterNot(c => target.active.contains(c.path)) ++
+        reAdds.flatMap(a => cur.active.get(a.path))
+      val metaNeeded = target.schemaJson != cur.schemaJson ||
+        target.partitionCols != cur.partitionCols ||
+        target.configuration != cur.configuration
+      val metaLine =
+        if (!metaNeeded) Nil
+        else {
+          val conf = target.configuration.toSeq.sortBy(_._1)
+            .map { case (k, vv) => s""""${esc(k)}":"${esc(vv)}"""" }
+            .mkString("{", ",", "}")
+          val pcs = target.partitionCols.map(c => s""""${esc(c)}"""")
+            .mkString("[", ",", "]")
+          val id = cur.tableId
+            .getOrElse(java.util.UUID.randomUUID.toString)
+          Seq(
+            s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(target.schemaJson.get)}","partitionColumns":$pcs,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}""")
+        }
+      if (reAdds.isEmpty && removes.isEmpty && metaLine.isEmpty)
+        return None // already at the target state
+      val removeLines = removes.map { c =>
+        val dvPart = c.dv
+          .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+        s"""{"remove":{"path":"${esc(c.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true$dvPart}}"""
+      }
+      val addLines = reAdds.map { a =>
+        val abs = Paths.get(DeltaLog.absPath(table, a.path))
+        val pvJson = a.partitionValues.toSeq.sortBy(_._1)
+          .map { case (k, vv) => s""""${esc(k)}":"${esc(vv)}"""" }
+          .mkString("{", ",", "}")
+        val statsPart = a.stats
+          .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+        val dvPart = a.dv
+          .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+        s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(abs)},"modificationTime":${Files.getLastModifiedTime(abs).toMillis},"dataChange":true$statsPart$dvPart}}"""
+      }
+      val lines = metaLine ++ removeLines ++ addLines :+
+        s"""{"commitInfo":{"operation":"RESTORE","operationParameters":{"version":"$version"}}}"""
+      committed = claim(table, v, lines)
+      if (committed) result = Some(v) else v = nextVersion(table)
+    }
+    result
+  }
+
   /** ALTER TABLE SET TBLPROPERTIES — merge `props` into the table's
     * metaData configuration as a metadata-only commit (no data files
     * touched). The metaData `id` is carried forward UNCHANGED: it is

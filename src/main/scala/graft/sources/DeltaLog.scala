@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 /** Read-only Delta Lake table reader built from the OPEN Delta
   * transaction-log protocol (delta-io PROTOCOL.md: a `_delta_log/`
@@ -672,5 +672,82 @@ object DeltaLog {
           n.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F][0-9a-fA-F-]{7,}\\.parquet")))
       .map(versionOf).maxOption
       .getOrElse(throw new IllegalStateException(s"empty _delta_log at $table"))
+  }
+
+  /** (version, commit timestamp ms) per JSON commit, timestamps
+    * MONOTONIC-ADJUSTED the way delta-spark resolves timestamp time
+    * travel: the commit FILE's modification time, each entry raised
+    * to at least its predecessor's (clock skew between writers must
+    * not make a later version resolve earlier). Commits cleaned past
+    * a checkpoint are absent — timestamp travel only reaches what the
+    * log retains.
+    */
+  private def commitTimeline(table: String): Seq[(Long, Long)] = {
+    val dir = logDir(table)
+    require(Files.isDirectory(dir), s"not a Delta table (no _delta_log): $table")
+    val entries = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close()
+    }
+    val raw = entries.filter(_.matches("\\d{20}\\.json")).sorted
+      .map(n => versionOf(n) ->
+        Files.getLastModifiedTime(dir.resolve(n)).toMillis)
+    var prev = Long.MinValue
+    raw.map { case (v, t) =>
+      prev = math.max(prev, t)
+      (v, prev)
+    }
+  }
+
+  /** Resolve a timestamp to a version — the latest commit at or
+    * before `timestampMs` (delta-spark's `timestampAsOf`). Before the
+    * first retained commit or after the last: refused loudly with the
+    * usable bounds, exactly the errors delta-spark raises.
+    */
+  def versionAtTimestamp(table: String, timestampMs: Long): Long = {
+    val tl = commitTimeline(table)
+    require(tl.nonEmpty,
+      s"no JSON commits retained at $table: timestamp travel needs the log")
+    require(timestampMs >= tl.head._2,
+      s"timestamp $timestampMs is before the earliest retained commit " +
+        s"(${tl.head._2}, version ${tl.head._1})")
+    require(timestampMs <= tl.last._2,
+      s"timestamp $timestampMs is after the latest commit " +
+        s"(${tl.last._2}, version ${tl.last._1}): cannot time travel " +
+        "to the future")
+    tl.takeWhile(_._2 <= timestampMs).last._1
+  }
+
+  /** [[read]] at the version in effect at `timestampMs`. */
+  def readAsOfTimestamp(
+      spark: SparkSession, table: String, timestampMs: Long): DataFrame =
+    read(spark, table, Some(versionAtTimestamp(table, timestampMs)))
+
+  /** DESCRIBE HISTORY — one row per retained JSON commit:
+    * (version, timestamp ms, operation), newest first like
+    * delta-spark's. Operations come from each commit's `commitInfo`
+    * (absent → null); timestamps are the monotonic-adjusted commit
+    * times [[versionAtTimestamp]] resolves against, so history and
+    * timestamp travel can never disagree.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val dir = logDir(table)
+    val ops = commitTimeline(table).map { case (v, t) =>
+      val lines = Files.readAllLines(
+        dir.resolve(f"$v%020d.json"), java.nio.charset.StandardCharsets.UTF_8)
+      val op = lines.asScala.map(mapper.readTree)
+        .find(_.has("commitInfo"))
+        .flatMap(n => Option(n.get("commitInfo").get("operation")))
+        .map(_.asText()).orNull
+      (v, t, op)
+    }.sortBy(-_._1)
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      ops.map { case (v, t, op) => Row(v, t, op) }.asJava,
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("version", LongType),
+        org.apache.spark.sql.types.StructField("timestamp", LongType),
+        org.apache.spark.sql.types.StructField("operation", StringType))))
   }
 }

@@ -1562,6 +1562,56 @@ object IcebergExport {
     }
   }
 
+  /** ROLLBACK — set the current snapshot back to an ANCESTOR of the
+    * current one ([[DeltaExport.restore]]'s analog; Iceberg's
+    * `rollback_to_snapshot` procedure). METADATA-ONLY: no file moves,
+    * no rewrites — the rolled-back-over snapshots stay readable by id
+    * (and expirable) and the snapshot-log gains a new entry for the
+    * target, so history records when it became current AGAIN. A
+    * non-ancestor target refuses (that is `set_current_snapshot`'s
+    * cherry-pick territory, out of scope like a branch merge).
+    */
+  def rollbackTo(table: String, snapshotId: Long): Unit = {
+    var committed = false
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val cur = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+        .getOrElse(throw new IllegalStateException(
+          s"cannot roll back $table: no current snapshot"))
+      require(cur != snapshotId,
+        s"$table is already at snapshot $snapshotId")
+      val byId = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(s => s.get("snapshot-id").asLong() -> s).toMap
+      require(byId.contains(snapshotId),
+        s"snapshot $snapshotId not found (expired or never existed)")
+      // ancestry walk: current → parents must reach the target
+      var at: Option[Long] = Some(cur)
+      var found = false
+      while (at.isDefined && !found) {
+        if (at.contains(snapshotId)) found = true
+        else at = byId.get(at.get)
+          .flatMap(n => Option(n.get("parent-snapshot-id")).map(_.asLong()))
+      }
+      require(found,
+        s"snapshot $snapshotId is not an ancestor of the current " +
+          s"snapshot $cur: rollback only rewinds the main line " +
+          "(cherry-picking a side line is out of scope)")
+      val root = meta.deepCopy[ObjectNode]()
+      root.put("current-snapshot-id", snapshotId)
+      val logArr = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      val e = mapper.createObjectNode()
+      e.put("timestamp-ms", System.currentTimeMillis())
+      e.put("snapshot-id", snapshotId)
+      logArr.add(e)
+      root.put("last-updated-ms", System.currentTimeMillis())
+      committed = claim(table, curVersion + 1,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    }
+  }
+
   /** EXPIRE SNAPSHOTS — the Iceberg tier's retention op
     * ([[DeltaExport.vacuum]]'s analog): commit a metadata version
     * keeping only the newest `keepLast` snapshots (the current one

@@ -740,6 +740,174 @@ object IcebergTable {
       spark: SparkSession, table: String, keep: Set[String]): DataFrame =
     readCore(spark, table, None, Some(keep))
 
+  /** The snapshot-log as (made-current timestamp ms, snapshot id) in
+    * commit order — rollbacks APPEND an entry for the re-current
+    * snapshot, so the log records every time a snapshot held `main`.
+    */
+  def snapshotLog(table: String): Seq[(Long, Long)] = {
+    val meta = metadataJson(table)
+    if (meta.has("snapshot-log"))
+      meta.get("snapshot-log").elements().asScala
+        .map(e => (e.get("timestamp-ms").asLong(),
+          e.get("snapshot-id").asLong())).toSeq
+    else Option(meta.get("snapshots"))
+      .map(_.elements().asScala.map(s =>
+        (s.get("timestamp-ms").asLong(),
+          s.get("snapshot-id").asLong())).toSeq)
+      .getOrElse(Nil)
+  }
+
+  /** Resolve a timestamp to the snapshot current AT that time — the
+    * latest snapshot-log entry at or before `timestampMs` (the
+    * spec's time-travel rule; rollback entries resolve to the
+    * ROLLED-BACK-TO snapshot for times after the rollback). Before
+    * the first entry: refused loudly.
+    */
+  def snapshotAtTimestamp(table: String, timestampMs: Long): Long = {
+    val log = snapshotLog(table)
+    require(log.nonEmpty, s"$table has no snapshots")
+    require(timestampMs >= log.head._1,
+      s"timestamp $timestampMs is before the table's first snapshot " +
+        s"(${log.head._1})")
+    log.takeWhile(_._1 <= timestampMs).last._2
+  }
+
+  /** [[read]] at the snapshot current at `timestampMs` —
+    * `TIMESTAMP AS OF`. */
+  def readAsOfTimestamp(
+      spark: SparkSession, table: String, timestampMs: Long): DataFrame =
+    read(spark, table, Some(snapshotAtTimestamp(table, timestampMs)))
+
+  /** Iceberg METADATA TABLES — the `table$kind` inspection surface
+    * every production deployment queries (debugging a slow scan,
+    * auditing retention, sizing compaction). Driver-built
+    * metadata-sized frames, the same planning state the reader
+    * already holds:
+    *  - `snapshots`: committed_at ms, snapshot_id, parent_id,
+    *    operation, manifest_list
+    *  - `history`: made_current_at ms, snapshot_id, parent_id,
+    *    is_current_ancestor (rollback entries included — the audit
+    *    trail for "what was current when")
+    *  - `files`: content (0 data / 1 position deletes / 2 equality
+    *    deletes), file_path, file_format, record_count,
+    *    sequence_number, partition map
+    *  - `manifests`: content, path, sequence_number
+    *  - `refs`: name, type, snapshot_id (`main` included)
+    *  - `partitions`: partition map, record_count, file_count over
+    *    the CURRENT snapshot's live data files
+    */
+  def metadataTable(
+      spark: SparkSession, table: String, kind: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val meta = metadataJson(table)
+    def snapsById: Map[Long, JsonNode] = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    kind match {
+      case "snapshots" =>
+        val rows = Option(meta.get("snapshots")).toSeq
+          .flatMap(_.elements().asScala).map { s =>
+            Row(s.get("timestamp-ms").asLong(),
+              s.get("snapshot-id").asLong(),
+              Option(s.get("parent-snapshot-id"))
+                .map(n => java.lang.Long.valueOf(n.asLong())).orNull,
+              Option(s.get("summary"))
+                .flatMap(x => Option(x.get("operation")).map(_.asText()))
+                .orNull,
+              Option(s.get("manifest-list")).map(_.asText()).orNull)
+          }
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("committed_at", LongType),
+          StructField("snapshot_id", LongType),
+          StructField("parent_id", LongType),
+          StructField("operation", StringType),
+          StructField("manifest_list", StringType))))
+      case "history" =>
+        val byId = snapsById
+        val current = Option(meta.get("current-snapshot-id"))
+          .map(_.asLong()).filter(_ != -1L)
+        val ancestors: Set[Long] = {
+          var s = Set.empty[Long]
+          var at = current
+          while (at.isDefined) {
+            s += at.get
+            at = byId.get(at.get)
+              .flatMap(n => Option(n.get("parent-snapshot-id")).map(_.asLong()))
+          }
+          s
+        }
+        val rows = snapshotLog(table).map { case (ts, id) =>
+          Row(ts, id,
+            byId.get(id)
+              .flatMap(n => Option(n.get("parent-snapshot-id"))
+                .map(x => java.lang.Long.valueOf(x.asLong()))).orNull,
+            ancestors.contains(id))
+        }
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("made_current_at", LongType),
+          StructField("snapshot_id", LongType),
+          StructField("parent_id", LongType),
+          StructField("is_current_ancestor", BooleanType))))
+      case "files" =>
+        val snap = currentSnapshotNode(meta)
+        val idParts = identityPartitionSources(meta)
+        val data = dataFilesWithPartitions(
+          table, meta, snap, idParts.map(p => (p._1, p._3)))
+          .map(e => Row(0, e.path, "PARQUET", e.records, e.seq,
+            e.pv.map { case (k, v) => k -> v.orNull }))
+        val dels = deleteFilesOf(table, meta, snap)
+          .map(d => Row(d.content, d.path, d.format, -1L, d.seq,
+            Map.empty[String, String]))
+        spark.createDataFrame((data ++ dels).asJava, StructType(Seq(
+          StructField("content", IntegerType),
+          StructField("file_path", StringType),
+          StructField("file_format", StringType),
+          StructField("record_count", LongType),
+          StructField("sequence_number", LongType),
+          StructField("partition", MapType(StringType, StringType)))))
+      case "manifests" =>
+        val snap = currentSnapshotNode(meta)
+        val rows = manifestsWithContent(snap)
+          .map { case (p, c, s) => Row(c, p, s) }
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("content", IntegerType),
+          StructField("path", StringType),
+          StructField("sequence_number", LongType))))
+      case "refs" =>
+        val current = Option(meta.get("current-snapshot-id"))
+          .map(_.asLong()).filter(_ != -1L)
+        val named = refs(table)
+        val rows = (named.toSeq.map { case (n, (id, t)) =>
+          Row(n, t, id)
+        } ++ (if (named.contains("main")) Nil
+        else current.map(id => Row("main", "branch", id)).toSeq))
+          .sortBy(_.getString(0))
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("name", StringType),
+          StructField("type", StringType),
+          StructField("snapshot_id", LongType))))
+      case "partitions" =>
+        val snap = currentSnapshotNode(meta)
+        val idParts = identityPartitionSources(meta)
+        val rows = dataFilesWithPartitions(
+          table, meta, snap, idParts.map(p => (p._1, p._3)))
+          .groupBy(_.pv).toSeq
+          .map { case (pv, files) =>
+            Row(pv.map { case (k, v) => k -> v.orNull },
+              files.map(f => math.max(f.records, 0L)).sum,
+              files.size)
+          }
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("partition", MapType(StringType, StringType)),
+          StructField("record_count", LongType),
+          StructField("file_count", IntegerType))))
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' (snapshots, history, files, " +
+          "manifests, refs, partitions)")
+    }
+  }
+
   /** MANIFEST-level file skipping — (kept, total): the data files
     * whose spec bounds (`lower_bounds`/`upper_bounds`, decoded per
     * [[IcebergBounds]]) or identity-partition VALUE could admit a row
