@@ -65,6 +65,254 @@ object DeltaMerge {
   /** `WHEN MATCHED THEN DELETE`. */
   case object DeleteMatched extends MatchedAction
 
+  /** APPLY CHANGES — the CDC-apply form of MERGE (Delta's own
+    * "apply change data into a downstream table" pattern): `changes`
+    * carries the table's columns plus `_change_type`; rows marked
+    * `delete` remove their matched target row (not-matched deletes
+    * are ignored — the row is already gone), every other kind
+    * upserts (matched → replace, not-matched → insert). Keys must be
+    * unique in `changes` — feed a NET change set (one final state
+    * per key), not a raw multi-version feed.
+    *
+    * `txn` makes the apply EXACTLY-ONCE: the commit carries Delta's
+    * `(appId, version)` handshake, and a replay whose version is at
+    * or below the table's watermark commits NOTHING — the
+    * [[DeltaExport.appendBatch]] discipline on the merge path, which
+    * is what lets [[CdfReplica]] fold offset tracking and output
+    * into one atomic commit.
+    *
+    * Same copy-on-write execution, CDC emission and serializable
+    * conflict posture as [[merge]].
+    */
+  def applyChanges(
+      spark: SparkSession, table: String, changes: DataFrame,
+      keys: Seq[String], txn: Option[(String, Long)] = None): Option[Long] = {
+    import DeltaExport._
+    require(changes.columns.contains("_change_type"),
+      "applyChanges needs a _change_type column")
+    txn.foreach { case (appId, batchV) =>
+      val last = DeltaLog.lastTxnVersion(spark, table, appId)
+      if (last.exists(_ >= batchV)) return None // replayed batch
+    }
+    val st = DeltaLog.stateAt(spark, table, None)
+    val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val outCols: Seq[Column] = schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name))
+    val isDelete = col("_change_type") === "delete"
+    // duplicate keys across the whole change set are ambiguous — the
+    // caller must net them first (bounded: one row per changed key)
+    val dup = changes.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      "applyChanges needs NET changes (one row per key); duplicate key " +
+        dup.headOption.map(_.toSeq.init.mkString(",")).getOrElse(""))
+    // one merge commit: upserts replace/insert, deletes drop — the
+    // upsert merge runs with the delete keys folded into the anti-join
+    // by running merge's machinery over the UNION of keys but only
+    // re-adding upsert rows
+    val all = changes.filter(!isDelete).select(outCols: _*)
+      .withColumn("__is_del", lit(false))
+      .unionByName(changes.filter(isDelete).select(outCols: _*)
+        .withColumn("__is_del", lit(true)))
+    mergeCore(spark, table, all, keys, txn)
+  }
+
+  /** Shared copy-on-write executor for [[applyChanges]]: `source`
+    * carries the table schema + `__is_del`; matched rows are dropped
+    * (delete) or replaced (upsert), not-matched upserts insert,
+    * not-matched deletes vanish.
+    */
+  private def mergeCore(
+      spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], txn: Option[(String, Long)]): Option[Long] = {
+    import DeltaExport._
+    val st = DeltaLog.stateAt(spark, table, None)
+    require(st.configuration
+      .getOrElse("delta.columnMapping.mode", "none") == "none",
+      "applyChanges on column-mapped tables is out of this writer's scope")
+    val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+    val outCols: Seq[Column] = schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name))
+    val srcKeys = source.select(keys.map(col): _*)
+    val canonF = regexp_replace(
+      url_decode(regexp_replace(
+        col("_metadata.file_path"), "^file:/*", "/")), "/+", "/")
+    val targetLive: Option[DataFrame] =
+      if (st.active.isEmpty) None
+      else {
+        val filesAbs = st.active.values.toSeq.map(a =>
+          DeltaLog.absPath(table, a.path))
+        val base = spark.read.schema(dataSchema).parquet(filesAbs: _*)
+          .select(col("*"), canonF.as("__f"),
+            col("_metadata.row_index").as("__i"))
+        val dvPairs: Seq[(String, Long)] = st.active.values.toSeq
+          .flatMap(a => a.dv.toSeq.flatMap(d =>
+            DeltaDv.indexesOf(table, d)
+              .map(i => (DeltaLog.absPath(table, a.path), i))))
+        val live =
+          if (dvPairs.isEmpty) base
+          else {
+            import spark.implicits._
+            base.join(broadcast(dvPairs.toDF("__df", "__di")),
+              col("__f") === col("__df") && col("__i") === col("__di"),
+              "left_anti")
+          }
+        val withPv =
+          if (st.partitionCols.isEmpty) live
+          else {
+            val pvFrame = DeltaLog.activeFiles(spark, table)
+              .withColumnRenamed("file", "__pv_file")
+            val joined = live.join(
+              broadcast(pvFrame), col("__f") === col("__pv_file"))
+            st.partitionCols.foldLeft(joined.drop("__pv_file")) { (d, c) =>
+              d.withColumn(c, col(c).cast(schema(c).dataType))
+            }
+          }
+        Some(withPv)
+      }
+    val touched: Seq[String] = targetLive match {
+      case Some(t) =>
+        t.join(srcKeys, keys, "left_semi")
+          .select(col("__f")).distinct().collect()
+          .map(_.getString(0)).toSeq.sorted
+      case None => Nil
+    }
+    val touchedDf = {
+      import spark.implicits._
+      broadcast(touched.toDF("__tf"))
+    }
+    val touchedLive = targetLive.map(
+      _.join(touchedDf, col("__tf") === col("__f"), "left_semi"))
+    val keepRows =
+      if (touched.isEmpty) None
+      else touchedLive.map(
+        _.join(srcKeys, keys, "left_anti").select(outCols: _*))
+    val updatedRows =
+      if (touched.isEmpty) None
+      else touchedLive.map { t =>
+        source.filter(!col("__is_del"))
+          .join(t.select(keys.map(col): _*), keys, "left_semi")
+          .select(outCols: _*)
+      }
+    val insertRows = Some(targetLive match {
+      case None => source.filter(!col("__is_del")).select(outCols: _*)
+      case Some(t) =>
+        source.filter(!col("__is_del"))
+          .join(t.select(keys.map(col): _*), keys, "left_anti")
+          .select(outCols: _*)
+    })
+    if (touched.isEmpty && !insertRows.exists(r => !r.isEmpty)) {
+      if (txn.isEmpty) return None
+      // WATERMARK BUMP: a window can net to zero change (insert then
+      // delete of the same key, OPTIMIZE-only commits) — the consumed
+      // offset must still advance or the replica re-reads the window
+      // forever; one txn-only commit, no file actions
+      val (appId, batchV) = txn.get
+      val lines = Seq(
+        s"""{"txn":{"appId":"${esc(appId)}","version":$batchV}}""",
+        s"""{"commitInfo":{"operation":"MERGE"}}""")
+      var v = nextVersion(table)
+      var committed = false
+      while (!committed) {
+        if (DeltaLog.lastTxnVersion(spark, table, appId).exists(_ >= batchV))
+          return None
+        committed = claim(table, v, lines)
+        if (!committed) v = nextVersion(table)
+      }
+      return Some(v)
+    }
+    val newData = (keepRows.toSeq ++ updatedRows.toSeq ++ insertRows.toSeq)
+      .reduceOption(_.unionByName(_))
+    val staged: Seq[String] =
+      newData.map(stageIn(_, table, st.partitionCols)).getOrElse(Nil)
+
+    val cdfOn = st.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val cdcLines: Seq[String] =
+      if (!cdfOn) Nil
+      else {
+        val pre = touchedLive.map { t =>
+          val upK = source.filter(!col("__is_del"))
+            .select(keys.map(col): _*)
+          val delK = source.filter(col("__is_del"))
+            .select(keys.map(col): _*)
+          t.join(upK, keys, "left_semi").select(outCols: _*)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(
+              t.join(delK, keys, "left_semi").select(outCols: _*)
+                .withColumn("_change_type", lit("delete")))
+        }.filter(_ => touched.nonEmpty)
+        val post = updatedRows.filter(_ => touched.nonEmpty).map(
+          _.withColumn("_change_type", lit("update_postimage")))
+        val ins = insertRows.map(
+          _.withColumn("_change_type", lit("insert")))
+        val changes = (pre.toSeq ++ post.toSeq ++ ins.toSeq)
+          .reduceOption(_.unionByName(_))
+        changes match {
+          case None => Nil
+          case Some(c) =>
+            val stage = Files.createTempDirectory("delta_cdc")
+            val w = c.write.mode("overwrite")
+            (if (st.partitionCols.nonEmpty) w.partitionBy(st.partitionCols: _*)
+            else w).parquet(stage.toString)
+            listParquet(stage).toSeq.sorted.map { rel =>
+              val dest = Paths.get(table, "_change_data", rel)
+              Files.createDirectories(dest.getParent)
+              Files.move(stage.resolve(rel), dest)
+              val pv = partitionValuesOf(rel, st.partitionCols)
+              val pvJson = pv.toSeq.sortBy(_._1)
+                .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+                .mkString("{", ",", "}")
+              val full = s"_change_data/$rel"
+              s"""{"cdc":{"path":"${enc(full)}","partitionValues":$pvJson,"size":${Files.size(Paths.get(table, full))},"dataChange":false}}"""
+            }
+        }
+      }
+
+    val conf = Some(spark.sparkContext.hadoopConfiguration)
+    val byAbs = st.active.values
+      .map(a => DeltaLog.absPath(table, a.path) -> a).toMap
+    val removes = touched.map { abs =>
+      val a = byAbs(abs)
+      val dvPart = a.dv
+        .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+      s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true$dvPart}}"""
+    }
+    val adds = staged.map(rel =>
+      addJson(table, rel, partitionValuesOf(rel, st.partitionCols), conf))
+    val txnLines = txn.toSeq.map { case (appId, batchV) =>
+      s"""{"txn":{"appId":"${esc(appId)}","version":$batchV}}"""
+    }
+    val lines = txnLines ++ cdcLines ++ removes ++ adds :+
+      s"""{"commitInfo":{"operation":"MERGE"}}"""
+    var v = nextVersion(table)
+    var committed = false
+    while (!committed) {
+      val cur = DeltaLog.stateAt(spark, table, None)
+      // the replay gate re-checks INSIDE the claim loop: a racing
+      // replica of the same app must not double-apply the batch
+      txn.foreach { case (appId, batchV) =>
+        if (cur.txns.get(appId).exists(_ >= batchV)) return None
+      }
+      val before = st.active.map { case (p, a) =>
+        p -> a.dv.map(_.pathOrInlineDv)
+      }
+      val now = cur.active.map { case (p, a) =>
+        p -> a.dv.map(_.pathOrInlineDv)
+      }
+      if (before != now)
+        throw new java.util.ConcurrentModificationException(
+          s"MERGE conflict on $table: a concurrent writer changed the " +
+            "active file set since this merge read its snapshot — " +
+            "aborted without committing; re-run against the new state")
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
+    Some(v)
+  }
+
   /** Run the merge; returns the committed version, or None when the
     * merge changed nothing (no matches and nothing to insert).
     */
