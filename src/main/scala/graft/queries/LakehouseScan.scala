@@ -162,6 +162,35 @@ object LakehouseScan {
         insertNotMatched = false)
     }
 
+  /** Iceberg table maintained by the SAME logical merge history as
+    * [[deltaMergeCustomer]] — but written the Iceberg-native way:
+    * ONE blind-upsert snapshot (equality-delete keys + new data
+    * files at the same sequence number, no read, no rewrite) and one
+    * equality delete. Copy-on-write Delta and merge-on-read Iceberg
+    * must converge on the SAME final table.
+    */
+  private def icebergUpsertCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("iceberg_upsert_customer", dir) { t =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      IcebergExport.create(
+        cust.repartition(4, col("c_custkey"))
+          .sortWithinPartitions("c_custkey"), t)
+      val updates = cust.filter(col("c_custkey") % 4 === 1)
+        .withColumn("c_name", concat(lit("U:"), col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val inserts = cust.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("N:"), col("c_name")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"))
+      IcebergExport.mergeUpsert(spark, t, updates.unionByName(inserts),
+        Seq("c_custkey"))
+      IcebergExport.deleteWhereEquality(spark, t,
+        cust.filter(col("c_custkey") % 10 === 5).select(col("c_custkey"))
+          .distinct())
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -187,6 +216,7 @@ object LakehouseScan {
   def dumpTables(spark: SparkSession, dir: String): Unit = {
     deltaCustomer(spark, dir)
     deltaMergeCustomer(spark, dir)
+    icebergUpsertCustomer(spark, dir)
     icebergOrders(spark, dir)
     icebergLineitem(spark, dir)
     icebergV3Supplier(spark, dir)
@@ -351,10 +381,25 @@ object LakehouseScan {
         col("_change_ordinal").as("change_ordinal"))
       .orderBy(col("change_ordinal"), col("s_suppkey"))
 
+  /** x31 — the Iceberg-native twin of x27: the SAME logical merge
+    * history (upsert then key-delete) written as ONE blind-upsert
+    * snapshot + an equality delete, merge-on-read all the way. The
+    * oracle SQL is x27's verbatim — copy-on-write Delta and
+    * merge-on-read Iceberg must converge on the same table, and the
+    * sequence-number scoping that makes the upsert's own rows
+    * survive its own delete is what the hash now gates.
+    */
+  def icebergUpsertScan(spark: SparkSession, dir: String): DataFrame =
+    IcebergTable.read(spark, icebergUpsertCustomer(spark, dir))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_delta_scan" -> deltaScan,
     "x27_delta_merge" -> deltaMergeScan,
     "x28_delta_merge_cdf" -> deltaMergeCdfScan,
+    "x31_iceberg_upsert" -> icebergUpsertScan,
     "x29_iceberg_changelog" -> icebergChangelogScan,
     "x30_iceberg_v3_changelog" -> icebergV3ChangelogScan,
     "x26_delta_cdf" -> deltaCdfScan,
@@ -364,6 +409,21 @@ object LakehouseScan {
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
+    "x31_iceberg_upsert" ->
+      """WITH v1 AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 4 = 1
+                       THEN 'U:' || c_name ELSE c_name END AS c_name,
+                  c_nationkey,
+                  CASE WHEN c_custkey % 4 = 1
+                       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000, 'N:' || c_name, c_nationkey, c_acctbal
+           FROM customer WHERE c_custkey % 100 = 0)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM v1 WHERE c_custkey % 10 <> 5
+         ORDER BY c_custkey""",
     "x27_delta_merge" ->
       """WITH v1 AS (
            SELECT c_custkey,

@@ -63,6 +63,64 @@ object CdfReplica {
       Some((appId, latest)))
   }
 
+  /** CROSS-FORMAT replication: maintain a DELTA replica of an
+    * ICEBERG table from its changelog ([[IcebergChangelog]] read side
+    * → the same net-change fold → [[DeltaMerge.applyChanges]] write
+    * side). The consumed offset is the last applied snapshot's
+    * SEQUENCE NUMBER (monotonic per commit, survives
+    * `expireSnapshots` — snapshot ids are random and ordinals shift
+    * under retention, so neither can feed the numeric replay gate);
+    * v1 sources without sequence numbers and rolled-back logs (whose
+    * sequence line is no longer increasing) refuse loudly rather
+    * than risking a skipped or double-applied window.
+    */
+  def syncFromIceberg(
+      spark: SparkSession, source: String, replica: String,
+      keys: Seq[String], appId: String): Option[Long] = {
+    val log = IcebergTable.snapshotIds(source)
+    if (log.isEmpty) return None
+    val seqs: Seq[(Long, Long)] = log.map { id =>
+      val snap = IcebergTable.snapshotNode(
+        IcebergTable.metadataJson(source), Some(id))
+      val seq = Option(snap.get("sequence-number")).map(_.asLong())
+        .getOrElse(throw new IllegalArgumentException(
+          s"snapshot $id of $source has no sequence-number (a " +
+            "format-version 1 table): the replication offset needs " +
+            "the monotonic sequence line — upgrade the table first"))
+      (id, seq)
+    }
+    require(seqs.map(_._2) == seqs.map(_._2).sorted &&
+      seqs.map(_._2).distinct == seqs.map(_._2),
+      s"$source's snapshot-log sequence line is not strictly " +
+        "increasing (a rollback re-surfaced an old snapshot): " +
+        "re-initialize the replica rather than guessing the window")
+    val lastApplied = DeltaLog.lastTxnVersion(spark, replica, appId)
+      .getOrElse(-1L)
+    val pending = seqs.filter(_._2 > lastApplied)
+    if (pending.isEmpty) return None
+    val feed = IcebergChangelog.changelog(
+      spark, source, Some(pending.head._1), Some(pending.last._1))
+      .withColumn("_commit_version", col("_change_ordinal").cast("long"))
+      .drop("_change_ordinal", "_commit_snapshot_id")
+    val net = netChanges(feed, keys)
+    DeltaMerge.applyChanges(spark, replica, net, keys,
+      Some((appId, pending.last._2)))
+  }
+
+  /** [[init]] for an Iceberg source: the empty Delta replica takes
+    * the Iceberg table's current schema (identity-partition sources
+    * included; the replica itself is unpartitioned — partitioning is
+    * a physical choice of the mirror, not part of fidelity).
+    */
+  def initFromIceberg(
+      spark: SparkSession, source: String, replica: String): Unit = {
+    val schema = IcebergTable.schemaOf(
+      IcebergTable.metadataJson(source))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    DeltaExport.create(empty, replica)
+  }
+
   /** Fold a multi-version change feed to ONE final state per key:
     * `_change_type` ∈ {upsert, delete} rows ready for
     * [[DeltaMerge.applyChanges]].

@@ -2275,6 +2275,122 @@ object IcebergExport {
     Some(snapId)
   }
 
+  /** BLIND UPSERT MERGE — the Iceberg-native MERGE shape (what Flink
+    * CDC upsert sinks and Hudi-style ingestion emit): ONE snapshot
+    * carrying an equality-delete file for the source keys AND the
+    * source rows as new data files. No table read, no rewrite — the
+    * spec's sequence-number scope does the matching at READ time:
+    * the equality delete (sequence N) kills matching rows only in
+    * data files with sequence < N, and the new data files land AT
+    * sequence N, so they survive their own keys. Upsert semantics
+    * without touching a single existing file — the reason the scope
+    * rule exists, and the contrast to [[DeltaMerge]]'s copy-on-write
+    * (write cost ∝ batch size here vs ∝ touched files there; read
+    * cost grows with accumulated deletes until [[rewriteDataFiles]]
+    * folds them in).
+    *
+    * `keys` names top-level columns; the key frame (distinct source
+    * keys) is batch-sized driver data like every equality delete.
+    * Rows deleted-only (no re-insert) are expressed by a plain
+    * [[deleteWhereEquality]]; this is the upsert half. Upgrades v1
+    * tables to format-version 2; v3 tables keep lineage (new files
+    * take explicit row ids). Returns the snapshot id, or None for an
+    * empty source.
+    */
+  def mergeUpsert(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      source: DataFrame, keys: Seq[String]): Option[Long] = {
+    requireSchemaMatch(source, table)
+    val meta0 = IcebergTable.metadataJson(table)
+    val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
+    val schema = IcebergTable.schemaOf(meta0)
+    val ids = topFieldIds(schemaNode0)
+    val eqIds = keys.map { c =>
+      ids.getOrElse(c, throw new IllegalArgumentException(
+        s"merge key $c is not a top-level table column"))
+    }
+    val keySchema = StructType(keys.map { c =>
+      StructField(c, schema(c).dataType, nullable = true,
+        new MetadataBuilder()
+          .putLong("parquet.field.id", ids(c).toLong).build())
+    })
+    val keyRows = source
+      .select(keys.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect().toSeq
+    if (keyRows.isEmpty) return None
+    val pfs0 = partFieldsFromMeta(meta0)
+    val added = stageIn(
+      deriveCols(source, pfs0), table, pfs0.map(_.name),
+      topFieldIds(schemaNode0))
+    val delAdded = writeDeleteFile(spark, table, keyRows, keySchema)
+    var committed = false
+    var snapId = 0L
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val curSnapId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      val curSnap = curSnapId.flatMap { id =>
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+      }
+      val prevList = curSnap.flatMap(s =>
+        Option(s.get("manifest-list")).map(_.asText()))
+      snapId = newSnapshotId()
+      val schemaNode =
+        IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
+      val history = schemaHistoryOf(meta)
+      val pfs = partFieldsFromMeta(meta)
+      val (delSpecId, specs) = deleteSpec(meta, pfs)
+      val fvNow = math.max(fvOf(meta)._1, 2)
+      val (_, lastSeq) = fvOf(meta)
+      val nextSeq = lastSeq + 1
+      // v3 row lineage: the upsert's data files take explicit row ids
+      val rowBase = if (fvNow >= 3) nextRowIdOf(meta).getOrElse(0L) else 0L
+      val (addedIds, rowNext) =
+        if (fvNow >= 3) assignRowIds(added, rowBase) else (added, 0L)
+      val (mPath, mLen, mCount) = writeManifest(
+        table, snapId, schemaNode.toString, addedIds, pfs, fv = fvNow)
+      val (dPath, dLen, dCount) = writeManifest(
+        table, snapId, schemaNode.toString, Seq(delAdded), Nil,
+        entryContent = 2, specId = delSpecId, equalityIds = eqIds,
+        fv = fvNow)
+      val ts = System.currentTimeMillis()
+      val ml = writeManifestList(
+        table, snapId,
+        ManifestRef(mPath, mLen, mCount, Some(snapId),
+          seq = Some(nextSeq)) +:
+          priorManifests(prevList) :+
+          ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
+            specId = delSpecId, seq = Some(nextSeq)), fv = fvNow)
+      val newSnap = snapshotNode(
+        snapId, curSnapId, ts, ml, added.size,
+        added.map(_.records).sum, Some(nextSeq),
+        operation = "overwrite",
+        firstRowId = if (fvNow >= 3) Some(rowBase) else None)
+      val snaps = meta.get("snapshots").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
+      val log = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(),
+            e.get("snapshot-id").asLong())).toSeq
+      else Nil) :+ ((ts, snapId))
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(), schemaNode,
+        meta.get("last-column-id").asInt(), snaps, snapId, log,
+        pfs, history,
+        formatVersion = fvNow,
+        lastSequenceNumber = nextSeq,
+        extraSpecs = specs,
+        properties = propsOf(meta),
+        refs = refsOf(meta),
+        nextRowId =
+          if (fvNow >= 3) Some(rowNext) else nextRowIdOf(meta))
+      committed = claim(table, curVersion + 1, json)
+    }
+    Some(snapId)
+  }
+
   /** The live entries' file_format values of one delete manifest —
     * classifies carried manifests during a DV rewrite (puffin DV
     * manifests are REPLACED, equality-delete manifests carry).
