@@ -191,6 +191,33 @@ object LakehouseScan {
           .distinct())
     }
 
+  /** Partition-EVOLVED Iceberg table from `customer`: era 1 is
+    * identity-partitioned on c_nationkey (so its data files LACK the
+    * column — it must reconstruct from partition metadata), then the
+    * spec evolves to bucket[4](c_custkey) and era 2 appends under the
+    * new layout (c_nationkey in-file), with an equality delete
+    * cutting across both eras. A reader that attaches the wrong
+    * era's identity values — the exact bug a default-spec-only
+    * reader has — fails the hash on c_nationkey itself.
+    */
+  private def icebergEvolvedCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("iceberg_evolved_customer", dir) { t =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      IcebergExport.create(
+        cust.filter(col("c_custkey") % 2 === 0)
+          .repartition(2, col("c_custkey")), t,
+        partitionBy = Seq("c_nationkey"))
+      IcebergExport.updateSpec(t, Seq(("bucket[4]", "c_custkey")))
+      IcebergExport.append(
+        cust.filter(col("c_custkey") % 2 === 1)
+          .repartition(2, col("c_custkey")), t)
+      IcebergExport.deleteWhereEquality(spark, t,
+        cust.filter(col("c_custkey") % 9 === 4).select(col("c_custkey"))
+          .distinct())
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -217,6 +244,7 @@ object LakehouseScan {
     deltaCustomer(spark, dir)
     deltaMergeCustomer(spark, dir)
     icebergUpsertCustomer(spark, dir)
+    icebergEvolvedCustomer(spark, dir)
     icebergOrders(spark, dir)
     icebergLineitem(spark, dir)
     icebergV3Supplier(spark, dir)
@@ -395,11 +423,24 @@ object LakehouseScan {
         col("c_acctbal"))
       .orderBy(col("c_custkey"))
 
+  /** x32 — scan of the partition-EVOLVED table: era-1 rows carry a
+    * metadata-reconstructed c_nationkey, era-2 rows a file-read one,
+    * and the equality delete spans both. Oracle: the original parquet
+    * minus the deleted keys — indistinguishable from an unevolved
+    * table, which is the point.
+    */
+  def icebergEvolvedScan(spark: SparkSession, dir: String): DataFrame =
+    IcebergTable.read(spark, icebergEvolvedCustomer(spark, dir))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_delta_scan" -> deltaScan,
     "x27_delta_merge" -> deltaMergeScan,
     "x28_delta_merge_cdf" -> deltaMergeCdfScan,
     "x31_iceberg_upsert" -> icebergUpsertScan,
+    "x32_iceberg_evolved" -> icebergEvolvedScan,
     "x29_iceberg_changelog" -> icebergChangelogScan,
     "x30_iceberg_v3_changelog" -> icebergV3ChangelogScan,
     "x26_delta_cdf" -> deltaCdfScan,
@@ -409,6 +450,11 @@ object LakehouseScan {
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
+    "x32_iceberg_evolved" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_custkey % 9 <> 4
+         ORDER BY c_custkey""",
     "x31_iceberg_upsert" ->
       """WITH v1 AS (
            SELECT c_custkey,

@@ -142,9 +142,9 @@ object IcebergChangelog {
         val parentSnap = parent.map(p =>
           IcebergTable.snapshotNode(meta, Some(p)))
         val dataS = IcebergTable
-          .dataFilesWithPartitions(table, meta, snap, Nil).map(_.path).toSet
+          .dataFilesWithPartitions(table, meta, snap).map(_.path).toSet
         val dataP = parentSnap.map(p => IcebergTable
-          .dataFilesWithPartitions(table, meta, p, Nil).map(_.path).toSet)
+          .dataFilesWithPartitions(table, meta, p).map(_.path).toSet)
           .getOrElse(Set.empty)
         val added = (dataS -- dataP).toSeq.sorted
         val removed = (dataP -- dataS).toSeq.sorted

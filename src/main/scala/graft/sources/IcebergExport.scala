@@ -847,7 +847,8 @@ object IcebergExport {
       extraSpecs: Seq[ObjectNode] = Nil,
       properties: Map[String, String] = Map.empty,
       refs: Map[String, (Long, String)] = Map.empty,
-      nextRowId: Option[Long] = None): String = {
+      nextRowId: Option[Long] = None,
+      defaultSpecId: Int = 0): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", formatVersion)
     // v2 requires the sequence-number watermark (deletes bumped the
@@ -875,19 +876,23 @@ object IcebergExport {
     history.foreach(s => schemasArr.add(s.deepCopy[ObjectNode]()))
     val specFields = mapper.readTree(specFieldsJson(pfs))
     root.set[ObjectNode]("partition-spec", specFields) // v1 legacy field
-    root.put("default-spec-id", 0)
+    root.put("default-spec-id", defaultSpecId)
     val specs = root.putArray("partition-specs")
     val spec0 = mapper.createObjectNode()
-    spec0.put("spec-id", 0)
+    spec0.put("spec-id", defaultSpecId)
     spec0.set[ObjectNode]("fields", specFields.deepCopy())
     specs.add(spec0)
-    // carried/delete specs (e.g. the dedicated UNPARTITIONED spec
-    // delete manifests of a partitioned table declare — their
-    // manifest-list rows must reference a spec whose partition type
-    // matches the manifests' empty partition struct)
-    extraSpecs.filter(_.get("spec-id").asInt() != 0)
+    // carried specs: every NON-default spec rides along — the
+    // dedicated unpartitioned spec delete manifests declare, and
+    // under PARTITION EVOLUTION every older spec whose manifests are
+    // still referenced (their manifest-list rows name these ids)
+    extraSpecs.filter(_.get("spec-id").asInt() != defaultSpecId)
       .foreach(s => specs.add(s.deepCopy[ObjectNode]()))
-    root.put("last-partition-id", (999 +: pfs.map(_.fieldId)).max)
+    val carriedFieldIds = extraSpecs.flatMap(sp =>
+      sp.get("fields").elements().asScala.toSeq
+        .flatMap(f => Option(f.get("field-id")).map(_.asInt())))
+    root.put("last-partition-id",
+      ((999 +: pfs.map(_.fieldId)) ++ carriedFieldIds).max)
     val propsNode = root.putObject("properties")
     properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
       propsNode.put(k, v)
@@ -1169,9 +1174,17 @@ object IcebergExport {
       val rowBase = if (fv >= 3) nextRowIdOf(meta).getOrElse(0L) else 0L
       val (addedIds, rowNext) =
         if (fv >= 3) assignRowIds(added, rowBase) else (added, 0L)
+      val defSpec = defaultSpecIdOf(meta)
+      // the staged files' hive layout followed the spec read BEFORE
+      // staging — a concurrent updateSpec would silently mislabel
+      // their partition values under the new spec's names
+      require(defSpec == defaultSpecIdOf(meta0),
+        s"the partition spec of $table changed (spec " +
+          s"${defaultSpecIdOf(meta0)} → $defSpec) while this append " +
+          "was staging: re-run against the new spec")
       val (mPath, mLen, mCount) =
         writeManifest(table, snapId, schemaNode.toString, addedIds, pfs,
-          fv = fv)
+          specId = defSpec, fv = fv)
       val ts = System.currentTimeMillis()
       val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
       // v2: the new manifest carries the commit's sequence number so
@@ -1179,7 +1192,7 @@ object IcebergExport {
       // exactly this number (deleteSeq > dataSeq)
       val ml = writeManifestList(
         table, snapId,
-        ManifestRef(mPath, mLen, mCount, Some(snapId),
+        ManifestRef(mPath, mLen, mCount, Some(snapId), specId = defSpec,
           seq = if (fv >= 2) Some(nextSeq) else None) +:
           priorManifests(prevList), fv = fv)
       val newSnap = snapshotNode(
@@ -1209,7 +1222,8 @@ object IcebergExport {
         meta.get("last-column-id").asInt(), snaps, curAfter, logAfter,
         pfs, history, fv, nextSeq, extraSpecsOf(meta), props,
         refsAfter,
-        nextRowId = if (fv >= 3) Some(rowNext) else None)
+        nextRowId = if (fv >= 3) Some(rowNext) else None,
+        defaultSpecId = defSpec)
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)
@@ -1263,13 +1277,21 @@ object IcebergExport {
     * delete spec) — every commit must carry them forward: carried
     * delete manifests still declare their spec-id.
     */
+  /** The metadata's default-spec-id (0 when absent — v1 tables). */
+  private def defaultSpecIdOf(
+      meta: com.fasterxml.jackson.databind.JsonNode): Int =
+    if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt()
+    else 0
+
   private def extraSpecsOf(
-      meta: com.fasterxml.jackson.databind.JsonNode): Seq[ObjectNode] =
+      meta: com.fasterxml.jackson.databind.JsonNode): Seq[ObjectNode] = {
+    val defId = defaultSpecIdOf(meta)
     if (meta.has("partition-specs"))
       meta.get("partition-specs").elements().asScala
-        .filter(_.get("spec-id").asInt() != 0)
+        .filter(_.get("spec-id").asInt() != defId)
         .map(_.deepCopy[ObjectNode]()).toSeq
     else Nil
+  }
 
   /** The spec-id delete manifests declare: 0 on an unpartitioned table
     * (spec 0 is already the empty struct); on a partitioned table a
@@ -1344,7 +1366,7 @@ object IcebergExport {
         table, meta.get("table-uuid").asText(), next, lastId,
         snaps, curSnapId, log, pfs, history :+ next, fv, lastSeq,
         extraSpecsOf(meta), propsOf(meta), refsOf(meta),
-        nextRowIdOf(meta))
+        nextRowIdOf(meta), defaultSpecId = defaultSpecIdOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
   }
@@ -1562,6 +1584,80 @@ object IcebergExport {
     }
   }
 
+  /** PARTITION EVOLUTION — replace the table's DEFAULT partition
+    * spec (Iceberg's flagship feature: re-partition WITHOUT
+    * rewriting a byte). Metadata-only commit: the new spec joins
+    * `partition-specs` with a fresh spec-id and becomes
+    * `default-spec-id`; every existing manifest keeps the spec its
+    * files were written under (its own embedded `partition-spec`
+    * metadata), and FUTURE appends stage under the new layout. The
+    * reader reconstructs identity columns PER FILE ERA — a column
+    * identity-partitioned in one era reads from partition metadata
+    * there and from the data files everywhere else. New partition
+    * field-ids continue past `last-partition-id` (unique across
+    * specs, the spec's rule). `spec` uses [[createWithSpec]]'s
+    * (transform, source column) grammar; empty = evolve to
+    * UNPARTITIONED. Returns the new spec-id.
+    */
+  def updateSpec(table: String, spec: Seq[(String, String)]): Int = {
+    var committed = false
+    var newId = -1
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val schemaNode =
+        IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
+      val schema = IcebergTable.schemaOf(meta)
+      val ids = topFieldIds(schemaNode)
+      val allSpecs: Seq[ObjectNode] =
+        if (meta.has("partition-specs"))
+          meta.get("partition-specs").elements().asScala
+            .map(_.deepCopy[ObjectNode]()).toSeq
+        else { // foreign v1 legacy form: lift partition-spec to spec 0
+          val sp = mapper.createObjectNode()
+          sp.put("spec-id", 0)
+          sp.set[ObjectNode]("fields",
+            Option(meta.get("partition-spec"))
+              .map(_.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+              .getOrElse(mapper.createArrayNode())
+              .asInstanceOf[com.fasterxml.jackson.databind.JsonNode])
+          Seq(sp)
+        }
+      newId = allSpecs.map(_.get("spec-id").asInt()).max + 1
+      val lastPid = Option(meta.get("last-partition-id"))
+        .map(_.asInt()).getOrElse(999)
+      val pfs = spec.zipWithIndex.map { case ((transform, src), i) =>
+        require(ids.contains(src),
+          s"partition source $src is not a top-level schema column")
+        val vt = transformValueType(transform, schema(src).dataType)
+        avroPartType(vt) // validates the value type, throws with the list
+        PartField(transformFieldName(transform, src), ids(src),
+          lastPid + 1 + i, vt, transform, src)
+      }
+      val curSnapId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L).getOrElse(-1L)
+      val snaps = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala.map(_.deepCopy[ObjectNode]()).toSeq)
+      val log = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(),
+            e.get("snapshot-id").asLong())).toSeq
+      else Nil)
+      val (fv, lastSeq) = fvOf(meta)
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(), schemaNode,
+        meta.get("last-column-id").asInt(), snaps, curSnapId, log,
+        pfs, schemaHistoryOf(meta), fv, lastSeq,
+        extraSpecs = allSpecs,
+        properties = propsOf(meta),
+        refs = refsOf(meta),
+        nextRowId = nextRowIdOf(meta),
+        defaultSpecId = newId)
+      committed = claim(table, curVersion + 1, json)
+    }
+    newId
+  }
+
   /** ROLLBACK — set the current snapshot back to an ANCESTOR of the
     * current one ([[DeltaExport.restore]]'s analog; Iceberg's
     * `rollback_to_snapshot` procedure). METADATA-ONLY: no file moves,
@@ -1754,10 +1850,24 @@ object IcebergExport {
     val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
     val pfs0 = partFieldsFromMeta(meta0)
     val snap0 = IcebergTable.currentSnapshotNode(meta0)
+    // PARTITION EVOLUTION guard: a snapshot holding data manifests
+    // under OLDER specs would need a cross-era relayout (rewriting
+    // old-spec files re-partitions them into the default spec — a
+    // content-preserving but layout-CHANGING operation Iceberg ships
+    // as its own rewrite mode); refused rather than silently mixing
+    // partition eras in the bin-packing groups
+    IcebergTable.manifestSpecIds(snap0).filter(_._2 == 0).foreach {
+      case (path, _, specId) =>
+        require(specId == defaultSpecIdOf(meta0),
+          s"rewriteDataFiles on a partition-evolved table: data " +
+            s"manifest $path was written under spec $specId (default " +
+            s"is ${defaultSpecIdOf(meta0)}) — cross-era compaction " +
+            "is a relayout, out of scope")
+    }
     // pv over the FULL spec (transforms included) so bin-packing
     // never mixes files across any partition boundary
     val entries0 = IcebergTable.dataFilesWithPartitions(
-      table, meta0, snap0, pfs0.map(p => (p.name, p.fieldId)))
+      table, meta0, snap0)
     // the delete files the victim rows were MoR-resolved against —
     // the claim loop validates no newer delete landed meanwhile
     // (Iceberg RewriteFiles' validateNoNewDeletes): a position/
@@ -1820,7 +1930,7 @@ object IcebergExport {
       }
       val pfsNow = partFieldsFromMeta(meta)
       val entriesNow = IcebergTable.dataFilesWithPartitions(
-        table, meta, snapNow, pfsNow.map(p => (p.name, p.fieldId)))
+        table, meta, snapNow)
       val survivorEntries = entriesNow.filterNot(e => victims(e.path))
       def toAdded(e: IcebergTable.FileEntry): Added =
         Added(e.path, Files.size(Paths.get(e.path)), e.records,
@@ -1874,7 +1984,7 @@ object IcebergExport {
         table, meta.get("table-uuid").asText(), schemaNode,
         meta.get("last-column-id").asInt(), snaps, snapId2, log, pfs,
         history, fv, nextSeq, extraSpecsOf(meta), propsOf(meta),
-        refsOf(meta))
+        refsOf(meta), defaultSpecId = defaultSpecIdOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     (before, before - victims.size + added.size)
@@ -2130,7 +2240,8 @@ object IcebergExport {
         lastSequenceNumber = nextSeq,
         extraSpecs = specs,
         properties = propsOf(meta),
-        refs = refsOf(meta))
+        refs = refsOf(meta),
+        defaultSpecId = defaultSpecIdOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)
@@ -2269,7 +2380,8 @@ object IcebergExport {
         extraSpecs = specs,
         properties = propsOf(meta),
         refs = refsOf(meta),
-        nextRowId = nextRowIdOf(meta))
+        nextRowId = nextRowIdOf(meta),
+        defaultSpecId = defaultSpecIdOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)
@@ -2349,8 +2461,10 @@ object IcebergExport {
       val rowBase = if (fvNow >= 3) nextRowIdOf(meta).getOrElse(0L) else 0L
       val (addedIds, rowNext) =
         if (fvNow >= 3) assignRowIds(added, rowBase) else (added, 0L)
+      val defSpec = defaultSpecIdOf(meta)
       val (mPath, mLen, mCount) = writeManifest(
-        table, snapId, schemaNode.toString, addedIds, pfs, fv = fvNow)
+        table, snapId, schemaNode.toString, addedIds, pfs,
+        specId = defSpec, fv = fvNow)
       val (dPath, dLen, dCount) = writeManifest(
         table, snapId, schemaNode.toString, Seq(delAdded), Nil,
         entryContent = 2, specId = delSpecId, equalityIds = eqIds,
@@ -2358,7 +2472,7 @@ object IcebergExport {
       val ts = System.currentTimeMillis()
       val ml = writeManifestList(
         table, snapId,
-        ManifestRef(mPath, mLen, mCount, Some(snapId),
+        ManifestRef(mPath, mLen, mCount, Some(snapId), specId = defSpec,
           seq = Some(nextSeq)) +:
           priorManifests(prevList) :+
           ManifestRef(dPath, dLen, dCount, Some(snapId), content = 1,
@@ -2385,7 +2499,8 @@ object IcebergExport {
         properties = propsOf(meta),
         refs = refsOf(meta),
         nextRowId =
-          if (fvNow >= 3) Some(rowNext) else nextRowIdOf(meta))
+          if (fvNow >= 3) Some(rowNext) else nextRowIdOf(meta),
+        defaultSpecId = defSpec)
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)
@@ -2552,7 +2667,8 @@ object IcebergExport {
         extraSpecs = specs,
         properties = propsOf(meta),
         refs = refsOf(meta),
-        nextRowId = nextRowIdOf(meta))
+        nextRowId = nextRowIdOf(meta),
+        defaultSpecId = defaultSpecIdOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     Some(snapId)

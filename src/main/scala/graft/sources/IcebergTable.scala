@@ -251,18 +251,30 @@ object IcebergTable {
     * schema (driver-side; manifests are metadata-sized).
     */
   private def avroRecords(path: String): Vector[GenericRecord] =
-    avroRecordsWithMeta(path)._1
+    avroRecordsWithMeta(path).records
 
-  /** Records plus the file's `schema` key-value metadata — the Iceberg
-    * TABLE SCHEMA AT WRITE TIME the spec requires every manifest to
-    * embed; it is what field-id resolution resolves through.
+  /** One manifest's records plus the key-value metadata the spec
+    * requires every manifest to embed: the table schema AT WRITE TIME
+    * (what field-id resolution resolves through) and the manifest's
+    * OWN partition spec (what partition-value extraction must key on
+    * — under partition evolution each manifest keeps the spec its
+    * files were written with, NOT the table's current default).
     */
-  private def avroRecordsWithMeta(
-      path: String): (Vector[GenericRecord], Option[String]) = {
+  private case class ManifestData(
+      records: Vector[GenericRecord],
+      schemaJson: Option[String],
+      specJson: Option[String],
+      specId: Option[Int])
+
+  private def avroRecordsWithMeta(path: String): ManifestData = {
     val reader = new DataFileReader[GenericRecord](
       new File(local(path)), new GenericDatumReader[GenericRecord]())
-    try (reader.iterator().asScala.toVector,
-      Option(reader.getMetaString("schema")))
+    try ManifestData(
+      reader.iterator().asScala.toVector,
+      Option(reader.getMetaString("schema")),
+      Option(reader.getMetaString("partition-spec")),
+      Option(reader.getMetaString("partition-spec-id"))
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption))
     finally reader.close()
   }
 
@@ -311,6 +323,9 @@ object IcebergTable {
 
   private[sources] case class FileEntry(
       path: String,
+      // partition values keyed by the file's OWN manifest spec's
+      // field names (absent key ≠ null value: under partition
+      // evolution an old-era file simply never had the field)
       pv: Map[String, Option[String]],
       writerSchemaJson: Option[String],
       records: Long = -1L,
@@ -318,7 +333,11 @@ object IcebergTable {
       upper: Map[Int, Array[Byte]] = Map.empty,
       nullCounts: Map[Int, Long] = Map.empty,
       seq: Long = 0L,
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      // IDENTITY fields of the file's manifest spec, as (partition
+      // field name, source field-id) — the columns that must
+      // reconstruct from `pv` for THIS file (they are not in it)
+      idFields: Seq[(String, Int)] = Nil)
 
   /** Decode the spec's int-keyed manifest map (avro array of
     * key/value records; real avro maps cannot key by int).
@@ -359,6 +378,26 @@ object IcebergTable {
         .map(p => (p.asText(), 0, 0L)).toSeq
     else throw new IllegalStateException(
       "snapshot has neither manifest-list nor manifests")
+
+  /** (manifest path, content, partition-spec-id) per manifest of a
+    * snapshot — the spec-id from the manifest-list row when present,
+    * else the manifest's own embedded metadata, else 0. The
+    * partition-evolution guards key on this.
+    */
+  private[sources] def manifestSpecIds(
+      snap: JsonNode): Seq[(String, Int, Int)] =
+    if (snap.has("manifest-list"))
+      avroRecords(snap.get("manifest-list").asText()).map { m =>
+        val content = opt(m, "content").map(_.toString.toInt).getOrElse(0)
+        val fromList = opt(m, "partition_spec_id").map(_.toString.toInt)
+        val path = str(m, "manifest_path")
+        val specId = fromList.orElse(
+          avroRecordsWithMeta(path).specId).getOrElse(0)
+        (path, content, specId)
+      }
+    else manifestsWithContent(snap).map { case (p, c, _) =>
+      (p, c, avroRecordsWithMeta(p).specId.getOrElse(0))
+    }
 
   /** One v2 merge-on-read delete file: content 1 = POSITION (parquet
     * of (file_path, pos) rows naming deleted positions), content 2 =
@@ -426,13 +465,53 @@ object IcebergTable {
       table: String, meta: JsonNode, snap: JsonNode): Seq[String] =
     deleteFilesOf(table, meta, snap).filter(_.content == 1).map(_.path)
 
+  /** Partition fields of the table's DEFAULT spec as
+    * (name, transform, source-id, field-id) — the fallback when a
+    * foreign manifest omits its embedded `partition-spec` metadata.
+    */
+  private def defaultSpecFields(
+      meta: JsonNode): Seq[(String, String, Int, Int)] = {
+    val specFields: Seq[JsonNode] =
+      if (meta.has("partition-specs")) {
+        val defId =
+          if (meta.has("default-spec-id")) meta.get("default-spec-id").asInt()
+          else 0
+        meta.get("partition-specs").elements().asScala
+          .find(_.get("spec-id").asInt() == defId)
+          .map(_.get("fields").elements().asScala.toSeq)
+          .getOrElse(Nil)
+      } else if (meta.has("partition-spec"))
+        meta.get("partition-spec").elements().asScala.toSeq
+      else Nil
+    specFields.map(f => (
+      f.get("name").asText(), f.get("transform").asText(),
+      f.get("source-id").asInt(),
+      Option(f.get("field-id")).map(_.asInt()).getOrElse(-1)))
+  }
+
   private[sources] def dataFilesWithPartitions(
-      table: String, meta: JsonNode, snap: JsonNode,
-      partFields: Seq[(String, Int)]): Seq[FileEntry] = {
+      table: String, meta: JsonNode, snap: JsonNode): Seq[FileEntry] = {
     val manifests: Seq[(String, Long)] =
       manifestsWithContent(snap).filter(_._2 == 0).map(m => (m._1, m._3))
+    val fallback = defaultSpecFields(meta)
     manifests.flatMap { case (mp, listSeq) =>
-      val (records, writerSchema) = avroRecordsWithMeta(mp)
+      val md = avroRecordsWithMeta(mp)
+      val records = md.records
+      val writerSchema = md.schemaJson
+      // the manifest's OWN spec governs its partition structs; the
+      // table's default spec is only a fallback for foreign manifests
+      // without the (spec-required) embedded metadata
+      val specFields: Seq[(String, String, Int, Int)] =
+        md.specJson match {
+          case Some(js) =>
+            mapper.readTree(js).elements().asScala.toSeq.map(f => (
+              f.get("name").asText(), f.get("transform").asText(),
+              f.get("source-id").asInt(),
+              Option(f.get("field-id")).map(_.asInt()).getOrElse(-1)))
+          case None => fallback
+        }
+      val manifestIdFields: Seq[(String, Int)] = specFields
+        .filter(_._2 == "identity").map(f => (f._1, f._3))
       records.flatMap { entry =>
         val status = entry.get("status").toString.toInt
         if (status == 2) None // DELETED: not part of this snapshot
@@ -445,11 +524,14 @@ object IcebergTable {
           val fmt = str(df, "file_format").toUpperCase
           require(fmt == "PARQUET",
             s"unsupported file_format=$fmt (only PARQUET is wired)")
+          // extract ALL the manifest spec's partition values (identity
+          // fields reconstruct columns; temporal fields prune; the
+          // rest are harmless) — driver metadata work per file entry
           val pv =
-            if (partFields.isEmpty) Map.empty[String, Option[String]]
+            if (specFields.isEmpty) Map.empty[String, Option[String]]
             else {
               val part = df.get("partition").asInstanceOf[GenericRecord]
-              partFields.map { case (n, fid) =>
+              specFields.map { case (n, _, _, fid) =>
                 n -> partValueString(part, n, fid)
               }.toMap
             }
@@ -465,7 +547,8 @@ object IcebergTable {
               .map { case (k, v) => k -> v.toString.toLong },
             seq = opt(entry, "sequence_number")
               .map(_.toString.toLong).getOrElse(listSeq),
-            firstRowId = opt(df, "first_row_id").map(_.toString.toLong)))
+            firstRowId = opt(df, "first_row_id").map(_.toString.toLong),
+            idFields = manifestIdFields))
         }
       }
     }.distinctBy(_.path)
@@ -476,7 +559,7 @@ object IcebergTable {
     */
   private[sources] def dataFilesOf(
       table: String, meta: JsonNode, snap: JsonNode): Seq[String] =
-    dataFilesWithPartitions(table, meta, snap, Nil).map(_.path)
+    dataFilesWithPartitions(table, meta, snap).map(_.path)
 
   /** Manifest paths one snapshot references (manifest-list or the
     * legacy inline form) — the expire-snapshots reference set.
@@ -851,9 +934,7 @@ object IcebergTable {
           StructField("is_current_ancestor", BooleanType))))
       case "files" =>
         val snap = currentSnapshotNode(meta)
-        val idParts = identityPartitionSources(meta)
-        val data = dataFilesWithPartitions(
-          table, meta, snap, idParts.map(p => (p._1, p._3)))
+        val data = dataFilesWithPartitions(table, meta, snap)
           .map(e => Row(0, e.path, "PARQUET", e.records, e.seq,
             e.pv.map { case (k, v) => k -> v.orNull }))
         val dels = deleteFilesOf(table, meta, snap)
@@ -889,9 +970,7 @@ object IcebergTable {
           StructField("snapshot_id", LongType))))
       case "partitions" =>
         val snap = currentSnapshotNode(meta)
-        val idParts = identityPartitionSources(meta)
-        val rows = dataFilesWithPartitions(
-          table, meta, snap, idParts.map(p => (p._1, p._3)))
+        val rows = dataFilesWithPartitions(table, meta, snap)
           .groupBy(_.pv).toSeq
           .map { case (pv, files) =>
             Row(pv.map { case (k, v) => k -> v.orNull },
@@ -998,9 +1077,7 @@ object IcebergTable {
           h <- temporalOrdinal(transform, hi)
         } yield (pfName, pfId, l, h)
       }
-    val entries = dataFilesWithPartitions(
-      table, meta, snap,
-      idParts.map(p => (p._1, p._3)) ++ temporal.map(t => (t._1, t._2)))
+    val entries = dataFilesWithPartitions(table, meta, snap)
     val total = entries.size
     // bounds in the value domain — when the probe type has no bound
     // encoding (e.g. timestamps), identity/temporal partition pruning
@@ -1015,12 +1092,16 @@ object IcebergTable {
     }
     val asPart = idParts.find(_._2 == column)
     val kept = entries.filter { e =>
+      // ABSENT key ≠ null value: a file written under an OLDER spec
+      // (partition evolution) never had the field — no metadata to
+      // prune on, so it must be KEPT; Some(None) is a genuine null
       val identityAdmits = asPart match {
         case Some((pfName, _, _)) =>
           // identity partition: the VALUE itself is the bound
-          e.pv.get(pfName).flatten match {
-            case None => false // a null never matches a range predicate
-            case Some(raw) => (loB, hiB) match {
+          e.pv.get(pfName) match {
+            case None => true // other-era file: cannot prune on this
+            case Some(None) => false // null never matches a range
+            case Some(Some(raw)) => (loB, hiB) match {
               case (Some(l), Some(h)) => rawVal(raw).forall(x =>
                 IcebergBounds.leq(l, x) && IcebergBounds.leq(x, h))
               case _ => true
@@ -1029,11 +1110,12 @@ object IcebergTable {
         case None => true
       }
       // each temporal transform's partition ordinal must fall in the
-      // probe's ordinal range (missing value → all-null file → drop)
+      // probe's ordinal range (null value → all-null file → drop)
       val temporalAdmits = temporal.forall { case (pfName, _, l, h) =>
-        e.pv.get(pfName).flatten match {
-          case None => false
-          case Some(raw) =>
+        e.pv.get(pfName) match {
+          case None => true // other-era file: cannot prune on this
+          case Some(None) => false
+          case Some(Some(raw)) =>
             // the ordinal arrives as an int, except day values whose
             // date logical type decodes to an ISO string
             scala.util.Try(raw.toLong).toOption
@@ -1109,14 +1191,25 @@ object IcebergTable {
     val schemaNode = schemaNodeOf(meta)
     val schema = toSparkType(schemaNode).asInstanceOf[StructType]
     val snap = snapshotNode(meta, snapshotId)
-    val idParts = identityPartitionSources(meta)
-      .filter { case (_, src, _) => schema.fieldNames.contains(src) }
-    val entries0 = dataFilesWithPartitions(
-      table, meta, snap, idParts.map(p => (p._1, p._3)))
+    val entries0 = dataFilesWithPartitions(table, meta, snap)
     val entries = keep match {
       case Some(k) => entries0.filter(e => k.contains(e.path))
       case None => entries0
     }
+    // identity reconstruction is PER FILE ERA (partition evolution):
+    // each file's manifest spec says which columns are NOT in it and
+    // must come from partition metadata — a column identity-
+    // partitioned in one era reads from metadata there and from the
+    // data files everywhere else
+    val idToName: Map[Int, String] = schemaNode.get("fields")
+      .elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    def branchSrcOf(e: FileEntry): Seq[(String, String)] =
+      e.idFields.flatMap { case (pfName, sid) =>
+        idToName.get(sid).filter(schema.fieldNames.contains)
+          .map(src => (pfName, src))
+      }
+    val anyIdentity = entries.exists(e => branchSrcOf(e).nonEmpty)
     val deletes =
       if (withPos) Nil else deleteFilesOf(table, meta, snap)
     // v3 splits position deletes: puffin DELETION VECTORS (decoded
@@ -1135,12 +1228,16 @@ object IcebergTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    val srcCols = idParts.map(_._2)
-    val curFields = schemaNode.get("fields").elements().asScala.toSeq
-      .filterNot(f => srcCols.contains(f.get("name").asText()))
-    val branches = entries.groupBy(_.writerSchemaJson).toSeq
-      .sortBy(_._1.getOrElse(""))
-      .map { case (ws, files) =>
+    val allCurFields = schemaNode.get("fields").elements().asScala.toSeq
+    val branches = entries
+      .groupBy(e => (e.writerSchemaJson, branchSrcOf(e))).toSeq
+      .sortBy { case ((ws, bs), _) =>
+        (ws.getOrElse(""), bs.map(_._1).mkString(","))
+      }
+      .map { case ((ws, branchSrc), files) =>
+        val srcCols = branchSrc.map(_._2)
+        val curFields = allCurFields
+          .filterNot(f => srcCols.contains(f.get("name").asText()))
         val writerById: Map[Int, JsonNode] = ws.map { js =>
           mapper.readTree(js).get("fields").elements().asScala
             .map(f => f.get("id").asInt() -> f).toMap
@@ -1195,7 +1292,7 @@ object IcebergTable {
         // the joins below)
         val needFile = withPos || withLineage ||
           posDeletes.nonEmpty || dvFiles.nonEmpty ||
-          idParts.nonEmpty || eqDeletes.nonEmpty
+          anyIdentity || eqDeletes.nonEmpty
         val metaCols =
           (if (needFile)
             Seq(canonFile(col("_metadata.file_path")).as("__ib_f"))
@@ -1204,8 +1301,32 @@ object IcebergTable {
               withPos || withLineage)
               Seq(col("_metadata.row_index").as("__ib_i"))
             else Nil)
-        spark.read.schema(readSchema).parquet(files.map(_.path): _*)
+        val scanned = spark.read.schema(readSchema)
+          .parquet(files.map(_.path): _*)
           .select(resolved.map(_._2) ++ metaCols: _*)
+        // attach THIS era's identity columns from partition metadata
+        // (one metadata-sized broadcast equi-join on the canonical
+        // path), cast to their declared types so every branch unions
+        // with an identical column set and typing
+        if (branchSrc.isEmpty) scanned
+        else {
+          import spark.implicits._
+          val pvFrame = files.map { e =>
+            (e.path, branchSrc.map { case (pf, _) =>
+              e.pv.getOrElse(pf, None).orNull
+            })
+          }.toDF("__pv_file", "__pv")
+            .select(col("__pv_file") +:
+              branchSrc.zipWithIndex.map { case ((_, src), i) =>
+                col("__pv").getItem(i).as(src)
+              }: _*)
+          val joined = scanned.join(
+            broadcast(pvFrame), col("__ib_f") === col("__pv_file"))
+            .drop("__pv_file")
+          branchSrc.foldLeft(joined) { case (d, (_, src)) =>
+            d.withColumn(src, col(src).cast(schema(src).dataType))
+          }
+        }
       }
     val data0 = branches.reduce(_.unionByName(_))
     val data1 =
@@ -1280,36 +1401,28 @@ object IcebergTable {
         base.drop("__ib_i")
       else base
     }
-    // per-file constants (identity partition sources + the file's
-    // data sequence number when equality deletes need it) attach via
-    // ONE metadata-sized broadcast equi-join on the canonical path.
-    // Fast path: an unpartitioned snapshot whose files all share one
-    // sequence number (every table until its first post-delete
+    // the file's data sequence number (equality deletes scope on it)
+    // attaches via ONE metadata-sized broadcast equi-join on the
+    // canonical path — identity partition columns already attached
+    // PER BRANCH above. Fast path: a snapshot whose files all share
+    // one sequence number (every table until its first post-delete
     // append) attaches the seq as a LITERAL — no join at all.
     val oneSeq = entries.map(_.seq).distinct match {
       case Seq(s) => Some(s)
       case _ => None
     }
     val withParts =
-      if (idParts.isEmpty && eqDeletes.isEmpty) {
-        if (posDeletes.isEmpty || withPos) data else data.drop("__ib_f")
-      } else if (idParts.isEmpty && oneSeq.isDefined) {
-        data.withColumn("__ib_seq", lit(oneSeq.get)).drop("__ib_f")
+      if (eqDeletes.isEmpty) {
+        if (withPos) data else data.drop("__ib_f")
+      } else if (oneSeq.isDefined) {
+        val d = data.withColumn("__ib_seq", lit(oneSeq.get))
+        if (withPos) d else d.drop("__ib_f")
       } else {
         import spark.implicits._
-        val pvRows = entries.map { e =>
-          (e.path, idParts.map { case (pn, _, _) => e.pv(pn).orNull }, e.seq)
-        }
-        val pvFrame = pvRows.toDF("__file", "__pv", "__seq")
-          .select(
-            Seq(col("__file")) ++
-              idParts.zipWithIndex.map { case ((_, src, _), i) =>
-                col("__pv").getItem(i).as(src)
-              } ++
-              (if (eqDeletes.nonEmpty) Seq(col("__seq").as("__ib_seq"))
-              else Nil): _*)
+        val seqFrame = entries.map(e => (e.path, e.seq))
+          .toDF("__file", "__ib_seq")
         val joined = data
-          .join(broadcast(pvFrame), col("__ib_f") === col("__file"))
+          .join(broadcast(seqFrame), col("__ib_f") === col("__file"))
           .drop("__file")
         if (withPos) joined else joined.drop("__ib_f")
       }
@@ -1343,11 +1456,10 @@ object IcebergTable {
             }.reduce(_.unionByName(_))
             // the delete frame's columns are all __eq_-prefixed, so
             // bare col(n) resolves to the data side unambiguously;
-            // identity-partition sources are still the attach's STRING
-            // form here — cast to the declared type before comparing
+            // identity sources were attached TYPED per branch, so the
+            // cast is a no-op there and harmless everywhere else
             val cond = keyCols.map { case (n, dt) =>
-              val lhs = if (srcCols.contains(n)) col(n).cast(dt) else col(n)
-              lhs <=> col(s"__eq_$n")
+              col(n).cast(dt) <=> col(s"__eq_$n")
             }.reduce(_ && _) && col("__ib_seq") < col("__eq_seq")
             d.join(broadcast(del), cond, "left_anti")
           }
@@ -1359,9 +1471,6 @@ object IcebergTable {
         (if (withLineage)
           Seq(col("_row_id"), col("_last_updated_sequence_number"))
         else Nil)
-    afterEq.select(schema.fields.map { f =>
-      if (srcCols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else col(f.name)
-    } ++ posCols: _*)
+    afterEq.select(schema.fields.map(f => col(f.name)) ++ posCols: _*)
   }
 }
