@@ -122,6 +122,16 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] cache warmup failed: ${e.getMessage}")
     }
+    // Author the lakehouse tables BEFORE timing (r14; mirrors Verify's
+    // dump phase): the one-time table builds otherwise land inside
+    // rep 1 of whichever lakehouse query touches them first — the
+    // median absorbed it, but the rep-1 samples read as 5-6× outliers
+    // (r13 verdict noted x24's 6.26 s rep 1 vs 1.2 s after) and the
+    // mins stayed honest only by luck of rep ordering.
+    try graft.queries.LakehouseScan.dumpTables(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] lakehouse table dump failed: ${e.getMessage}")
+    }
     // MIN of 5 runs per query (round-6 change, was min-of-2): on a
     // contended 32-core host, min-of-2 never converged — untouched
     // queries swung 2.5–4.5× between rounds (r4 q6 1.59 s vs r5 3.89 s,
