@@ -1841,12 +1841,7 @@ object IcebergExport {
       spark: org.apache.spark.sql.SparkSession, table: String,
       targetBytes: Long, beforeCommit: () => Unit): (Int, Int) = {
     val meta0 = IcebergTable.metadataJson(table)
-    require(fvOf(meta0)._1 <= 2,
-      "rewriteDataFiles on format-version 3 tables is out of scope: " +
-        "compaction rewrites rows, and v3 row lineage requires the " +
-        "rewritten files to MATERIALIZE the original _row_id / " +
-        "_last_updated_sequence_number columns — refused rather than " +
-        "silently re-identifying every row")
+    val fv0 = fvOf(meta0)._1
     val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
     val pfs0 = partFieldsFromMeta(meta0)
     val snap0 = IcebergTable.currentSnapshotNode(meta0)
@@ -1893,10 +1888,36 @@ object IcebergExport {
       .map(e => Files.size(Paths.get(e.path))).sum
     val bins = math.max(1L,
       (victimBytes + targetBytes - 1) / targetBytes).toInt
-    val rows = IcebergTable.readKeep(spark, table, victims).coalesce(bins)
+    // v3 ROW LINEAGE survives the rewrite by MATERIALIZATION (the
+    // spec's lineage-preserving rewrite): victims read WITH their
+    // _row_id / _last_updated_sequence_number, which land as physical
+    // columns in the new files under the spec's reserved field-ids
+    // (2147483540 / 2147483539); the new manifest entries keep
+    // first_row_id NULL so readers take the materialized values
+    // instead of inheriting fresh ones
+    val rows =
+      (if (fv0 >= 3)
+        IcebergTable.readCore(spark, table, None, Some(victims),
+          withLineage = true)
+      else IcebergTable.readKeep(spark, table, victims)).coalesce(bins)
+    val lineageFieldIds = Map(
+      "_row_id" -> 2147483540L,
+      "_last_updated_sequence_number" -> 2147483539L)
+    val staged =
+      if (fv0 < 3) deriveCols(rows, pfs0)
+      else {
+        import org.apache.spark.sql.functions.col
+        val d = deriveCols(rows, pfs0)
+        d.select(d.columns.toSeq.map { c =>
+          lineageFieldIds.get(c) match {
+            case Some(id) => col(c).as(c, new MetadataBuilder()
+              .putLong("parquet.field.id", id).build())
+            case None => col(c)
+          }
+        }: _*)
+      }
     val added = stageIn(
-      deriveCols(rows, pfs0), table, pfs0.map(_.name),
-      topFieldIds(schemaNode0))
+      staged, table, pfs0.map(_.name), topFieldIds(schemaNode0))
     beforeCommit()
     var committed = false
     while (!committed) {
@@ -1937,7 +1958,9 @@ object IcebergExport {
           e.pv,
           if (e.lower.isEmpty && e.upper.isEmpty && e.nullCounts.isEmpty) None
           else Some(FileBounds(e.lower, e.upper, e.nullCounts)),
-          seq = Some(e.seq), status = 0)
+          // survivors KEEP their first_row_id — dropping it would
+          // silently null every surviving row's lineage
+          seq = Some(e.seq), status = 0, firstRowId = e.firstRowId)
       val snapId2 = newSnapshotId()
       val schemaNode = IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
       val history = schemaHistoryOf(meta)
@@ -1970,9 +1993,13 @@ object IcebergExport {
           minSeq = if (fv >= 2) Some(nextSeq) else None) +: eraRefs) ++
           priorManifests(prevList).filter(_.content == 1), fv = fv)
       val ts = System.currentTimeMillis()
+      // a lineage-preserving replace assigns ZERO new row ids: the
+      // snapshot's first-row-id is the untouched watermark
+      val rowIdMark = if (fv >= 3) nextRowIdOf(meta) else None
       val newSnap = snapshotNode(
         snapId2, curSnapId, ts, ml, added.size, added.map(_.records).sum,
-        if (fv >= 2) Some(nextSeq) else None, operation = "replace")
+        if (fv >= 2) Some(nextSeq) else None, operation = "replace",
+        firstRowId = rowIdMark)
       val snaps = meta.get("snapshots").elements().asScala
         .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
       val log = (if (meta.has("snapshot-log"))
@@ -1984,7 +2011,8 @@ object IcebergExport {
         table, meta.get("table-uuid").asText(), schemaNode,
         meta.get("last-column-id").asInt(), snaps, snapId2, log, pfs,
         history, fv, nextSeq, extraSpecsOf(meta), propsOf(meta),
-        refsOf(meta), defaultSpecId = defaultSpecIdOf(meta))
+        refsOf(meta), nextRowId = rowIdMark,
+        defaultSpecId = defaultSpecIdOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     (before, before - victims.size + added.size)

@@ -610,6 +610,29 @@ object IcebergTable {
         "rather than returning null columns")
   }
 
+  /** Whether a data file physically carries MATERIALIZED row-lineage
+    * columns (`_row_id` / `_last_updated_sequence_number`) — what v3
+    * lineage-preserving compaction writes for rewritten rows, whose
+    * manifest `first_row_id` stays null (the spec: inheritance applies
+    * only to rows WITHOUT materialized lineage). One bounded driver
+    * footer read per candidate file — probed only for v3 files with a
+    * null `first_row_id` on lineage reads — cached per path (data
+    * files are immutable).
+    */
+  private val matLineageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def footerHasLineage(spark: SparkSession, path: String): Boolean =
+    matLineageCache.computeIfAbsent(path, { p: String =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p),
+          spark.sparkContext.hadoopConfiguration))
+      try java.lang.Boolean.valueOf(
+        reader.getFooter.getFileMetaData.getSchema
+          .getFields.asScala.exists(_.getName == "_row_id"))
+      finally reader.close()
+    }).booleanValue()
+
   /** [[DeltaLog]]'s canonical-path discipline: `input_file_name()`'s
     * URI spelling → the manifests' absolute-path spelling, as a
     * codegen column expression (no Scala UDF).
@@ -1229,12 +1252,18 @@ object IcebergTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val allCurFields = schemaNode.get("fields").elements().asScala.toSeq
+    // MATERIALIZED lineage files (v3 compaction output) read their
+    // row ids from the file, not from first_row_id inheritance —
+    // they scan as their own branch with two extra physical columns
+    def matOf(e: FileEntry): Boolean =
+      withLineage && fv >= 3 && e.firstRowId.isEmpty &&
+        footerHasLineage(spark, e.path)
     val branches = entries
-      .groupBy(e => (e.writerSchemaJson, branchSrcOf(e))).toSeq
-      .sortBy { case ((ws, bs), _) =>
-        (ws.getOrElse(""), bs.map(_._1).mkString(","))
+      .groupBy(e => (e.writerSchemaJson, branchSrcOf(e), matOf(e))).toSeq
+      .sortBy { case ((ws, bs, mat), _) =>
+        (ws.getOrElse(""), bs.map(_._1).mkString(","), mat)
       }
-      .map { case ((ws, branchSrc), files) =>
+      .map { case ((ws, branchSrc, mat), files) =>
         val srcCols = branchSrc.map(_._2)
         val curFields = allCurFields
           .filterNot(f => srcCols.contains(f.get("name").asText()))
@@ -1301,9 +1330,26 @@ object IcebergTable {
               withPos || withLineage)
               Seq(col("_metadata.row_index").as("__ib_i"))
             else Nil)
-        val scanned = spark.read.schema(readSchema)
+        // lineage reads emit uniform __mat_* columns from every
+        // branch (real reads on materialized files, typed nulls
+        // elsewhere) so the union below stays shape-identical and the
+        // attach step can coalesce(materialized, inherited)
+        val lineageCols =
+          if (!withLineage) Nil
+          else if (mat) Seq(
+            col("_row_id").as("__mat_rid"),
+            col("_last_updated_sequence_number").as("__mat_seq"))
+          else Seq(
+            lit(null).cast(LongType).as("__mat_rid"),
+            lit(null).cast(LongType).as("__mat_seq"))
+        val scanSchema =
+          if (!mat) readSchema
+          else StructType(readSchema.fields ++ Seq(
+            StructField("_row_id", LongType),
+            StructField("_last_updated_sequence_number", LongType)))
+        val scanned = spark.read.schema(scanSchema)
           .parquet(files.map(_.path): _*)
-          .select(resolved.map(_._2) ++ metaCols: _*)
+          .select(resolved.map(_._2) ++ lineageCols ++ metaCols: _*)
         // attach THIS era's identity columns from partition metadata
         // (one metadata-sized broadcast equi-join on the canonical
         // path), cast to their declared types so every branch unions
@@ -1393,9 +1439,11 @@ object IcebergTable {
           data1
             .join(broadcast(lf), col("__ib_f") === col("__lf"))
             .withColumn("_row_id",
-              when(col("__lfr").isNotNull, col("__lfr") + col("__ib_i")))
-            .withColumn("_last_updated_sequence_number", col("__lseq"))
-            .drop("__lf", "__lfr", "__lseq")
+              coalesce(col("__mat_rid"),
+                when(col("__lfr").isNotNull, col("__lfr") + col("__ib_i"))))
+            .withColumn("_last_updated_sequence_number",
+              coalesce(col("__mat_seq"), col("__lseq")))
+            .drop("__lf", "__lfr", "__lseq", "__mat_rid", "__mat_seq")
         }
       if ((posDeletes.nonEmpty || dvFiles.nonEmpty) && !withPos)
         base.drop("__ib_i")

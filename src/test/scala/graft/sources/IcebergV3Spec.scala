@@ -145,7 +145,89 @@ class IcebergV3Spec extends SparkSpec {
       "the equality delete must stay sequence-scoped")
   }
 
-  test("v3 guards: wrong-path deletes, v3 compaction and future versions refuse") {
+  test("lineage-preserving compaction: rewritten rows keep their ids") {
+    val t = tbl()
+    // three SMALL files (row ids 0-2 / 3-5 / 6-8) + one file above the
+    // compaction target (ids 9-58) that must survive untouched
+    IcebergExport.createV3(
+      (0L until 3L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.append(
+      (3L until 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.append(
+      (6L until 9L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    val rnd = new scala.util.Random(42)
+    IcebergExport.append(
+      (9L until 59L).map(i => (i, rnd.alphanumeric.take(400).mkString))
+        .toDF("id", "s").coalesce(1), t)
+    // two DV generations before the rewrite: the dead positions must
+    // stay dead THROUGH the rewrite, never resurrected
+    IcebergExport.deleteWhereDv(spark, t, col("id") === 1L)
+    IcebergExport.deleteWhereDv(spark, t, col("id") === 7L)
+    val preSnap = IcebergTable.metadataJson(t)
+      .get("current-snapshot-id").asLong()
+    val preRows = IcebergTable.read(spark, t).collect().toSet
+    val preLineage = IcebergTable.readLineage(spark, t)
+      .select("id", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val preNextRowId =
+      IcebergTable.metadataJson(t).get("next-row-id").asLong()
+    assert(preNextRowId == 59L)
+
+    val (before, after) = IcebergExport.rewriteDataFiles(spark, t, 4096L)
+    assert(before == 4 && after == 2, s"3 victims -> 1 + survivor: $after")
+
+    // rows identical, lineage identical (ids AND last-updated seqs),
+    // watermark untouched
+    assert(IcebergTable.read(spark, t).collect().toSet == preRows)
+    val postLineage = IcebergTable.readLineage(spark, t)
+      .select("id", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(postLineage == preLineage,
+      s"lineage must survive the rewrite:\n$postLineage\nvs\n$preLineage")
+    val meta = IcebergTable.metadataJson(t)
+    assert(meta.get("next-row-id").asLong() == preNextRowId,
+      "compaction assigns no new row ids")
+    // the rewritten file carries MATERIALIZED lineage (null
+    // first_row_id in its manifest entry + physical _row_id column);
+    // the survivor keeps its inherited first_row_id
+    val entries = IcebergTable.dataFilesWithPartitions(
+      t, meta, IcebergTable.currentSnapshotNode(meta))
+    val (mat, inherited) = entries.partition(_.firstRowId.isEmpty)
+    assert(mat.size == 1 && inherited.size == 1, s"$entries")
+    assert(inherited.head.firstRowId.contains(9L),
+      "survivor keeps first_row_id = 9")
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(mat.head.path),
+        spark.sparkContext.hadoopConfiguration))
+    val footerNames =
+      try footer.getFooter.getFileMetaData.getSchema
+        .getFields.asScala.map(_.getName).toSet
+      finally footer.close()
+    assert(footerNames.contains("_row_id") &&
+      footerNames.contains("_last_updated_sequence_number"),
+      s"materialized lineage columns in the rewritten file: $footerNames")
+    // time travel to the pre-compaction snapshot still works
+    assert(IcebergTable.read(spark, t, Some(preSnap)).collect().toSet
+      == preRows)
+    // post-compaction commits: appends take fresh ids from the
+    // watermark; a DV delete on a REWRITTEN row lands on the new path
+    IcebergExport.append(Seq((100L, "new")).toDF("id", "s").coalesce(1), t)
+    val lin2 = IcebergTable.readLineage(spark, t)
+      .select("id", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lin2(100L) == 59L, s"fresh id from the watermark: $lin2")
+    IcebergExport.deleteWhereDv(spark, t, col("id") === 3L)
+    assert(ids(IcebergTable.read(spark, t))
+      == ((0L until 59L).toSet -- Set(1L, 3L, 7L)) + 100L)
+    val lin3 = IcebergTable.readLineage(spark, t)
+      .select("id", "_row_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lin3(4L) == 4L && lin3(8L) == 8L && !lin3.contains(3L),
+      s"lineage intact after the post-rewrite delete: $lin3")
+  }
+
+  test("v3 guards: wrong-path deletes and wrong-version DV writes refuse") {
     val t = tbl()
     IcebergExport.createV3(
       (0L until 8L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
@@ -153,11 +235,6 @@ class IcebergV3Spec extends SparkSpec {
       IcebergExport.deleteWhere(spark, t, col("id") === 1L)
     }
     assert(e1.getMessage.contains("deleteWhereDv"), e1.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      IcebergExport.rewriteDataFiles(spark, t, 64L * 1024 * 1024)
-    }
-    assert(e2.getMessage.contains("row lineage")
-      || e2.getMessage.contains("out of scope"), e2.getMessage)
     // deleteWhereDv on a v2 table refuses
     val t2 = tbl()
     IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t2)
