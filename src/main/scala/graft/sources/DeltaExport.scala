@@ -417,6 +417,80 @@ object DeltaExport {
     result
   }
 
+  /** SHALLOW CLONE — delta-spark's `CREATE TABLE t SHALLOW CLONE src
+    * [VERSION AS OF v]`: a NEW Delta table whose version-0 commit
+    * re-adds the source snapshot's active files BY ABSOLUTE PATH, so
+    * zero data bytes copy and the clone evolves independently from
+    * that point (its own appends/merges/deletes land under the clone
+    * root and never touch the source). Per delta-spark's semantics:
+    * the metaData takes a FRESH id (a clone is a new table identity —
+    * streaming readers and `(appId, version)` txn gates must never
+    * confuse it with the source), schema/partitioning/configuration
+    * carry over verbatim, stats carry so file skipping keeps working,
+    * and `u`-storage deletion vectors re-serialize as `p` ABSOLUTE
+    * descriptors (a uuid vector left as `u` would resolve under the
+    * CLONE root and read nothing). The protocol carries the source's
+    * gates and feature sets unchanged.
+    *
+    * The format's standing shallow-clone hazard is kept, not hidden:
+    * VACUUM on the SOURCE may reclaim files a clone still references
+    * (reads then refuse loudly in the scan); VACUUM on the CLONE is
+    * safe — it walks only the clone root, and the absolute source
+    * references can never match a clone-relative victim.
+    */
+  def shallowClone(
+      spark: org.apache.spark.sql.SparkSession, source: String,
+      target: String, versionAsOf: Option[Long] = None): Unit = {
+    require(nextVersion(target) == 0L,
+      s"$target already has a Delta log; clone into a fresh location")
+    val st = DeltaLog.stateAt(spark, source, versionAsOf)
+    val protoLine =
+      if (st.readerFeatures.nonEmpty || st.writerFeatures.nonEmpty) {
+        val rf = st.readerFeatures.toSeq.sorted
+          .map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
+        val wf = st.writerFeatures.toSeq.sorted
+          .map(f => s""""${esc(f)}"""").mkString("[", ",", "]")
+        s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":${st.minWriter},"readerFeatures":$rf,"writerFeatures":$wf}}"""
+      } else
+        s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":${st.minWriter}}}"""
+    val conf = st.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val pcs = st.partitionCols.map(c => s""""${esc(c)}"""")
+      .mkString("[", ",", "]")
+    val metaLine =
+      s"""{"metaData":{"id":"${esc(java.util.UUID.randomUUID.toString)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(st.schemaJson.get)}","partitionColumns":$pcs,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}"""
+    val addLines = st.active.values.toSeq.sortBy(_.path).map { a =>
+      val abs = Paths.get(DeltaLog.absPath(source, a.path))
+      require(Files.exists(abs),
+        s"cannot clone $source: data file ${a.path} was vacuumed")
+      val pvJson = a.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString("{", ",", "}")
+      val statsPart = a.stats
+        .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+      val dvAbs = a.dv.map { d =>
+        d.storageType match {
+          case "u" => d.copy(storageType = "p",
+            pathOrInlineDv = DeltaDv.uuidPath(source, d.pathOrInlineDv))
+          case _ => d
+        }
+      }
+      dvAbs.filter(_.storageType == "p").foreach(d =>
+        require(Files.exists(Paths.get(d.pathOrInlineDv)),
+          s"cannot clone $source: deletion vector of ${a.path} was " +
+            "vacuumed"))
+      val dvPart = dvAbs
+        .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+      s"""{"add":{"path":"${enc(abs.toString)}","partitionValues":$pvJson,"size":${Files.size(abs)},"modificationTime":${Files.getLastModifiedTime(abs).toMillis},"dataChange":true$statsPart$dvPart}}"""
+    }
+    val lines = (protoLine +: metaLine +: addLines) :+
+      s"""{"commitInfo":{"operation":"CLONE","operationParameters":{"source":"${esc(source)}","version":"${versionAsOf.map(_.toString).getOrElse("latest")}"}}}"""
+    if (!claim(target, 0L, lines))
+      throw new IllegalStateException(
+        s"lost the race for $target version 0 — another writer created it")
+  }
+
   /** ALTER TABLE SET TBLPROPERTIES — merge `props` into the table's
     * metaData configuration as a metadata-only commit (no data files
     * touched). The metaData `id` is carried forward UNCHANGED: it is
