@@ -218,6 +218,33 @@ object LakehouseScan {
           .distinct())
     }
 
+  /** The x32 table's construction followed by a CROSS-ERA RELAYOUT
+    * ([[IcebergExport.rewriteToCurrentSpec]]): era-1 identity files
+    * rewrite into the bucket[4] spec (c_nationkey materializing into
+    * the data files), era-2 files carry by reference with the
+    * equality delete still sequence-scoped onto them. The oracle is
+    * x32's SQL VERBATIM — the relayout must be content-preserving
+    * down to the hash.
+    */
+  private def icebergRelayoutCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("iceberg_relayout_customer", dir) { t =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      IcebergExport.create(
+        cust.filter(col("c_custkey") % 2 === 0)
+          .repartition(2, col("c_custkey")), t,
+        partitionBy = Seq("c_nationkey"))
+      IcebergExport.updateSpec(t, Seq(("bucket[4]", "c_custkey")))
+      IcebergExport.append(
+        cust.filter(col("c_custkey") % 2 === 1)
+          .repartition(2, col("c_custkey")), t)
+      IcebergExport.deleteWhereEquality(spark, t,
+        cust.filter(col("c_custkey") % 9 === 4).select(col("c_custkey"))
+          .distinct())
+      IcebergExport.rewriteToCurrentSpec(spark, t)
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -245,6 +272,7 @@ object LakehouseScan {
     deltaMergeCustomer(spark, dir)
     icebergUpsertCustomer(spark, dir)
     icebergEvolvedCustomer(spark, dir)
+    icebergRelayoutCustomer(spark, dir)
     icebergOrders(spark, dir)
     icebergLineitem(spark, dir)
     icebergV3Supplier(spark, dir)
@@ -435,7 +463,19 @@ object LakehouseScan {
         col("c_acctbal"))
       .orderBy(col("c_custkey"))
 
+  /** x33 — the evolved table AFTER [[IcebergExport.rewriteToCurrentSpec]]:
+    * same projection, same oracle as x32 — the relayout is proven
+    * content-preserving through the DuckDB hash (x31's convergence
+    * pattern).
+    */
+  def icebergRelayoutScan(spark: SparkSession, dir: String): DataFrame =
+    IcebergTable.read(spark, icebergRelayoutCustomer(spark, dir))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x33_iceberg_relayout" -> icebergRelayoutScan,
     "x22_delta_scan" -> deltaScan,
     "x27_delta_merge" -> deltaMergeScan,
     "x28_delta_merge_cdf" -> deltaMergeCdfScan,
@@ -450,6 +490,11 @@ object LakehouseScan {
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
+    "x33_iceberg_relayout" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_custkey % 9 <> 4
+         ORDER BY c_custkey""",
     "x32_iceberg_evolved" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
          FROM customer

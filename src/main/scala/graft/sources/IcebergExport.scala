@@ -1826,6 +1826,46 @@ object IcebergExport {
     * a single current-schema manifest would re-brand old files and
     * null their renamed columns. Returns (files before, files after).
     */
+  /** Read `victims` MoR-resolved (row-level deletes applied, old-era
+    * identity columns reconstructed) and stage their rows under `pfs`
+    * — shared by [[rewriteDataFiles]] and [[rewriteToCurrentSpec]].
+    * v3 ROW LINEAGE survives by MATERIALIZATION (the spec's
+    * lineage-preserving rewrite): victims read WITH their `_row_id` /
+    * `_last_updated_sequence_number`, which land as physical columns
+    * in the new files under the spec's reserved field-ids
+    * (2147483540 / 2147483539); the new manifest entries keep
+    * `first_row_id` NULL so readers take the materialized values
+    * instead of inheriting fresh ones.
+    */
+  private def stageRewrittenRows(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      victims: Set[String], fv0: Int, pfs: Seq[PartField],
+      schemaNode: com.fasterxml.jackson.databind.JsonNode,
+      bins: Int): Seq[Added] = {
+    val rows =
+      (if (fv0 >= 3)
+        IcebergTable.readCore(spark, table, None, Some(victims),
+          withLineage = true)
+      else IcebergTable.readKeep(spark, table, victims)).coalesce(bins)
+    val lineageFieldIds = Map(
+      "_row_id" -> 2147483540L,
+      "_last_updated_sequence_number" -> 2147483539L)
+    val staged =
+      if (fv0 < 3) deriveCols(rows, pfs)
+      else {
+        import org.apache.spark.sql.functions.col
+        val d = deriveCols(rows, pfs)
+        d.select(d.columns.toSeq.map { c =>
+          lineageFieldIds.get(c) match {
+            case Some(id) => col(c).as(c, new MetadataBuilder()
+              .putLong("parquet.field.id", id).build())
+            case None => col(c)
+          }
+        }: _*)
+      }
+    stageIn(staged, table, pfs.map(_.name), topFieldIds(schemaNode))
+  }
+
   def rewriteDataFiles(
       spark: org.apache.spark.sql.SparkSession, table: String,
       targetBytes: Long): (Int, Int) =
@@ -1888,36 +1928,8 @@ object IcebergExport {
       .map(e => Files.size(Paths.get(e.path))).sum
     val bins = math.max(1L,
       (victimBytes + targetBytes - 1) / targetBytes).toInt
-    // v3 ROW LINEAGE survives the rewrite by MATERIALIZATION (the
-    // spec's lineage-preserving rewrite): victims read WITH their
-    // _row_id / _last_updated_sequence_number, which land as physical
-    // columns in the new files under the spec's reserved field-ids
-    // (2147483540 / 2147483539); the new manifest entries keep
-    // first_row_id NULL so readers take the materialized values
-    // instead of inheriting fresh ones
-    val rows =
-      (if (fv0 >= 3)
-        IcebergTable.readCore(spark, table, None, Some(victims),
-          withLineage = true)
-      else IcebergTable.readKeep(spark, table, victims)).coalesce(bins)
-    val lineageFieldIds = Map(
-      "_row_id" -> 2147483540L,
-      "_last_updated_sequence_number" -> 2147483539L)
-    val staged =
-      if (fv0 < 3) deriveCols(rows, pfs0)
-      else {
-        import org.apache.spark.sql.functions.col
-        val d = deriveCols(rows, pfs0)
-        d.select(d.columns.toSeq.map { c =>
-          lineageFieldIds.get(c) match {
-            case Some(id) => col(c).as(c, new MetadataBuilder()
-              .putLong("parquet.field.id", id).build())
-            case None => col(c)
-          }
-        }: _*)
-      }
-    val added = stageIn(
-      staged, table, pfs0.map(_.name), topFieldIds(schemaNode0))
+    val added = stageRewrittenRows(
+      spark, table, victims, fv0, pfs0, schemaNode0, bins)
     beforeCommit()
     var committed = false
     while (!committed) {
@@ -2013,6 +2025,121 @@ object IcebergExport {
         history, fv, nextSeq, extraSpecsOf(meta), propsOf(meta),
         refsOf(meta), nextRowId = rowIdMark,
         defaultSpecId = defaultSpecIdOf(meta))
+      committed = claim(table, curVersion + 1, json)
+    }
+    (before, before - victims.size + added.size)
+  }
+
+  /** Compact a PARTITION-EVOLVED table's old-era files INTO the
+    * current default spec — the format's OTHER rewrite mode, the one
+    * [[rewriteDataFiles]] refuses (a content-preserving but
+    * layout-CHANGING relayout; Iceberg ships it as
+    * `rewrite_data_files` against the current spec). Every data file
+    * living in a manifest written under a non-default spec is read
+    * MoR-resolved (row-level deletes applied; old-era identity
+    * columns reconstructed from partition metadata) and rewritten in
+    * the CURRENT spec's hive layout; current-era files and their
+    * manifests are untouched, carried by reference. v3 row lineage
+    * survives by materialization exactly as in [[rewriteDataFiles]].
+    * After the commit every data manifest declares the default spec,
+    * so manifest-level pruning stops keeping unprovable old-era files
+    * and the per-era reconstruction branches collapse to one. Aborts
+    * loudly on a concurrent row-level delete (validateNoNewDeletes)
+    * or a concurrent updateSpec. Returns (data files before, after).
+    */
+  def rewriteToCurrentSpec(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val meta0 = IcebergTable.metadataJson(table)
+    val fv0 = fvOf(meta0)._1
+    val schemaNode0 = IcebergTable.schemaNodeOf(meta0)
+    val pfs0 = partFieldsFromMeta(meta0)
+    val defSpec0 = defaultSpecIdOf(meta0)
+    val snap0 = IcebergTable.currentSnapshotNode(meta0)
+    val entries0 = IcebergTable.dataFilesWithPartitions(
+      table, meta0, snap0)
+    val before = entries0.size
+    val victims = IcebergTable.oldSpecDataFiles(snap0, defSpec0)
+    if (victims.isEmpty) return (before, before)
+    // same race as rewriteDataFiles: a row-level delete committed
+    // after the victims were read could no longer match the rewritten
+    // files — validated inside the claim loop
+    val deletes0 = IcebergTable.deleteFilesOf(table, meta0, snap0)
+      .map(_.path).toSet
+    val victimBytes = entries0.filter(e => victims(e.path))
+      .map(e => Files.size(Paths.get(e.path))).sum
+    val bins = math.max(1L,
+      (victimBytes + targetBytes - 1) / targetBytes).toInt
+    val added = stageRewrittenRows(
+      spark, table, victims, fv0, pfs0, schemaNode0, bins)
+    var committed = false
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      // the staged hive layout followed the spec read BEFORE staging
+      require(defaultSpecIdOf(meta) == defSpec0,
+        s"the partition spec of $table changed while this relayout " +
+          "was staging: re-run against the new spec")
+      val curSnapId = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      val curSnap = curSnapId.flatMap { id =>
+        meta.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == id)
+      }
+      val prevList = curSnap.flatMap(s =>
+        Option(s.get("manifest-list")).map(_.asText()))
+      val snapNow = IcebergTable.currentSnapshotNode(meta)
+      val deletesNow = IcebergTable.deleteFilesOf(table, meta, snapNow)
+        .map(_.path).toSet
+      if ((deletesNow -- deletes0).nonEmpty) {
+        added.foreach(a => Files.deleteIfExists(Paths.get(a.absPath)))
+        throw new IllegalStateException(
+          s"concurrent row-level delete committed to $table during " +
+            "rewriteToCurrentSpec (validateNoNewDeletes): relayout " +
+            "aborted without committing — re-run it against the " +
+            "post-delete snapshot")
+      }
+      val snapId2 = newSnapshotId()
+      val schemaNode =
+        IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode]()
+      val history = schemaHistoryOf(meta)
+      val pfs = partFieldsFromMeta(meta)
+      val (fv, lastSeq) = fvOf(meta)
+      val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
+      // carried by REFERENCE: every delete manifest plus the
+      // current-spec data manifests (a concurrent append's manifest
+      // is current-spec by the guard above, so it carries too); the
+      // old-spec data manifests drop — their content is `added`
+      val carried = priorManifests(prevList).filter(m =>
+        m.content == 1 || m.specId == defSpec0)
+      val (mPath, mLen, mCount) = writeManifest(
+        table, snapId2, schemaNode.toString, added, pfs,
+        specId = defSpec0, fv = fv)
+      val ml = writeManifestList(
+        table, snapId2,
+        ManifestRef(mPath, mLen, mCount, Some(snapId2), specId = defSpec0,
+          seq = if (fv >= 2) Some(nextSeq) else None,
+          minSeq = if (fv >= 2) Some(nextSeq) else None) +: carried,
+        fv = fv)
+      val ts = System.currentTimeMillis()
+      val rowIdMark = if (fv >= 3) nextRowIdOf(meta) else None
+      val newSnap = snapshotNode(
+        snapId2, curSnapId, ts, ml, added.size, added.map(_.records).sum,
+        if (fv >= 2) Some(nextSeq) else None, operation = "replace",
+        firstRowId = rowIdMark)
+      val snaps = meta.get("snapshots").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
+      val log = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(),
+            e.get("snapshot-id").asLong())).toSeq
+      else Nil) :+ ((ts, snapId2))
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(), schemaNode,
+        meta.get("last-column-id").asInt(), snaps, snapId2, log, pfs,
+        history, fv, nextSeq, extraSpecsOf(meta), propsOf(meta),
+        refsOf(meta), nextRowId = rowIdMark,
+        defaultSpecId = defSpec0)
       committed = claim(table, curVersion + 1, json)
     }
     (before, before - victims.size + added.size)

@@ -399,6 +399,24 @@ object IcebergTable {
       (p, c, avroRecordsWithMeta(p).specId.getOrElse(0))
     }
 
+  /** Data-file paths of the snapshot's manifests written under a
+    * NON-default spec — the cross-era relayout's victim set
+    * ([[IcebergExport.rewriteToCurrentSpec]]).
+    */
+  private[sources] def oldSpecDataFiles(
+      snap: JsonNode, defaultSpecId: Int): Set[String] =
+    manifestSpecIds(snap)
+      .filter { case (_, content, specId) =>
+        content == 0 && specId != defaultSpecId
+      }
+      .flatMap { case (mp, _, _) =>
+        avroRecordsWithMeta(mp).records.flatMap { e =>
+          if (e.get("status").toString.toInt == 2) None
+          else Some(str(
+            e.get("data_file").asInstanceOf[GenericRecord], "file_path"))
+        }
+      }.toSet
+
   /** One v2 merge-on-read delete file: content 1 = POSITION (parquet
     * of (file_path, pos) rows naming deleted positions), content 2 =
     * EQUALITY (parquet of deleted-key values; `equalityIds` names the

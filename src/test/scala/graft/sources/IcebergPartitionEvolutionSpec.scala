@@ -106,6 +106,81 @@ class IcebergPartitionEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("relayout"))
   }
 
+  test("rewriteToCurrentSpec relayouts old-era files into the new spec") {
+    val t = tbl()
+    val era1 = (0L until 6L).map(i =>
+      (i, s"p${i % 2}", s"q${i % 3}", s"r$i"))
+    IcebergExport.create(era1.toDF("id", "p", "q", "s"), t,
+      partitionBy = Seq("p"))
+    IcebergExport.updateSpec(t, Seq(("identity", "q")))
+    val era2 = (10L until 14L).map(i =>
+      (i, s"p${i % 2}", s"q${i % 2}", s"r$i"))
+    IcebergExport.append(era2.toDF("id", "p", "q", "s"), t)
+    // deletes cutting across eras must stay applied THROUGH the
+    // relayout, never resurrected
+    IcebergExport.deleteWhereEquality(spark, t, Seq(11L).toDF("id"))
+    IcebergExport.deleteWhere(spark, t, col("id") === 2L)
+    val preRows = rows(t)
+    val preSnap = IcebergTable.metadataJson(t)
+      .get("current-snapshot-id").asLong()
+    val (before, after) = IcebergExport.rewriteToCurrentSpec(spark, t)
+    assert(after < before || after == before - 2 + rows(t).size, s"$before -> $after")
+    // rows identical; every data manifest now declares the default spec
+    assert(rows(t) == preRows, "the relayout must be content-preserving")
+    val meta = IcebergTable.metadataJson(t)
+    val snap = IcebergTable.currentSnapshotNode(meta)
+    val defSpec = meta.get("default-spec-id").asInt()
+    assert(IcebergTable.manifestSpecIds(snap)
+      .filter(_._2 == 0).forall(_._3 == defSpec),
+      "no old-spec data manifest may survive the relayout")
+    // the rewritten era-1 rows live under the NEW hive layout, and the
+    // old identity column p travelled into the data files
+    val paths = IcebergTable.dataFilesOf(t, meta, snap)
+    assert(paths.forall(_.contains("/q=")),
+      s"every data file is q-partitioned now: $paths")
+    // pruning on q is now provable for ALL files
+    val (kept, total) = IcebergTable.prunedDataFiles(t, "q", "q0", "q0")
+    assert(kept.size < total, "q pruning must drop non-q0 files")
+    val keptRows = IcebergTable.readKeep(spark, t, kept.toSet)
+      .filter(col("q") === "q0").select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptRows == preRows.filter(_._3 == "q0").map(_._1),
+      s"pruned read after relayout: $keptRows")
+    // history intact; a second relayout is a no-op; bin-packing
+    // compaction is legal again on the single-era table
+    assert(IcebergTable.read(spark, t, Some(preSnap))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+      == preRows.map(_._1))
+    val (b2, a2) = IcebergExport.rewriteToCurrentSpec(spark, t)
+    assert(b2 == a2, "nothing left to relayout")
+    IcebergExport.rewriteDataFiles(spark, t, 64L * 1024 * 1024)
+  }
+
+  test("rewriteToCurrentSpec preserves v3 row lineage by materialization") {
+    val t = tbl()
+    IcebergExport.createWithSpec(
+      (0L until 6L).map(i => (i, s"p${i % 2}", s"r$i"))
+        .toDF("id", "p", "s"),
+      t, Seq(("identity", "p")), formatVersion = 3)
+    IcebergExport.updateSpec(t, Nil) // evolve to unpartitioned
+    IcebergExport.append(
+      Seq((10L, "pX", "n")).toDF("id", "p", "s").coalesce(1), t)
+    IcebergExport.deleteWhereDv(spark, t, col("id") === 3L)
+    val pre = IcebergTable.readLineage(spark, t)
+      .select(col("id"), col("_row_id"),
+        col("_last_updated_sequence_number")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val preNext = IcebergTable.metadataJson(t).get("next-row-id").asLong()
+    IcebergExport.rewriteToCurrentSpec(spark, t)
+    val post = IcebergTable.readLineage(spark, t)
+      .select(col("id"), col("_row_id"),
+        col("_last_updated_sequence_number")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(post == pre, s"lineage through the relayout:\n$post\nvs\n$pre")
+    assert(IcebergTable.metadataJson(t).get("next-row-id").asLong()
+      == preNext, "the relayout assigns no new row ids")
+  }
+
   test("a changelog spans the evolution boundary") {
     val t = tbl()
     IcebergExport.create(
