@@ -86,6 +86,16 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // FIRST marker at process entry, BEFORE any Spark work (r14): the
+    // old start marker was captured after JVM spinup + cache warm +
+    // lakehouse table builds, so it always read 3-4 even on a fully
+    // idle host — the bench measured its own warmup and the r13
+    // verdict's "pick the run with load < 2" selection rule could
+    // never fire. Captured here it is a pure HOST-contention gate:
+    // pick the artifact whose first marker is ~0 before reading any
+    // of its numbers. The second (end) marker still shows the bench's
+    // own sustained load, useful for spotting a neighbor mid-run.
+    val loadPre = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -157,7 +167,6 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap(
       names.map(_ -> Vector.empty[Double]): _*)
     var failed = Set.empty[String]
-    val loadStart = loadAvg()
     for (rep <- 1 to reps; name <- names if !failed(name)) {
       val t0 = System.nanoTime()
       // A query that THROWS (e.g. the d5 corpus-size guard tripping at
@@ -176,7 +185,7 @@ object Bench {
       }
     }
     val ok = names.filterNot(failed)
-    val load = (loadStart, loadAvg())
+    val load = (loadPre, loadAvg())
     val meds = ok.map(n => n -> median(times(n)))
     val mins = ok.map(n => n -> times(n).min)
     val total = meds.map(_._2).sum
