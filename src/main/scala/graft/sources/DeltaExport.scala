@@ -216,7 +216,8 @@ object DeltaExport {
   private[sources] def addJson(
       table: String, rel: String, pv: Map[String, String],
       conf: Option[org.apache.hadoop.conf.Configuration] = None,
-      dataChange: Boolean = true): String = {
+      dataChange: Boolean = true,
+      rowId: Option[(Long, Long)] = None): String = {
     val size = Files.size(Paths.get(table, rel))
     val pvJson = pv.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
@@ -224,7 +225,23 @@ object DeltaExport {
     val stats = conf
       .flatMap(c => fileStats(c, Paths.get(table, rel).toAbsolutePath.toString))
       .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
-    s"""{"add":{"path":"${enc(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(Paths.get(table, rel)).toMillis},"dataChange":$dataChange$stats}}"""
+    // ROW TRACKING: (baseRowId, defaultRowCommitVersion) on every add
+    // of a row-tracking table (PROTOCOL.md)
+    val rowPart = rowId.map { case (b, v) =>
+      s""","baseRowId":$b,"defaultRowCommitVersion":$v"""
+    }.getOrElse("")
+    s"""{"add":{"path":"${enc(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(Paths.get(table, rel)).toMillis},"dataChange":$dataChange$stats$rowPart}}"""
+  }
+
+  /** Footer record count of one staged file (bounded driver read) —
+    * row-tracking watermark math needs exact per-file row counts.
+    */
+  private[sources] def recordCount(
+      conf: org.apache.hadoop.conf.Configuration, abs: String): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs), conf))
+    try reader.getRecordCount finally reader.close()
   }
 
   private[sources] def metaDataJson(
@@ -315,14 +332,54 @@ object DeltaExport {
     val minWriter =
       if (properties.get("delta.enableChangeDataFeed").contains("true")) 4
       else 2
+    val rowTracking =
+      properties.get("delta.enableRowTracking").contains("true")
     val added = stageIn(df, table, partitionBy)
-    val lines =
-      Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}""",
-        metaDataJson(java.util.UUID.randomUUID.toString, df.schema,
-          partitionBy, properties)) ++
-        added.map(rel =>
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    // ROW TRACKING needs the table-features protocol (rowTracking +
+    // its domainMetadata dependency are feature-only — no legacy
+    // minWriterVersion implies them); the upgrade ENUMERATES the
+    // legacy-implied features per the deleteWhere discipline
+    val protocolLine =
+      if (!rowTracking)
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
+      else {
+        val wf = (legacyWriterFeatures(minWriter)
+          ++ Set("domainMetadata", "rowTracking")).toSeq.sorted
+          .map(f => s""""$f"""").mkString("[", ",", "]")
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
+      }
+    // the MATERIALIZED column names are chosen once at create and live
+    // in the configuration (PROTOCOL.md) — rewrites write under them,
+    // readers coalesce them over the computed ids
+    val props2 =
+      if (!rowTracking) properties
+      else properties +
+        (DeltaRowTracking.RowIdColKey ->
+          s"_row_id_mat_${java.util.UUID.randomUUID.toString.take(8)}") +
+        (DeltaRowTracking.RowCommitColKey ->
+          s"_row_commit_mat_${java.util.UUID.randomUUID.toString.take(8)}")
+    val (addLines, domainLines) =
+      if (!rowTracking)
+        (added.map(rel =>
           addJson(table, rel, partitionValuesOf(rel, partitionBy),
-            Some(df.sparkSession.sparkContext.hadoopConfiguration))) :+
+            Some(hconf))), Nil)
+      else {
+        var next = 0L
+        val ls = added.map { rel =>
+          val n = recordCount(
+            hconf, Paths.get(table, rel).toAbsolutePath.toString)
+          val l = addJson(table, rel, partitionValuesOf(rel, partitionBy),
+            Some(hconf), rowId = Some((next, 0L)))
+          next += n
+          l
+        }
+        (ls, Seq(DeltaRowTracking.domainJson(next - 1)))
+      }
+    val lines =
+      (Seq(protocolLine,
+        metaDataJson(java.util.UUID.randomUUID.toString, df.schema,
+          partitionBy, props2)) ++ addLines ++ domainLines) :+
         s"""{"commitInfo":{"operation":"CREATE TABLE AS SELECT"}}"""
     if (!claim(table, 0L, lines))
       throw new IllegalStateException(
@@ -354,6 +411,7 @@ object DeltaExport {
     while (!committed) {
       val target = DeltaLog.stateAt(spark, table, Some(version))
       val cur = DeltaLog.stateAt(spark, table, None)
+      DeltaRowTracking.requireOff(cur, "RESTORE")
       val reAdds = target.active.values.toSeq.sortBy(_.path).filter { a =>
         cur.active.get(a.path) match {
           case None => true
@@ -444,6 +502,7 @@ object DeltaExport {
     require(nextVersion(target) == 0L,
       s"$target already has a Delta log; clone into a fresh location")
     val st = DeltaLog.stateAt(spark, source, versionAsOf)
+    DeltaRowTracking.requireOff(st, "shallowClone")
     val protoLine =
       if (st.readerFeatures.nonEmpty || st.writerFeatures.nonEmpty) {
         val rf = st.readerFeatures.toSeq.sorted
@@ -551,14 +610,44 @@ object DeltaExport {
     * Delta's full conflict checker; out of scope, append-only here).
     */
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
     val added = stageIn(df, table, partitionBy)
-    val lines = added.map(rel =>
-      addJson(table, rel, partitionValuesOf(rel, partitionBy),
-            Some(df.sparkSession.sparkContext.hadoopConfiguration))) :+
-      s"""{"commitInfo":{"operation":"WRITE"}}"""
-    var v = nextVersion(table)
-    while (!claim(table, v, lines)) v = nextVersion(table)
-    v
+    val st0 = DeltaLog.stateAt(spark, table, None)
+    if (!DeltaRowTracking.enabled(st0)) {
+      val lines = added.map(rel =>
+        addJson(table, rel, partitionValuesOf(rel, partitionBy),
+          Some(hconf))) :+
+        s"""{"commitInfo":{"operation":"WRITE"}}"""
+      var v = nextVersion(table)
+      while (!claim(table, v, lines)) v = nextVersion(table)
+      v
+    } else {
+      // ROW TRACKING: base row ids start at the CURRENT high
+      // watermark and the default commit version is THIS commit's —
+      // both re-derived per claim attempt (a lost race means a
+      // contender advanced the watermark and took the version)
+      val counts = added.map(rel => rel -> recordCount(
+        hconf, Paths.get(table, rel).toAbsolutePath.toString))
+      var v = nextVersion(table)
+      var committed = false
+      while (!committed) {
+        val st = DeltaLog.stateAt(spark, table, None)
+        var next = DeltaRowTracking.highWaterMark(st) + 1
+        val addLines = counts.map { case (rel, n) =>
+          val l = addJson(table, rel, partitionValuesOf(rel, partitionBy),
+            Some(hconf), rowId = Some((next, v)))
+          next += n
+          l
+        }
+        val lines = addLines ++ Seq(
+          DeltaRowTracking.domainJson(next - 1),
+          s"""{"commitInfo":{"operation":"WRITE"}}""")
+        committed = claim(table, v, lines)
+        if (!committed) v = nextVersion(table)
+      }
+      v
+    }
   }
 
   /** REPLACE the table's content with `df` as the next version —
@@ -599,6 +688,7 @@ object DeltaExport {
     while (!committed) {
       if (replayed) return None
       val st = DeltaLog.stateAt(spark, table, None)
+      DeltaRowTracking.requireOff(st, "overwrite")
       val removes = st.active.keys.toSeq.sorted.map(p =>
         s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""")
       val txnLines = txn.toSeq.map { case (appId, batchId) =>
@@ -633,6 +723,8 @@ object DeltaExport {
       df: DataFrame, table: String, appId: String, batchId: Long,
       partitionBy: Seq[String] = Nil): Option[Long] = {
     val spark = df.sparkSession
+    DeltaRowTracking.requireOff(
+      DeltaLog.stateAt(spark, table, None), "appendBatch")
     if (DeltaLog.lastTxnVersion(spark, table, appId).exists(_ >= batchId))
       return None
     val added = stageIn(df, table, partitionBy)
@@ -733,9 +825,16 @@ object DeltaExport {
       // vacuum reclaims it once no active add references it
       val oldDvPart = a.dv
         .map(od => s""","deletionVector":${dvJson(od)}""").getOrElse("")
+      // a ROW-TRACKING re-add keeps the file's baseRowId — dropping it
+      // would silently re-identify every surviving row
+      val rowPart = (a.baseRowId, a.defaultRowCommitVersion) match {
+        case (Some(b), Some(dv0)) =>
+          s""","baseRowId":$b,"defaultRowCommitVersion":$dv0"""
+        case _ => ""
+      }
       Seq(
         s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true$oldDvPart}}""",
-        s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(Paths.get(abs))},"modificationTime":${Files.getLastModifiedTime(Paths.get(abs)).toMillis},"dataChange":true$statsPart,"deletionVector":${dvJson(d)}}}""")
+        s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(Paths.get(abs))},"modificationTime":${Files.getLastModifiedTime(Paths.get(abs)).toMillis},"dataChange":true$statsPart$rowPart,"deletionVector":${dvJson(d)}}}""")
     }
     // first delete upgrades the protocol to the feature-gated form;
     // PROTOCOL.md: a table-features upgrade must ENUMERATE the
@@ -822,6 +921,7 @@ object DeltaExport {
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         DeltaLog.withFieldIds(physFields).asInstanceOf[StructType]
     }
+    val rowTracking = DeltaRowTracking.enabled(st)
     val before = st.active.size
     val groups = st.active.values.toSeq.groupBy(_.partitionValues)
     val byPath = st.active
@@ -853,12 +953,26 @@ object DeltaExport {
           DeltaDv.indexesOf(table, d)
             .map(i => (DeltaLog.absPath(table, rel), i))))
       }
-      val scanned = spark.read.schema(dataSchema).parquet(abs: _*)
-      val purged =
-        if (dvPairs.isEmpty) scanned
-        else {
-          import org.apache.spark.sql.functions.{broadcast, col, regexp_replace, url_decode}
-          import spark.implicits._
+      // ROW-TRACKING rewrites read each victim row WITH its id and
+      // commit version (materialized-or-computed) and write them out
+      // as the config-named MATERIALIZED columns — the protocol's
+      // id-preserving OPTIMIZE, mirroring the Iceberg v3 path
+      val scanned =
+        if (!rowTracking) spark.read.schema(dataSchema).parquet(abs: _*)
+        else DeltaRowTracking.scanForRewrite(spark, table, st,
+          rels.flatMap(byPath.get), dataSchema)
+      val purged = {
+        import org.apache.spark.sql.functions.{broadcast, col, regexp_replace, url_decode}
+        import spark.implicits._
+        if (dvPairs.isEmpty) {
+          if (rowTracking) scanned.drop("__f", "__i") else scanned
+        } else if (rowTracking) {
+          scanned
+            .join(broadcast(dvPairs.toDF("__df", "__di")),
+              col("__f") === col("__df") && col("__i") === col("__di"),
+              "left_anti")
+            .drop("__f", "__i")
+        } else {
           val canon = regexp_replace(
             url_decode(regexp_replace(
               col("_metadata.file_path"), "^file:/*", "/")), "/+", "/")
@@ -870,6 +984,7 @@ object DeltaExport {
               "left_anti")
             .drop("__cf", "__ci")
         }
+      }
       val df = purged.coalesce(nOut)
       val stage = Files.createTempDirectory("delta_compact")
       df.write.mode("overwrite").parquet(stage.toString)
@@ -884,18 +999,14 @@ object DeltaExport {
       }
     }
     val conf = Some(spark.sparkContext.hadoopConfiguration)
-    val lines = rewrites.flatMap(_._2).map { p =>
+    val removeLines = rewrites.flatMap(_._2).map { p =>
       // a compacted-away DV'd file's remove carries its vector's
       // descriptor (PROTOCOL.md) so the now-orphaned
       // deletion_vector_*.bin stays trackable for vacuum
       val dvPart = byPath.get(p).flatMap(_.dv)
         .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
       s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":false$dvPart}}"""
-    } ++
-      newRels.map(rel =>
-        addJson(table, rel, partitionValuesOf(rel, physPartCols),
-          conf, dataChange = false)) :+
-      s"""{"commitInfo":{"operation":"OPTIMIZE"}}"""
+    }
     beforeCommit()
     var v = nextVersion(table)
     var committed = false
@@ -918,6 +1029,29 @@ object DeltaExport {
               "re-deleted by a concurrent writer — compaction aborted " +
               "without committing; re-run against the new snapshot")
       }
+      // ROW-TRACKING adds take FRESH base row ids past the CURRENT
+      // watermark (re-derived per attempt; the materialized columns
+      // shadow them on read, the assignment keeps the id space
+      // unique for future consumers) and bump the watermark
+      val addLines =
+        if (!rowTracking)
+          newRels.map(rel =>
+            addJson(table, rel, partitionValuesOf(rel, physPartCols),
+              conf, dataChange = false))
+        else {
+          var next = DeltaRowTracking.highWaterMark(cur) + 1
+          newRels.map { rel =>
+            val n = recordCount(conf.get,
+              Paths.get(table, rel).toAbsolutePath.toString)
+            val l = addJson(table, rel,
+              partitionValuesOf(rel, physPartCols), conf,
+              dataChange = false, rowId = Some((next, v)))
+            next += n
+            l
+          } :+ DeltaRowTracking.domainJson(next - 1)
+        }
+      val lines = (removeLines ++ addLines) :+
+        s"""{"commitInfo":{"operation":"OPTIMIZE"}}"""
       committed = claim(table, v, lines)
       if (!committed) v = nextVersion(table)
     }
@@ -955,6 +1089,7 @@ object DeltaExport {
     require(st0.configuration
       .getOrElse("delta.columnMapping.mode", "none") == "none",
       "overwriteWhere on column-mapped tables is out of this writer's scope")
+    DeltaRowTracking.requireOff(st0, "overwriteWhere")
     require(st0.partitionCols == partitionBy,
       s"table is partitioned by ${st0.partitionCols.mkString(",")}, " +
         s"not ${partitionBy.mkString(",")}")
@@ -1013,6 +1148,7 @@ object DeltaExport {
       xCol: String, yCol: String, nFiles: Int, bits: Int = 16): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     val st = DeltaLog.stateAt(spark, table, None)
+    DeltaRowTracking.requireOff(st, "zorder")
     require(st.partitionCols.isEmpty,
       "zorder supports unpartitioned tables (cluster within partitions " +
         "by partitioning first)")
@@ -1156,26 +1292,43 @@ object DeltaExport {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))))))))
+          StructField("cardinality", LongType)))),
+        // carried so checkpointing a row-tracking table cannot
+        // silently re-identify rows
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
+      // live domainMetadata (rowIdHighWaterMark etc.) must survive
+      // log cleanup — a checkpoint without it resets the watermark
+      // and the next append would REUSE row ids
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
     val rows =
       Seq(Row(Row(st.minReader,
         st.minWriter,
         if (st.readerFeatures.nonEmpty) st.readerFeatures.toSeq.sorted
         else null,
         if (st.writerFeatures.nonEmpty) st.writerFeatures.toSeq.sorted
-        else null), null, null, null),
+        else null), null, null, null, null),
         Row(null,
           Row(st.tableId.getOrElse(table), st.schemaJson.get,
             st.partitionCols, st.configuration),
-          null, null)) ++
+          null, null, null)) ++
         st.txns.toSeq.sortBy(_._1).map { case (a, ver) =>
-          Row(null, null, Row(a, ver), null)
+          Row(null, null, Row(a, ver), null, null)
         } ++
         st.active.values.toSeq.sortBy(_.path).map { a =>
           Row(null, null, null,
             Row(a.path, a.partitionValues, 0L, true, a.stats.orNull,
               a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-                d.offset, d.sizeInBytes, d.cardinality)).orNull))
+                d.offset, d.sizeInBytes, d.cardinality)).orNull,
+              a.baseRowId.map(Long.box).orNull,
+              a.defaultRowCommitVersion.map(Long.box).orNull),
+            null)
+        } ++
+        st.domains.toSeq.sortBy(_._1).map { case (dom, c) =>
+          Row(null, null, null, null, Row(dom, c, false))
         }
     val tmp = Files.createTempDirectory("delta_ckpt_w")
     spark.createDataFrame(

@@ -58,7 +58,12 @@ object DeltaLog {
   private[sources] case class AddFile(
       path: String, partitionValues: Map[String, String],
       stats: Option[String] = None,
-      dv: Option[DeltaDv.Descriptor] = None)
+      dv: Option[DeltaDv.Descriptor] = None,
+      // ROW TRACKING (PROTOCOL.md): fresh row id = baseRowId +
+      // position; the row's commit version defaults to this until a
+      // rewrite materializes it
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
   private[sources] case class State(
       schemaJson: Option[String],
       partitionCols: Seq[String],
@@ -72,7 +77,11 @@ object DeltaLog {
       // the metaData id — a STABLE table identity (delta-spark
       // streaming readers key their offsets on it), so metadata-only
       // re-emits (setProperties) must carry it forward unchanged
-      tableId: Option[String] = None)
+      tableId: Option[String] = None,
+      // live domainMetadata actions: domain → configuration string
+      // (PROTOCOL.md "Domain Metadata"; row tracking rides the
+      // `delta.rowTracking` domain's rowIdHighWaterMark)
+      domains: Map[String, String] = Map.empty)
 
   private val empty = State(None, Nil, 1, Map.empty, Map.empty)
 
@@ -133,7 +142,17 @@ object DeltaLog {
             d.get("sizeInBytes").asInt(),
             d.get("cardinality").asLong()))
         } else None
-      s.copy(active = s.active + (path -> AddFile(path, pv, stats, dv)))
+      val baseRowId =
+        if (ad.has("baseRowId") && !ad.get("baseRowId").isNull)
+          Some(ad.get("baseRowId").asLong())
+        else None
+      val defRcv =
+        if (ad.has("defaultRowCommitVersion")
+          && !ad.get("defaultRowCommitVersion").isNull)
+          Some(ad.get("defaultRowCommitVersion").asLong())
+        else None
+      s.copy(active =
+        s.active + (path -> AddFile(path, pv, stats, dv, baseRowId, defRcv)))
     } else if (a.has("remove")) {
       s.copy(active = s.active - a.get("remove").get("path").asText())
     } else if (a.has("txn")) {
@@ -142,7 +161,16 @@ object DeltaLog {
       val t = a.get("txn")
       s.copy(txns =
         s.txns + (t.get("appId").asText() -> t.get("version").asLong()))
-    } else s // commitInfo, cdc, domainMetadata — no reader state
+    } else if (a.has("domainMetadata")) {
+      val d = a.get("domainMetadata")
+      val dom = d.get("domain").asText()
+      if (d.has("removed") && d.get("removed").asBoolean())
+        s.copy(domains = s.domains - dom)
+      else s.copy(domains = s.domains + (dom ->
+        Option(d.get("configuration")).filterNot(_.isNull)
+          .map(c => if (c.isTextual) c.asText() else c.toString)
+          .getOrElse("")))
+    } else s // commitInfo, cdc — no reader state
   }
 
   /** Replay one newline-delimited-JSON commit file. */
@@ -241,11 +269,14 @@ object DeltaLog {
           "struct<storageType:string,pathOrInlineDv:string," +
             "offset:int,sizeInBytes:int,cardinality:bigint>")
           .as("deletionVector")
+      def optLong(name: String) =
+        if (addFields.contains(name)) col(s"add.$name")
+        else lit(null).cast("bigint").as(name)
       val adds = df
         .select(col("add.path"), col("add.partitionValues"),
           if (addFields.contains("stats")) col("add.stats")
           else lit(null).cast("string").as("stats"),
-          dvCol)
+          dvCol, optLong("baseRowId"), optLong("defaultRowCommitVersion"))
         .filter(col("path").isNotNull).collect()
         .map { r =>
           val dv = Option(r.getStruct(3)).filter(!_.isNullAt(0)).map(s =>
@@ -256,9 +287,22 @@ object DeltaLog {
             Option(r.getMap[String, String](1))
               .map(_.toMap).getOrElse(Map.empty),
             Option(r.getString(2)),
-            dv)
+            dv,
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)))
         }
       st = st.copy(active = st.active ++ adds)
+    }
+    // ROW-TRACKING state must survive log cleanup: a checkpoint that
+    // dropped the domainMetadata rows would silently reset the
+    // rowIdHighWaterMark and the next append would REUSE row ids
+    if (cols.contains("domainMetadata")) {
+      val ds = df
+        .select(col("domainMetadata.domain"),
+          col("domainMetadata.configuration"))
+        .filter(col("domain").isNotNull).collect()
+        .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
+      st = st.copy(domains = st.domains ++ ds)
     }
     st
   }

@@ -337,6 +337,7 @@ object DeltaMerge {
     require(st.configuration
       .getOrElse("delta.columnMapping.mode", "none") == "none",
       "merge on column-mapped tables is out of this writer's scope")
+    DeltaRowTracking.requireOff(st, "merge")
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
     val cols = schema.fields.map(_.name).toSeq
     keys.foreach(k => require(cols.contains(k), s"key $k not in table schema"))
