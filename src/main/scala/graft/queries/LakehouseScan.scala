@@ -245,6 +245,29 @@ object LakehouseScan {
       IcebergExport.rewriteToCurrentSpec(spark, t)
     }
 
+  /** Row-tracking Delta customer: evens created at v0 (one sorted
+    * file, row ids 0..nE-1), odds appended at v1 (ids nE..), a DV
+    * delete at v2, then OPTIMIZE at v3 — so the scan reads ids
+    * MATERIALIZED through the rewrite, commit versions preserved
+    * (0 for evens, 1 for odds), dead ids absent. The oracle replays
+    * the id assignment as row_number() over each parity in key order.
+    */
+  private def deltaRowTrackedCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("delta_rowtracked_customer", dir) { t =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      DeltaExport.create(
+        cust.filter(col("c_custkey") % 2 === 0)
+          .orderBy(col("c_custkey")).coalesce(1), t, Nil,
+        Map("delta.enableRowTracking" -> "true"))
+      DeltaExport.append(
+        cust.filter(col("c_custkey") % 2 === 1)
+          .orderBy(col("c_custkey")).coalesce(1), t)
+      DeltaExport.deleteWhere(spark, t, col("c_custkey") % 7 === 3)
+      DeltaExport.compact(spark, t, 128L * 1024 * 1024)
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -273,6 +296,7 @@ object LakehouseScan {
     icebergUpsertCustomer(spark, dir)
     icebergEvolvedCustomer(spark, dir)
     icebergRelayoutCustomer(spark, dir)
+    deltaRowTrackedCustomer(spark, dir)
     icebergOrders(spark, dir)
     icebergLineitem(spark, dir)
     icebergV3Supplier(spark, dir)
@@ -474,7 +498,23 @@ object LakehouseScan {
         col("c_acctbal"))
       .orderBy(col("c_custkey"))
 
+  /** x34 — Delta ROW TRACKING under the hard gate: `_row_id` itself
+    * (and `_row_commit_version`) hash-checked against the oracle's
+    * row_number() replay, THROUGH a DV delete and a materializing
+    * OPTIMIZE. A rewrite that re-identified or resurrected one row
+    * fails the hash.
+    */
+  def deltaRowIdsScan(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaRowTracking.readRowIds(
+      spark, deltaRowTrackedCustomer(spark, dir))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"),
+        col("_row_id").as("row_id"),
+        col("_row_commit_version").as("row_commit"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x34_delta_row_ids" -> deltaRowIdsScan,
     "x33_iceberg_relayout" -> icebergRelayoutScan,
     "x22_delta_scan" -> deltaScan,
     "x27_delta_merge" -> deltaMergeScan,
@@ -490,6 +530,22 @@ object LakehouseScan {
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
+    "x34_delta_row_ids" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                  CAST(row_number() OVER (
+                    PARTITION BY c_custkey % 2 ORDER BY c_custkey) - 1
+                    + CASE WHEN c_custkey % 2 = 1
+                        THEN (SELECT count(*) FROM customer
+                              WHERE c_custkey % 2 = 0)
+                        ELSE 0 END AS BIGINT) AS row_id,
+                  CAST(c_custkey % 2 AS BIGINT) AS row_commit
+           FROM customer)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                row_id, row_commit
+         FROM base
+         WHERE c_custkey % 7 <> 3
+         ORDER BY c_custkey""",
     "x33_iceberg_relayout" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
          FROM customer
