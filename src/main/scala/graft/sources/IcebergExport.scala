@@ -1393,6 +1393,31 @@ object IcebergExport {
     */
   def addColumn(
       table: String, name: String, dt: DataType): Unit =
+    addColumnWithDefault(table, name, dt, None)
+
+  /** [[addColumn]] with a v3 COLUMN DEFAULT: `initial-default` is
+    * what rows written BEFORE the column existed read back (the
+    * spec's answer instead of null) and `write-default` what writers
+    * that omit the column fill — both stamped on the new field.
+    * Defaults are a FORMAT-VERSION 3 feature per the spec; v1/v2
+    * tables refuse. This engine's own appends still present the full
+    * schema explicitly ([[requireSchemaMatch]]); the write-default is
+    * for spec-compliant foreign writers.
+    */
+  def addColumn(
+      table: String, name: String, dt: DataType, default: Any): Unit =
+    addColumnWithDefault(table, name, dt, Some(default))
+
+  private def addColumnWithDefault(
+      table: String, name: String, dt: DataType,
+      default: Option[Any]): Unit = {
+    if (default.isDefined) {
+      val fv = IcebergTable.metadataJson(table)
+        .get("format-version").asInt()
+      require(fv >= 3,
+        s"column defaults are a format-version 3 feature " +
+          s"($table is v$fv): refused")
+    }
     evolveSchema(table) { (s, lastId) =>
       require(!s.get("fields").elements().asScala
         .exists(_.get("name").asText() == name),
@@ -1404,10 +1429,26 @@ object IcebergExport {
       fn.put("name", name)
       fn.put("required", false)
       fn.set[ObjectNode]("type", icebergType(dt, nextId))
+      default.foreach { d =>
+        def put(key: String): Unit = d match {
+          case v: Long => fn.put(key, v)
+          case v: Int => fn.put(key, v)
+          case v: Double => fn.put(key, v)
+          case v: Float => fn.put(key, v)
+          case v: String => fn.put(key, v)
+          case v: Boolean => fn.put(key, v)
+          case other => throw new IllegalArgumentException(
+            s"unsupported default literal type " +
+              s"${other.getClass.getSimpleName}")
+        }
+        put("initial-default")
+        put("write-default")
+      }
       s.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
         .add(fn)
       (s, last)
     }
+  }
 
   /** PROMOTE a top-level column's type — metadata-only (r14),
     * restricted to the spec's LOSSLESS promotions (int → long,

@@ -628,6 +628,32 @@ object IcebergTable {
         "rather than returning null columns")
   }
 
+  /** The literal a schema field's `initial-default` (v3 column
+    * defaults) assigns to rows predating the column — typed per the
+    * field; null when no default is declared. Unsupported default
+    * types refuse loudly rather than silently nulling (the
+    * wrong-rows failure this reader's contract forbids).
+    */
+  private def initialDefaultLit(
+      cf: JsonNode, dt: DataType): org.apache.spark.sql.Column =
+    Option(cf.get("initial-default")).filterNot(_.isNull) match {
+      case None => lit(null).cast(asNullableType(dt))
+      case Some(v) =>
+        val l = dt match {
+          case LongType => lit(v.asLong())
+          case IntegerType => lit(v.asInt())
+          case DoubleType => lit(v.asDouble())
+          case FloatType => lit(v.floatValue())
+          case StringType => lit(v.asText())
+          case BooleanType => lit(v.asBoolean())
+          case d: DecimalType => lit(new java.math.BigDecimal(v.asText()))
+          case other => throw new IllegalArgumentException(
+            s"initial-default on unsupported type $other: refused " +
+              "rather than returning nulls for defaulted rows")
+        }
+        l.cast(asNullableType(dt))
+    }
+
   /** Whether a data file physically carries MATERIALIZED row-lineage
     * columns (`_row_id` / `_last_updated_sequence_number`) — what v3
     * lineage-preserving compaction writes for rewritten rows, whose
@@ -1321,8 +1347,12 @@ object IcebergTable {
               (Some(StructField(physName, physDt, nullable)), colExpr)
             case None if ws.isDefined =>
               // the column was ADDED after this manifest's files were
-              // written: null is the spec's answer
-              (None, lit(null).cast(asNullableType(logicalDt)).as(name))
+              // written: the spec's answer is the field's
+              // `initial-default` (a v3 feature — what pre-existing
+              // rows read back), null when absent. Emitting null for
+              // a defaulted column would be WRONG ROWS on any v3
+              // table a defaults-aware writer authored.
+              (None, initialDefaultLit(cf, logicalDt).as(name))
             case None =>
               // out-of-spec manifest without an embedded schema: name
               // resolution, guarded by the footer check below

@@ -227,6 +227,42 @@ class IcebergV3Spec extends SparkSpec {
       s"lineage intact after the post-rewrite delete: $lin3")
   }
 
+  test("v3 column defaults: initial-default fills pre-existing rows") {
+    val t = tbl()
+    IcebergExport.createV3(
+      (0L until 4L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.addColumn(
+      t, "score", org.apache.spark.sql.types.LongType, 42L)
+    // rows written BEFORE the column existed read the default, never
+    // null — the spec's initial-default rule
+    val got = IcebergTable.read(spark, t)
+      .select(col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L until 4L).map(_ -> 42L).toMap, s"$got")
+    // new appends present explicit values; old rows keep the default
+    IcebergExport.append(
+      Seq((10L, "x", 7L)).toDF("id", "s", "score").coalesce(1), t)
+    val got2 = IcebergTable.read(spark, t)
+      .select(col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == ((0L until 4L).map(_ -> 42L) :+ (10L -> 7L)).toMap)
+    // DV deletes and lineage compose with the defaulted column
+    IcebergExport.deleteWhereDv(spark, t, col("id") === 1L)
+    val lin = IcebergTable.readLineage(spark, t)
+      .select(col("id"), col("score"), col("_row_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lin == Set((0L, 42L, 0L), (2L, 42L, 2L), (3L, 42L, 3L),
+      (10L, 7L, 4L)), s"$lin")
+    // defaults are a v3 feature: v1/v2 tables refuse
+    val t2 = tbl()
+    IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t2)
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.addColumn(
+        t2, "score", org.apache.spark.sql.types.LongType, 1L)
+    }
+    assert(e.getMessage.contains("format-version 3"), e.getMessage)
+  }
+
   test("v3 guards: wrong-path deletes and wrong-version DV writes refuse") {
     val t = tbl()
     IcebergExport.createV3(
