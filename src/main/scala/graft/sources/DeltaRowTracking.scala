@@ -93,8 +93,14 @@ object DeltaRowTracking {
   private[sources] def scanForRewrite(
       spark: SparkSession, table: String, st: DeltaLog.State,
       adds: Seq[DeltaLog.AddFile], dataSchema: StructType): DataFrame = {
-    val ridCol = st.configuration(RowIdColKey)
-    val rvcCol = st.configuration(RowCommitColKey)
+    def named(key: String): String = st.configuration.getOrElse(key,
+      throw new IllegalArgumentException(
+        s"OPTIMIZE on a row-tracking table without $key configured " +
+          "(a foreign table that never chose materialized column " +
+          "names): refused rather than inventing names this writer's " +
+          "commit would not record"))
+    val ridCol = named(RowIdColKey)
+    val rvcCol = named(RowCommitColKey)
     val canon = regexp_replace(
       url_decode(regexp_replace(
         col("_metadata.file_path"), "^file:/*", "/")), "/+", "/")
@@ -146,8 +152,14 @@ object DeltaRowTracking {
     require(st.configuration
       .getOrElse("delta.columnMapping.mode", "none") == "none",
       "row tracking + column mapping is out of this reader's scope")
-    val ridCol = st.configuration(RowIdColKey)
-    val rvcCol = st.configuration(RowCommitColKey)
+    // a FOREIGN row-tracking table may not have chosen materialized
+    // column names yet (delta-spark assigns them lazily); absent keys
+    // mean no file can carry materialized ids — use never-matching
+    // sentinels so every file takes the computed branch
+    val ridCol = st.configuration
+      .getOrElse(RowIdColKey, "__no_materialized_row_id__")
+    val rvcCol = st.configuration
+      .getOrElse(RowCommitColKey, "__no_materialized_row_commit__")
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
     val dataSchema = StructType(
       schema.fields.filterNot(f => st.partitionCols.contains(f.name)))

@@ -2005,6 +2005,20 @@ object IcebergExport {
       val pfsNow = partFieldsFromMeta(meta)
       val entriesNow = IcebergTable.dataFilesWithPartitions(
         table, meta, snapNow)
+      // Iceberg RewriteFiles' "files to replace must exist": a victim
+      // gone from the fresh snapshot means a CONCURRENT rewrite (or
+      // overwrite) already replaced it — committing our copy of its
+      // rows on top would DUPLICATE them. Abort loudly instead.
+      val liveNow = entriesNow.map(_.path).toSet
+      val vanished = victims -- liveNow
+      if (vanished.nonEmpty) {
+        added.foreach(a => Files.deleteIfExists(Paths.get(a.absPath)))
+        throw new java.util.ConcurrentModificationException(
+          s"rewriteDataFiles conflict on $table: victim " +
+            s"${vanished.head} was replaced by a concurrent writer — " +
+            "compaction aborted without committing; re-run against " +
+            "the new snapshot")
+      }
       val survivorEntries = entriesNow.filterNot(e => victims(e.path))
       def toAdded(e: IcebergTable.FileEntry): Added =
         Added(e.path, Files.size(Paths.get(e.path)), e.records,
@@ -2139,6 +2153,21 @@ object IcebergExport {
             "rewriteToCurrentSpec (validateNoNewDeletes): relayout " +
             "aborted without committing — re-run it against the " +
             "post-delete snapshot")
+      }
+      // "files to replace must exist" (mirrors rewriteDataFiles): a
+      // victim gone from the fresh snapshot means a concurrent
+      // rewrite already replaced it — our staged copy of its rows
+      // would DUPLICATE them
+      val liveNow = IcebergTable.dataFilesWithPartitions(
+        table, meta, snapNow).map(_.path).toSet
+      val vanished = victims -- liveNow
+      if (vanished.nonEmpty) {
+        added.foreach(a => Files.deleteIfExists(Paths.get(a.absPath)))
+        throw new java.util.ConcurrentModificationException(
+          s"rewriteToCurrentSpec conflict on $table: victim " +
+            s"${vanished.head} was replaced by a concurrent writer — " +
+            "relayout aborted without committing; re-run against the " +
+            "new snapshot")
       }
       val snapId2 = newSnapshotId()
       val schemaNode =

@@ -174,4 +174,28 @@ class IcebergCompactionSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSet
       == (0L until 40L).toSet - 7L)
   }
+
+  test("two racing compactions: one wins, the loser aborts — no duplicated rows") {
+    // RewriteFiles' "files to replace must exist": the loser's
+    // victims were already replaced by the winner; committing its own
+    // copies of their rows would DUPLICATE them. The seam runs a full
+    // competing compaction inside the read→commit window.
+    val t = tbl()
+    IcebergExport.create(
+      (0L until 60L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartition(6), t)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      IcebergExport.rewriteDataFiles(
+        spark, t, 64L * 1024 * 1024,
+        () => {
+          IcebergExport.rewriteDataFiles(spark, t, 64L * 1024 * 1024); ()
+        })
+    }
+    assert(ex.getMessage.contains("replaced by a concurrent writer"),
+      ex.getMessage)
+    // the winner's compaction holds; rows exactly once
+    val got = IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == (0L until 60L).toSeq, s"rows duplicated or lost")
+    assert(dataFiles(t).size == 1, "the winner's single file is current")
+  }
 }
