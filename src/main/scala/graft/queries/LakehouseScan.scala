@@ -268,6 +268,44 @@ object LakehouseScan {
       DeltaExport.compact(spark, t, 128L * 1024 * 1024)
     }
 
+  /** Row-tracking Delta customer maintained by TWO
+    * [[graft.sources.DeltaMerge]] commits (r15 — the MERGE
+    * id-preservation path under the hard gate): evens at v0 (ids =
+    * even-rank), odds at v1 (ids = nEvens + odd-rank), then an
+    * UpdateAll+insert merge at v2 (every `% 4 == 1` key updated —
+    * keeps its id, takes commit version 2; `% 100 == 0`-derived new
+    * keys inserted — fresh ids past the watermark) and a matched
+    * DELETE at v3 (`% 10 == 5`, retiring those ids forever).
+    */
+  private def deltaRtMergeCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("delta_rt_merge_customer", dir) { t =>
+      import graft.sources.DeltaMerge
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      DeltaExport.create(
+        cust.filter(col("c_custkey") % 2 === 0)
+          .orderBy(col("c_custkey")).coalesce(1), t, Nil,
+        Map("delta.enableRowTracking" -> "true"))
+      DeltaExport.append(
+        cust.filter(col("c_custkey") % 2 === 1)
+          .orderBy(col("c_custkey")).coalesce(1), t)
+      val updates = cust.filter(col("c_custkey") % 4 === 1)
+        .withColumn("c_name", concat(lit("U:"), col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val inserts = cust.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("N:"), col("c_name")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"))
+      DeltaMerge.merge(spark, t, updates.unionByName(inserts),
+        Seq("c_custkey"), Some(DeltaMerge.UpdateAll),
+        insertNotMatched = true)
+      DeltaMerge.merge(spark, t,
+        cust.filter(col("c_custkey") % 10 === 5),
+        Seq("c_custkey"), Some(DeltaMerge.DeleteMatched),
+        insertNotMatched = false)
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -297,6 +335,7 @@ object LakehouseScan {
     icebergEvolvedCustomer(spark, dir)
     icebergRelayoutCustomer(spark, dir)
     deltaRowTrackedCustomer(spark, dir)
+    deltaRtMergeCustomer(spark, dir)
     icebergOrders(spark, dir)
     icebergLineitem(spark, dir)
     icebergV3Supplier(spark, dir)
@@ -513,7 +552,31 @@ object LakehouseScan {
         col("_row_commit_version").as("row_commit"))
       .orderBy(col("c_custkey"))
 
+  /** x35 — row tracking through MERGE under the hard gate: updated
+    * rows must keep their exact pre-merge `_row_id` while taking the
+    * merge commit's version, carried rows keep both, deleted ids
+    * vanish, and inserted rows' ids — whose physical placement is
+    * layout-dependent — are hash-gated as the PREDICATE "fresh: above
+    * the pre-merge watermark" (deterministic where the raw value is
+    * not). The oracle replays the id assignment and both merges in
+    * SQL.
+    */
+  def deltaRtMergeScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = deltaRtMergeCustomer(spark, dir)
+    // the pre-merge watermark: every customer row got one id
+    val hwm = spark.read.parquet(s"$dir/customer.parquet").count() - 1
+    graft.sources.DeltaRowTracking.readRowIds(spark, t)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"),
+        when(col("c_custkey") >= 1000000L,
+          (col("_row_id") > lit(hwm)).cast("bigint"))
+          .otherwise(col("_row_id")).as("row_id"),
+        col("_row_commit_version").as("row_commit"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x35_delta_rt_merge" -> deltaRtMergeScan,
     "x34_delta_row_ids" -> deltaRowIdsScan,
     "x33_iceberg_relayout" -> icebergRelayoutScan,
     "x22_delta_scan" -> deltaScan,
@@ -530,6 +593,35 @@ object LakehouseScan {
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
+    "x35_delta_rt_merge" ->
+      """WITH ids AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                  CAST(row_number() OVER (
+                    PARTITION BY c_custkey % 2 ORDER BY c_custkey) - 1
+                    + CASE WHEN c_custkey % 2 = 1
+                        THEN (SELECT count(*) FROM customer
+                              WHERE c_custkey % 2 = 0)
+                        ELSE 0 END AS BIGINT) AS rid,
+                  CAST(c_custkey % 2 AS BIGINT) AS rvc
+           FROM customer),
+         merged AS (
+           SELECT c_custkey, 'U:' || c_name AS c_name, c_nationkey,
+                  c_acctbal + 100.0 AS c_acctbal, rid AS row_id,
+                  CAST(2 AS BIGINT) AS row_commit
+           FROM ids WHERE c_custkey % 4 = 1
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                  rid AS row_id, rvc AS row_commit
+           FROM ids WHERE c_custkey % 4 <> 1
+           UNION ALL
+           SELECT c_custkey + 1000000, 'N:' || c_name, c_nationkey,
+                  c_acctbal, CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+           FROM customer WHERE c_custkey % 100 = 0)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                row_id, row_commit
+         FROM merged
+         WHERE c_custkey % 10 <> 5
+         ORDER BY c_custkey""",
     "x34_delta_row_ids" ->
       """WITH base AS (
            SELECT c_custkey, c_name, c_nationkey, c_acctbal,

@@ -217,7 +217,8 @@ object DeltaExport {
       table: String, rel: String, pv: Map[String, String],
       conf: Option[org.apache.hadoop.conf.Configuration] = None,
       dataChange: Boolean = true,
-      rowId: Option[(Long, Long)] = None): String = {
+      rowId: Option[(Long, Long)] = None,
+      tags: Map[String, String] = Map.empty): String = {
     val size = Files.size(Paths.get(table, rel))
     val pvJson = pv.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
@@ -230,7 +231,14 @@ object DeltaExport {
     val rowPart = rowId.map { case (b, v) =>
       s""","baseRowId":$b,"defaultRowCommitVersion":$v"""
     }.getOrElse("")
-    s"""{"add":{"path":"${enc(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(Paths.get(table, rel)).toMillis},"dataChange":$dataChange$stats$rowPart}}"""
+    // add.tags — recorded at write time so readers know file facts
+    // (e.g. materialized row-id columns) without footer probes
+    val tagsPart =
+      if (tags.isEmpty) ""
+      else tags.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString(""","tags":{""", ",", "}")
+    s"""{"add":{"path":"${enc(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":${Files.getLastModifiedTime(Paths.get(table, rel)).toMillis},"dataChange":$dataChange$stats$rowPart$tagsPart}}"""
   }
 
   /** Footer record count of one staged file (bounded driver read) —
@@ -370,7 +378,8 @@ object DeltaExport {
           val n = recordCount(
             hconf, Paths.get(table, rel).toAbsolutePath.toString)
           val l = addJson(table, rel, partitionValuesOf(rel, partitionBy),
-            Some(hconf), rowId = Some((next, 0L)))
+            Some(hconf), rowId = Some((next, 0L)),
+            tags = DeltaRowTracking.matTag(false))
           next += n
           l
         }
@@ -411,7 +420,13 @@ object DeltaExport {
     while (!committed) {
       val target = DeltaLog.stateAt(spark, table, Some(version))
       val cur = DeltaLog.stateAt(spark, table, None)
-      DeltaRowTracking.requireOff(cur, "RESTORE")
+      // ROW TRACKING through RESTORE (r15): re-adds carry the target
+      // snapshot's (baseRowId, defaultRowCommitVersion) verbatim, so
+      // restored rows come back under their ORIGINAL ids — below the
+      // current watermark by construction (it never decreased), and
+      // the domain is NOT re-emitted, so the watermark stays at its
+      // high point and post-restore appends never collide with ids
+      // that existed in ANY version (resurrected or still removed)
       val reAdds = target.active.values.toSeq.sortBy(_.path).filter { a =>
         cur.active.get(a.path) match {
           case None => true
@@ -465,7 +480,19 @@ object DeltaExport {
           .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
         val dvPart = a.dv
           .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
-        s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(abs)},"modificationTime":${Files.getLastModifiedTime(abs).toMillis},"dataChange":true$statsPart$dvPart}}"""
+        // row-tracking fields + tags re-serialize from the TARGET
+        // snapshot — dropping them would re-identify restored rows
+        val rowPart = (a.baseRowId, a.defaultRowCommitVersion) match {
+          case (Some(b), Some(dcv)) =>
+            s""","baseRowId":$b,"defaultRowCommitVersion":$dcv"""
+          case _ => ""
+        }
+        val tagsPart =
+          if (a.tags.isEmpty) ""
+          else a.tags.toSeq.sortBy(_._1)
+            .map { case (k, tv) => s""""${esc(k)}":"${esc(tv)}"""" }
+            .mkString(""","tags":{""", ",", "}")
+        s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(abs)},"modificationTime":${Files.getLastModifiedTime(abs).toMillis},"dataChange":true$statsPart$dvPart$rowPart$tagsPart}}"""
       }
       val lines = metaLine ++ removeLines ++ addLines :+
         s"""{"commitInfo":{"operation":"RESTORE","operationParameters":{"version":"$version"}}}"""
@@ -570,6 +597,23 @@ object DeltaExport {
       // recompute against the current state: a lost claim means
       // another writer's commit may itself have changed metaData
       val st = DeltaLog.stateAt(spark, table, None)
+      // enabling ROW TRACKING after the fact is a full migration, not
+      // a property flip: protocol upgrade declaring rowTracking +
+      // domainMetadata, materialized column-name configuration and a
+      // baseRowId backfill over every existing file — none of which a
+      // metadata-only commit performs. Without them subsequent appends
+      // would write row-tracking actions under a protocol that never
+      // declared the features and readers would emit null ids for all
+      // pre-existing rows. Refused loudly (the requireOff discipline);
+      // create the table with the property instead.
+      if (props.get("delta.enableRowTracking").contains("true")
+        && !DeltaRowTracking.enabled(st))
+        throw new IllegalArgumentException(
+          "enabling delta.enableRowTracking on an existing table needs " +
+            "the full enablement path (protocol upgrade + materialized " +
+            "column names + baseRowId backfill), which a SET " +
+            "TBLPROPERTIES commit cannot perform — create the table " +
+            "with the property instead")
       val merged = st.configuration ++ props
       val conf = merged.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
@@ -636,7 +680,8 @@ object DeltaExport {
         var next = DeltaRowTracking.highWaterMark(st) + 1
         val addLines = counts.map { case (rel, n) =>
           val l = addJson(table, rel, partitionValuesOf(rel, partitionBy),
-            Some(hconf), rowId = Some((next, v)))
+            Some(hconf), rowId = Some((next, v)),
+            tags = DeltaRowTracking.matTag(false))
           next += n
           l
         }
@@ -684,20 +729,41 @@ object DeltaExport {
     val added = stageIn(df, table, partitionBy)
     var v = nextVersion(table)
     require(v > 0L, s"$table has no Delta log; use create")
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    // ROW TRACKING (r15): a full overwrite's rows are all NEW rows —
+    // fresh ids past the watermark, the replaced ids never reappear
+    val rowTracking0 =
+      DeltaRowTracking.enabled(DeltaLog.stateAt(spark, table, None))
+    val counts =
+      if (!rowTracking0) Map.empty[String, Long]
+      else added.map(rel => rel -> recordCount(
+        hconf, Paths.get(table, rel).toAbsolutePath.toString)).toMap
     var committed = false
     while (!committed) {
       if (replayed) return None
       val st = DeltaLog.stateAt(spark, table, None)
-      DeltaRowTracking.requireOff(st, "overwrite")
       val removes = st.active.keys.toSeq.sorted.map(p =>
         s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""")
       val txnLines = txn.toSeq.map { case (appId, batchId) =>
         s"""{"txn":{"appId":"${esc(appId)}","version":$batchId,"lastUpdated":${System.currentTimeMillis()}}}"""
       }
-      val lines = txnLines ++ removes ++
-        added.map(rel =>
-          addJson(table, rel, partitionValuesOf(rel, partitionBy),
-            Some(df.sparkSession.sparkContext.hadoopConfiguration))) :+
+      val addLines =
+        if (!DeltaRowTracking.enabled(st))
+          added.map(rel =>
+            addJson(table, rel, partitionValuesOf(rel, partitionBy),
+              Some(hconf)))
+        else {
+          var next = DeltaRowTracking.highWaterMark(st) + 1
+          added.map { rel =>
+            val l = addJson(table, rel, partitionValuesOf(rel, partitionBy),
+              Some(hconf), rowId = Some((next, v)),
+              tags = DeltaRowTracking.matTag(false))
+            next += counts.getOrElse(rel, recordCount(
+              hconf, Paths.get(table, rel).toAbsolutePath.toString))
+            l
+          } :+ DeltaRowTracking.domainJson(next - 1)
+        }
+      val lines = txnLines ++ removes ++ addLines :+
         s"""{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}"""
       committed = claim(table, v, lines)
       if (!committed) v = nextVersion(table)
@@ -832,9 +898,15 @@ object DeltaExport {
           s""","baseRowId":$b,"defaultRowCommitVersion":$dv0"""
         case _ => ""
       }
+      // the re-add keeps the file's tags (materialized-presence record)
+      val tagsPart =
+        if (a.tags.isEmpty) ""
+        else a.tags.toSeq.sortBy(_._1)
+          .map { case (k, tv) => s""""${esc(k)}":"${esc(tv)}"""" }
+          .mkString(""","tags":{""", ",", "}")
       Seq(
         s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true$oldDvPart}}""",
-        s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(Paths.get(abs))},"modificationTime":${Files.getLastModifiedTime(Paths.get(abs)).toMillis},"dataChange":true$statsPart$rowPart,"deletionVector":${dvJson(d)}}}""")
+        s"""{"add":{"path":"${esc(a.path)}","partitionValues":$pvJson,"size":${Files.size(Paths.get(abs))},"modificationTime":${Files.getLastModifiedTime(Paths.get(abs)).toMillis},"dataChange":true$statsPart$rowPart$tagsPart,"deletionVector":${dvJson(d)}}}""")
     }
     // first delete upgrades the protocol to the feature-gated form;
     // PROTOCOL.md: a table-features upgrade must ENUMERATE the
@@ -1045,7 +1117,8 @@ object DeltaExport {
               Paths.get(table, rel).toAbsolutePath.toString)
             val l = addJson(table, rel,
               partitionValuesOf(rel, physPartCols), conf,
-              dataChange = false, rowId = Some((next, v)))
+              dataChange = false, rowId = Some((next, v)),
+              tags = DeltaRowTracking.matTag(true))
             next += n
             l
           } :+ DeltaRowTracking.domainJson(next - 1)
@@ -1089,7 +1162,11 @@ object DeltaExport {
     require(st0.configuration
       .getOrElse("delta.columnMapping.mode", "none") == "none",
       "overwriteWhere on column-mapped tables is out of this writer's scope")
-    DeltaRowTracking.requireOff(st0, "overwriteWhere")
+    // ROW TRACKING (r15): replacement rows are NEW rows — delta-spark's
+    // own overwrite semantics assign them fresh ids past the watermark
+    // (the replaced rows' ids never reappear; untouched partitions'
+    // files keep theirs untouched)
+    val rowTracking = DeltaRowTracking.enabled(st0)
     require(st0.partitionCols == partitionBy,
       s"table is partitioned by ${st0.partitionCols.mkString(",")}, " +
         s"not ${partitionBy.mkString(",")}")
@@ -1108,6 +1185,11 @@ object DeltaExport {
     // hold — validated unchanged at commit time
     val base = filesIn(st0)
     val conf = Some(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val counts =
+      if (!rowTracking) Map.empty[String, Long]
+      else added.map(rel => rel -> recordCount(
+        hconf, Paths.get(table, rel).toAbsolutePath.toString)).toMap
     beforeCommit()
     var v = nextVersion(table)
     var committed = false
@@ -1121,10 +1203,26 @@ object DeltaExport {
             "this overwrite read them — aborted without committing " +
             "(the staged files are vacuum-reclaimable orphans); " +
             "re-run against the new snapshot")
+      // ROW-TRACKING adds take fresh base ids past the CURRENT
+      // watermark (per attempt — a lost claim means a contender
+      // advanced it) and bump the domain
+      val addLines =
+        if (!rowTracking)
+          added.map(rel =>
+            addJson(table, rel, partitionValuesOf(rel, partitionBy), conf))
+        else {
+          var next = DeltaRowTracking.highWaterMark(cur) + 1
+          added.map { rel =>
+            val l = addJson(table, rel, partitionValuesOf(rel, partitionBy),
+              conf, rowId = Some((next, v)),
+              tags = DeltaRowTracking.matTag(false))
+            next += counts(rel)
+            l
+          } :+ DeltaRowTracking.domainJson(next - 1)
+        }
       val lines = now.keys.toSeq.sorted.map(p =>
         s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true}}""") ++
-        added.map(rel =>
-          addJson(table, rel, partitionValuesOf(rel, partitionBy), conf)) :+
+        addLines :+
         s"""{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite","partitionBy":"[${partitionBy.mkString(",")}]"}}}"""
       committed = claim(table, v, lines)
       if (!committed) v = nextVersion(table)
@@ -1296,7 +1394,11 @@ object DeltaExport {
         // carried so checkpointing a row-tracking table cannot
         // silently re-identify rows
         StructField("baseRowId", LongType),
-        StructField("defaultRowCommitVersion", LongType)))),
+        StructField("defaultRowCommitVersion", LongType),
+        // carried so the materialized-presence record survives log
+        // cleanup (a dropped tag only costs a footer probe, but the
+        // zero-probe contract is spec-pinned)
+        StructField("tags", MapType(StringType, StringType))))),
       // live domainMetadata (rowIdHighWaterMark etc.) must survive
       // log cleanup — a checkpoint without it resets the watermark
       // and the next append would REUSE row ids
@@ -1324,7 +1426,8 @@ object DeltaExport {
               a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
                 d.offset, d.sizeInBytes, d.cardinality)).orNull,
               a.baseRowId.map(Long.box).orNull,
-              a.defaultRowCommitVersion.map(Long.box).orNull),
+              a.defaultRowCommitVersion.map(Long.box).orNull,
+              if (a.tags.isEmpty) null else a.tags),
             null)
         } ++
         st.domains.toSeq.sortBy(_._1).map { case (dom, c) =>

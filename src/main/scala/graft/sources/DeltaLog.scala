@@ -63,7 +63,12 @@ object DeltaLog {
       // position; the row's commit version defaults to this until a
       // rewrite materializes it
       baseRowId: Option[Long] = None,
-      defaultRowCommitVersion: Option[Long] = None)
+      defaultRowCommitVersion: Option[Long] = None,
+      // add.tags (PROTOCOL.md: opaque writer metadata) — this writer
+      // records whether the file physically carries the materialized
+      // row-id columns, so readers never footer-probe self-written
+      // files (foreign tables, lacking the tag, still probe)
+      tags: Map[String, String] = Map.empty)
   private[sources] case class State(
       schemaJson: Option[String],
       partitionCols: Seq[String],
@@ -151,8 +156,14 @@ object DeltaLog {
           && !ad.get("defaultRowCommitVersion").isNull)
           Some(ad.get("defaultRowCommitVersion").asLong())
         else None
+      val tags =
+        if (ad.has("tags") && !ad.get("tags").isNull) {
+          val o = ad.get("tags")
+          o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
+        } else Map.empty[String, String]
       s.copy(active =
-        s.active + (path -> AddFile(path, pv, stats, dv, baseRowId, defRcv)))
+        s.active + (path -> AddFile(path, pv, stats, dv, baseRowId, defRcv,
+          tags)))
     } else if (a.has("remove")) {
       s.copy(active = s.active - a.get("remove").get("path").asText())
     } else if (a.has("txn")) {
@@ -272,11 +283,15 @@ object DeltaLog {
       def optLong(name: String) =
         if (addFields.contains(name)) col(s"add.$name")
         else lit(null).cast("bigint").as(name)
+      val tagsCol =
+        if (addFields.contains("tags")) col("add.tags")
+        else lit(null).cast("map<string,string>").as("tags")
       val adds = df
         .select(col("add.path"), col("add.partitionValues"),
           if (addFields.contains("stats")) col("add.stats")
           else lit(null).cast("string").as("stats"),
-          dvCol, optLong("baseRowId"), optLong("defaultRowCommitVersion"))
+          dvCol, optLong("baseRowId"), optLong("defaultRowCommitVersion"),
+          tagsCol)
         .filter(col("path").isNotNull).collect()
         .map { r =>
           val dv = Option(r.getStruct(3)).filter(!_.isNullAt(0)).map(s =>
@@ -289,7 +304,9 @@ object DeltaLog {
             Option(r.getString(2)),
             dv,
             if (r.isNullAt(4)) None else Some(r.getLong(4)),
-            if (r.isNullAt(5)) None else Some(r.getLong(5)))
+            if (r.isNullAt(5)) None else Some(r.getLong(5)),
+            Option(r.getMap[String, String](6))
+              .map(_.toMap).getOrElse(Map.empty))
         }
       st = st.copy(active = st.active ++ adds)
     }
@@ -297,12 +314,25 @@ object DeltaLog {
     // dropped the domainMetadata rows would silently reset the
     // rowIdHighWaterMark and the next append would REUSE row ids
     if (cols.contains("domainMetadata")) {
+      // a FOREIGN checkpoint may retain removed=true tombstones until
+      // their expiry (PROTOCOL.md) — replaying one as a live domain
+      // would resurrect a stale delta.rowTracking watermark; the JSON
+      // replay path already skips them, so must this one
+      val dmFields = df.schema("domainMetadata").dataType
+        .asInstanceOf[StructType].fieldNames.toSet
+      val removedCol =
+        if (dmFields.contains("removed")) col("domainMetadata.removed")
+        else lit(null).cast("boolean").as("removed")
       val ds = df
         .select(col("domainMetadata.domain"),
-          col("domainMetadata.configuration"))
+          col("domainMetadata.configuration"), removedCol)
         .filter(col("domain").isNotNull).collect()
-        .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
-      st = st.copy(domains = st.domains ++ ds)
+      val (tombs, live) =
+        ds.partition(r => !r.isNullAt(2) && r.getBoolean(2))
+      st = st.copy(domains = st.domains ++
+        live.map(r => r.getString(0) ->
+          Option(r.getString(1)).getOrElse("")) --
+        tombs.map(_.getString(0)))
     }
     st
   }

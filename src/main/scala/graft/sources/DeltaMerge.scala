@@ -130,6 +130,13 @@ object DeltaMerge {
     require(st.configuration
       .getOrElse("delta.columnMapping.mode", "none") == "none",
       "applyChanges on column-mapped tables is out of this writer's scope")
+    // ROW TRACKING through CDC-apply — same id discipline as [[merge]]:
+    // carried rows keep (id, version) materialized, upserted-matched
+    // rows keep their id with this commit's version, inserts get
+    // fresh ids, deletes' ids never reappear
+    val rowTracking = DeltaRowTracking.enabled(st)
+    val (ridCol, rvcCol) =
+      if (rowTracking) DeltaRowTracking.matColNames(st) else ("", "")
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
     val dataSchema = StructType(
       schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
@@ -144,9 +151,13 @@ object DeltaMerge {
       else {
         val filesAbs = st.active.values.toSeq.map(a =>
           DeltaLog.absPath(table, a.path))
-        val base = spark.read.schema(dataSchema).parquet(filesAbs: _*)
-          .select(col("*"), canonF.as("__f"),
-            col("_metadata.row_index").as("__i"))
+        val base =
+          if (rowTracking)
+            DeltaRowTracking.scanForRewrite(spark, table, st,
+              st.active.values.toSeq.sortBy(_.path), dataSchema)
+          else spark.read.schema(dataSchema).parquet(filesAbs: _*)
+            .select(col("*"), canonF.as("__f"),
+              col("_metadata.row_index").as("__i"))
         val dvPairs: Seq[(String, Long)] = st.active.values.toSeq
           .flatMap(a => a.dv.toSeq.flatMap(d =>
             DeltaDv.indexesOf(table, d)
@@ -185,23 +196,39 @@ object DeltaMerge {
     }
     val touchedLive = targetLive.map(
       _.join(touchedDf, col("__tf") === col("__f"), "left_semi"))
+    import org.apache.spark.sql.types.LongType
+    val rtKeep: Seq[Column] =
+      if (!rowTracking) Nil else Seq(col(ridCol), col(rvcCol))
+    val rtUpdated: Seq[Column] =
+      if (!rowTracking) Nil
+      else Seq(col(ridCol), lit(null).cast(LongType).as(rvcCol))
+    val rtFresh: Seq[Column] =
+      if (!rowTracking) Nil
+      else Seq(lit(null).cast(LongType).as(ridCol),
+        lit(null).cast(LongType).as(rvcCol))
     val keepRows =
       if (touched.isEmpty) None
       else touchedLive.map(
-        _.join(srcKeys, keys, "left_anti").select(outCols: _*))
+        _.join(srcKeys, keys, "left_anti").select(outCols ++ rtKeep: _*))
     val updatedRows =
       if (touched.isEmpty) None
-      else touchedLive.map { t =>
+      else if (!rowTracking) touchedLive.map { t =>
         source.filter(!col("__is_del"))
           .join(t.select(keys.map(col): _*), keys, "left_semi")
           .select(outCols: _*)
       }
+      else touchedLive.map { t =>
+        source.filter(!col("__is_del"))
+          .join(t.select(keys.map(col) :+ col(ridCol): _*), keys)
+          .select(outCols ++ rtUpdated: _*)
+      }
     val insertRows = Some(targetLive match {
-      case None => source.filter(!col("__is_del")).select(outCols: _*)
+      case None =>
+        source.filter(!col("__is_del")).select(outCols ++ rtFresh: _*)
       case Some(t) =>
         source.filter(!col("__is_del"))
           .join(t.select(keys.map(col): _*), keys, "left_anti")
-          .select(outCols: _*)
+          .select(outCols ++ rtFresh: _*)
     })
     if (touched.isEmpty && !insertRows.exists(r => !r.isEmpty)) {
       if (txn.isEmpty) return None
@@ -244,10 +271,13 @@ object DeltaMerge {
               t.join(delK, keys, "left_semi").select(outCols: _*)
                 .withColumn("_change_type", lit("delete")))
         }.filter(_ => touched.nonEmpty)
+        val tableCols = schema.fieldNames.map(col).toSeq
         val post = updatedRows.filter(_ => touched.nonEmpty).map(
-          _.withColumn("_change_type", lit("update_postimage")))
+          _.select(tableCols: _*)
+            .withColumn("_change_type", lit("update_postimage")))
         val ins = insertRows.map(
-          _.withColumn("_change_type", lit("insert")))
+          _.select(tableCols: _*)
+            .withColumn("_change_type", lit("insert")))
         val changes = (pre.toSeq ++ post.toSeq ++ ins.toSeq)
           .reduceOption(_.unionByName(_))
         changes match {
@@ -280,13 +310,14 @@ object DeltaMerge {
         .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
       s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true$dvPart}}"""
     }
-    val adds = staged.map(rel =>
-      addJson(table, rel, partitionValuesOf(rel, st.partitionCols), conf))
     val txnLines = txn.toSeq.map { case (appId, batchV) =>
       s"""{"txn":{"appId":"${esc(appId)}","version":$batchV}}"""
     }
-    val lines = txnLines ++ cdcLines ++ removes ++ adds :+
-      s"""{"commitInfo":{"operation":"MERGE"}}"""
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val counts =
+      if (!rowTracking) Map.empty[String, Long]
+      else staged.map(rel => rel -> recordCount(
+        hconf, Paths.get(table, rel).toAbsolutePath.toString)).toMap
     var v = nextVersion(table)
     var committed = false
     while (!committed) {
@@ -307,6 +338,24 @@ object DeltaMerge {
           s"MERGE conflict on $table: a concurrent writer changed the " +
             "active file set since this merge read its snapshot — " +
             "aborted without committing; re-run against the new state")
+      val adds =
+        if (!rowTracking)
+          staged.map(rel =>
+            addJson(table, rel, partitionValuesOf(rel, st.partitionCols),
+              conf))
+        else {
+          var next = DeltaRowTracking.highWaterMark(cur) + 1
+          staged.map { rel =>
+            val l = addJson(table, rel,
+              partitionValuesOf(rel, st.partitionCols), conf,
+              rowId = Some((next, v)),
+              tags = DeltaRowTracking.matTag(true))
+            next += counts(rel)
+            l
+          } :+ DeltaRowTracking.domainJson(next - 1)
+        }
+      val lines = txnLines ++ cdcLines ++ removes ++ adds :+
+        s"""{"commitInfo":{"operation":"MERGE"}}"""
       committed = claim(table, v, lines)
       if (!committed) v = nextVersion(table)
     }
@@ -337,7 +386,19 @@ object DeltaMerge {
     require(st.configuration
       .getOrElse("delta.columnMapping.mode", "none") == "none",
       "merge on column-mapped tables is out of this writer's scope")
-    DeltaRowTracking.requireOff(st, "merge")
+    // ROW TRACKING through MERGE (r15): the copy-on-write rewrite
+    // preserves each surviving row's id — carried rows AND
+    // matched-updated rows materialize (id, commit version) into the
+    // config-named columns exactly like OPTIMIZE, except an UPDATED
+    // row's commit version becomes THIS commit's (its content
+    // changed): its materialized slot stays null and the add's
+    // defaultRowCommitVersion covers it. Inserted rows leave both
+    // slots null — fresh id = baseRowId + position, version = default
+    // — and deleted rows' ids simply never reappear (the watermark
+    // only grows). delta-spark's own MERGE-under-row-tracking shape.
+    val rowTracking = DeltaRowTracking.enabled(st)
+    val (ridCol, rvcCol) =
+      if (rowTracking) DeltaRowTracking.matColNames(st) else ("", "")
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
     val cols = schema.fields.map(_.name).toSeq
     keys.foreach(k => require(cols.contains(k), s"key $k not in table schema"))
@@ -364,9 +425,16 @@ object DeltaMerge {
       else {
         val filesAbs = st.active.values.toSeq.map(a =>
           DeltaLog.absPath(table, a.path))
-        val base = spark.read.schema(dataSchema).parquet(filesAbs: _*)
-          .select(col("*"), canonF.as("__f"),
-            col("_metadata.row_index").as("__i"))
+        // a ROW-TRACKING target scans with each row's (id, commit
+        // version) attached — materialized-or-computed, the
+        // scanForRewrite frame — so the rewrite can carry them
+        val base =
+          if (rowTracking)
+            DeltaRowTracking.scanForRewrite(spark, table, st,
+              st.active.values.toSeq.sortBy(_.path), dataSchema)
+          else spark.read.schema(dataSchema).parquet(filesAbs: _*)
+            .select(col("*"), canonF.as("__f"),
+              col("_metadata.row_index").as("__i"))
         val dvPairs: Seq[(String, Long)] = st.active.values.toSeq
           .flatMap(a => a.dv.toSeq.flatMap(d =>
             DeltaDv.indexesOf(table, d)
@@ -428,19 +496,38 @@ object DeltaMerge {
       }
 
     // ---- the rewrite + insert frames -------------------------------
+    // row-tracking frames append the two materialized columns: kept
+    // rows carry (id, version) verbatim, updated rows carry their
+    // PRESERVED id with a null version (defaulted to this commit),
+    // inserts carry neither (fresh id from baseRowId + position)
+    import org.apache.spark.sql.types.LongType
+    val rtKeep: Seq[Column] =
+      if (!rowTracking) Nil else Seq(col(ridCol), col(rvcCol))
+    val rtUpdated: Seq[Column] =
+      if (!rowTracking) Nil
+      else Seq(col(ridCol), lit(null).cast(LongType).as(rvcCol))
+    val rtFresh: Seq[Column] =
+      if (!rowTracking) Nil
+      else Seq(lit(null).cast(LongType).as(ridCol),
+        lit(null).cast(LongType).as(rvcCol))
     val keepRows =
       if (touched.isEmpty) None
       else touchedLive.map(
-        _.join(srcKeys, keys, "left_anti").select(outCols: _*))
+        _.join(srcKeys, keys, "left_anti").select(outCols ++ rtKeep: _*))
     val updatedRows =
-      if (matched.contains(UpdateAll) && touched.nonEmpty) matchedSrc
-      else None
+      if (!(matched.contains(UpdateAll) && touched.nonEmpty)) None
+      else if (!rowTracking) matchedSrc
+      else touchedLive.map(t =>
+        srcAligned.join(
+          t.select(keys.map(col) :+ col(ridCol): _*), keys)
+          .select(outCols ++ rtUpdated: _*))
     val insertRows =
       if (!insertNotMatched) None
       else Some(targetLive match {
-        case None => srcAligned
+        case None => srcAligned.select(outCols ++ rtFresh: _*)
         case Some(t) =>
           srcAligned.join(t.select(keys.map(col): _*), keys, "left_anti")
+            .select(outCols ++ rtFresh: _*)
       })
     val newData = (keepRows.toSeq ++ updatedRows.toSeq ++ insertRows.toSeq)
       .reduceOption(_.unionByName(_))
@@ -466,10 +553,15 @@ object DeltaMerge {
               lit(if (matched.contains(UpdateAll)) "update_preimage"
               else "delete"))
           }
+        // change files carry the TABLE's columns only — the rt frames'
+        // materialized id columns are rewrite plumbing, not change data
+        val tableCols = schema.fieldNames.map(col).toSeq
         val post = updatedRows.map(
-          _.withColumn("_change_type", lit("update_postimage")))
+          _.select(tableCols: _*)
+            .withColumn("_change_type", lit("update_postimage")))
         val ins = insertRows.map(
-          _.withColumn("_change_type", lit("insert")))
+          _.select(tableCols: _*)
+            .withColumn("_change_type", lit("insert")))
         val changes = (pre.toSeq ++ post.toSeq ++ ins.toSeq)
           .reduceOption(_.unionByName(_))
         changes match {
@@ -503,10 +595,13 @@ object DeltaMerge {
         .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
       s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true$dvPart}}"""
     }
-    val adds = staged.map(rel =>
-      addJson(table, rel, partitionValuesOf(rel, st.partitionCols), conf))
-    val lines = cdcLines ++ removes ++ adds :+
-      s"""{"commitInfo":{"operation":"MERGE"}}"""
+    // staged row counts once (bounded footer reads) — the rt claim
+    // loop re-derives base ids per attempt but never re-counts
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val counts =
+      if (!rowTracking) Map.empty[String, Long]
+      else staged.map(rel => rel -> recordCount(
+        hconf, Paths.get(table, rel).toAbsolutePath.toString)).toMap
     beforeCommit()
     var v = nextVersion(table)
     var committed = false
@@ -526,6 +621,28 @@ object DeltaMerge {
           s"MERGE conflict on $table: a concurrent writer changed the " +
             "active file set since this merge read its snapshot — " +
             "aborted without committing; re-run against the new state")
+      // ROW-TRACKING adds take fresh base ids past the CURRENT
+      // watermark and THIS attempt's version as the default commit
+      // version (covers updated + inserted rows, whose materialized
+      // slots are null); carried rows' materialized values shadow
+      val adds =
+        if (!rowTracking)
+          staged.map(rel =>
+            addJson(table, rel, partitionValuesOf(rel, st.partitionCols),
+              conf))
+        else {
+          var next = DeltaRowTracking.highWaterMark(cur) + 1
+          staged.map { rel =>
+            val l = addJson(table, rel,
+              partitionValuesOf(rel, st.partitionCols), conf,
+              rowId = Some((next, v)),
+              tags = DeltaRowTracking.matTag(true))
+            next += counts(rel)
+            l
+          } :+ DeltaRowTracking.domainJson(next - 1)
+        }
+      val lines = cdcLines ++ removes ++ adds :+
+        s"""{"commitInfo":{"operation":"MERGE"}}"""
       committed = claim(table, v, lines)
       if (!committed) v = nextVersion(table)
     }

@@ -31,11 +31,17 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   *     materialized value over the computed one (coalesce), so ids
   *     survive the rewrite even though positions changed.
   *
-  * Scope bound (documented, loud): row-tracking tables refuse column
-  * mapping, MERGE, overwriteWhere, RESTORE, Z-ORDER and SHALLOW CLONE
-  * in this writer — each needs its own id-preservation argument; the
-  * supported surface (create/append/deleteWhere/OPTIMIZE/checkpoint/
-  * time travel) is the lifecycle the spec tests pin end to end.
+  * Supported surface (r15, the MERGE/overwrite/RESTORE refusals
+  * lifted): create/append/deleteWhere/OPTIMIZE/checkpoint/time
+  * travel, MERGE + applyChanges (carried and updated rows keep their
+  * ids — updated rows take this commit's version; inserts get fresh
+  * ids; deleted ids never reappear), overwrite/overwriteWhere
+  * (replacement rows are NEW rows with fresh ids, delta-spark's own
+  * semantics) and RESTORE (re-adds re-serialize their original id
+  * assignment; the watermark never rewinds). Scope bound (documented,
+  * loud): column mapping, Z-ORDER, SHALLOW CLONE and appendBatch
+  * still refuse — each needs its own id-preservation argument the
+  * spec tests would then pin.
   */
 object DeltaRowTracking {
   private val mapper = new ObjectMapper()
@@ -58,21 +64,64 @@ object DeltaRowTracking {
   private[sources] def domainJson(highWaterMark: Long): String =
     s"""{"domainMetadata":{"domain":"$Domain","configuration":"{\\"rowIdHighWaterMark\\":$highWaterMark}","removed":false}}"""
 
+  /** The configured materialized column names — the two physical
+    * columns an id-preserving rewrite writes; loud when a foreign
+    * table never chose them (its commits could not record ours).
+    */
+  private[sources] def matColNames(st: DeltaLog.State): (String, String) = {
+    def named(key: String): String = st.configuration.getOrElse(key,
+      throw new IllegalArgumentException(
+        s"rewriting a row-tracking table without $key configured " +
+          "(a foreign table that never chose materialized column " +
+          "names): refused rather than inventing names this writer's " +
+          "commit would not record"))
+    (named(RowIdColKey), named(RowCommitColKey))
+  }
+
   private[sources] def requireOff(st: DeltaLog.State, op: String): Unit =
     require(!enabled(st),
       s"$op on a row-tracking table is out of this writer's scope: " +
         "it would need its own row-id preservation path — refused " +
         "rather than silently re-identifying or losing rows")
 
-  /** Whether a data file physically carries the materialized row-id
-    * column — one bounded driver footer read per file, cached (data
-    * files are immutable). Mirrors the Iceberg-side probe.
+  /** add.tags key this writer stamps on every row-tracking add,
+    * recording whether the file physically carries the materialized
+    * columns — so readers of self-written tables do ZERO footer
+    * probes (r15, the r14 verdict's metadata-scan nit: at 10⁶ files
+    * the probe was a driver-side footer read per file per cold
+    * session; the writer knew the answer at write time).
     */
+  private[sources] val MatTagKey = "graft.rowIdsMaterialized"
+  private[sources] def matTag(materialized: Boolean): Map[String, String] =
+    Map(MatTagKey -> materialized.toString)
+
+  /** Footer probes actually performed (cache misses) — spec-pinned to
+    * ZERO on self-written tables.
+    */
+  private[sources] val footerProbes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Whether a data file physically carries the materialized row-id
+    * column. The add's write-time tag answers first (no I/O); only
+    * FOREIGN adds — no tag — fall back to one bounded driver footer
+    * read per file, cached (data files are immutable). Mirrors the
+    * Iceberg-side probe.
+    */
+  private def hasMaterialized(
+      spark: SparkSession, table: String, a: DeltaLog.AddFile,
+      colName: String): Boolean =
+    a.tags.get(MatTagKey) match {
+      case Some(v) => v == "true"
+      case None =>
+        footerHas(spark, DeltaLog.absPath(table, a.path), colName)
+    }
+
   private val matCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def footerHas(
       spark: SparkSession, path: String, colName: String): Boolean =
     matCache.computeIfAbsent(s"$path#$colName", { _: String =>
+      footerProbes.incrementAndGet()
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(path),
@@ -83,29 +132,34 @@ object DeltaRowTracking {
       finally reader.close()
     }).booleanValue()
 
-  /** The rewrite source for OPTIMIZE on a row-tracking table: exactly
-    * `adds`' rows as `dataSchema` columns PLUS the two MATERIALIZED
-    * columns (config-named) carrying each row's id and commit version
-    * — coalesced from already-materialized values or computed
-    * baseRowId + position — plus `__f`/`__i` for the caller's DV
-    * purge. Writing this frame out IS the id-preserving rewrite.
+  /** The rewrite source for OPTIMIZE / MERGE on a row-tracking table:
+    * exactly `adds`' rows as `dataSchema` columns PLUS the two
+    * MATERIALIZED columns (config-named) carrying each row's id and
+    * commit version — coalesced from already-materialized values or
+    * computed baseRowId + position — plus `__f`/`__i` for the
+    * caller's DV purge. Writing this frame out IS the id-preserving
+    * rewrite.
     */
   private[sources] def scanForRewrite(
       spark: SparkSession, table: String, st: DeltaLog.State,
       adds: Seq[DeltaLog.AddFile], dataSchema: StructType): DataFrame = {
     def named(key: String): String = st.configuration.getOrElse(key,
       throw new IllegalArgumentException(
-        s"OPTIMIZE on a row-tracking table without $key configured " +
+        s"rewriting a row-tracking table without $key configured " +
           "(a foreign table that never chose materialized column " +
           "names): refused rather than inventing names this writer's " +
           "commit would not record"))
     val ridCol = named(RowIdColKey)
     val rvcCol = named(RowCommitColKey)
+    adds.find(_.baseRowId.isEmpty).foreach(a =>
+      throw new IllegalArgumentException(
+        s"rewrite victim ${a.path} has no baseRowId (un-backfilled " +
+          "foreign table) — refused rather than materializing null ids"))
     val canon = regexp_replace(
       url_decode(regexp_replace(
         col("_metadata.file_path"), "^file:/*", "/")), "/+", "/")
     val (mat, plain) = adds.partition(a =>
-      footerHas(spark, DeltaLog.absPath(table, a.path), ridCol))
+      hasMaterialized(spark, table, a, ridCol))
     val branches = Seq((plain, false), (mat, true))
       .filter(_._1.nonEmpty).map { case (fs, hasMat) =>
         val paths = fs.map(a => DeltaLog.absPath(table, a.path))
@@ -164,6 +218,16 @@ object DeltaRowTracking {
     val dataSchema = StructType(
       schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
     val files = st.active.values.toSeq.sortBy(_.path)
+    // a FOREIGN table that enabled row tracking mid-life without a
+    // baseRowId backfill has active files with NO id assignment —
+    // emitting null lineage for them would contradict this module's
+    // refuse-loudly discipline (a consumer keyed on _row_id would
+    // silently collapse every such row onto null)
+    files.find(_.baseRowId.isEmpty).foreach(a =>
+      throw new IllegalArgumentException(
+        s"$table has active files without baseRowId (first: ${a.path}) " +
+          "— a table that enabled row tracking without backfilling id " +
+          "assignments; refused rather than emitting null lineage"))
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -177,7 +241,7 @@ object DeltaRowTracking {
     // and without — each reads its own physical shape, both emit the
     // same __mat_* columns so the union is shape-identical
     val (mat, plain) = files.partition(a =>
-      footerHas(spark, DeltaLog.absPath(table, a.path), ridCol))
+      hasMaterialized(spark, table, a, ridCol))
     val branches = Seq(
       (plain, false),
       (mat, true)).filter(_._1.nonEmpty).map { case (fs, hasMat) =>

@@ -125,6 +125,223 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(idsOf(t)(50L) == ((4L, DeltaLog.version(spark, t))))
   }
 
+  test("MERGE preserves ids: update keeps, insert fresh, delete never reused") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t, Nil, rt()) // ids 0-5 @ v0
+    val before = idsOf(t)
+    val v1 = DeltaMerge.merge(spark, t,
+      Seq((2L, "upd"), (100L, "new")).toDF("id", "s"), Seq("id"),
+      Some(DeltaMerge.UpdateAll), insertNotMatched = true).get
+    val after = idsOf(t)
+    // carried rows keep BOTH id and commit version through the rewrite
+    (0L until 6L).filterNot(_ == 2L).foreach { k =>
+      assert(after(k) == before(k), s"carried $k: ${after(k)} vs ${before(k)}")
+    }
+    // the updated row keeps its id; its commit version becomes the
+    // merge commit's (content changed)
+    assert(after(2L) == ((before(2L)._1, v1)), s"${after(2L)}")
+    // the inserted row takes a FRESH id past the pre-merge watermark
+    assert(after(100L)._1 > 5L && after(100L)._2 == v1, s"${after(100L)}")
+    assert(after.values.map(_._1).toSeq.distinct.size == after.size)
+    // the update is real, not just id bookkeeping
+    assert(DeltaLog.read(spark, t).filter(col("id") === 2L)
+      .select(col("s")).head().getString(0) == "upd")
+    // a matched DELETE retires the id forever
+    val deadId = before(3L)._1
+    DeltaMerge.merge(spark, t,
+      Seq((3L, "x")).toDF("id", "s"), Seq("id"),
+      Some(DeltaMerge.DeleteMatched), insertNotMatched = false)
+    val afterDel = idsOf(t)
+    assert(!afterDel.contains(3L))
+    assert(!afterDel.values.exists(_._1 == deadId))
+    DeltaExport.append(Seq((200L, "n")).toDF("id", "s").coalesce(1), t)
+    val last = idsOf(t)
+    assert(last(200L)._1 > afterDel.values.map(_._1).max
+      && last(200L)._1 != deadId, s"${last(200L)}")
+  }
+
+  test("applyChanges preserves ids through CDC-apply") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 4L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t, Nil, rt())
+    val before = idsOf(t)
+    val changes = Seq[(Long, String, String)](
+      (1L, "upd", "update_postimage"), (2L, "x", "delete"),
+      (40L, "new", "insert")).toDF("id", "s", "_change_type")
+    val v = DeltaMerge.applyChanges(spark, t, changes, Seq("id")).get
+    val after = idsOf(t)
+    assert(after(1L) == ((before(1L)._1, v)), s"${after(1L)}")
+    assert(after(0L) == before(0L) && after(3L) == before(3L))
+    assert(!after.contains(2L))
+    assert(after(40L)._1 > 3L && after(40L)._2 == v, s"${after(40L)}")
+  }
+
+  test("overwriteWhere: fresh ids for replaced partitions, untouched keep") {
+    val t = tbl()
+    DeltaExport.create(
+      Seq((0L, "a", "p1"), (1L, "b", "p1"), (2L, "c", "p2"))
+        .toDF("id", "s", "p").coalesce(1), t, Seq("p"), rt())
+    val before = idsOf(t)
+    val hwm0 = DeltaRowTracking.highWaterMark(DeltaLog.stateAt(spark, t, None))
+    DeltaExport.overwriteWhere(
+      Seq((10L, "x", "p1"), (11L, "y", "p1")).toDF("id", "s", "p")
+        .coalesce(1), t, Seq("p"))
+    val after = idsOf(t)
+    assert(after(2L) == before(2L), "untouched partition keeps its ids")
+    assert(!after.contains(0L) && !after.contains(1L))
+    assert(Seq(10L, 11L).forall(k => after(k)._1 > hwm0), s"$after")
+    assert(DeltaRowTracking.highWaterMark(
+      DeltaLog.stateAt(spark, t, None)) > hwm0)
+  }
+
+  test("full overwrite: every row is new — all-fresh ids") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 3L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t, Nil, rt())
+    val hwm0 = DeltaRowTracking.highWaterMark(DeltaLog.stateAt(spark, t, None))
+    DeltaExport.overwrite(
+      Seq((7L, "x"), (8L, "y")).toDF("id", "s").coalesce(1), t)
+    val after = idsOf(t)
+    assert(after.keySet == Set(7L, 8L))
+    assert(after.values.forall(_._1 > hwm0), s"$after")
+  }
+
+  test("RESTORE brings back original ids; the watermark never rewinds") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 5L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t, Nil, rt()) // v0: ids 0-4
+    val orig = idsOf(t)
+    DeltaExport.deleteWhere(spark, t, col("id") === 1L) // v1
+    DeltaExport.append(
+      (10L until 12L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t) // v2: ids 5-6
+    assert(DeltaRowTracking.highWaterMark(
+      DeltaLog.stateAt(spark, t, None)) == 6L)
+    DeltaExport.restore(spark, t, 0L) // v3: the v0 state again
+    val after = idsOf(t)
+    assert(after == orig, s"$after\nvs\n$orig")
+    // the watermark did NOT rewind with the state — ids 5-6 (removed
+    // by the restore) stay retired forever
+    assert(DeltaRowTracking.highWaterMark(
+      DeltaLog.stateAt(spark, t, None)) == 6L)
+    DeltaExport.append(Seq((50L, "n")).toDF("id", "s").coalesce(1), t)
+    assert(idsOf(t)(50L)._1 == 7L)
+  }
+
+  test("self-written tables read with ZERO footer probes (write-time tags)") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t, Nil, rt())
+    DeltaExport.append(
+      (10L until 13L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaExport.deleteWhere(spark, t, col("id") === 2L)
+    val p0 = DeltaRowTracking.footerProbes.get()
+    DeltaExport.compact(spark, t, 128L * 1024 * 1024)
+    DeltaMerge.merge(spark, t,
+      Seq((3L, "u"), (77L, "n")).toDF("id", "s"), Seq("id"),
+      Some(DeltaMerge.UpdateAll), insertNotMatched = true)
+    val ids = idsOf(t)
+    assert(ids.size == 9, s"$ids")
+    assert(DeltaRowTracking.footerProbes.get() == p0,
+      "tagged adds must answer materialized-presence without footer reads")
+    // the tag survives a checkpoint (replay source after log cleanup)
+    DeltaExport.checkpoint(spark, t)
+    assert(idsOf(t) == ids)
+    assert(DeltaRowTracking.footerProbes.get() == p0)
+  }
+
+  test("setProperties refuses enabling row tracking after the fact") {
+    val t = tbl()
+    DeltaExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.setProperties(spark, t,
+        Map("delta.enableRowTracking" -> "true")))
+    assert(e.getMessage.contains("enablement"), e.getMessage)
+    // a table that already HAS the feature may keep setting properties
+    val t2 = tbl()
+    DeltaExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1),
+      t2, Nil, rt())
+    DeltaExport.setProperties(spark, t2,
+      Map("delta.enableRowTracking" -> "true", "graft.note" -> "x"))
+    assert(DeltaLog.stateAt(spark, t2, None)
+      .configuration.get("graft.note").contains("x"))
+  }
+
+  test("readRowIds refuses un-backfilled foreign files loudly") {
+    val t = tbl()
+    DeltaExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1),
+      t, Nil, rt())
+    // a foreign writer lands an add WITHOUT baseRowId (enabled-mid-life
+    // table, no backfill)
+    val st = DeltaLog.stateAt(spark, t, None)
+    val src = Paths.get(DeltaLog.absPath(t, st.active.keys.head))
+    val cp = "part-foreign.parquet"
+    Files.copy(src, Paths.get(t, cp))
+    DeltaExport.claim(t, 1L, Seq(
+      s"""{"add":{"path":"$cp","partitionValues":{},"size":${Files.size(src)},"modificationTime":0,"dataChange":true}}""",
+      """{"commitInfo":{"operation":"WRITE"}}"""))
+    val e = intercept[IllegalArgumentException](
+      DeltaRowTracking.readRowIds(spark, t))
+    assert(e.getMessage.contains("baseRowId"), e.getMessage)
+  }
+
+  test("foreign checkpoint domain tombstones do not resurrect domains") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val t = tbl()
+    DeltaExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    val st0 = DeltaLog.stateAt(spark, t, None)
+    // a FOREIGN v0 checkpoint retaining a removed=true tombstone
+    // (PROTOCOL.md keeps tombstones in checkpoints until expiry) —
+    // replaying it as live would resurrect a stale watermark
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("stats", StringType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
+    val rows = Seq(
+      Row(Row(1, 2), null, null, null),
+      Row(null, Row("tid", st0.schemaJson.get, Seq.empty[String],
+        Map.empty[String, String]), null, null),
+      Row(null, null, Row(st0.active.keys.head,
+        Map.empty[String, String], null), null),
+      Row(null, null, null,
+        Row("delta.rowTracking", """{"rowIdHighWaterMark":99}""", true)),
+      Row(null, null, null, Row("other.live", "cfg", false)))
+    val tmp = Files.createTempDirectory("ckpt_foreign")
+    spark.createDataFrame(rows.asJava, ckptSchema).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    Files.move(part,
+      Paths.get(t, "_delta_log", f"${0L}%020d.checkpoint.parquet"))
+    val st = DeltaLog.stateAt(spark, t, None)
+    assert(!st.domains.contains("delta.rowTracking"), s"${st.domains}")
+    assert(st.domains.get("other.live").contains("cfg"), s"${st.domains}")
+  }
+
   test("unsupported writers refuse row-tracking tables loudly") {
     val t = tbl()
     DeltaExport.create(
@@ -134,16 +351,10 @@ class DeltaRowTrackingSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](f)
       assert(e.getMessage.contains("row-tracking"), e.getMessage)
     }
-    refused(DeltaExport.overwrite(
-      Seq((9L, "o")).toDF("id", "s").coalesce(1), t))
     refused(DeltaExport.zorder(spark, t, "id", "id", 2))
-    refused(DeltaExport.restore(spark, t, 0L))
     refused(DeltaExport.shallowClone(spark, t, tbl()))
     refused(DeltaExport.appendBatch(
       Seq((9L, "o")).toDF("id", "s").coalesce(1), t, "app", 1L))
-    refused(DeltaMerge.merge(spark, t,
-      Seq((1L, "u")).toDF("id", "s"), Seq("id"),
-      Some(DeltaMerge.UpdateAll), insertNotMatched = false))
     // readRowIds refuses tables WITHOUT the feature
     val plain = tbl()
     DeltaExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), plain)
