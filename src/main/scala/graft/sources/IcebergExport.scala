@@ -80,38 +80,13 @@ object IcebergExport {
     * `bucket = (hash & Int.MaxValue) % N`. Hand-rolled from the
     * public algorithm; pinned against the spec's own test vectors.
     */
-  private[sources] def murmur3(bytes: Array[Byte], seed: Int = 0): Int = {
-    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
-    var h = seed
-    val n = bytes.length / 4 * 4
-    var i = 0
-    while (i < n) {
-      var k = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8) |
-        ((bytes(i + 2) & 0xFF) << 16) | ((bytes(i + 3) & 0xFF) << 24)
-      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
-      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
-      i += 4
-    }
-    var k = 0
-    (bytes.length & 3) match {
-      case 3 =>
-        k ^= (bytes(n + 2) & 0xFF) << 16
-        k ^= (bytes(n + 1) & 0xFF) << 8
-        k ^= bytes(n) & 0xFF
-      case 2 =>
-        k ^= (bytes(n + 1) & 0xFF) << 8
-        k ^= bytes(n) & 0xFF
-      case 1 => k ^= bytes(n) & 0xFF
-      case _ =>
-    }
-    if ((bytes.length & 3) != 0) {
-      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
-    }
-    h ^= bytes.length
-    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
-    h *= 0xc2b2ae35; h ^= h >>> 16
-    h
-  }
+  /** The canonical murmur3_x86_32 lives in
+    * [[graft.functions.BucketHash]] (the codegen'd bucket
+    * expression's static helper); this alias keeps the writer-side
+    * call sites and specs working.
+    */
+  private[sources] def murmur3(bytes: Array[Byte], seed: Int = 0): Int =
+    graft.functions.BucketHash.murmur3(bytes, seed)
 
   private[sources] def longLeBytes(v: Long): Array[Byte] = {
     val b = new Array[Byte](8)
@@ -478,25 +453,16 @@ object IcebergExport {
       case bucketRe(n) =>
         val buckets = n.toInt
         require(buckets > 0, s"bucket[$n] needs N > 0")
+        // codegen'd Catalyst expression (r15 — no ScalaUDF boundary
+        // in the bucketed-write staging projection)
+        def bucketCol(c: org.apache.spark.sql.Column) =
+          org.apache.spark.sql.graftext.Bridge.column(
+            graft.functions.IcebergBucket(
+              org.apache.spark.sql.graftext.Bridge.expression(c), buckets))
         srcDt match {
-          case IntegerType | LongType =>
-            val f = udf((v: java.lang.Long) =>
-              if (v == null) null
-              else Int.box(bucketOf(murmur3(longLeBytes(v)), buckets)))
-            f(src.cast(LongType))
-          case DateType =>
-            val f = udf((v: java.sql.Date) =>
-              if (v == null) null
-              else Int.box(bucketOf(
-                murmur3(longLeBytes(v.toLocalDate.toEpochDay)), buckets)))
-            f(src)
-          case StringType =>
-            val f = udf((v: String) =>
-              if (v == null) null
-              else Int.box(bucketOf(murmur3(
-                v.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
-                buckets)))
-            f(src)
+          case IntegerType | LongType => bucketCol(src.cast(LongType))
+          case DateType => bucketCol(src)
+          case StringType => bucketCol(src)
           case other => throw new IllegalArgumentException(
             s"bucket transform over unsupported type $other")
         }
@@ -652,7 +618,8 @@ object IcebergExport {
       table: String, snapId: Long, schemaJson: String,
       files: Seq[Added], pfs: Seq[PartField],
       entryContent: Int = 0, specId: Int = 0,
-      equalityIds: Seq[Int] = Nil, fv: Int = 1): (String, Long, Int) = {
+      equalityIds: Seq[Int] = Nil, fv: Int = 1,
+      lineageMaterialized: Boolean = false): (String, Long, Int) = {
     val entrySchema = manifestEntrySchema(pfs)
     val path = metaDir(table)
       .resolve(s"${java.util.UUID.randomUUID()}-m0.avro")
@@ -669,6 +636,13 @@ object IcebergExport {
     w.setMeta("format-version", math.max(1, fv).toString)
     if (fv >= 2)
       w.setMeta("content", if (entryContent == 0) "data" else "deletes")
+    // writer-recorded fact (r15, the Delta add.tags twin): entries in
+    // this manifest with NULL first_row_id carry MATERIALIZED lineage
+    // columns — readers of self-written tables then skip the per-file
+    // footer probe entirely (foreign manifests, lacking the key,
+    // still probe)
+    if (lineageMaterialized)
+      w.setMeta("graft.lineage-materialized", "true")
     w.create(entrySchema, path.toFile)
     // the spec's int-keyed maps encode in avro as arrays of
     // key/value records (logicalType map)
@@ -846,7 +820,7 @@ object IcebergExport {
       lastSequenceNumber: Long = 0L,
       extraSpecs: Seq[ObjectNode] = Nil,
       properties: Map[String, String] = Map.empty,
-      refs: Map[String, (Long, String)] = Map.empty,
+      refs: Map[String, Ref] = Map.empty,
       nextRowId: Option[Long] = None,
       defaultSpecId: Int = 0): String = {
     val root = mapper.createObjectNode()
@@ -900,14 +874,7 @@ object IcebergExport {
     root.put("current-snapshot-id", currentSnapshotId)
     // named SNAPSHOT REFS (branches/tags — the spec's `refs` map);
     // "main" stays implicit in current-snapshot-id
-    if (refs.nonEmpty) {
-      val refsNode = root.putObject("refs")
-      refs.toSeq.sortBy(_._1).foreach { case (n, (id, tpe)) =>
-        val r = refsNode.putObject(n)
-        r.put("snapshot-id", id)
-        r.put("type", tpe)
-      }
-    }
+    putRefs(root, refs)
     val snapsArr = root.putArray("snapshots")
     snapshots.foreach(snapsArr.add)
     val logArr = root.putArray("snapshot-log")
@@ -1148,12 +1115,12 @@ object IcebergExport {
       // (write-audit-publish staging), else the main current snapshot
       val curSnapId = branch match {
         case Some(b) =>
-          val (id, tpe) = refs.getOrElse(b,
+          val r = refs.getOrElse(b,
             throw new IllegalArgumentException(
               s"no branch $b on $table (createBranch first)"))
-          require(tpe == "branch",
-            s"ref $b is a $tpe — appends target branches, never tags")
-          Some(id)
+          require(r.tpe == "branch",
+            s"ref $b is a ${r.tpe} — appends target branches, never tags")
+          Some(r.snapshotId)
         case None => mainSnapId
       }
       val curSnap = curSnapId.flatMap { id =>
@@ -1214,7 +1181,8 @@ object IcebergExport {
       val (curAfter, logAfter, refsAfter) = branch match {
         case Some(b) =>
           (mainSnapId.getOrElse(-1L), log0,
-            refs + (b -> (snapId, "branch")))
+            // the branch head moves; its retention policy rides along
+            refs + (b -> refs(b).copy(snapshotId = snapId)))
         case None => (snapId, log0 :+ ((ts, snapId)), refs)
       }
       val json = buildMetadata(
@@ -1257,21 +1225,55 @@ object IcebergExport {
       o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
     } else Map.empty
 
+  /** A named snapshot ref (the spec's `refs` map value): branch or
+    * tag, with its OPTIONAL per-ref retention policy
+    * (`min-snapshots-to-keep` / `max-snapshot-age-ms` apply to a
+    * branch's ancestor line, `max-ref-age-ms` retires the ref itself)
+    * — [[expireSnapshots]] honors all three (r15; previously every
+    * ref pinned unconditionally and tags accumulated forever).
+    */
+  private[sources] case class Ref(
+      snapshotId: Long, tpe: String,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None)
+
   /** The table's named snapshot refs (branches/tags) — carried
     * through every commit like properties; losing them would orphan
     * staged write-audit-publish branches.
     */
   private[sources] def refsOf(
       meta: com.fasterxml.jackson.databind.JsonNode)
-      : Map[String, (Long, String)] =
+      : Map[String, Ref] =
     if (meta.has("refs")) {
       val o = meta.get("refs")
       o.fieldNames().asScala.map { k =>
         val r = o.get(k)
-        k -> (r.get("snapshot-id").asLong(),
-          Option(r.get("type")).map(_.asText()).getOrElse("branch"))
+        k -> Ref(
+          r.get("snapshot-id").asLong(),
+          Option(r.get("type")).map(_.asText()).getOrElse("branch"),
+          Option(r.get("min-snapshots-to-keep")).map(_.asInt()),
+          Option(r.get("max-snapshot-age-ms")).map(_.asLong()),
+          Option(r.get("max-ref-age-ms")).map(_.asLong()))
       }.toMap
     } else Map.empty
+
+  /** Serialize `refs` into `root`'s `refs` object node (shared by
+    * [[buildMetadata]] and [[updateRefs]] — retention fields must
+    * survive EVERY commit path or a policy silently vanishes).
+    */
+  private def putRefs(root: ObjectNode, refs: Map[String, Ref]): Unit =
+    if (refs.nonEmpty) {
+      val refsNode = root.putObject("refs")
+      refs.toSeq.sortBy(_._1).foreach { case (n, r) =>
+        val rn = refsNode.putObject(n)
+        rn.put("snapshot-id", r.snapshotId)
+        rn.put("type", r.tpe)
+        r.minSnapshotsToKeep.foreach(v => rn.put("min-snapshots-to-keep", v))
+        r.maxSnapshotAgeMs.foreach(v => rn.put("max-snapshot-age-ms", v))
+        r.maxRefAgeMs.foreach(v => rn.put("max-ref-age-ms", v))
+      }
+    }
 
   /** Partition specs beyond the default spec 0 (e.g. the unpartitioned
     * delete spec) — every commit must carry them forward: carried
@@ -1511,9 +1513,9 @@ object IcebergExport {
     * [[expireSnapshots]]).
     */
   private def updateRefs(table: String)(
-      f: (Map[String, (Long, String)],
+      f: (Map[String, Ref],
         com.fasterxml.jackson.databind.JsonNode)
-        => Map[String, (Long, String)]): Unit = {
+        => Map[String, Ref]): Unit = {
     var committed = false
     while (!committed) {
       val meta = IcebergTable.metadataJson(table)
@@ -1521,14 +1523,7 @@ object IcebergExport {
       val next = f(refsOf(meta), meta)
       val root = meta.deepCopy[ObjectNode]()
       root.remove("refs")
-      if (next.nonEmpty) {
-        val refsNode = root.putObject("refs")
-        next.toSeq.sortBy(_._1).foreach { case (n, (id, tpe)) =>
-          val r = refsNode.putObject(n)
-          r.put("snapshot-id", id)
-          r.put("type", tpe)
-        }
-      }
+      putRefs(root, next)
       root.put("last-updated-ms", System.currentTimeMillis())
       committed = claim(table, curVersion + 1,
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
@@ -1554,7 +1549,7 @@ object IcebergExport {
         .getOrElse(throw new IllegalStateException(
           "cannot branch an empty table (no current snapshot)"))
       requireSnapshotExists(meta, base)
-      refs + (name -> (base, "branch"))
+      refs + (name -> Ref(base, "branch"))
     }
 
   /** Create a TAG ref — an immutable named snapshot pin
@@ -1564,7 +1559,51 @@ object IcebergExport {
     updateRefs(table) { (refs, meta) =>
       require(!refs.contains(name), s"ref $name already exists")
       requireSnapshotExists(meta, snapshotId)
-      refs + (name -> (snapshotId, "tag"))
+      refs + (name -> Ref(snapshotId, "tag"))
+    }
+
+  /** ALTER TABLE SET TBLPROPERTIES — merge `props` into the table's
+    * `properties` map as a metadata-only commit (the Delta twin is
+    * [[DeltaExport.setProperties]]). Everything else carries forward
+    * verbatim. `history.expire.*` keys here become the table-level
+    * retention defaults [[expireSnapshots]] applies to branches
+    * without their own policy.
+    */
+  def setProperties(table: String, props: Map[String, String]): Unit = {
+    var committed = false
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val root = meta.deepCopy[ObjectNode]()
+      val merged = propsOf(meta) ++ props
+      val pn = root.putObject("properties")
+      merged.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
+      root.put("last-updated-ms", System.currentTimeMillis())
+      committed = claim(table, curVersion + 1,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    }
+  }
+
+  /** Set a ref's RETENTION POLICY (the spec's optional per-ref
+    * fields): `maxRefAgeMs` retires the whole ref once the snapshot
+    * it points at is older, `minSnapshotsToKeep`/`maxSnapshotAgeMs`
+    * bound a branch's kept ancestor line (count overrides age).
+    * `None` leaves a field unset (table `history.expire.*` properties
+    * apply as defaults, else the ref pins forever/whole-line —
+    * [[expireSnapshots]] documents the full rule). Metadata-only.
+    */
+  def setRefRetention(
+      table: String, name: String,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): Unit =
+    updateRefs(table) { (refs, _) =>
+      val r = refs.getOrElse(name,
+        throw new IllegalArgumentException(s"no ref $name"))
+      refs + (name -> r.copy(
+        minSnapshotsToKeep = minSnapshotsToKeep,
+        maxSnapshotAgeMs = maxSnapshotAgeMs,
+        maxRefAgeMs = maxRefAgeMs))
     }
 
   /** Drop a branch or tag ref; its snapshots become expirable. */
@@ -1588,9 +1627,11 @@ object IcebergExport {
       val meta = IcebergTable.metadataJson(table)
       val curVersion = IcebergTable.currentMetadataVersion(table)
       val refs = refsOf(meta)
-      val (head, tpe) = refs.getOrElse(branch,
+      val bref = refs.getOrElse(branch,
         throw new IllegalArgumentException(s"no ref $branch"))
-      require(tpe == "branch", s"ref $branch is a $tpe, not a branch")
+      val head = bref.snapshotId
+      require(bref.tpe == "branch",
+        s"ref $branch is a ${bref.tpe}, not a branch")
       val cur = Option(meta.get("current-snapshot-id"))
         .map(_.asLong()).filter(_ != -1L)
       val byId = Option(meta.get("snapshots")).toSeq
@@ -1609,7 +1650,8 @@ object IcebergExport {
       }
       require(at == cur || cur.isEmpty,
         s"main is not an ancestor of $branch's head — not a " +
-          "fast-forward (diverged branches need a merge, out of scope)")
+          "fast-forward (cherryPick merges a diverged append-only " +
+          "branch)")
       val root = meta.deepCopy[ObjectNode]()
       root.put("current-snapshot-id", head)
       val logArr = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
@@ -1623,6 +1665,145 @@ object IcebergExport {
       committed = claim(table, curVersion + 1,
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     }
+  }
+
+  /** MERGE a DIVERGED branch into main by CHERRY-PICK (r15 — the
+    * [[fastForward]] refusal's other half, the shape every engine
+    * ships as `cherrypick_snapshot`): the branch's net-new APPEND
+    * work lands on main as ONE new append snapshot whose manifest
+    * list is main's current manifests plus the manifests the branch
+    * line added since it forked — zero data bytes move, and the
+    * cherry-picked manifests are RE-SEQUENCED to this commit's
+    * sequence number at the list-row level (append entries carry
+    * null seqs by inheritance, so the re-scope is complete: main's
+    * older equality deletes do not apply to the picked data, exactly
+    * as if it were appended now).
+    *
+    * The conflict posture mirrors the compaction victim check —
+    * refuse loudly on anything that is NOT pure append divergence:
+    * a branch-line snapshot whose operation isn't `append` (a
+    * rewrite/delete on the branch can overlap main's files), a
+    * branch line that DROPPED one of the fork point's manifests, or
+    * a picked manifest that isn't data content. v3 row-lineage
+    * tables refuse too: branch appends assigned explicit
+    * `first_row_id`s from the branch-time watermark, which can
+    * collide with ids main assigned since the fork — a correct pick
+    * would need id re-assignment inside the manifests.
+    *
+    * The branch ref survives (Iceberg's cherrypick behavior); drop
+    * it separately. Returns the new main snapshot id, or None when
+    * the branch has nothing new.
+    */
+  def cherryPick(table: String, branch: String): Option[Long] = {
+    var committed = false
+    var newId = 0L
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      val refs = refsOf(meta)
+      val bref = refs.getOrElse(branch,
+        throw new IllegalArgumentException(s"no ref $branch"))
+      require(bref.tpe == "branch",
+        s"ref $branch is a ${bref.tpe}, not a branch")
+      val (fv, lastSeq) = fvOf(meta)
+      require(fv < 3,
+        "cherryPick on a v3 row-lineage table is out of scope: branch " +
+          "appends carry explicit first_row_ids that can collide with " +
+          "ids main assigned since the fork — refused rather than " +
+          "emitting duplicate lineage")
+      val cur = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+        .getOrElse(throw new IllegalStateException(
+          s"main of $table has no current snapshot — publish the " +
+            "branch with fastForward instead"))
+      val byId = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(s => s.get("snapshot-id").asLong() -> s).toMap
+      // main's ancestor line
+      var mainLine = Set.empty[Long]
+      var m = Option(cur)
+      while (m.isDefined) {
+        mainLine += m.get
+        m = byId.get(m.get).flatMap(n =>
+          Option(n.get("parent-snapshot-id")).map(_.asLong()))
+      }
+      if (mainLine(bref.snapshotId)) return None // nothing new on branch
+      // branch line head → fork (first main ancestor)
+      var line = List.empty[com.fasterxml.jackson.databind.JsonNode]
+      var at: Option[Long] = Some(bref.snapshotId)
+      while (at.isDefined && !mainLine(at.get)) {
+        val node = byId.getOrElse(at.get,
+          throw new IllegalStateException(
+            s"branch lineage references expired snapshot ${at.get}"))
+        line = node :: line // oldest-first
+        at = Option(node.get("parent-snapshot-id")).map(_.asLong())
+      }
+      val fork = at.getOrElse(throw new IllegalArgumentException(
+        s"$branch shares no ancestor with main — unrelated histories " +
+          "cannot cherry-pick"))
+      line.foreach { s =>
+        val op = Option(s.get("summary")).flatMap(n =>
+          Option(n.get("operation")).map(_.asText())).getOrElse("append")
+        require(op == "append",
+          s"cherryPick refused: branch snapshot " +
+            s"${s.get("snapshot-id").asLong()} is a `$op`, not an " +
+            "append — its rewrite may overlap files main also touched " +
+            "(the compaction victim-check posture); merge by hand")
+      }
+      def listOf(id: Long): Option[String] = byId.get(id)
+        .flatMap(s => Option(s.get("manifest-list")).map(_.asText()))
+      val headManifests = priorManifests(listOf(bref.snapshotId))
+      val forkManifests = priorManifests(listOf(fork))
+      val headPaths = headManifests.map(_.path).toSet
+      forkManifests.foreach(fm => require(headPaths(fm.path),
+        s"cherryPick refused: branch dropped fork manifest ${fm.path} " +
+          "— not pure append divergence"))
+      val lineIds = line.map(_.get("snapshot-id").asLong()).toSet
+      // skip manifests ALREADY on main — a re-run of the same pick
+      // (the branch head never becomes a main ancestor) must be a
+      // no-op, not a duplication
+      val mainPaths = priorManifests(listOf(cur)).map(_.path).toSet
+      val picked = headManifests.filter(_.snapId.exists(lineIds))
+        .filterNot(p => mainPaths(p.path))
+      picked.foreach(p => require(p.content == 0,
+        s"cherryPick refused: branch manifest ${p.path} carries " +
+          "deletes — append-only branches only"))
+      if (picked.isEmpty) return None
+      newId = newSnapshotId()
+      val ts = System.currentTimeMillis()
+      val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
+      // re-sequence the picked manifests to THIS commit; keep their
+      // spec-ids and added counts (informational) verbatim
+      val reSeqed = picked.map(p =>
+        p.copy(seq = if (fv >= 2) Some(nextSeq) else None,
+          minSeq = if (fv >= 2) Some(nextSeq) else None))
+      val ml = writeManifestList(
+        table, newId, reSeqed ++ priorManifests(listOf(cur)), fv = fv)
+      val addedFiles = picked.map(_.added).sum
+      val addedRecords = line.map(s =>
+        Option(s.get("summary")).flatMap(n =>
+          Option(n.get("added-records")).map(_.asText().toLong))
+          .getOrElse(0L)).sum
+      val newSnap = snapshotNode(
+        newId, Some(cur), ts, ml, addedFiles, addedRecords,
+        if (fv >= 2) Some(nextSeq) else None)
+      val snaps = meta.get("snapshots").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
+      val log0 = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(),
+            e.get("snapshot-id").asLong())).toSeq
+      else Nil) :+ ((ts, newId))
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(),
+        IcebergTable.schemaNodeOf(meta).deepCopy[ObjectNode](),
+        meta.get("last-column-id").asInt(), snaps, newId, log0,
+        partFieldsFromMeta(meta), schemaHistoryOf(meta), fv, nextSeq,
+        extraSpecsOf(meta), propsOf(meta), refs,
+        defaultSpecId = defaultSpecIdOf(meta))
+      committed = claim(table, curVersion + 1, json)
+    }
+    Some(newId)
   }
 
   /** PARTITION EVOLUTION — replace the table's DEFAULT partition
@@ -1780,24 +1961,55 @@ object IcebergExport {
         .map(_.asLong()).filter(_ != -1L)
       // ref'd snapshots are PINNED — expiring a tagged release or a
       // staged WAP branch would orphan the ref (Iceberg's expire
-      // keeps them too). Branches keep their whole UNPUBLISHED
-      // lineage (head → first already-kept ancestor): fastForward
-      // must be able to walk it at publish time.
+      // keeps them too) — UNLESS the ref's own retention policy says
+      // otherwise (r15): a ref older than its `max-ref-age-ms` (age =
+      // age of the snapshot it points at; main never retires) is
+      // dropped and releases its snapshots, and a branch with
+      // `min-snapshots-to-keep` / `max-snapshot-age-ms` (per-ref
+      // first, `history.expire.*` table properties as defaults) keeps
+      // only its `minKeep` newest ancestors plus everything younger
+      // than the age bound — count overrides age, Iceberg's own
+      // RemoveSnapshots rule. A branch with NO policy anywhere keeps
+      // its whole UNPUBLISHED lineage (head → first already-kept
+      // ancestor): fastForward must be able to walk it at publish.
       val byId = snaps
         .map(s => s.get("snapshot-id").asLong() -> s).toMap
+      val now = System.currentTimeMillis()
+      val props = propsOf(meta)
+      val tableMaxSnapAge =
+        props.get("history.expire.max-snapshot-age-ms").map(_.toLong)
+      val tableMinKeep =
+        props.get("history.expire.min-snapshots-to-keep").map(_.toInt)
+      def ageOf(id: Long): Option[Long] =
+        byId.get(id).map(sn => now - sn.get("timestamp-ms").asLong())
+      val refsAll = refsOf(meta)
+      val (agedOut, liveRefs) = refsAll.partition { case (_, r) =>
+        r.maxRefAgeMs.exists(maxAge => ageOf(r.snapshotId).forall(_ > maxAge))
+      }
       var keptIds = order.takeRight(keepLast).toSet ++ curId ++
-        refsOf(meta).values.filter(_._2 == "tag").map(_._1)
-      refsOf(meta).values.filter(_._2 == "branch").foreach {
-        case (head, _) =>
-          var at = Option(head)
-          while (at.isDefined && !keptIds(at.get)) {
+        liveRefs.values.filter(_.tpe == "tag").map(_.snapshotId)
+      liveRefs.values.filter(_.tpe == "branch").foreach { r =>
+        val minKeepOpt = r.minSnapshotsToKeep.orElse(tableMinKeep)
+        val maxAgeOpt = r.maxSnapshotAgeMs.orElse(tableMaxSnapAge)
+        val bounded = minKeepOpt.isDefined || maxAgeOpt.isDefined
+        val minKeep = minKeepOpt.getOrElse(1)
+        var at = Option(r.snapshotId)
+        var count = 0
+        var continue = true
+        while (continue && at.isDefined && !keptIds(at.get)) {
+          val young = maxAgeOpt.forall(maxAge =>
+            ageOf(at.get).forall(_ <= maxAge))
+          if (!bounded || count < minKeep || young) {
             keptIds += at.get
+            count += 1
             at = byId.get(at.get).flatMap(n =>
               Option(n.get("parent-snapshot-id")).map(_.asLong()))
-          }
+          } else continue = false
+        }
       }
-      if (snaps.forall(s => keptIds(s.get("snapshot-id").asLong())))
-        return Nil // nothing to expire
+      if (agedOut.isEmpty &&
+        snaps.forall(s => keptIds(s.get("snapshot-id").asLong())))
+        return Nil // nothing to expire and no ref to retire
       val (kept, expired) =
         snaps.partition(s => keptIds(s.get("snapshot-id").asLong()))
       // file references per snapshot set (driver metadata work)
@@ -1825,6 +2037,9 @@ object IcebergExport {
           (expManifests -- keptManifests).toSeq ++
           (expData -- keptData).filter(_.startsWith(dataPrefix)).toSeq
       val root = meta.deepCopy[ObjectNode]()
+      // retired refs leave the metadata with this commit
+      root.remove("refs")
+      putRefs(root, liveRefs)
       val snapsArr = root.putArray("snapshots")
       kept.foreach(snapsArr.add)
       if (meta.has("snapshot-log")) {
@@ -2045,14 +2260,16 @@ object IcebergExport {
       val eraRefs = survivorGroups.map { case (ws, files) =>
         val (sPath, sLen, sCount) = writeManifest(
           table, snapId2, ws.getOrElse(schemaNode.toString),
-          files.map(toAdded), pfs, fv = fv)
+          files.map(toAdded), pfs, fv = fv,
+          lineageMaterialized = fv >= 3)
         val eraMin = files.map(_.seq).min
         ManifestRef(sPath, sLen, sCount, Some(snapId2),
           seq = if (fv >= 2) Some(nextSeq) else None,
           minSeq = if (fv >= 2) Some(math.min(eraMin, nextSeq)) else None)
       }
       val (mPath, mLen, mCount) = writeManifest(
-        table, snapId2, schemaNode.toString, added, pfs, fv = fv)
+        table, snapId2, schemaNode.toString, added, pfs, fv = fv,
+        lineageMaterialized = fv >= 3)
       val ml = writeManifestList(
         table, snapId2,
         (ManifestRef(mPath, mLen, mCount, Some(snapId2),
@@ -2184,7 +2401,7 @@ object IcebergExport {
         m.content == 1 || m.specId == defSpec0)
       val (mPath, mLen, mCount) = writeManifest(
         table, snapId2, schemaNode.toString, added, pfs,
-        specId = defSpec0, fv = fv)
+        specId = defSpec0, fv = fv, lineageMaterialized = fv >= 3)
       val ml = writeManifestList(
         table, snapId2,
         ManifestRef(mPath, mLen, mCount, Some(snapId2), specId = defSpec0,

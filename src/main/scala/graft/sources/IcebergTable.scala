@@ -264,7 +264,8 @@ object IcebergTable {
       records: Vector[GenericRecord],
       schemaJson: Option[String],
       specJson: Option[String],
-      specId: Option[Int])
+      specId: Option[Int],
+      lineageMat: Option[Boolean] = None)
 
   private def avroRecordsWithMeta(path: String): ManifestData = {
     val reader = new DataFileReader[GenericRecord](
@@ -274,7 +275,9 @@ object IcebergTable {
       Option(reader.getMetaString("schema")),
       Option(reader.getMetaString("partition-spec")),
       Option(reader.getMetaString("partition-spec-id"))
-        .flatMap(s => scala.util.Try(s.trim.toInt).toOption))
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption),
+      Option(reader.getMetaString("graft.lineage-materialized"))
+        .map(_ == "true"))
     finally reader.close()
   }
 
@@ -337,7 +340,11 @@ object IcebergTable {
       // IDENTITY fields of the file's manifest spec, as (partition
       // field name, source field-id) — the columns that must
       // reconstruct from `pv` for THIS file (they are not in it)
-      idFields: Seq[(String, Int)] = Nil)
+      idFields: Seq[(String, Int)] = Nil,
+      // write-time record (manifest avro meta, r15): this file's
+      // null-first_row_id entries carry materialized lineage columns
+      // — true skips the footer probe; None = foreign manifest, probe
+      lineageMat: Option[Boolean] = None)
 
   /** Decode the spec's int-keyed manifest map (avro array of
     * key/value records; real avro maps cannot key by int).
@@ -566,7 +573,8 @@ object IcebergTable {
             seq = opt(entry, "sequence_number")
               .map(_.toString.toLong).getOrElse(listSeq),
             firstRowId = opt(df, "first_row_id").map(_.toString.toLong),
-            idFields = manifestIdFields))
+            idFields = manifestIdFields,
+            lineageMat = md.lineageMat))
         }
       }
     }.distinctBy(_.path)
@@ -665,8 +673,15 @@ object IcebergTable {
     */
   private val matLineageCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Footer probes actually performed (cache misses) — spec-pinned to
+    * ZERO on self-written tables (the manifest meta answers first).
+    */
+  private[sources] val lineageProbes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
   private def footerHasLineage(spark: SparkSession, path: String): Boolean =
     matLineageCache.computeIfAbsent(path, { p: String =>
+      lineageProbes.incrementAndGet()
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p),
@@ -869,6 +884,7 @@ object IcebergTable {
     */
   def refs(table: String): Map[String, (Long, String)] =
     IcebergExport.refsOf(metadataJson(table))
+      .view.mapValues(r => (r.snapshotId, r.tpe)).toMap
 
   /** Read the table AT A NAMED REF — `VERSION AS OF 'name'` for
     * branches and tags; `"main"` reads the current snapshot.
@@ -1301,7 +1317,7 @@ object IcebergTable {
     // they scan as their own branch with two extra physical columns
     def matOf(e: FileEntry): Boolean =
       withLineage && fv >= 3 && e.firstRowId.isEmpty &&
-        footerHasLineage(spark, e.path)
+        e.lineageMat.getOrElse(footerHasLineage(spark, e.path))
     val branches = entries
       .groupBy(e => (e.writerSchemaJson, branchSrcOf(e), matOf(e))).toSeq
       .sortBy { case ((ws, bs, mat), _) =>

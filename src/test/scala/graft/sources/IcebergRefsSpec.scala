@@ -101,6 +101,108 @@ class IcebergRefsSpec extends SparkSpec {
     assert(ids(IcebergTable.read(spark, t)) == Set(1L, 2L, 3L))
   }
 
+  test("max-ref-age-ms retires a tag; its snapshot then expires") {
+    val t = tbl()
+    val s1 = IcebergExport.create(
+      Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.createTag(t, "rel-old", s1)
+    IcebergExport.setRefRetention(t, "rel-old", maxRefAgeMs = Some(0L))
+    IcebergExport.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+    // the tag's snapshot is already older than 0 ms → ref retires and
+    // releases its snapshot in the same expire
+    IcebergExport.expireSnapshots(t, keepLast = 1)
+    assert(!IcebergTable.refs(t).contains("rel-old"),
+      "aged-out ref must leave the metadata")
+    intercept[Exception](
+      ids(IcebergTable.read(spark, t, Some(s1))))
+    assert(ids(IcebergTable.read(spark, t)) == Set(1L, 2L, 3L))
+  }
+
+  test("min-snapshots-to-keep overrides age on a branch line") {
+    val t = tbl()
+    IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.createBranch(t, "wip")
+    val b1 = IcebergExport.appendToBranch(
+      Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "wip")
+    IcebergExport.appendToBranch(
+      Seq((3L, "c")).toDF("id", "s").coalesce(1), t, "wip")
+    IcebergExport.appendToBranch(
+      Seq((4L, "d")).toDF("id", "s").coalesce(1), t, "wip")
+    // age bound says "expire everything" (0 ms) but the count floor
+    // keeps the 2 newest branch snapshots — count overrides age
+    IcebergExport.setRefRetention(t, "wip",
+      minSnapshotsToKeep = Some(2), maxSnapshotAgeMs = Some(0L))
+    IcebergExport.expireSnapshots(t, keepLast = 1)
+    // b1 (3rd newest on the branch) expired; head still reads fully —
+    // its manifest list carries b1's data files, which therefore
+    // survive (only b1's snapshot identity is gone)
+    intercept[Exception](ids(IcebergTable.read(spark, t, Some(b1))))
+    assert(ids(IcebergTable.readRef(spark, t, "wip"))
+      == Set(1L, 2L, 3L, 4L))
+    // a branch WITHOUT a policy still pins its whole line
+    assert(IcebergTable.refs(t).contains("wip"))
+  }
+
+  test("history.expire table properties apply as branch defaults") {
+    val t = tbl()
+    IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.setProperties(t, Map(
+      "history.expire.min-snapshots-to-keep" -> "1",
+      "history.expire.max-snapshot-age-ms" -> "0"))
+    IcebergExport.createBranch(t, "stage")
+    val b1 = IcebergExport.appendToBranch(
+      Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "stage")
+    IcebergExport.appendToBranch(
+      Seq((3L, "c")).toDF("id", "s").coalesce(1), t, "stage")
+    IcebergExport.expireSnapshots(t, keepLast = 1)
+    // table default policy bounds the branch walk: only the head kept
+    intercept[Exception](ids(IcebergTable.read(spark, t, Some(b1))))
+    assert(ids(IcebergTable.readRef(spark, t, "stage")) == Set(1L, 2L, 3L))
+  }
+
+  test("cherryPick publishes a diverged append-only branch onto main") {
+    val t = tbl()
+    IcebergExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.createBranch(t, "wip")
+    IcebergExport.appendToBranch(
+      Seq((2L, "b")).toDF("id", "s").coalesce(1), t, "wip")
+    IcebergExport.appendToBranch(
+      Seq((3L, "c")).toDF("id", "s").coalesce(1), t, "wip")
+    // main advances independently → fastForward refuses, cherryPick lands
+    IcebergExport.append(Seq((9L, "z")).toDF("id", "s").coalesce(1), t)
+    intercept[IllegalArgumentException](IcebergExport.fastForward(t, "wip"))
+    val preMain = IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(preMain == Set(1L, 9L))
+    val picked = IcebergExport.cherryPick(t, "wip")
+    assert(picked.nonEmpty)
+    assert(ids(IcebergTable.read(spark, t)) == Set(1L, 2L, 3L, 9L),
+      "cherry-pick must land the branch's appends on main")
+    // the branch itself is untouched, and a second pick of the same
+    // branch is a NO-OP (its manifests are already on main)
+    assert(ids(IcebergTable.readRef(spark, t, "wip")) == Set(1L, 2L, 3L))
+    assert(IcebergExport.cherryPick(t, "wip").isEmpty,
+      "re-picking an already-picked branch must not duplicate rows")
+    assert(ids(IcebergTable.read(spark, t)) == Set(1L, 2L, 3L, 9L))
+    assert(ids(IcebergTable.read(spark, t, picked)) == Set(1L, 2L, 3L, 9L))
+  }
+
+  test("cherryPick refuses non-append branch lines (rewrite overlap)") {
+    val t = tbl()
+    val s1 = IcebergExport.create(
+      Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
+    // a REPLACE lands on main, a branch pins it, main rolls back past
+    // it and moves on — the branch line now carries the replace
+    IcebergExport.rewriteDataFiles(spark, t, 128L * 1024 * 1024)
+    IcebergExport.createBranch(t, "compacted")
+    IcebergExport.rollbackTo(t, s1)
+    IcebergExport.append(Seq((9L, "z")).toDF("id", "s").coalesce(1), t)
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.cherryPick(t, "compacted"))
+    assert(e.getMessage.contains("append"), e.getMessage)
+  }
+
   test("ref hygiene: duplicate names, tag appends and unknown refs refuse") {
     val t = tbl()
     val s1 = IcebergExport.create(

@@ -175,6 +175,7 @@ class IcebergV3Spec extends SparkSpec {
 
     val (before, after) = IcebergExport.rewriteDataFiles(spark, t, 4096L)
     assert(before == 4 && after == 2, s"3 victims -> 1 + survivor: $after")
+    val probes0 = IcebergTable.lineageProbes.get()
 
     // rows identical, lineage identical (ids AND last-updated seqs),
     // watermark untouched
@@ -225,6 +226,12 @@ class IcebergV3Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(lin3(4L) == 4L && lin3(8L) == 8L && !lin3.contains(3L),
       s"lineage intact after the post-rewrite delete: $lin3")
+    // every lineage read above resolved materialized-vs-inherited from
+    // the manifest's write-time marker — ZERO footer probes (r15; the
+    // probe remains only for FOREIGN manifests without the meta key)
+    assert(IcebergTable.lineageProbes.get() == probes0,
+      "self-written manifests must answer lineage placement without " +
+        "footer reads")
   }
 
   test("v3 column defaults: initial-default fills pre-existing rows") {
