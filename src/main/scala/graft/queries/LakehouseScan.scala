@@ -306,6 +306,53 @@ object LakehouseScan {
         insertNotMatched = false)
     }
 
+  /** Iceberg customer table with a DIVERGED branch published by
+    * [[IcebergExport.cherryPick]] (r15): evens at create, a branch
+    * stages the `% 4 == 1` odds, main independently appends the
+    * `% 8 == 3` odds (so fastForward refuses), then the cherry-pick
+    * lands the branch's appends on main as one re-sequenced append
+    * snapshot — zero data bytes moved.
+    */
+  private def icebergCherryCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("iceberg_cherry_customer", dir) { t =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      IcebergExport.create(
+        cust.filter(col("c_custkey") % 2 === 0)
+          .repartition(2, col("c_custkey")), t)
+      IcebergExport.createBranch(t, "wip")
+      IcebergExport.appendToBranch(
+        cust.filter(col("c_custkey") % 4 === 1)
+          .repartition(2, col("c_custkey")), t, "wip")
+      IcebergExport.append(
+        cust.filter(col("c_custkey") % 8 === 3)
+          .repartition(2, col("c_custkey")), t)
+      IcebergExport.cherryPick(t, "wip")
+    }
+
+  /** Delta orders table REPLACED in place (r15 —
+    * [[DeltaExport.replaceTable]]): created row-level, then replaced
+    * with a per-customer aggregate under a DIFFERENT schema — the
+    * read sees the new definition, time travel the old.
+    */
+  private def deltaReplacedOrders(spark: SparkSession, dir: String): String =
+    buildOnce("delta_replaced_orders", dir) { t =>
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      DeltaExport.create(
+        orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+          .repartition(2, col("o_orderkey")), t)
+      // integer-cents sum — the oracle gotcha: double-sum order
+      // dependence would make the hash engine-dependent
+      val agg = orders.groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+      DeltaExport.replaceTable(agg, t, Nil, Map("graft.kind" -> "agg"))
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -336,6 +383,8 @@ object LakehouseScan {
     icebergRelayoutCustomer(spark, dir)
     deltaRowTrackedCustomer(spark, dir)
     deltaRtMergeCustomer(spark, dir)
+    icebergCherryCustomer(spark, dir)
+    deltaReplacedOrders(spark, dir)
     icebergOrders(spark, dir)
     icebergLineitem(spark, dir)
     icebergV3Supplier(spark, dir)
@@ -575,7 +624,29 @@ object LakehouseScan {
       .orderBy(col("c_custkey"))
   }
 
+  /** x36 — the cherry-picked table: main must hold evens + both odd
+    * sets exactly once (a duplicated pick fails rows, a dropped
+    * manifest fails the hash), indistinguishable from having appended
+    * them directly — which is the point.
+    */
+  def icebergCherryScan(spark: SparkSession, dir: String): DataFrame =
+    IcebergTable.read(spark, icebergCherryCustomer(spark, dir))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** x37 — the replaced table's final definition: the per-customer
+    * aggregate, read through the log replay after REPLACE swapped
+    * schema + content in one commit.
+    */
+  def deltaReplaceScan(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.read(spark, deltaReplacedOrders(spark, dir))
+      .select(col("o_custkey"), col("n_orders"), col("sum_price_cents"))
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x36_iceberg_cherry_pick" -> icebergCherryScan,
+    "x37_delta_replace" -> deltaReplaceScan,
     "x35_delta_rt_merge" -> deltaRtMergeScan,
     "x34_delta_row_ids" -> deltaRowIdsScan,
     "x33_iceberg_relayout" -> icebergRelayoutScan,
@@ -593,6 +664,20 @@ object LakehouseScan {
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
+    "x36_iceberg_cherry_pick" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_custkey % 2 = 0 OR c_custkey % 4 = 1
+            OR c_custkey % 8 = 3
+         ORDER BY c_custkey""",
+    "x37_delta_replace" ->
+      """SELECT o_custkey,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_price_cents
+         FROM orders
+         GROUP BY o_custkey
+         ORDER BY o_custkey""",
     "x35_delta_rt_merge" ->
       """WITH ids AS (
            SELECT c_custkey, c_name, c_nationkey, c_acctbal,

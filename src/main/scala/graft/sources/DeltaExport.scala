@@ -529,7 +529,15 @@ object DeltaExport {
     require(nextVersion(target) == 0L,
       s"$target already has a Delta log; clone into a fresh location")
     val st = DeltaLog.stateAt(spark, source, versionAsOf)
-    DeltaRowTracking.requireOff(st, "shallowClone")
+    // ROW TRACKING through CLONE (r15, the refusal lifted): the clone
+    // re-adds the source's id assignment verbatim (baseRowId fields +
+    // materialized-presence tags carry on each add) and copies the
+    // rowIdHighWaterMark domain into its v0 commit — without the
+    // domain the clone's first append would restart at id 0 and
+    // collide with every cloned row. The clone's FRESH metaData id
+    // already keeps txn/streaming consumers from confusing the two
+    // tables; from here their id spaces evolve independently.
+    val rowTracking = DeltaRowTracking.enabled(st)
     val protoLine =
       if (st.readerFeatures.nonEmpty || st.writerFeatures.nonEmpty) {
         val rf = st.readerFeatures.toSeq.sorted
@@ -568,9 +576,23 @@ object DeltaExport {
             "vacuumed"))
       val dvPart = dvAbs
         .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
-      s"""{"add":{"path":"${enc(abs.toString)}","partitionValues":$pvJson,"size":${Files.size(abs)},"modificationTime":${Files.getLastModifiedTime(abs).toMillis},"dataChange":true$statsPart$dvPart}}"""
+      val rowPart = (a.baseRowId, a.defaultRowCommitVersion) match {
+        case (Some(b), Some(dcv)) =>
+          s""","baseRowId":$b,"defaultRowCommitVersion":$dcv"""
+        case _ => ""
+      }
+      val tagsPart =
+        if (a.tags.isEmpty) ""
+        else a.tags.toSeq.sortBy(_._1)
+          .map { case (k, tv) => s""""${esc(k)}":"${esc(tv)}"""" }
+          .mkString(""","tags":{""", ",", "}")
+      s"""{"add":{"path":"${enc(abs.toString)}","partitionValues":$pvJson,"size":${Files.size(abs)},"modificationTime":${Files.getLastModifiedTime(abs).toMillis},"dataChange":true$statsPart$dvPart$rowPart$tagsPart}}"""
     }
-    val lines = (protoLine +: metaLine +: addLines) :+
+    val domainLines =
+      if (!rowTracking) Nil
+      else Seq(DeltaRowTracking.domainJson(
+        DeltaRowTracking.highWaterMark(st)))
+    val lines = (protoLine +: metaLine +: addLines) ++ domainLines :+
       s"""{"commitInfo":{"operation":"CLONE","operationParameters":{"source":"${esc(source)}","version":"${versionAsOf.map(_.toString).getOrElse("latest")}"}}}"""
     if (!claim(target, 0L, lines))
       throw new IllegalStateException(
@@ -771,6 +793,95 @@ object DeltaExport {
     Some(v)
   }
 
+  /** REPLACE TABLE — delta-spark's `CREATE OR REPLACE TABLE ... AS
+    * SELECT` (r15): atomically replace the table's CONTENT *and its
+    * DEFINITION* (schema, partitioning, properties) in one commit —
+    * new metaData + a `remove` for every active file + the staged
+    * `add`s. Unlike [[overwrite]] (same definition, new rows), the
+    * metaData is re-emitted with a FRESH id: a replace is a new
+    * logical table that happens to keep the log, so streaming readers
+    * and offset trackers keyed on the table id correctly reset
+    * (delta-spark's own REPLACE behavior). Time travel to
+    * pre-replace versions keeps working — removes are tombstones.
+    *
+    * Concurrency (the conflict framework's posture): the active set
+    * is validated unchanged INSIDE the claim loop against the
+    * snapshot this replace staged against — the loser of a racing
+    * data commit aborts with `ConcurrentModificationException`
+    * rather than silently tombstoning files it never saw (a replace
+    * semantically supersedes the whole table, but the LOSER cannot
+    * know the winner's rows were meant to be superseded).
+    *
+    * Scope bound: refuses row-tracking tables (a replace would need
+    * the full id-reassignment path) and refuses enabling row
+    * tracking via `properties` (create-time only, like
+    * [[setProperties]]). Returns the committed version.
+    */
+  def replaceTable(
+      df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Long =
+    replaceTable(df, table, partitionBy, properties, () => ())
+
+  /** [[replaceTable]] with the read→commit seam the concurrency spec
+    * injects a competing writer into; production uses the no-op
+    * overload.
+    */
+  private[sources] def replaceTable(
+      df: DataFrame, table: String, partitionBy: Seq[String],
+      properties: Map[String, String], beforeCommit: () => Unit): Long = {
+    val spark = df.sparkSession
+    require(nextVersion(table) > 0L, s"$table has no Delta log; use create")
+    require(!properties.get("delta.enableRowTracking").contains("true"),
+      "REPLACE TABLE cannot enable row tracking (create-time only)")
+    val st0 = DeltaLog.stateAt(spark, table, None)
+    DeltaRowTracking.requireOff(st0, "REPLACE TABLE")
+    val minWriter =
+      if (properties.get("delta.enableChangeDataFeed").contains("true")) 4
+      else st0.minWriter
+    val added = stageIn(df, table, partitionBy)
+    val conf = Some(spark.sparkContext.hadoopConfiguration)
+    beforeCommit()
+    var v = nextVersion(table)
+    var committed = false
+    var result = 0L
+    while (!committed) {
+      val cur = DeltaLog.stateAt(spark, table, None)
+      val before = st0.active.map { case (p, a) =>
+        p -> a.dv.map(_.pathOrInlineDv)
+      }
+      val now = cur.active.map { case (p, a) =>
+        p -> a.dv.map(_.pathOrInlineDv)
+      }
+      if (before != now)
+        throw new java.util.ConcurrentModificationException(
+          s"REPLACE TABLE conflict on $table: a concurrent writer " +
+            "changed the active file set since this replace read its " +
+            "snapshot — aborted without committing (the staged files " +
+            "are vacuum-reclaimable orphans); re-run against the new " +
+            "state")
+      val protoLine =
+        if (minWriter == st0.minWriter) Nil
+        else Seq(
+          s"""{"protocol":{"minReaderVersion":${st0.minReader},"minWriterVersion":$minWriter}}""")
+      // FRESH table identity: a replace resets downstream consumers
+      val metaLine = metaDataJson(
+        java.util.UUID.randomUUID.toString, df.schema, partitionBy,
+        properties)
+      val removes = cur.active.values.toSeq.sortBy(_.path).map { a =>
+        val dvPart = a.dv
+          .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+        s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true$dvPart}}"""
+      }
+      val adds = added.map(rel =>
+        addJson(table, rel, partitionValuesOf(rel, partitionBy), conf))
+      val lines = protoLine ++ (metaLine +: removes) ++ adds :+
+        s"""{"commitInfo":{"operation":"REPLACE TABLE"}}"""
+      committed = claim(table, v, lines)
+      if (committed) result = v else v = nextVersion(table)
+    }
+    result
+  }
+
   /** EXACTLY-ONCE streaming append — Delta's `txn` handshake: commit
     * `df` tagged (appId, batchId); a replayed batch (at-least-once
     * redelivery after a sink restart) whose batchId ≤ the table's last
@@ -789,25 +900,50 @@ object DeltaExport {
       df: DataFrame, table: String, appId: String, batchId: Long,
       partitionBy: Seq[String] = Nil): Option[Long] = {
     val spark = df.sparkSession
-    DeltaRowTracking.requireOff(
-      DeltaLog.stateAt(spark, table, None), "appendBatch")
     if (DeltaLog.lastTxnVersion(spark, table, appId).exists(_ >= batchId))
       return None
     val added = stageIn(df, table, partitionBy)
-    val lines =
-      s"""{"txn":{"appId":"${esc(appId)}","version":$batchId,"lastUpdated":${System.currentTimeMillis()}}}""" +:
-        added.map(rel =>
-          addJson(table, rel, partitionValuesOf(rel, partitionBy),
-            Some(df.sparkSession.sparkContext.hadoopConfiguration))) :+
-        s"""{"commitInfo":{"operation":"STREAMING UPDATE"}}"""
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // ROW TRACKING (r15, the appendBatch refusal lifted): exactly the
+    // append discipline — fresh base ids past the per-attempt
+    // watermark — with the txn replay gate layered on top; a skipped
+    // replay assigns NOTHING, so ids never burn on redelivery
+    val rowTracking0 =
+      DeltaRowTracking.enabled(DeltaLog.stateAt(spark, table, None))
+    val counts =
+      if (!rowTracking0) Map.empty[String, Long]
+      else added.map(rel => rel -> recordCount(
+        hconf, Paths.get(table, rel).toAbsolutePath.toString)).toMap
     var v = nextVersion(table)
-    while (!claim(table, v, lines)) {
+    var committed = false
+    while (!committed) {
       // a contender landed meanwhile — it may have been THIS batch
       // (two attempts racing after a driver failover): re-check the
-      // txn watermark before retrying the claim
+      // txn watermark before (re)trying the claim
       if (DeltaLog.lastTxnVersion(spark, table, appId).exists(_ >= batchId))
         return None
-      v = nextVersion(table)
+      val txnLine =
+        s"""{"txn":{"appId":"${esc(appId)}","version":$batchId,"lastUpdated":${System.currentTimeMillis()}}}"""
+      val addLines =
+        if (!rowTracking0)
+          added.map(rel =>
+            addJson(table, rel, partitionValuesOf(rel, partitionBy),
+              Some(hconf)))
+        else {
+          val st = DeltaLog.stateAt(spark, table, None)
+          var next = DeltaRowTracking.highWaterMark(st) + 1
+          added.map { rel =>
+            val l = addJson(table, rel, partitionValuesOf(rel, partitionBy),
+              Some(hconf), rowId = Some((next, v)),
+              tags = DeltaRowTracking.matTag(false))
+            next += counts(rel)
+            l
+          } :+ DeltaRowTracking.domainJson(next - 1)
+        }
+      val lines = txnLine +: addLines :+
+        s"""{"commitInfo":{"operation":"STREAMING UPDATE"}}"""
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
     }
     Some(v)
   }
@@ -1246,15 +1382,26 @@ object DeltaExport {
       xCol: String, yCol: String, nFiles: Int, bits: Int = 16): Long = {
     import org.apache.spark.sql.functions.{col, expr}
     val st = DeltaLog.stateAt(spark, table, None)
-    DeltaRowTracking.requireOff(st, "zorder")
     require(st.partitionCols.isEmpty,
       "zorder supports unpartitioned tables (cluster within partitions " +
         "by partitioning first)")
+    // ROW TRACKING (r15, the Z-ORDER refusal lifted): the rewrite is
+    // content-preserving, so ids MATERIALIZE into the re-clustered
+    // files exactly like OPTIMIZE — each row carries its
+    // (id, commit version) through the Morton shuffle
+    val rowTracking = DeltaRowTracking.enabled(st)
+    val (ridCol, rvcCol) =
+      if (rowTracking) DeltaRowTracking.matColNames(st) else ("", "")
     val dim = 1L << bits
     val z = graft.functions.ZOrder.exprStr(
       s"pmod($xCol, $dim)", s"pmod($yCol, $dim)", bits,
       (v, p) => s"($v) div $p")
-    val df = DeltaLog.read(spark, table)
+    val base =
+      if (!rowTracking) DeltaLog.read(spark, table)
+      else DeltaRowTracking.readRowIds(spark, table)
+        .withColumnRenamed("_row_id", ridCol)
+        .withColumnRenamed("_row_commit_version", rvcCol)
+    val df = base
       .withColumn("__z", expr(z))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
@@ -1266,18 +1413,52 @@ object DeltaExport {
       name
     }
     val conf = Some(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val counts =
+      if (!rowTracking) Map.empty[String, Long]
+      else newRels.map(rel => rel -> recordCount(
+        hconf, Paths.get(table, rel).toAbsolutePath.toString)).toMap
     var v = nextVersion(table)
     var committed = false
     while (!committed) {
       // removes recomputed per attempt: a concurrent append's files
       // must survive the rewrite commit untombstoned
       val cur = DeltaLog.stateAt(spark, table, None)
+      // a ROW-TRACKING rewrite must abort if the active set moved —
+      // a concurrent append's rows are not in the staged rewrite, and
+      // tombstoning its file would silently drop them AND their ids
+      if (rowTracking) {
+        val before = st.active.map { case (p, a) =>
+          p -> a.dv.map(_.pathOrInlineDv)
+        }
+        val now = cur.active.map { case (p, a) =>
+          p -> a.dv.map(_.pathOrInlineDv)
+        }
+        if (before != now)
+          throw new java.util.ConcurrentModificationException(
+            s"ZORDER conflict on $table: a concurrent writer changed " +
+              "the active file set since this rewrite read its " +
+              "snapshot — aborted without committing")
+      }
+      val addLines =
+        if (!rowTracking)
+          newRels.map(rel =>
+            addJson(table, rel, Map.empty, conf, dataChange = false))
+        else {
+          var next = DeltaRowTracking.highWaterMark(cur) + 1
+          newRels.map { rel =>
+            val l = addJson(table, rel, Map.empty, conf,
+              dataChange = false, rowId = Some((next, v)),
+              tags = DeltaRowTracking.matTag(true))
+            next += counts(rel)
+            l
+          } :+ DeltaRowTracking.domainJson(next - 1)
+        }
       val lines = cur.active.keys.toSeq.sorted
         .filterNot(newRels.contains)
         .map(p =>
           s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}""") ++
-        newRels.map(rel =>
-          addJson(table, rel, Map.empty, conf, dataChange = false)) :+
+        addLines :+
         s"""{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{"zOrderBy":"[$xCol,$yCol]"}}}"""
       committed = claim(table, v, lines)
       if (!committed) v = nextVersion(table)

@@ -31,17 +31,18 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   *     materialized value over the computed one (coalesce), so ids
   *     survive the rewrite even though positions changed.
   *
-  * Supported surface (r15, the MERGE/overwrite/RESTORE refusals
-  * lifted): create/append/deleteWhere/OPTIMIZE/checkpoint/time
-  * travel, MERGE + applyChanges (carried and updated rows keep their
-  * ids — updated rows take this commit's version; inserts get fresh
-  * ids; deleted ids never reappear), overwrite/overwriteWhere
-  * (replacement rows are NEW rows with fresh ids, delta-spark's own
-  * semantics) and RESTORE (re-adds re-serialize their original id
-  * assignment; the watermark never rewinds). Scope bound (documented,
-  * loud): column mapping, Z-ORDER, SHALLOW CLONE and appendBatch
-  * still refuse — each needs its own id-preservation argument the
-  * spec tests would then pin.
+  * Supported surface (r15 — every writer refusal lifted except
+  * column mapping): create/append/appendBatch/deleteWhere/OPTIMIZE/
+  * Z-ORDER/checkpoint/time travel, MERGE + applyChanges (carried and
+  * updated rows keep their ids — updated rows take this commit's
+  * version; inserts get fresh ids; deleted ids never reappear),
+  * overwrite/overwriteWhere/REPLACE (replacement rows are NEW rows
+  * with fresh ids, delta-spark's own semantics), RESTORE (re-adds
+  * re-serialize their original id assignment; the watermark never
+  * rewinds) and SHALLOW CLONE (ids + watermark domain carry into the
+  * clone's v0; id spaces evolve independently after). Remaining
+  * bound (documented, loud): row tracking + column mapping — the
+  * materialized column names would need physical-name resolution.
   */
 object DeltaRowTracking {
   private val mapper = new ObjectMapper()

@@ -118,6 +118,45 @@ class DeltaConflictSpec extends SparkSpec {
       == (0L until 40L).toSet - 7L)
   }
 
+  test("REPLACE TABLE swaps content AND definition atomically") {
+    val t = tbl()
+    DeltaExport.create(
+      Seq((1L, "us"), (2L, "de")).toDF("id", "region"), t, Seq("region"))
+    val id0 = DeltaLog.stateAt(spark, t, None).tableId
+    // replace with a DIFFERENT schema, partitioning and properties
+    DeltaExport.replaceTable(
+      Seq((10L, "a", 1.5), (20L, "b", 2.5)).toDF("k", "name", "score"),
+      t, Nil, Map("graft.kind" -> "replaced"))
+    val st = DeltaLog.stateAt(spark, t, None)
+    assert(st.partitionCols.isEmpty)
+    assert(st.configuration.get("graft.kind").contains("replaced"))
+    assert(st.tableId != id0,
+      "REPLACE must take a fresh table identity (downstream readers reset)")
+    val got = DeltaLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((10L, "a", 1.5), (20L, "b", 2.5)), s"$got")
+    // time travel still reads the OLD definition's rows
+    assert(DeltaLog.read(spark, t, Some(0L)).count() == 2L)
+    assert(DeltaLog.read(spark, t, Some(0L)).columns.toSeq
+      == Seq("id", "region"))
+  }
+
+  test("a data commit racing into the REPLACE window aborts the replace") {
+    val t = tbl()
+    DeltaExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaExport.replaceTable(
+        Seq((9L, "z")).toDF("id", "s"), t, Nil, Map.empty,
+        () => {
+          DeltaExport.append(
+            Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
+          ()
+        })
+    }
+    // the loser committed nothing: both pre-race rows intact
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+  }
+
   test("a concurrent APPEND during OPTIMIZE is no conflict") {
     val t = tbl()
     DeltaExport.create(

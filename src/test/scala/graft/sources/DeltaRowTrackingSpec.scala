@@ -342,20 +342,71 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(st.domains.get("other.live").contains("cfg"), s"${st.domains}")
   }
 
-  test("unsupported writers refuse row-tracking tables loudly") {
+  test("ZORDER materializes ids through the Morton re-cluster") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 8L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t, Nil, rt())
+    DeltaExport.append(
+      (20L until 24L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaExport.deleteWhere(spark, t, col("id") === 3L)
+    val before = idsOf(t)
+    val hwm0 = DeltaRowTracking.highWaterMark(DeltaLog.stateAt(spark, t, None))
+    val p0 = DeltaRowTracking.footerProbes.get()
+    DeltaExport.zorder(spark, t, "id", "id", 2)
+    val after = idsOf(t)
+    assert(after == before,
+      s"ids AND commit versions survive ZORDER:\n$after\nvs\n$before")
+    // fresh base ids past the watermark (shadowed by materialization)
+    assert(DeltaRowTracking.highWaterMark(
+      DeltaLog.stateAt(spark, t, None)) > hwm0)
+    assert(DeltaRowTracking.footerProbes.get() == p0,
+      "the zorder adds carry the materialized tag — no probes")
+  }
+
+  test("SHALLOW CLONE carries ids and the watermark") {
+    val t = tbl()
+    DeltaExport.create(
+      (0L until 5L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t, Nil, rt())
+    DeltaExport.deleteWhere(spark, t, col("id") === 2L)
+    val src = idsOf(t)
+    val c = tbl()
+    DeltaExport.shallowClone(spark, t, c)
+    assert(idsOf(c) == src, "the clone reads the source's exact ids")
+    // the domain carried: the clone's first append takes FRESH ids
+    DeltaExport.append(Seq((50L, "n")).toDF("id", "s").coalesce(1), c)
+    val cloneIds = idsOf(c)
+    assert(cloneIds(50L)._1 == 5L,
+      s"clone append must continue past the cloned watermark: $cloneIds")
+    assert(cloneIds.values.map(_._1).toSeq.distinct.size == cloneIds.size)
+    // the source is untouched by the clone's append
+    assert(idsOf(t) == src)
+  }
+
+  test("appendBatch assigns ids exactly once (replays burn nothing)") {
     val t = tbl()
     DeltaExport.create(
       (0L until 3L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
       t, Nil, rt())
-    def refused(f: => Any): Unit = {
-      val e = intercept[IllegalArgumentException](f)
-      assert(e.getMessage.contains("row-tracking"), e.getMessage)
-    }
-    refused(DeltaExport.zorder(spark, t, "id", "id", 2))
-    refused(DeltaExport.shallowClone(spark, t, tbl()))
-    refused(DeltaExport.appendBatch(
-      Seq((9L, "o")).toDF("id", "s").coalesce(1), t, "app", 1L))
-    // readRowIds refuses tables WITHOUT the feature
+    val v = DeltaExport.appendBatch(
+      Seq((10L, "a"), (11L, "b")).toDF("id", "s").coalesce(1),
+      t, "app", 1L)
+    assert(v.nonEmpty)
+    val after = idsOf(t)
+    assert(after(10L)._1 >= 3L && after(11L)._1 >= 3L, s"$after")
+    val hwm = DeltaRowTracking.highWaterMark(DeltaLog.stateAt(spark, t, None))
+    // at-least-once redelivery: the replay commits NOTHING — no new
+    // version, no watermark movement, no id burn
+    assert(DeltaExport.appendBatch(
+      Seq((10L, "a"), (11L, "b")).toDF("id", "s").coalesce(1),
+      t, "app", 1L).isEmpty)
+    assert(DeltaRowTracking.highWaterMark(
+      DeltaLog.stateAt(spark, t, None)) == hwm)
+    assert(idsOf(t) == after)
+  }
+
+  test("readRowIds refuses tables without the feature") {
     val plain = tbl()
     DeltaExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), plain)
     val e = intercept[IllegalArgumentException] {
