@@ -12,9 +12,15 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * footer is `Magic, FooterPayload (UTF-8 JSON), FooterPayloadSize
   * (4 bytes LE), Flags (4 bytes), Magic` and the payload's `blobs`
   * array records each blob's type/offset/length plus typed
-  * properties. This codec writes uncompressed payloads (flags 0) and
-  * refuses compressed ones loudly (offline container: no lz4/zstd
-  * codec to decode with).
+  * properties. COMPRESSION (r15 — the r14 "no codec" bound was
+  * wrong: Spark's own classpath ships zstd-jni and lz4-java): blobs
+  * may declare `compression-codec` lz4 (frame format) or zstd in
+  * their footer metadata and are transparently (de)compressed;
+  * footer payloads honor flags bit 0 (lz4-compressed payload) on
+  * BOTH read and write. Iceberg v3 `deletion-vector-v1` blobs stay
+  * UNCOMPRESSED per the Iceberg spec (readers locate them by raw
+  * content_offset/content_size without parsing the footer) — writing
+  * one with a codec refuses loudly.
   *
   * The `deletion-vector-v1` blob (Iceberg spec v3 "Deletion
   * vectors"): combined length of magic+vector as 4 bytes BIG-endian,
@@ -34,28 +40,71 @@ private[sources] object Puffin {
   case class BlobMeta(
       tpe: String, fields: Seq[Int], snapshotId: Long,
       sequenceNumber: Long, offset: Long, length: Long,
-      properties: Map[String, String])
+      properties: Map[String, String],
+      compressionCodec: Option[String] = None)
 
   /** One blob to write: (type, field-ids, snapshot-id,
-    * sequence-number, properties, payload bytes).
+    * sequence-number, properties, payload bytes, optional
+    * compression codec — "lz4" | "zstd").
     */
   case class Blob(
       tpe: String, fields: Seq[Int], snapshotId: Long,
       sequenceNumber: Long, properties: Map[String, String],
-      data: Array[Byte])
+      data: Array[Byte],
+      compressionCodec: Option[String] = None)
+
+  // ---- codecs (Spark-classpath zstd-jni / lz4-java) ----
+
+  private def compress(codec: String, data: Array[Byte]): Array[Byte] =
+    codec match {
+      case "zstd" => com.github.luben.zstd.Zstd.compress(data)
+      case "lz4" =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val f = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        f.write(data); f.close()
+        bos.toByteArray
+      case other => throw new IllegalArgumentException(
+        s"unsupported Puffin compression-codec $other (lz4, zstd)")
+    }
+
+  private def decompress(codec: String, data: Array[Byte]): Array[Byte] =
+    codec match {
+      case "zstd" =>
+        val n = com.github.luben.zstd.Zstd
+          .getFrameContentSize(data)
+        require(n >= 0 && n <= Int.MaxValue,
+          s"zstd frame without a decodable content size ($n)")
+        com.github.luben.zstd.Zstd.decompress(data, n.toInt)
+      case "lz4" =>
+        val in = new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(data))
+        try in.readAllBytes() finally in.close()
+      case other => throw new IllegalArgumentException(
+        s"unsupported Puffin compression-codec $other (lz4, zstd)")
+    }
 
   /** Write a Puffin file; returns the blobs' file-offset metadata in
     * input order (what the Iceberg manifest's `content_offset` /
-    * `content_size_in_bytes` record).
+    * `content_size_in_bytes` record). `compressFooter` sets flags
+    * bit 0 and lz4-frames the footer payload (the spec's only footer
+    * compression).
     */
-  def write(path: Path, blobs: Seq[Blob]): Seq[BlobMeta] = {
+  def write(
+      path: Path, blobs: Seq[Blob],
+      compressFooter: Boolean = false): Seq[BlobMeta] = {
+    blobs.foreach(b => require(
+      b.compressionCodec.isEmpty || b.tpe != "deletion-vector-v1",
+      "Iceberg v3 deletion vectors must not be compressed (readers " +
+        "seek by raw content_offset/content_size) — refused"))
     val out = new java.io.ByteArrayOutputStream()
     out.write(MagicBytes)
     val metas = blobs.map { b =>
       val off = out.size().toLong
-      out.write(b.data)
+      val stored = b.compressionCodec
+        .map(c => compress(c, b.data)).getOrElse(b.data)
+      out.write(stored)
       BlobMeta(b.tpe, b.fields, b.snapshotId, b.sequenceNumber,
-        off, b.data.length.toLong, b.properties)
+        off, stored.length.toLong, b.properties, b.compressionCodec)
     }
     val payload = {
       val root = mapper.createObjectNode()
@@ -69,6 +118,7 @@ private[sources] object Puffin {
         n.put("sequence-number", m.sequenceNumber)
         n.put("offset", m.offset)
         n.put("length", m.length)
+        m.compressionCodec.foreach(c => n.put("compression-codec", c))
         if (m.properties.nonEmpty) {
           val p = n.putObject("properties")
           m.properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
@@ -80,11 +130,15 @@ private[sources] object Puffin {
         .put("created-by", "graft iceberg v3 writer")
       root.toString.getBytes(StandardCharsets.UTF_8)
     }
+    val storedPayload =
+      if (compressFooter) compress("lz4", payload) else payload
     out.write(MagicBytes)
-    out.write(payload)
+    out.write(storedPayload)
     out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-      .putInt(payload.length).array())
-    out.write(Array[Byte](0, 0, 0, 0)) // flags: uncompressed payload
+      .putInt(storedPayload.length).array())
+    // flags byte 0 bit 0: footer payload lz4-compressed (the spec's
+    // only defined flag)
+    out.write(Array[Byte](if (compressFooter) 1 else 0, 0, 0, 0))
     out.write(MagicBytes)
     Files.write(path, out.toByteArray, StandardOpenOption.CREATE_NEW)
     metas
@@ -102,15 +156,19 @@ private[sources] object Puffin {
       .order(ByteOrder.LITTLE_ENDIAN)
     val payloadSize = tail.getInt
     val flags = tail.getInt
-    require((flags & 1) == 0,
-      s"compressed Puffin footer payload at $path: refused (no codec " +
-        "in this environment) rather than misdecoded")
+    require((flags & ~1) == 0,
+      s"unknown Puffin footer flags $flags at $path: refused rather " +
+        "than misdecoded")
     val payloadStart = bytes.length - 12 - payloadSize
     require(payloadStart >= 8 && bytes.slice(payloadStart - 4, payloadStart)
       .sameElements(MagicBytes),
       s"corrupt Puffin footer (payload-start magic missing): $path")
+    val rawPayload = java.util.Arrays.copyOfRange(
+      bytes, payloadStart, payloadStart + payloadSize)
+    val payload =
+      if ((flags & 1) == 1) decompress("lz4", rawPayload) else rawPayload
     val root = mapper.readTree(
-      new String(bytes, payloadStart, payloadSize, StandardCharsets.UTF_8))
+      new String(payload, StandardCharsets.UTF_8))
     import scala.jdk.CollectionConverters._
     Option(root.get("blobs")).toSeq
       .flatMap(_.elements().asScala)
@@ -125,7 +183,8 @@ private[sources] object Puffin {
           n.get("length").asLong(),
           Option(n.get("properties")).map { p =>
             p.fieldNames().asScala.map(k => k -> p.get(k).asText()).toMap
-          }.getOrElse(Map.empty))
+          }.getOrElse(Map.empty),
+          Option(n.get("compression-codec")).map(_.asText()))
       }
   }
 
@@ -137,6 +196,14 @@ private[sources] object Puffin {
       s"blob range [$offset, +$length) outside $path (${bytes.length} bytes)")
     java.util.Arrays.copyOfRange(
       bytes, offset.toInt, (offset + length).toInt)
+  }
+
+  /** A blob's ORIGINAL bytes — stored bytes decompressed per the
+    * footer metadata's `compression-codec` (none → verbatim).
+    */
+  def readBlobDecoded(path: String, meta: BlobMeta): Array[Byte] = {
+    val stored = readBlob(path, meta.offset, meta.length)
+    meta.compressionCodec.map(c => decompress(c, stored)).getOrElse(stored)
   }
 
   // ---- deletion-vector-v1 blob framing ----

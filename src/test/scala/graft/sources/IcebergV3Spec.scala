@@ -52,6 +52,40 @@ class IcebergV3Spec extends SparkSpec {
     assert(Puffin.dvBlobIndexes(back).toSeq == idxs.toSeq)
   }
 
+  test("puffin compression: zstd/lz4 blobs and lz4 footers round-trip") {
+    // the r14 "no codec in this environment" bound was wrong — Spark's
+    // own classpath ships zstd-jni and lz4-java; sketches compress,
+    // DVs must not (Iceberg spec: readers seek raw offsets)
+    val tmp = Files.createTempDirectory("puffin_c_").resolve("c.puffin")
+    val payload = Array.tabulate(5000)(i => (i % 251).toByte)
+    val metas = Puffin.write(tmp, Seq(
+      Puffin.Blob("apache-datasketches-theta-v1", Seq(1), 1L, 1L,
+        Map.empty, payload, compressionCodec = Some("zstd")),
+      Puffin.Blob("some-sketch", Seq(2), 1L, 1L,
+        Map.empty, payload, compressionCodec = Some("lz4")),
+      Puffin.Blob("plain", Nil, 1L, 1L, Map.empty, payload)),
+      compressFooter = true)
+    assert(metas(0).length < payload.length,
+      s"zstd storage must shrink: ${metas(0).length}")
+    assert(metas(2).length == payload.length)
+    val footer = Puffin.readFooter(tmp.toString)
+    assert(footer.map(_.compressionCodec)
+      == Seq(Some("zstd"), Some("lz4"), None))
+    footer.foreach { m =>
+      assert(Puffin.readBlobDecoded(tmp.toString, m).toSeq
+        == payload.toSeq, m.tpe)
+    }
+    // a DV blob with a codec refuses loudly per the Iceberg spec
+    val e = intercept[IllegalArgumentException] {
+      Puffin.write(
+        Files.createTempDirectory("puffin_dv_").resolve("d.puffin"),
+        Seq(Puffin.Blob("deletion-vector-v1", Nil, 1L, 1L, Map.empty,
+          Puffin.dvBlobBytes(Array(1L)),
+          compressionCodec = Some("zstd"))))
+    }
+    assert(e.getMessage.contains("must not be compressed"), e.getMessage)
+  }
+
   test("createV3 + append: row lineage assigned, inherited and read back") {
     val t = tbl()
     IcebergExport.createV3(
