@@ -353,6 +353,27 @@ object LakehouseScan {
       DeltaExport.replaceTable(agg, t, Nil, Map("graft.kind" -> "agg"))
     }
 
+  /** The Iceberg twin of [[deltaReplacedOrders]] (r15 —
+    * [[IcebergExport.replaceTable]]): same row-level create, same
+    * aggregate replacement, the OTHER format's replace machinery
+    * (fresh field ids + fresh spec + replace snapshot vs Delta's
+    * fresh metaData id) — both must converge on the same table.
+    */
+  private def icebergReplacedOrders(spark: SparkSession, dir: String): String =
+    buildOnce("iceberg_replaced_orders", dir) { t =>
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      IcebergExport.create(
+        orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+          .repartition(2, col("o_orderkey")), t)
+      val agg = orders.groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_cents"))
+      IcebergExport.replaceTable(agg.coalesce(2), t)
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -385,6 +406,7 @@ object LakehouseScan {
     deltaRtMergeCustomer(spark, dir)
     icebergCherryCustomer(spark, dir)
     deltaReplacedOrders(spark, dir)
+    icebergReplacedOrders(spark, dir)
     icebergOrders(spark, dir)
     icebergLineitem(spark, dir)
     icebergV3Supplier(spark, dir)
@@ -644,7 +666,18 @@ object LakehouseScan {
       .select(col("o_custkey"), col("n_orders"), col("sum_price_cents"))
       .orderBy(col("o_custkey"))
 
+  /** x38 — the Iceberg-native replace, held to x37's oracle SQL
+    * VERBATIM: copy-on-write Delta REPLACE and snapshot-swap Iceberg
+    * REPLACE must converge on the same table (the x27/x31 convergence
+    * pattern applied to full redefinition).
+    */
+  def icebergReplaceScan(spark: SparkSession, dir: String): DataFrame =
+    IcebergTable.read(spark, icebergReplacedOrders(spark, dir))
+      .select(col("o_custkey"), col("n_orders"), col("sum_price_cents"))
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x38_iceberg_replace" -> icebergReplaceScan,
     "x36_iceberg_cherry_pick" -> icebergCherryScan,
     "x37_delta_replace" -> deltaReplaceScan,
     "x35_delta_rt_merge" -> deltaRtMergeScan,
@@ -664,6 +697,14 @@ object LakehouseScan {
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
+    "x38_iceberg_replace" ->
+      """SELECT o_custkey,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_price_cents
+         FROM orders
+         GROUP BY o_custkey
+         ORDER BY o_custkey""",
     "x36_iceberg_cherry_pick" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
          FROM customer

@@ -40,9 +40,14 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
   * with fresh ids, delta-spark's own semantics), RESTORE (re-adds
   * re-serialize their original id assignment; the watermark never
   * rewinds) and SHALLOW CLONE (ids + watermark domain carry into the
-  * clone's v0; id spaces evolve independently after). Remaining
-  * bound (documented, loud): row tracking + column mapping — the
-  * materialized column names would need physical-name resolution.
+  * clone's v0; id spaces evolve independently after). COLUMN-MAPPED
+  * foreign tables read and OPTIMIZE too (r15): data columns resolve
+  * under their physical shape (name or id mode, the compact
+  * machinery) and rename back to logical; the materialized columns
+  * need no mapping — their config-recorded names ARE physical
+  * (delta-spark keeps them outside the logical schema entirely).
+  * MERGE/overwrite on mapped tables remain bounded by those writers'
+  * own mapping scope, not by row tracking.
   */
 object DeltaRowTracking {
   private val mapper = new ObjectMapper()
@@ -204,9 +209,6 @@ object DeltaRowTracking {
       versionAsOf: Option[Long] = None): DataFrame = {
     val st = DeltaLog.stateAt(spark, table, versionAsOf)
     require(enabled(st), s"$table does not have row tracking enabled")
-    require(st.configuration
-      .getOrElse("delta.columnMapping.mode", "none") == "none",
-      "row tracking + column mapping is out of this reader's scope")
     // a FOREIGN row-tracking table may not have chosen materialized
     // column names yet (delta-spark assigns them lazily); absent keys
     // mean no file can carry materialized ids — use never-matching
@@ -216,8 +218,30 @@ object DeltaRowTracking {
     val rvcCol = st.configuration
       .getOrElse(RowCommitColKey, "__no_materialized_row_commit__")
     val schema = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+    // COLUMN-MAPPED tables (r15, the last row-tracking refusal
+    // lifted): data columns scan under their PHYSICAL shape — name
+    // mode by stable physical names, id mode by parquet footer
+    // field-ids (the compact machinery) — and rename back to logical
+    // at the end; the MATERIALIZED columns need no mapping (their
+    // config-recorded names ARE physical: delta-spark keeps them
+    // outside the logical schema entirely)
+    val mapMode = st.configuration
+      .getOrElse("delta.columnMapping.mode", "none")
+    val dataFields = schema.fields.filterNot(f =>
+      st.partitionCols.contains(f.name))
+    val physFields = StructType(dataFields.map(f =>
+      f.copy(name = DeltaLog.physName(f),
+        dataType = DeltaLog.toPhysical(f.dataType))))
+    val dataSchema = mapMode match {
+      case "none" => StructType(dataFields)
+      case "name" => physFields
+      case _ => // id
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        DeltaLog.withFieldIds(physFields).asInstanceOf[StructType]
+    }
+    // physical → logical rename map for the final projection
+    val physToLogical: Seq[(String, String)] =
+      dataFields.toSeq.map(f => DeltaLog.physName(f) -> f.name)
     val files = st.active.values.toSeq.sortBy(_.path)
     // a FOREIGN table that enabled row tracking mid-life without a
     // baseRowId backfill has active files with NO id assignment —
@@ -300,7 +324,13 @@ object DeltaRowTracking {
           (d, c) => d.withColumn(c, col(c).cast(schema(c).dataType))
         }
       }
-    withPv.select(schema.fieldNames.map(col).toSeq ++ Seq(
+    // final projection in table-schema order, physical names renamed
+    // back to logical (physName = logical on unmapped: one code path)
+    val outCols = schema.fields.toSeq.map { f =>
+      if (st.partitionCols.contains(f.name)) col(f.name)
+      else col(DeltaLog.physName(f)).as(f.name)
+    }
+    withPv.select(outCols ++ Seq(
       col("_row_id"), col("_row_commit_version")): _*)
   }
 }

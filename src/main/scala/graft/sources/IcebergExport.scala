@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   * skipping), data files under `data/`. Append + row-level DELETE
   * (v2 position deletes) + schema evolution
   * ([[renameColumn]]/[[addColumn]]/[[dropColumn]]) + retention
-  * ([[expireSnapshots]]); full REPLACE/MERGE stays out of scope.
+  * ([[expireSnapshots]]) + blind-upsert MERGE ([[mergeUpsert]], r14)
+  * + atomic REPLACE TABLE ([[replaceTable]], r15).
   *
   * Partitioning (r12): IDENTITY transforms over
   * string/int/long/date/boolean source columns — the default
@@ -365,8 +366,11 @@ object IcebergExport {
         mapper.getNodeFactory.textNode(name)
     }
 
-  private def icebergSchemaNode(schema: StructType): (ObjectNode, Int) = {
-    var last = 0
+  private def icebergSchemaNode(
+      schema: StructType, startAfter: Int = 0): (ObjectNode, Int) = {
+    // field ids start past `startAfter` — REPLACE TABLE's new columns
+    // are NEW fields and the spec forbids reusing ids of dropped ones
+    var last = startAfter
     val next = () => { last += 1; last }
     val node = icebergType(schema, next).asInstanceOf[ObjectNode]
     (node, last)
@@ -893,12 +897,16 @@ object IcebergExport {
       manifestList: String, addedFiles: Int, addedRecords: Long,
       sequenceNumber: Option[Long] = None,
       operation: String = "append",
-      firstRowId: Option[Long] = None): ObjectNode = {
+      firstRowId: Option[Long] = None,
+      schemaId: Option[Int] = None): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("snapshot-id", snapId)
     parentId.foreach(p => n.put("parent-snapshot-id", p))
     sequenceNumber.foreach(q => n.put("sequence-number", q))
     firstRowId.foreach(r => n.put("first-row-id", r))
+    // the spec's snapshot schema-id: REPLACE stamps it so time travel
+    // to either side of the swap resolves the right era's schema
+    schemaId.foreach(i => n.put("schema-id", i))
     n.put("timestamp-ms", tsMs)
     val s = n.putObject("summary")
     s.put("operation", operation)
@@ -1018,6 +1026,140 @@ object IcebergExport {
     if (!claim(table, 1, json))
       throw new IllegalStateException(
         s"lost the race for $table metadata v1 — another writer created it")
+    snapId
+  }
+
+  /** REPLACE TABLE — Iceberg's `CREATE OR REPLACE ... AS SELECT`
+    * (r15, the Delta twin of [[DeltaExport.replaceTable]]): one
+    * metadata commit that swaps the table's CONTENT and DEFINITION —
+    * a NEW schema whose field ids continue past `last-column-id`
+    * (the spec forbids reusing dropped columns' ids; a re-created
+    * name is a NEW field and never resurrects old values), a NEW
+    * default partition spec with fresh field-ids past
+    * `last-partition-id`, and a `replace`-operation snapshot whose
+    * manifest list holds ONLY the new data manifests (old data AND
+    * old delete manifests drop — replaced content). Old snapshots
+    * stay time-travelable under their own schemas/specs (schema
+    * history + carried specs), refs keep pinning them, and the
+    * table-uuid is UNCHANGED (Iceberg's replace keeps table identity
+    * — unlike Delta, whose metaData id resets; each format's own
+    * semantics). v3 tables assign the replacement rows fresh row ids
+    * continuing from `next-row-id`.
+    *
+    * Concurrency: the loser of a racing data commit aborts with
+    * `ConcurrentModificationException` — the staged layout and id
+    * assignments derive from the snapshot this replace read.
+    */
+  def replaceTable(
+      df: DataFrame, table: String,
+      spec: Seq[(String, String)] = Nil): Long =
+    replaceTable(df, table, spec, () => ())
+
+  /** [[replaceTable]] with the read→commit seam the concurrency spec
+    * injects a competing writer into; production uses the no-op
+    * overload.
+    */
+  private[sources] def replaceTable(
+      df: DataFrame, table: String, spec: Seq[(String, String)],
+      beforeCommit: () => Unit): Long = {
+    val meta0 = IcebergTable.metadataJson(table)
+    val version0 = IcebergTable.currentMetadataVersion(table)
+    val (fv, lastSeq0) = fvOf(meta0)
+    val lastColId0 = meta0.get("last-column-id").asInt()
+    val (schemaNode, lastId) = icebergSchemaNode(df.schema, lastColId0)
+    val schemaId = (0 +: schemaHistoryOf(meta0).map(n =>
+      Option(n.get("schema-id")).map(_.asInt()).getOrElse(0))).max + 1
+    schemaNode.put("schema-id", schemaId)
+    val ids = topFieldIds(schemaNode)
+    val allSpecs: Seq[ObjectNode] =
+      if (meta0.has("partition-specs"))
+        meta0.get("partition-specs").elements().asScala
+          .map(_.deepCopy[ObjectNode]()).toSeq
+      else Nil
+    val newSpecId =
+      (0 +: allSpecs.map(_.get("spec-id").asInt())).max + 1
+    val lastPartId0 =
+      if (meta0.has("last-partition-id"))
+        meta0.get("last-partition-id").asInt()
+      else 999
+    val pfs = spec.zipWithIndex.map { case ((transform, src), i) =>
+      require(ids.contains(src),
+        s"partition source $src is not a top-level schema column")
+      val vt = transformValueType(transform, df.schema(src).dataType)
+      avroPartType(vt)
+      PartField(transformFieldName(transform, src), ids(src),
+        lastPartId0 + 1 + i, vt, transform, src)
+    }
+    val staged = stageIn(
+      deriveCols(df, pfs), table, pfs.map(_.name), topFieldIds(schemaNode))
+    var committed = false
+    var snapId = 0L
+    while (!committed) {
+      val meta = IcebergTable.metadataJson(table)
+      val curVersion = IcebergTable.currentMetadataVersion(table)
+      if (curVersion != version0)
+        throw new java.util.ConcurrentModificationException(
+          s"REPLACE TABLE conflict on $table: a concurrent writer " +
+            s"committed metadata v$curVersion since this replace read " +
+            s"v$version0 — aborted without committing (the staged " +
+            "files are orphans); re-run against the new state")
+      val rowBase = if (fv >= 3) nextRowIdOf(meta).getOrElse(0L) else 0L
+      val (added, rowNext) =
+        if (fv >= 3) assignRowIds(staged, rowBase) else (staged, 0L)
+      snapId = newSnapshotId()
+      val nextSeq = if (fv >= 2) lastSeq0 + 1 else 0L
+      val (mPath, mLen, mCount) = writeManifest(
+        table, snapId, schemaNode.toString, added, pfs,
+        specId = newSpecId, fv = fv)
+      val ml = writeManifestList(
+        table, snapId,
+        Seq(ManifestRef(mPath, mLen, mCount, Some(snapId),
+          specId = newSpecId,
+          seq = if (fv >= 2) Some(nextSeq) else None)), fv = fv)
+      val ts = System.currentTimeMillis()
+      val cur = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong()).filter(_ != -1L)
+      val newSnap = snapshotNode(
+        snapId, cur, ts, ml, added.size, added.map(_.records).sum,
+        if (fv >= 2) Some(nextSeq) else None, operation = "replace",
+        firstRowId = if (fv >= 3) Some(rowBase) else None,
+        schemaId = Some(schemaId))
+      // carried snapshots RETRO-STAMP their era's schema-id (the
+      // pre-replace current schema read them all, evolution keeping
+      // field-id compat) — without it, time travel across the swap
+      // would project them under the replacement's unrelated schema
+      val oldSchemaId =
+        if (meta.has("current-schema-id"))
+          meta.get("current-schema-id").asInt()
+        else 0
+      val snaps = meta.get("snapshots").elements().asScala
+        .map(_.deepCopy[ObjectNode]()).toSeq
+        .map { sn =>
+          if (!sn.has("schema-id")) sn.put("schema-id", oldSchemaId)
+          sn
+        } :+ newSnap
+      val log0 = (if (meta.has("snapshot-log"))
+        meta.get("snapshot-log").elements().asScala.map(e =>
+          (e.get("timestamp-ms").asLong(),
+            e.get("snapshot-id").asLong())).toSeq
+      else Nil) :+ ((ts, snapId))
+      beforeCommit()
+      val json = buildMetadata(
+        table, meta.get("table-uuid").asText(), schemaNode, lastId,
+        snaps, snapId, log0, pfs,
+        schemaHistory = schemaHistoryOf(meta) :+ schemaNode,
+        formatVersion = fv, lastSequenceNumber = nextSeq,
+        extraSpecs = allSpecs, properties = propsOf(meta),
+        refs = refsOf(meta),
+        nextRowId = if (fv >= 3) Some(rowNext) else None,
+        defaultSpecId = newSpecId)
+      committed = claim(table, curVersion + 1, json)
+      if (!committed)
+        throw new java.util.ConcurrentModificationException(
+          s"REPLACE TABLE conflict on $table: lost the metadata claim " +
+            "to a concurrent writer — aborted; re-run against the new " +
+            "state")
+    }
     snapId
   }
 
@@ -1685,10 +1827,11 @@ object IcebergExport {
     * rewrite/delete on the branch can overlap main's files), a
     * branch line that DROPPED one of the fork point's manifests, or
     * a picked manifest that isn't data content. v3 row-lineage
-    * tables refuse too: branch appends assigned explicit
-    * `first_row_id`s from the branch-time watermark, which can
-    * collide with ids main assigned since the fork — a correct pick
-    * would need id re-assignment inside the manifests.
+    * tables pick correctly (r15): the picked manifests REWRITE with
+    * fresh `first_row_id`s continuing from main's `next-row-id`
+    * (branch-time ids could collide with ids main assigned since
+    * the fork), so the picked rows are NEW rows to lineage
+    * consumers.
     *
     * The branch ref survives (Iceberg's cherrypick behavior); drop
     * it separately. Returns the new main snapshot id, or None when
@@ -1706,11 +1849,6 @@ object IcebergExport {
       require(bref.tpe == "branch",
         s"ref $branch is a ${bref.tpe}, not a branch")
       val (fv, lastSeq) = fvOf(meta)
-      require(fv < 3,
-        "cherryPick on a v3 row-lineage table is out of scope: branch " +
-          "appends carry explicit first_row_ids that can collide with " +
-          "ids main assigned since the fork — refused rather than " +
-          "emitting duplicate lineage")
       val cur = Option(meta.get("current-snapshot-id"))
         .map(_.asLong()).filter(_ != -1L)
         .getOrElse(throw new IllegalStateException(
@@ -1772,9 +1910,31 @@ object IcebergExport {
       newId = newSnapshotId()
       val ts = System.currentTimeMillis()
       val nextSeq = if (fv >= 2) lastSeq + 1 else 0L
+      // v3 ROW LINEAGE (r15, the refusal lifted): branch appends
+      // assigned explicit first_row_ids from the BRANCH-time
+      // watermark, which can collide with ids main assigned since
+      // the fork — so the picked manifests are REWRITTEN (metadata
+      // only, zero data bytes) with fresh first_row_ids continuing
+      // from MAIN's next-row-id, exactly as if the files were
+      // appended now. Entries without an explicit first_row_id
+      // cannot appear here (materialized-lineage files only come
+      // from rewrites, which the append-only walk refused).
+      val rowBase = if (fv >= 3) nextRowIdOf(meta).getOrElse(0L) else 0L
+      val (pickedFinal, rowNext) =
+        if (fv < 3) (picked, 0L)
+        else {
+          var next = rowBase
+          val patched = picked.map { p =>
+            val (np, nlen, nn) =
+              rewriteManifestRowIds(table, p.path, next)
+            next = nn
+            p.copy(path = np, length = nlen)
+          }
+          (patched, next)
+        }
       // re-sequence the picked manifests to THIS commit; keep their
       // spec-ids and added counts (informational) verbatim
-      val reSeqed = picked.map(p =>
+      val reSeqed = pickedFinal.map(p =>
         p.copy(seq = if (fv >= 2) Some(nextSeq) else None,
           minSeq = if (fv >= 2) Some(nextSeq) else None))
       val ml = writeManifestList(
@@ -1786,7 +1946,8 @@ object IcebergExport {
           .getOrElse(0L)).sum
       val newSnap = snapshotNode(
         newId, Some(cur), ts, ml, addedFiles, addedRecords,
-        if (fv >= 2) Some(nextSeq) else None)
+        if (fv >= 2) Some(nextSeq) else None,
+        firstRowId = if (fv >= 3) Some(rowBase) else None)
       val snaps = meta.get("snapshots").elements().asScala
         .map(_.deepCopy[ObjectNode]()).toSeq :+ newSnap
       val log0 = (if (meta.has("snapshot-log"))
@@ -1800,10 +1961,56 @@ object IcebergExport {
         meta.get("last-column-id").asInt(), snaps, newId, log0,
         partFieldsFromMeta(meta), schemaHistoryOf(meta), fv, nextSeq,
         extraSpecsOf(meta), propsOf(meta), refs,
+        nextRowId =
+          if (fv >= 3) Some(math.max(rowNext, nextRowIdOf(meta)
+            .getOrElse(0L))) else None,
         defaultSpecId = defaultSpecIdOf(meta))
       committed = claim(table, curVersion + 1, json)
     }
     Some(newId)
+  }
+
+  /** Copy one manifest with its ADDED data entries' `first_row_id`
+    * re-assigned from `base` (each entry advances by its
+    * record_count) — the v3 cherry-pick's lineage re-scope. Generic
+    * avro copy: the source's embedded writer schema and key-value
+    * metadata carry verbatim, only the id field changes. Entries
+    * without an explicit first_row_id refuse (this writer cannot
+    * know their id source). Returns (new path, length, next base).
+    */
+  private def rewriteManifestRowIds(
+      table: String, srcPath: String, base: Long): (String, Long, Long) = {
+    val src = new File(srcPath.replaceFirst("^file:/*", "/"))
+    val r = new DataFileReader[GenericRecord](
+      src, new GenericDatumReader[GenericRecord]())
+    try {
+      val schema = r.getSchema
+      val out = metaDir(table)
+        .resolve(s"${java.util.UUID.randomUUID()}-m0.avro")
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      r.getMetaKeys.asScala.foreach { k =>
+        if (!k.startsWith("avro.")) w.setMeta(k, r.getMeta(k))
+      }
+      w.create(schema, out.toFile)
+      var next = base
+      try {
+        r.iterator().asScala.foreach { e =>
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val status = e.get("status").toString.toInt
+          if (status != 2) {
+            val fld = df.getSchema.getField("first_row_id")
+            require(fld != null && df.get(fld.pos()) != null,
+              s"cherryPick: manifest $srcPath entry without an " +
+                "explicit first_row_id — cannot re-scope its lineage")
+            df.put(fld.pos(), Long.box(next))
+            next += df.get("record_count").toString.toLong
+          }
+          w.append(e)
+        }
+      } finally w.close()
+      (out.toAbsolutePath.toString, Files.size(out), next)
+    } finally r.close()
   }
 
   /** PARTITION EVOLUTION — replace the table's DEFAULT partition

@@ -1260,8 +1260,10 @@ object IcebergTable {
     * materialized lineage columns. Deletes apply as in any read;
     * surviving rows keep their ids.
     */
-  def readLineage(spark: SparkSession, table: String): DataFrame =
-    readCore(spark, table, None, None, withLineage = true)
+  def readLineage(
+      spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): DataFrame =
+    readCore(spark, table, snapshotId, None, withLineage = true)
 
   private[sources] def readCore(
       spark: SparkSession, table: String,
@@ -1271,9 +1273,18 @@ object IcebergTable {
       withLineage: Boolean = false): DataFrame = {
     val meta = metadataJson(table)
     val fv = meta.get("format-version").asInt()
-    val schemaNode = schemaNodeOf(meta)
-    val schema = toSparkType(schemaNode).asInstanceOf[StructType]
     val snap = snapshotNode(meta, snapshotId)
+    // the spec's snapshot `schema-id`: a snapshot committed under an
+    // OLDER schema (e.g. pre-REPLACE) time-travels with ITS schema,
+    // not the current one — resolved from the schemas history;
+    // snapshots without the field (pre-r15 writers, plain evolution)
+    // read under the current schema via field-id resolution as before
+    val schemaNode = Option(snap.get("schema-id")).map(_.asInt())
+      .filter(_ => meta.has("schemas"))
+      .flatMap(sid => meta.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == sid))
+      .getOrElse(schemaNodeOf(meta))
+    val schema = toSparkType(schemaNode).asInstanceOf[StructType]
     val entries0 = dataFilesWithPartitions(table, meta, snap)
     val entries = keep match {
       case Some(k) => entries0.filter(e => k.contains(e.path))

@@ -348,6 +348,51 @@ class DeltaColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("row tracking + column mapping: ids read and survive compaction") {
+    // a FOREIGN table carrying BOTH features (r15, the last
+    // row-tracking refusal lifted): data columns resolve physically
+    // and rename back to logical; the materialized columns' config
+    // names are physical already (outside the logical schema)
+    val table = Files.createTempDirectory("delta_cm_rt")
+    writePhysicalFile(table, "f1.parquet", Seq((1L, "alpha", 5L)))
+    writePhysicalFile(table, "f2.parquet", Seq((2L, "beta", 7L)))
+    writePhysicalFile(table, "f3.parquet", Seq((3L, "gamma", 9L)))
+    val ss = logicalSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val conf =
+      """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"5","delta.enableRowTracking":"true","delta.rowTracking.materializedRowIdColumnName":"_mat_rid","delta.rowTracking.materializedRowCommitVersionColumnName":"_mat_rvc"}"""
+    writeCommit(table, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":7,"writerFeatures":["columnMapping","domainMetadata","rowTracking"]}}""",
+      s"""{"metaData":{"id":"cm-rt","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":["region"],"configuration":$conf,"createdTime":1700000000000}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{"col-ee55":"us"},"size":512,"modificationTime":1700000000000,"dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{"col-ee55":"us"},"size":512,"modificationTime":1700000000000,"dataChange":true,"baseRowId":1,"defaultRowCommitVersion":0}}""",
+      """{"add":{"path":"f3.parquet","partitionValues":{"col-ee55":"de"},"size":512,"modificationTime":1700000000000,"dataChange":true,"baseRowId":2,"defaultRowCommitVersion":0}}""",
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":2}","removed":false}}""",
+      """{"commitInfo":{"operation":"CREATE"}}"""))
+    def ids(): Map[Long, (Long, Long)] =
+      DeltaRowTracking.readRowIds(spark, table.toString)
+        .select(col("doc_id"), col("_row_id"), col("_row_commit_version"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val before = ids()
+    assert(before == Map(
+      1L -> ((0L, 0L)), 2L -> ((1L, 0L)), 3L -> ((2L, 0L))), s"$before")
+    // logical columns + partition reconstruction under the mapping
+    val full = DeltaRowTracking.readRowIds(spark, table.toString)
+    assert(full.columns.toSeq == Seq(
+      "doc_id", "body", "info", "region", "_row_id",
+      "_row_commit_version"), full.columns.toSeq)
+    assert(full.filter(col("region") === "us").count() == 2L)
+    assert(full.filter(col("body") === "beta")
+      .select(col("_row_id")).head().getLong(0) == 1L)
+    // OPTIMIZE compacts the us partition's two files; ids and commit
+    // versions survive by materialization under the mapping
+    val (nb, na) =
+      DeltaExport.compact(spark, table.toString, 128L * 1024 * 1024)
+    assert(nb == 3 && na == 2, s"($nb, $na)")
+    assert(ids() == before,
+      "ids must survive mapped compaction via materialized columns")
+  }
+
   test("checkpointing a mapped table carries the configuration") {
     val t = makeTable()
     DeltaExport.checkpoint(spark, t.toString)

@@ -187,6 +187,38 @@ class IcebergRefsSpec extends SparkSpec {
     assert(ids(IcebergTable.read(spark, t, picked)) == Set(1L, 2L, 3L, 9L))
   }
 
+  test("v3 cherryPick re-assigns lineage past main's watermark") {
+    val t = tbl()
+    IcebergExport.createV3(
+      (0L until 4L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t) // row ids 0-3, next 4
+    IcebergExport.createBranch(t, "wip")
+    IcebergExport.appendToBranch(
+      Seq((10L, "b1"), (11L, "b2")).toDF("id", "s").coalesce(1),
+      t, "wip") // branch rows take 4-5 (the shared watermark)
+    IcebergExport.append(
+      Seq((20L, "m1")).toDF("id", "s").coalesce(1), t) // main takes 6
+    assert(IcebergExport.cherryPick(t, "wip").nonEmpty)
+    val lin = IcebergTable.readLineage(spark, t)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // picked rows are NEW rows to lineage consumers: fresh ids 7-8
+    // (their branch-time 4-5 stays the branch's own reading), every
+    // id on main unique, watermark advanced
+    assert(lin(20L) == 6L, s"$lin")
+    assert(Set(lin(10L), lin(11L)) == Set(7L, 8L), s"$lin")
+    assert(lin.values.toSeq.distinct.size == lin.size, s"$lin")
+    assert(IcebergTable.metadataJson(t).get("next-row-id").asLong() == 9L)
+    val blin = IcebergTable.refs(t)("wip") match {
+      case (id, _) =>
+        IcebergTable.readLineage(spark, t, Some(id))
+          .select(col("id"), col("_row_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    assert(blin(10L) == 4L && blin(11L) == 5L,
+      s"the branch keeps its own lineage: $blin")
+  }
+
   test("cherryPick refuses non-append branch lines (rewrite overlap)") {
     val t = tbl()
     val s1 = IcebergExport.create(
