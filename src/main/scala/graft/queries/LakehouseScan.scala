@@ -374,6 +374,22 @@ object LakehouseScan {
       IcebergExport.replaceTable(agg.coalesce(2), t)
     }
 
+  /** Iceberg customer table with position deletes CONVERTED to Delta
+    * (r15 — [[DeltaExport.fromIceberg]], the reverse UniForm
+    * direction): `_delta_log/` authored over the same files, the
+    * position-delete parquet re-expressed as Delta deletion vectors.
+    */
+  private def ice2DeltaCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("ice2delta_customer", dir) { t =>
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+        .repartition(2, col("c_custkey"))
+      IcebergExport.create(cust, t)
+      IcebergExport.deleteWhere(spark, t, col("c_custkey") % 6 === 2)
+      DeltaExport.fromIceberg(spark, t)
+    }
+
   /** SCD2 dimension maintained by [[DeltaScd2.merge]] over THREE
     * chronological observation batches of the events stream (tercile
     * time splits) — the MERGE-produced Delta table w23 PIT-reads, so
@@ -407,6 +423,7 @@ object LakehouseScan {
     icebergCherryCustomer(spark, dir)
     deltaReplacedOrders(spark, dir)
     icebergReplacedOrders(spark, dir)
+    ice2DeltaCustomer(spark, dir)
     icebergOrders(spark, dir)
     icebergLineitem(spark, dir)
     icebergV3Supplier(spark, dir)
@@ -676,7 +693,19 @@ object LakehouseScan {
       .select(col("o_custkey"), col("n_orders"), col("sum_price_cents"))
       .orderBy(col("o_custkey"))
 
+  /** x39 — the converted table read through the DELTA log (the
+    * Iceberg-authored rows + DV-converted position deletes under the
+    * hard gate): one mis-converted position resurrects or loses a row
+    * and fails the hash.
+    */
+  def ice2DeltaScan(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.read(spark, ice2DeltaCustomer(spark, dir))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x39_iceberg_to_delta" -> ice2DeltaScan,
     "x38_iceberg_replace" -> icebergReplaceScan,
     "x36_iceberg_cherry_pick" -> icebergCherryScan,
     "x37_delta_replace" -> deltaReplaceScan,
@@ -697,6 +726,11 @@ object LakehouseScan {
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
+    "x39_iceberg_to_delta" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_custkey % 6 <> 2
+         ORDER BY c_custkey""",
     "x38_iceberg_replace" ->
       """SELECT o_custkey,
                 count(*) AS n_orders,

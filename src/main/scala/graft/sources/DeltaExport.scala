@@ -289,7 +289,8 @@ object DeltaExport {
     val vs =
       try s.iterator().asScala.map(_.getFileName.toString)
         .filter(n => n.matches("\\d{20}\\.json")
-          || n.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet"))
+          || n.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet")
+          || n.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F][0-9a-fA-F-]{7,}\\.parquet"))
         .map(_.take(20).toLong).toVector
       finally s.close()
     vs.maxOption.map(_ + 1L).getOrElse(0L)
@@ -1525,6 +1526,47 @@ object DeltaExport {
     victims ++ dvVictims
   }
 
+  /** METADATA LOG CLEANUP (r15) — delta-spark's
+    * `delta.logRetentionDuration` maintenance: delete JSON commits
+    * STRICTLY BEHIND the latest checkpoint and older than
+    * `retentionMs`. Safe by construction: [[DeltaLog.stateAt]]
+    * replays checkpoint + commits-after-it, so a commit both
+    * subsumed by a checkpoint and past retention serves no reader —
+    * latest-state reads are unaffected and only time travel to the
+    * pruned versions (already expired policy-wise) stops. The
+    * checkpoint itself and everything at-or-after it always survive,
+    * and [[nextVersion]] keeps counting past the checkpoint (a
+    * pruned log can never restart version numbering). Returns the
+    * deleted file names.
+    */
+  def cleanupLogs(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      retentionMs: Long = 0L): Seq[String] = {
+    val dir = logDir(table)
+    require(Files.isDirectory(dir), s"not a Delta table: $table")
+    val entries = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close()
+    }
+    val ckpts = entries.filter(n =>
+      n.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet") ||
+        n.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F][0-9a-fA-F-]{7,}\\.parquet"))
+      .map(_.take(20).toLong)
+    require(ckpts.nonEmpty,
+      s"cleanupLogs on $table needs a checkpoint first (the JSON log " +
+        "is the only state carrier without one)")
+    val bound = ckpts.max
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val victims = entries.filter(_.matches("\\d{20}\\.json"))
+      .filter(_.take(20).toLong < bound)
+      .filter(n =>
+        Files.getLastModifiedTime(dir.resolve(n)).toMillis < cutoff)
+      .sorted
+    victims.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+    victims
+  }
+
   /** Compact the snapshot at the table's latest version into a parquet
     * checkpoint + `_last_checkpoint`, bounding future readers' JSON
     * replay to commits after it (the log-growth control every
@@ -1533,6 +1575,180 @@ object DeltaExport {
     * txn map — dropping txns would silently break exactly-once replay
     * detection after a compaction.
     */
+  /** The checkpoint `add` struct, shared by the classic and V2
+    * writers (divergence here would mean one form silently drops
+    * state the other carries: stats → file skipping, DVs → deleted
+    * rows, baseRowId → row identity, tags → probe-free reads).
+    */
+  private def ckptAddType: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("dataChange", BooleanType),
+      // carried so compaction cannot silently disable file skipping
+      StructField("stats", StringType),
+      // carried so compaction cannot silently UNDELETE rows
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType)))),
+      // carried so checkpointing a row-tracking table cannot
+      // silently re-identify rows
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType),
+      // carried so the materialized-presence record survives log
+      // cleanup (a dropped tag only costs a footer probe, but the
+      // zero-probe contract is spec-pinned)
+      StructField("tags", MapType(StringType, StringType))))
+  }
+
+  private def ckptAddRow(a: DeltaLog.AddFile): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(
+      a.path, a.partitionValues, 0L, true, a.stats.orNull,
+      a.dv.map(d => org.apache.spark.sql.Row(d.storageType,
+        d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)).orNull,
+      a.baseRowId.map(Long.box).orNull,
+      a.defaultRowCommitVersion.map(Long.box).orNull,
+      if (a.tags.isEmpty) null else a.tags)
+
+  /** V2 SPEC CHECKPOINT with SIDECARS (r15 — PROTOCOL.md "V2 Spec
+    * Checkpoints"; the READ path landed r14, this is the writer): the
+    * UUID-named main checkpoint carries protocol, metaData, txns,
+    * domainMetadata and a `checkpointMetadata` action, while the FILE
+    * actions move into sidecar parquet files under
+    * `_delta_log/_sidecars/` referenced by `sidecar` rows — at 10⁶
+    * files a monolithic checkpoint serializes through one writer and
+    * one reader, where sidecars shard the add set into independently
+    * readable (and at scale, parallel-loadable) pieces bounded by
+    * `maxAddsPerSidecar`. Declares the `v2Checkpoint` reader feature
+    * first when missing (minReader 3; the upgrade ENUMERATES
+    * prior-implied features per the deleteWhere discipline — old
+    * readers must not misread the UUID checkpoint as garbage).
+    * Returns the checkpointed version.
+    */
+  def checkpointV2(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      maxAddsPerSidecar: Int = 50000): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st0 = DeltaLog.stateAt(spark, table, None)
+    if (!st0.readerFeatures.contains("v2Checkpoint")) {
+      // a legacy-protocol table's implied reader features must be
+      // ENUMERATED on the v3 upgrade (mapped tables imply
+      // columnMapping; v1 tables imply nothing)
+      val implied0 =
+        if (st0.minReader >= 3) st0.readerFeatures
+        else if (st0.configuration
+          .getOrElse("delta.columnMapping.mode", "none") != "none")
+          Set("columnMapping")
+        else Set.empty[String]
+      val rf = implied0 + "v2Checkpoint"
+      val implied =
+        if (st0.writerFeatures.nonEmpty) st0.writerFeatures
+        else legacyWriterFeatures(st0.minWriter)
+      val wf = (implied + "v2Checkpoint").toSeq.sorted
+        .map(f => "\"" + f + "\"").mkString("[", ",", "]")
+      val rfJson = rf.toSeq.sorted
+        .map(f => "\"" + f + "\"").mkString("[", ",", "]")
+      val lines = Seq(
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$rfJson,"writerFeatures":$wf}}""",
+        s"""{"commitInfo":{"operation":"UPGRADE PROTOCOL"}}""")
+      var pv = nextVersion(table)
+      while (!claim(table, pv, lines)) pv = nextVersion(table)
+    }
+    val v = DeltaLog.version(spark, table)
+    val st = DeltaLog.stateAt(spark, table, Some(v))
+    val dir = logDir(table)
+    val sidecarDir = dir.resolve("_sidecars")
+    Files.createDirectories(sidecarDir)
+    // sidecars: the add set sharded into bounded parquet files
+    val sidecarSchema = StructType(Seq(StructField("add", ckptAddType)))
+    val addGroups = st.active.values.toSeq.sortBy(_.path)
+      .grouped(math.max(1, maxAddsPerSidecar)).toSeq
+    val sidecarNames = addGroups.map { group =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      val tmp = Files.createTempDirectory("delta_ckpt_sc")
+      spark.createDataFrame(
+        group.map(a => Row(ckptAddRow(a))).asJava, sidecarSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val l = Files.list(tmp)
+        try l.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally l.close()
+      }
+      Files.move(part, sidecarDir.resolve(name))
+      name
+    }
+    val mainSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType))))))
+    def row(
+        p: Row = null, m: Row = null, t: Row = null, d: Row = null,
+        sc: Row = null, cm: Row = null): Row = Row(p, m, t, d, sc, cm)
+    val rows =
+      Seq(
+        row(p = Row(st.minReader, st.minWriter,
+          if (st.readerFeatures.nonEmpty) st.readerFeatures.toSeq.sorted
+          else null,
+          if (st.writerFeatures.nonEmpty) st.writerFeatures.toSeq.sorted
+          else null)),
+        row(m = Row(st.tableId.getOrElse(table), st.schemaJson.get,
+          st.partitionCols, st.configuration)),
+        row(cm = Row(v))) ++
+        st.txns.toSeq.sortBy(_._1).map { case (a, ver) =>
+          row(t = Row(a, ver))
+        } ++
+        st.domains.toSeq.sortBy(_._1).map { case (dom, c) =>
+          row(d = Row(dom, c, false))
+        } ++
+        sidecarNames.map(n =>
+          row(sc = Row(n, Files.size(sidecarDir.resolve(n)))))
+    val tmp = Files.createTempDirectory("delta_ckpt_v2")
+    spark.createDataFrame(rows.asJava, mainSchema).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val l = Files.list(tmp)
+      try l.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally l.close()
+    }
+    Files.move(part, dir.resolve(
+      f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
+    val lcTmp = dir.resolve(s".lc-${java.util.UUID.randomUUID}")
+    Files.write(lcTmp,
+      s"""{"version":$v,"size":${rows.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(lcTmp, dir.resolve("_last_checkpoint"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
   def checkpoint(spark: org.apache.spark.sql.SparkSession, table: String): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -1558,28 +1774,7 @@ object DeltaExport {
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType)))),
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("partitionValues", MapType(StringType, StringType)),
-        StructField("size", LongType),
-        StructField("dataChange", BooleanType),
-        // carried so compaction cannot silently disable file skipping
-        StructField("stats", StringType),
-        // carried so compaction cannot silently UNDELETE rows
-        StructField("deletionVector", StructType(Seq(
-          StructField("storageType", StringType),
-          StructField("pathOrInlineDv", StringType),
-          StructField("offset", IntegerType),
-          StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))),
-        // carried so checkpointing a row-tracking table cannot
-        // silently re-identify rows
-        StructField("baseRowId", LongType),
-        StructField("defaultRowCommitVersion", LongType),
-        // carried so the materialized-presence record survives log
-        // cleanup (a dropped tag only costs a footer probe, but the
-        // zero-probe contract is spec-pinned)
-        StructField("tags", MapType(StringType, StringType))))),
+      StructField("add", ckptAddType),
       // live domainMetadata (rowIdHighWaterMark etc.) must survive
       // log cleanup — a checkpoint without it resets the watermark
       // and the next append would REUSE row ids
@@ -1602,14 +1797,7 @@ object DeltaExport {
           Row(null, null, Row(a, ver), null, null)
         } ++
         st.active.values.toSeq.sortBy(_.path).map { a =>
-          Row(null, null, null,
-            Row(a.path, a.partitionValues, 0L, true, a.stats.orNull,
-              a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-                d.offset, d.sizeInBytes, d.cardinality)).orNull,
-              a.baseRowId.map(Long.box).orNull,
-              a.defaultRowCommitVersion.map(Long.box).orNull,
-              if (a.tags.isEmpty) null else a.tags),
-            null)
+          Row(null, null, null, ckptAddRow(a), null)
         } ++
         st.domains.toSeq.sortBy(_._1).map { case (dom, c) =>
           Row(null, null, null, null, Row(dom, c, false))
@@ -1635,5 +1823,195 @@ object DeltaExport {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     v
+  }
+
+  /** UniForm-style Iceberg→Delta METADATA conversion (r15 — the
+    * reverse of [[IcebergExport.fromDelta]], completing the interop
+    * pair): author a `_delta_log/` over an Iceberg table's CURRENT
+    * snapshot — the SAME parquet files, zero data copied (`_delta_log/`
+    * lands next to `metadata/`; both formats then describe one
+    * physical table). Iceberg's row-level deletes CONVERT rather than
+    * resurrect: position-delete parquet AND v3 puffin deletion
+    * vectors both become Delta DELETION VECTORS per referenced file
+    * (the roaring bitmap codec is deliberately shared — see
+    * [[Puffin]]), bounded by deleted rows. Identity partition values
+    * become `add.partitionValues` (Delta's own missing-source-column
+    * read path reconstructs them, exactly like the forward direction).
+    *
+    * Re-running after Iceberg commits emits a DIFF commit: unchanged
+    * files (same deleted-position set) are untouched, changed ones
+    * re-add with a fresh DV, vanished ones remove — so the Delta view
+    * tracks the Iceberg table per sync point and earlier sync points
+    * stay time-travelable. SINGLE-WRITER CONTRACT (the forward
+    * direction's mirror): Iceberg must stay the only writer.
+    *
+    * Refuses loudly: EQUALITY deletes (their positions are unknowable
+    * without a scan — run [[IcebergExport.rewriteDataFiles]] to apply
+    * them physically, then convert) and partition-evolved tables
+    * whose eras disagree on identity sources (run
+    * [[IcebergExport.rewriteToCurrentSpec]] first). Non-identity
+    * transform partitioning converts as an UNPARTITIONED Delta table
+    * — those source columns are physically in the files, which is all
+    * Delta needs. Returns the committed Delta version.
+    */
+  def fromIceberg(
+      spark: org.apache.spark.sql.SparkSession, table: String): Long = {
+    import org.apache.spark.sql.types.StructType
+    val meta = IcebergTable.metadataJson(table)
+    val snap = IcebergTable.currentSnapshotNode(meta)
+    val schema = IcebergTable.schemaOf(meta)
+    val entries = IcebergTable.dataFilesWithPartitions(table, meta, snap)
+      .sortBy(_.path)
+    val idSets = entries.map(_.idFields.map(_._1)).distinct
+    require(idSets.size <= 1,
+      s"$table has partition-evolved eras with different identity " +
+        "sources — rewriteToCurrentSpec first, then convert")
+    val partitionCols: Seq[String] = idSets.headOption.getOrElse(Nil)
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"identity partition field $c is not a top-level schema column"))
+    val deletes = IcebergTable.deleteFilesOf(table, meta, snap)
+    // equality deletes scope by sequence number: one is LIVE only if
+    // some data file has a strictly smaller data sequence. Dead ones
+    // (every file rewritten past them) convert trivially; live ones
+    // would need a scan to resolve into positions — refused with the
+    // fix spelled out
+    val liveEq = deletes.filter(d =>
+      d.content == 2 && entries.exists(_.seq < d.seq))
+    require(liveEq.isEmpty,
+      s"$table carries LIVE equality deletes (e.g. ${liveEq.head.path})" +
+        " whose positions require a scan to resolve — rewriteDataFiles" +
+        " applies them physically; convert after")
+    // deleted positions per data file: position-delete parquet rows
+    // (bounded by deleted rows) + puffin DV blobs, the reader's own
+    // two sources
+    val posDeletes = deletes
+      .filter(d => d.content == 1 && d.format != "PUFFIN").map(_.path)
+    val posPairs: Seq[(String, Long)] =
+      if (posDeletes.isEmpty) Nil
+      else spark.read
+        .schema(StructType.fromDDL("file_path STRING, pos BIGINT"))
+        .parquet(posDeletes: _*)
+        .collect().map(r => (
+          java.net.URLDecoder.decode(
+            r.getString(0).replaceFirst("^file:/*", "/"), "UTF-8"),
+          r.getLong(1))).toSeq
+    val dvPairs: Seq[(String, Long)] = deletes
+      .filter(d => d.content == 1 && d.format == "PUFFIN")
+      .flatMap { d =>
+        val blob = (d.contentOffset, d.contentSize) match {
+          case (Some(off), Some(len)) => Puffin.readBlob(d.path, off, len)
+          case _ => throw new IllegalStateException(
+            s"puffin DV without content offsets in ${d.path}")
+        }
+        Puffin.dvBlobIndexes(blob)
+          .map(i => (d.referencedDataFile.getOrElse(
+            throw new IllegalStateException(
+              s"puffin DV entry without referenced-data-file in ${d.path}")),
+            i))
+      }
+    val byFile: Map[String, Array[Long]] = (posPairs ++ dvPairs)
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.toArray).toMap
+    val tableAbs = Paths.get(table).toAbsolutePath.toString
+    def relOf(abs: String): String = {
+      require(abs.startsWith(tableAbs + "/"),
+        s"data file $abs outside the table root cannot convert in place")
+      abs.substring(tableAbs.length + 1)
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val anyDv = byFile.nonEmpty
+    // one desired add per entry: rel path, partition values (nullable),
+    // wanted deleted-position set
+    case class Want(
+        rel: String, abs: String, pv: Seq[(String, Option[String])],
+        del: Array[Long])
+    val desired = entries.map { e =>
+      Want(relOf(e.path), e.path,
+        partitionCols.map(c => c -> e.pv.getOrElse(c, None)),
+        byFile.getOrElse(e.path, Array.empty[Long]))
+    }
+    def pvJson(pv: Seq[(String, Option[String])]): String =
+      pv.sortBy(_._1).map { case (k, v) =>
+        s""""${esc(k)}":${v.map(x => s""""${esc(x)}"""").getOrElse("null")}"""
+      }.mkString("{", ",", "}")
+    def addLine(w: Want, dv: Option[DeltaDv.Descriptor]): String = {
+      val stats = fileStats(hconf, w.abs)
+        .map(s => s""","stats":"${esc(s)}"""").getOrElse("")
+      val dvPart = dv
+        .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+      s"""{"add":{"path":"${enc(w.rel)}","partitionValues":${pvJson(w.pv)},"size":${Files.size(Paths.get(w.abs))},"modificationTime":${Files.getLastModifiedTime(Paths.get(w.abs)).toMillis},"dataChange":true$stats$dvPart}}"""
+    }
+    val fresh = !Files.isDirectory(logDir(table))
+    if (fresh) {
+      val protocolLine =
+        if (!anyDv)
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        else {
+          val wf = (legacyWriterFeatures(2) + "deletionVectors")
+            .toSeq.sorted.map(f => "\"" + f + "\"")
+            .mkString("[", ",", "]")
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":$wf}}"""
+        }
+      val lines = Seq(protocolLine,
+        metaDataJson(java.util.UUID.randomUUID.toString, schema,
+          partitionCols)) ++
+        desired.map(w => addLine(w,
+          if (w.del.isEmpty) None
+          else Some(DeltaDv.writeFileU(table, w.del)))) :+
+        s"""{"commitInfo":{"operation":"CONVERT","operationParameters":{"source":"iceberg"}}}"""
+      if (!claim(table, 0L, lines))
+        throw new IllegalStateException(
+          s"lost the race for $table Delta version 0")
+      0L
+    } else {
+      // RE-SYNC: diff against the current Delta state — unchanged
+      // files (same deleted set) stay, changed ones re-add with a
+      // fresh DV, vanished ones remove
+      var v = nextVersion(table)
+      var committed = false
+      while (!committed) {
+        val st = DeltaLog.stateAt(spark, table, None)
+        val desiredByRel = desired.map(w => w.rel -> w).toMap
+        def curDel(a: DeltaLog.AddFile): Array[Long] =
+          a.dv.map(DeltaDv.indexesOf(table, _)).getOrElse(Array.empty)
+        val removes = st.active.values.toSeq.sortBy(_.path).filter { a =>
+          desiredByRel.get(java.net.URLDecoder.decode(a.path, "UTF-8"))
+            match {
+            case None => true // vanished from the Iceberg snapshot
+            case Some(w) => !java.util.Arrays.equals(curDel(a), w.del)
+          }
+        }
+        val changedOrNew = desired.filter { w =>
+          st.active.get(w.rel).orElse(st.active.get(enc(w.rel))) match {
+            case None => true
+            case Some(a) => !java.util.Arrays.equals(curDel(a), w.del)
+          }
+        }
+        if (removes.isEmpty && changedOrNew.isEmpty) return v - 1 // no-op
+        val protoLine =
+          if (!anyDv || st.readerFeatures.contains("deletionVectors")) Nil
+          else {
+            val implied =
+              if (st.writerFeatures.nonEmpty) st.writerFeatures
+              else legacyWriterFeatures(st.minWriter)
+            val wf = (implied + "deletionVectors").toSeq.sorted
+              .map(f => "\"" + f + "\"").mkString("[", ",", "]")
+            Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":$wf}}""")
+          }
+        val removeLines = removes.map { a =>
+          val dvPart = a.dv
+            .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+          s"""{"remove":{"path":"${esc(a.path)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":true$dvPart}}"""
+        }
+        val addLines = changedOrNew.map(w => addLine(w,
+          if (w.del.isEmpty) None
+          else Some(DeltaDv.writeFileU(table, w.del))))
+        val lines = protoLine ++ removeLines ++ addLines :+
+          s"""{"commitInfo":{"operation":"CONVERT","operationParameters":{"source":"iceberg"}}}"""
+        committed = claim(table, v, lines)
+        if (!committed) v = nextVersion(table)
+      }
+      v
+    }
   }
 }

@@ -117,6 +117,78 @@ class DeltaV2CheckpointSpec extends SparkSpec {
     schemaJson.length // silence unused warning
   }
 
+  test("checkpointV2 + cleanupLogs: sidecar checkpoint is the sole state carrier") {
+    import spark.implicits._
+    val t = {
+      val d = Files.createTempDirectory("v2ck_w_").toString
+      Files.delete(Paths.get(d)); d
+    }
+    // every state kind in one table: row tracking (domain + baseRowId
+    // + tags), a DV delete, a txn watermark, multiple files
+    DeltaExport.create(
+      (0L until 6L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t, Nil, Map("delta.enableRowTracking" -> "true"))
+    DeltaExport.appendBatch(
+      (10L until 13L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1),
+      t, "app", 7L)
+    DeltaExport.deleteWhere(spark, t, col("id") === 2L)
+    DeltaExport.compact(spark, t, 128L * 1024 * 1024)
+    DeltaExport.append(
+      (20L until 22L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    val before = DeltaLog.stateAt(spark, t, None)
+    val idsBefore = DeltaRowTracking.readRowIds(spark, t)
+      .select(col("id"), col("_row_id"), col("_row_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // force >1 sidecar so the sharding is actually exercised
+    val v = DeltaExport.checkpointV2(spark, t, maxAddsPerSidecar = 1)
+    val logDir = Paths.get(t, "_delta_log")
+    val names = {
+      val l = Files.list(logDir)
+      try l.iterator().asScala.map(_.getFileName.toString).toVector
+      finally l.close()
+    }
+    assert(names.exists(_.matches(
+      f"$v%020d\\.checkpoint\\.[0-9a-fA-F-]{8,}\\.parquet")), s"$names")
+    val sidecars = {
+      val l = Files.list(logDir.resolve("_sidecars"))
+      try l.iterator().asScala.size finally l.close()
+    }
+    assert(sidecars >= 2, s"sharded sidecars expected, got $sidecars")
+    // drop every subsumed JSON commit — the V2 checkpoint + sidecars
+    // are now the ONLY state carrier
+    val deleted = DeltaExport.cleanupLogs(spark, t, retentionMs = 0L)
+    assert(deleted.nonEmpty, "cleanup must reclaim subsumed commits")
+    val after = DeltaLog.stateAt(spark, t, None)
+    assert(after.readerFeatures.contains("v2Checkpoint"))
+    assert(after.active.keySet == before.active.keySet)
+    assert(after.active.view.mapValues(a =>
+      (a.dv.map(_.pathOrInlineDv), a.baseRowId, a.tags)).toMap
+      == before.active.view.mapValues(a =>
+      (a.dv.map(_.pathOrInlineDv), a.baseRowId, a.tags)).toMap,
+      "DVs, row ids and tags must replay from the sidecars")
+    assert(after.txns == before.txns && after.domains == before.domains)
+    assert(DeltaRowTracking.readRowIds(spark, t)
+      .select(col("id"), col("_row_id"), col("_row_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == idsBefore)
+    // the table keeps working: next version continues past the
+    // checkpoint, and the replay gate still sees the txn watermark
+    assert(DeltaExport.appendBatch(
+      Seq((99L, "x")).toDF("id", "s").coalesce(1), t, "app", 7L).isEmpty,
+      "txn watermark must survive into the post-cleanup replay")
+    DeltaExport.append(Seq((50L, "n")).toDF("id", "s").coalesce(1), t)
+    assert(DeltaLog.version(spark, t) > v)
+    assert(DeltaLog.read(spark, t).count() == 11L)
+    // cleanup without any checkpoint refuses
+    val plain = {
+      val d = Files.createTempDirectory("v2ck_p_").toString
+      Files.delete(Paths.get(d)); d
+    }
+    DeltaExport.create(Seq((1L, "a")).toDF("id", "s").coalesce(1), plain)
+    intercept[IllegalArgumentException](
+      DeltaExport.cleanupLogs(spark, plain))
+  }
+
   test("timestampNtz tables behind the v3 gate read natively") {
     val table = Files.createTempDirectory("delta_ntz")
     val df = Seq(
