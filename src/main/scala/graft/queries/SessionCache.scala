@@ -40,16 +40,29 @@ object SessionCache {
     * non-DataFrame sibling of `cached`: fit statistics (s6's per-dim
     * min/max), broadcast handles (p10's Bloom filter), corpus counts
     * (the d5 guard). One keying discipline instead of a hand-rolled
-    * ConcurrentHashMap per module. `computeIfAbsent` is safe here
-    * because value builds only touch `planCache`/Spark, never recurse
-    * into `valueCache` (the same-bin recursion hazard `cached`
-    * documents). Entries live for the JVM, like every session cache
-    * in this file — acceptable for the bench/verify drivers this
-    * serves; a long-lived multi-session server would want eviction on
-    * session close.
+    * ConcurrentHashMap per module.
+    *
+    * NOT computeIfAbsent (r15): memo builds DO nest — x20BloomBytes
+    * falls back to the x20Bloom memo when the Verify dump is absent —
+    * and a mapping function updating another mapping violates the CHM
+    * contract whenever the two keys share a hash bin ("Recursive
+    * update", which fired NONDETERMINISTICALLY in a bench run: bin
+    * assignment depends on table capacity, so the nesting was latent
+    * until the key population shifted). Same check-then-putIfAbsent
+    * as `cached`; a racing duplicate build loses benignly (builds are
+    * deterministic fits). Entries live for the JVM, like every
+    * session cache in this file.
     */
-  def memo[T](spark: SparkSession, dir: String, name: String)(build: => T): T =
-    valueCache.computeIfAbsent((spark, dir, name), _ => build).asInstanceOf[T]
+  def memo[T](spark: SparkSession, dir: String, name: String)(build: => T): T = {
+    val key = (spark, dir, name)
+    val existing = valueCache.get(key)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val v = build
+      val prev = valueCache.putIfAbsent(key, v.asInstanceOf[Any])
+      if (prev != null) prev.asInstanceOf[T] else v
+    }
+  }
 
   /** Materialize every shared cache up front. Bench calls this during
     * warmup so per-query timings measure the query, not whichever query

@@ -1457,8 +1457,14 @@ object DeltaExport {
         }
       val lines = cur.active.keys.toSeq.sorted
         .filterNot(newRels.contains)
-        .map(p =>
-          s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":false}}""") ++
+        .map { p =>
+          // a z-ordered-away DV'd file's remove carries its vector's
+          // descriptor (PROTOCOL.md) so the orphaned bin stays
+          // trackable for vacuum — the compact discipline
+          val dvPart = cur.active.get(p).flatMap(_.dv)
+            .map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+          s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":${System.currentTimeMillis()},"dataChange":false$dvPart}}"""
+        } ++
         addLines :+
         s"""{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{"zOrderBy":"[$xCol,$yCol]"}}}"""
       committed = claim(table, v, lines)
