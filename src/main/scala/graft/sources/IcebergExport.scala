@@ -1899,10 +1899,18 @@ object IcebergExport {
       val lineIds = line.map(_.get("snapshot-id").asLong()).toSet
       // skip manifests ALREADY on main — a re-run of the same pick
       // (the branch head never becomes a main ancestor) must be a
-      // no-op, not a duplication
-      val mainPaths = priorManifests(listOf(cur)).map(_.path).toSet
+      // no-op, not a duplication. Two provenance checks: path
+      // identity (v1/v2 picks carry manifests verbatim) AND
+      // added-snapshot-id (a v3 pick REWRITES the manifests for
+      // lineage, changing their paths but keeping the branch
+      // snapshot's id — path identity alone would re-pick them)
+      val mainManifests = priorManifests(listOf(cur))
+      val mainPaths = mainManifests.map(_.path).toSet
+      val mainPickedIds =
+        mainManifests.flatMap(_.snapId).toSet.intersect(lineIds)
       val picked = headManifests.filter(_.snapId.exists(lineIds))
-        .filterNot(p => mainPaths(p.path))
+        .filterNot(p =>
+          mainPaths(p.path) || p.snapId.exists(mainPickedIds))
       picked.foreach(p => require(p.content == 0,
         s"cherryPick refused: branch manifest ${p.path} carries " +
           "deletes — append-only branches only"))
@@ -2150,6 +2158,40 @@ object IcebergExport {
     * the expired snapshots (their ids now throw), like every engine's
     * expire. Returns the deleted paths.
     */
+  /** METADATA-FILE cleanup (r15) — Iceberg's
+    * `write.metadata.previous-versions-max` maintenance, the
+    * [[DeltaExport.cleanupLogs]] twin: delete `v<N>.metadata.json`
+    * files older than the newest `keepLast`. Safe by construction —
+    * each metadata version is a COMPLETE snapshot-of-state (unlike
+    * Delta's incremental commits), so readers only ever need the
+    * current one; snapshot time travel resolves through the CURRENT
+    * metadata's `snapshots` array, never old metadata files. The
+    * version hint refreshes to the discovered current first, so a
+    * stale hint can never point at a deleted version (and the
+    * discovery's max-scan fallback covers even that). Returns the
+    * deleted file names.
+    */
+  def cleanupMetadata(table: String, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "must keep the current metadata version")
+    val cur = IcebergTable.currentMetadataVersion(table)
+    val dir = metaDir(table)
+    val hintTmp = dir.resolve(s".hint-${java.util.UUID.randomUUID()}")
+    Files.write(hintTmp, cur.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(hintTmp, dir.resolve("version-hint.text"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val bound = cur - keepLast + 1
+    val re = "^v(\\d+)\\.metadata\\.json$".r
+    val victims = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .flatMap(n => re.findFirstMatchIn(n).map(m => (m.group(1).toInt, n)))
+        .filter(_._1 < bound).map(_._2).toVector.sorted
+      finally s.close()
+    }
+    victims.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+    victims
+  }
+
   def expireSnapshots(table: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     var committed = false

@@ -217,6 +217,12 @@ class IcebergRefsSpec extends SparkSpec {
     }
     assert(blin(10L) == 4L && blin(11L) == 5L,
       s"the branch keeps its own lineage: $blin")
+    // a v3 re-pick must be a NO-OP despite the lineage rewrite having
+    // changed the manifests' paths (provenance dedups on the branch
+    // snapshot ids, not paths)
+    assert(IcebergExport.cherryPick(t, "wip").isEmpty,
+      "re-picking a v3 branch must not duplicate rows or ids")
+    assert(IcebergTable.metadataJson(t).get("next-row-id").asLong() == 9L)
   }
 
   test("cherryPick refuses non-append branch lines (rewrite overlap)") {

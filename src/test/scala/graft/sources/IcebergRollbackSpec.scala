@@ -81,6 +81,30 @@ class IcebergRollbackSpec extends SparkSpec {
       == log0.head._2)
   }
 
+  test("cleanupMetadata keeps only the newest versions; reads unharmed") {
+    val t = tbl()
+    val s1 = IcebergExport.create(
+      Seq((1L, "a")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.append(Seq((2L, "b")).toDF("id", "s").coalesce(1), t)
+    IcebergExport.createTag(t, "rel", s1)
+    IcebergExport.append(Seq((3L, "c")).toDF("id", "s").coalesce(1), t)
+    val cur = IcebergTable.currentMetadataVersion(t)
+    assert(cur >= 4)
+    val deleted = IcebergExport.cleanupMetadata(t, keepLast = 1)
+    assert(deleted.size == cur - 1, s"$deleted")
+    // the current metadata is a complete state: reads, snapshot time
+    // travel and refs all still work
+    assert(IcebergTable.read(spark, t).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    assert(IcebergTable.read(spark, t, Some(s1)).count() == 1L)
+    assert(IcebergTable.readRef(spark, t, "rel").count() == 1L)
+    // idempotent; the table keeps committing past the cleanup
+    assert(IcebergExport.cleanupMetadata(t, keepLast = 1).isEmpty)
+    IcebergExport.append(Seq((4L, "d")).toDF("id", "s").coalesce(1), t)
+    assert(IcebergTable.currentMetadataVersion(t) == cur + 1)
+    assert(IcebergTable.read(spark, t).count() == 4L)
+  }
+
   test("metadata tables expose snapshots, history, files, manifests, refs, partitions") {
     val t = tbl()
     IcebergExport.create(
