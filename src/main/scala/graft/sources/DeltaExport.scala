@@ -1564,13 +1564,55 @@ object DeltaExport {
         "is the only state carrier without one)")
     val bound = ckpts.max
     val cutoff = System.currentTimeMillis() - retentionMs
-    val victims = entries.filter(_.matches("\\d{20}\\.json"))
+    def expired(n: String): Boolean =
+      Files.getLastModifiedTime(dir.resolve(n)).toMillis < cutoff
+    val jsonVictims = entries.filter(_.matches("\\d{20}\\.json"))
       .filter(_.take(20).toLong < bound)
+      .filter(expired)
+    // SUPERSEDED checkpoints (strictly older than the latest) expire
+    // with their JSON — each checkpoint is a complete state, so only
+    // the newest serves readers
+    val ckptVictims = entries
       .filter(n =>
-        Files.getLastModifiedTime(dir.resolve(n)).toMillis < cutoff)
-      .sorted
-    victims.foreach(n => Files.deleteIfExists(dir.resolve(n)))
-    victims
+        n.matches("\\d{20}\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet") ||
+          n.matches("\\d{20}\\.checkpoint\\.[0-9a-fA-F][0-9a-fA-F-]{7,}\\.parquet"))
+      .filter(_.take(20).toLong < bound)
+      .filter(expired)
+    (jsonVictims ++ ckptVictims).foreach(n =>
+      Files.deleteIfExists(dir.resolve(n)))
+    // ORPHANED V2 SIDECARS: sidecar parquet referenced by NO remaining
+    // checkpoint reclaims past retention (each checkpointV2 writes a
+    // fresh shard set; without this sweep they accumulate per
+    // checkpoint forever). Referenced names come from the surviving
+    // checkpoints' own `sidecar` rows — a bounded driver read.
+    val sidecarDir = dir.resolve("_sidecars")
+    val sidecarVictims =
+      if (!Files.isDirectory(sidecarDir)) Nil
+      else {
+        val live = {
+          val remaining = entries.filterNot(ckptVictims.contains)
+            .filter(_.matches(
+              "\\d{20}\\.checkpoint\\.[0-9a-fA-F][0-9a-fA-F-]{7,}\\.parquet"))
+          remaining.flatMap { n =>
+            val df = spark.read.parquet(dir.resolve(n).toString)
+            if (!df.columns.contains("sidecar")) Nil
+            else df.select(org.apache.spark.sql.functions.col("sidecar.path"))
+              .filter(org.apache.spark.sql.functions.col("path").isNotNull)
+              .collect().map(_.getString(0)).toSeq
+          }.toSet
+        }
+        val s = Files.list(sidecarDir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => !live(n) &&
+            Files.getLastModifiedTime(sidecarDir.resolve(n)).toMillis
+              < cutoff)
+          .toVector
+        finally s.close()
+      }
+    sidecarVictims.foreach(n =>
+      Files.deleteIfExists(sidecarDir.resolve(n)))
+    (jsonVictims ++ ckptVictims ++
+      sidecarVictims.map(n => s"_sidecars/$n")).sorted
   }
 
   /** Compact the snapshot at the table's latest version into a parquet

@@ -189,6 +189,39 @@ class DeltaV2CheckpointSpec extends SparkSpec {
       DeltaExport.cleanupLogs(spark, plain))
   }
 
+  test("re-checkpointing reclaims superseded checkpoints and orphan sidecars") {
+    import spark.implicits._
+    val t = {
+      val d = Files.createTempDirectory("v2ck_gc_").toString
+      Files.delete(Paths.get(d)); d
+    }
+    DeltaExport.create(
+      (0L until 4L).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1), t)
+    DeltaExport.checkpointV2(spark, t, maxAddsPerSidecar = 1)
+    DeltaExport.append(
+      Seq((10L, "x")).toDF("id", "s").coalesce(1), t)
+    DeltaExport.checkpointV2(spark, t, maxAddsPerSidecar = 1)
+    val logDir = Paths.get(t, "_delta_log")
+    def count(p: java.nio.file.Path, pat: String): Int = {
+      val l = Files.list(p)
+      try l.iterator().asScala.count(_.getFileName.toString.matches(pat))
+      finally l.close()
+    }
+    assert(count(logDir, "\\d{20}\\.checkpoint\\..*\\.parquet") == 2)
+    val sidecarsBefore = count(logDir.resolve("_sidecars"), ".*\\.parquet")
+    assert(sidecarsBefore >= 3, s"$sidecarsBefore") // 1 + 2 shards
+    val deleted = DeltaExport.cleanupLogs(spark, t, retentionMs = 0L)
+    // the superseded checkpoint, its now-orphan sidecar(s) and the
+    // subsumed JSON all reclaim; the latest checkpoint's shards stay
+    assert(deleted.exists(_.contains(".checkpoint.")), s"$deleted")
+    assert(deleted.exists(_.startsWith("_sidecars/")), s"$deleted")
+    assert(count(logDir, "\\d{20}\\.checkpoint\\..*\\.parquet") == 1)
+    assert(count(logDir.resolve("_sidecars"), ".*\\.parquet") == 2)
+    // state fully replays from the survivor
+    assert(DeltaLog.read(spark, t).collect().map(_.getLong(0)).toSet
+      == (0L until 4L).toSet + 10L)
+  }
+
   test("timestampNtz tables behind the v3 gate read natively") {
     val table = Files.createTempDirectory("delta_ntz")
     val df = Seq(
