@@ -59,8 +59,14 @@ object SessionCache {
     if (existing != null) existing.asInstanceOf[T]
     else {
       val v = build
-      val prev = valueCache.putIfAbsent(key, v.asInstanceOf[Any])
-      if (prev != null) prev.asInstanceOf[T] else v
+      // CHM rejects null values (putIfAbsent would NPE): a
+      // null-producing build degrades to UNCACHED — returned as-is,
+      // rebuilt on the next call — rather than crashing the caller
+      if (v == null) v
+      else {
+        val prev = valueCache.putIfAbsent(key, v.asInstanceOf[Any])
+        if (prev != null) prev.asInstanceOf[T] else v
+      }
     }
   }
 

@@ -109,11 +109,14 @@ object WarehouseQueries {
     * on sentence_index ONLY (the sentence dim's unique key is
     * (sentence_index, episode_id), `lambda_2.py:68`) — with multiple
     * episodes loaded, same-index sentences from other episodes match.
-    * The WHERE filters only the entity side (`app.py:232-234`).
+    * The WHERE filters only the entity side, BOTH predicates
+    * (`app.py:235-236`: `e.entity_type = ? AND e.episode_id = ?`).
     */
   def q5Bug(spark: SparkSession, dir: String): DataFrame = {
     val w = wh(spark)
-    w.entity.filter(col("episode_id") === 1L)
+    w.entity
+      .filter(col("entity_type") === "ORGANIZATION" &&
+        col("episode_id") === 1L)
       .select(col("sentence_index"))
       .join(
         w.sentence.select(col("sentence_index"), col("overall_sentiment")),
@@ -129,7 +132,9 @@ object WarehouseQueries {
   /** Q5 corrected: strict join on (sentence_index, episode_id). */
   def q5Strict(spark: SparkSession, dir: String): DataFrame = {
     val w = wh(spark)
-    w.entity.filter(col("episode_id") === 1L)
+    w.entity
+      .filter(col("entity_type") === "ORGANIZATION" &&
+        col("episode_id") === 1L)
       .select(col("sentence_index"), col("episode_id"))
       .join(
         w.sentence.select(
@@ -261,7 +266,7 @@ object WarehouseQueries {
     "wh_q5_sentiment_bugcompat" ->
       s"""SELECT s.overall_sentiment, COUNT(*) AS cnt
           FROM (SELECT sentence_index FROM ${t("entity")}
-                WHERE episode_id = 1) e
+                WHERE entity_type = 'ORGANIZATION' AND episode_id = 1) e
           LEFT JOIN ${t("sentence")} s
             ON s.sentence_index = e.sentence_index
           GROUP BY s.overall_sentiment
@@ -269,7 +274,7 @@ object WarehouseQueries {
     "wh_q5_sentiment_strict" ->
       s"""SELECT s.overall_sentiment, COUNT(*) AS cnt
           FROM (SELECT sentence_index, episode_id FROM ${t("entity")}
-                WHERE episode_id = 1) e
+                WHERE entity_type = 'ORGANIZATION' AND episode_id = 1) e
           LEFT JOIN ${t("sentence")} s
             ON s.sentence_index = e.sentence_index
            AND s.episode_id = e.episode_id

@@ -1547,7 +1547,13 @@ object DeltaExport {
     */
   def cleanupLogs(
       spark: org.apache.spark.sql.SparkSession, table: String,
-      retentionMs: Long = 0L): Seq[String] = {
+      // nonzero DEFAULT retention (r16): an in-flight checkpointV2
+      // writes its sidecars BEFORE the main checkpoint file lands, so
+      // a concurrent retention=0 sweep would reclaim them as orphans
+      // mid-write; an hour of slack makes the default safe while
+      // explicit retentionMs = 0 stays available for tests/tools that
+      // know no writer is in flight
+      retentionMs: Long = 3600000L): Seq[String] = {
     val dir = logDir(table)
     require(Files.isDirectory(dir), s"not a Delta table: $table")
     val entries = {
@@ -1584,7 +1590,13 @@ object DeltaExport {
     // checkpoint reclaims past retention (each checkpointV2 writes a
     // fresh shard set; without this sweep they accumulate per
     // checkpoint forever). Referenced names come from the surviving
-    // checkpoints' own `sidecar` rows — a bounded driver read.
+    // checkpoints' own `sidecar` rows — a bounded driver read —
+    // NORMALIZED TO BASENAME exactly the way the read path
+    // ([[DeltaLog.applyCheckpoint]]) resolves them: a checkpoint that
+    // stores URI/absolute sidecar paths still protects its live
+    // sidecars (raw-string matching would orphan every one of them
+    // and, with the JSON commits behind the checkpoint pruned by the
+    // same call, leave the table UNRECOVERABLE).
     val sidecarDir = dir.resolve("_sidecars")
     val sidecarVictims =
       if (!Files.isDirectory(sidecarDir)) Nil
@@ -1599,6 +1611,9 @@ object DeltaExport {
             else df.select(org.apache.spark.sql.functions.col("sidecar.path"))
               .filter(org.apache.spark.sql.functions.col("path").isNotNull)
               .collect().map(_.getString(0)).toSeq
+          }.map { p =>
+            val clean = p.replaceFirst("^file:/*", "/")
+            Paths.get(clean).getFileName.toString
           }.toSet
         }
         val s = Files.list(sidecarDir)

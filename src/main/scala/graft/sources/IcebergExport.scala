@@ -2231,9 +2231,19 @@ object IcebergExport {
         props.get("history.expire.min-snapshots-to-keep").map(_.toInt)
       def ageOf(id: Long): Option[Long] =
         byId.get(id).map(sn => now - sn.get("timestamp-ms").asLong())
+      // ref age falls back to the table-level default exactly like
+      // the snapshot-age and min-keep bounds below (r16 — previously
+      // only the per-ref value was honored, so `history.expire
+      // .max-ref-age-ms` silently never retired anything); main is
+      // EXCLUDED from retirement (RemoveSnapshots' own rule: the
+      // current branch never ages out, whatever the default says)
+      val tableMaxRefAge =
+        props.get("history.expire.max-ref-age-ms").map(_.toLong)
       val refsAll = refsOf(meta)
-      val (agedOut, liveRefs) = refsAll.partition { case (_, r) =>
-        r.maxRefAgeMs.exists(maxAge => ageOf(r.snapshotId).forall(_ > maxAge))
+      val (agedOut, liveRefs) = refsAll.partition { case (name, r) =>
+        name != "main" &&
+          r.maxRefAgeMs.orElse(tableMaxRefAge)
+            .exists(maxAge => ageOf(r.snapshotId).forall(_ > maxAge))
       }
       var keptIds = order.takeRight(keepLast).toSet ++ curId ++
         liveRefs.values.filter(_.tpe == "tag").map(_.snapshotId)
