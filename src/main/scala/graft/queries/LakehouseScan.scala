@@ -453,6 +453,104 @@ object LakehouseScan {
         col("o_orderpriority"))
       .orderBy(col("o_orderkey"))
 
+  /** Delta table from `supplier` exercising TYPE WIDENING + IN-COMMIT
+    * TIMESTAMPS (r16): created ICT-enabled with `s_suppkey` narrowed
+    * to INT32, widened to BIGINT at version 1, then the odd keys
+    * appended as INT64 — so the read path promotes the narrow era's
+    * files per file while every commit carries a monotonic
+    * `inCommitTimestamp`.
+    */
+  private def deltaWidenedSupplier(spark: SparkSession, dir: String): String =
+    buildOnce("delta_widened_supplier", dir) { t =>
+      val sup = spark.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      graft.sources.DeltaExport.create(
+        sup.filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey").cast("int").as("s_suppkey"),
+            col("s_name"), col("s_nationkey"))
+          .repartition(1).sortWithinPartitions("s_suppkey"),
+        t, Nil, Map("delta.enableInCommitTimestamps" -> "true"))
+      graft.sources.DeltaExport.widenColumnType(spark, t, "s_suppkey",
+        org.apache.spark.sql.types.LongType)
+      graft.sources.DeltaExport.append(
+        sup.filter(col("s_suppkey") % 2 === 1)
+          .repartition(1).sortWithinPartitions("s_suppkey"), t)
+    }
+
+  /** x42 — the widened ICT table read back (both file eras, the
+    * INT32 one promoted at scan). Oracle: the whole original supplier
+    * parquet — a lost row, a miscast key or a double-read era fails
+    * the hash.
+    */
+  def deltaWidenedScan(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.read(spark, deltaWidenedSupplier(spark, dir))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .orderBy(col("s_suppkey"))
+
+  /** Delta table from `events` whose `props` JSON payload is stored
+    * as a native VARIANT column (`parse_json` at write; the open
+    * variant binary encoding in the files; protocol declares the
+    * `variantType` feature both sides — r16).
+    */
+  private def deltaVariantEvents(spark: SparkSession, dir: String): String =
+    buildOnce("delta_variant_events", dir) { t =>
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id"), col("value"),
+          parse_json(col("props")).as("props_v"),
+          col("event_id"))
+        .repartition(4, col("event_id")).sortWithinPartitions("event_id")
+        .drop("event_id")
+      graft.sources.DeltaExport.create(ev, t)
+    }
+
+  /** x43 — x5's semi-structured extraction replayed over BINARY
+    * VARIANT instead of JSON strings: `variant_get` pulls the typed
+    * field out of the variant column, then the same exact-cents
+    * aggregate. Held to x5's oracle SQL (DuckDB extracts from the
+    * original JSON) — a byte off in the variant encode/decode or a
+    * lost null fails the hash.
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.read(spark, deltaVariantEvents(spark, dir))
+      .select(
+        col("event_type"),
+        variant_get(col("props_v"), "$.k", "long").as("k"),
+        col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_value_cents"))
+      .orderBy(col("event_type"))
+
+  /** x40 — x22 replayed THROUGH THE DATASOURCEV2 PATH
+    * (`spark.read.format("graft-delta")`, r16): the same DV-deleted
+    * customer table read the way a PLAIN Spark user reads it, filter
+    * and projection planner-pushed (file skipping asserted in
+    * Dsv2ReadSpec). Held to x22's oracle SQL VERBATIM — the two read
+    * paths must converge on the byte-identical result.
+    */
+  def deltaDsv2Scan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-delta").load(deltaCustomer(spark, dir))
+      .filter(col("c_nationkey") < 13)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** x41 — x23 replayed through the DSv2 path
+    * (`spark.read.format("graft-iceberg")`): manifest-planned scan,
+    * position deletes dropped per-file by row index, equality deletes
+    * applied per-row seq-scoped inside the partition readers. Held to
+    * x23's oracle SQL verbatim.
+    */
+  def icebergDsv2Scan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-iceberg").load(icebergOrders(spark, dir))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
   /** w23 — w22's point-in-time enrichment reading the REAL
     * MERGE-maintained Delta dimension (not the in-memory w21 frame):
     * each purchase joins to the SCD2 version in effect strictly
@@ -723,9 +821,37 @@ object LakehouseScan {
     "x23_iceberg_scan" -> icebergScan,
     "x24_transform_scan" -> transformScan,
     "x25_iceberg_v3_scan" -> icebergV3Scan,
+    "x40_dsv2_delta_scan" -> deltaDsv2Scan,
+    "x41_dsv2_iceberg_scan" -> icebergDsv2Scan,
+    "x42_delta_widened" -> deltaWidenedScan,
+    "x43_variant_extract" -> variantExtract,
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
+    // x40/x41: the DSv2 read paths held to x22's / x23's SQL VERBATIM
+    "x40_dsv2_delta_scan" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_custkey % 7 <> 0 AND c_nationkey < 13
+         ORDER BY c_custkey""",
+    "x41_dsv2_iceberg_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+         FROM orders
+         WHERE o_orderkey % 5 <> 0 AND o_custkey % 10 <> 3
+         ORDER BY o_orderkey""",
+    "x42_delta_widened" ->
+      """SELECT s_suppkey, s_name, s_nationkey
+         FROM supplier
+         ORDER BY s_suppkey""",
+    // x43: x5's oracle shape verbatim — DuckDB extracts from the
+    // original JSON strings, the engine from the variant binaries
+    "x43_variant_extract" ->
+      """SELECT event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "x39_iceberg_to_delta" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
          FROM customer

@@ -262,15 +262,74 @@ object DeltaExport {
     s"""{"metaData":{"id":"${esc(tableId)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(schema.json)}","partitionColumns":$pcs,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}"""
   }
 
+  /** IN-COMMIT TIMESTAMPS (PROTOCOL.md "In-Commit Timestamps", r16):
+    * when the table has the feature on — detected as either THIS
+    * commit's metaData declaring `delta.enableInCommitTimestamps` or
+    * the PREVIOUS commit's commitInfo already carrying the field (on
+    * an enabled table every commit does, and version-1 always
+    * survives log cleanup) — every commit's FIRST action must be a
+    * commitInfo with `inCommitTimestamp` ≥ previous + 1. Centralized
+    * HERE, the one choke point every writer's commit flows through,
+    * so no write path can forget the stamp. A caller-provided
+    * commitInfo that already carries a monotonic-valid value is
+    * respected (the enablement commit pins its own, so the
+    * `delta.inCommitTimestampEnablementTimestamp` property and the
+    * commitInfo value cannot drift apart).
+    */
+  private def ictStamp(
+      table: String, version: Long, lines: Seq[String]): Seq[String] = {
+    def ictOf(line: String): Option[Long] = {
+      val n = jackson.readTree(line)
+      Option(n.get("commitInfo"))
+        .flatMap(ci => Option(ci.get("inCommitTimestamp")))
+        .map(_.asLong())
+    }
+    val thisEnables = lines.exists(l =>
+      l.startsWith("""{"metaData"""") &&
+        l.contains(""""delta.enableInCommitTimestamps":"true""""))
+    val prevIct: Option[Long] =
+      if (version == 0L) None
+      else {
+        val prev = logDir(table).resolve(f"${version - 1}%020d.json")
+        if (!Files.isRegularFile(prev)) None
+        else Files.readAllLines(prev, StandardCharsets.UTF_8).asScala
+          .filter(_.startsWith("""{"commitInfo""""))
+          .flatMap(ictOf).headOption
+      }
+    if (!thisEnables && prevIct.isEmpty) return lines
+    val floor = prevIct.map(_ + 1L).getOrElse(Long.MinValue)
+    val (ciLines, rest) = lines.partition(_.startsWith("""{"commitInfo""""))
+    val ci = ciLines.headOption match {
+      case Some(l) =>
+        val node = jackson.readTree(l)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val inner = node.get("commitInfo")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val existing = Option(inner.get("inCommitTimestamp")).map(_.asLong())
+        if (existing.forall(_ < floor))
+          inner.put("inCommitTimestamp",
+            math.max(System.currentTimeMillis(), floor))
+        node.toString
+      case None =>
+        val ict = math.max(System.currentTimeMillis(), floor)
+        s"""{"commitInfo":{"inCommitTimestamp":$ict}}"""
+    }
+    ci +: (rest ++ ciLines.drop(1))
+  }
+
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Atomically claim `version`: returns false when another writer
-    * owns it (the SnapshotStore hardlink discipline).
+    * owns it (the SnapshotStore hardlink discipline). In-commit
+    * timestamps stamp here — see [[ictStamp]].
     */
   private[sources] def claim(table: String, version: Long, lines: Seq[String]): Boolean = {
     val dir = logDir(table)
     Files.createDirectories(dir)
+    val stamped = ictStamp(table, version, lines)
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.write(tmp,
-      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+      stamped.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
     try {
       Files.createLink(dir.resolve(f"$version%020d.json"), tmp); true
@@ -343,20 +402,42 @@ object DeltaExport {
       else 2
     val rowTracking =
       properties.get("delta.enableRowTracking").contains("true")
+    val ict =
+      properties.get("delta.enableInCommitTimestamps").contains("true")
     val added = stageIn(df, table, partitionBy)
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
-    // ROW TRACKING needs the table-features protocol (rowTracking +
-    // its domainMetadata dependency are feature-only — no legacy
+    // ROW TRACKING, IN-COMMIT TIMESTAMPS and VARIANT columns need the
+    // table-features protocol (feature-only — no legacy
     // minWriterVersion implies them); the upgrade ENUMERATES the
-    // legacy-implied features per the deleteWhere discipline
+    // legacy-implied features per the deleteWhere discipline. VARIANT
+    // is additionally a READER feature: old readers cannot decode the
+    // binary encoding, so minReaderVersion goes to 3.
+    def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.VariantType => true
+        case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hasVariant(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasVariant(m.keyType) || hasVariant(m.valueType)
+        case _ => false
+      }
+    val variant = hasVariant(df.schema)
+    val featureSet =
+      (if (rowTracking) Set("domainMetadata", "rowTracking")
+      else Set.empty[String]) ++
+        (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
+        (if (variant) Set("variantType") else Set.empty[String])
     val protocolLine =
-      if (!rowTracking)
+      if (featureSet.isEmpty)
         s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
       else {
-        val wf = (legacyWriterFeatures(minWriter)
-          ++ Set("domainMetadata", "rowTracking")).toSeq.sorted
+        val wf = (legacyWriterFeatures(minWriter) ++ featureSet).toSeq.sorted
           .map(f => s""""$f"""").mkString("[", ",", "]")
-        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
+        if (variant)
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":$wf}}"""
+        else
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
       }
     // the MATERIALIZED column names are chosen once at create and live
     // in the configuration (PROTOCOL.md) — rewrites write under them,
@@ -637,6 +718,16 @@ object DeltaExport {
             "column names + baseRowId backfill), which a SET " +
             "TBLPROPERTIES commit cannot perform — create the table " +
             "with the property instead")
+      // same requireOff discipline for ICT: the property alone without
+      // the protocol feature + enablement bookkeeping would stamp
+      // commits under a protocol that never declared the feature
+      if (props.get("delta.enableInCommitTimestamps").contains("true")
+        && !st.configuration.get("delta.enableInCommitTimestamps")
+          .contains("true"))
+        throw new IllegalArgumentException(
+          "enabling delta.enableInCommitTimestamps needs the protocol " +
+            "feature + enablement-version bookkeeping: use " +
+            "enableInCommitTimestamps(spark, table) instead")
       val merged = st.configuration ++ props
       val conf = merged.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
@@ -669,6 +760,266 @@ object DeltaExport {
     v
   }
 
+  /** Enable IN-COMMIT TIMESTAMPS on an existing table (PROTOCOL.md
+    * "In-Commit Timestamps"; delta-spark 3.2+'s default on new
+    * tables): one metadata commit that (a) upgrades the protocol to
+    * the table-features form declaring `inCommitTimestamp`,
+    * (b) merges `delta.enableInCommitTimestamps=true` plus the
+    * enablement bookkeeping `delta.inCommitTimestampEnablementVersion`
+    * / `...EnablementTimestamp` into the configuration (readers use
+    * them to know mtime-derived history stops and ICT starts), and
+    * (c) carries the first stamped commitInfo, its value pinned equal
+    * to the enablement-timestamp property and STRICTLY ABOVE the
+    * monotonic mtime of every pre-enablement commit — timestamp
+    * travel cannot see time run backwards across the boundary. Every
+    * subsequent commit stamps automatically in [[claim]].
+    */
+  def enableInCommitTimestamps(
+      spark: org.apache.spark.sql.SparkSession, table: String): Long = {
+    var v = nextVersion(table)
+    var committed = false
+    while (!committed) {
+      val st = DeltaLog.stateAt(spark, table, None)
+      if (st.configuration.get("delta.enableInCommitTimestamps")
+        .contains("true")) return v - 1 // already on: no-op
+      val ict0 = math.max(System.currentTimeMillis(),
+        DeltaLog.lastCommitTimestamp(table) + 1L)
+      val merged = st.configuration ++ Map(
+        "delta.enableInCommitTimestamps" -> "true",
+        "delta.inCommitTimestampEnablementVersion" -> v.toString,
+        "delta.inCommitTimestampEnablementTimestamp" -> ict0.toString)
+      val conf = merged.toSeq.sortBy(_._1)
+        .map { case (k, value) => s""""${esc(k)}":"${esc(value)}"""" }
+        .mkString("{", ",", "}")
+      val pcs = st.partitionCols.map(c => s""""${esc(c)}"""")
+        .mkString("[", ",", "]")
+      val id = st.tableId.getOrElse(java.util.UUID.randomUUID.toString)
+      val metaLine =
+        s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(st.schemaJson.get)}","partitionColumns":$pcs,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}"""
+      val wf = ((if (st.writerFeatures.nonEmpty) st.writerFeatures
+      else legacyWriterFeatures(st.minWriter)) + "inCommitTimestamp")
+        .toSeq.sorted.map(f => s""""$f"""").mkString("[", ",", "]")
+      val protocolLine =
+        if (st.readerFeatures.nonEmpty) {
+          val rf = st.readerFeatures.toSeq.sorted
+            .map(f => s""""$f"""").mkString("[", ",", "]")
+          s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}"""
+        } else
+          s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":7,"writerFeatures":$wf}}"""
+      val lines = Seq(
+        s"""{"commitInfo":{"operation":"SET TBLPROPERTIES","inCommitTimestamp":$ict0}}""",
+        protocolLine, metaLine)
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
+    v
+  }
+
+  /** The spec's LOSSLESS type promotions (PROTOCOL.md "Type
+    * Widening") — the only from→to pairs a widen may declare.
+    */
+  private def widenable(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN ... TYPE — TYPE WIDENING
+    * (PROTOCOL.md; the Iceberg type-promotion twin, r16): one
+    * metadata commit that (a) rewrites the schema with the WIDE type,
+    * (b) records the change in the field's `delta.typeWidening`
+    * metadata exactly as delta-spark does
+    * (`[{fromType, toType, tableVersion}]`, appended across repeated
+    * widens), and (c) upgrades the protocol — typeWidening is a
+    * READER+writer feature: old readers would fail on the narrow
+    * physical files, so minReaderVersion goes to 3. Files written
+    * before the widen keep their narrow physical type; the read path
+    * promotes per file ([[DeltaLog]] gate note). Non-lossless pairs
+    * refused loudly.
+    */
+  def widenColumnType(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      column: String, to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    var v = nextVersion(table)
+    var committed = false
+    while (!committed) {
+      val st = DeltaLog.stateAt(spark, table, None)
+      val schema = DataType.fromJson(st.schemaJson.get)
+        .asInstanceOf[StructType]
+      val f = schema.fields.find(_.name == column).getOrElse(
+        throw new IllegalArgumentException(
+          s"no top-level column $column on $table (nested widening is " +
+            "out of this writer's scope)"))
+      if (f.dataType == to) return v - 1 // no-op
+      require(widenable(f.dataType, to),
+        s"${f.dataType.typeName} -> ${to.typeName} is not one of the " +
+          "spec's lossless promotions: refused")
+      val change = new MetadataBuilder()
+        .putString("fromType", f.dataType.typeName)
+        .putString("toType", to.typeName)
+        .putLong("tableVersion", v)
+        .build()
+      val prior =
+        if (f.metadata.contains("delta.typeWidening"))
+          f.metadata.getMetadataArray("delta.typeWidening")
+        else Array.empty[Metadata]
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+        .putMetadataArray("delta.typeWidening", prior :+ change)
+      val newSchema = StructType(schema.fields.map(x =>
+        if (x.name == column) x.copy(dataType = to, metadata = mb.build())
+        else x))
+      require(st.minReader == 1 || st.minReader == 3,
+        s"widenColumnType on a minReaderVersion=${st.minReader} table " +
+          "is out of this writer's scope")
+      val rf = (st.readerFeatures + "typeWidening").toSeq.sorted
+        .map(x => s""""$x"""").mkString("[", ",", "]")
+      val wf = ((if (st.writerFeatures.nonEmpty) st.writerFeatures
+      else legacyWriterFeatures(st.minWriter)) + "typeWidening")
+        .toSeq.sorted.map(x => s""""$x"""").mkString("[", ",", "]")
+      val conf = st.configuration.toSeq.sortBy(_._1)
+        .map { case (k, value) => s""""${esc(k)}":"${esc(value)}"""" }
+        .mkString("{", ",", "}")
+      val pcs = st.partitionCols.map(c => s""""${esc(c)}"""")
+        .mkString("[", ",", "]")
+      val id = st.tableId.getOrElse(java.util.UUID.randomUUID.toString)
+      val lines = Seq(
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}""",
+        s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(newSchema.json)}","partitionColumns":$pcs,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}""",
+        s"""{"commitInfo":{"operation":"CHANGE COLUMN","operationParameters":{"column":"${esc(column)}","toType":"${to.typeName}"}}}""")
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
+    v
+  }
+
+  /** ALTER COLUMN ... SET DEFAULT — COLUMN DEFAULTS (PROTOCOL.md
+    * "Column Default Values", the `allowColumnDefaults` writer
+    * feature): records `defaultSql` in the field's `CURRENT_DEFAULT`
+    * metadata (Spark's own default-column key) and declares the
+    * feature. WRITE-TIME semantics only, exactly the spec's rule: a
+    * subsequent [[append]] that omits the column fills it with the
+    * default; rows ALREADY written without the column keep reading
+    * NULL (Delta defaults never backfill reads — the spec forbids
+    * ADD COLUMN with a default for precisely this reason, and an
+    * Iceberg-style initial-default fill here would diverge from
+    * every other Delta reader).
+    */
+  def setColumnDefault(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      column: String, defaultSql: String): Long = {
+    import org.apache.spark.sql.types._
+    var v = nextVersion(table)
+    var committed = false
+    while (!committed) {
+      val st = DeltaLog.stateAt(spark, table, None)
+      val schema = DataType.fromJson(st.schemaJson.get)
+        .asInstanceOf[StructType]
+      require(schema.fieldNames.contains(column),
+        s"no column $column on $table — the spec permits defaults on " +
+          "EXISTING columns only (ADD COLUMN with a default is forbidden " +
+          "because reads never backfill)")
+      val newSchema = StructType(schema.fields.map { x =>
+        if (x.name != column) x
+        else x.copy(metadata = new MetadataBuilder()
+          .withMetadata(x.metadata)
+          .putString("CURRENT_DEFAULT", defaultSql).build())
+      })
+      val wf = ((if (st.writerFeatures.nonEmpty) st.writerFeatures
+      else legacyWriterFeatures(st.minWriter)) + "allowColumnDefaults")
+        .toSeq.sorted.map(x => s""""$x"""").mkString("[", ",", "]")
+      val protocolLine =
+        if (st.readerFeatures.nonEmpty) {
+          val rf = st.readerFeatures.toSeq.sorted
+            .map(x => s""""$x"""").mkString("[", ",", "]")
+          s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}"""
+        } else
+          s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":7,"writerFeatures":$wf}}"""
+      val conf = st.configuration.toSeq.sortBy(_._1)
+        .map { case (k, value) => s""""${esc(k)}":"${esc(value)}"""" }
+        .mkString("{", ",", "}")
+      val pcs = st.partitionCols.map(c => s""""${esc(c)}"""")
+        .mkString("[", ",", "]")
+      val id = st.tableId.getOrElse(java.util.UUID.randomUUID.toString)
+      val lines = Seq(protocolLine,
+        s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(newSchema.json)}","partitionColumns":$pcs,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}""",
+        s"""{"commitInfo":{"operation":"ALTER COLUMN","operationParameters":{"column":"${esc(column)}","default":"${esc(defaultSql)}"}}}""")
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
+    v
+  }
+
+  /** Fill `CURRENT_DEFAULT` columns the caller's frame omits — the
+    * writer half of column defaults, applied by [[append]].
+    */
+  private def withColumnDefaults(
+      df: DataFrame, st: DeltaLog.State): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = DataType.fromJson(st.schemaJson.get)
+      .asInstanceOf[StructType]
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name) ||
+        !f.metadata.contains("CURRENT_DEFAULT")) d
+      else d.withColumn(f.name,
+        org.apache.spark.sql.functions
+          .expr(f.metadata.getString("CURRENT_DEFAULT"))
+          .cast(f.dataType))
+    }
+  }
+
+  /** LIQUID-CLUSTERING STAMPING (the `clusteredTable` writer feature,
+    * r16): declares the feature (+ its `domainMetadata` dependency),
+    * records the clustering columns in the `delta.clustering` domain
+    * exactly as delta-spark's CLUSTER BY does, and physically lays
+    * the data out via the existing multi-dimensional rewrite
+    * ([[zorder]] — delta-spark's OPTIMIZE on a clustered table
+    * performs the same locality rewrite). The feature is WRITER-only:
+    * every reader (bespoke and DSv2) already reads clustered tables —
+    * DeltaClusteredSpec pins a foreign fixture.
+    */
+  def clusterBy(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      xCol: String, yCol: String): Long = {
+    var v = nextVersion(table)
+    var committed = false
+    while (!committed) {
+      val st = DeltaLog.stateAt(spark, table, None)
+      val wf = ((if (st.writerFeatures.nonEmpty) st.writerFeatures
+      else legacyWriterFeatures(st.minWriter))
+        ++ Set("clusteredTable", "domainMetadata"))
+        .toSeq.sorted.map(x => s""""$x"""").mkString("[", ",", "]")
+      val protocolLine =
+        if (st.readerFeatures.nonEmpty) {
+          val rf = st.readerFeatures.toSeq.sorted
+            .map(x => s""""$x"""").mkString("[", ",", "]")
+          s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}"""
+        } else
+          s"""{"protocol":{"minReaderVersion":${st.minReader},"minWriterVersion":7,"writerFeatures":$wf}}"""
+      val domain =
+        s"""{"domainMetadata":{"domain":"delta.clustering","configuration":"{\\"clusteringColumns\\":[[\\"${esc(xCol)}\\"],[\\"${esc(yCol)}\\"]]}","removed":false}}"""
+      val lines = Seq(protocolLine, domain,
+        s"""{"commitInfo":{"operation":"CLUSTER BY","operationParameters":{"clusterBy":"[${esc(xCol)},${esc(yCol)}]"}}}""")
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
+    // the physical layout pass (dataChange:false rewrite); file count
+    // preserved (clustering changes locality, not sizing)
+    val nFiles = math.max(1,
+      DeltaLog.stateAt(spark, table, None).active.size)
+    zorder(spark, table, xCol, yCol, nFiles)
+    v
+  }
+
   /** Append `df` as the next version. The data files land (staged,
     * privately enumerated) BEFORE the commit is claimed, and the
     * claim retries on the next version on conflict — appends add
@@ -676,11 +1027,13 @@ object DeltaExport {
     * safe to serialize this way (a conflicting REPLACE would need
     * Delta's full conflict checker; out of scope, append-only here).
     */
-  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
-    val spark = df.sparkSession
+  def append(df0: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long = {
+    val spark = df0.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
-    val added = stageIn(df, table, partitionBy)
     val st0 = DeltaLog.stateAt(spark, table, None)
+    // COLUMN DEFAULTS fill at write time (never at read — spec rule)
+    val df = withColumnDefaults(df0, st0)
+    val added = stageIn(df, table, partitionBy)
     if (!DeltaRowTracking.enabled(st0)) {
       val lines = added.map(rel =>
         addJson(table, rel, partitionValuesOf(rel, partitionBy),

@@ -68,7 +68,10 @@ object DeltaLog {
       // records whether the file physically carries the materialized
       // row-id columns, so readers never footer-probe self-written
       // files (foreign tables, lacking the tag, still probe)
-      tags: Map[String, String] = Map.empty)
+      tags: Map[String, String] = Map.empty,
+      // add.size (bytes) — the DSv2 planner sizes its PartitionedFile
+      // slices from the log instead of a per-file filesystem stat
+      size: Option[Long] = None)
   private[sources] case class State(
       schemaJson: Option[String],
       partitionCols: Seq[String],
@@ -161,9 +164,13 @@ object DeltaLog {
           val o = ad.get("tags")
           o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
         } else Map.empty[String, String]
+      val size =
+        if (ad.has("size") && !ad.get("size").isNull)
+          Some(ad.get("size").asLong())
+        else None
       s.copy(active =
         s.active + (path -> AddFile(path, pv, stats, dv, baseRowId, defRcv,
-          tags)))
+          tags, size)))
     } else if (a.has("remove")) {
       s.copy(active = s.active - a.get("remove").get("path").asText())
     } else if (a.has("txn")) {
@@ -291,7 +298,7 @@ object DeltaLog {
           if (addFields.contains("stats")) col("add.stats")
           else lit(null).cast("string").as("stats"),
           dvCol, optLong("baseRowId"), optLong("defaultRowCommitVersion"),
-          tagsCol)
+          tagsCol, optLong("size"))
         .filter(col("path").isNotNull).collect()
         .map { r =>
           val dv = Option(r.getStruct(3)).filter(!_.isNullAt(0)).map(s =>
@@ -306,7 +313,8 @@ object DeltaLog {
             if (r.isNullAt(4)) None else Some(r.getLong(4)),
             if (r.isNullAt(5)) None else Some(r.getLong(5)),
             Option(r.getMap[String, String](6))
-              .map(_.toMap).getOrElse(Map.empty))
+              .map(_.toMap).getOrElse(Map.empty),
+            if (r.isNullAt(7)) None else Some(r.getLong(7)))
         }
       st = st.copy(active = st.active ++ adds)
     }
@@ -391,8 +399,26 @@ object DeltaLog {
     // no rows.
     val mappingMode = st.configuration
       .getOrElse("delta.columnMapping.mode", "none")
+    // typeWidening (r16): a widened table's schemaString carries the
+    // WIDE type while files written pre-widen carry the narrow
+    // physical type; Spark 4's parquet readers perform the spec's
+    // lossless promotions (int32→long, int→double, float→double,
+    // decimal growth) at scan time, so reading with the wide schema
+    // IS the implementation — an unsupported promotion fails the scan
+    // loudly, never returns wrong rows. Both the GA and preview
+    // feature names are accepted (delta-spark wrote
+    // `typeWidening-preview` through 3.x previews).
+    // variantType (r16): schemaString's `variant` parses to Spark's
+    // native VariantType and the parquet scan decodes the open
+    // variant binary encoding (metadata dictionary + value) that
+    // Spark itself writes — UNSHREDDED columns only; shredded tables
+    // declare `variantShredding-preview`, which stays on the refusal
+    // list (reading a shredded file's null `value` field as the value
+    // would be wrong rows, not missing rows).
     val implemented =
-      Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
+      Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
+        "typeWidening", "typeWidening-preview",
+        "variantType", "variantType-preview")
     val modes = Set("none", "name", "id")
     val ok = st.minReader match {
       case v if v <= 1 => true
@@ -750,11 +776,17 @@ object DeltaLog {
 
   /** (version, commit timestamp ms) per JSON commit, timestamps
     * MONOTONIC-ADJUSTED the way delta-spark resolves timestamp time
-    * travel: the commit FILE's modification time, each entry raised
-    * to at least its predecessor's (clock skew between writers must
-    * not make a later version resolve earlier). Commits cleaned past
-    * a checkpoint are absent — timestamp travel only reaches what the
-    * log retains.
+    * travel: each commit's declared IN-COMMIT TIMESTAMP
+    * (`commitInfo.inCommitTimestamp`, PROTOCOL.md — authoritative
+    * when present: a log copied between object stores gets its file
+    * mtimes rewritten, and resolving those would pick the WRONG
+    * version on any foreign ICT table) falling back to the commit
+    * FILE's modification time for pre-enablement/legacy commits, each
+    * entry raised to at least its predecessor's (clock skew between
+    * writers must not make a later version resolve earlier; the raise
+    * also bridges the mtime→ICT enablement boundary). Commits cleaned
+    * past a checkpoint are absent — timestamp travel only reaches
+    * what the log retains.
     */
   private def commitTimeline(table: String): Seq[(Long, Long)] = {
     val dir = logDir(table)
@@ -764,15 +796,30 @@ object DeltaLog {
       try s.iterator().asScala.map(_.getFileName.toString).toVector
       finally s.close()
     }
+    def ictOf(n: String): Option[Long] =
+      Files.readAllLines(dir.resolve(n), StandardCharsets.UTF_8).asScala
+        .filter(_.startsWith("""{"commitInfo""""))
+        .flatMap { l =>
+          val node = mapper.readTree(l)
+          Option(node.get("commitInfo"))
+            .flatMap(ci => Option(ci.get("inCommitTimestamp")))
+            .map(_.asLong())
+        }.headOption
     val raw = entries.filter(_.matches("\\d{20}\\.json")).sorted
-      .map(n => versionOf(n) ->
-        Files.getLastModifiedTime(dir.resolve(n)).toMillis)
+      .map(n => versionOf(n) -> ictOf(n).getOrElse(
+        Files.getLastModifiedTime(dir.resolve(n)).toMillis))
     var prev = Long.MinValue
     raw.map { case (v, t) =>
       prev = math.max(prev, t)
       (v, prev)
     }
   }
+
+  /** The monotonic timestamp of the LATEST retained commit (0 when
+    * none) — the floor the ICT enablement commit must clear.
+    */
+  private[sources] def lastCommitTimestamp(table: String): Long =
+    commitTimeline(table).lastOption.map(_._2).getOrElse(0L)
 
   /** Resolve a timestamp to a version — the latest commit at or
     * before `timestampMs` (delta-spark's `timestampAsOf`). Before the

@@ -359,6 +359,9 @@ object IcebergExport {
           case TimestampType => "timestamptz"
           case TimestampNTZType => "timestamp"
           case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+          // v3 variant — unshredded open-encoding binary pair, what
+          // Spark's parquet writer emits for VariantType
+          case _: VariantType => "variant"
           case other =>
             throw new IllegalArgumentException(
               s"no Iceberg mapping for Spark type $other")

@@ -200,6 +200,11 @@ object IcebergTable {
         case "binary" => BinaryType
         case dec(p, sc) => DecimalType(p.toInt, sc.toInt)
         case fixed(_) => BinaryType
+        // v3 VARIANT (r16): the open variant binary encoding Spark's
+        // VariantType natively reads/writes — UNSHREDDED columns
+        // (a group of metadata+value binaries); shredded sub-columns
+        // are a physical layout this reader does not attempt
+        case "variant" => VariantType
         case other =>
           throw new IllegalStateException(s"unsupported Iceberg type: $other")
       }

@@ -1,0 +1,622 @@
+package graft.sources.dsv2
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.graftext.ParquetReadBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{DeltaDv, DeltaLog}
+
+/** DataSourceV2 read path over the Delta transaction-log reader —
+  * what a PLAIN Spark user gets:
+  *
+  * {{{
+  *   spark.read.format("graft-delta").load(path)          // latest
+  *     .option("versionAsOf", 3)                          // time travel
+  *     .option("timestampAsOf", "2026-08-01T00:00:00Z")
+  *     .option("readChangeFeed", "true")                  // CDF rows
+  *     .option("startingVersion", 1).option("endingVersion", 2)
+  *   spark.readStream.format("graft-delta").load(path)    // snapshot+tail
+  * }}}
+  *
+  * The planner-facing contract this closes (vs the bespoke
+  * [[graft.sources.DeltaLog.read]] API): `.filter(...)` pushes down
+  * through `SupportsPushDownFilters` and prunes at TWO levels —
+  * file skipping against `add.stats` min/max/nullCount and exact
+  * partition values (the same state [[DeltaLog.prunedFiles]] uses),
+  * then parquet row-group/page skipping inside Spark's own reader;
+  * `.select(...)` prunes columns through
+  * `SupportsPushDownRequiredColumns` down to the parquet scan. Every
+  * filter is also reported residual so Spark re-applies it row-level
+  * — skipping is never a correctness decision.
+  *
+  * Deletion vectors apply per file inside the [[GraftFileBatch]]
+  * readers (row-index binary search, bounded by deleted rows).
+  * Column-mapped tables are REFUSED here (loudly, pointing at the
+  * bespoke reader which handles both modes) — a DSv2 scan that
+  * silently name-matched physical columns would return wrong rows.
+  *
+  * Scale shape: planning is the same driver-side metadata replay
+  * delta-spark performs; execution is one `PartitionReader` per data
+  * file running Spark's vectorized parquet decode — on a
+  * 1000-executor cluster the slices fan out like any native scan,
+  * and a selective filter over a stats-clustered (z-ordered) table
+  * reads only the files that can match.
+  */
+class DeltaTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def path(options: JMap[String, String]): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-delta requires a table path: .load(path)"))
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : StructType =
+    DeltaDsv2.schemaFor(SparkSession.active, path(options), options.asScala.toMap)
+
+  override def inferPartitioning(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : Array[Transform] = Array.empty
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new DeltaDsv2Table(path(properties), schema,
+      properties.asScala.toMap.map { case (k, v) => (k.toLowerCase, v) })
+}
+
+private[dsv2] object DeltaDsv2 {
+
+  private val mapper = new ObjectMapper()
+
+  /** Case-insensitive option lookup (DataFrameReader options arrive
+    * caseInsensitive; getTable properties are lowercased upstream).
+    */
+  def opt(options: Map[String, String], key: String): Option[String] =
+    options.get(key.toLowerCase)
+
+  def versionFor(
+      spark: SparkSession, table: String,
+      options: Map[String, String]): Option[Long] =
+    opt(options, "versionAsOf").map(_.toLong)
+      .orElse(opt(options, "timestampAsOf").map { ts =>
+        val ms = scala.util.Try(ts.toLong).getOrElse(
+          java.time.Instant.parse(ts).toEpochMilli)
+        DeltaLog.versionAtTimestamp(table, ms)
+      })
+
+  def isCdf(options: Map[String, String]): Boolean =
+    opt(options, "readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
+  val cdfExtra: Seq[StructField] = Seq(
+    StructField("_change_type", StringType),
+    StructField("_commit_version", LongType))
+
+  def schemaFor(
+      spark: SparkSession, table: String,
+      options: Map[String, String]): StructType = {
+    val st = DeltaLog.stateAt(spark, table, versionFor(spark, table, options))
+    require(st.configuration
+      .getOrElse("delta.columnMapping.mode", "none") == "none",
+      "graft-delta (DSv2) refuses column-mapped tables: use " +
+        "graft.sources.DeltaLog.read, which implements both mapping modes")
+    val base = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
+    if (isCdf(options)) StructType(base.fields ++ cdfExtra) else base
+  }
+
+  /** raw partition-value string → Catalyst INTERNAL value. */
+  def internalPartValue(raw: String, dt: DataType): Any =
+    if (raw == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(raw)
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case ShortType => raw.toShort
+      case ByteType => raw.toByte
+      case DoubleType => raw.toDouble
+      case FloatType => raw.toFloat
+      case BooleanType => raw.toBoolean
+      case DateType =>
+        java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case TimestampType =>
+        val i = java.time.Instant.parse(raw.replace(' ', 'T') +
+          (if (raw.endsWith("Z") || raw.contains("+")) "" else "Z"))
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case d: DecimalType =>
+        Decimal(BigDecimal(raw), d.precision, d.scale)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported partition column type $other for graft-delta")
+    }
+
+  /** raw partition-value string → EXTERNAL value for [[FilterPrune]]
+    * exact comparison (numerics as BigDecimal so they compare with
+    * any numeric filter bound; temporals via the text path).
+    */
+  def externalPartValue(raw: String, dt: DataType): Any =
+    if (raw == null) null
+    else dt match {
+      case StringType | TimestampType => raw
+      case DateType => java.time.LocalDate.parse(raw)
+      case BooleanType => raw.toBoolean
+      case _ => BigDecimal(raw)
+    }
+
+  private def jsonToExternal(n: com.fasterxml.jackson.databind.JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isNumber) BigDecimal(n.asText())
+    else if (n.isBoolean) n.asBoolean()
+    else n.asText()
+
+  /** [[FilterPrune.ColumnStats]] view of one add entry. */
+  def statsView(
+      a: DeltaLog.AddFile, schema: StructType,
+      partitionCols: Seq[String]): FilterPrune.ColumnStats = {
+    lazy val stats = a.stats.flatMap(js =>
+      try Some(mapper.readTree(js)) catch { case _: Exception => None })
+    new FilterPrune.ColumnStats {
+      private def node(section: String, column: String) =
+        stats.flatMap(s => Option(s.get(section)))
+          .flatMap(m => Option(m.get(column)))
+      override def exact(column: String): Option[Option[Any]] =
+        if (!partitionCols.contains(column)) None
+        else {
+          val raw = a.partitionValues.getOrElse(column, null)
+          val dt = schema.fields.find(_.name == column)
+            .map(_.dataType).getOrElse(StringType)
+          Some(Option(raw).map(r => externalPartValue(r, dt)))
+        }
+      override def min(column: String): Option[Any] =
+        node("minValues", column).map(jsonToExternal).filter(_ != null)
+      override def max(column: String): Option[Any] =
+        node("maxValues", column).map(jsonToExternal).filter(_ != null)
+      override def allNull(column: String): Option[Boolean] =
+        for {
+          nc <- node("nullCount", column).map(_.asLong())
+          n <- stats.flatMap(s => Option(s.get("numRecords"))).map(_.asLong())
+        } yield nc == n && n > 0L
+      override def mayHaveNull(column: String): Boolean =
+        node("nullCount", column).forall(_.asLong() > 0L)
+    }
+  }
+
+  /** Per-commit JSON actions (the CDF planners need raw actions, not
+    * replayed state).
+    */
+  def commitActions(
+      table: String, v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = Paths.get(table, "_delta_log", f"$v%020d.json")
+    require(Files.isRegularFile(p),
+      s"version $v's JSON commit is gone (log cleaned past a " +
+        "checkpoint): the change feed for it cannot be reconstructed")
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map(mapper.readTree).toSeq
+  }
+}
+
+/** Planner instrumentation: last (plannedFiles, totalFiles) per table
+  * path — the file-access counter the DSv2 pruning specs assert on.
+  */
+object Dsv2Planning {
+  private val last =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  private[dsv2] def record(table: String, planned: Int, total: Int): Unit =
+    last.put(table, (planned, total))
+  def plannedFor(table: String): Option[(Int, Int)] = Option(last.get(table))
+}
+
+private[dsv2] class DeltaDsv2Table(
+    table: String, tableSchema: StructType, options: Map[String, String])
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft-delta `$table`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(
+      caseInsensitiveOptions: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new DeltaScanBuilder(table, tableSchema,
+      options ++ caseInsensitiveOptions.asScala.toMap
+        .map { case (k, v) => (k.toLowerCase, v) })
+}
+
+private[dsv2] class DeltaScanBuilder(
+    table: String, tableSchema: StructType, options: Map[String, String])
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // ALL residual: Spark re-applies row-level (parquet contract)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // empty projections (pure COUNT) still need a scan schema; keep
+    // the narrowest column in that case
+    required =
+      if (requiredSchema.fields.nonEmpty) requiredSchema
+      else StructType(Array(tableSchema.fields.minBy(_.name.length)))
+
+  override def build(): Scan =
+    new DeltaDsv2Scan(table, tableSchema, required, pushed, options)
+}
+
+private[dsv2] class DeltaDsv2Scan(
+    table: String, tableSchema: StructType, required: StructType,
+    pushed: Array[Filter], options: Map[String, String])
+    extends Scan {
+
+  import GraftFileBatch._
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-delta $table, PushedFilters: [${pushed.mkString(", ")}]"
+
+  private def spark = SparkSession.active
+
+  // ---------------------------------------------------------------- batch
+
+  override def toBatch: Batch = {
+    if (DeltaDsv2.isCdf(options)) return cdfBatch()
+    val st = DeltaLog.stateAt(
+      spark, table, DeltaDsv2.versionFor(spark, table, options))
+    val partitionCols = st.partitionCols
+    val dataFields = tableSchema.fields.filterNot(f =>
+      partitionCols.contains(f.name))
+    val dataSchema = StructType(dataFields)
+    val partitionSchema = StructType(
+      tableSchema.fields.filter(f => partitionCols.contains(f.name)))
+
+    // FILE SKIPPING: add.stats + exact partition values vs every
+    // pushed filter (conjunctive semantics — Spark pushes the
+    // top-level conjuncts separately)
+    val active = st.active.values.toSeq.sortBy(_.path)
+    val kept = active.filter { a =>
+      val view = DeltaDsv2.statsView(a, tableSchema, partitionCols)
+      pushed.forall(f => FilterPrune.admits(view, f))
+    }
+    Dsv2Planning.record(table, kept.size, active.size)
+
+    val anyDv = kept.exists(_.dv.isDefined)
+    val requiredData = StructType(required.fields.filterNot(f =>
+      partitionCols.contains(f.name)))
+    val readData =
+      if (anyDv)
+        StructType(requiredData.fields :+
+          StructField(ParquetReadBridge.RowIndexColumn, LongType))
+      else requiredData
+    val emitted = StructType(readData.fields ++ partitionSchema.fields)
+    val dataFilters = pushed.filter(
+      _.references.forall(c => dataSchema.fieldNames.contains(c)))
+    val readFunc = ParquetReadBridge.reader(
+      spark, dataSchema, partitionSchema, readData, dataFilters.toSeq)
+
+    val parts: Array[InputPartition] = kept.map { a =>
+      val abs = DeltaLog.absPath(table, a.path)
+      val pv = new GenericInternalRow(
+        partitionSchema.fields.map(f => DeltaDsv2.internalPartValue(
+          a.partitionValues.getOrElse(f.name, null), f.dataType))
+          .toArray[Any])
+      val drop = a.dv.map(d => DeltaDv.indexesOf(table, d).sorted)
+        .getOrElse(Array.empty[Long])
+      GraftInputPartition(
+        ParquetReadBridge.wholeFile(pv, abs,
+          a.size.getOrElse(Files.size(Paths.get(abs))), 0L),
+        drop, null, Array.empty, Map.empty)
+    }.toArray
+    new SimpleBatch(parts,
+      new Factory(readFunc, emitted, required,
+        if (anyDv) readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn)
+        else -1,
+        Array.empty))
+  }
+
+  // ------------------------------------------------------------- CDF batch
+
+  private def cdfBatch(): Batch = {
+    val latest = DeltaLog.version(spark, table)
+    val from = DeltaDsv2.opt(options, "startingVersion").map(_.toLong)
+      .getOrElse(0L)
+    val to = DeltaDsv2.opt(options, "endingVersion").map(_.toLong)
+      .getOrElse(latest)
+    val planner = new DeltaCdfPlanner(spark, table, tableSchema, required)
+    val parts = (from to to).flatMap(planner.slicesFor).toArray[InputPartition]
+    new SimpleBatch(parts, planner.factory())
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DeltaMicroBatchStream(
+      table, tableSchema, required, options, DeltaDsv2.isCdf(options))
+}
+
+/** Shared CDF slice planning — the [[graft.sources.DeltaCdf]] rules
+  * (cdc actions authoritative; otherwise inserts from new adds,
+  * deletes from un-re-added removes at the previous version, deletes
+  * from GROWN deletion vectors via keep-mode position slices;
+  * `dataChange:false` commits contribute nothing) re-expressed as
+  * [[GraftFileBatch]] input partitions so batch CDF, streaming CDF
+  * and the snapshot phase of the streaming source all run through
+  * ONE executor-side reader. DeltaCdfStreamSpec pins this planner's
+  * output row-identical to `DeltaCdf.readChangeFeed`.
+  */
+private[dsv2] class DeltaCdfPlanner(
+    spark: SparkSession, table: String,
+    tableSchema: StructType, required: StructType) {
+
+  import GraftFileBatch._
+
+  private val stLatest = DeltaLog.stateAt(spark, table, None)
+  require(stLatest.configuration
+    .getOrElse("delta.columnMapping.mode", "none") == "none",
+    "CDF on column-mapped tables is out of this module's scope")
+  private val partitionCols = stLatest.partitionCols
+  private val baseSchema = StructType(
+    tableSchema.fields.filterNot(f =>
+      DeltaDsv2.cdfExtra.exists(_.name == f.name)))
+  private val dataSchema = StructType(baseSchema.fields.filterNot(f =>
+    partitionCols.contains(f.name)))
+  private val partitionSchema = StructType(
+    baseSchema.fields.filter(f => partitionCols.contains(f.name)))
+
+  // cdc files carry _change_type in-file; data files yield null there
+  // and the slice constant overrides (constants-first projection)
+  private val requiredData = StructType(
+    required.fields.filterNot(f =>
+      partitionCols.contains(f.name) || f.name == "_commit_version")
+      .map(f => StructField(f.name, f.dataType)))
+  private val readData = StructType(
+    (if (requiredData.fieldNames.contains("_change_type")) requiredData.fields
+    else requiredData.fields :+ StructField("_change_type", StringType)) :+
+      StructField(ParquetReadBridge.RowIndexColumn, LongType))
+  private val emitted = StructType(readData.fields ++ partitionSchema.fields)
+  private val cdcDataSchema = StructType(
+    dataSchema.fields :+ StructField("_change_type", StringType))
+  private val readFunc = ParquetReadBridge.reader(
+    spark, cdcDataSchema, partitionSchema, readData, Nil)
+
+  def factory(): Factory =
+    new Factory(readFunc, emitted, required,
+      readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn),
+      Array.empty)
+
+  private def pvRow(pv: Map[String, String]): InternalRow =
+    new GenericInternalRow(
+      partitionSchema.fields.map(f => DeltaDsv2.internalPartValue(
+        pv.getOrElse(f.name, null), f.dataType)).toArray[Any])
+
+  private def slice(
+      abs: String, pv: Map[String, String],
+      drop: Array[Long], keep: Array[Long],
+      changeType: Option[String], version: Long): GraftInputPartition =
+    GraftInputPartition(
+      ParquetReadBridge.wholeFile(
+        pvRow(pv), abs, Files.size(Paths.get(abs)), 0L),
+      drop, keep, Array.empty,
+      changeType.map(ct => Map("_change_type" -> (ct: Any)))
+        .getOrElse(Map.empty) + ("_commit_version" -> (version: Any)))
+
+  private def dvIndexes(a: DeltaLog.AddFile): Array[Long] =
+    a.dv.map(d => DeltaDv.indexesOf(table, d).sorted)
+      .getOrElse(Array.empty[Long])
+
+  /** The whole active set at `v` as INSERT slices (the streaming
+    * source's initial snapshot).
+    */
+  def snapshotSlices(v: Long): Seq[GraftInputPartition] =
+    DeltaLog.stateAt(spark, table, Some(v)).active.values.toSeq
+      .sortBy(_.path).map { a =>
+        slice(DeltaLog.absPath(table, a.path), a.partitionValues,
+          dvIndexes(a), null, Some("insert"), v)
+      }
+
+  /** The active set at `v` as PLAIN table-row slices (non-CDF
+    * streaming initial snapshot — no change columns).
+    */
+  def snapshotPlainSlices(v: Long): Seq[GraftInputPartition] =
+    DeltaLog.stateAt(spark, table, Some(v)).active.values.toSeq
+      .sortBy(_.path).map { a =>
+        slice(DeltaLog.absPath(table, a.path), a.partitionValues,
+          dvIndexes(a), null, None, v)
+      }
+
+  /** Change slices of ONE commit — the DeltaCdf per-version rules. */
+  def slicesFor(v: Long): Seq[GraftInputPartition] = {
+    val actions = DeltaDsv2.commitActions(table, v)
+    val cdcActions = actions.filter(_.has("cdc"))
+    if (cdcActions.nonEmpty) {
+      cdcActions.map { a =>
+        val c = a.get("cdc")
+        val pv =
+          if (c.has("partitionValues") && !c.get("partitionValues").isNull) {
+            val o = c.get("partitionValues")
+            o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
+          } else Map.empty[String, String]
+        // _change_type comes FROM the cdc file: no constant
+        slice(DeltaLog.absPath(table, c.get("path").asText()), pv,
+          Array.empty, null, None, v)
+      }
+    } else {
+      val prevActive: Map[String, DeltaLog.AddFile] =
+        if (v == 0L) Map.empty
+        else DeltaLog.stateAt(spark, table, Some(v - 1)).active
+      val nowActive = DeltaLog.stateAt(spark, table, Some(v)).active
+      val adds = actions.filter(_.has("add"))
+        .filter(_.get("add").get("dataChange").asBoolean(false))
+        .map(_.get("add").get("path").asText())
+      val removes = actions.filter(_.has("remove"))
+        .filter(_.get("remove").get("dataChange").asBoolean(false))
+        .map(_.get("remove").get("path").asText())
+      val newPaths = adds.filterNot(prevActive.contains).distinct
+      val inserts = newPaths.flatMap(nowActive.get).map(a =>
+        slice(DeltaLog.absPath(table, a.path), a.partitionValues,
+          dvIndexes(a), null, Some("insert"), v))
+      val goneRels = removes.filterNot(nowActive.contains).distinct
+      val deletes = goneRels.flatMap(prevActive.get).map(a =>
+        slice(DeltaLog.absPath(table, a.path), a.partitionValues,
+          dvIndexes(a), null, Some("delete"), v))
+      val reAdds = adds.filter(prevActive.contains).distinct
+      val dvDeletes = reAdds.flatMap { rel =>
+        val before = prevActive.get(rel).map(dvIndexes)
+          .getOrElse(Array.empty[Long])
+        val after = nowActive.get(rel).map(dvIndexes)
+          .getOrElse(Array.empty[Long])
+        val beforeSet = before.toSet
+        val newly = after.filterNot(beforeSet)
+        require(before.forall(after.toSet),
+          s"version $v SHRANK the deletion vector of $rel " +
+            "(un-delete): refused rather than emitting a wrong feed")
+        if (newly.isEmpty) None
+        else Some(slice(DeltaLog.absPath(table, rel),
+          prevActive(rel).partitionValues,
+          Array.empty, newly.sorted, Some("delete"), v))
+      }
+      inserts ++ deletes ++ dvDeletes
+    }
+  }
+
+  /** Non-CDF streaming slices of one commit: new adds as table rows.
+    * A commit that CHANGES existing data (dataChange removes or DV
+    * growth) fails the stream — delta-spark's append-only contract —
+    * unless `skipChangeCommits` drops it wholesale.
+    */
+  def appendSlices(
+      v: Long, skipChangeCommits: Boolean): Seq[GraftInputPartition] = {
+    val actions = DeltaDsv2.commitActions(table, v)
+    val removes = actions.filter(_.has("remove"))
+      .filter(_.get("remove").get("dataChange").asBoolean(false))
+    val adds = actions.filter(_.has("add"))
+      .filter(_.get("add").get("dataChange").asBoolean(false))
+      .map(_.get("add").get("path").asText()).distinct
+    val prevActive: Map[String, DeltaLog.AddFile] =
+      if (v == 0L) Map.empty
+      else DeltaLog.stateAt(spark, table, Some(v - 1)).active
+    val changes = removes.nonEmpty || adds.exists(prevActive.contains)
+    if (changes) {
+      if (skipChangeCommits) return Nil
+      throw new IllegalStateException(
+        s"version $v of $table is not an append (it removes or " +
+          "rewrites data): a streaming read cannot retract rows — " +
+          "set skipChangeCommits=true to drop such commits, or " +
+          "stream with readChangeFeed=true to consume the deletes")
+    }
+    val nowActive = DeltaLog.stateAt(spark, table, Some(v)).active
+    adds.flatMap(nowActive.get).map(a =>
+      slice(DeltaLog.absPath(table, a.path), a.partitionValues,
+        dvIndexes(a), null, None, v))
+  }
+}
+
+/** Offset = (last consumed version, whether the initial snapshot has
+  * been served, the snapshot's version). JSON-serialized into the
+  * streaming checkpoint: restart resumes at the exact version with no
+  * duplicates and no gaps.
+  */
+private[dsv2] case class DeltaStreamOffset(
+    version: Long, snapshotDone: Boolean, snapshotVersion: Long)
+    extends Offset {
+  override def json(): String =
+    s"""{"version":$version,"snapshotDone":$snapshotDone,""" +
+      s""""snapshotVersion":$snapshotVersion}"""
+}
+
+private[dsv2] object DeltaStreamOffset {
+  private val mapper = new ObjectMapper()
+  def fromJson(s: String): DeltaStreamOffset = {
+    val n = mapper.readTree(s)
+    DeltaStreamOffset(
+      n.get("version").asLong(),
+      n.get("snapshotDone").asBoolean(),
+      n.get("snapshotVersion").asLong())
+  }
+}
+
+/** The Delta STREAMING SOURCE: initial snapshot (active files at the
+  * stream's start version) as the first micro-batch, then one slice
+  * set per committed version — exactly-once by version-granular
+  * offsets in the streaming checkpoint. `startingVersion` skips the
+  * snapshot and replays changes from that version (delta-spark's
+  * semantics); `readChangeFeed=true` streams CDF rows through the
+  * same per-commit planner the batch CDF uses.
+  */
+private[dsv2] class DeltaMicroBatchStream(
+    table: String, tableSchema: StructType, required: StructType,
+    options: Map[String, String], cdf: Boolean)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private lazy val planner =
+    new DeltaCdfPlanner(spark, table, tableSchema, required)
+  private val skipChangeCommits =
+    DeltaDsv2.opt(options, "skipChangeCommits").exists(_.toBoolean)
+
+  override def initialOffset(): Offset =
+    DeltaDsv2.opt(options, "startingVersion") match {
+      case Some(v) =>
+        // change replay from v on; no snapshot phase
+        DeltaStreamOffset(v.toLong - 1L, snapshotDone = true, -1L)
+      case None =>
+        val cur = DeltaLog.version(spark, table)
+        DeltaStreamOffset(cur, snapshotDone = false, cur)
+    }
+
+  override def latestOffset(): Offset = {
+    val cur = DeltaLog.version(spark, table)
+    DeltaStreamOffset(cur, snapshotDone = true, -1L)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    DeltaStreamOffset.fromJson(json)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DeltaStreamOffset]
+    val e = end.asInstanceOf[DeltaStreamOffset]
+    val snapshot: Seq[GraftFileBatch.GraftInputPartition] =
+      if (s.snapshotDone) Nil
+      else if (cdf) planner.snapshotSlices(s.snapshotVersion)
+      else planner.snapshotPlainSlices(s.snapshotVersion)
+    val tail = ((s.version + 1L) to e.version).flatMap { v =>
+      if (cdf) planner.slicesFor(v)
+      else planner.appendSlices(v, skipChangeCommits)
+    }
+    (snapshot ++ tail).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    planner.factory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
