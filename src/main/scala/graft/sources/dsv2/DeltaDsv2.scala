@@ -225,7 +225,9 @@ object Dsv2Planning {
   def plannedFor(table: String): Option[(Int, Int)] = Option(last.get(table))
 }
 
-private[dsv2] class DeltaDsv2Table(
+// case class for the same reason as the Scan below: BatchScanExec's
+// equality covers its `table` field too
+private[dsv2] case class DeltaDsv2Table(
     table: String, tableSchema: StructType, options: Map[String, String])
     extends Table with SupportsRead {
 
@@ -267,13 +269,19 @@ private[dsv2] class DeltaScanBuilder(
       else StructType(Array(tableSchema.fields.minBy(_.name.length)))
 
   override def build(): Scan =
-    new DeltaDsv2Scan(table, tableSchema, required, pushed, options)
+    DeltaDsv2Scan(table, tableSchema, required, pushed.toSeq, options)
 }
 
-private[dsv2] class DeltaDsv2Scan(
+// a CASE class: AQE broadcast reuse (which dynamic partition pruning
+// depends on) compares BatchScanExec nodes by scan VALUE equality —
+// a reference-equal scan silently degrades every DPP filter to `true`
+private[dsv2] case class DeltaDsv2Scan(
     table: String, tableSchema: StructType, required: StructType,
-    pushed: Array[Filter], options: Map[String, String])
-    extends Scan {
+    pushed: Seq[Filter], options: Map[String, String])
+    extends Scan
+    with SupportsReportStatistics
+    with SupportsRuntimeFiltering
+    with GraftFileBatch.LazyBatchSource {
 
   import GraftFileBatch._
 
@@ -284,30 +292,87 @@ private[dsv2] class DeltaDsv2Scan(
 
   private def spark = SparkSession.active
 
-  // ---------------------------------------------------------------- batch
+  // RUNTIME FILTERS (dynamic partition pruning / runtime row-group
+  // filters): Spark calls filter(...) at execution time with the
+  // materialized build-side values (typically In on the join key),
+  // then re-plans the partitions — so pruning lives in
+  // planInputPartitions, not in toBatch.
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
 
-  override def toBatch: Batch = {
-    if (DeltaDsv2.isCdf(options)) return cdfBatch()
-    val st = DeltaLog.stateAt(
-      spark, table, DeltaDsv2.versionFor(spark, table, options))
-    val partitionCols = st.partitionCols
-    val dataFields = tableSchema.fields.filterNot(f =>
-      partitionCols.contains(f.name))
-    val dataSchema = StructType(dataFields)
-    val partitionSchema = StructType(
-      tableSchema.fields.filter(f => partitionCols.contains(f.name)))
+  // only the scan's OUTPUT columns: Spark resolves these against the
+  // pruned readSchema, and an unreadable reference fails analysis
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
 
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
+  private lazy val st = DeltaLog.stateAt(
+    spark, table, DeltaDsv2.versionFor(spark, table, options))
+
+  private def keptFiles(): Seq[DeltaLog.AddFile] = {
     // FILE SKIPPING: add.stats + exact partition values vs every
-    // pushed filter (conjunctive semantics — Spark pushes the
-    // top-level conjuncts separately)
+    // pushed AND runtime filter (conjunctive semantics — Spark pushes
+    // the top-level conjuncts separately)
+    val all = pushed ++ runtimeFilters
     val active = st.active.values.toSeq.sortBy(_.path)
     val kept = active.filter { a =>
-      val view = DeltaDsv2.statsView(a, tableSchema, partitionCols)
-      pushed.forall(f => FilterPrune.admits(view, f))
+      val view = DeltaDsv2.statsView(a, tableSchema, st.partitionCols)
+      all.forall(f => FilterPrune.admits(view, f))
     }
     Dsv2Planning.record(table, kept.size, active.size)
+    kept
+  }
 
-    val anyDv = kept.exists(_.dv.isDefined)
+  /** Post-pushdown statistics: Spark's join planner reads these to
+    * auto-broadcast a selectively-filtered scan — at 100 TB this is
+    * what turns "pruned dimension probe" into a broadcast join
+    * instead of a shuffle. Size = bytes of the files that survive
+    * stats pruning; rows = their stats numRecords when every kept
+    * file carries one.
+    */
+  override def estimateStatistics(): Statistics = {
+    if (DeltaDsv2.isCdf(options))
+      return new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    val kept = keptFiles()
+    val size = kept.map(a => a.size.getOrElse(
+      Files.size(Paths.get(DeltaLog.absPath(table, a.path))))).sum
+    val rows: Option[Long] =
+      try {
+        val mapper = new ObjectMapper()
+        val counts = kept.map(_.stats.flatMap { js =>
+          Option(mapper.readTree(js).get("numRecords")).map(_.asLong())
+        })
+        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+      } catch { case _: Exception => None }
+    new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.of(size)
+      override def numRows() = rows
+        .map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  // ---------------------------------------------------------------- batch
+
+  override def toBatch: Batch = ValueEqualBatch(this)
+
+  private lazy val partitionSchema = StructType(
+    tableSchema.fields.filter(f => st.partitionCols.contains(f.name)))
+
+  private lazy val deltaFactory: Factory = {
+    val partitionCols = st.partitionCols
+    val dataSchema = StructType(tableSchema.fields.filterNot(f =>
+      partitionCols.contains(f.name)))
+    // the reader shape must not depend on which files survive a
+    // RUNTIME re-filter (the factory is built once): the row-index
+    // column rides whenever ANY active file carries a DV
+    val anyDv = st.active.values.exists(_.dv.isDefined)
     val requiredData = StructType(required.fields.filterNot(f =>
       partitionCols.contains(f.name)))
     val readData =
@@ -319,9 +384,19 @@ private[dsv2] class DeltaDsv2Scan(
     val dataFilters = pushed.filter(
       _.references.forall(c => dataSchema.fieldNames.contains(c)))
     val readFunc = ParquetReadBridge.reader(
-      spark, dataSchema, partitionSchema, readData, dataFilters.toSeq)
+      spark, dataSchema, partitionSchema, readData, dataFilters)
+    new Factory(readFunc, emitted, required,
+      if (anyDv) readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn)
+      else -1,
+      Array.empty)
+  }
 
-    val parts: Array[InputPartition] = kept.map { a =>
+  private[dsv2] override def batchFactory(): PartitionReaderFactory =
+    if (DeltaDsv2.isCdf(options)) cdfPlanner.factory() else deltaFactory
+
+  private[dsv2] override def batchPartitions(): Array[InputPartition] =
+    if (DeltaDsv2.isCdf(options)) cdfPartitions()
+    else keptFiles().map { a =>
       val abs = DeltaLog.absPath(table, a.path)
       val pv = new GenericInternalRow(
         partitionSchema.fields.map(f => DeltaDsv2.internalPartValue(
@@ -333,25 +408,20 @@ private[dsv2] class DeltaDsv2Scan(
         ParquetReadBridge.wholeFile(pv, abs,
           a.size.getOrElse(Files.size(Paths.get(abs))), 0L),
         drop, null, Array.empty, Map.empty)
-    }.toArray
-    new SimpleBatch(parts,
-      new Factory(readFunc, emitted, required,
-        if (anyDv) readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn)
-        else -1,
-        Array.empty))
-  }
+    }.toArray[InputPartition]
 
   // ------------------------------------------------------------- CDF batch
 
-  private def cdfBatch(): Batch = {
+  private lazy val cdfPlanner =
+    new DeltaCdfPlanner(spark, table, tableSchema, required)
+
+  private def cdfPartitions(): Array[InputPartition] = {
     val latest = DeltaLog.version(spark, table)
     val from = DeltaDsv2.opt(options, "startingVersion").map(_.toLong)
       .getOrElse(0L)
     val to = DeltaDsv2.opt(options, "endingVersion").map(_.toLong)
       .getOrElse(latest)
-    val planner = new DeltaCdfPlanner(spark, table, tableSchema, required)
-    val parts = (from to to).flatMap(planner.slicesFor).toArray[InputPartition]
-    new SimpleBatch(parts, planner.factory())
+    (from to to).flatMap(cdfPlanner.slicesFor).toArray[InputPartition]
   }
 
   // ------------------------------------------------------------- streaming

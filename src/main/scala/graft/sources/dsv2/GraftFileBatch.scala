@@ -182,4 +182,25 @@ private[dsv2] object GraftFileBatch {
     override def planInputPartitions(): Array[InputPartition] = partitions
     override def createReaderFactory(): PartitionReaderFactory = factory
   }
+
+  /** A Batch that delegates back to its (case-class) scan.
+    * VALUE-EQUAL BY THE SCAN: `BatchScanExec.equals` compares
+    * `this.batch == other.batch` (not the scan!), and AQE's
+    * broadcast-exchange reuse — which dynamic partition pruning
+    * depends on (`reuseBroadcastOnly`) — runs through exactly that
+    * equality; a reference-equal Batch silently degrades every DPP
+    * filter to `true`. Deferring planInputPartitions to call time
+    * also lets runtime filters re-plan the file set.
+    */
+  trait LazyBatchSource {
+    private[dsv2] def batchPartitions(): Array[InputPartition]
+    private[dsv2] def batchFactory(): PartitionReaderFactory
+  }
+
+  case class ValueEqualBatch(owner: LazyBatchSource) extends Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      owner.batchPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      owner.batchFactory()
+  }
 }

@@ -265,7 +265,9 @@ private[dsv2] object IcebergDsv2 {
     }
 }
 
-private[dsv2] class IcebergDsv2Table(
+// case class for the same reason as the Scan below: BatchScanExec's
+// equality covers its `table` field too
+private[dsv2] case class IcebergDsv2Table(
     table: String, tableSchema: StructType, options: Map[String, String])
     extends Table with SupportsRead {
 
@@ -304,13 +306,19 @@ private[dsv2] class IcebergScanBuilder(
       else StructType(Array(tableSchema.fields.minBy(_.name.length)))
 
   override def build(): Scan =
-    new IcebergDsv2Scan(table, tableSchema, required, pushed, options)
+    IcebergDsv2Scan(table, tableSchema, required, pushed.toSeq, options)
 }
 
-private[dsv2] class IcebergDsv2Scan(
+// a CASE class: AQE broadcast reuse (which dynamic partition pruning
+// depends on) compares BatchScanExec nodes by scan VALUE equality —
+// a reference-equal scan silently degrades every DPP filter to `true`
+private[dsv2] case class IcebergDsv2Scan(
     table: String, tableSchema: StructType, required: StructType,
-    pushed: Array[Filter], options: Map[String, String])
-    extends Scan {
+    pushed: Seq[Filter], options: Map[String, String])
+    extends Scan
+    with SupportsReportStatistics
+    with SupportsRuntimeFiltering
+    with GraftFileBatch.LazyBatchSource {
 
   import GraftFileBatch._
 
@@ -319,28 +327,63 @@ private[dsv2] class IcebergDsv2Scan(
   override def description(): String =
     s"graft-iceberg $table, PushedFilters: [${pushed.mkString(", ")}]"
 
-  override def toBatch: Batch = {
-    val spark = SparkSession.active
-    val p = IcebergDsv2.plan(spark, table, options)
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
 
+  // only the scan's OUTPUT columns: Spark resolves these against the
+  // pruned readSchema, and an unreadable reference fails analysis
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
+  private lazy val p = IcebergDsv2.plan(SparkSession.active, table, options)
+
+  private def keptFiles(): Seq[IcebergTable.FileEntry] = {
+    val all = pushed ++ runtimeFilters
     val kept = p.entries.sortBy(_.path).filter { e =>
       val view = IcebergDsv2.statsView(e, p)
-      pushed.forall(f => FilterPrune.admits(view, f))
+      all.forall(f => FilterPrune.admits(view, f))
     }
     Dsv2Planning.record(table, kept.size, p.entries.size)
+    kept
+  }
 
-    val idColNames = p.idCols.map(_._1)
-    val partitionSchema = StructType(
-      p.schema.fields.filter(f => idColNames.contains(f.name)))
+  /** Post-pushdown statistics from the manifests: bytes of the
+    * surviving files, rows from their `record_count` — what lets
+    * Spark auto-broadcast a selectively-pruned probe at scale.
+    */
+  override def estimateStatistics(): Statistics = {
+    val kept = keptFiles()
+    val size = kept.map(e => Files.size(Paths.get(e.path))).sum
+    val rows = kept.map(_.records)
+    new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.of(size)
+      override def numRows() =
+        if (rows.forall(_ >= 0L)) java.util.OptionalLong.of(rows.sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
+
+  override def toBatch: Batch = ValueEqualBatch(this)
+
+  private lazy val idColNames = p.idCols.map(_._1)
+  private lazy val partitionSchema = StructType(
+    p.schema.fields.filter(f => idColNames.contains(f.name)))
+
+  private lazy val icebergFactory: Factory = {
+    val spark = SparkSession.active
     val dataSchema = StructType(
       p.schema.fields.filterNot(f => idColNames.contains(f.name)))
-
     val eqDeletes: Array[EqDelete] =
       p.eqDeletes.map(d => EqDelete(d._1, d._2)).toArray
     val eqCols = p.eqDeletes.flatMap(_._1).distinct
-    val anyDrop = kept.exists(e =>
+    // reader shape independent of runtime re-filters: row-index rides
+    // whenever ANY entry has deleted positions
+    val anyDrop = p.entries.exists(e =>
       p.dropByFile.contains(IcebergDsv2.canon(e.path)))
-
     val requiredData = StructType(required.fields.filterNot(f =>
       idColNames.contains(f.name)))
     val extraEq = eqCols
@@ -356,9 +399,19 @@ private[dsv2] class IcebergDsv2Scan(
     val dataFilters = pushed.filter(
       _.references.forall(c => dataSchema.fieldNames.contains(c)))
     val readFunc = ParquetReadBridge.reader(
-      spark, dataSchema, partitionSchema, readData, dataFilters.toSeq)
+      spark, dataSchema, partitionSchema, readData, dataFilters)
+    new Factory(readFunc, emitted, required,
+      if (anyDrop)
+        readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn)
+      else -1,
+      eqDeletes)
+  }
 
-    val parts: Array[InputPartition] = kept.map { e =>
+  private[dsv2] override def batchFactory(): PartitionReaderFactory =
+    icebergFactory
+
+  private[dsv2] override def batchPartitions(): Array[InputPartition] =
+    keptFiles().map { e =>
       val pv = new GenericInternalRow(
         partitionSchema.fields.map { f =>
           val pfName = p.idCols.find(_._1 == f.name).map(_._2)
@@ -368,8 +421,8 @@ private[dsv2] class IcebergDsv2Scan(
         }.toArray[Any])
       val drop = p.dropByFile
         .getOrElse(IcebergDsv2.canon(e.path), Array.empty[Long])
-      // equality deletes apply when the data file's sequence number
-      // is STRICTLY below the delete's (spec scoping rule)
+      // equality deletes apply when the data file's sequence
+      // number is STRICTLY below the delete's (spec scoping rule)
       val eqIdx = p.eqDeletes.zipWithIndex
         .filter { case (d, _) => e.seq < d._3 }
         .map(_._2).toArray
@@ -377,12 +430,5 @@ private[dsv2] class IcebergDsv2Scan(
         ParquetReadBridge.wholeFile(pv, e.path,
           Files.size(Paths.get(e.path)), 0L),
         drop, null, eqIdx, Map.empty)
-    }.toArray
-    new SimpleBatch(parts,
-      new Factory(readFunc, emitted, required,
-        if (anyDrop)
-          readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn)
-        else -1,
-        eqDeletes))
-  }
+    }.toArray[InputPartition]
 }
