@@ -585,6 +585,35 @@ object IcebergTable {
     }.distinctBy(_.path)
   }
 
+  /** The data files a snapshot itself ADDED: entries with status 1
+    * inside the data manifests whose `added_snapshot_id` is this
+    * snapshot — the spec's append marker, valid from format-version 1
+    * up (sequence numbers are v2-only). Feeds the streaming source's
+    * per-snapshot tail batches.
+    */
+  private[sources] def addedDataFiles(
+      table: String, meta: JsonNode, snap: JsonNode): Seq[FileEntry] = {
+    val snapId = snap.get("snapshot-id").asLong()
+    val addedPaths: Set[String] =
+      (if (snap.has("manifest-list"))
+        avroRecords(snap.get("manifest-list").asText())
+          .filter(m => opt(m, "content")
+            .map(_.toString.toInt).getOrElse(0) == 0)
+          .filter(m => opt(m, "added_snapshot_id")
+            .map(_.toString.toLong).contains(snapId))
+          .map(m => str(m, "manifest_path"))
+      else if (snap.has("manifests"))
+        snap.get("manifests").elements().asScala.map(_.asText()).toSeq
+      else Nil).toSet.flatMap { (mp: String) =>
+        avroRecords(mp)
+          .filter(_.get("status").toString.toInt == 1) // ADDED
+          .map(e => local(str(
+            e.get("data_file").asInstanceOf[GenericRecord], "file_path")))
+      }
+    dataFilesWithPartitions(table, meta, snap)
+      .filter(e => addedPaths.contains(e.path))
+  }
+
   /** Data-file paths of a snapshot (partition-value-free view, kept
     * for audits like the UniForm same-files assertion).
     */

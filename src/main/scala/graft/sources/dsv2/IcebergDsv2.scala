@@ -274,7 +274,8 @@ private[dsv2] case class IcebergDsv2Table(
   override def name(): String = s"graft-iceberg `$table`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
       caseInsensitiveOptions: org.apache.spark.sql.util.CaseInsensitiveStringMap)
@@ -410,25 +411,171 @@ private[dsv2] case class IcebergDsv2Scan(
   private[dsv2] override def batchFactory(): PartitionReaderFactory =
     icebergFactory
 
+  /** One slice per file entry — shared by batch planning and the
+    * streaming source's tail batches (a tail entry is never in
+    * `dropByFile` and its sequence number exceeds every existing
+    * equality delete's, so both sets resolve empty there).
+    */
+  private[dsv2] def sliceFor(
+      e: IcebergTable.FileEntry): GraftInputPartition = {
+    val pv = new GenericInternalRow(
+      partitionSchema.fields.map { f =>
+        val pfName = p.idCols.find(_._1 == f.name).map(_._2)
+          .getOrElse(f.name)
+        val raw = e.pv.get(pfName).flatten.orNull
+        DeltaDsv2.internalPartValue(raw, f.dataType)
+      }.toArray[Any])
+    val drop = p.dropByFile
+      .getOrElse(IcebergDsv2.canon(e.path), Array.empty[Long])
+    // equality deletes apply when the data file's sequence
+    // number is STRICTLY below the delete's (spec scoping rule)
+    val eqIdx = p.eqDeletes.zipWithIndex
+      .filter { case (d, _) => e.seq < d._3 }
+      .map(_._2).toArray
+    GraftInputPartition(
+      ParquetReadBridge.wholeFile(pv, e.path,
+        Files.size(Paths.get(e.path)), 0L),
+      drop, null, eqIdx, Map.empty)
+  }
+
   private[dsv2] override def batchPartitions(): Array[InputPartition] =
-    keptFiles().map { e =>
-      val pv = new GenericInternalRow(
-        partitionSchema.fields.map { f =>
-          val pfName = p.idCols.find(_._1 == f.name).map(_._2)
-            .getOrElse(f.name)
-          val raw = e.pv.get(pfName).flatten.orNull
-          DeltaDsv2.internalPartValue(raw, f.dataType)
-        }.toArray[Any])
-      val drop = p.dropByFile
-        .getOrElse(IcebergDsv2.canon(e.path), Array.empty[Long])
-      // equality deletes apply when the data file's sequence
-      // number is STRICTLY below the delete's (spec scoping rule)
-      val eqIdx = p.eqDeletes.zipWithIndex
-        .filter { case (d, _) => e.seq < d._3 }
-        .map(_._2).toArray
-      GraftInputPartition(
-        ParquetReadBridge.wholeFile(pv, e.path,
-          Files.size(Paths.get(e.path)), 0L),
-        drop, null, eqIdx, Map.empty)
-    }.toArray[InputPartition]
+    keptFiles().map(sliceFor).toArray[InputPartition]
+
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new IcebergMicroBatchStream(table, tableSchema, required, options)
+}
+
+/** Offset = (count of snapshot-log entries consumed, whether the
+  * initial snapshot has been served, that snapshot's id). The
+  * snapshot-log is append-only (rollbacks APPEND a re-current entry),
+  * so the index is a monotone stream position from format-version 1
+  * up — sequence numbers, the v2 alternative, don't exist on v1
+  * tables.
+  */
+private[dsv2] case class IcebergStreamOffset(
+    logIdx: Long, snapshotDone: Boolean, snapshotId: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    s"""{"logIdx":$logIdx,"snapshotDone":$snapshotDone,""" +
+      s""""snapshotId":$snapshotId}"""
+}
+
+private[dsv2] object IcebergStreamOffset {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  def fromJson(s: String): IcebergStreamOffset = {
+    val n = mapper.readTree(s)
+    IcebergStreamOffset(
+      n.get("logIdx").asLong(),
+      n.get("snapshotDone").asBoolean(),
+      n.get("snapshotId").asLong())
+  }
+}
+
+/** The Iceberg STREAMING SOURCE — the [[DeltaMicroBatchStream]] twin
+  * (iceberg-spark's own incremental append scan has the same shape):
+  * initial snapshot (the full MoR-resolved file set at stream start)
+  * as the first micro-batch, then each later snapshot's APPENDED
+  * files — the status-1 entries of the data manifests whose
+  * `added_snapshot_id` is that snapshot, the spec's append marker —
+  * as one batch each. Non-append snapshots (delete/overwrite/replace)
+  * fail the stream unless `skipChangeCommits` drops them; a
+  * NON-LINEAR history step (a rollback re-currenting an old snapshot)
+  * fails loudly — replaying it would duplicate rows. Exactly-once by
+  * snapshot-log-index offsets in the streaming checkpoint.
+  */
+private[dsv2] class IcebergMicroBatchStream(
+    table: String, tableSchema: StructType, required: StructType,
+    options: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val skipChangeCommits =
+    IcebergDsv2.opt(options, "skipChangeCommits").exists(_.toBoolean)
+
+  // the snapshot-pinned inner scan: its factory reads every era this
+  // stream serves (single-era gate), its plan carries the initial
+  // snapshot's delete state, and tail entries slice through the same
+  // sliceFor with empty delete sets
+  private lazy val snapScan: IcebergDsv2Scan = {
+    val meta = IcebergTable.metadataJson(table)
+    val cur = IcebergTable.currentSnapshotNode(meta)
+      .get("snapshot-id").asLong()
+    IcebergDsv2Scan(table, tableSchema, required, Nil,
+      options + ("snapshotid" -> cur.toString))
+  }
+
+  override def initialOffset(): Offset = {
+    val meta = IcebergTable.metadataJson(table)
+    val cur = IcebergTable.currentSnapshotNode(meta)
+    IcebergStreamOffset(
+      IcebergTable.snapshotLog(table).size.toLong,
+      snapshotDone = false,
+      cur.get("snapshot-id").asLong())
+  }
+
+  override def latestOffset(): Offset =
+    IcebergStreamOffset(
+      IcebergTable.snapshotLog(table).size.toLong,
+      snapshotDone = true, -1L)
+
+  override def deserializeOffset(json: String): Offset =
+    IcebergStreamOffset.fromJson(json)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[IcebergStreamOffset]
+    val e = end.asInstanceOf[IcebergStreamOffset]
+    val snapshot: Array[InputPartition] =
+      if (s.snapshotDone) Array.empty else snapScan.batchPartitions()
+    val meta = IcebergTable.metadataJson(table)
+    val log = IcebergTable.snapshotLog(table)
+    val snapsById: Map[Long, com.fasterxml.jackson.databind.JsonNode] =
+      Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(sn => sn.get("snapshot-id").asLong() -> sn).toMap
+    val tail = (s.logIdx.toInt until math.min(e.logIdx.toInt, log.size))
+      .flatMap { i =>
+        val (_, snapId) = log(i)
+        // linear-history gate: this entry must extend the previous one
+        // — a rollback re-currents an ALREADY-SERVED snapshot and
+        // replaying it would duplicate rows
+        val sn = snapsById.getOrElse(snapId,
+          throw new IllegalStateException(
+            s"snapshot $snapId from the log is expired: the stream " +
+              "cannot reconstruct its batch"))
+        if (i > 0) {
+          val prevId = log(i - 1)._2
+          val parent = Option(sn.get("parent-snapshot-id"))
+            .filterNot(_.isNull).map(_.asLong())
+          require(parent.contains(prevId),
+            s"non-linear history at snapshot $snapId of $table (a " +
+              "rollback?): replaying it would duplicate rows — start a " +
+              "fresh stream from the current snapshot instead")
+        }
+        val op = Option(sn.get("summary"))
+          .flatMap(su => Option(su.get("operation")))
+          .map(_.asText()).getOrElse("unknown")
+        if (op != "append") {
+          if (skipChangeCommits) Nil
+          else throw new IllegalStateException(
+            s"snapshot $snapId of $table is '$op', not an append: a " +
+              "streaming read cannot retract rows — set " +
+              "skipChangeCommits=true to drop such commits")
+        } else {
+          IcebergTable.addedDataFiles(table, meta, sn)
+            .sortBy(_.path)
+            .map(snapScan.sliceFor)
+        }
+      }
+    snapshot ++ tail.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    snapScan.batchFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
