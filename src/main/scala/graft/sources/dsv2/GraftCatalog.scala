@@ -1,0 +1,159 @@
+package graft.sources.dsv2
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-based V2 CATALOG over both lakehouse formats — the pure-SQL
+  * entry point:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.dsv2.GraftCatalog")
+  *   spark.sql("SELECT * FROM graft.delta.`/data/customers`")
+  *   spark.sql("SELECT * FROM graft.iceberg.`/data/orders`")
+  *   spark.sql("SELECT * FROM graft.auto.`/data/either`")   // sniffed
+  *   spark.sql("SELECT * FROM graft.delta.`/p` VERSION AS OF 3")
+  *   spark.sql("SELECT * FROM graft.delta.`/p` TIMESTAMP AS OF '...'")
+  *   spark.sql("INSERT INTO graft.delta.`/p` SELECT ...")
+  * }}}
+  *
+  * The identifier's namespace picks the format (`delta` / `iceberg`;
+  * `auto` sniffs `_delta_log/` vs `metadata/`), its name is the table
+  * path; every load returns the SAME DSv2 tables the format readers
+  * build, so pushdown, statistics, runtime filtering, streaming and
+  * the V1Write path all apply to SQL users unchanged. SQL time travel
+  * routes through the `loadTable(ident, version/timestamp)` overloads
+  * into the formats' own resolution. DDL (create/alter/drop) is
+  * refused loudly — tables are created by the writer APIs, and a
+  * path-addressed catalog silently "dropping" a directory would be a
+  * data-loss foot-gun.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def formatOf(ident: Identifier): String = {
+    val ns = ident.namespace()
+    require(ns.length == 1 &&
+      Set("delta", "iceberg", "auto").contains(ns(0).toLowerCase),
+      s"$catalogName expects a single-level namespace delta|iceberg|auto, " +
+        s"got [${ns.mkString(".")}] — e.g. " +
+        s"$catalogName.delta.`/path/to/table`")
+    val path = ident.name()
+    ns(0).toLowerCase match {
+      case "auto" =>
+        val isDelta = Files.isDirectory(Paths.get(path, "_delta_log"))
+        val isIceberg = Files.isDirectory(Paths.get(path, "metadata"))
+        require(isDelta || isIceberg,
+          s"$path is neither a Delta table (_delta_log/) nor an " +
+            "Iceberg table (metadata/)")
+        require(!(isDelta && isIceberg),
+          s"$path carries BOTH formats (UniForm): name the one to read " +
+            s"— $catalogName.delta.`$path` or $catalogName.iceberg.`$path`")
+        if (isDelta) "delta" else "iceberg"
+      case other => other
+    }
+  }
+
+  private def load(
+      ident: Identifier, extra: Map[String, String]): Table = {
+    val path = ident.name()
+    val opts = extra + ("path" -> path)
+    formatOf(ident) match {
+      case "delta" =>
+        DeltaDsv2Table(path,
+          DeltaDsv2.schemaFor(SparkSession.active, path, opts), opts)
+      case _ =>
+        IcebergDsv2Table(path,
+          IcebergDsv2.plan(SparkSession.active, path, opts).schema, opts)
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
+
+  /** SQL `VERSION AS OF v` — Delta versions / Iceberg snapshot ids. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    formatOf(ident) match {
+      case "delta" => load(ident, Map("versionasof" -> version))
+      case _ => load(ident, Map("snapshotid" -> version))
+    }
+
+  /** SQL `TIMESTAMP AS OF t` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, Map("timestampasof" -> (timestamp / 1000L).toString))
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { formatOf(ident); true } catch { case _: Exception => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-addressed: enumeration is the filesystem's job
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName is read/write over EXISTING tables: create with " +
+        "DeltaExport.create / IcebergExport.create*")
+
+  override def alterTable(
+      ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName does not alter tables: use the writer APIs " +
+        "(widenColumnType, setColumnDefault, setProperties, ...)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      s"$catalogName refuses DROP: a path-addressed catalog deleting " +
+        "directories would be a data-loss foot-gun")
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName does not rename path-addressed tables")
+
+  // -- SupportsNamespaces: the three fixed format namespaces ---------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("delta"), Array("iceberg"), Array("auto"))
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): JMap[String, String] = {
+    if (namespace.length != 1 ||
+      !Set("delta", "iceberg", "auto").contains(namespace(0).toLowerCase))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: JMap[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName's namespaces are the fixed format names")
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName's namespaces are the fixed format names")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      s"$catalogName's namespaces are the fixed format names")
+}

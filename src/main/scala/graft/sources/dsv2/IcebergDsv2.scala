@@ -269,13 +269,21 @@ private[dsv2] object IcebergDsv2 {
 // equality covers its `table` field too
 private[dsv2] case class IcebergDsv2Table(
     table: String, tableSchema: StructType, options: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-iceberg `$table`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    IcebergWriteBuilder(table, info)
 
   override def newScanBuilder(
       caseInsensitiveOptions: org.apache.spark.sql.util.CaseInsensitiveStringMap)

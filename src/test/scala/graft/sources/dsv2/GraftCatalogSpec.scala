@@ -1,0 +1,100 @@
+package graft.sources.dsv2
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.{DeltaExport, DeltaLog, IcebergExport, IcebergTable}
+import org.apache.spark.sql.functions._
+
+/** The PURE-SQL entry point ([[GraftCatalog]]): registered as
+  * `spark.sql.catalog.graft`, it resolves `graft.delta.`/path`` /
+  * `graft.iceberg.`/path`` / `graft.auto.`/path`` to the same DSv2
+  * tables the format readers build — SELECT with pushdown, SQL time
+  * travel (`VERSION AS OF` / `TIMESTAMP AS OF`), INSERT INTO, and
+  * loud DDL refusals.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  spark.conf.set(
+    "spark.sql.catalog.graft", "graft.sources.dsv2.GraftCatalog")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def df(ids: Range) =
+    ids.map(i => (i.toLong, s"v$i")).toDF("id", "s")
+
+  test("SELECT over delta / iceberg / auto namespaces") {
+    val td = tmp("cat_delta")
+    val ti = tmp("cat_ice")
+    DeltaExport.create(df(0 until 10).coalesce(1), td)
+    DeltaExport.deleteWhere(spark, td, col("id") === 3L)
+    IcebergExport.create(df(0 until 7).coalesce(1), ti)
+    assert(spark.sql(s"SELECT sum(id) AS s FROM graft.delta.`$td`")
+      .head().getLong(0) == 45L - 3L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.iceberg.`$ti`")
+      .head().getLong(0) == 7L)
+    // auto sniffs the format
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.auto.`$td`")
+      .head().getLong(0) == 9L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.auto.`$ti`")
+      .head().getLong(0) == 7L)
+    // a filter through SQL still prunes files (planner pushdown)
+    val t4 = tmp("cat_prune")
+    DeltaExport.create(
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), t4)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.delta.`$t4` WHERE id >= 80")
+      .head().getLong(0) == 20L)
+    val Some((planned, total)) = Dsv2Planning.plannedFor(t4)
+    assert(total == 4 && planned == 1, s"$planned/$total")
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    val td = tmp("cat_tt")
+    DeltaExport.create(df(0 until 10).coalesce(1), td, Nil,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaExport.deleteWhere(spark, td, col("id") < 5L)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.delta.`$td` VERSION AS OF 0")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.delta.`$td`")
+      .head().getLong(0) == 5L)
+    // TIMESTAMP AS OF through the ICT timeline
+    val hist = DeltaLog.history(spark, td).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tsV0 = java.time.Instant.ofEpochMilli(hist(0L))
+      .atOffset(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.delta.`$td` " +
+        s"TIMESTAMP AS OF '$tsV0'")
+      .head().getLong(0) == 10L)
+
+    val ti = tmp("cat_tt_ice")
+    IcebergExport.create(df(0 until 6).coalesce(1), ti)
+    val snap0 = IcebergTable.snapshotIds(ti).head
+    IcebergExport.append(df(6 until 9).coalesce(1), ti)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.iceberg.`$ti` VERSION AS OF $snap0")
+      .head().getLong(0) == 6L)
+  }
+
+  test("INSERT INTO through the catalog; DDL refuses loudly") {
+    val td = tmp("cat_insert")
+    DeltaExport.create(df(0 until 3).coalesce(1), td)
+    spark.sql(s"INSERT INTO graft.delta.`$td` VALUES (7, 'seven')")
+    assert(DeltaLog.read(spark, td).count() == 4L)
+    val e = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.delta.`$td`")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("foot-gun"))), e.toString)
+    assert(DeltaLog.read(spark, td).count() == 4L, "table must survive")
+  }
+}
