@@ -525,6 +525,25 @@ object LakehouseScan {
         sum(col("cents")).as("sum_value_cents"))
       .orderBy(col("event_type"))
 
+  /** x44 — x22 replayed through the PURE-SQL surface: the
+    * [[graft.sources.dsv2.GraftCatalog]] resolves
+    * `graft.delta.`path`` and the whole query — projection, WHERE,
+    * ORDER BY — runs as SQL text over the DSv2 table (planner
+    * pushdown included). Held to x22's oracle SQL verbatim: three
+    * read paths (bespoke, DataFrame-DSv2, SQL), one byte-identical
+    * result.
+    */
+  def sqlCatalogScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = deltaCustomer(spark, dir)
+    spark.conf.set(
+      "spark.sql.catalog.graft", "graft.sources.dsv2.GraftCatalog")
+    spark.sql(
+      s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal
+          FROM graft.delta.`$t`
+          WHERE c_nationkey < 13
+          ORDER BY c_custkey""")
+  }
+
   /** x40 — x22 replayed THROUGH THE DATASOURCEV2 PATH
     * (`spark.read.format("graft-delta")`, r16): the same DV-deleted
     * customer table read the way a PLAIN Spark user reads it, filter
@@ -825,10 +844,17 @@ object LakehouseScan {
     "x41_dsv2_iceberg_scan" -> icebergDsv2Scan,
     "x42_delta_widened" -> deltaWidenedScan,
     "x43_variant_extract" -> variantExtract,
+    "x44_sql_catalog_scan" -> sqlCatalogScan,
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
   val oracleSql: Map[String, String] = Map(
-    // x40/x41: the DSv2 read paths held to x22's / x23's SQL VERBATIM
+    // x40/x41/x44: the DSv2 + SQL read paths held to x22's / x23's
+    // SQL VERBATIM
+    "x44_sql_catalog_scan" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_custkey % 7 <> 0 AND c_nationkey < 13
+         ORDER BY c_custkey""",
     "x40_dsv2_delta_scan" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
          FROM customer

@@ -621,11 +621,26 @@ private[dsv2] class DeltaCdfPlanner(
   * streaming checkpoint: restart resumes at the exact version with no
   * duplicates and no gaps.
   */
+/** Offset = (version, index, snapshotDone, snapshotVersion) — a
+  * FILE-GRANULAR stream position so admission control
+  * (`maxFilesPerTrigger`) can split the initial snapshot and big
+  * commits across micro-batches:
+  *  - snapshot phase (`snapshotDone=false`): `index` = snapshot
+  *    slices already served, version pins the snapshot;
+  *  - tail: `index = -1` means version fully consumed (the canonical
+  *    caught-up form — offset equality is how Spark detects "no new
+  *    data"), `index = k > 0` a partial version.
+  * Old checkpoints (r16 pre-admission-control) carry no `index`: it
+  * defaults to "nothing consumed" in the snapshot phase and "version
+  * complete" in the tail — exactly what those offsets meant.
+  */
 private[dsv2] case class DeltaStreamOffset(
-    version: Long, snapshotDone: Boolean, snapshotVersion: Long)
+    version: Long, index: Long, snapshotDone: Boolean,
+    snapshotVersion: Long)
     extends Offset {
   override def json(): String =
-    s"""{"version":$version,"snapshotDone":$snapshotDone,""" +
+    s"""{"version":$version,"index":$index,""" +
+      s""""snapshotDone":$snapshotDone,""" +
       s""""snapshotVersion":$snapshotVersion}"""
 }
 
@@ -633,25 +648,33 @@ private[dsv2] object DeltaStreamOffset {
   private val mapper = new ObjectMapper()
   def fromJson(s: String): DeltaStreamOffset = {
     val n = mapper.readTree(s)
+    val done = n.get("snapshotDone").asBoolean()
     DeltaStreamOffset(
       n.get("version").asLong(),
-      n.get("snapshotDone").asBoolean(),
+      Option(n.get("index")).map(_.asLong())
+        .getOrElse(if (done) -1L else 0L),
+      done,
       n.get("snapshotVersion").asLong())
   }
 }
 
 /** The Delta STREAMING SOURCE: initial snapshot (active files at the
-  * stream's start version) as the first micro-batch, then one slice
-  * set per committed version — exactly-once by version-granular
-  * offsets in the streaming checkpoint. `startingVersion` skips the
-  * snapshot and replays changes from that version (delta-spark's
-  * semantics); `readChangeFeed=true` streams CDF rows through the
-  * same per-commit planner the batch CDF uses.
+  * stream's start version) then one slice set per committed version —
+  * exactly-once by file-granular offsets in the streaming checkpoint.
+  * `startingVersion` skips the snapshot and replays changes from that
+  * version (delta-spark's semantics); `readChangeFeed=true` streams
+  * CDF rows through the same per-commit planner the batch CDF uses;
+  * `maxFilesPerTrigger` bounds each micro-batch's file count through
+  * `SupportsAdmissionControl` — the initial snapshot of a 100 TB
+  * table arrives as many bounded batches, not one giant one.
   */
 private[dsv2] class DeltaMicroBatchStream(
     table: String, tableSchema: StructType, required: StructType,
     options: Map[String, String], cdf: Boolean)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private def spark = SparkSession.active
   private lazy val planner =
@@ -659,19 +682,86 @@ private[dsv2] class DeltaMicroBatchStream(
   private val skipChangeCommits =
     DeltaDsv2.opt(options, "skipChangeCommits").exists(_.toBoolean)
 
+  // per-version slice lists are deterministic for a given log state
+  // (append-only versions never change), so caching them keeps
+  // latestOffset counting and planInputPartitions consistent
+  private val sliceCache = new java.util.concurrent.ConcurrentHashMap[
+    Long, IndexedSeq[GraftFileBatch.GraftInputPartition]]()
+
+  private def snapshotSlices(
+      v: Long): IndexedSeq[GraftFileBatch.GraftInputPartition] =
+    sliceCache.computeIfAbsent(-v - 1000000L, _ =>
+      (if (cdf) planner.snapshotSlices(v)
+      else planner.snapshotPlainSlices(v)).toIndexedSeq)
+
+  private def slicesOf(
+      v: Long): IndexedSeq[GraftFileBatch.GraftInputPartition] =
+    sliceCache.computeIfAbsent(v, _ =>
+      (if (cdf) planner.slicesFor(v)
+      else planner.appendSlices(v, skipChangeCommits)).toIndexedSeq)
+
   override def initialOffset(): Offset =
     DeltaDsv2.opt(options, "startingVersion") match {
       case Some(v) =>
         // change replay from v on; no snapshot phase
-        DeltaStreamOffset(v.toLong - 1L, snapshotDone = true, -1L)
+        DeltaStreamOffset(v.toLong - 1L, -1L, snapshotDone = true, -1L)
       case None =>
         val cur = DeltaLog.version(spark, table)
-        DeltaStreamOffset(cur, snapshotDone = false, cur)
+        DeltaStreamOffset(cur, 0L, snapshotDone = false, cur)
     }
 
-  override def latestOffset(): Offset = {
-    val cur = DeltaLog.version(spark, table)
-    DeltaStreamOffset(cur, snapshotDone = true, -1L)
+  override def getDefaultReadLimit: ReadLimit =
+    DeltaDsv2.opt(options, "maxFilesPerTrigger")
+      .map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    latestOffset(initialOffset(), ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DeltaStreamOffset]
+    var budget: Long = limit match {
+      case m: ReadMaxFiles => m.maxFiles().toLong
+      case _ => Long.MaxValue
+    }
+    val latest = DeltaLog.version(spark, table)
+    // snapshot phase first
+    var tailV = s.version
+    var tailIdx = s.index
+    if (!s.snapshotDone) {
+      val n = snapshotSlices(s.snapshotVersion).size.toLong
+      val remaining = n - s.index
+      if (budget < remaining)
+        return DeltaStreamOffset(
+          s.version, s.index + budget, snapshotDone = false,
+          s.snapshotVersion)
+      budget -= remaining
+      tailV = s.snapshotVersion
+      tailIdx = -1L
+    }
+    // partial version in flight
+    if (tailIdx >= 0L) {
+      val n = slicesOf(tailV).size.toLong
+      val remaining = n - tailIdx
+      if (budget < remaining)
+        return DeltaStreamOffset(tailV, tailIdx + budget,
+          snapshotDone = true, -1L)
+      budget -= remaining
+      tailIdx = -1L
+    }
+    // whole versions while the budget lasts
+    var v = tailV
+    while (v < latest) {
+      val n = slicesOf(v + 1L).size.toLong
+      if (budget < n)
+        return (
+          if (budget == 0L)
+            DeltaStreamOffset(v, -1L, snapshotDone = true, -1L)
+          else DeltaStreamOffset(v + 1L, budget, snapshotDone = true, -1L))
+      budget -= n
+      v += 1L
+    }
+    DeltaStreamOffset(v, -1L, snapshotDone = true, -1L)
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -681,15 +771,36 @@ private[dsv2] class DeltaMicroBatchStream(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[DeltaStreamOffset]
     val e = end.asInstanceOf[DeltaStreamOffset]
-    val snapshot: Seq[GraftFileBatch.GraftInputPartition] =
-      if (s.snapshotDone) Nil
-      else if (cdf) planner.snapshotSlices(s.snapshotVersion)
-      else planner.snapshotPlainSlices(s.snapshotVersion)
-    val tail = ((s.version + 1L) to e.version).flatMap { v =>
-      if (cdf) planner.slicesFor(v)
-      else planner.appendSlices(v, skipChangeCommits)
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[GraftFileBatch.GraftInputPartition]
+    var tailV = s.version
+    var tailIdx = s.index
+    if (!s.snapshotDone) {
+      val snap = snapshotSlices(s.snapshotVersion)
+      if (!e.snapshotDone)
+        return snap.slice(s.index.toInt, e.index.toInt)
+          .toArray[InputPartition]
+      parts ++= snap.drop(s.index.toInt)
+      tailV = s.snapshotVersion
+      tailIdx = -1L
     }
-    (snapshot ++ tail).toArray
+    if (tailIdx >= 0L) {
+      val all = slicesOf(tailV)
+      if (e.version == tailV) {
+        val until = if (e.index == -1L) all.size else e.index.toInt
+        parts ++= all.slice(tailIdx.toInt, until)
+        return parts.toArray[InputPartition]
+      }
+      parts ++= all.drop(tailIdx.toInt)
+    }
+    var w = tailV + 1L
+    while (w <= e.version) {
+      val all = slicesOf(w)
+      if (w == e.version && e.index != -1L) parts ++= all.take(e.index.toInt)
+      else parts ++= all
+      w += 1L
+    }
+    parts.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

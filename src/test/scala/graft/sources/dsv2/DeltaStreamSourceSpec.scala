@@ -71,6 +71,43 @@ class DeltaStreamSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger splits the snapshot and tail into bounded batches") {
+    val t = tmp("dsv2_stream_rate")
+    val ckpt = tmp("dsv2_stream_rate_ckpt")
+    // 4 snapshot files (2 commits x 2 files) + a 2-file tail append
+    DeltaExport.create(df(0 until 10).repartition(2), t)
+    DeltaExport.append(df(10 until 20).repartition(2), t)
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val rows = batch.collect()
+      batchSizes.add(rows.length)
+      rows.foreach(r => seen.add(r.getLong(0)))
+    }
+    import scala.jdk.CollectionConverters._
+
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1").load(t)
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toSet == (0L until 20L).toSet)
+      assert(seen.size == 20, s"no duplicates, got ${seen.size}")
+      // 4 snapshot files at 1 file/trigger -> at least 4 batches, and
+      // no batch larger than one file's rows (10 ids / 2 files = 5)
+      val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+      assert(sizes.size >= 4, s"expected >=4 bounded batches, got $sizes")
+      assert(sizes.forall(_ <= 5), s"one file per batch, got $sizes")
+      // tail under the same limit
+      DeltaExport.append(df(20 until 30).repartition(2), t)
+      q.processAllAvailable()
+      assert(seen.asScala.toSet == (0L until 30L).toSet)
+      assert(seen.size == 30, s"no duplicates, got ${seen.size}")
+    } finally q.stop()
+  }
+
   test("a data-changing commit fails the stream; skipChangeCommits drops it") {
     val t = tmp("dsv2_stream_chg")
     val ckpt = tmp("dsv2_stream_chg_ckpt")

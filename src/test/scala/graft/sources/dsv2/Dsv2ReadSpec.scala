@@ -151,6 +151,24 @@ class Dsv2ReadSpec extends SparkSpec {
     assert(total == 4 && planned == 1, s"$planned/$total")
   }
 
+  test("identity-partitioned iceberg: values attach from metadata, filter prunes") {
+    val t = tmp("dsv2_iceberg_idpart")
+    IcebergExport.create(rows100, t, partitionBy = Seq("grp"))
+    val bespoke = IcebergTable.read(spark, t)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("grp"))).toSet
+    val dsv2 = spark.read.format("graft-iceberg").load(t)
+    assert(dsv2.schema.fieldNames.toSet == Set("id", "grp", "name"))
+    assert(dsv2.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("grp"))).toSet == bespoke)
+    val one = spark.read.format("graft-iceberg").load(t)
+      .filter(col("grp") === 4)
+    assert(one.collect().map(_.getAs[Long]("id")).toSet ==
+      (0L until 100L).filter(_ % 7 == 4).toSet)
+    val Some((planned, total)) = Dsv2Planning.plannedFor(t)
+    assert(total >= 7 && planned < total,
+      s"identity-partition filter must prune ($planned/$total)")
+  }
+
   test("iceberg snapshotId option time travels; eq deletes stay seq-scoped") {
     val t = tmp("dsv2_iceberg_tt")
     IcebergExport.create(rows100.coalesce(1), t)
