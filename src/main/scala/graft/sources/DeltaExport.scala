@@ -477,6 +477,72 @@ object DeltaExport {
         s"lost the race for $table version 0 — another writer created it")
   }
 
+  /** CREATE an EMPTY table — commit 0 with protocol + metaData and no
+    * file actions (what SQL `CREATE TABLE (cols...)` through the
+    * catalog produces; the first append fills it). Feature detection
+    * mirrors [[create]]: row tracking / in-commit timestamps from the
+    * properties, variant columns from the schema.
+    */
+  def createEmpty(
+      table: String, schema: StructType, partitionBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Unit = {
+    require(nextVersion(table) == 0L,
+      s"$table already has a Delta log; use append")
+    require(partitionBy.forall(schema.fieldNames.contains),
+      s"partition columns ${partitionBy.mkString(",")} must be in the schema")
+    val minWriter =
+      if (properties.get("delta.enableChangeDataFeed").contains("true")) 4
+      else 2
+    val rowTracking =
+      properties.get("delta.enableRowTracking").contains("true")
+    val ict =
+      properties.get("delta.enableInCommitTimestamps").contains("true")
+    def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.VariantType => true
+        case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hasVariant(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasVariant(m.keyType) || hasVariant(m.valueType)
+        case _ => false
+      }
+    val variant = hasVariant(schema)
+    val featureSet =
+      (if (rowTracking) Set("domainMetadata", "rowTracking")
+      else Set.empty[String]) ++
+        (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
+        (if (variant) Set("variantType") else Set.empty[String])
+    val protocolLine =
+      if (featureSet.isEmpty)
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
+      else {
+        val wf = (legacyWriterFeatures(minWriter) ++ featureSet).toSeq.sorted
+          .map(f => s""""$f"""").mkString("[", ",", "]")
+        if (variant)
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":$wf}}"""
+        else
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
+      }
+    val props2 =
+      if (!rowTracking) properties
+      else properties +
+        (DeltaRowTracking.RowIdColKey ->
+          s"_row_id_mat_${java.util.UUID.randomUUID.toString.take(8)}") +
+        (DeltaRowTracking.RowCommitColKey ->
+          s"_row_commit_mat_${java.util.UUID.randomUUID.toString.take(8)}")
+    val domainLines =
+      if (rowTracking) Seq(DeltaRowTracking.domainJson(-1L)) else Nil
+    val lines =
+      (Seq(protocolLine,
+        metaDataJson(java.util.UUID.randomUUID.toString, schema,
+          partitionBy, props2)) ++ domainLines) :+
+        s"""{"commitInfo":{"operation":"CREATE TABLE"}}"""
+    if (!claim(table, 0L, lines))
+      throw new IllegalStateException(
+        s"lost the race for $table version 0 — another writer created it")
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF — make the table equal
     * `version` again as a NEW commit (time travel backwards that
     * keeps the history; the standard recovery from a bad write):

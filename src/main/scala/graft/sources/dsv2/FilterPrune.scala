@@ -112,6 +112,84 @@ private[dsv2] object FilterPrune {
         }
     }
 
+  private def valueEq(a: Any, b: Any): Option[Boolean] =
+    for (x <- leq(a, b); y <- leq(b, a)) yield x && y
+
+  /** Exact evaluation of `f` against EXACT (partition) column values:
+    * Some(result) means every row of the file yields `result`; None
+    * means undecidable (non-exact column / incomparable). Powers
+    * `Not(...)` pruning — a file whose partition value provably
+    * satisfies the negated predicate for every row can drop.
+    */
+  private def exactEval(s: ColumnStats, f: Filter): Option[Boolean] =
+    f match {
+      case And(l, r) =>
+        (exactEval(s, l), exactEval(s, r)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (exactEval(s, l), exactEval(s, r)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(inner) => exactEval(s, inner).map(!_)
+      case EqualTo(c, v) if v != null =>
+        s.exact(c).flatMap {
+          case None => Some(false) // null = v is never true
+          case Some(x) => valueEq(x, v)
+        }
+      case EqualNullSafe(c, null) => s.exact(c).map(_.isEmpty)
+      case EqualNullSafe(c, v) =>
+        s.exact(c).flatMap {
+          case None => Some(false)
+          case Some(x) => valueEq(x, v)
+        }
+      case In(c, vs) if vs != null =>
+        s.exact(c).flatMap {
+          case None => Some(false)
+          case Some(x) =>
+            val evals = vs.toSeq.filter(_ != null).map(v => valueEq(x, v))
+            if (evals.exists(_.contains(true))) Some(true)
+            else if (evals.forall(_.contains(false))) Some(false)
+            else None
+        }
+      case IsNull(c) => s.exact(c).map(_.isEmpty)
+      case IsNotNull(c) => s.exact(c).map(_.nonEmpty)
+      case GreaterThan(c, v) if v != null =>
+        exactCompare(s, c, v).map(_ > 0)
+      case GreaterThanOrEqual(c, v) if v != null =>
+        exactCompare(s, c, v).map(_ >= 0)
+      case LessThan(c, v) if v != null =>
+        exactCompare(s, c, v).map(_ < 0)
+      case LessThanOrEqual(c, v) if v != null =>
+        exactCompare(s, c, v).map(_ <= 0)
+      case _ => None
+    }
+
+  /** Sign of (exact value of `c`) compared to `v`, when decidable. */
+  private def exactCompare(
+      s: ColumnStats, c: String, v: Any): Option[Int] =
+    s.exact(c).flatMap {
+      case None => None // null compares as "never matches": handled above
+      case Some(x) =>
+        for (le <- leq(x, v); ge <- leq(v, x)) yield
+          if (le && ge) 0 else if (le) -1 else 1
+    }
+
+  /** The smallest string strictly ABOVE every string with this
+    * prefix, or None when no bound exists (all-max-char prefix).
+    */
+  private def prefixUpperBound(prefix: String): Option[String] = {
+    val chars = prefix.toCharArray
+    var i = chars.length - 1
+    while (i >= 0 && chars(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(new String(chars.take(i)) :+ (chars(i) + 1).toChar)
+  }
+
   /** Conservative admission: false ONLY when no row of the file can
     * satisfy `f`.
     */
@@ -125,11 +203,14 @@ private[dsv2] object FilterPrune {
         case None => s.mayHaveNull(c)
       }
     case EqualNullSafe(c, v) => rangeAdmits(s, c, Some(v), Some(v))
-    // strict bounds admit conservatively as their inclusive form
-    case GreaterThan(c, v) if v != null => rangeAdmits(s, c, Some(v), None)
+    // strict bounds: EXACT (partition) values decide precisely;
+    // min/max stats admit conservatively as their inclusive form
+    case g @ GreaterThan(c, v) if v != null =>
+      exactEval(s, g).getOrElse(rangeAdmits(s, c, Some(v), None))
     case GreaterThanOrEqual(c, v) if v != null =>
       rangeAdmits(s, c, Some(v), None)
-    case LessThan(c, v) if v != null => rangeAdmits(s, c, None, Some(v))
+    case g @ LessThan(c, v) if v != null =>
+      exactEval(s, g).getOrElse(rangeAdmits(s, c, None, Some(v)))
     case LessThanOrEqual(c, v) if v != null =>
       rangeAdmits(s, c, None, Some(v))
     case In(c, vs) if vs != null =>
@@ -145,6 +226,30 @@ private[dsv2] object FilterPrune {
         case Some(opt) => opt.nonEmpty
         case None => !s.allNull(c).contains(true)
       }
-    case _ => true // Not / string matchers / unknown: keep
+    case StringStartsWith(c, prefix) if prefix != null =>
+      s.exact(c) match {
+        case Some(None) => false
+        case Some(Some(v: String)) => v.startsWith(prefix)
+        case Some(Some(_)) => true
+        case None =>
+          if (s.allNull(c).contains(true)) false
+          else {
+            // v.startsWith(p) ⟹ p <= v < nextAfterPrefix: the file can
+            // match only if max >= p and min < nextAfterPrefix (string
+            // stats only — anything else keeps)
+            val maxOk = s.max(c) match {
+              case Some(m: String) => m >= prefix
+              case _ => true
+            }
+            val minOk = (s.min(c), prefixUpperBound(prefix)) match {
+              case (Some(m: String), Some(ub)) => m < ub
+              case _ => true
+            }
+            maxOk && minOk
+          }
+      }
+    // anything else (Not, rare matchers): prune only when the EXACT
+    // partition values prove every row fails the predicate
+    case other => !exactEval(s, other).contains(false)
   }
 }

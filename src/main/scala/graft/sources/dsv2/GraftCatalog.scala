@@ -95,19 +95,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     load(ident, Map("timestampasof" -> (timestamp / 1000L).toString))
 
-  override def tableExists(ident: Identifier): Boolean =
-    try { formatOf(ident); true } catch { case _: Exception => false }
+  override def tableExists(ident: Identifier): Boolean = {
+    val path = ident.name()
+    try formatOf(ident) match {
+      case "delta" => Files.isDirectory(Paths.get(path, "_delta_log"))
+      case _ => Files.isDirectory(Paths.get(path, "metadata"))
+    } catch { case _: Exception => false }
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-addressed: enumeration is the filesystem's job
 
+  /** SQL `CREATE TABLE <cat>.delta.`/path`` (cols...) PARTITIONED BY
+    * (identity cols) [TBLPROPERTIES ('delta.…'='…')]` — an EMPTY
+    * commit-0 table the first INSERT fills (CTAS = this + AppendData).
+    * Only `delta.*` properties reach the table configuration (Spark
+    * adds reserved keys like `provider`/`location` that are not table
+    * state). Iceberg creation stays with `IcebergExport.create*`
+    * (its writers are DataFrame-shaped; an empty snapshot-less
+    * metadata file is not a state this engine's reader serves).
+    */
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName is read/write over EXISTING tables: create with " +
-        "DeltaExport.create / IcebergExport.create*")
+      properties: JMap[String, String]): Table = {
+    // namespace checked directly: `auto` can't sniff a table that
+    // doesn't exist yet, and Iceberg creation is refused
+    val ns = ident.namespace()
+    require(ns.length == 1 && ns(0).equalsIgnoreCase("delta"),
+      s"$catalogName creates DELTA tables only " +
+        s"($catalogName.delta.`/path`): use IcebergExport.create* " +
+        "for Iceberg")
+    val partitionCols = partitions.map {
+      case t if t.name() == "identity" =>
+        t.references()(0).fieldNames().mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"$catalogName creates identity-partitioned tables only, got $t")
+    }.toSeq
+    val props = properties.asScala
+      .filter { case (k, _) => k.toLowerCase.startsWith("delta.") }.toMap
+    val path = ident.name()
+    graft.sources.DeltaExport.createEmpty(path, schema, partitionCols, props)
+    loadTable(ident)
+  }
 
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table =

@@ -83,6 +83,42 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 6L)
   }
 
+  test("SQL CREATE TABLE + CTAS author real commit-0 delta tables") {
+    val t = tmp("cat_create") + "/t1"
+    spark.sql(
+      s"""CREATE TABLE graft.delta.`$t` (id BIGINT, grp INT, s STRING)
+          PARTITIONED BY (grp)
+          TBLPROPERTIES ('delta.enableInCommitTimestamps'='true')""")
+    val st = DeltaLog.stateAt(spark, t, None)
+    assert(st.partitionCols == Seq("grp"))
+    assert(st.configuration("delta.enableInCommitTimestamps") == "true")
+    assert(st.writerFeatures.contains("inCommitTimestamp"))
+    assert(DeltaLog.read(spark, t).count() == 0L)
+    spark.sql(s"INSERT INTO graft.delta.`$t` VALUES (1, 2, 'a'), (3, 4, 'b')")
+    assert(spark.sql(s"SELECT sum(id) AS x FROM graft.delta.`$t`")
+      .head().getLong(0) == 4L)
+    // partition value reconstructed through the hive staging
+    assert(spark.sql(
+      s"SELECT id FROM graft.delta.`$t` WHERE grp = 4")
+      .head().getLong(0) == 3L)
+
+    // CTAS
+    val t2 = tmp("cat_ctas") + "/t2"
+    spark.sql(
+      s"""CREATE TABLE graft.delta.`$t2`
+          AS SELECT id * 10 AS id10, s FROM graft.delta.`$t`""")
+    assert(spark.sql(s"SELECT sum(id10) AS x FROM graft.delta.`$t2`")
+      .head().getLong(0) == 40L)
+    // iceberg creation refuses toward the writer API
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.iceberg.`${tmp("cat_nope")}/x` (id INT)")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("IcebergExport.create"))), e.toString)
+  }
+
   test("INSERT INTO through the catalog; DDL refuses loudly") {
     val td = tmp("cat_insert")
     DeltaExport.create(df(0 until 3).coalesce(1), td)
