@@ -142,6 +142,30 @@ class DeltaStreamSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("partitioned table: partition values ride the stream slices") {
+    val t = tmp("dsv2_stream_part")
+    val ckpt = tmp("dsv2_stream_part_ckpt")
+    def pdf(ids: Range) =
+      ids.map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "grp", "s")
+    DeltaExport.create(pdf(0 until 9), t, partitionBy = Seq("grp"))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      batch.collect().foreach(r =>
+        seen.add((r.getAs[Long]("id"), r.getAs[Int]("grp"))))
+    import scala.jdk.CollectionConverters._
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      DeltaExport.append(pdf(9 until 15), t, partitionBy = Seq("grp"))
+      q.processAllAvailable()
+      assert(seen.asScala.toSet ==
+        (0L until 15L).map(i => (i, (i % 3).toInt)).toSet,
+        seen.asScala.toSeq.sorted.toString)
+    } finally q.stop()
+  }
+
   private def cdfKey(r: org.apache.spark.sql.Row) =
     (r.getAs[Long]("id"), r.getAs[String]("s"),
       r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))
