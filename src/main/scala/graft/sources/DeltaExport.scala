@@ -287,17 +287,41 @@ object DeltaExport {
     val thisEnables = lines.exists(l =>
       l.startsWith("""{"metaData"""") &&
         l.contains(""""delta.enableInCommitTimestamps":"true""""))
-    val prevIct: Option[Long] =
-      if (version == 0L) None
-      else {
-        val prev = logDir(table).resolve(f"${version - 1}%020d.json")
-        if (!Files.isRegularFile(prev)) None
-        else Files.readAllLines(prev, StandardCharsets.UTF_8).asScala
-          .filter(_.startsWith("""{"commitInfo""""))
-          .flatMap(ictOf).headOption
-      }
-    if (!thisEnables && prevIct.isEmpty) return lines
-    val floor = prevIct.map(_ + 1L).getOrElse(Long.MinValue)
+    val prev = logDir(table).resolve(f"${version - 1}%020d.json")
+    val prevLines: Option[Seq[String]] =
+      if (version == 0L || !Files.isRegularFile(prev)) None
+      else Some(Files.readAllLines(prev, StandardCharsets.UTF_8)
+        .asScala.toSeq)
+    val prevHasCommitInfo =
+      prevLines.exists(_.exists(_.startsWith("""{"commitInfo"""")))
+    val prevIct: Option[Long] = prevLines.toSeq.flatten
+      .filter(_.startsWith("""{"commitInfo""""))
+      .flatMap(ictOf).headOption
+    // FALLBACK (r17): prev JSON missing (a foreign cleaner removed
+    // the last pre-checkpoint commit) or commitInfo-less (a foreign
+    // writer) — the string probes above cannot see enablement, so
+    // consult the REPLAYED table configuration at version-1. Gated
+    // behind the cheap probes: an ordinary non-ICT table (prev JSON
+    // present, commitInfo present, no inCommitTimestamp) never pays
+    // the replay.
+    val enabledByConfig: Boolean =
+      if (thisEnables || prevIct.nonEmpty || version == 0L) false
+      else if (prevHasCommitInfo) false
+      else org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .exists { sp =>
+          try DeltaLog.stateAt(sp, table, Some(version - 1)).configuration
+            .get("delta.enableInCommitTimestamps").contains("true")
+          catch { case _: Exception => false }
+        }
+    if (!thisEnables && prevIct.isEmpty && !enabledByConfig) return lines
+    // without a readable previous ICT, the monotonic floor is the
+    // latest RETAINED commit's adjusted timestamp — the same timeline
+    // timestamp travel resolves against, so the stamp can never step
+    // backwards across the gap
+    val floor = prevIct.map(_ + 1L).getOrElse(
+      if (enabledByConfig) DeltaLog.lastCommitTimestamp(table) + 1L
+      else Long.MinValue)
     val (ciLines, rest) = lines.partition(_.startsWith("""{"commitInfo""""))
     val ci = ciLines.headOption match {
       case Some(l) =>

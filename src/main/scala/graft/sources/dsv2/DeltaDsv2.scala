@@ -139,8 +139,24 @@ private[dsv2] object DeltaDsv2 {
       case DateType =>
         java.time.LocalDate.parse(raw).toEpochDay.toInt
       case TimestampType =>
-        val i = java.time.Instant.parse(raw.replace(' ', 'T') +
-          (if (raw.endsWith("Z") || raw.contains("+")) "" else "Z"))
+        // delta-spark interprets ZONELESS partition timestamp strings
+        // in the SESSION time zone (spark.sql.session.timeZone), not
+        // UTC — a zone-suffixed string keeps its own zone
+        val t = raw.replace(' ', 'T')
+        val i =
+          try java.time.Instant.parse(t)
+          catch {
+            case _: Exception =>
+              try java.time.OffsetDateTime.parse(t).toInstant
+              catch {
+                case _: Exception =>
+                  java.time.LocalDateTime.parse(t)
+                    .atZone(java.time.ZoneId.of(
+                      org.apache.spark.sql.internal.SQLConf.get
+                        .sessionLocalTimeZone))
+                    .toInstant
+              }
+          }
         i.getEpochSecond * 1000000L + i.getNano / 1000L
       case d: DecimalType =>
         Decimal(BigDecimal(raw), d.precision, d.scale)
@@ -512,12 +528,14 @@ private[dsv2] class DeltaCdfPlanner(
   /** The whole active set at `v` as INSERT slices (the streaming
     * source's initial snapshot).
     */
-  def snapshotSlices(v: Long): Seq[GraftInputPartition] =
+  def snapshotSlices(v: Long): Seq[GraftInputPartition] = {
+    requireCdfEnabled(v)
     DeltaLog.stateAt(spark, table, Some(v)).active.values.toSeq
       .sortBy(_.path).map { a =>
         slice(DeltaLog.absPath(table, a.path), a.partitionValues,
           dvIndexes(a), null, Some("insert"), v)
       }
+  }
 
   /** The active set at `v` as PLAIN table-row slices (non-CDF
     * streaming initial snapshot — no change columns).
@@ -529,8 +547,27 @@ private[dsv2] class DeltaCdfPlanner(
           dvIndexes(a), null, None, v)
       }
 
+  /** delta-spark's per-version ENABLEMENT gate: serving CDF for a
+    * version where `delta.enableChangeDataFeed` was off would
+    * FABRICATE a feed (whole-file delete+insert pairs for rewrites)
+    * that a compliant writer never authored — delta-spark refuses
+    * the read, and so does this planner. The engine's own
+    * reconstruction semantics for non-CDF tables stay available
+    * through the bespoke [[graft.sources.DeltaCdf.readChangeFeed]].
+    */
+  private def requireCdfEnabled(v: Long): Unit = {
+    val conf = DeltaLog.stateAt(spark, table, Some(v)).configuration
+    require(conf.getOrElse("delta.enableChangeDataFeed", "false") == "true",
+      s"version $v of $table was committed without " +
+        "delta.enableChangeDataFeed=true: the change feed for it was " +
+        "never recorded — narrow startingVersion/endingVersion to the " +
+        "enabled range, or use graft.sources.DeltaCdf.readChangeFeed " +
+        "(engine API, documented reconstruction semantics)")
+  }
+
   /** Change slices of ONE commit — the DeltaCdf per-version rules. */
   def slicesFor(v: Long): Seq[GraftInputPartition] = {
+    requireCdfEnabled(v)
     val actions = DeltaDsv2.commitActions(table, v)
     val cdcActions = actions.filter(_.has("cdc"))
     if (cdcActions.nonEmpty) {
@@ -557,10 +594,20 @@ private[dsv2] class DeltaCdfPlanner(
         .filter(_.get("remove").get("dataChange").asBoolean(false))
         .map(_.get("remove").get("path").asText())
       val newPaths = adds.filterNot(prevActive.contains).distinct
+      val goneRels0 = removes.filterNot(nowActive.contains).distinct
+      // a MIXED commit (new files in, old files out, no cdc) is a
+      // rewrite whose row-level changes were never recorded — serving
+      // it as whole-file delete+insert pairs would fabricate a feed
+      // (an UPDATE would double-report every untouched row in the
+      // rewritten files); delta-spark refuses, so does this planner
+      require(newPaths.isEmpty || goneRels0.isEmpty,
+        s"version $v of $table rewrites data (adds AND removes) " +
+          "without cdc actions: its row-level changes were never " +
+          "recorded — refused rather than fabricating a change feed")
       val inserts = newPaths.flatMap(nowActive.get).map(a =>
         slice(DeltaLog.absPath(table, a.path), a.partitionValues,
           dvIndexes(a), null, Some("insert"), v))
-      val goneRels = removes.filterNot(nowActive.contains).distinct
+      val goneRels = goneRels0
       val deletes = goneRels.flatMap(prevActive.get).map(a =>
         slice(DeltaLog.absPath(table, a.path), a.partitionValues,
           dvIndexes(a), null, Some("delete"), v))

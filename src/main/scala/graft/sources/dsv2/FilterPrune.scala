@@ -72,7 +72,14 @@ private[dsv2] object FilterPrune {
     * may arrive as an ISO string — delta-spark writes timestamp stats
     * in ISO 'T' form, and 'T' vs ' ' inverts lexicographic same-day
     * bounds, the exact hazard [[graft.sources.DeltaLog]]'s skipping
-    * already guards).
+    * already guards). STRINGS compare by UTF-8 binary order (code
+    * points), not Java's UTF-16 code units: parquet/Delta/Iceberg
+    * min/max string bounds are UTF-8-ordered, and for supplementary
+    * characters (above U+FFFF, encoded as surrogate pairs that sort
+    * BELOW U+E000..U+FFFF in UTF-16) the two orders invert — a file
+    * whose max is an emoji would be wrongly pruned by a
+    * U+E000-range bound, turning skipping into a correctness
+    * decision.
     */
   def leq(a: Any, b: Any): Option[Boolean] = (a, b) match {
     case (null, _) | (_, null) => None
@@ -82,9 +89,14 @@ private[dsv2] object FilterPrune {
       Some(!x || y)
     case (x, y) if isTemporal(x) || isTemporal(y) =>
       for (xi <- instantOf(x); yi <- instantOf(y)) yield !xi.isAfter(yi)
-    case (x: String, y: String) => Some(x <= y)
+    case (x: String, y: String) => Some(utf8Leq(x, y))
     case _ => None
   }
+
+  /** x <= y by UTF-8 binary order (= code-point order). */
+  private def utf8Leq(x: String, y: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) <= 0
 
   private def geq(a: Any, b: Any): Option[Boolean] = leq(b, a)
 
@@ -180,12 +192,15 @@ private[dsv2] object FilterPrune {
     }
 
   /** The smallest string strictly ABOVE every string with this
-    * prefix, or None when no bound exists (all-max-char prefix).
+    * prefix in CODE-POINT order, or None when no bound exists. A
+    * prefix whose last char is in the surrogate range cannot be
+    * incremented soundly (the increment would cross an encoding
+    * boundary) — no bound, the min-side check is skipped.
     */
   private def prefixUpperBound(prefix: String): Option[String] = {
     val chars = prefix.toCharArray
     var i = chars.length - 1
-    while (i >= 0 && chars(i) == Char.MaxValue) i -= 1
+    while (i >= 0 && chars(i) >= '\uD800') i -= 1
     if (i < 0) None
     else Some(new String(chars.take(i)) :+ (chars(i) + 1).toChar)
   }
@@ -236,13 +251,14 @@ private[dsv2] object FilterPrune {
           else {
             // v.startsWith(p) ⟹ p <= v < nextAfterPrefix: the file can
             // match only if max >= p and min < nextAfterPrefix (string
-            // stats only — anything else keeps)
+            // stats only, UTF-8 binary order like the stats themselves
+            // — anything else keeps)
             val maxOk = s.max(c) match {
-              case Some(m: String) => m >= prefix
+              case Some(m: String) => utf8Leq(prefix, m)
               case _ => true
             }
             val minOk = (s.min(c), prefixUpperBound(prefix)) match {
-              case (Some(m: String), Some(ub)) => m < ub
+              case (Some(m: String), Some(ub)) => !utf8Leq(ub, m)
               case _ => true
             }
             maxOk && minOk

@@ -172,7 +172,8 @@ class DeltaStreamSourceSpec extends SparkSpec {
 
   test("batch DSv2 CDF equals DeltaCdf.readChangeFeed") {
     val t = tmp("dsv2_cdf_batch")
-    DeltaExport.create(df(0 until 10).coalesce(1), t)
+    DeltaExport.create(df(0 until 10).coalesce(1), t, Nil,
+      Map("delta.enableChangeDataFeed" -> "true"))
     DeltaExport.append(df(10 until 15).coalesce(1), t)
     DeltaExport.deleteWhere(spark, t, col("id") % 4 === 1)
     val oracle = DeltaCdf.readChangeFeed(spark, t, 0L)
@@ -190,10 +191,25 @@ class DeltaStreamSourceSpec extends SparkSpec {
       .collect().map(cdfKey).toSeq.sorted)
   }
 
+  test("CDF on a table that never enabled it is refused") {
+    val t = tmp("dsv2_cdf_off")
+    DeltaExport.create(df(0 until 10).coalesce(1), t)
+    DeltaExport.deleteWhere(spark, t, col("id") === 2L)
+    val e = intercept[Exception] {
+      spark.read.format("graft-delta")
+        .option("readChangeFeed", "true").load(t).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("enableChangeDataFeed")), e.getMessage)
+  }
+
   test("streaming CDF equals readChangeFeed over the same window") {
     val t = tmp("dsv2_cdf_stream")
     val ckpt = tmp("dsv2_cdf_stream_ckpt")
-    DeltaExport.create(df(0 until 10).coalesce(1), t)
+    DeltaExport.create(df(0 until 10).coalesce(1), t, Nil,
+      Map("delta.enableChangeDataFeed" -> "true"))
     val q = spark.readStream.format("graft-delta")
       .option("readChangeFeed", "true").load(t)
       .writeStream.format("memory").queryName("ds_cdf")
