@@ -414,6 +414,7 @@ object LakehouseScan {
     */
   def dumpTables(spark: SparkSession, dir: String): Unit = {
     deltaCustomer(spark, dir)
+    deltaMappedCustomer(spark, dir)
     deltaMergeCustomer(spark, dir)
     icebergUpsertCustomer(spark, dir)
     icebergEvolvedCustomer(spark, dir)
@@ -543,6 +544,90 @@ object LakehouseScan {
           WHERE c_nationkey < 13
           ORDER BY c_custkey""")
   }
+
+  /** NAME-MODE COLUMN-MAPPED Delta table from `customer` (r17) —
+    * authored exactly as delta-spark leaves a table after
+    * `ALTER TABLE ... RENAME COLUMN`: the parquet files carry stable
+    * PHYSICAL column names, the schemaString's field metadata maps
+    * them to the logical names, protocol v2 with
+    * `delta.columnMapping.mode=name`.
+    */
+  private def deltaMappedCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("delta_mapped_customer", dir) { t =>
+      import org.apache.spark.sql.types._
+      val phys = Seq(
+        ("c_custkey", 1L, "col-1key"), ("c_name", 2L, "col-2name"),
+        ("c_nationkey", 3L, "col-3nat"), ("c_acctbal", 4L, "col-4bal"))
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(phys.map { case (n, _, p) => col(n).as(p) }: _*)
+        .repartition(2, col("col-1key"))
+      val stage = Paths.get(t, "_stage")
+      cust.write.parquet(stage.toString)
+      Files.createDirectories(Paths.get(t))
+      val parts = {
+        val s = Files.list(stage)
+        try {
+          val it = s.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+          while (it.hasNext) { val q = it.next(); if (
+            q.getFileName.toString.endsWith(".parquet")) buf += q }
+          buf.sortBy(_.getFileName.toString).toSeq
+        } finally s.close()
+      }
+      val rels = parts.zipWithIndex.map { case (q, i) =>
+        val rel = s"f$i.parquet"
+        Files.move(q, Paths.get(t, rel))
+        rel
+      }
+      val origin = spark.read.parquet(s"$dir/customer.parquet").schema
+      val schema = StructType(phys.map { case (n, id, p) =>
+        StructField(n, origin(n).dataType, nullable = true,
+          new MetadataBuilder()
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName", p)
+            .build())
+      })
+      val ss = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      val adds = rels.map { rel =>
+        val size = Files.size(Paths.get(t, rel))
+        s"""{"add":{"path":"$rel","partitionValues":{},"size":$size,"modificationTime":$size,"dataChange":true}}"""
+      }
+      val logDir = Paths.get(t, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"x45-mapped","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"},"createdTime":1700000000000}}""") ++
+          adds :+ """{"commitInfo":{"operation":"CREATE"}}""")
+          .mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  /** x45 — x22's projection over the COLUMN-MAPPED table through the
+    * DSv2 path: physical parquet names resolve to logical columns at
+    * every level of the scan (read schema, stats, partition values).
+    * Oracle: the original customer parquet — one mis-mapped column
+    * fails the hash on its own values.
+    */
+  def deltaMappedScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-delta").load(deltaMappedCustomer(spark, dir))
+      .filter(col("c_nationkey") < 13)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** x46 — x32's partition-EVOLVED table read THROUGH DSV2 (r17):
+    * era-1 files attach c_nationkey from their own spec's partition
+    * metadata, era-2 files read it in-file, the equality delete
+    * applies per-file sequence-scoped inside the partition readers.
+    * Held to x32's oracle SQL VERBATIM.
+    */
+  def icebergEvolvedDsv2Scan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-iceberg")
+      .load(icebergEvolvedCustomer(spark, dir))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .orderBy(col("c_custkey"))
 
   /** x40 — x22 replayed THROUGH THE DATASOURCEV2 PATH
     * (`spark.read.format("graft-delta")`, r16): the same DV-deleted
@@ -842,6 +927,8 @@ object LakehouseScan {
     "x25_iceberg_v3_scan" -> icebergV3Scan,
     "x40_dsv2_delta_scan" -> deltaDsv2Scan,
     "x41_dsv2_iceberg_scan" -> icebergDsv2Scan,
+    "x45_dsv2_column_mapped" -> deltaMappedScan,
+    "x46_dsv2_iceberg_evolved" -> icebergEvolvedDsv2Scan,
     "x42_delta_widened" -> deltaWidenedScan,
     "x43_variant_extract" -> variantExtract,
     "x44_sql_catalog_scan" -> sqlCatalogScan,
@@ -859,6 +946,20 @@ object LakehouseScan {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
          FROM customer
          WHERE c_custkey % 7 <> 0 AND c_nationkey < 13
+         ORDER BY c_custkey""",
+    // x45: the mapped table holds the FULL customer set (mapping is
+    // metadata; no delete in its history)
+    "x45_dsv2_column_mapped" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_nationkey < 13
+         ORDER BY c_custkey""",
+    // x46: x32's oracle SQL verbatim — the DSv2 multi-era read must
+    // converge byte-identically with the bespoke era resolution
+    "x46_dsv2_iceberg_evolved" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM customer
+         WHERE c_custkey % 9 <> 4
          ORDER BY c_custkey""",
     "x41_dsv2_iceberg_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority

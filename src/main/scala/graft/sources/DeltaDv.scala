@@ -285,7 +285,8 @@ private[sources] object DeltaDv {
   /** Resolve ANY descriptor's deleted indexes (`p` absolute path, `u`
     * table-relative UUID, `i` inline).
     */
-  def indexesOf(table: String, d: Descriptor): Array[Long] =
+  def indexesOf(table: String, d: Descriptor): Array[Long] = {
+    DeleteAccess.contentReads.incrementAndGet()
     d.storageType match {
       case "p" => readFile(d)
       case "u" => readFile(d.copy(
@@ -295,6 +296,7 @@ private[sources] object DeltaDv {
         s"unknown deletion-vector storageType=$other: refused rather " +
           "than returning undeleted rows")
     }
+  }
 
   /** (file blob, data length) for one vector — version byte, BE size,
     * LE magic + bitmap, BE CRC-32 of the data.

@@ -652,7 +652,7 @@ object IcebergTable {
     * data file whose footer lacks an expected column name fails
     * loudly instead.
     */
-  private def requireFooterNames(
+  private[sources] def requireFooterNames(
       spark: SparkSession, sample: String, expected: Seq[String]): Unit = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -741,7 +741,7 @@ object IcebergTable {
     * value-preserving); anything else — narrowing, reshapes, changed
     * primitives — is refused loudly rather than miscast.
     */
-  private def promotable(from: DataType, to: DataType): Boolean =
+  private[sources] def promotable(from: DataType, to: DataType): Boolean =
     (from, to) match {
       case (a, b) if a == b => true
       case (IntegerType, LongType) => true
@@ -773,7 +773,7 @@ object IcebergTable {
     * instead. Ids compare when both sides carry them (the spec
     * requires them); names are the fallback for out-of-spec nodes.
     */
-  private def nestedAligned(wt: JsonNode, ct: JsonNode): Boolean =
+  private[sources] def nestedAligned(wt: JsonNode, ct: JsonNode): Boolean =
     if (wt.isTextual || ct.isTextual) true // primitives: promotable() rules
     else (wt.get("type").asText(), ct.get("type").asText()) match {
       case ("struct", "struct") =>

@@ -190,6 +190,7 @@ private[sources] object Puffin {
 
   /** Raw blob bytes at (offset, length). */
   def readBlob(path: String, offset: Long, length: Long): Array[Byte] = {
+    DeleteAccess.contentReads.incrementAndGet()
     val bytes = Files.readAllBytes(
       Paths.get(path.replaceFirst("^file:/*", "/")))
     require(offset >= 0 && offset + length <= bytes.length,

@@ -45,17 +45,21 @@ import graft.sources.{DeltaDv, DeltaLog}
   * — skipping is never a correctness decision.
   *
   * Deletion vectors apply per file inside the [[GraftFileBatch]]
-  * readers (row-index binary search, bounded by deleted rows).
-  * Column-mapped tables are REFUSED here (loudly, pointing at the
-  * bespoke reader which handles both modes) — a DSv2 scan that
-  * silently name-matched physical columns would return wrong rows.
+  * readers (row-index binary search, bounded by deleted rows),
+  * shipped as DESCRIPTORS and resolved on the executors (r17).
+  * COLUMN-MAPPED tables (r17) read through both protocol modes the
+  * bespoke reader implements: NAME mode scans under the stable
+  * physical parquet names (logical names re-attach positionally),
+  * ID mode resolves by parquet footer field-ids; `add.stats` and
+  * `add.partitionValues` lookups key by physical name in both.
   *
   * Scale shape: planning is the same driver-side metadata replay
-  * delta-spark performs; execution is one `PartitionReader` per data
-  * file running Spark's vectorized parquet decode — on a
-  * 1000-executor cluster the slices fan out like any native scan,
-  * and a selective filter over a stats-clustered (z-ordered) table
-  * reads only the files that can match.
+  * delta-spark performs — bounded by files, never by deleted rows;
+  * execution is one `PartitionReader` per data file running Spark's
+  * vectorized parquet decode — on a 1000-executor cluster the slices
+  * fan out like any native scan, and a selective filter over a
+  * stats-clustered (z-ordered) table reads only the files that can
+  * match.
   */
 class DeltaTableProvider extends TableProvider with DataSourceRegister {
 
@@ -116,10 +120,6 @@ private[dsv2] object DeltaDsv2 {
       spark: SparkSession, table: String,
       options: Map[String, String]): StructType = {
     val st = DeltaLog.stateAt(spark, table, versionFor(spark, table, options))
-    require(st.configuration
-      .getOrElse("delta.columnMapping.mode", "none") == "none",
-      "graft-delta (DSv2) refuses column-mapped tables: use " +
-        "graft.sources.DeltaLog.read, which implements both mapping modes")
     val base = DataType.fromJson(st.schemaJson.get).asInstanceOf[StructType]
     if (isCdf(options)) StructType(base.fields ++ cdfExtra) else base
   }
@@ -184,20 +184,29 @@ private[dsv2] object DeltaDsv2 {
     else if (n.isBoolean) n.asBoolean()
     else n.asText()
 
-  /** [[FilterPrune.ColumnStats]] view of one add entry. */
+  /** [[FilterPrune.ColumnStats]] view of one add entry. `physOf`
+    * translates a LOGICAL column name to the PHYSICAL name
+    * `add.stats` and `add.partitionValues` are keyed by — the
+    * identity map on unmapped tables, the
+    * `delta.columnMapping.physicalName` on mapped ones (a
+    * logical-name lookup there would silently degrade skipping to
+    * keep-all, or worse, hit a stale same-named key).
+    */
   def statsView(
       a: DeltaLog.AddFile, schema: StructType,
-      partitionCols: Seq[String]): FilterPrune.ColumnStats = {
+      partitionCols: Seq[String],
+      physOf: Map[String, String] = Map.empty): FilterPrune.ColumnStats = {
     lazy val stats = a.stats.flatMap(js =>
       try Some(mapper.readTree(js)) catch { case _: Exception => None })
+    def phys(c: String): String = physOf.getOrElse(c, c)
     new FilterPrune.ColumnStats {
       private def node(section: String, column: String) =
         stats.flatMap(s => Option(s.get(section)))
-          .flatMap(m => Option(m.get(column)))
+          .flatMap(m => Option(m.get(phys(column))))
       override def exact(column: String): Option[Option[Any]] =
         if (!partitionCols.contains(column)) None
         else {
-          val raw = a.partitionValues.getOrElse(column, null)
+          val raw = a.partitionValues.getOrElse(phys(column), null)
           val dt = schema.fields.find(_.name == column)
             .map(_.dataType).getOrElse(StringType)
           Some(Option(raw).map(r => externalPartValue(r, dt)))
@@ -336,6 +345,17 @@ private[dsv2] case class DeltaDsv2Scan(
   private lazy val st = DeltaLog.stateAt(
     spark, table, DeltaDsv2.versionFor(spark, table, options))
 
+  /** COLUMN MAPPING (r17): mode and the logical→physical name map —
+    * `add.partitionValues`, `add.stats` and (name mode) the parquet
+    * columns themselves are keyed by physical names; everything the
+    * scan EMITS stays logical.
+    */
+  private lazy val mapMode: String =
+    st.configuration.getOrElse("delta.columnMapping.mode", "none")
+  private lazy val physOf: Map[String, String] =
+    if (mapMode == "none") Map.empty
+    else tableSchema.fields.map(f => f.name -> DeltaLog.physName(f)).toMap
+
   private def keptFiles(): Seq[DeltaLog.AddFile] = {
     // FILE SKIPPING: add.stats + exact partition values vs every
     // pushed AND runtime filter (conjunctive semantics — Spark pushes
@@ -343,7 +363,7 @@ private[dsv2] case class DeltaDsv2Scan(
     val all = pushed ++ runtimeFilters
     val active = st.active.values.toSeq.sortBy(_.path)
     val kept = active.filter { a =>
-      val view = DeltaDsv2.statsView(a, tableSchema, st.partitionCols)
+      val view = DeltaDsv2.statsView(a, tableSchema, st.partitionCols, physOf)
       all.forall(f => FilterPrune.admits(view, f))
     }
     Dsv2Planning.record(table, kept.size, active.size)
@@ -391,8 +411,8 @@ private[dsv2] case class DeltaDsv2Scan(
 
   private lazy val deltaFactory: Factory = {
     val partitionCols = st.partitionCols
-    val dataSchema = StructType(tableSchema.fields.filterNot(f =>
-      partitionCols.contains(f.name)))
+    val dataFields = tableSchema.fields.filterNot(f =>
+      partitionCols.contains(f.name))
     // the reader shape must not depend on which files survive a
     // RUNTIME re-filter (the factory is built once): the row-index
     // column rides whenever ANY active file carries a DV
@@ -404,15 +424,55 @@ private[dsv2] case class DeltaDsv2Scan(
         StructType(requiredData.fields :+
           StructField(ParquetReadBridge.RowIndexColumn, LongType))
       else requiredData
+    // COLUMN MAPPING: name mode reads under the stable PHYSICAL
+    // parquet names at every nesting level (the read schema is the
+    // physical rendering; `emitted` keeps the logical names at the
+    // same POSITIONS — InternalRows are positional, so the rename is
+    // free); id mode keeps logical names and carries
+    // `parquet.field.id`, resolved by Spark's field-id read path
+    val (dataSchema, physReadData) = mapMode match {
+      case "name" =>
+        (DeltaLog.toPhysical(StructType(dataFields)).asInstanceOf[StructType],
+          StructType(readData.fields.map(f =>
+            if (f.name == ParquetReadBridge.RowIndexColumn) f
+            else tableSchema.fields.find(_.name == f.name) match {
+              case Some(tf) => StructField(DeltaLog.physName(tf),
+                DeltaLog.toPhysical(tf.dataType), f.nullable)
+              case None => f
+            })))
+      case "id" =>
+        // runtime-settable; only changes behavior for read schemas
+        // that carry parquet.field.id metadata (exactly this scan)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        // re-attach each field's metadata from the TABLE schema: a
+        // pruned `required` may have lost the columnMapping.id the
+        // field-id resolution rides on
+        val withMeta = StructType(readData.fields.map(f =>
+          if (f.name == ParquetReadBridge.RowIndexColumn) f
+          else tableSchema.fields.find(_.name == f.name)
+            .map(tf => f.copy(metadata = tf.metadata)).getOrElse(f)))
+        (DeltaLog.withFieldIds(StructType(dataFields))
+          .asInstanceOf[StructType],
+          DeltaLog.withFieldIds(withMeta).asInstanceOf[StructType])
+      case _ => (StructType(dataFields), readData)
+    }
     val emitted = StructType(readData.fields ++ partitionSchema.fields)
-    val dataFilters = pushed.filter(
-      _.references.forall(c => dataSchema.fieldNames.contains(c)))
+    // parquet-level pushdown only on unmapped tables: a mapped file's
+    // physical column names don't match the filters' logical
+    // references (file-level stats pruning above and Spark's own
+    // row-level re-apply still hold — every filter is residual)
+    val dataFilters =
+      if (mapMode != "none") Nil
+      else pushed.filter(
+        _.references.forall(c => dataSchema.fieldNames.contains(c)))
     val readFunc = ParquetReadBridge.reader(
-      spark, dataSchema, partitionSchema, readData, dataFilters)
-    new Factory(readFunc, emitted, required,
-      if (anyDv) readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn)
-      else -1,
-      Array.empty)
+      spark, dataSchema, partitionSchema, physReadData, dataFilters)
+    new Factory(
+      Array(EraReader(readFunc, emitted,
+        if (anyDv)
+          readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn)
+        else -1)),
+      required, Array.empty)
   }
 
   private[dsv2] override def batchFactory(): PartitionReaderFactory =
@@ -424,10 +484,10 @@ private[dsv2] case class DeltaDsv2Scan(
       val abs = DeltaLog.absPath(table, a.path)
       val pv = new GenericInternalRow(
         partitionSchema.fields.map(f => DeltaDsv2.internalPartValue(
-          a.partitionValues.getOrElse(f.name, null), f.dataType))
-          .toArray[Any])
-      val drop = a.dv.map(d => DeltaDv.indexesOf(table, d).sorted)
-        .getOrElse(Array.empty[Long])
+          a.partitionValues.getOrElse(physOf.getOrElse(f.name, f.name), null),
+          f.dataType)).toArray[Any])
+      // the DV ships as a DESCRIPTOR — the executor resolves it
+      val drop = a.dv.toSeq.map(d => DeltaDvPositions(table, d))
       GraftInputPartition(
         ParquetReadBridge.wholeFile(pv, abs,
           a.size.getOrElse(Files.size(Paths.get(abs))), 0L),
@@ -501,9 +561,10 @@ private[dsv2] class DeltaCdfPlanner(
     spark, cdcDataSchema, partitionSchema, readData, Nil)
 
   def factory(): Factory =
-    new Factory(readFunc, emitted, required,
-      readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn),
-      Array.empty)
+    new Factory(
+      Array(EraReader(readFunc, emitted,
+        readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn))),
+      required, Array.empty)
 
   private def pvRow(pv: Map[String, String]): InternalRow =
     new GenericInternalRow(
@@ -512,7 +573,7 @@ private[dsv2] class DeltaCdfPlanner(
 
   private def slice(
       abs: String, pv: Map[String, String],
-      drop: Array[Long], keep: Array[Long],
+      drop: Seq[PositionSpec], keep: PositionSpec,
       changeType: Option[String], version: Long): GraftInputPartition =
     GraftInputPartition(
       ParquetReadBridge.wholeFile(
@@ -521,9 +582,8 @@ private[dsv2] class DeltaCdfPlanner(
       changeType.map(ct => Map("_change_type" -> (ct: Any)))
         .getOrElse(Map.empty) + ("_commit_version" -> (version: Any)))
 
-  private def dvIndexes(a: DeltaLog.AddFile): Array[Long] =
-    a.dv.map(d => DeltaDv.indexesOf(table, d).sorted)
-      .getOrElse(Array.empty[Long])
+  private def dvSpec(a: DeltaLog.AddFile): Seq[PositionSpec] =
+    a.dv.toSeq.map(d => DeltaDvPositions(table, d))
 
   /** The whole active set at `v` as INSERT slices (the streaming
     * source's initial snapshot).
@@ -533,7 +593,7 @@ private[dsv2] class DeltaCdfPlanner(
     DeltaLog.stateAt(spark, table, Some(v)).active.values.toSeq
       .sortBy(_.path).map { a =>
         slice(DeltaLog.absPath(table, a.path), a.partitionValues,
-          dvIndexes(a), null, Some("insert"), v)
+          dvSpec(a), null, Some("insert"), v)
       }
   }
 
@@ -544,7 +604,7 @@ private[dsv2] class DeltaCdfPlanner(
     DeltaLog.stateAt(spark, table, Some(v)).active.values.toSeq
       .sortBy(_.path).map { a =>
         slice(DeltaLog.absPath(table, a.path), a.partitionValues,
-          dvIndexes(a), null, None, v)
+          dvSpec(a), null, None, v)
       }
 
   /** delta-spark's per-version ENABLEMENT gate: serving CDF for a
@@ -580,7 +640,7 @@ private[dsv2] class DeltaCdfPlanner(
           } else Map.empty[String, String]
         // _change_type comes FROM the cdc file: no constant
         slice(DeltaLog.absPath(table, c.get("path").asText()), pv,
-          Array.empty, null, None, v)
+          Nil, null, None, v)
       }
     } else {
       val prevActive: Map[String, DeltaLog.AddFile] =
@@ -606,26 +666,31 @@ private[dsv2] class DeltaCdfPlanner(
           "recorded — refused rather than fabricating a change feed")
       val inserts = newPaths.flatMap(nowActive.get).map(a =>
         slice(DeltaLog.absPath(table, a.path), a.partitionValues,
-          dvIndexes(a), null, Some("insert"), v))
+          dvSpec(a), null, Some("insert"), v))
       val goneRels = goneRels0
       val deletes = goneRels.flatMap(prevActive.get).map(a =>
         slice(DeltaLog.absPath(table, a.path), a.partitionValues,
-          dvIndexes(a), null, Some("delete"), v))
+          dvSpec(a), null, Some("delete"), v))
       val reAdds = adds.filter(prevActive.contains).distinct
+      // GROWN deletion vectors plan from DESCRIPTORS only: the
+      // cardinalities (manifest metadata) decide growth vs no-op and
+      // refuse a shrink; the subset property (before ⊆ after) and the
+      // actual diff resolve on the EXECUTOR ([[DeltaDvDiff]]). An
+      // equal-cardinality swap — un-delete + re-delete in one commit,
+      // invalid under the un-delete contract this planner already
+      // refuses — is the one shape metadata cannot see.
       val dvDeletes = reAdds.flatMap { rel =>
-        val before = prevActive.get(rel).map(dvIndexes)
-          .getOrElse(Array.empty[Long])
-        val after = nowActive.get(rel).map(dvIndexes)
-          .getOrElse(Array.empty[Long])
-        val beforeSet = before.toSet
-        val newly = after.filterNot(beforeSet)
-        require(before.forall(after.toSet),
+        val before = prevActive.get(rel).flatMap(_.dv)
+        val after = nowActive.get(rel).flatMap(_.dv)
+        val bCard = before.map(_.cardinality).getOrElse(0L)
+        val aCard = after.map(_.cardinality).getOrElse(0L)
+        require(aCard >= bCard,
           s"version $v SHRANK the deletion vector of $rel " +
             "(un-delete): refused rather than emitting a wrong feed")
-        if (newly.isEmpty) None
+        if (aCard == bCard) None
         else Some(slice(DeltaLog.absPath(table, rel),
           prevActive(rel).partitionValues,
-          Array.empty, newly.sorted, Some("delete"), v))
+          Nil, DeltaDvDiff(table, before, after.get), Some("delete"), v))
       }
       inserts ++ deletes ++ dvDeletes
     }
@@ -659,7 +724,7 @@ private[dsv2] class DeltaCdfPlanner(
     val nowActive = DeltaLog.stateAt(spark, table, Some(v)).active
     adds.flatMap(nowActive.get).map(a =>
       slice(DeltaLog.absPath(table, a.path), a.partitionValues,
-        dvIndexes(a), null, None, v))
+        dvSpec(a), null, None, v))
   }
 }
 

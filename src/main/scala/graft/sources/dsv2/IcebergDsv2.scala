@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -13,7 +14,7 @@ import org.apache.spark.sql.graftext.ParquetReadBridge
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 
-import graft.sources.{IcebergBounds, IcebergTable, Puffin}
+import graft.sources.{IcebergBounds, IcebergTable}
 
 /** DataSourceV2 read path over the Iceberg metadata reader — the
   * [[DeltaTableProvider]] twin:
@@ -31,19 +32,24 @@ import graft.sources.{IcebergBounds, IcebergTable, Puffin}
   * [[IcebergTable.prunedDataFiles]] consults), then pushes into
   * parquet row-group skipping; `.select(...)` prunes columns to the
   * scan. Merge-on-read semantics apply per file inside the shared
-  * [[GraftFileBatch]] readers: position deletes and puffin deletion
-  * vectors as row-index drops, equality deletes as per-row key-set
-  * checks SCOPED to delete files whose sequence number is strictly
-  * above the data file's (the spec rule `readCore`'s anti-join
-  * enforces — iceberg-spark's own readers apply the same sets per
-  * task).
+  * [[GraftFileBatch]] readers, from DESCRIPTORS resolved on the
+  * executors (r17): position deletes and puffin deletion vectors as
+  * row-index drops, equality deletes as per-row key-set checks SCOPED
+  * to delete files whose sequence number is strictly above the data
+  * file's — planning never reads delete CONTENT (spec-pinned via
+  * [[graft.sources.DeleteAccess]]), exactly iceberg-spark's own
+  * per-task shape.
   *
-  * Scope gate: single-era tables (no pending schema-evolution remap
-  * across manifests) — a table whose older files need field-id
-  * renames/promotions is REFUSED loudly, pointing at
-  * [[IcebergTable.read]] which resolves every era. Identity-partition
-  * columns absent from the data files attach through the
-  * partition-values mechanism of Spark's own parquet reader.
+  * MULTI-ERA tables (r17): entries group by their write-time schema
+  * and partition-spec era — resolved by FIELD-ID against the query
+  * schema, so renames read under their old physical names, the
+  * spec's lossless promotions (int→long, float→double, decimal
+  * widening) decode at scan, columns added later come back as their
+  * `initial-default` (null when none), dropped columns are not
+  * projected, and each era's identity-partition columns attach from
+  * ITS manifests' partition structs. Nested field REORDERS across
+  * eras (a foreign-writer shape needing per-field rebuild) are
+  * refused toward [[IcebergTable.read]], which implements them.
   */
 class IcebergTableProvider extends TableProvider with DataSourceRegister {
 
@@ -81,6 +87,8 @@ private[dsv2] object IcebergDsv2 {
   def opt(options: Map[String, String], key: String): Option[String] =
     options.get(key.toLowerCase)
 
+  private[dsv2] def parseJson(js: String): JsonNode = mapper.readTree(js)
+
   /** `file:`-scheme- and URL-decoding-insensitive canonical path (the
     * discipline position-delete `file_path` joins require).
     */
@@ -89,19 +97,28 @@ private[dsv2] object IcebergDsv2 {
       .decode(abs.replaceFirst("^file:/*", "/"), "UTF-8")
       .replaceAll("/+", "/")
 
-  /** Everything the scan planner derives once per query. */
+  /** One equality-delete file's METADATA — key columns (current
+    * names + types), file coordinates, sequence number. Content loads
+    * on the executors.
+    */
+  case class EqDeleteMeta(
+      keyCols: Seq[(String, DataType)], path: String, length: Long,
+      seq: Long)
+
+  /** Everything the scan planner derives once per query — METADATA
+    * only: delete files appear as paths/blob coordinates, never
+    * decoded positions or key sets.
+    */
   case class Planned(
       schema: StructType,
+      schemaNode: JsonNode,
       entries: Seq[IcebergTable.FileEntry],
-      // identity-partition columns attached from metadata:
-      // (logical column name, partition FIELD name — the key of each
-      // entry's pv map), uniform across entries (gated)
-      idCols: Seq[(String, String)],
-      // per-file deleted positions (canonical path → sorted indexes)
-      dropByFile: Map[String, Array[Long]],
-      // equality-delete files: (key cols, external value tuples, seq)
-      eqDeletes: Seq[(Seq[String], Seq[Seq[Any]], Long)],
-      fieldIdOf: Map[String, Int])
+      // canonical data path → its puffin DV blob descriptors
+      dvByFile: Map[String, Seq[GraftFileBatch.PuffinDvPositions]],
+      posDeleteFiles: Seq[GraftFileBatch.PosDeleteFile],
+      eqDeletes: Seq[EqDeleteMeta],
+      fieldIdOf: Map[String, Int],
+      idToName: Map[Int, String])
 
   def plan(
       spark: SparkSession, table: String,
@@ -121,12 +138,19 @@ private[dsv2] object IcebergDsv2 {
           java.time.Instant.parse(ts).toEpochMilli)
         IcebergTable.snapshotAtTimestamp(table, ms)
       })
-    val snap = IcebergTable.snapshotNode(meta, snapId)
+    // a freshly-created table has no snapshot yet (CTAS before the
+    // first INSERT): zero entries under the declared schema
+    val hasCurrent = Option(meta.get("current-snapshot-id"))
+      .exists(_.asLong() != -1L)
+    val snapOpt: Option[JsonNode] =
+      if (snapId.isEmpty && !hasCurrent) None
+      else Some(IcebergTable.snapshotNode(meta, snapId))
     // the snapshot's own schema (spec `schema-id`), current otherwise
-    val schemaNode = Option(snap.get("schema-id")).map(_.asInt())
-      .filter(_ => meta.has("schemas"))
-      .flatMap(sid => meta.get("schemas").elements().asScala
-        .find(_.get("schema-id").asInt() == sid))
+    val schemaNode = snapOpt.flatMap(snap =>
+      Option(snap.get("schema-id")).map(_.asInt())
+        .filter(_ => meta.has("schemas"))
+        .flatMap(sid => meta.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == sid)))
       .getOrElse(IcebergTable.schemaNodeOf(meta))
     val schema =
       IcebergTable.toSparkType(schemaNode).asInstanceOf[StructType]
@@ -135,108 +159,76 @@ private[dsv2] object IcebergDsv2 {
       .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
     val idToName = fieldIdOf.map(_.swap)
 
-    val entries = IcebergTable.dataFilesWithPartitions(table, meta, snap)
+    val entries = snapOpt.map(snap =>
+      IcebergTable.dataFilesWithPartitions(table, meta, snap))
+      .getOrElse(Nil)
 
-    // ---- single-era gate -------------------------------------------------
-    def idColsOf(e: IcebergTable.FileEntry): Seq[(String, String)] =
-      e.idFields.flatMap { case (pfName, sid) =>
-        idToName.get(sid).filter(schema.fieldNames.contains)
-          .map(src => (src, pfName))
-      }
-    val idColSets = entries.map(e => idColsOf(e)).distinct
-    require(idColSets.size <= 1,
-      s"$table mixes partition-spec eras (identity columns differ per " +
-        "manifest): graft-iceberg (DSv2) reads single-era tables — use " +
-        "graft.sources.IcebergTable.read, which resolves every era")
-    val idCols = idColSets.headOption.getOrElse(Nil)
-    val curById: Map[Int, (String, DataType)] = schemaNode.get("fields")
-      .elements().asScala.map(f => f.get("id").asInt() ->
-        (f.get("name").asText(), IcebergTable.toSparkType(f.get("type"))))
-      .toMap
-    entries.flatMap(_.writerSchemaJson).distinct.foreach { ws =>
-      val writerById = mapper.readTree(ws).get("fields")
-        .elements().asScala
-        .map(f => f.get("id").asInt() ->
-          (f.get("name").asText(), IcebergTable.toSparkType(f.get("type"))))
-        .toMap
-      curById.foreach { case (id, (name, dt)) =>
-        if (!idCols.exists(_._1 == name)) {
-          val w = writerById.get(id)
-          require(w.contains((name, dt)),
-            s"$table has schema-evolved files (field $name/id $id was " +
-              s"${w.getOrElse("absent")} at write time): graft-iceberg " +
-              "(DSv2) reads single-era tables — use " +
-              "graft.sources.IcebergTable.read")
-        }
-      }
-    }
-
-    // ---- deletes ---------------------------------------------------------
-    val deletes = IcebergTable.deleteFilesOf(table, meta, snap)
+    // ---- deletes: METADATA ONLY -------------------------------------
+    val deletes = snapOpt.map(snap =>
+      IcebergTable.deleteFilesOf(table, meta, snap)).getOrElse(Nil)
     val dvFiles = deletes.filter(d => d.content == 1 && d.format == "PUFFIN")
     val posDeletes = deletes
       .filter(d => d.content == 1 && d.format != "PUFFIN").map(_.path)
     require(fv < 3 || posDeletes.isEmpty,
       s"format-version 3 table $table carries parquet position-delete " +
         "files (the spec requires deletion vectors): refused")
-    val posPairs: Seq[(String, Long)] =
-      (if (posDeletes.isEmpty) Nil
-      else spark.read
-        .schema(StructType.fromDDL("file_path STRING, pos BIGINT"))
-        .parquet(posDeletes: _*)
-        .collect().toSeq
-        .map(r => (canon(r.getString(0)), r.getLong(1)))) ++
-        dvFiles.flatMap { d =>
-          val blob = (d.contentOffset, d.contentSize) match {
-            case (Some(off), Some(len)) => Puffin.readBlob(d.path, off, len)
-            case _ =>
-              val metaBlob = Puffin.readFooter(d.path)
-                .find(b => b.tpe == "deletion-vector-v1" &&
-                  b.properties.get("referenced-data-file")
-                    .map(canon).contains(canon(d.referencedDataFile.get)))
-                .getOrElse(throw new IllegalStateException(
-                  s"no deletion-vector-v1 blob for " +
-                    s"${d.referencedDataFile.get} in ${d.path}"))
-              Puffin.readBlob(d.path, metaBlob.offset, metaBlob.length)
-          }
-          Puffin.dvBlobIndexes(blob)
-            .map(i => (canon(d.referencedDataFile.get), i))
+    val dvByFile: Map[String, Seq[GraftFileBatch.PuffinDvPositions]] =
+      dvFiles.flatMap { d =>
+        d.referencedDataFile.map { ref =>
+          canon(ref) -> GraftFileBatch.PuffinDvPositions(
+            d.path, d.contentOffset, d.contentSize, ref)
         }
-    val dropByFile: Map[String, Array[Long]] =
-      posPairs.groupBy(_._1).map { case (f, ps) =>
-        f -> ps.map(_._2).distinct.sorted.toArray
-      }
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val posDeleteFiles = posDeletes.distinct.map(p =>
+      GraftFileBatch.PosDeleteFile(p, Files.size(Paths.get(p))))
 
-    val eqDeleteSpecs = deletes.filter(_.content == 2).map { d =>
+    val curById: Map[Int, (String, DataType)] = schemaNode.get("fields")
+      .elements().asScala.map(f => f.get("id").asInt() ->
+        (f.get("name").asText(), IcebergTable.toSparkType(f.get("type"))))
+      .toMap
+    val eqDeleteMetas = deletes.filter(_.content == 2).map { d =>
       val keyCols = d.equalityIds.map { id =>
-        val (n, dt) = curById.getOrElse(id,
+        curById.getOrElse(id,
           throw new IllegalStateException(
             s"equality delete references field-id $id which is not in " +
               "the current schema (dropped key column): refused rather " +
               "than returning undeleted rows"))
-        (n, dt)
       }
-      val values = spark.read.parquet(d.path)
-        .select(keyCols.map { case (n, dt) =>
-          org.apache.spark.sql.functions.col(n).cast(dt)
-        }: _*)
-        .collect().toSeq
-        .map(r => keyCols.indices.map(i => r.get(i)))
-      (keyCols.map(_._1), values, d.seq)
+      keyCols.foreach { case (n, dt) =>
+        require(!dt.isInstanceOf[StructType] && !dt.isInstanceOf[ArrayType]
+          && !dt.isInstanceOf[MapType],
+          s"equality-delete key $n has non-atomic type $dt: use " +
+            "graft.sources.IcebergTable.read")
+      }
+      EqDeleteMeta(keyCols, d.path, Files.size(Paths.get(d.path)), d.seq)
     }
 
-    Planned(schema, entries, idCols, dropByFile, eqDeleteSpecs, fieldIdOf)
+    Planned(schema, schemaNode, entries, dvByFile, posDeleteFiles,
+      eqDeleteMetas, fieldIdOf, idToName)
   }
 
-  /** Manifest bounds as a [[FilterPrune.ColumnStats]] view. */
+  /** The entry's OWN era's identity columns as
+    * (logical source column, partition field name).
+    */
+  def idColsOf(
+      e: IcebergTable.FileEntry, p: Planned): Seq[(String, String)] =
+    e.idFields.flatMap { case (pfName, sid) =>
+      p.idToName.get(sid).filter(p.schema.fieldNames.contains)
+        .map(src => (src, pfName))
+    }
+
+  /** Manifest bounds as a [[FilterPrune.ColumnStats]] view — exact
+    * values from the ENTRY's own spec era's identity fields.
+    */
   def statsView(
       e: IcebergTable.FileEntry, p: Planned): FilterPrune.ColumnStats =
     new FilterPrune.ColumnStats {
+      private lazy val idCols = idColsOf(e, p)
       private def fid(column: String): Option[Int] = p.fieldIdOf.get(column)
       private def dt(column: String): Option[DataType] =
         p.schema.fields.find(_.name == column).map(_.dataType)
       override def exact(column: String): Option[Option[Any]] =
-        p.idCols.find(_._1 == column).flatMap { case (_, pfName) =>
+        idCols.find(_._1 == column).flatMap { case (_, pfName) =>
           e.pv.get(pfName).map(_.map { raw =>
             dt(column) match {
               case Some(DateType) => java.time.LocalDate.parse(raw)
@@ -262,6 +254,53 @@ private[dsv2] object IcebergDsv2 {
           .map(nc => e.records > 0L && nc == e.records)
       override def mayHaveNull(column: String): Boolean =
         fid(column).flatMap(id => e.nullCounts.get(id)).forall(_ > 0L)
+    }
+
+  /** The EXTERNAL value a field's `initial-default` assigns to rows
+    * predating the column (v3 column defaults); null when absent.
+    * Unsupported default types refuse loudly.
+    */
+  def initialDefaultValue(cf: JsonNode, dt: DataType): Any =
+    Option(cf.get("initial-default")).filterNot(_.isNull) match {
+      case None => null
+      case Some(v) => dt match {
+        case LongType => v.asLong()
+        case IntegerType => v.asInt()
+        case DoubleType => v.asDouble()
+        case FloatType => v.floatValue()
+        case StringType => v.asText()
+        case BooleanType => v.asBoolean()
+        case _: DecimalType => new java.math.BigDecimal(v.asText())
+        case other => throw new IllegalArgumentException(
+          s"initial-default on unsupported type $other: refused " +
+            "rather than returning nulls for defaulted rows")
+      }
+    }
+
+  /** The read-time rendering of a writer-era type against the current
+    * type (nestedAligned-guarded): WRITER names at every nesting
+    * level (that's what the parquet files carry), CURRENT primitive
+    * types (Spark's parquet readers perform the spec's lossless
+    * promotions at decode).
+    */
+  def readType(wt: JsonNode, ct: JsonNode): DataType =
+    if (wt.isTextual || ct.isTextual) IcebergTable.toSparkType(ct)
+    else (wt.get("type").asText(), ct.get("type").asText()) match {
+      case ("struct", "struct") =>
+        val wf = wt.get("fields").elements().asScala.toSeq
+        val cf = ct.get("fields").elements().asScala.toSeq
+        StructType(wf.zip(cf).map { case (w, c) =>
+          StructField(w.get("name").asText(),
+            readType(w.get("type"), c.get("type")), nullable = true)
+        })
+      case ("list", "list") =>
+        ArrayType(readType(wt.get("element"), ct.get("element")),
+          containsNull = true)
+      case ("map", "map") =>
+        MapType(readType(wt.get("key"), ct.get("key")),
+          readType(wt.get("value"), ct.get("value")),
+          valueContainsNull = true)
+      case _ => IcebergTable.toSparkType(ct)
     }
 }
 
@@ -348,7 +387,8 @@ private[dsv2] case class IcebergDsv2Scan(
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
 
-  private lazy val p = IcebergDsv2.plan(SparkSession.active, table, options)
+  private[dsv2] lazy val p =
+    IcebergDsv2.plan(SparkSession.active, table, options)
 
   private def keptFiles(): Seq[IcebergTable.FileEntry] = {
     val all = pushed ++ runtimeFilters
@@ -378,72 +418,247 @@ private[dsv2] case class IcebergDsv2Scan(
 
   override def toBatch: Batch = ValueEqualBatch(this)
 
-  private lazy val idColNames = p.idCols.map(_._1)
-  private lazy val partitionSchema = StructType(
-    p.schema.fields.filter(f => idColNames.contains(f.name)))
+  // ------------------------------------------------------------ era layer
 
-  private lazy val icebergFactory: Factory = {
+  /** One write-time (schema, partition-spec) era's reader wiring. */
+  private case class EraSpec(
+      idCols: Seq[(String, String)],
+      partitionSchema: StructType,
+      constants: Map[String, Any],
+      reader: EraReader,
+      // semantic identity (physical names/types + constants + id
+      // cols): textually different writer schemas that RESOLVE the
+      // same share one era
+      signature: String)
+
+  private def anyDrop: Boolean =
+    p.dvByFile.nonEmpty || p.posDeleteFiles.nonEmpty
+
+  private lazy val eqColsNeeded: Seq[String] =
+    p.eqDeletes.flatMap(_.keyCols.map(_._1)).distinct
+
+  /** Resolve one era: every required column (plus equality-delete
+    * keys) located in the writer schema BY FIELD-ID — writer physical
+    * names, current types, initial-defaults for columns added later.
+    */
+  private def resolveEra(
+      ws: Option[String], idCols: Seq[(String, String)],
+      sampleFile: Option[String]): EraSpec = {
     val spark = SparkSession.active
-    val dataSchema = StructType(
-      p.schema.fields.filterNot(f => idColNames.contains(f.name)))
-    val eqDeletes: Array[EqDelete] =
-      p.eqDeletes.map(d => EqDelete(d._1, d._2)).toArray
-    val eqCols = p.eqDeletes.flatMap(_._1).distinct
-    // reader shape independent of runtime re-filters: row-index rides
-    // whenever ANY entry has deleted positions
-    val anyDrop = p.entries.exists(e =>
-      p.dropByFile.contains(IcebergDsv2.canon(e.path)))
-    val requiredData = StructType(required.fields.filterNot(f =>
-      idColNames.contains(f.name)))
-    val extraEq = eqCols
-      .filterNot(c => requiredData.fieldNames.contains(c))
-      .filterNot(idColNames.contains)
-      .flatMap(c => dataSchema.fields.find(_.name == c))
-    val readData = StructType(
-      requiredData.fields ++ extraEq ++
+    val partitionCols = idCols.map(_._1)
+    val partitionSchema = StructType(
+      p.schema.fields.filter(f => partitionCols.contains(f.name)))
+    val curFields: Map[String, JsonNode] = p.schemaNode.get("fields")
+      .elements().asScala.map(f => f.get("name").asText() -> f).toMap
+    val writerById: Map[Int, JsonNode] = ws.map { js =>
+      IcebergDsv2.parseJson(js).get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f).toMap
+    }.getOrElse(Map.empty)
+
+    val wantRead: Seq[String] =
+      required.fields.map(_.name).filterNot(partitionCols.contains) ++
+        eqColsNeeded.filterNot(c =>
+          partitionCols.contains(c) ||
+            required.fieldNames.contains(c))
+
+    // (logical name, physical read field) or (logical name, constant)
+    val resolved: Seq[(String, Either[StructField, Any])] =
+      wantRead.map { name =>
+        val cf = curFields.getOrElse(name, throw new IllegalStateException(
+          s"column $name not in the table schema of $table"))
+        val logicalDt = IcebergTable.toSparkType(cf.get("type"))
+        writerById.get(cf.get("id").asInt()) match {
+          case Some(wf) =>
+            val physDt = IcebergTable.toSparkType(wf.get("type"))
+            require(
+              IcebergTable.nestedAligned(wf.get("type"), cf.get("type")) &&
+                IcebergTable.promotable(physDt, logicalDt),
+              s"column $name of $table changed shape across the schema " +
+                s"history ($physDt → $logicalDt) beyond aligned lossless " +
+                "promotions: use graft.sources.IcebergTable.read, which " +
+                "rebuilds reordered nested fields by field-id")
+            name -> Left(StructField(wf.get("name").asText(),
+              IcebergDsv2.readType(wf.get("type"), cf.get("type")),
+              nullable = true))
+          case None if ws.isDefined =>
+            name -> Right(
+              IcebergDsv2.initialDefaultValue(cf, logicalDt))
+          case None =>
+            name -> Left(StructField(name, logicalDt, nullable = true))
+        }
+      }
+    // an equality-delete KEY that reads as a constant in this era
+    // cannot feed the per-row key check — refused, not mis-deleted
+    resolved.foreach { case (name, r) =>
+      if (r.isRight && eqColsNeeded.contains(name))
+        throw new IllegalStateException(
+          s"equality-delete key $name was added after some files of " +
+            s"$table were written: use graft.sources.IcebergTable.read")
+    }
+
+    val readFields = resolved.collect { case (name, Left(sf)) => (name, sf) }
+    val constants = resolved.collect { case (name, Right(v)) => name -> v }
+      .toMap
+    // out-of-spec manifests without an embedded schema: name
+    // resolution, guarded by a one-footer check (driver metadata)
+    if (ws.isEmpty && sampleFile.isDefined)
+      IcebergTable.requireFooterNames(
+        spark, sampleFile.get, readFields.map(_._2.name))
+
+    val physRead = StructType(readFields.map(_._2) ++
+      (if (anyDrop)
+        Seq(StructField(ParquetReadBridge.RowIndexColumn, LongType))
+      else Nil))
+    val emitted = StructType(
+      readFields.map { case (name, sf) =>
+        StructField(name, sf.dataType, nullable = true)
+      } ++
         (if (anyDrop)
           Seq(StructField(ParquetReadBridge.RowIndexColumn, LongType))
-        else Nil))
-    val emitted = StructType(readData.fields ++ partitionSchema.fields)
-    val dataFilters = pushed.filter(
-      _.references.forall(c => dataSchema.fieldNames.contains(c)))
+        else Nil) ++
+        partitionSchema.fields)
+    // the era's full data schema (for the bridge): every current
+    // column the writer era carries, physically rendered
+    val dataSchema = StructType(
+      p.schemaNode.get("fields").elements().asScala.toSeq
+        .filterNot(f => partitionCols.contains(f.get("name").asText()))
+        .flatMap { cf =>
+          if (ws.isEmpty)
+            Some(StructField(cf.get("name").asText(),
+              IcebergTable.toSparkType(cf.get("type")), nullable = true))
+          else writerById.get(cf.get("id").asInt()).map(wf =>
+            StructField(wf.get("name").asText(),
+              IcebergDsv2.readType(wf.get("type"), cf.get("type")),
+              nullable = true))
+        })
+    // parquet-level pushdown only when this era reads identity
+    // (logical names = physical names): a renamed era's files don't
+    // carry the filters' column names. File-level stats pruning and
+    // Spark's row-level re-apply hold either way.
+    val identityEra = readFields.forall { case (name, sf) => sf.name == name }
+    val dataFilters =
+      if (!identityEra) Nil
+      else pushed.filter(
+        _.references.forall(c => dataSchema.fieldNames.contains(c)))
     val readFunc = ParquetReadBridge.reader(
-      spark, dataSchema, partitionSchema, readData, dataFilters)
-    new Factory(readFunc, emitted, required,
+      spark, dataSchema, partitionSchema, physRead, dataFilters)
+    val rowIdxPos =
       if (anyDrop)
-        readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn)
-      else -1,
-      eqDeletes)
+        physRead.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn)
+      else -1
+    val signature =
+      (readFields.map { case (n, sf) => s"$n=${sf.name}:${sf.dataType.sql}" } ++
+        constants.toSeq.sortBy(_._1).map { case (k, v) => s"$k#$v" } ++
+        idCols.map { case (a, b) => s"$a@$b" }).mkString("|")
+    EraSpec(idCols, partitionSchema, constants,
+      EraReader(readFunc, emitted, rowIdxPos), signature)
+  }
+
+  /** All eras present in the planned snapshot, PLUS a synthetic
+    * current-schema era (slot for streaming tails over a table whose
+    * files all predate the stream, or an empty table). Built once;
+    * the factory array is immutable after that.
+    */
+  private lazy val eras: (Array[EraSpec], Map[(Option[String], Seq[(String, String)]), Int]) = {
+    val keys = p.entries
+      .map(e => (e.writerSchemaJson, IcebergDsv2.idColsOf(e, p)))
+      .distinct.sortBy(k => (k._1.getOrElse(""), k._2.mkString(",")))
+    val sampleOf: Map[(Option[String], Seq[(String, String)]), String] =
+      p.entries.groupBy(e =>
+        (e.writerSchemaJson, IcebergDsv2.idColsOf(e, p)))
+        .map { case (k, es) => k -> es.head.path }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[EraSpec]
+    val idx = scala.collection.mutable.Map
+      .empty[(Option[String], Seq[(String, String)]), Int]
+    def add(key: (Option[String], Seq[(String, String)]),
+        sample: Option[String]): Unit = {
+      val spec = resolveEra(key._1, key._2, sample)
+      buf.indexWhere(_.signature == spec.signature) match {
+        case -1 => buf += spec; idx(key) = buf.size - 1
+        case i => idx(key) = i
+      }
+    }
+    keys.foreach(k => add(k, sampleOf.get(k)))
+    // synthetic current era: identity resolution under the current
+    // default spec's identity sources (tail appends land here)
+    val curIdCols: Seq[(String, String)] =
+      IcebergTable.identityPartitionSources(IcebergTable.metadataJson(table))
+        .collect { case (pfName, src, _)
+          if p.schema.fieldNames.contains(src) => (src, pfName) }
+    add((None, curIdCols), None)
+    (buf.toArray, idx.toMap)
+  }
+
+  private def eraIndexOf(e: IcebergTable.FileEntry): Int = {
+    val key = (e.writerSchemaJson, IcebergDsv2.idColsOf(e, p))
+    eras._2.get(key).getOrElse {
+      // an era unseen at plan/factory time (a mid-stream schema or
+      // spec change): match semantically, else fail loudly — the
+      // factory array is already shipped
+      val spec = resolveEra(key._1, key._2, Some(e.path))
+      val i = eras._1.indexWhere(_.signature == spec.signature)
+      require(i >= 0,
+        s"file ${e.path} of $table was written under a schema/spec era " +
+          "unknown to this scan (evolved under a running stream?): " +
+          "restart the stream to pick up the new metadata")
+      i
+    }
+  }
+
+  private lazy val icebergFactory: Factory = {
+    val eqSpecs: Array[EqDeleteSpec] = p.eqDeletes.map { d =>
+      val schema = StructType(d.keyCols.map { case (n, dt) =>
+        StructField(n, dt, nullable = true)
+      })
+      EqDeleteSpec(
+        d.keyCols.map(_._1), d.keyCols.map(_._2), d.path, d.length,
+        ParquetReadBridge.reader(SparkSession.active,
+          schema, StructType(Nil), schema, Nil))
+    }.toArray
+    new Factory(eras._1.map(_.reader), required, eqSpecs)
   }
 
   private[dsv2] override def batchFactory(): PartitionReaderFactory =
     icebergFactory
 
+  /** Shared (file_path, pos) reader for position-delete files. */
+  private lazy val posDeleteReadFunc = {
+    val s = StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("pos", LongType)))
+    ParquetReadBridge.reader(SparkSession.active, s, StructType(Nil), s, Nil)
+  }
+
   /** One slice per file entry — shared by batch planning and the
-    * streaming source's tail batches (a tail entry is never in
-    * `dropByFile` and its sequence number exceeds every existing
-    * equality delete's, so both sets resolve empty there).
+    * streaming source's tail batches (a tail entry carries no DV and
+    * its sequence number exceeds every existing equality delete's, so
+    * its delete sets resolve empty).
     */
   private[dsv2] def sliceFor(
       e: IcebergTable.FileEntry): GraftInputPartition = {
+    val era = eras._1(eraIndexOf(e))
     val pv = new GenericInternalRow(
-      partitionSchema.fields.map { f =>
-        val pfName = p.idCols.find(_._1 == f.name).map(_._2)
+      era.partitionSchema.fields.map { f =>
+        val pfName = era.idCols.find(_._1 == f.name).map(_._2)
           .getOrElse(f.name)
         val raw = e.pv.get(pfName).flatten.orNull
         DeltaDsv2.internalPartValue(raw, f.dataType)
       }.toArray[Any])
-    val drop = p.dropByFile
-      .getOrElse(IcebergDsv2.canon(e.path), Array.empty[Long])
+    val canonPath = IcebergDsv2.canon(e.path)
+    val drop: Seq[PositionSpec] =
+      p.dvByFile.getOrElse(canonPath, Nil) ++
+        (if (p.posDeleteFiles.isEmpty) Nil
+        else Seq(ParquetPosDeletes(
+          p.posDeleteFiles, canonPath, posDeleteReadFunc)))
     // equality deletes apply when the data file's sequence
     // number is STRICTLY below the delete's (spec scoping rule)
     val eqIdx = p.eqDeletes.zipWithIndex
-      .filter { case (d, _) => e.seq < d._3 }
+      .filter { case (d, _) => e.seq < d.seq }
       .map(_._2).toArray
     GraftInputPartition(
       ParquetReadBridge.wholeFile(pv, e.path,
         Files.size(Paths.get(e.path)), 0L),
-      drop, null, eqIdx, Map.empty)
+      drop, null, eqIdx, era.constants, eraIndexOf(e))
   }
 
   private[dsv2] override def batchPartitions(): Array[InputPartition] =
@@ -483,9 +698,13 @@ private[dsv2] object IcebergStreamOffset {
 
 /** The Iceberg STREAMING SOURCE — the [[DeltaMicroBatchStream]] twin
   * (iceberg-spark's own incremental append scan has the same shape):
-  * initial snapshot (the full MoR-resolved file set at stream start)
-  * as the first micro-batch, then each later snapshot's APPENDED
-  * files — the status-1 entries of the data manifests whose
+  * initial snapshot (the full MoR-resolved file set at the START
+  * offset's snapshot — PINNED BY THE OFFSET, r17: a snapshot
+  * committing between initialOffset and the first
+  * planInputPartitions, or a restart from a snapshotDone=false
+  * checkpoint, must not re-serve the newer files the tail already
+  * covers) as the first micro-batch, then each later snapshot's
+  * APPENDED files — the status-1 entries of the data manifests whose
   * `added_snapshot_id` is that snapshot, the spec's append marker —
   * as one batch each. Non-append snapshots (delete/overwrite/replace)
   * fail the stream unless `skipChangeCommits` drops them; a
@@ -503,16 +722,21 @@ private[dsv2] class IcebergMicroBatchStream(
   private val skipChangeCommits =
     IcebergDsv2.opt(options, "skipChangeCommits").exists(_.toBoolean)
 
-  // the snapshot-pinned inner scan: its factory reads every era this
-  // stream serves (single-era gate), its plan carries the initial
-  // snapshot's delete state, and tail entries slice through the same
-  // sliceFor with empty delete sets
-  private lazy val snapScan: IcebergDsv2Scan = {
-    val meta = IcebergTable.metadataJson(table)
-    val cur = IcebergTable.currentSnapshotNode(meta)
-      .get("snapshot-id").asLong()
+  // ONE scan per stream run, pinned to the start offset's snapshot
+  // when the snapshot phase is (still) pending — its plan carries the
+  // snapshot's delete state, its era array serves snapshot AND tail
+  // slices, and its factory is what every micro-batch reads through
+  @volatile private var runScan: IcebergDsv2Scan = _
+
+  private def scanPinnedAt(snapId: Long): IcebergDsv2Scan =
     IcebergDsv2Scan(table, tableSchema, required, Nil,
-      options + ("snapshotid" -> cur.toString))
+      options + ("snapshotid" -> snapId.toString))
+
+  private def theScan(start: IcebergStreamOffset): IcebergDsv2Scan = {
+    if (runScan == null) runScan =
+      if (!start.snapshotDone) scanPinnedAt(start.snapshotId)
+      else IcebergDsv2Scan(table, tableSchema, required, Nil, options)
+    runScan
   }
 
   override def initialOffset(): Offset = {
@@ -536,8 +760,11 @@ private[dsv2] class IcebergMicroBatchStream(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[IcebergStreamOffset]
     val e = end.asInstanceOf[IcebergStreamOffset]
+    val scan = theScan(s)
+    // snapshot phase planned FROM THE PINNED SNAPSHOT's plan — the
+    // tail below serves everything after it, exactly once
     val snapshot: Array[InputPartition] =
-      if (s.snapshotDone) Array.empty else snapScan.batchPartitions()
+      if (s.snapshotDone) Array.empty else scan.batchPartitions()
     val meta = IcebergTable.metadataJson(table)
     val log = IcebergTable.snapshotLog(table)
     val snapsById: Map[Long, com.fasterxml.jackson.databind.JsonNode] =
@@ -575,14 +802,18 @@ private[dsv2] class IcebergMicroBatchStream(
         } else {
           IcebergTable.addedDataFiles(table, meta, sn)
             .sortBy(_.path)
-            .map(snapScan.sliceFor)
+            .map(scan.sliceFor)
         }
       }
     snapshot ++ tail.toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    snapScan.batchFactory()
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val scan =
+      if (runScan != null) runScan
+      else IcebergDsv2Scan(table, tableSchema, required, Nil, options)
+    scan.batchFactory()
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -95,30 +95,119 @@ class Dsv2ReadSpec extends SparkSpec {
     assert(spark.read.format("graft-delta").load(t).count() == 50L)
   }
 
-  test("column-mapped tables are refused toward the bespoke reader") {
-    // minimal hand-authored name-mode table (delta-spark's rename
-    // output shape): the gate must fire before any data read
-    val t = Files.createTempDirectory("dsv2_delta_cm")
-    val dir = t.resolve("_delta_log")
+  // ---- column mapping (r17: the DSv2 refusal lifted) ---------------
+
+  import java.nio.file.Path
+  import org.apache.spark.sql.types._
+  import scala.jdk.CollectionConverters._
+
+  private def writeCommit(
+      table: Path, version: Long, lines: Seq[String]): Unit = {
+    val dir = table.resolve("_delta_log")
     Files.createDirectories(dir)
-    val fieldMeta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("delta.columnMapping.id", 1L)
-      .putString("delta.columnMapping.physicalName", "col-xy")
-      .build()
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "id", org.apache.spark.sql.types.LongType, nullable = true,
-        fieldMeta)))
-    val ss = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
-    Files.write(dir.resolve(f"${0L}%020d.json"), Seq(
-      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{"id":"cm-dsv2","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"1"},"createdTime":1700000000000}}"""
-    ).mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft-delta").load(t.toString).collect()
-    }
-    assert(e.getMessage.contains("DeltaLog.read"), e.getMessage)
+    Files.write(dir.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  private def mapMeta(id: Long, phys: String): Metadata =
+    new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys)
+      .build()
+
+  private val cmSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true, mapMeta(1, "col-aa11")),
+    StructField("body", StringType, nullable = true, mapMeta(2, "col-bb22")),
+    StructField("info",
+      StructType(Seq(
+        StructField("words", LongType, nullable = true, mapMeta(4, "col-dd44")))),
+      nullable = true, mapMeta(3, "col-cc33")),
+    StructField("region", StringType, nullable = true, mapMeta(5, "col-ee55"))))
+
+  private def cmMetaData(mode: String): String = {
+    val ss = cmSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"metaData":{"id":"cm-dsv2","format":{"provider":"parquet","options":{}},"schemaString":"$ss","partitionColumns":["region"],"configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"5"},"createdTime":1700000000000}}"""
+  }
+
+  private def fid(id: Long): Metadata =
+    new MetadataBuilder().putLong("parquet.field.id", id).build()
+
+  /** One parquet file with PHYSICAL column names (optionally carrying
+    * footer field-ids for the id-mode fixture).
+    */
+  private def writePhysFile(
+      table: Path, rel: String, rows: Seq[(Long, String, Long)],
+      prefix: String, withIds: Boolean): Unit = {
+    val tmp = Files.createTempDirectory("dsv2_cm_part")
+    def named(c: org.apache.spark.sql.Column, n: String, id: Long) =
+      if (withIds) c.as(n, fid(id)) else c.as(n)
+    rows.toDF("a", "b", "w")
+      .select(
+        named(col("a"), s"$prefix-aa11", 1),
+        named(col("b"), s"$prefix-bb22", 2),
+        named(struct(named(col("w"), s"$prefix-dd44", 4)),
+          s"$prefix-cc33", 3))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val dest = table.resolve(rel)
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest)
+  }
+
+  private def makeCmTable(mode: String): Path = {
+    val table = Files.createTempDirectory(s"dsv2_delta_cm_$mode")
+    val ids = mode == "id"
+    writePhysFile(table, "f1.parquet",
+      Seq((1L, "alpha", 5L), (2L, "beta", 7L)), "col", ids)
+    // id-mode's second file uses DIFFERENT physical names for the same
+    // ids — exactly why id mode cannot resolve by name
+    writePhysFile(table, "f2.parquet", Seq((3L, "gamma", 9L)),
+      if (ids) "renamed" else "col", ids)
+    writeCommit(table, 0, Seq(
+      s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      cmMetaData(mode),
+      // partitionValues and stats keyed by PHYSICAL names
+      """{"add":{"path":"f1.parquet","partitionValues":{"col-ee55":"us"},"size":512,"modificationTime":1700000000000,"dataChange":true,"stats":"{\"numRecords\":2,\"minValues\":{\"col-aa11\":1},\"maxValues\":{\"col-aa11\":2}}"}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{"col-ee55":"de"},"size":512,"modificationTime":1700000000000,"dataChange":true,"stats":"{\"numRecords\":1,\"minValues\":{\"col-aa11\":3},\"maxValues\":{\"col-aa11\":3}}"}}"""))
+    table
+  }
+
+  for (mode <- Seq("name", "id"))
+    test(s"$mode-mode column-mapped table reads through DSv2 (= bespoke)") {
+      val t = makeCmTable(mode).toString
+      val dsv2 = spark.read.format("graft-delta").load(t)
+      assert(dsv2.schema.fieldNames.toSeq ==
+        Seq("doc_id", "body", "info", "region"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[String]("body"),
+          r.getAs[org.apache.spark.sql.Row]("info").getLong(0),
+          r.getAs[String]("region"))
+      val got = dsv2.collect().map(key).toSet
+      val bespoke = graft.sources.DeltaLog.read(spark, t)
+        .collect().map(key).toSet
+      assert(got == bespoke && got == Set(
+        (1L, "alpha", 5L, "us"), (2L, "beta", 7L, "us"),
+        (3L, "gamma", 9L, "de")), s"$mode: $got")
+      // physical-keyed stats prune from a LOGICAL-name filter …
+      val pruned = spark.read.format("graft-delta").load(t)
+        .filter(col("doc_id") >= 3L)
+      assert(pruned.collect().map(key).toSet ==
+        Set((3L, "gamma", 9L, "de")))
+      val Some((planned, total)) = Dsv2Planning.plannedFor(t)
+      assert(total == 2 && planned == 1, s"$mode: $planned/$total")
+      // … and so do physical-keyed partition values
+      val one = spark.read.format("graft-delta").load(t)
+        .filter(col("region") === "us")
+      assert(one.collect().map(key).map(_._1).toSet == Set(1L, 2L))
+      val Some((planned2, _)) = Dsv2Planning.plannedFor(t)
+      assert(planned2 == 1, s"$mode partition prune: $planned2")
+    }
 
   // --------------------------------------------------------------- iceberg
 
