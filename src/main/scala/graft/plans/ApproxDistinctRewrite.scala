@@ -52,6 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     e.injectPlannerStrategy(_ => AsofJoinStrategy)
+    // SQL DML (DELETE/UPDATE/MERGE) over the lakehouse DSv2 tables —
+    // MUST be an analyzer rule: CheckAnalysis refuses UPDATE/MERGE on
+    // tables without SupportsRowLevelOperations before any planner
+    // strategy runs (the DeltaSparkSessionExtension pattern)
+    e.injectResolutionRule(_ => new graft.sources.dsv2.GraftDmlRule)
+    e.injectPlannerStrategy(_ => new graft.sources.dsv2.GraftDmlStrategy)
     // the SQL function surface (same builders GraftFunctions.registerAll
     // attaches per-session) — cluster-wide, so Thrift/JDBC sessions see
     // them from their first query

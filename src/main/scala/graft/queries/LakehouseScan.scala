@@ -415,6 +415,8 @@ object LakehouseScan {
   def dumpTables(spark: SparkSession, dir: String): Unit = {
     deltaCustomer(spark, dir)
     deltaMappedCustomer(spark, dir)
+    deltaSqlMergeCustomer(spark, dir)
+    deltaSqlDmlCustomer(spark, dir)
     deltaMergeCustomer(spark, dir)
     icebergUpsertCustomer(spark, dir)
     icebergEvolvedCustomer(spark, dir)
@@ -628,6 +630,96 @@ object LakehouseScan {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"))
       .orderBy(col("c_custkey"))
+
+  private def graftCat(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.catalog.graft", "graft.sources.dsv2.GraftCatalog")
+
+  /** The x27 merge history replayed as PURE SQL `MERGE INTO` through
+    * the catalog (r17): the [[graft.sources.dsv2.GraftDmlRule]]
+    * analyzer rewrite routes both statements into
+    * [[graft.sources.DeltaMerge.merge]] — same writer, third entry
+    * point (bespoke API → x27, SQL → here).
+    */
+  private def deltaSqlMergeCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("delta_sql_merge_customer", dir) { t =>
+      graftCat(spark)
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      DeltaExport.create(
+        cust.repartition(4, col("c_custkey"))
+          .sortWithinPartitions("c_custkey"),
+        t, Nil, Map("delta.enableChangeDataFeed" -> "true"))
+      val updates = cust.filter(col("c_custkey") % 4 === 1)
+        .withColumn("c_name", concat(lit("U:"), col("c_name")))
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val inserts = cust.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("N:"), col("c_name")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"))
+      updates.unionByName(inserts).createOrReplaceTempView("x47_src1")
+      spark.sql(
+        s"""MERGE INTO graft.delta.`$t` AS t USING x47_src1 AS s
+            ON t.c_custkey = s.c_custkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      cust.filter(col("c_custkey") % 10 === 5)
+        .createOrReplaceTempView("x47_src2")
+      spark.sql(
+        s"""MERGE INTO graft.delta.`$t` AS t USING x47_src2 AS s
+            ON t.c_custkey = s.c_custkey
+            WHEN MATCHED THEN DELETE""")
+    }
+
+  /** x47 — the SQL-merged table's final state, read back as SQL.
+    * Held to x27's oracle SQL VERBATIM: bespoke-API merge and SQL
+    * MERGE INTO must converge byte-identically.
+    */
+  def sqlMergeScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = deltaSqlMergeCustomer(spark, dir)
+    graftCat(spark)
+    spark.sql(
+      s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal
+          FROM graft.delta.`$t`
+          ORDER BY c_custkey""")
+  }
+
+  /** Customer table maintained by pure SQL `UPDATE` (DV-growing
+    * single commit through [[graft.sources.DeltaUpdate]]) and
+    * `DELETE FROM` (r17).
+    */
+  private def deltaSqlDmlCustomer(spark: SparkSession, dir: String): String =
+    buildOnce("delta_sql_dml_customer", dir) { t =>
+      graftCat(spark)
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+      DeltaExport.create(
+        cust.repartition(4, col("c_custkey"))
+          .sortWithinPartitions("c_custkey"), t)
+      spark.sql(
+        s"""UPDATE graft.delta.`$t`
+            SET c_name = concat('U:', c_name),
+                c_acctbal = c_acctbal + 100.0
+            WHERE c_custkey % 4 = 1""")
+      spark.sql(
+        s"""DELETE FROM graft.delta.`$t` WHERE c_custkey % 10 = 5""")
+    }
+
+  /** x48 — the SQL UPDATE + DELETE table read back as SQL. Oracle:
+    * the same two statements replayed over the original parquet — a
+    * row double-emitted by the UPDATE's DV+append pair, or a
+    * mis-grown deletion vector, fails rows or the hash.
+    */
+  def sqlDmlScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = deltaSqlDmlCustomer(spark, dir)
+    graftCat(spark)
+    spark.sql(
+      s"""SELECT c_custkey, c_name, c_nationkey, c_acctbal
+          FROM graft.delta.`$t`
+          ORDER BY c_custkey""")
+  }
 
   /** x40 — x22 replayed THROUGH THE DATASOURCEV2 PATH
     * (`spark.read.format("graft-delta")`, r16): the same DV-deleted
@@ -929,6 +1021,8 @@ object LakehouseScan {
     "x41_dsv2_iceberg_scan" -> icebergDsv2Scan,
     "x45_dsv2_column_mapped" -> deltaMappedScan,
     "x46_dsv2_iceberg_evolved" -> icebergEvolvedDsv2Scan,
+    "x47_sql_merge" -> sqlMergeScan,
+    "x48_sql_update_delete" -> sqlDmlScan,
     "x42_delta_widened" -> deltaWidenedScan,
     "x43_variant_extract" -> variantExtract,
     "x44_sql_catalog_scan" -> sqlCatalogScan,
@@ -960,6 +1054,34 @@ object LakehouseScan {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
          FROM customer
          WHERE c_custkey % 9 <> 4
+         ORDER BY c_custkey""",
+    // x47: x27's oracle SQL VERBATIM — bespoke merge and SQL MERGE
+    // INTO converge
+    "x47_sql_merge" ->
+      """WITH v1 AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 4 = 1
+                       THEN 'U:' || c_name ELSE c_name END AS c_name,
+                  c_nationkey,
+                  CASE WHEN c_custkey % 4 = 1
+                       THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000, 'N:' || c_name, c_nationkey, c_acctbal
+           FROM customer WHERE c_custkey % 100 = 0)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal
+         FROM v1 WHERE c_custkey % 10 <> 5
+         ORDER BY c_custkey""",
+    // x48: SQL UPDATE + DELETE replayed over the original parquet
+    "x48_sql_update_delete" ->
+      """SELECT c_custkey,
+                CASE WHEN c_custkey % 4 = 1
+                     THEN 'U:' || c_name ELSE c_name END AS c_name,
+                c_nationkey,
+                CASE WHEN c_custkey % 4 = 1
+                     THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+         FROM customer
+         WHERE c_custkey % 10 <> 5
          ORDER BY c_custkey""",
     "x41_dsv2_iceberg_scan" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority

@@ -494,6 +494,13 @@ object IcebergExport {
     * itself carries forward VERBATIM; these typed fields drive the
     * manifest partition struct and staging).
     */
+  /** The current default partition spec as (transform, source column)
+    * — what [[replaceTable]] needs to preserve layout explicitly.
+    */
+  private[sources] def currentSpecOf(table: String): Seq[(String, String)] =
+    partFieldsFromMeta(IcebergTable.metadataJson(table))
+      .map(pf => (pf.transform, pf.sourceName))
+
   private def partFieldsFromMeta(
       meta: com.fasterxml.jackson.databind.JsonNode): Seq[PartField] = {
     val specFields: Seq[com.fasterxml.jackson.databind.JsonNode] =
@@ -955,6 +962,44 @@ object IcebergExport {
     */
   def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long =
     createWithSpec(df, table, partitionBy.map(c => ("identity", c)))
+
+  /** CREATE an EMPTY table (r17 — SQL `CREATE TABLE` through
+    * [[graft.sources.dsv2.GraftCatalog]]): legal v1 metadata with the
+    * declared schema and partition spec, NO snapshots and
+    * `current-snapshot-id: -1` — the spec's freshly-created state.
+    * The engine's readers serve it as zero rows; the first
+    * [[append]] commits snapshot 1 on top (appendTxn already treats a
+    * -1 current snapshot as "no parent, no prior manifests").
+    */
+  def createEmpty(
+      table: String, schema: org.apache.spark.sql.types.StructType,
+      spec: Seq[(String, String)] = Nil,
+      properties: Map[String, String] = Map.empty): Unit = {
+    require(!Files.isDirectory(metaDir(table)) || {
+      val s = Files.list(metaDir(table))
+      try !s.iterator().asScala
+        .exists(_.getFileName.toString.matches("v\\d+\\.metadata\\.json"))
+      finally s.close()
+    }, s"$table already has Iceberg metadata; use append")
+    val (schemaNode, lastId) = icebergSchemaNode(schema)
+    schemaNode.put("schema-id", 0)
+    val ids = topFieldIds(schemaNode)
+    val pfs = spec.zipWithIndex.map { case ((transform, src), i) =>
+      require(ids.contains(src),
+        s"partition source $src is not a top-level schema column")
+      val vt = transformValueType(transform, schema(src).dataType)
+      avroPartType(vt)
+      PartField(transformFieldName(transform, src), ids(src), 1000 + i,
+        vt, transform, src)
+    }
+    Files.createDirectories(metaDir(table))
+    val json = buildMetadata(
+      table, java.util.UUID.randomUUID().toString, schemaNode, lastId,
+      Nil, -1L, Nil, pfs, properties = properties)
+    if (!claim(table, 1, json))
+      throw new IllegalStateException(
+        s"lost the race for $table metadata v1 — another writer created it")
+  }
 
   /** The spec's partition-field name for a (transform, source). */
   private def transformFieldName(transform: String, src: String): String =

@@ -1307,6 +1307,16 @@ object IcebergTable {
       withLineage: Boolean = false): DataFrame = {
     val meta = metadataJson(table)
     val fv = meta.get("format-version").asInt()
+    // a freshly-created table (CREATE TABLE before the first INSERT,
+    // r17) has no current snapshot: zero rows under the declared schema
+    val noCurrent = snapshotId.isEmpty &&
+      !Option(meta.get("current-snapshot-id")).exists(_.asLong() != -1L)
+    if (noCurrent) {
+      require(!withPos, "readWithPos on an empty table")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaOf(meta))
+    }
     val snap = snapshotNode(meta, snapshotId)
     // the spec's snapshot `schema-id`: a snapshot committed under an
     // OLDER schema (e.g. pre-REPLACE) time-travels with ITS schema,

@@ -255,15 +255,36 @@ object Dsv2Planning {
 private[dsv2] case class DeltaDsv2Table(
     table: String, tableSchema: StructType, options: Map[String, String])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  override def name(): String = s"graft-delta `$table`"
+  // SQL `DELETE FROM <cat>.delta.`p` WHERE <simple predicate>` in ANY
+  // session (no extension registration): Spark's DeleteFromTableExec
+  // hands the condition as V1 filters; the DV-growing writer executes
+  // it. Conditions beyond the Filter algebra route through
+  // [[GraftDmlStrategy]] instead.
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(GraftDml.filterToColumn(_).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond = filters.flatMap(GraftDml.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.sources.DeltaExport.deleteWhere(SparkSession.active, table, cond)
+  }
+
+  // no backticks: Spark renders this through toSQLId in error
+  // messages (e.g. the dynamic-overwrite capability check), and an
+  // unbalanced-looking quoted name makes the REAL error unreadable
+  override def name(): String = s"graft-delta:$table"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

@@ -30,10 +30,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * build, so pushdown, statistics, runtime filtering, streaming and
   * the V1Write path all apply to SQL users unchanged. SQL time travel
   * routes through the `loadTable(ident, version/timestamp)` overloads
-  * into the formats' own resolution. DDL (create/alter/drop) is
-  * refused loudly — tables are created by the writer APIs, and a
-  * path-addressed catalog silently "dropping" a directory would be a
-  * data-loss foot-gun.
+  * into the formats' own resolution. CREATE TABLE / CTAS author real
+  * empty tables in BOTH formats (r17 for Iceberg); DML
+  * (DELETE/UPDATE/MERGE) arrives through `SupportsDeleteV2` plus the
+  * [[GraftDmlRule]] extension; ALTER/DROP/RENAME are refused loudly —
+  * a path-addressed catalog silently "dropping" a directory would be
+  * a data-loss foot-gun.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -109,33 +111,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** SQL `CREATE TABLE <cat>.delta.`/path`` (cols...) PARTITIONED BY
     * (identity cols) [TBLPROPERTIES ('delta.…'='…')]` — an EMPTY
     * commit-0 table the first INSERT fills (CTAS = this + AppendData).
-    * Only `delta.*` properties reach the table configuration (Spark
-    * adds reserved keys like `provider`/`location` that are not table
-    * state). Iceberg creation stays with `IcebergExport.create*`
-    * (its writers are DataFrame-shaped; an empty snapshot-less
-    * metadata file is not a state this engine's reader serves).
+    * Only `delta.*` properties reach a Delta table's configuration
+    * (Spark adds reserved keys like `provider`/`location` that are
+    * not table state). `<cat>.iceberg.`/path`` (r17) authors legal
+    * snapshot-less v1 metadata (`current-snapshot-id: -1`) through
+    * [[graft.sources.IcebergExport.createEmpty]]; non-reserved
+    * properties land in the metadata `properties` map.
     */
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
     // namespace checked directly: `auto` can't sniff a table that
-    // doesn't exist yet, and Iceberg creation is refused
+    // doesn't exist yet
     val ns = ident.namespace()
-    require(ns.length == 1 && ns(0).equalsIgnoreCase("delta"),
-      s"$catalogName creates DELTA tables only " +
-        s"($catalogName.delta.`/path`): use IcebergExport.create* " +
-        "for Iceberg")
+    require(ns.length == 1 &&
+      (ns(0).equalsIgnoreCase("delta") || ns(0).equalsIgnoreCase("iceberg")),
+      s"$catalogName creates tables under an explicit format namespace " +
+        s"($catalogName.delta.`/path` or $catalogName.iceberg.`/path`)")
     val partitionCols = partitions.map {
       case t if t.name() == "identity" =>
         t.references()(0).fieldNames().mkString(".")
       case t => throw new UnsupportedOperationException(
         s"$catalogName creates identity-partitioned tables only, got $t")
     }.toSeq
-    val props = properties.asScala
-      .filter { case (k, _) => k.toLowerCase.startsWith("delta.") }.toMap
     val path = ident.name()
-    graft.sources.DeltaExport.createEmpty(path, schema, partitionCols, props)
+    if (ns(0).equalsIgnoreCase("delta")) {
+      val props = properties.asScala
+        .filter { case (k, _) => k.toLowerCase.startsWith("delta.") }.toMap
+      graft.sources.DeltaExport.createEmpty(path, schema, partitionCols, props)
+    } else {
+      val reserved = Set("provider", "location", "owner", "comment",
+        "external", "option.path", "path")
+      val props = properties.asScala
+        .filterNot { case (k, _) => reserved.contains(k.toLowerCase) }.toMap
+      graft.sources.IcebergExport.createEmpty(
+        path, schema, partitionCols.map(c => ("identity", c)), props)
+    }
     loadTable(ident)
   }
 

@@ -309,9 +309,25 @@ private[dsv2] object IcebergDsv2 {
 private[dsv2] case class IcebergDsv2Table(
     table: String, tableSchema: StructType, options: Map[String, String])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  override def name(): String = s"graft-iceberg `$table`"
+  // SQL `DELETE FROM <cat>.iceberg.`p` WHERE <simple predicate>` in
+  // any session — merge-on-read position deletes via the existing
+  // writer. Richer conditions route through [[GraftDmlStrategy]].
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(GraftDml.filterToColumn(_).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond = filters.flatMap(GraftDml.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.sources.IcebergExport.deleteWhere(SparkSession.active, table, cond)
+  }
+
+  override def name(): String = s"graft-iceberg:$table"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(

@@ -60,7 +60,7 @@ class Dsv2WriteSpec extends SparkSpec {
       (0L until 20L).filter(_ % 5 == 2).toSet)
   }
 
-  test("iceberg DSv2 append and unpartitioned overwrite; partitioned refusal") {
+  test("iceberg DSv2 append and overwrite; partitioned overwrite keeps the spec") {
     val t = tmp("dsv2_w_ice")
     IcebergExport.create(df(0 until 10).coalesce(1), t)
     df(10 until 15).coalesce(1)
@@ -71,15 +71,89 @@ class Dsv2WriteSpec extends SparkSpec {
     assert(spark.read.format("graft-iceberg").load(t)
       .collect().map(_.getLong(0)).toSet == (100L until 104L).toSet)
 
+    // PARTITIONED overwrite (r17): replaceTable with the EXPLICIT
+    // current spec — the relaid table keeps identity partitioning
     val tp = tmp("dsv2_w_ice_part")
     IcebergExport.create(df(0 until 10), tp, partitionBy = Seq("grp"))
+    df(20 until 26).write.format("graft-iceberg").mode("overwrite").save(tp)
+    assert(IcebergTable.read(spark, tp)
+      .collect().map(_.getLong(0)).toSet == (20L until 26L).toSet)
+    assert(IcebergExport.currentSpecOf(tp) == Seq(("identity", "grp")),
+      "overwrite must preserve the partition spec explicitly")
+    // identity values still reconstruct from partition metadata
+    assert(IcebergTable.read(spark, tp).filter(col("grp") === 2)
+      .collect().map(_.getLong(0)).toSet ==
+      (20L until 26L).filter(_ % 5 == 2).toSet)
+  }
+
+  test("delta overwrite-by-filter (REPLACE WHERE): untouched files byte-identical") {
+    val t = tmp("dsv2_w_replwhere")
+    // two partitions, one file each
+    DeltaExport.create(df(0 until 10), t, partitionBy = Seq("grp"))
+    val filesBefore = DeltaLog.activeFiles(spark, t)
+      .collect().map(_.getString(0)).toSet
+    val untouched = filesBefore.filterNot(_.contains("grp=2"))
+    // SQL INSERT REPLACE WHERE through the catalog
+    spark.conf.set(
+      "spark.sql.catalog.graft", "graft.sources.dsv2.GraftCatalog")
+    Seq((200L, 2, "r200"), (201L, 2, "r201")).toDF("id", "grp", "name")
+      .createOrReplaceTempView("rw_src")
+    spark.sql(
+      s"""INSERT INTO graft.delta.`$t` REPLACE WHERE grp = 2
+          SELECT * FROM rw_src""")
+    val after = spark.read.format("graft-delta").load(t)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("grp"))).toSet
+    val expect = (0L until 10L).filter(_ % 5 != 2).map(i =>
+      (i, (i % 5).toInt)).toSet ++ Set((200L, 2), (201L, 2))
+    assert(after == expect, after.toString)
+    // files of other partitions are EXACTLY the same paths (untouched)
+    val filesAfter = DeltaLog.activeFiles(spark, t)
+      .collect().map(_.getString(0)).toSet
+    assert(untouched.subsetOf(filesAfter),
+      "non-matching partitions' files must carry unchanged")
+    // rows outside the replaced region refuse
+    Seq((300L, 3, "bad")).toDF("id", "grp", "name")
+      .createOrReplaceTempView("rw_bad")
     val e = intercept[Exception] {
-      df(0 until 3).write.format("graft-iceberg").mode("overwrite").save(tp)
+      spark.sql(
+        s"""INSERT INTO graft.delta.`$t` REPLACE WHERE grp = 2
+            SELECT * FROM rw_bad""")
     }
-    def chain(x: Throwable): Seq[Throwable] =
-      if (x == null) Nil else x +: chain(x.getCause)
-    assert(chain(e).exists(_.getMessage != null) &&
-      chain(e).exists(c => Option(c.getMessage)
-        .exists(_.contains("UNPARTITIONED"))), e.toString)
+    def msgs(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + msgs(x.getCause)
+    assert(msgs(e).contains("NOT matching"), msgs(e))
+  }
+
+  test("dynamic partition overwrite: loud refusal; REPLACE WHERE expresses it") {
+    val t = tmp("dsv2_w_dynpart")
+    spark.conf.set(
+      "spark.sql.catalog.graft", "graft.sources.dsv2.GraftCatalog")
+    DeltaExport.create(df(0 until 10), t, partitionBy = Seq("grp"))
+    // Spark's OverwritePartitionsDynamicExec has no V1 fallback: the
+    // capability is not declared, so the check fails LOUDLY up front
+    val e = intercept[Exception] {
+      Seq((500L, 1, "d500")).toDF("id", "grp", "name")
+        .writeTo(s"graft.delta.`$t`").overwritePartitions()
+    }
+    assert(e.getMessage.contains("dynamic overwrite"), e.getMessage)
+    // the same replacement through REPLACE WHERE on the partition key
+    Seq((500L, 1, "d500")).toDF("id", "grp", "name")
+      .createOrReplaceTempView("dyn_src")
+    spark.sql(
+      s"""INSERT INTO graft.delta.`$t` REPLACE WHERE grp = 1
+          SELECT * FROM dyn_src""")
+    val after = spark.read.format("graft-delta").load(t)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("grp"))).toSet
+    val expect = (0L until 10L).filter(_ % 5 != 1).map(i =>
+      (i, (i % 5).toInt)).toSet + ((500L, 1))
+    assert(after == expect, after.toString)
+    // and the bespoke dynamic-partition writer covers the API form
+    val t2 = tmp("dsv2_w_dynpart2")
+    DeltaExport.create(df(0 until 10), t2, partitionBy = Seq("grp"))
+    DeltaExport.overwriteWhere(
+      Seq((500L, 1, "d500")).toDF("id", "grp", "name"), t2, Seq("grp"))
+    assert(spark.read.format("graft-delta").load(t2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("grp")))
+      .toSet == expect)
   }
 }

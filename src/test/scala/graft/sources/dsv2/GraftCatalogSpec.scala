@@ -109,14 +109,38 @@ class GraftCatalogSpec extends SparkSpec {
           AS SELECT id * 10 AS id10, s FROM graft.delta.`$t`""")
     assert(spark.sql(s"SELECT sum(id10) AS x FROM graft.delta.`$t2`")
       .head().getLong(0) == 40L)
-    // iceberg creation refuses toward the writer API
-    val e = intercept[Exception] {
-      spark.sql(s"CREATE TABLE graft.iceberg.`${tmp("cat_nope")}/x` (id INT)")
-    }
-    def chain(x: Throwable): Seq[Throwable] =
-      if (x == null) Nil else x +: chain(x.getCause)
-    assert(chain(e).exists(c => Option(c.getMessage)
-      .exists(_.contains("IcebergExport.create"))), e.toString)
+  }
+
+  test("SQL CREATE TABLE + CTAS author real snapshot-less iceberg tables") {
+    val t = tmp("cat_ice_create") + "/t1"
+    spark.sql(
+      s"""CREATE TABLE graft.iceberg.`$t` (id BIGINT, grp INT, s STRING)
+          PARTITIONED BY (grp)
+          TBLPROPERTIES ('write.metadata.compression-codec'='none')""")
+    // legal empty state: no snapshots, current-snapshot-id -1
+    assert(graft.sources.IcebergTable.read(spark, t).count() == 0L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.iceberg.`$t`")
+      .head().getLong(0) == 0L)
+    spark.sql(
+      s"INSERT INTO graft.iceberg.`$t` VALUES (1, 2, 'a'), (3, 4, 'b')")
+    assert(spark.sql(s"SELECT sum(id) AS x FROM graft.iceberg.`$t`")
+      .head().getLong(0) == 4L)
+    // identity partition column reconstructs + the spec carried
+    assert(spark.sql(s"SELECT id FROM graft.iceberg.`$t` WHERE grp = 4")
+      .head().getLong(0) == 3L)
+    assert(graft.sources.IcebergExport.currentSpecOf(t) ==
+      Seq(("identity", "grp")))
+    // the declared property landed in the metadata
+    val meta = graft.sources.IcebergTable.read(spark, t) // sanity read
+    assert(meta.columns.toSeq == Seq("id", "grp", "s"))
+
+    // CTAS
+    val t2 = tmp("cat_ice_ctas") + "/t2"
+    spark.sql(
+      s"""CREATE TABLE graft.iceberg.`$t2`
+          AS SELECT id * 10 AS id10, s FROM graft.iceberg.`$t`""")
+    assert(spark.sql(s"SELECT sum(id10) AS x FROM graft.iceberg.`$t2`")
+      .head().getLong(0) == 40L)
   }
 
   test("INSERT INTO through the catalog; DDL refuses loudly") {
