@@ -747,6 +747,25 @@ object LakehouseScan {
         col("o_orderpriority"))
       .orderBy(col("o_orderkey"))
 
+  /** x49 — x29's CHANGELOG read THROUGH DSv2 (r17:
+    * `readChangeFeed=true` on `graft-iceberg`): the CDF planner's
+    * slices — inserts through the snapshot's own MoR state, the
+    * position delete as an executor-diffed keep set, the equality
+    * delete as eqKeep admission over parent-live rows — must converge
+    * with the DataFrame changelog reader, so this row is held to
+    * x29's DuckDB SQL VERBATIM.
+    */
+  def icebergDsv2CdfScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-iceberg")
+      .option("readChangeFeed", "true")
+      .load(icebergOrders(spark, dir))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("_change_type").as("change_type"),
+        col("_change_ordinal").as("change_ordinal"))
+      .orderBy(col("change_ordinal"), col("o_orderkey"))
+
   /** w23 — w22's point-in-time enrichment reading the REAL
     * MERGE-maintained Delta dimension (not the in-memory w21 frame):
     * each purchase joins to the SCD2 version in effect strictly
@@ -1019,6 +1038,7 @@ object LakehouseScan {
     "x25_iceberg_v3_scan" -> icebergV3Scan,
     "x40_dsv2_delta_scan" -> deltaDsv2Scan,
     "x41_dsv2_iceberg_scan" -> icebergDsv2Scan,
+    "x49_dsv2_iceberg_cdf" -> icebergDsv2CdfScan,
     "x45_dsv2_column_mapped" -> deltaMappedScan,
     "x46_dsv2_iceberg_evolved" -> icebergEvolvedDsv2Scan,
     "x47_sql_merge" -> sqlMergeScan,
@@ -1088,6 +1108,21 @@ object LakehouseScan {
          FROM orders
          WHERE o_orderkey % 5 <> 0 AND o_custkey % 10 <> 3
          ORDER BY o_orderkey""",
+    // x49: x29's oracle SQL VERBATIM — the DSv2 CDF read and the
+    // DataFrame changelog reader are pinned to the same bytes
+    "x49_dsv2_iceberg_cdf" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                'insert' AS change_type, CAST(0 AS INTEGER) AS change_ordinal
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                'delete', CAST(1 AS INTEGER)
+         FROM orders WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                'delete', CAST(2 AS INTEGER)
+         FROM orders WHERE o_custkey % 10 = 3 AND o_orderkey % 5 <> 0
+         ORDER BY change_ordinal, o_orderkey""",
     "x42_delta_widened" ->
       """SELECT s_suppkey, s_name, s_nationkey
          FROM supplier

@@ -493,7 +493,7 @@ private[dsv2] case class DeltaDsv2Scan(
         if (anyDv)
           readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn)
         else -1)),
-      required, Array.empty)
+      required)
   }
 
   private[dsv2] override def batchFactory(): PartitionReaderFactory =
@@ -512,7 +512,7 @@ private[dsv2] case class DeltaDsv2Scan(
       GraftInputPartition(
         ParquetReadBridge.wholeFile(pv, abs,
           a.size.getOrElse(Files.size(Paths.get(abs))), 0L),
-        drop, null, Array.empty, Map.empty)
+        drop, null, Nil, Nil, Map.empty)
     }.toArray[InputPartition]
 
   // ------------------------------------------------------------- CDF batch
@@ -585,7 +585,7 @@ private[dsv2] class DeltaCdfPlanner(
     new Factory(
       Array(EraReader(readFunc, emitted,
         readData.fieldNames.indexOf(ParquetReadBridge.RowIndexColumn))),
-      required, Array.empty)
+      required)
 
   private def pvRow(pv: Map[String, String]): InternalRow =
     new GenericInternalRow(
@@ -599,7 +599,7 @@ private[dsv2] class DeltaCdfPlanner(
     GraftInputPartition(
       ParquetReadBridge.wholeFile(
         pvRow(pv), abs, Files.size(Paths.get(abs)), 0L),
-      drop, keep, Array.empty,
+      drop, keep, Nil, Nil,
       changeType.map(ct => Map("_change_type" -> (ct: Any)))
         .getOrElse(Map.empty) + ("_commit_version" -> (version: Any)))
 

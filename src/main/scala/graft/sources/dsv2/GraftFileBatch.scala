@@ -103,6 +103,18 @@ private[dsv2] object GraftFileBatch {
 
   case class PosDeleteFile(path: String, length: Long) extends Serializable
 
+  /** Set difference of position sets — the changelog's "newly dead"
+    * extraction: union(plus) minus union(minus), resolved entirely on
+    * the executor. Monotonicity (minus ⊆ plus: delete state only
+    * grows on a carried file) is REQUIRED at resolution — a shrunken
+    * union is an un-delete, and emitting a feed that misses the
+    * resurrected rows would be wrong, so it refuses loudly (the
+    * [[DeltaDvDiff]] contract, lifted to spec unions).
+    */
+  case class DiffPositions(
+      plus: Seq[PositionSpec], minus: Seq[PositionSpec])
+      extends PositionSpec
+
   /** One equality-delete file, loaded lazily per executor: key
     * column names in CURRENT-schema (logical) form, the file to read
     * them from, and a reader function emitting exactly `cols` (typed
@@ -223,6 +235,15 @@ private[dsv2] object GraftFileBatch {
             .getOrElse(p.canonDataPath, Array.empty[Long]))
         if (per.forall(_.isEmpty)) Array.empty[Long]
         else per.flatten.distinct.sorted.toArray
+      case DiffPositions(plus, minus) =>
+        val p = plus.flatMap(positions).distinct.sorted.toArray
+        val pSet = p.toSet
+        val m = minus.flatMap(positions).toSet
+        require(m.subsetOf(pSet),
+          "deleted-position set SHRANK between snapshots (un-delete) " +
+            "on a carried file: refused rather than emitting a wrong " +
+            "change feed")
+        if (m.isEmpty) p else p.filterNot(m)
     }
 
     private def copyInternal(v: Any): Any = v match {
@@ -236,15 +257,19 @@ private[dsv2] object GraftFileBatch {
 
   /** A planned file slice. `keep == null` means "all rows except the
     * union of `drop`"; non-null means "only the keep-set positions"
-    * (and `drop` is ignored). `constants` override same-named read
-    * columns in the output projection. `era` indexes the factory's
-    * [[EraReader]] array.
+    * (and `drop` is ignored). `eqDrop` rejects rows whose key is in
+    * any listed equality-delete set; `eqKeep` (the changelog's
+    * "rows matching the NEW delete keys" extraction) ADMITS only rows
+    * matching at least one listed set. `constants` override
+    * same-named read columns in the output projection. `era` indexes
+    * the factory's [[EraReader]] array.
     */
   case class GraftInputPartition(
       pf: PartitionedFile,
       drop: Seq[PositionSpec],
       keep: PositionSpec,
-      eqIdx: Array[Int],
+      eqDrop: Seq[EqDeleteSpec],
+      eqKeep: Seq[EqDeleteSpec],
       constants: Map[String, Any],
       era: Int = 0)
       extends InputPartition
@@ -265,8 +290,7 @@ private[dsv2] object GraftFileBatch {
       eras: Array[EraReader],
       // the scan's declared output (readSchema()): every field either
       // present in each era's `emitted` or supplied by constants
-      output: StructType,
-      eqDeletes: Array[EqDeleteSpec])
+      output: StructType)
       extends PartitionReaderFactory {
 
     override def createReader(
@@ -323,19 +347,28 @@ private[dsv2] object GraftFileBatch {
 
       // equality-delete sets in INTERNAL value form, loaded per
       // executor through the resolver cache
-      private val eqSets: Array[(Array[Int], java.util.HashSet[Any])] =
-        p.eqIdx.map { i =>
-          val d = eqDeletes(i)
+      private def eqSetsOf(
+          specs: Seq[EqDeleteSpec]): Array[(Array[Int], java.util.HashSet[Any])] =
+        specs.map { d =>
           val pos = d.cols.map { c =>
             val at = emitted.fieldNames.indexOf(c)
             require(at >= 0, s"equality-delete column $c not in read schema")
             at
           }.toArray
           (pos, DeleteResolver.eqDeleteSet(d))
-        }
+        }.toArray
+      private val eqSets = eqSetsOf(p.eqDrop)
+      private val eqKeepSets = eqSetsOf(p.eqKeep)
 
       private val dts: Array[DataType] = emitted.fields.map(_.dataType)
-      private val iter = era.readFunc(p.pf)
+      // a keep-mode slice whose keep set resolved EMPTY emits nothing:
+      // skip opening the data file entirely (the changelog planner
+      // emits candidate slices for every carried file when a new
+      // delete file appears — most resolve empty)
+      private val iter: Iterator[InternalRow] =
+        if (keepPositions != null && keepPositions.isEmpty)
+          Iterator.empty
+        else era.readFunc(p.pf)
       private var cur: InternalRow = _
 
       private def positionAdmits(row: InternalRow): Boolean = {
@@ -348,20 +381,29 @@ private[dsv2] object GraftFileBatch {
             java.util.Arrays.binarySearch(dropPositions, idx) < 0
       }
 
+      private def keyOf(
+          pos: Array[Int], row: InternalRow): Any =
+        if (pos.length == 1)
+          (if (row.isNullAt(pos(0))) null else row.get(pos(0), dts(pos(0))))
+        else
+          pos.toSeq.map(at =>
+            if (row.isNullAt(at)) null else row.get(at, dts(at)))
+
       private def eqAdmits(row: InternalRow): Boolean = {
         var i = 0
         while (i < eqSets.length) {
           val (pos, set) = eqSets(i)
-          val key: Any =
-            if (pos.length == 1)
-              (if (row.isNullAt(pos(0))) null else row.get(pos(0), dts(pos(0))))
-            else
-              pos.toSeq.map(at =>
-                if (row.isNullAt(at)) null else row.get(at, dts(at)))
-          if (set.contains(key)) return false
+          if (set.contains(keyOf(pos, row))) return false
           i += 1
         }
-        true
+        if (eqKeepSets.isEmpty) return true
+        var j = 0
+        while (j < eqKeepSets.length) {
+          val (pos, set) = eqKeepSets(j)
+          if (set.contains(keyOf(pos, row))) return true
+          j += 1
+        }
+        false
       }
 
       override def next(): Boolean = {

@@ -64,9 +64,14 @@ class IcebergTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
-      : StructType =
-    IcebergDsv2.plan(SparkSession.active, path(options),
-      options.asScala.toMap).schema
+      : StructType = {
+    val opts = options.asScala.toMap
+    val base = IcebergDsv2.plan(SparkSession.active, path(options), opts)
+      .schema
+    if (IcebergDsv2.isCdf(opts))
+      StructType(base.fields ++ IcebergDsv2.cdfExtra)
+    else base
+  }
 
   override def inferPartitioning(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
@@ -97,6 +102,18 @@ private[dsv2] object IcebergDsv2 {
       .decode(abs.replaceFirst("^file:/*", "/"), "UTF-8")
       .replaceAll("/+", "/")
 
+  def isCdf(options: Map[String, String]): Boolean =
+    opt(options, "readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
+  /** The changelog column triple (iceberg-spark's
+    * `create_changelog_view` surface, the batch
+    * [[graft.sources.IcebergChangelog]]'s output shape).
+    */
+  val cdfExtra: Seq[StructField] = Seq(
+    StructField("_change_type", StringType),
+    StructField("_change_ordinal", IntegerType),
+    StructField("_commit_snapshot_id", LongType))
+
   /** One equality-delete file's METADATA — key columns (current
     * names + types), file coordinates, sequence number. Content loads
     * on the executors.
@@ -104,6 +121,17 @@ private[dsv2] object IcebergDsv2 {
   case class EqDeleteMeta(
       keyCols: Seq[(String, DataType)], path: String, length: Long,
       seq: Long)
+
+  /** The executor-loadable spec of one equality-delete file. */
+  def eqSpecOf(d: EqDeleteMeta): GraftFileBatch.EqDeleteSpec = {
+    val schema = StructType(d.keyCols.map { case (n, dt) =>
+      StructField(n, dt, nullable = true)
+    })
+    GraftFileBatch.EqDeleteSpec(
+      d.keyCols.map(_._1), d.keyCols.map(_._2), d.path, d.length,
+      ParquetReadBridge.reader(SparkSession.active,
+        schema, StructType(Nil), schema, Nil))
+  }
 
   /** Everything the scan planner derives once per query — METADATA
     * only: delete files appear as paths/blob coordinates, never
@@ -421,6 +449,11 @@ private[dsv2] case class IcebergDsv2Scan(
     * Spark auto-broadcast a selectively-pruned probe at scale.
     */
   override def estimateStatistics(): Statistics = {
+    if (IcebergDsv2.isCdf(options))
+      return new Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
     val kept = keptFiles()
     val size = kept.map(e => Files.size(Paths.get(e.path))).sum
     val rows = kept.map(_.records)
@@ -565,7 +598,11 @@ private[dsv2] case class IcebergDsv2Scan(
     val signature =
       (readFields.map { case (n, sf) => s"$n=${sf.name}:${sf.dataType.sql}" } ++
         constants.toSeq.sortBy(_._1).map { case (k, v) => s"$k#$v" } ++
-        idCols.map { case (a, b) => s"$a@$b" }).mkString("|")
+        idCols.map { case (a, b) => s"$a@$b" } ++
+        // the CDF planner dedups eras ACROSS pinned scans by this
+        // signature: a no-deletes snapshot's era (no row-index read)
+        // must not swallow a with-deletes one
+        Seq(s"rowidx=${rowIdxPos >= 0}")).mkString("|")
     EraSpec(idCols, partitionSchema, constants,
       EraReader(readFunc, emitted, rowIdxPos), signature)
   }
@@ -621,21 +658,20 @@ private[dsv2] case class IcebergDsv2Scan(
     }
   }
 
-  private lazy val icebergFactory: Factory = {
-    val eqSpecs: Array[EqDeleteSpec] = p.eqDeletes.map { d =>
-      val schema = StructType(d.keyCols.map { case (n, dt) =>
-        StructField(n, dt, nullable = true)
-      })
-      EqDeleteSpec(
-        d.keyCols.map(_._1), d.keyCols.map(_._2), d.path, d.length,
-        ParquetReadBridge.reader(SparkSession.active,
-          schema, StructType(Nil), schema, Nil))
-    }.toArray
-    new Factory(eras._1.map(_.reader), required, eqSpecs)
-  }
+  private lazy val eqSpecs: Array[EqDeleteSpec] =
+    p.eqDeletes.map(IcebergDsv2.eqSpecOf).toArray
+
+  private lazy val icebergFactory: Factory =
+    new Factory(eras._1.map(_.reader), required)
 
   private[dsv2] override def batchFactory(): PartitionReaderFactory =
-    icebergFactory
+    if (IcebergDsv2.isCdf(options)) cdfPlanner.factory()
+    else icebergFactory
+
+  // the CDF planner's era-registry remapping needs the pinned scans'
+  // era wiring by LOCAL index
+  private[dsv2] def eraReaderAt(i: Int): EraReader = eras._1(i).reader
+  private[dsv2] def eraSignatureAt(i: Int): String = eras._1(i).signature
 
   /** Shared (file_path, pos) reader for position-delete files. */
   private lazy val posDeleteReadFunc = {
@@ -668,22 +704,277 @@ private[dsv2] case class IcebergDsv2Scan(
           p.posDeleteFiles, canonPath, posDeleteReadFunc)))
     // equality deletes apply when the data file's sequence
     // number is STRICTLY below the delete's (spec scoping rule)
-    val eqIdx = p.eqDeletes.zipWithIndex
-      .filter { case (d, _) => e.seq < d.seq }
-      .map(_._2).toArray
+    val eqDrop = p.eqDeletes.zipWithIndex
+      .collect { case (d, i) if e.seq < d.seq => eqSpecs(i) }
     GraftInputPartition(
       ParquetReadBridge.wholeFile(pv, e.path,
         Files.size(Paths.get(e.path)), 0L),
-      drop, null, eqIdx, era.constants, eraIndexOf(e))
+      drop, null, eqDrop, Nil, era.constants, eraIndexOf(e))
   }
 
   private[dsv2] override def batchPartitions(): Array[InputPartition] =
-    keptFiles().map(sliceFor).toArray[InputPartition]
+    if (IcebergDsv2.isCdf(options)) cdfPartitions()
+    else keptFiles().map(sliceFor).toArray[InputPartition]
+
+  // ------------------------------------------------------------- CDF batch
+
+  private lazy val cdfPlanner =
+    new IcebergCdfPlanner(table, tableSchema, required, options)
+
+  /** Batch CDF: the changelog of an inclusive snapshot range
+    * (`start-snapshot-id`/`end-snapshot-id`, whole history when
+    * absent — [[graft.sources.IcebergChangelog.changelog]]'s range
+    * semantics), one ordinal per snapshot-log entry.
+    */
+  private def cdfPartitions(): Array[InputPartition] = {
+    val ids = IcebergTable.snapshotIds(table)
+    require(ids.nonEmpty, s"$table has no snapshots: no changelog")
+    val from = IcebergDsv2.opt(options, "start-snapshot-id")
+      .map(_.toLong).getOrElse(ids.head)
+    val to = IcebergDsv2.opt(options, "end-snapshot-id")
+      .map(_.toLong).getOrElse(ids.last)
+    val i0 = ids.indexOf(from)
+    val i1 = ids.indexOf(to)
+    require(i0 >= 0, s"snapshot $from not in the snapshot log (expired?)")
+    require(i1 >= 0, s"snapshot $to not in the snapshot log (expired?)")
+    require(i0 <= i1, s"changelog range is reversed: $from after $to")
+    (i0 to i1).flatMap(ord => cdfPlanner.slicesFor(
+      ids(ord), if (ord == 0) None else Some(ids(ord - 1)), ord))
+      .toArray[InputPartition]
+  }
 
   override def toMicroBatchStream(
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new IcebergMicroBatchStream(table, tableSchema, required, options)
+    new IcebergMicroBatchStream(table, tableSchema, required, options,
+      IcebergDsv2.isCdf(options))
+}
+
+/** Iceberg CHANGE-DATA-FEED slice planning — the batch
+  * [[graft.sources.IcebergChangelog]] semantics re-expressed as
+  * [[GraftFileBatch]] input partitions, so batch CDF
+  * (`readChangeFeed=true`) and the streaming changelog run through
+  * ONE executor-side reader (the [[DeltaCdfPlanner]] format twin).
+  *
+  * Per snapshot against its predecessor in the snapshot log:
+  *
+  *  - `replace` (compaction) contributes nothing;
+  *  - ADDED data files feed their live-at-S rows as `insert`
+  *    (S-pinned MoR slices: same-commit DVs apply, same-commit
+  *    equality deletes don't — the spec's strictly-smaller sequence
+  *    scope);
+  *  - REMOVED data files feed their live-at-parent rows as `delete`
+  *    (parent-pinned MoR slices);
+  *  - carried files under NEW position-delete content feed keep-mode
+  *    slices whose keep set is dead(S) ∖ dead(parent), diffed ON THE
+  *    EXECUTOR ([[GraftFileBatch.DiffPositions]] — a shrink refuses
+  *    as an un-delete; a candidate whose diff resolves empty opens
+  *    no data file);
+  *  - NEW equality-delete files feed the parent-live rows matching
+  *    the new keys (eqKeep admission against executor-loaded key
+  *    sets), one slice per equality-ids group — the batch reader's
+  *    per-group emission, duplicates and all.
+  *
+  * Planning is manifest-bounded driver metadata work: delete content
+  * is never read at plan time (the r17 executor-side-resolution
+  * contract, [[graft.sources.DeleteAccess]]-pinned).
+  *
+  * ERAS: slices resolve their write-time schema era through
+  * snapshot-PINNED scans, and the planner remaps each scan's local
+  * era indices into one grow-only registry keyed by era SIGNATURE —
+  * a single reader factory serves slices planned from any snapshot
+  * over the stream's lifetime. A schema CHANGE across the consumed
+  * range refuses toward [[graft.sources.IcebergChangelog.changelog]]
+  * (which stamps every snapshot's rows under the current schema).
+  */
+private[dsv2] class IcebergCdfPlanner(
+    table: String, tableSchema: StructType, required: StructType,
+    options: Map[String, String]) {
+
+  import GraftFileBatch._
+
+  private val baseSchema = StructType(tableSchema.fields.filterNot(f =>
+    IcebergDsv2.cdfExtra.exists(_.name == f.name)))
+  // the data columns the slices must read; the changelog triple rides
+  // as per-slice constants. A query projecting ONLY the triple still
+  // needs one physical column to drive row counts.
+  private val dataRequired = {
+    val fs = required.fields.filterNot(f =>
+      IcebergDsv2.cdfExtra.exists(_.name == f.name))
+    if (fs.nonEmpty) StructType(fs)
+    else StructType(Array(baseSchema.fields.minBy(_.name.length)))
+  }
+  // snapshot selection is this planner's job; CDF/range/stream
+  // options must not leak into the pinned scans
+  private val baseOptions = options -- Seq("readchangefeed",
+    "snapshotid", "ref", "timestampasof", "start-snapshot-id",
+    "end-snapshot-id", "skipchangecommits", "path")
+
+  // at most a handful of snapshots are live at once (each pinned scan
+  // holds its snapshot's FULL file listing — letting every consumed
+  // snapshot accumulate would grow driver memory with stream lifetime
+  // on a large table), so consumed snapshots are evicted as the
+  // changelog advances past them
+  private val scanCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, IcebergDsv2Scan]()
+
+  private def retainOnly(keep: Set[Long]): Unit =
+    scanCache.keySet.removeIf(k => !keep.contains(k))
+
+  private def pinned(sid: Long): IcebergDsv2Scan =
+    scanCache.computeIfAbsent(sid, _ => {
+      val s = IcebergDsv2Scan(table, baseSchema, dataRequired, Nil,
+        baseOptions + ("snapshotid" -> sid.toString))
+      require(s.p.schema == baseSchema,
+        s"the schema of $table changed across the changelog range " +
+          s"(at snapshot $sid): this planner emits one schema — use " +
+          "graft.sources.IcebergChangelog.changelog, which reads every " +
+          "snapshot under the current schema by field-id")
+      s
+    })
+
+  // grow-only era registry: indices are stable, so a factory built
+  // AFTER planning serves every slice planned so far
+  private val eraSigs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val eraReaders =
+    scala.collection.mutable.ArrayBuffer.empty[EraReader]
+
+  private def remap(
+      scan: IcebergDsv2Scan,
+      s: GraftInputPartition): GraftInputPartition = synchronized {
+    val sig = scan.eraSignatureAt(s.era)
+    val i = eraSigs.indexOf(sig) match {
+      case -1 =>
+        eraSigs += sig
+        eraReaders += scan.eraReaderAt(s.era)
+        eraSigs.size - 1
+      case j => j
+    }
+    s.copy(era = i)
+  }
+
+  def factory(): Factory = synchronized {
+    new Factory(eraReaders.toArray, required)
+  }
+
+  private def stamp(
+      s: GraftInputPartition, kind: String, ord: Int,
+      sid: Long): GraftInputPartition =
+    s.copy(constants = s.constants ++ Map[String, Any](
+      "_change_type" -> kind,
+      "_change_ordinal" -> ord,
+      "_commit_snapshot_id" -> sid))
+
+  /** The whole MoR-resolved state at `sid` as insert slices (the
+    * streaming source's initial snapshot).
+    */
+  def snapshotSlices(sid: Long, ord: Int): Seq[GraftInputPartition] = {
+    val scan = pinned(sid)
+    scan.p.entries.sortBy(_.path).map(e =>
+      stamp(remap(scan, scan.sliceFor(e)), "insert", ord, sid))
+  }
+
+  /** Change slices of ONE snapshot against its log predecessor. */
+  def slicesFor(
+      sid: Long, parent: Option[Long],
+      ord: Int): Seq[GraftInputPartition] = {
+    val meta = IcebergTable.metadataJson(table)
+    val snap = IcebergTable.snapshotNode(meta, Some(sid))
+    val op = Option(snap.get("summary"))
+      .flatMap(s => Option(s.get("operation")).map(_.asText()))
+      .getOrElse("append")
+    if (op == "replace") return Nil // compaction: content unchanged
+    val sScan = pinned(sid)
+    val pS = sScan.p
+    val parentScan = parent.map(pinned)
+    val parentByPath: Map[String, IcebergTable.FileEntry] =
+      parentScan.map(_.p.entries.map(e =>
+        IcebergDsv2.canon(e.path) -> e).toMap).getOrElse(Map.empty)
+    val sPaths: Set[String] =
+      pS.entries.map(e => IcebergDsv2.canon(e.path)).toSet
+
+    val inserts = pS.entries
+      .filterNot(e => parentByPath.contains(IcebergDsv2.canon(e.path)))
+      .sortBy(_.path)
+      .map(e => stamp(remap(sScan, sScan.sliceFor(e)), "insert", ord, sid))
+    if (parentScan.isEmpty) return inserts
+    val pScan = parentScan.get
+    val pP = pScan.p
+
+    val fileDeletes = pP.entries
+      .filterNot(e => sPaths.contains(IcebergDsv2.canon(e.path)))
+      .sortBy(_.path)
+      .map(e => stamp(remap(pScan, pScan.sliceFor(e)), "delete", ord, sid))
+
+    // parquet position-delete / equality-delete files must not VANISH
+    // outside a replace (a silent un-delete; puffin DV entries
+    // legitimately turn over — the merged rewrite drops the
+    // superseded vector, diffed per file below)
+    val sPosPaths = pS.posDeleteFiles.map(_.path).toSet
+    val vanishedPos = pP.posDeleteFiles.map(_.path).filterNot(sPosPaths)
+    val sEqPaths = pS.eqDeletes.map(_.path).toSet
+    val vanishedEq = pP.eqDeletes.map(_.path).filterNot(sEqPaths)
+    require(vanishedPos.isEmpty && vanishedEq.isEmpty,
+      s"delete file(s) ${(vanishedPos ++ vanishedEq).mkString(", ")} " +
+        s"vanished in non-replace snapshot $sid of $table (un-delete): " +
+        "refused rather than emitting a wrong feed")
+
+    val common = pS.entries
+      .filter(e => parentByPath.contains(IcebergDsv2.canon(e.path)))
+      .sortBy(_.path)
+
+    // ---- newly-dead positions on carried files ----------------------
+    // New parquet delete files name their targets only in CONTENT, so
+    // every carried file becomes a candidate keep-slice (most resolve
+    // empty on the executor and open nothing); a changed DV descriptor
+    // scopes its candidate to the one referenced file.
+    val newPosFiles = sPosPaths -- pP.posDeleteFiles.map(_.path).toSet
+    def dvChanged(c: String): Boolean =
+      pS.dvByFile.get(c) != pP.dvByFile.get(c)
+    val posSlices = common.flatMap { e =>
+      val c = IcebergDsv2.canon(e.path)
+      if (newPosFiles.isEmpty && !dvChanged(c)) None
+      else {
+        val sS = sScan.sliceFor(e)
+        val sP = pScan.sliceFor(parentByPath(c))
+        // keep = dead(S) ∖ dead(parent); the row must also have been
+        // LIVE at the parent, so its equality-delete scope applies
+        Some(stamp(remap(sScan, sS.copy(
+          drop = Nil,
+          keep = DiffPositions(sS.drop, sP.drop),
+          eqDrop = sP.eqDrop, eqKeep = Nil)), "delete", ord, sid))
+      }
+    }
+
+    // ---- new equality-delete files → matching parent-live rows ------
+    val pEqPaths = pP.eqDeletes.map(_.path).toSet
+    val newEq = pS.eqDeletes.filterNot(d => pEqPaths.contains(d.path))
+    val eqSlices =
+      if (newEq.isEmpty) Nil
+      else {
+        val groups = newEq.groupBy(_.keyCols.map(_._1)).toSeq
+          .sortBy(_._1.mkString(","))
+        for {
+          (_, ds) <- groups
+          e <- common
+          specs = ds.filter(d => e.seq < d.seq)
+            .map(IcebergDsv2.eqSpecOf)
+          if specs.nonEmpty
+        } yield {
+          // S's era (it reads the NEW key columns); parent's delete
+          // state (the row must have been live at the parent)
+          val sS = sScan.sliceFor(e)
+          val sP = pScan.sliceFor(parentByPath(IcebergDsv2.canon(e.path)))
+          stamp(remap(sScan, sS.copy(
+            drop = sP.drop, keep = null,
+            eqDrop = sP.eqDrop, eqKeep = specs)), "delete", ord, sid)
+        }
+      }
+
+    // sid stays (it is the NEXT snapshot's parent); older pins go
+    retainOnly(Set(sid) ++ parent)
+    inserts ++ fileDeletes ++ posSlices ++ eqSlices
+  }
 }
 
 /** Offset = (count of snapshot-log entries consumed, whether the
@@ -730,13 +1021,22 @@ private[dsv2] object IcebergStreamOffset {
   */
 private[dsv2] class IcebergMicroBatchStream(
     table: String, tableSchema: StructType, required: StructType,
-    options: Map[String, String])
+    options: Map[String, String], cdf: Boolean)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
 
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private val skipChangeCommits =
     IcebergDsv2.opt(options, "skipChangeCommits").exists(_.toBoolean)
+
+  // CDF mode (`readChangeFeed=true`): the per-snapshot changelog
+  // planner replaces the append-only tail — deletes arrive as change
+  // rows instead of failing the stream. `start-snapshot-id` skips the
+  // snapshot phase and replays the changelog from that snapshot
+  // (inclusive), converging with the batch changelog over the same
+  // window.
+  private lazy val cdfPlanner =
+    new IcebergCdfPlanner(table, tableSchema, required, options)
 
   // ONE scan per stream run, pinned to the start offset's snapshot
   // when the snapshot phase is (still) pending — its plan carries the
@@ -755,14 +1055,24 @@ private[dsv2] class IcebergMicroBatchStream(
     runScan
   }
 
-  override def initialOffset(): Offset = {
-    val meta = IcebergTable.metadataJson(table)
-    val cur = IcebergTable.currentSnapshotNode(meta)
-    IcebergStreamOffset(
-      IcebergTable.snapshotLog(table).size.toLong,
-      snapshotDone = false,
-      cur.get("snapshot-id").asLong())
-  }
+  override def initialOffset(): Offset =
+    IcebergDsv2.opt(options, "start-snapshot-id")
+      .filter(_ => cdf) match {
+      case Some(s0) =>
+        // changelog replay from s0 (inclusive); no snapshot phase
+        val ids = IcebergTable.snapshotIds(table)
+        val i = ids.indexOf(s0.toLong)
+        require(i >= 0,
+          s"snapshot $s0 not in the snapshot log of $table (expired?)")
+        IcebergStreamOffset(i.toLong, snapshotDone = true, -1L)
+      case None =>
+        val meta = IcebergTable.metadataJson(table)
+        val cur = IcebergTable.currentSnapshotNode(meta)
+        IcebergStreamOffset(
+          IcebergTable.snapshotLog(table).size.toLong,
+          snapshotDone = false,
+          cur.get("snapshot-id").asLong())
+    }
 
   override def latestOffset(): Offset =
     IcebergStreamOffset(
@@ -776,6 +1086,19 @@ private[dsv2] class IcebergMicroBatchStream(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[IcebergStreamOffset]
     val e = end.asInstanceOf[IcebergStreamOffset]
+    if (cdf) {
+      val cdfLog = IcebergTable.snapshotLog(table)
+      val snapshot: Seq[GraftFileBatch.GraftInputPartition] =
+        if (s.snapshotDone) Nil
+        else cdfPlanner.snapshotSlices(s.snapshotId, (s.logIdx - 1).toInt)
+      val cdfTail =
+        (s.logIdx.toInt until math.min(e.logIdx.toInt, cdfLog.size))
+          .flatMap { i =>
+            cdfPlanner.slicesFor(cdfLog(i)._2,
+              if (i == 0) None else Some(cdfLog(i - 1)._2), i)
+          }
+      return (snapshot ++ cdfTail).toArray[InputPartition]
+    }
     val scan = theScan(s)
     // snapshot phase planned FROM THE PINNED SNAPSHOT's plan — the
     // tail below serves everything after it, exactly once
@@ -825,6 +1148,7 @@ private[dsv2] class IcebergMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    if (cdf) return cdfPlanner.factory()
     val scan =
       if (runScan != null) runScan
       else IcebergDsv2Scan(table, tableSchema, required, Nil, options)
