@@ -528,6 +528,43 @@ object LakehouseScan {
         sum(col("cents")).as("sum_value_cents"))
       .orderBy(col("event_type"))
 
+  /** x43's twin table with the variant column SHREDDED (r17): the
+    * Parquet Variant Shredding `typed_value` layout under an explicit
+    * shredding schema, `variantShredding-preview` declared.
+    */
+  private def deltaShreddedEvents(spark: SparkSession, dir: String): String =
+    buildOnce("delta_variant_shredded", dir) { t =>
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id"), col("value"),
+          parse_json(col("props")).as("props_v"),
+          col("event_id"))
+        .repartition(4, col("event_id")).sortWithinPartitions("event_id")
+        .drop("event_id")
+      graft.sources.DeltaExport.createShredded(ev, t)
+    }
+
+  /** x50 — x43's extraction over the SHREDDED table (r17): `$.k`
+    * lives ONLY in the shredded `typed_value` subcolumn of these
+    * files (the raw `value` field is null for it), so a reader that
+    * did not REBUILD per the Variant Shredding spec would sum nulls
+    * and fail the hash. Held to x43's oracle SQL verbatim — shredded
+    * and unshredded layouts, one result.
+    */
+  def shreddedVariantExtract(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.read(spark, deltaShreddedEvents(spark, dir))
+      .select(
+        col("event_type"),
+        variant_get(col("props_v"), "$.k", "long").as("k"),
+        col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("sum_value_cents"))
+      .orderBy(col("event_type"))
+
   /** x44 — x22 replayed through the PURE-SQL surface: the
     * [[graft.sources.dsv2.GraftCatalog]] resolves
     * `graft.delta.`path`` and the whole query — projection, WHERE,
@@ -1045,6 +1082,7 @@ object LakehouseScan {
     "x48_sql_update_delete" -> sqlDmlScan,
     "x42_delta_widened" -> deltaWidenedScan,
     "x43_variant_extract" -> variantExtract,
+    "x50_shredded_variant" -> shreddedVariantExtract,
     "x44_sql_catalog_scan" -> sqlCatalogScan,
     "w23_scd2_delta_pit" -> scd2DeltaPit)
 
@@ -1130,6 +1168,14 @@ object LakehouseScan {
     // x43: x5's oracle shape verbatim — DuckDB extracts from the
     // original JSON strings, the engine from the variant binaries
     "x43_variant_extract" ->
+      """SELECT event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // x50: x43's oracle SQL VERBATIM — shredded files, same result
+    "x50_shredded_variant" ->
       """SELECT event_type,
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -389,6 +389,7 @@ object DeltaExport {
     */
   private[sources] def stageIn(
       df: DataFrame, table: String, partitionBy: Seq[String]): Seq[String] = {
+    VariantWrite.applyPosture(df.sparkSession)
     val stage = Files.createTempDirectory("delta_stage")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -408,6 +409,25 @@ object DeltaExport {
     */
   def create(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit =
     create(df, table, partitionBy, Map.empty[String, String])
+
+  /** [[create]] with the variant columns written SHREDDED (the
+    * Parquet Variant Shredding `typed_value` layout, under
+    * `shreddingSchema` — DDL like `"k bigint, tag string"` — or
+    * Spark's inference when None): declares the
+    * `variantShredding-preview` table feature beside `variantType`
+    * and records `delta.enableVariantShredding=true`, delta-spark's
+    * own opt-in shape. Reading needs no switches — the scan rebuilds
+    * shredded and unshredded files alike.
+    */
+  def createShredded(
+      df: DataFrame, table: String,
+      shreddingSchema: Option[String] = None,
+      partitionBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Unit =
+    VariantWrite.shredded(df.sparkSession, shreddingSchema) {
+      create(df, table, partitionBy,
+        properties + ("delta.enableVariantShredding" -> "true"))
+    }
 
   /** [[create]] with table properties in the metaData configuration.
     * Setting `delta.enableChangeDataFeed=true` declares the
@@ -447,20 +467,32 @@ object DeltaExport {
         case _ => false
       }
     val variant = hasVariant(df.schema)
+    // files written inside the shredded opt-in scope carry the
+    // Parquet Variant Shredding layout, which is only legal under the
+    // variantShredding-preview READER feature — declared here, never
+    // implied (the unshredded default declares variantType alone)
+    val variantFeats: Set[String] =
+      if (!variant) Set.empty
+      else if (VariantWrite.inShreddedScope(df.sparkSession) ||
+        properties.get("delta.enableVariantShredding").contains("true"))
+        Set("variantType", "variantShredding-preview")
+      else Set("variantType")
     val featureSet =
       (if (rowTracking) Set("domainMetadata", "rowTracking")
       else Set.empty[String]) ++
         (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
-        (if (variant) Set("variantType") else Set.empty[String])
+        variantFeats
     val protocolLine =
       if (featureSet.isEmpty)
         s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
       else {
         val wf = (legacyWriterFeatures(minWriter) ++ featureSet).toSeq.sorted
           .map(f => s""""$f"""").mkString("[", ",", "]")
-        if (variant)
-          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":$wf}}"""
-        else
+        if (variant) {
+          val rf = variantFeats.toSeq.sorted
+            .map(f => s""""$f"""").mkString("[", ",", "]")
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}"""
+        } else
           s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
       }
     // the MATERIALIZED column names are chosen once at create and live
@@ -532,20 +564,31 @@ object DeltaExport {
         case _ => false
       }
     val variant = hasVariant(schema)
+    // table-features parity with [[create]]: an empty table opted
+    // into shredding (delta.enableVariantShredding) declares the
+    // reader feature up front, so the first shredded append is legal
+    val variantFeats: Set[String] =
+      if (!variant) Set.empty
+      else if (properties.get("delta.enableVariantShredding")
+        .contains("true"))
+        Set("variantType", "variantShredding-preview")
+      else Set("variantType")
     val featureSet =
       (if (rowTracking) Set("domainMetadata", "rowTracking")
       else Set.empty[String]) ++
         (if (ict) Set("inCommitTimestamp") else Set.empty[String]) ++
-        (if (variant) Set("variantType") else Set.empty[String])
+        variantFeats
     val protocolLine =
       if (featureSet.isEmpty)
         s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
       else {
         val wf = (legacyWriterFeatures(minWriter) ++ featureSet).toSeq.sorted
           .map(f => s""""$f"""").mkString("[", ",", "]")
-        if (variant)
-          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":$wf}}"""
-        else
+        if (variant) {
+          val rf = variantFeats.toSeq.sorted
+            .map(f => s""""$f"""").mkString("[", ",", "]")
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}"""
+        } else
           s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
       }
     val props2 =
@@ -1638,6 +1681,7 @@ object DeltaExport {
         }
       }
       val df = purged.coalesce(nOut)
+      VariantWrite.applyPosture(df.sparkSession)
       val stage = Files.createTempDirectory("delta_compact")
       df.write.mode("overwrite").parquet(stage.toString)
       val pdir = physPartCols
@@ -1850,6 +1894,7 @@ object DeltaExport {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+    VariantWrite.applyPosture(df.sparkSession)
     val stage = Files.createTempDirectory("delta_zorder")
     df.write.mode("overwrite").parquet(stage.toString)
     val newRels = listParquet(stage).toSeq.sorted.map { name =>

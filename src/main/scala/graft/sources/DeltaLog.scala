@@ -411,14 +411,21 @@ object DeltaLog {
     // variantType (r16): schemaString's `variant` parses to Spark's
     // native VariantType and the parquet scan decodes the open
     // variant binary encoding (metadata dictionary + value) that
-    // Spark itself writes — UNSHREDDED columns only; shredded tables
-    // declare `variantShredding-preview`, which stays on the refusal
-    // list (reading a shredded file's null `value` field as the value
-    // would be wrong rows, not missing rows).
+    // Spark itself writes.
+    // variantShredding (r17): shredded files carry the Parquet
+    // Variant Shredding layout (`typed_value` groups beside
+    // metadata/value); Spark's parquet variant converter REBUILDS
+    // shredded and unshredded columns alike
+    // (spark.sql.variant.allowReadingShredded, default on), so
+    // reading the null `value` of a shredded-away field as the value
+    // — the wrong-rows hazard that kept this on the refusal list —
+    // never happens: the scan goes through the rebuilding converter,
+    // not the raw group fields.
     val implemented =
       Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
         "typeWidening", "typeWidening-preview",
-        "variantType", "variantType-preview")
+        "variantType", "variantType-preview",
+        "variantShredding", "variantShredding-preview")
     val modes = Set("none", "name", "id")
     val ok = st.minReader match {
       case v if v <= 1 => true

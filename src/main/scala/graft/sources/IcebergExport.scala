@@ -589,6 +589,7 @@ object IcebergExport {
   private def stageIn(
       df: DataFrame, table: String, partitionBy: Seq[String],
       fieldIds: Map[String, Int] = Map.empty): Seq[Added] = {
+    VariantWrite.applyPosture(df.sparkSession)
     val stage = Files.createTempDirectory("iceberg_stage")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)

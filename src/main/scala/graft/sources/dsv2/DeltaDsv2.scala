@@ -501,19 +501,31 @@ private[dsv2] case class DeltaDsv2Scan(
 
   private[dsv2] override def batchPartitions(): Array[InputPartition] =
     if (DeltaDsv2.isCdf(options)) cdfPartitions()
-    else keptFiles().map { a =>
-      val abs = DeltaLog.absPath(table, a.path)
-      val pv = new GenericInternalRow(
-        partitionSchema.fields.map(f => DeltaDsv2.internalPartValue(
-          a.partitionValues.getOrElse(physOf.getOrElse(f.name, f.name), null),
-          f.dataType)).toArray[Any])
-      // the DV ships as a DESCRIPTOR — the executor resolves it
-      val drop = a.dv.toSeq.map(d => DeltaDvPositions(table, d))
-      GraftInputPartition(
-        ParquetReadBridge.wholeFile(pv, abs,
-          a.size.getOrElse(Files.size(Paths.get(abs))), 0L),
-        drop, null, Nil, Nil, Map.empty)
-    }.toArray[InputPartition]
+    else {
+      val kept = keptFiles()
+      val withSize = kept.map { a =>
+        val abs = DeltaLog.absPath(table, a.path)
+        (a, abs, a.size.getOrElse(Files.size(Paths.get(abs))))
+      }
+      // large files split at Spark's own maxSplitBytes formula (r17):
+      // one slice per FILE caps parallelism at the file count — a
+      // 1 GB file must fan out like a native scan's row-group splits
+      val maxSplit = ParquetReadBridge.maxSplitBytes(
+        spark, withSize.map(_._3).sum)
+      withSize.flatMap { case (a, abs, size) =>
+        val pv = new GenericInternalRow(
+          partitionSchema.fields.map(f => DeltaDsv2.internalPartValue(
+            a.partitionValues
+              .getOrElse(physOf.getOrElse(f.name, f.name), null),
+            f.dataType)).toArray[Any])
+        // the DV ships as a DESCRIPTOR — the executor resolves it;
+        // positions are file-absolute, so every split of the file
+        // carries the same descriptor and admits only its own rows
+        val drop = a.dv.toSeq.map(d => DeltaDvPositions(table, d))
+        ParquetReadBridge.splitFile(pv, abs, size, 0L, maxSplit)
+          .map(pf => GraftInputPartition(pf, drop, null, Nil, Nil, Map.empty))
+      }.toArray[InputPartition]
+    }
 
   // ------------------------------------------------------------- CDF batch
 

@@ -714,7 +714,22 @@ private[dsv2] case class IcebergDsv2Scan(
 
   private[dsv2] override def batchPartitions(): Array[InputPartition] =
     if (IcebergDsv2.isCdf(options)) cdfPartitions()
-    else keptFiles().map(sliceFor).toArray[InputPartition]
+    else {
+      val kept = keptFiles()
+      val sized = kept.map(e => e -> Files.size(Paths.get(e.path)))
+      // large files split at Spark's own maxSplitBytes formula (r17) —
+      // delete state is file-scoped and row indexes file-absolute, so
+      // every split carries its file's descriptors and admits only
+      // its own rows. Streams stay file-granular (offset stability).
+      val maxSplit = ParquetReadBridge.maxSplitBytes(
+        SparkSession.active, sized.map(_._2).sum)
+      sized.flatMap { case (e, size) =>
+        val s = sliceFor(e)
+        ParquetReadBridge.splitFile(
+          s.pf.partitionValues, e.path, size, 0L, maxSplit)
+          .map(pf => s.copy(pf = pf))
+      }.toArray[InputPartition]
+    }
 
   // ------------------------------------------------------------- CDF batch
 
@@ -978,28 +993,40 @@ private[dsv2] class IcebergCdfPlanner(
 }
 
 /** Offset = (count of snapshot-log entries consumed, whether the
-  * initial snapshot has been served, that snapshot's id). The
-  * snapshot-log is append-only (rollbacks APPEND a re-current entry),
-  * so the index is a monotone stream position from format-version 1
-  * up — sequence numbers, the v2 alternative, don't exist on v1
-  * tables.
+  * initial snapshot has been served, that snapshot's id, and — r17,
+  * for `maxFilesPerTrigger` admission control — a FILE-GRANULAR
+  * `index` within the current position: in the snapshot phase the
+  * number of snapshot slices already served; in the tail `-1` means
+  * entries `[0, logIdx)` fully consumed (the canonical caught-up
+  * form — offset equality is how Spark detects "no new data") and
+  * `k ≥ 0` means those entries PLUS the first `k` slices of entry
+  * `logIdx`. Old checkpoints carry no `index`: it defaults to
+  * "nothing served" in the snapshot phase and "entries complete" in
+  * the tail — exactly what those offsets meant. The snapshot-log is
+  * append-only (rollbacks APPEND a re-current entry), so the log
+  * index is a monotone stream position from format-version 1 up —
+  * sequence numbers, the v2 alternative, don't exist on v1 tables.
   */
 private[dsv2] case class IcebergStreamOffset(
-    logIdx: Long, snapshotDone: Boolean, snapshotId: Long)
+    logIdx: Long, snapshotDone: Boolean, snapshotId: Long,
+    index: Long = -1L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
     s"""{"logIdx":$logIdx,"snapshotDone":$snapshotDone,""" +
-      s""""snapshotId":$snapshotId}"""
+      s""""snapshotId":$snapshotId,"index":$index}"""
 }
 
 private[dsv2] object IcebergStreamOffset {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   def fromJson(s: String): IcebergStreamOffset = {
     val n = mapper.readTree(s)
+    val done = n.get("snapshotDone").asBoolean()
     IcebergStreamOffset(
       n.get("logIdx").asLong(),
-      n.get("snapshotDone").asBoolean(),
-      n.get("snapshotId").asLong())
+      done,
+      n.get("snapshotId").asLong(),
+      Option(n.get("index")).map(_.asLong())
+        .getOrElse(if (done) -1L else 0L))
   }
 }
 
@@ -1017,14 +1044,20 @@ private[dsv2] object IcebergStreamOffset {
   * fail the stream unless `skipChangeCommits` drops them; a
   * NON-LINEAR history step (a rollback re-currenting an old snapshot)
   * fails loudly — replaying it would duplicate rows. Exactly-once by
-  * snapshot-log-index offsets in the streaming checkpoint.
+  * snapshot-log-index offsets in the streaming checkpoint, now (r17)
+  * FILE-GRANULAR: `maxFilesPerTrigger` bounds each micro-batch
+  * through `SupportsAdmissionControl`, splitting the initial
+  * snapshot of a 100 TB table and oversized log entries into bounded
+  * batches — in append mode AND in CDF mode (the changelog slices
+  * ride the same per-entry lists).
   */
 private[dsv2] class IcebergMicroBatchStream(
     table: String, tableSchema: StructType, required: StructType,
     options: Map[String, String], cdf: Boolean)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private val skipChangeCommits =
     IcebergDsv2.opt(options, "skipChangeCommits").exists(_.toBoolean)
@@ -1071,13 +1104,129 @@ private[dsv2] class IcebergMicroBatchStream(
         IcebergStreamOffset(
           IcebergTable.snapshotLog(table).size.toLong,
           snapshotDone = false,
-          cur.get("snapshot-id").asLong())
+          cur.get("snapshot-id").asLong(), 0L)
     }
 
+  // ------------------------------------------------------ slice lists
+  // Per-position slice lists are deterministic for a given log state
+  // (entries are immutable once written; the CDF planner is
+  // metadata-derived), so caching them keeps latestOffset counting
+  // and planInputPartitions consistent within a run.
+
+  private val sliceCache = new java.util.concurrent.ConcurrentHashMap[
+    Long, IndexedSeq[GraftFileBatch.GraftInputPartition]]()
+
+  private def snapshotSlices(
+      s: IcebergStreamOffset)
+      : IndexedSeq[GraftFileBatch.GraftInputPartition] =
+    sliceCache.computeIfAbsent(-1000000L - s.snapshotId, _ =>
+      (if (cdf) cdfPlanner.snapshotSlices(s.snapshotId, (s.logIdx - 1).toInt)
+      else theScan(s).batchPartitions().toSeq
+        .map(_.asInstanceOf[GraftFileBatch.GraftInputPartition]))
+        .toIndexedSeq)
+
+  /** Slices of log entry `i` — append-mode (linearity + append-only
+    * gates) or the changelog planner's change slices in CDF mode.
+    */
+  private def entrySlices(
+      i: Int, start: IcebergStreamOffset)
+      : IndexedSeq[GraftFileBatch.GraftInputPartition] =
+    sliceCache.computeIfAbsent(i.toLong, _ => {
+      val log = IcebergTable.snapshotLog(table)
+      if (cdf)
+        cdfPlanner.slicesFor(log(i)._2,
+          if (i == 0) None else Some(log(i - 1)._2), i).toIndexedSeq
+      else appendEntrySlices(i, log, theScan(start)).toIndexedSeq
+    })
+
+  private def appendEntrySlices(
+      i: Int, log: Seq[(Long, Long)], scan: IcebergDsv2Scan)
+      : Seq[GraftFileBatch.GraftInputPartition] = {
+    val meta = IcebergTable.metadataJson(table)
+    val snapId = log(i)._2
+    val sn = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong() == snapId)
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot $snapId from the log is expired: the stream " +
+          "cannot reconstruct its batch"))
+    // linear-history gate: this entry must extend the previous one —
+    // a rollback re-currents an ALREADY-SERVED snapshot and replaying
+    // it would duplicate rows
+    if (i > 0) {
+      val prevId = log(i - 1)._2
+      val parent = Option(sn.get("parent-snapshot-id"))
+        .filterNot(_.isNull).map(_.asLong())
+      require(parent.contains(prevId),
+        s"non-linear history at snapshot $snapId of $table (a " +
+          "rollback?): replaying it would duplicate rows — start a " +
+          "fresh stream from the current snapshot instead")
+    }
+    val op = Option(sn.get("summary"))
+      .flatMap(su => Option(su.get("operation")))
+      .map(_.asText()).getOrElse("unknown")
+    if (op != "append") {
+      if (skipChangeCommits) Nil
+      else throw new IllegalStateException(
+        s"snapshot $snapId of $table is '$op', not an append: a " +
+          "streaming read cannot retract rows — set " +
+          "skipChangeCommits=true to drop such commits, or stream " +
+          "with readChangeFeed=true to consume the changes")
+    } else {
+      IcebergTable.addedDataFiles(table, meta, sn)
+        .sortBy(_.path)
+        .map(scan.sliceFor)
+    }
+  }
+
+  // ------------------------------------------------- admission control
+
+  override def getDefaultReadLimit: ReadLimit =
+    IcebergDsv2.opt(options, "maxFilesPerTrigger")
+      .map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
   override def latestOffset(): Offset =
-    IcebergStreamOffset(
-      IcebergTable.snapshotLog(table).size.toLong,
-      snapshotDone = true, -1L)
+    latestOffset(initialOffset(), ReadLimit.allAvailable())
+
+  override def latestOffset(start0: Offset, limit: ReadLimit): Offset = {
+    val s = start0.asInstanceOf[IcebergStreamOffset]
+    var budget: Long = limit match {
+      case m: ReadMaxFiles => m.maxFiles().toLong
+      case _ => Long.MaxValue
+    }
+    val logSize = IcebergTable.snapshotLog(table).size.toLong
+    var idx = s.logIdx
+    var within = if (s.snapshotDone) s.index else -1L
+    if (!s.snapshotDone) {
+      val n = snapshotSlices(s).size.toLong
+      val rem = n - s.index
+      if (budget < rem)
+        return IcebergStreamOffset(s.logIdx, snapshotDone = false,
+          s.snapshotId, s.index + budget)
+      budget -= rem
+      within = -1L
+    }
+    if (within >= 0L) {
+      val n = entrySlices(idx.toInt, s).size.toLong
+      val rem = n - within
+      if (budget < rem)
+        return IcebergStreamOffset(idx, snapshotDone = true, -1L,
+          within + budget)
+      budget -= rem
+      idx += 1L
+    }
+    while (idx < logSize) {
+      val n = entrySlices(idx.toInt, s).size.toLong
+      if (budget < n)
+        return (if (budget == 0L)
+          IcebergStreamOffset(idx, snapshotDone = true, -1L, -1L)
+        else IcebergStreamOffset(idx, snapshotDone = true, -1L, budget))
+      budget -= n
+      idx += 1L
+    }
+    IcebergStreamOffset(idx, snapshotDone = true, -1L, -1L)
+  }
 
   override def deserializeOffset(json: String): Offset =
     IcebergStreamOffset.fromJson(json)
@@ -1086,65 +1235,35 @@ private[dsv2] class IcebergMicroBatchStream(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[IcebergStreamOffset]
     val e = end.asInstanceOf[IcebergStreamOffset]
-    if (cdf) {
-      val cdfLog = IcebergTable.snapshotLog(table)
-      val snapshot: Seq[GraftFileBatch.GraftInputPartition] =
-        if (s.snapshotDone) Nil
-        else cdfPlanner.snapshotSlices(s.snapshotId, (s.logIdx - 1).toInt)
-      val cdfTail =
-        (s.logIdx.toInt until math.min(e.logIdx.toInt, cdfLog.size))
-          .flatMap { i =>
-            cdfPlanner.slicesFor(cdfLog(i)._2,
-              if (i == 0) None else Some(cdfLog(i - 1)._2), i)
-          }
-      return (snapshot ++ cdfTail).toArray[InputPartition]
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[GraftFileBatch.GraftInputPartition]
+    var idx = s.logIdx
+    var within = if (s.snapshotDone) s.index else -1L
+    if (!s.snapshotDone) {
+      val snap = snapshotSlices(s)
+      if (!e.snapshotDone)
+        return snap.slice(s.index.toInt, e.index.toInt)
+          .toArray[InputPartition]
+      parts ++= snap.drop(s.index.toInt)
+      within = -1L
     }
-    val scan = theScan(s)
-    // snapshot phase planned FROM THE PINNED SNAPSHOT's plan — the
-    // tail below serves everything after it, exactly once
-    val snapshot: Array[InputPartition] =
-      if (s.snapshotDone) Array.empty else scan.batchPartitions()
-    val meta = IcebergTable.metadataJson(table)
-    val log = IcebergTable.snapshotLog(table)
-    val snapsById: Map[Long, com.fasterxml.jackson.databind.JsonNode] =
-      Option(meta.get("snapshots")).toSeq
-        .flatMap(_.elements().asScala)
-        .map(sn => sn.get("snapshot-id").asLong() -> sn).toMap
-    val tail = (s.logIdx.toInt until math.min(e.logIdx.toInt, log.size))
-      .flatMap { i =>
-        val (_, snapId) = log(i)
-        // linear-history gate: this entry must extend the previous one
-        // — a rollback re-currents an ALREADY-SERVED snapshot and
-        // replaying it would duplicate rows
-        val sn = snapsById.getOrElse(snapId,
-          throw new IllegalStateException(
-            s"snapshot $snapId from the log is expired: the stream " +
-              "cannot reconstruct its batch"))
-        if (i > 0) {
-          val prevId = log(i - 1)._2
-          val parent = Option(sn.get("parent-snapshot-id"))
-            .filterNot(_.isNull).map(_.asLong())
-          require(parent.contains(prevId),
-            s"non-linear history at snapshot $snapId of $table (a " +
-              "rollback?): replaying it would duplicate rows — start a " +
-              "fresh stream from the current snapshot instead")
-        }
-        val op = Option(sn.get("summary"))
-          .flatMap(su => Option(su.get("operation")))
-          .map(_.asText()).getOrElse("unknown")
-        if (op != "append") {
-          if (skipChangeCommits) Nil
-          else throw new IllegalStateException(
-            s"snapshot $snapId of $table is '$op', not an append: a " +
-              "streaming read cannot retract rows — set " +
-              "skipChangeCommits=true to drop such commits")
-        } else {
-          IcebergTable.addedDataFiles(table, meta, sn)
-            .sortBy(_.path)
-            .map(scan.sliceFor)
-        }
+    if (within >= 0L) {
+      val all = entrySlices(idx.toInt, s)
+      if (e.logIdx == idx && e.index >= 0L) {
+        parts ++= all.slice(within.toInt, e.index.toInt)
+        return parts.toArray[InputPartition]
       }
-    snapshot ++ tail.toArray[InputPartition]
+      parts ++= all.drop(within.toInt)
+      idx += 1L
+    }
+    val logSize = IcebergTable.snapshotLog(table).size.toLong
+    while (idx < math.min(e.logIdx, logSize)) {
+      parts ++= entrySlices(idx.toInt, s)
+      idx += 1L
+    }
+    if (e.index >= 0L && e.logIdx == idx && idx < logSize)
+      parts ++= entrySlices(idx.toInt, s).take(e.index.toInt)
+    parts.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -81,4 +81,46 @@ object ParquetReadBridge {
 
   def hadoopConf(spark: SparkSession): Configuration =
     spark.sessionState.newHadoopConf()
+
+  /** Spark's own split-size formula (`FilePartition.maxSplitBytes`):
+    * `min(maxPartitionBytes, max(openCostInBytes, totalBytes/cores))`
+    * — big scans split at ~`spark.sql.files.maxPartitionBytes`
+    * (row-group-aligned by the reader), small scans stay whole-file
+    * (the open cost floor), and a medium scan spreads across the
+    * cluster's parallelism.
+    */
+  def maxSplitBytes(spark: SparkSession, totalBytes: Long): Long = {
+    val defaultMax = spark.sessionState.conf.filesMaxPartitionBytes
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val minPartitionNum = spark.sessionState.conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val bytesPerCore = totalBytes / math.max(1, minPartitionNum)
+    math.min(defaultMax, math.max(openCost, bytesPerCore))
+  }
+
+  /** [[PartitionedFile]] byte-range chunks of one file, at most
+    * `maxSplit` each. The reader decodes exactly the row groups whose
+    * MIDPOINT lands in `[start, start+length)` (Spark's standard
+    * split semantics), so the chunks of a file partition its rows
+    * with no overlap and no gap, and the row-index metadata column
+    * stays file-absolute — position deletes keep working per chunk.
+    */
+  def splitFile(
+      partitionValues: InternalRow,
+      absPath: String,
+      fileSize: Long,
+      modificationTime: Long,
+      maxSplit: Long): Seq[PartitionedFile] =
+    if (fileSize <= maxSplit || maxSplit <= 0L)
+      Seq(wholeFile(partitionValues, absPath, fileSize, modificationTime))
+    else (0L until fileSize by maxSplit).map { off =>
+      PartitionedFile(
+        partitionValues = partitionValues,
+        filePath = SparkPath.fromPathString(absPath),
+        start = off,
+        length = math.min(maxSplit, fileSize - off),
+        locations = Array.empty,
+        modificationTime = modificationTime,
+        fileSize = fileSize)
+    }
 }

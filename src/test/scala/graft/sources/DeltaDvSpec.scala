@@ -207,11 +207,11 @@ class DeltaDvSpec extends SparkSpec {
     DeltaExport.create(Seq((1L, "a")).toDF("id", "s"), t)
     val dir = java.nio.file.Paths.get(t, "_delta_log")
     Files.writeString(dir.resolve(f"${1L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantShredding-preview"],"writerFeatures":["variantShredding-preview"]}}""" + "\n")
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations-preview"],"writerFeatures":["collations-preview"]}}""" + "\n")
     val e = intercept[IllegalArgumentException] {
       DeltaLog.read(spark, t)
     }
-    assert(e.getMessage.contains("variantShredding-preview"), e.getMessage)
+    assert(e.getMessage.contains("collations-preview"), e.getMessage)
   }
 
   test("superseded DV files are remove-tracked and vacuum-reclaimable") {

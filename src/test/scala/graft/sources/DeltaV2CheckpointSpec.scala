@@ -253,11 +253,11 @@ class DeltaV2CheckpointSpec extends SparkSpec {
       (2L, java.time.LocalDateTime.of(2024, 3, 5, 20, 45))), rows.toSeq)
     // an UNKNOWN feature beside it still refuses
     writeCommit(table, 1, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","variantShredding-preview"],"writerFeatures":["timestampNtz","variantShredding-preview"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","collations-preview"],"writerFeatures":["timestampNtz","collations-preview"]}}"""))
     val e = intercept[IllegalArgumentException] {
       DeltaLog.read(spark, table.toString)
     }
-    assert(e.getMessage.contains("variantShredding-preview"), e.getMessage)
+    assert(e.getMessage.contains("collations-preview"), e.getMessage)
   }
 
   private def writeOneParquet(

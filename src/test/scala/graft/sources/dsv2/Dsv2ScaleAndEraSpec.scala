@@ -191,4 +191,50 @@ class Dsv2ScaleAndEraSpec extends SparkSpec {
     val Some((planned, total)) = Dsv2Planning.plannedFor(t)
     assert(planned < total, s"identity prune across eras: $planned/$total")
   }
+
+  test("batch scans split large files at maxSplitBytes; deletes stay exact per split") {
+    // one-file-per-slice caps parallelism at the file count — a big
+    // file must fan out like a native scan's row-group splits, and
+    // the file-absolute row-index discipline must keep position
+    // deletes exact across the chunks
+    val dt = tmp("dsv2_split_delta")
+    DeltaExport.create(
+      (0 until 20000).map(i => (i.toLong, s"v$i" * 8)).toDF("id", "s")
+        .coalesce(1), dt)
+    DeltaExport.deleteWhere(spark, dt, col("id") % 3 === 0)
+    val it = tmp("dsv2_split_ice")
+    IcebergExport.create(
+      (0 until 20000).map(i => (i.toLong, s"v$i" * 8)).toDF("id", "s")
+        .coalesce(1), it)
+    IcebergExport.deleteWhere(spark, it, col("id") % 3 === 0)
+
+    val saved = (
+      spark.conf.get("spark.sql.files.maxPartitionBytes"),
+      spark.conf.get("spark.sql.files.openCostInBytes"))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+    try {
+      val dParts = deltaScan(dt).toBatch.planInputPartitions()
+      assert(dParts.length > 1,
+        s"one 20k-row file must split, got ${dParts.length} partition(s)")
+      val dGot = spark.read.format("graft-delta").load(dt)
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      assert(dGot.toSeq == (0L until 20000L).filterNot(_ % 3 == 0),
+        s"split read drifted: ${dGot.length} rows")
+
+      val iParts = icebergScan(it).toBatch.planInputPartitions()
+      assert(iParts.length > 1,
+        s"iceberg file must split, got ${iParts.length} partition(s)")
+      val iGot = spark.read.format("graft-iceberg").load(it)
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      assert(iGot.toSeq == (0L until 20000L).filterNot(_ % 3 == 0),
+        s"iceberg split read drifted: ${iGot.length} rows")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", saved._1)
+      spark.conf.set("spark.sql.files.openCostInBytes", saved._2)
+    }
+    // back at the defaults, a small table stays whole-file (the open
+    // cost floor) — split planning must not shred tiny scans
+    assert(deltaScan(dt).toBatch.planInputPartitions().length == 1)
+  }
 }

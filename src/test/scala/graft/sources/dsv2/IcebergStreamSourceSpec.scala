@@ -106,4 +106,93 @@ class IcebergStreamSourceSpec extends SparkSpec {
         seen.asScala.toSeq.sorted.toString)
     } finally q2.stop()
   }
+
+  test("maxFilesPerTrigger splits snapshot and tail into bounded batches; restart mid-snapshot resumes") {
+    val t = tmp("ice_stream_rate")
+    val ckpt = tmp("ice_stream_rate_ckpt")
+    // 4 snapshot files (2 snapshots x 2 files) + a 2-file tail append
+    IcebergExport.create(df(0 until 10).repartition(2), t)
+    IcebergExport.append(df(10 until 20).repartition(2), t)
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val rows = batch.collect()
+      batchSizes.add(rows.length)
+      rows.foreach(r => seen.add(r.getLong(0)))
+    }
+    import scala.jdk.CollectionConverters._
+
+    def stream() = spark.readStream.format("graft-iceberg")
+      .option("maxFilesPerTrigger", "1").load(t)
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+
+    val q = stream()
+    try {
+      q.processAllAvailable()
+      assert(seen.asScala.toSet == (0L until 20L).toSet)
+      assert(seen.size == 20, s"no duplicates, got ${seen.size}")
+      // 4 snapshot files at 1 file/trigger -> at least 4 batches, and
+      // no batch larger than one file's rows (10 ids / 2 files = 5)
+      val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+      assert(sizes.size >= 4, s"expected >=4 bounded batches, got $sizes")
+      assert(sizes.forall(_ <= 5), s"one file per batch, got $sizes")
+      // tail under the same limit
+      IcebergExport.append(df(20 until 30).repartition(2), t)
+      q.processAllAvailable()
+      assert(seen.asScala.toSet == (0L until 30L).toSet)
+      assert(seen.size == 30, s"no duplicates, got ${seen.size}")
+    } finally q.stop()
+
+    // restart on the FILE-GRANULAR checkpoint: nothing re-served
+    IcebergExport.append(df(30 until 32).coalesce(1), t)
+    seen.clear()
+    val q2 = stream()
+    try {
+      q2.processAllAvailable()
+      val got = seen.asScala.toSeq.sorted
+      assert(got == Seq(30L, 31L),
+        s"restart must resume at the file-granular offset, got $got")
+    } finally q2.stop()
+  }
+
+  test("CDF mode rides the same admission control") {
+    val t = tmp("ice_stream_rate_cdf")
+    val ckpt = tmp("ice_stream_rate_cdf_ckpt")
+    IcebergExport.create(df(0 until 10).repartition(2), t)
+    IcebergExport.append(df(10 until 15).coalesce(1), t)
+    IcebergExport.deleteWhere(spark, t, col("id") < 2L)
+    val startId = graft.sources.IcebergTable.snapshotIds(t).head
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def sink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val rows = batch.select("id", "_change_type").collect()
+      batchSizes.add(rows.length)
+      rows.foreach(r => seen.add((r.getLong(0), r.getString(1))))
+    }
+    import scala.jdk.CollectionConverters._
+
+    val q = spark.readStream.format("graft-iceberg")
+      .option("readChangeFeed", "true")
+      .option("start-snapshot-id", startId.toString)
+      .option("maxFilesPerTrigger", "1").load(t)
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val want = graft.sources.IcebergChangelog
+        .changelog(spark, t, Some(startId), None)
+        .select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(seen.asScala.toSeq.sorted == want,
+        s"rate-limited CDF stream must equal the batch window")
+      // bounded: 2 insert files + 1 append file + 1 delete slice ->
+      // >= 4 batches, none above one file's rows (5)
+      val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+      assert(sizes.size >= 4, s"expected >=4 bounded batches, got $sizes")
+      assert(sizes.forall(_ <= 5), s"one slice per batch, got $sizes")
+    } finally q.stop()
+  }
 }
