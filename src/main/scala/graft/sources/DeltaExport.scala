@@ -1035,6 +1035,51 @@ object DeltaExport {
     v
   }
 
+  /** ALTER TABLE ... ADD COLUMN — a NULLABLE top-level column,
+    * metadata-only: files written before it read NULL (the Delta
+    * spec's answer; ADD COLUMN with a default is refused — a
+    * backfilling default would diverge from every other Delta
+    * reader, see [[setColumnDefault]]). Column-mapped tables refuse
+    * (a new column there needs a physicalName/field-id assignment);
+    * variant columns refuse (the reader feature is declared at
+    * create).
+    */
+  def addColumn(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      name: String, dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    require(!dt.isInstanceOf[VariantType],
+      "ADD COLUMN of a variant column is out of this writer's scope " +
+        "(the variantType reader feature is declared at create)")
+    var v = nextVersion(table)
+    var committed = false
+    while (!committed) {
+      val st = DeltaLog.stateAt(spark, table, None)
+      val schema = DataType.fromJson(st.schemaJson.get)
+        .asInstanceOf[StructType]
+      require(!schema.fieldNames.contains(name),
+        s"column $name already exists on $table")
+      require(st.configuration
+        .getOrElse("delta.columnMapping.mode", "none") == "none",
+        s"ADD COLUMN on a column-mapped table needs a physicalName/" +
+          "field-id assignment: out of this writer's scope")
+      val newSchema = StructType(
+        schema.fields :+ StructField(name, dt, nullable = true))
+      val conf = st.configuration.toSeq.sortBy(_._1)
+        .map { case (k, value) => s""""${esc(k)}":"${esc(value)}"""" }
+        .mkString("{", ",", "}")
+      val pcs = st.partitionCols.map(c => s""""${esc(c)}"""")
+        .mkString("[", ",", "]")
+      val id = st.tableId.getOrElse(java.util.UUID.randomUUID.toString)
+      val lines = Seq(
+        s"""{"metaData":{"id":"${esc(id)}","format":{"provider":"parquet","options":{}},"schemaString":"${esc(newSchema.json)}","partitionColumns":$pcs,"configuration":$conf,"createdTime":${System.currentTimeMillis()}}}""",
+        s"""{"commitInfo":{"operation":"ADD COLUMNS","operationParameters":{"column":"${esc(name)}"}}}""")
+      committed = claim(table, v, lines)
+      if (!committed) v = nextVersion(table)
+    }
+    v
+  }
+
   /** ALTER COLUMN ... SET DEFAULT — COLUMN DEFAULTS (PROTOCOL.md
     * "Column Default Values", the `allowColumnDefaults` writer
     * feature): records `defaultSql` in the field's `CURRENT_DEFAULT`

@@ -151,11 +151,96 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** NON-DESTRUCTIVE `ALTER TABLE` (r17), each change routed to the
+    * format's own transactional evolution writer — the SQL surface
+    * over machinery that already existed:
+    *
+    *  - `SET TBLPROPERTIES` → `DeltaExport.setProperties` /
+    *    `IcebergExport.setProperties` (feature declaration rules,
+    *    ICT enablement etc. live in the writers);
+    *  - `ADD COLUMN` (nullable top-level) → `DeltaExport.addColumn`
+    *    (pre-existing files read NULL, the spec's answer) /
+    *    `IcebergExport.addColumn` (new field-id);
+    *  - `ALTER COLUMN ... TYPE` → `DeltaExport.widenColumnType`
+    *    (the typeWidening feature) / `IcebergExport.evolveType`
+    *    (the spec's lossless promotions) — anything lossy refuses
+    *    in the writer;
+    *  - `ALTER COLUMN ... SET DEFAULT` → Delta
+    *    `setColumnDefault` (write-time semantics only); Iceberg
+    *    refuses (defaults attach at ADD COLUMN, v3);
+    *  - `RENAME COLUMN` / `DROP COLUMN` → Iceberg
+    *    `renameColumn`/`dropColumn` (field-id identity makes both
+    *    metadata-only); Delta refuses (both need column mapping,
+    *    whose name assignment stays with the bespoke writers).
+    *
+    * Everything else (nullability/comment/position changes,
+    * constraints) refuses loudly — never silently dropped.
+    */
   override def alterTable(
-      ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName does not alter tables: use the writer APIs " +
-        "(widenColumnType, setColumnDefault, setProperties, ...)")
+      ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val delta = formatOf(ident) == "delta"
+    val path = ident.name()
+    def one(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"$catalogName alters TOP-LEVEL columns only, " +
+          s"got ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case sp: TableChange.SetProperty =>
+        if (delta)
+          graft.sources.DeltaExport.setProperties(
+            spark, path, Map(sp.property -> sp.value))
+        else graft.sources.IcebergExport.setProperties(
+          path, Map(sp.property -> sp.value))
+      case ac: TableChange.AddColumn =>
+        require(ac.defaultValue() == null,
+          "ADD COLUMN with a default: Delta refuses by spec " +
+            "(defaults never backfill reads); for Iceberg v3 use " +
+            "IcebergExport.addColumn(table, name, dt, default)")
+        require(ac.position() == null,
+          "ADD COLUMN ... FIRST/AFTER: column positions are not " +
+            "supported — columns append")
+        if (delta)
+          graft.sources.DeltaExport.addColumn(
+            spark, path, one(ac.fieldNames()), ac.dataType())
+        else graft.sources.IcebergExport.addColumn(
+          path, one(ac.fieldNames()), ac.dataType())
+      case ut: TableChange.UpdateColumnType =>
+        if (delta)
+          graft.sources.DeltaExport.widenColumnType(
+            spark, path, one(ut.fieldNames()), ut.newDataType())
+        else graft.sources.IcebergExport.evolveType(
+          path, one(ut.fieldNames()), ut.newDataType())
+      case ud: TableChange.UpdateColumnDefaultValue =>
+        require(delta,
+          "Iceberg column defaults attach at ADD COLUMN (v3): use " +
+            "IcebergExport.addColumn(table, name, dt, default)")
+        graft.sources.DeltaExport.setColumnDefault(
+          spark, path, one(ud.fieldNames()), ud.newDefaultValue())
+      case rn: TableChange.RenameColumn =>
+        require(!delta,
+          "Delta RENAME COLUMN needs column mapping (a physicalName " +
+            "assignment): out of this catalog's scope — Iceberg " +
+            "renames are metadata-only and supported here")
+        graft.sources.IcebergExport.renameColumn(
+          path, one(rn.fieldNames()), rn.newName())
+      case dc: TableChange.DeleteColumn =>
+        require(!delta,
+          "Delta DROP COLUMN needs column mapping: out of this " +
+            "catalog's scope — Iceberg drops are metadata-only " +
+            "(field-id identity) and supported here")
+        graft.sources.IcebergExport.dropColumn(path, one(dc.fieldNames()))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"$catalogName does not support ALTER change " +
+            s"${other.getClass.getSimpleName}: supported are SET " +
+            "TBLPROPERTIES, ADD COLUMN, ALTER COLUMN TYPE, ALTER " +
+            "COLUMN SET DEFAULT (delta), RENAME/DROP COLUMN (iceberg)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

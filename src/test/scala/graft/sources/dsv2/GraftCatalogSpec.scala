@@ -157,4 +157,59 @@ class GraftCatalogSpec extends SparkSpec {
       .exists(_.contains("foot-gun"))), e.toString)
     assert(DeltaLog.read(spark, td).count() == 4L, "table must survive")
   }
+
+  test("ALTER TABLE routes to the evolution writers, both formats") {
+    // ---- delta: properties, ADD COLUMN, widen, SET DEFAULT --------
+    val td = tmp("cat_alter_delta")
+    DeltaExport.create(
+      (0 until 5).map(i => (i, s"v$i")).toDF("n", "s").coalesce(1), td)
+    spark.sql(
+      s"ALTER TABLE graft.delta.`$td` SET TBLPROPERTIES ('graft.k'='v1')")
+    assert(DeltaLog.stateAt(spark, td, None)
+      .configuration.get("graft.k").contains("v1"))
+    spark.sql(s"ALTER TABLE graft.delta.`$td` ADD COLUMN extra STRING")
+    // pre-existing rows read NULL in the new column — the spec's rule
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft.delta.`$td` WHERE extra IS NULL")
+      .head().getLong(0) == 5L)
+    spark.sql(s"ALTER TABLE graft.delta.`$td` ALTER COLUMN n TYPE BIGINT")
+    val widened = DeltaLog.read(spark, td)
+    assert(widened.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(widened.agg(sum(col("n"))).head().getLong(0) == 10L,
+      "narrow-era files must promote at scan")
+    spark.sql(
+      s"ALTER TABLE graft.delta.`$td` ALTER COLUMN s SET DEFAULT 'dflt'")
+    val st = DeltaLog.stateAt(spark, td, None)
+    assert(st.writerFeatures.contains("allowColumnDefaults"), st.writerFeatures)
+    // delta RENAME needs column mapping: loud refusal
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.delta.`$td` RENAME COLUMN s TO t")
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("column mapping"))), e.toString)
+
+    // ---- iceberg: ADD, RENAME, promote, DROP, properties ----------
+    val ti = tmp("cat_alter_ice")
+    IcebergExport.create(
+      (0 until 5).map(i => (i, s"v$i", i * 2)).toDF("n", "s", "gone")
+        .coalesce(1), ti)
+    spark.sql(s"ALTER TABLE graft.iceberg.`$ti` ADD COLUMN extra STRING")
+    spark.sql(s"ALTER TABLE graft.iceberg.`$ti` RENAME COLUMN s TO label")
+    spark.sql(s"ALTER TABLE graft.iceberg.`$ti` ALTER COLUMN n TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.iceberg.`$ti` DROP COLUMN gone")
+    spark.sql(
+      s"ALTER TABLE graft.iceberg.`$ti` SET TBLPROPERTIES ('graft.k'='v2')")
+    val got = spark.sql(
+      s"SELECT n, label, extra FROM graft.iceberg.`$ti` ORDER BY n")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(got.toSeq ==
+      (0 until 5).map(i => (i.toLong, s"v$i", null)),
+      got.toSeq.toString)
+    assert(!spark.sql(s"SELECT * FROM graft.iceberg.`$ti`")
+      .columns.contains("gone"))
+  }
 }
