@@ -951,6 +951,15 @@ private[dsv2] class DeltaMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     planner.factory()
 
-  override def commit(end: Offset): Unit = ()
+  /** Spark has durably committed everything through `end`: slice
+    * lists at or below it are never re-planned, so their cache
+    * entries go — driver memory must not grow with stream lifetime.
+    */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[DeltaStreamOffset]
+    sliceCache.keySet.removeIf(k =>
+      (k >= 0L && k < e.version) || (k < 0L && e.snapshotDone))
+  }
+
   override def stop(): Unit = ()
 }

@@ -1274,6 +1274,16 @@ private[dsv2] class IcebergMicroBatchStream(
     scan.batchFactory()
   }
 
-  override def commit(end: Offset): Unit = ()
+  /** Spark has durably committed everything through `end`: consumed
+    * entries' slice lists (and the snapshot list, once served) are
+    * never re-planned, so their cache entries go — driver memory
+    * must not grow with stream lifetime.
+    */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[IcebergStreamOffset]
+    sliceCache.keySet.removeIf(k =>
+      (k >= 0L && k < e.logIdx) || (k < 0L && e.snapshotDone))
+  }
+
   override def stop(): Unit = ()
 }

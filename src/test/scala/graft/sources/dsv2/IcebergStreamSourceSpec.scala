@@ -157,6 +157,20 @@ class IcebergStreamSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("pre-r17 index-less checkpoint offsets deserialize to what they meant") {
+    // tail form: entries [0, 5) fully consumed
+    val tail = IcebergStreamOffset.fromJson(
+      """{"logIdx":5,"snapshotDone":true,"snapshotId":-1}""")
+    assert(tail == IcebergStreamOffset(5L, snapshotDone = true, -1L, -1L))
+    // snapshot-pending form: nothing of the snapshot served yet
+    val snap = IcebergStreamOffset.fromJson(
+      """{"logIdx":3,"snapshotDone":false,"snapshotId":42}""")
+    assert(snap == IcebergStreamOffset(3L, snapshotDone = false, 42L, 0L))
+    // new offsets round-trip with the index intact
+    val partial = IcebergStreamOffset(4L, snapshotDone = true, -1L, 2L)
+    assert(IcebergStreamOffset.fromJson(partial.json()) == partial)
+  }
+
   test("CDF mode rides the same admission control") {
     val t = tmp("ice_stream_rate_cdf")
     val ckpt = tmp("ice_stream_rate_cdf_ckpt")
