@@ -119,8 +119,15 @@ object Dashboard {
     val base = events(spark, dir)
       .select(col("event_id"), col("ts"), col("value"))
       .withColumn("cents", round(col("value") * 100).cast("long"))
+    // lazy local checkpoint (r17 opt): the self-join below consumes
+    // `glob` twice, and only the bucket Exchange of the duplicated
+    // subtree was AQE-reusable — the per-bucket window pass ran TWICE.
+    // Checkpointing materializes the prefix frame once and both join
+    // sides read it; lazy, so the one materialization happens inside
+    // the query's own first job (values unchanged).
     val glob = graft.operators.GlobalPrefix.withPrefix(
       base, col("ts"), Seq(col("event_id")), col("cents"))
+      .localCheckpoint(eager = false)
     val back50 = glob.select(
       (col("gidx") + 50).as("pidx"), col("prefix").as("ppre"))
     glob.join(back50, col("gidx") === col("pidx"), "left")

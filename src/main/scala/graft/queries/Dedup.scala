@@ -91,6 +91,10 @@ object Dedup {
           col("surv.doc_id").as("sdoc"), col("surv.pos").as("spos"))
       grams.join(dup, Seq("sh"))
         .select(col("doc_id"), col("pos"), col("sdoc"), col("spos"))
+        // cache layout (see TextOps.cachedWords note): d17/d19/d24 all
+        // consume this via per-doc windows — partition by doc_id so
+        // those windows skip their exchange and run map-parallel
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     }
 
   /** Exact dedup (hash-groupBy on normalized-text fingerprint): one
@@ -141,7 +145,13 @@ object Dedup {
   }
 
   private[queries] def cachedShingles(spark: SparkSession, dir: String): DataFrame =
-    cached(spark, dir, "shingles")(shingles(spark, dir))
+    cached(spark, dir, "shingles")(
+      // Cache layout (see TextOps.cachedWords note): partitioned by the
+      // shingle so the d2/d7 inverted-index self-joins on `sh` read both
+      // sides co-partitioned (no exchange) and every consumer map stage
+      // is parallel instead of the 1-partition AQE-coalesced layout.
+      shingles(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("sh")))
 
   /** N-gram Jaccard near-dup: pairs sharing >= 1 shingle, scored
     * |A∩B| / |A∪B|, kept at >= 0.5. The pair join is an equi-join on the
@@ -295,6 +305,12 @@ object Dedup {
       pairs.unionByName(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .select(col("a_id").as("u"), col("b_id").as("v"))
+        // cache layout (see TextOps.cachedWords note): the union's
+        // concatenated partitions (2× parallelism of tiny slices)
+        // carried no useful clustering; partition by the contribution
+        // join's key so the degree agg and every round's edges⋈pr join
+        // read the stored clustering
+        .repartition(spark.sparkContext.defaultParallelism, col("u"))
     }
     pagerankOn(edges)
   }
@@ -310,10 +326,17 @@ object Dedup {
     // round k's frame appears TWICE in round k+1 (the contribution join
     // and the carry-through), so an unbroken lineage doubles per round
     // (measured: 84 exchanges in the k=4 plan; 7 with truncation)
+    // eager = false (r17 opt): the five eager checkpoints serialized
+    // five driver-blocking jobs per invocation — measured 1.2 s of the
+    // query's 1.6 s at sf0.1 spent in DataFrame CONSTRUCTION before
+    // the first timed job. Lazy local checkpoints keep the same
+    // lineage-truncation (each round's RDD persists at first
+    // materialization and both round-k+1 consumers share it) while
+    // letting one final action drive the whole chain.
     var pr = deg.select(col("u").as("doc_id"), col("deg"))
       .crossJoin(broadcast(nRow))
       .withColumn("pr", expr(s"$PrScale div n_nodes"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to PrRounds) {
       val contrib = edges
         .join(
@@ -329,7 +352,7 @@ object Dedup {
           expr(s"(15 * ($PrScale div n_nodes)) div 100" +
             " + (85 * inflow) div 100"))
         .drop("inflow")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     pr.select(col("doc_id"), col("deg"), col("pr").as("pr_n"))
       .orderBy(col("pr_n").desc, col("doc_id"))
@@ -463,7 +486,20 @@ object Dedup {
         col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    // The embeddings table is one small parquet file → a 1-split scan,
+    // so the broadcast nested loop's ENTIRE O(n²) stream side ran in a
+    // single task (guide §2.5 input-skew: one unsplittable input).
+    // Hash-repartition the streamed side by vec_id (deterministic — a
+    // round-robin repartition re-draws assignments under task retry,
+    // SPARK-38388) to spread the pair loop across the cluster; the
+    // shuffle moves only the ≤`maxAllPairsVectors` guarded rows. The
+    // partition count is EXPLICIT (defaultParallelism, scale-adaptive —
+    // never a constant): a bare repartition(col) is a coalescible
+    // shuffle origin, and AQE's bytes-based coalescing folded the ~1 MB
+    // of vectors back into ONE partition, blind to the O(n²) per-row
+    // compute downstream — measured: the whole pair loop on 1 task.
+    val a = e.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
       .select(
@@ -494,18 +530,22 @@ object Dedup {
     val sv = cached(spark, dir, "simhashValues")(simhashValues(spark, dir))
     val bands = sv.withColumn("k", explode(sequence(lit(0), lit(3))))
       .withColumn("bandval", expr("(sv >> (15 * k)) & 32767"))
-    val cand = bands
+    bands
       .select(col("doc_id").as("a_id"), col("sv").as("sa"), col("k"), col("bandval"))
       .join(
         bands.select(col("doc_id").as("b_id"), col("sv").as("sb"), col("k"), col("bandval")),
         Seq("k", "bandval"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
-      .distinct()
-    cand
+      // Hamming residual BEFORE the dedup shuffle (guide §2.3, shuffle
+      // fewer bytes): bit_count is a cheap codegen'd op, so evaluating
+      // it per band collision and dropping far pairs pre-Exchange beats
+      // shuffling every collision to dedup first; hamming is a pure
+      // function of (a_id, b_id) — sa/sv is determined by the id — so
+      // distinct over (a_id, b_id, hamming) keeps the identical pair set
       .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
       .filter(col("hamming") <= 8)
       .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -1054,7 +1094,12 @@ object Dedup {
   }
 
   private def cachedWinnowFps(spark: SparkSession, dir: String): DataFrame =
-    cached(spark, dir, "winnowFps")(winnowedFingerprints(spark, dir))
+    cached(spark, dir, "winnowFps")(
+      // cache layout (see TextOps.cachedWords note): partitioned by the
+      // fingerprint so d12's (doc_id, fp) distinct AND its fp self-join
+      // both ride the stored clustering without an exchange
+      winnowedFingerprints(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("fp")))
 
   /** Windows in an n-token doc = n − (k-gram tail) − (window ramp-up):
     * derived from the constants so tuning either cannot silently

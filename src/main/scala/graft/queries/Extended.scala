@@ -495,11 +495,19 @@ object Extended {
     val build = keyed(c, "b")
     probe.join(build, "k")
       .filter(col("a_custkey") < col("b_custkey"))
-      .select(col("a_custkey"), col("b_custkey"), col("a_name"), col("b_name"))
-      .distinct()
-      .filter(levenshtein(col("a_name"), col("b_name")) === 1)
+      // levenshtein residual BEFORE the dedup shuffle (guide §2.3):
+      // a candidate pair shares up to ~L deletion keys, so the
+      // pre-distinct frame is ~L× the pair set; the residual is cheap
+      // codegen (short names) and drops non-duplicates before the
+      // Exchange instead of after it. lev is a pure function of the
+      // names, so distinct over (+lev) keeps the identical pair set.
       .withColumn(
         "lev", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("lev") === 1L)
+      .select(
+        col("a_custkey"), col("b_custkey"), col("a_name"), col("b_name"),
+        col("lev"))
+      .distinct()
       .orderBy(col("a_custkey"), col("b_custkey"))
   }
 

@@ -42,7 +42,19 @@ object TextOps {
     * corpus per consumer.
     */
   def cachedWords(spark: SparkSession, dir: String): DataFrame =
-    SessionCache.cached(spark, dir, "words")(words(spark, dir))
+    SessionCache.cached(spark, dir, "words")(
+      // Cache LAYOUT, not semantics (r17 opt, guide §2.4 "bucketed
+      // tables persist a partitioning across jobs"): the corpus is one
+      // small parquet file → a 1-split scan, so the cached frame held
+      // ONE partition and every consumer's map stage (partial aggs,
+      // per-doc windows over millions of word rows) ran single-task.
+      // An explicit hash repartition on doc_id (defaultParallelism —
+      // scale-adaptive, and REPARTITION_BY_NUM so AQE cannot coalesce
+      // the layout away) makes every consumer map-parallel AND lets
+      // doc_id-keyed windows/aggregations skip their own Exchange
+      // (the partitioning already satisfies their distribution).
+      words(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
 
   /** Session-cached quality metrics: p1–p5 all start from these, and
     * p2 alone evaluates the words→aggregate pipeline three times
@@ -85,6 +97,11 @@ object TextOps {
             .select(
               col("doc_id"),
               concat(col("word"), lit(" "), col("nxt")).as("feat")))
+        // union concatenates the two branches' partitions without a
+        // partitioning guarantee — restore the doc_id layout so t26's
+        // training join and inference agg skip their exchanges (see
+        // cachedWords' layout note)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     }
 
   /** Every session-cached frame this module owns — see SessionCache.warm. */
@@ -530,13 +547,20 @@ object TextOps {
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"), col("word").as("prev"), col("nxt"))
     val cbg = bg.groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("cbg"))
-    val chist = bg.groupBy(col("prev")).agg(count(lit(1)).as("chist"))
+    // c(prev·) = Σ_w c(prev,w): derived from the bigram-type counts
+    // (bigram-vocab-sized agg) instead of a second full pass over the
+    // corpus-sized bg frame — identical counts by definition.
+    val chist = cbg.groupBy(col("prev")).agg(sum(col("cbg")).as("chist"))
     val cuni = cachedWords(spark, dir)
       .groupBy(col("word")).agg(count(lit(1)).as("cw"))
       .withColumnRenamed("word", "nxt")
     val total = cachedWords(spark, dir).agg(count(lit(1)).as("total"))
-    bg
-      .join(cbg, Seq("prev", "nxt"))
+    // lq depends only on the bigram TYPE (prev, nxt) — assemble the
+    // per-type score over the vocab²-bounded count frames, then attach
+    // it to corpus positions with ONE equi-join instead of three
+    // (shuffle bytes ∝ corpus × 1 instead of × 3; same per-row
+    // expression on the same counts, so values are bit-identical).
+    val lqOf = cbg
       .join(chist, Seq("prev"))
       .join(cuni, Seq("nxt"))
       .crossJoin(broadcast(total))
@@ -548,6 +572,9 @@ object TextOps {
             + lit(1.0 - BigramLambda)
             * (col("cw").cast("double") / col("total").cast("double")))
           * lit(1e9)).cast("long"))
+      .select(col("prev"), col("nxt"), col("lq"))
+    bg
+      .join(lqOf, Seq("prev", "nxt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("lq")).as("s"), count(lit(1)).as("n"))
       .select(
@@ -1017,14 +1044,22 @@ object TextOps {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val (segf, vocab) = bpeVocabFrames(spark, dir)
     cachedWords(spark, dir)
-      .join(segf, "word")
+      // explicit broadcast of the vocabulary-sized (Heaps-bounded)
+      // segmentation table: without the hint the planner broadcast the
+      // CORPUS words side at sf0.1 (its cached stats undercut segf's
+      // post-agg estimate) — backwards at any real scale
+      .join(broadcast(segf), "word")
       .select(
         col("doc_id"), col("pos").cast("long").as("pos"),
         posexplode(col("syms")).as(Seq("sym_idx", "token")))
       .join(broadcast(vocab), "token")
       .groupBy(col("doc_id"))
       .agg(
-        countDistinct(col("pos")).as("n_words"),
+        // n_words = distinct pos per doc; pos is unique per (doc, word
+        // position) and every word emits exactly one sym_idx=0 row, so
+        // counting those rows is the same number WITHOUT the
+        // distinct-aggregate Expand + extra exchange
+        sum(when(col("sym_idx") === 0, 1L).otherwise(0L)).as("n_words"),
         count(lit(1)).as("n_tokens"),
         sum(when(col("id") >= MergeIdOffset, 1L).otherwise(0L)).as("n_merged"),
         sum(col("id")).as("sum_id"),
@@ -1216,10 +1251,14 @@ object TextOps {
     val cc = tw.groupBy(col("feat")).agg(
       sum(isHead).as("n_head"),
       sum(lit(1L) - isHead).as("n_tail"))
-    val tt = tw.agg(
-      sum(isHead).as("t_head"),
-      sum(lit(1L) - isHead).as("t_tail"),
-      countDistinct(col("feat")).as("v"))
+    // Totals derived from the per-feature counts (T_c = Σ_f n_fc,
+    // V = |{f}|): a vocab-sized re-aggregation of cc instead of a
+    // SECOND pass over the corpus-sized feats⋈labels join — identical
+    // exact longs by definition.
+    val tt = cc.agg(
+      sum(col("n_head")).as("t_head"),
+      sum(col("n_tail")).as("t_tail"),
+      count(lit(1)).as("v"))
     val weights = cc.crossJoin(broadcast(tt))
       .select(
         col("feat"),
