@@ -45,8 +45,23 @@ object GlobalPrefix {
       rangeKey: Column,
       tieBreaks: Seq[Column],
       value: Column,
-      buckets: Int = 32): DataFrame = {
-    val base0 = df.withColumn("__v", value).withColumn("__k", rangeKey)
+      buckets: Int = 32,
+      checkpointInput: Boolean = true): DataFrame = {
+    // Lazy local checkpoint (r17 opt): the two-phase prefix scan reads
+    // its input TWICE by construction (the quantile-bounds pass and the
+    // bucketed window pass), and callers' upstream pipelines (corpus
+    // joins, aggregations) were recomputed for each. Materializing the
+    // input once is the canonical two-pass trade (recompute → storage);
+    // lazy, so the bounds pass below is what populates it. Values are
+    // unchanged — checkpointing only truncates lineage.
+    val base0 = {
+      val b = df.withColumn("__v", value).withColumn("__k", rangeKey)
+      // already-persisted inputs (session caches) re-read cheaply; a
+      // second materialized copy per invocation only churns storage
+      // (measured: t18's cached-words input swung 1.0 → 2.5-3.8 s
+      // under repeated invocations with an unconditional checkpoint)
+      if (checkpointInput) b.localCheckpoint(eager = false) else b
+    }
     val fracs = (1 until buckets).map(_.toDouble / buckets)
     // null bounds on empty input (percentile of zero rows) → no
     // boundaries → everything in bucket 0, empty result flows through

@@ -168,7 +168,15 @@ object Dedup {
     // "trivially true equals predicate" trap — it resolved correctly in
     // round 1 but only via dataset-id disambiguation.
     val a = s.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    // SHUFFLE_HASH hint (r17 opt, guide §3.1): both sides are the
+    // session-cached shingle frame already partitioned by `sh`, so the
+    // hinted join runs with ZERO exchanges and a parallel per-partition
+    // hash build. Unhinted, the planner broadcast the ~10 MiB side —
+    // a single-threaded driver build per invocation here, and a
+    // strategy that cannot exist at real scale (both sides are the
+    // corpus; the df cap bounds per-partition build size).
     val b = s.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      .hint("shuffle_hash")
     val inter = a
       .join(b, col("a_sh") === col("b_sh") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
@@ -1430,7 +1438,9 @@ object Dedup {
     val s = cachedShingles(spark, dir)
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = s.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    // same co-partitioned SHUFFLE_HASH shape as ngramJaccard (d2)
     val b = s.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      .hint("shuffle_hash")
     val inter = a
       .join(b, col("a_sh") === col("b_sh") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))

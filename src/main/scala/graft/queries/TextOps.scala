@@ -786,17 +786,34 @@ object TextOps {
         cachedWords(spark, dir),
         rangeKey = col("doc_id"),
         tieBreaks = Seq(col("pos")),
-        value = lit(1L))
+        value = lit(1L),
+        // input is the persisted words cache — re-reads are cheap and a
+        // per-invocation checkpoint copy only churns executor storage
+        checkpointInput = false)
       .select(col("gidx"), col("word"))
-    indexed
-      .withColumn(
-        "threshold",
-        explode(typedLit(VocabThresholds)))
-      .filter(col("gidx") <= col("threshold"))
+    // r17 opt — vocab-sized reformulation with identical values:
+    // |vocab among the first t words| = |{words whose FIRST occurrence
+    // index ≤ t}|, so collapse the corpus to per-word min(gidx) (one
+    // map-combinable hash agg) and count first-occurrences under each
+    // threshold; n_words = |{gidx ≤ t}| = min(t, N) exactly because
+    // gidx is the dense 1-based global index. Replaces the
+    // corpus×thresholds explode + distinct-aggregate Expand (which
+    // shuffled every prefix word row per threshold) with work bounded
+    // by the Heaps vocabulary.
+    val firstSeen = indexed.groupBy(col("word")).agg(min(col("gidx")).as("fo"))
+    // row count of the indexed frame ≡ row count of the words cache —
+    // the totals branch must not replay the prefix-scan subtree
+    val total = cachedWords(spark, dir).agg(count(lit(1)).as("n_total"))
+    firstSeen
+      .withColumn("threshold", explode(typedLit(VocabThresholds)))
+      .filter(col("fo") <= col("threshold"))
       .groupBy(col("threshold"))
-      .agg(
-        count(lit(1)).as("n_words"),
-        countDistinct(col("word")).as("vocab"))
+      .agg(count(lit(1)).as("vocab"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("threshold"),
+        least(col("threshold"), col("n_total")).as("n_words"),
+        col("vocab"))
       .orderBy(col("threshold"))
   }
 

@@ -418,7 +418,11 @@ object TrainingSet {
     val tfreq = w.filter(col("doc_id") < TargetDocs)
       .groupBy(col("word")).agg(count(lit(1)).as("t_cnt"))
     val ttot = tfreq.agg(sum(col("t_cnt")).as("t_total"))
-    w.join(cfreq, "word")
+    // per-WORD weight assembled over the vocab-sized count frames,
+    // then ONE corpus join instead of two (the t16 discipline): lr is
+    // a pure function of the word's counts, so the same expression on
+    // the same counts is bit-identical
+    val lrOf = cfreq
       .join(tfreq, Seq("word"), "left")
       .crossJoin(broadcast(ctot))
       .crossJoin(broadcast(ttot))
@@ -430,6 +434,8 @@ object TrainingSet {
             / (col("t_total") + col("v")).cast("double"))
             / (col("c_cnt").cast("double") / col("c_total").cast("double")))
           * lit(1e9)).cast("long"))
+      .select(col("word"), col("lr"))
+    w.join(lrOf, "word")
       .groupBy(col("doc_id"))
       .agg(sum(col("lr")).as("s"), count(lit(1)).as("n"))
       .select(

@@ -708,7 +708,10 @@ object DeltaLog {
       // WITHOUT ids then fails loudly instead of name-matching.
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     }
-    val scanned = spark.read.schema(dataSchema).parquet(files: _*)
+    // listing-free scan over the log's exact file set (see
+    // graftext.KnownFiles — the replayed state IS the listing)
+    val scanned = org.apache.spark.sql.graftext.KnownFiles
+      .parquetFrame(spark, dataSchema, files)
     // DELETION VECTORS: a DV'd file's rows filter by their in-file
     // row index — the deleted (file, index) pairs build an anti-join
     // side (bounded by total deleted rows; the metadata-not-data

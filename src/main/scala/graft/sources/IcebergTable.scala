@@ -1489,8 +1489,11 @@ object IcebergTable {
           else StructType(readSchema.fields ++ Seq(
             StructField("_row_id", LongType),
             StructField("_last_updated_sequence_number", LongType)))
-        val scanned = spark.read.schema(scanSchema)
-          .parquet(files.map(_.path): _*)
+        // listing-free scan over the manifest's exact file set (see
+        // graftext.KnownFiles: spark.read.parquet over >32 explicit
+        // paths launches a one-task-per-path discovery JOB per read)
+        val scanned = org.apache.spark.sql.graftext.KnownFiles
+          .parquetFrame(spark, scanSchema, files.map(_.path))
           .select(resolved.map(_._2) ++ lineageCols ++ metaCols: _*)
         // attach THIS era's identity columns from partition metadata
         // (one metadata-sized broadcast equi-join on the canonical
