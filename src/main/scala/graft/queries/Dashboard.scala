@@ -102,7 +102,12 @@ object Dashboard {
     * the windowed sum is exact in both engines and the final IEEE double
     * division of identical integers is bit-identical. No rounding needed.
     */
-  def q6RollingSentiment(spark: SparkSession, dir: String): DataFrame = {
+  /** q6's prefix frame BEFORE the shared checkpoint — exposed so the
+    * plan audit can still see the window machinery (all `__pid`-bucket
+    * partitioned): the registered query checkpoints this frame, which
+    * truncates its lineage out of the final plan.
+    */
+  def q6PrefixFrame(spark: SparkSession, dir: String): DataFrame = {
     // Two-phase rolling window — no single-partition Window.orderBy
     // (round 1 shipped the naive global window: one task sorts and
     // scans ALL rows, the 100×-scale bottleneck).
@@ -119,14 +124,18 @@ object Dashboard {
     val base = events(spark, dir)
       .select(col("event_id"), col("ts"), col("value"))
       .withColumn("cents", round(col("value") * 100).cast("long"))
-    // lazy local checkpoint (r17 opt): the self-join below consumes
-    // `glob` twice, and only the bucket Exchange of the duplicated
-    // subtree was AQE-reusable — the per-bucket window pass ran TWICE.
-    // Checkpointing materializes the prefix frame once and both join
-    // sides read it; lazy, so the one materialization happens inside
-    // the query's own first job (values unchanged).
-    val glob = graft.operators.GlobalPrefix.withPrefix(
+    graft.operators.GlobalPrefix.withPrefix(
       base, col("ts"), Seq(col("event_id")), col("cents"))
+  }
+
+  def q6RollingSentiment(spark: SparkSession, dir: String): DataFrame = {
+    // lazy local checkpoint (r17 opt): the self-join below consumes
+    // the prefix frame twice, and only the bucket Exchange of the
+    // duplicated subtree was AQE-reusable — the per-bucket window pass
+    // ran TWICE. Checkpointing materializes the prefix frame once and
+    // both join sides read it; lazy, so the one materialization happens
+    // inside the query's own first job (values unchanged).
+    val glob = q6PrefixFrame(spark, dir)
       .localCheckpoint(eager = false)
     val back50 = glob.select(
       (col("gidx") + 50).as("pidx"), col("prefix").as("ppre"))

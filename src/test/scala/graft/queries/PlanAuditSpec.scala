@@ -49,10 +49,19 @@ class PlanAuditSpec extends SparkSpec {
       .filter(s => s.contains(" ASC") || s.contains(" DESC"))
 
   test("q6 two-phase rolling window: no unpartitioned WindowExec") {
-    val specs = windowSpecFirstArgs(plan("q6_rolling_sentiment"))
+    // r17: the registered query localCheckpoints the prefix frame (the
+    // self-join reads ONE materialization), which truncates the window
+    // machinery out of its final plan — audit the pre-checkpoint frame
+    // the query builds, and pin that the final plan has NO window at
+    // all (nothing left that COULD regress to a global sort).
+    val specs = windowSpecFirstArgs(
+      Dashboard.q6PrefixFrame(spark, dir)
+        .queryExecution.executedPlan.toString)
     assert(specs.nonEmpty)
     assert(specs.forall(_.startsWith("__pid")),
       s"window specs not all bucket-partitioned: $specs")
+    assert(windowSpecFirstArgs(plan("q6_rolling_sentiment")).isEmpty,
+      "q6's post-checkpoint plan should contain no window machinery")
   }
 
   test("no unpartitioned windows anywhere in the training tier") {
@@ -277,9 +286,13 @@ class PlanAuditSpec extends SparkSpec {
                               // spend is 2 shrinking aggs + a post-agg
                               // total window + sort (r8: was 11 with a
                               // broadcast-total branch)
-    "d21_sketch_calibration" -> 10, // cand/est joins + truth inverted-
+    "d21_sketch_calibration" -> 11, // cand/est joins + truth inverted-
                                     // index join + decile agg + sort,
-                                    // cold-cache ceiling
+                                    // cold-cache ceiling (r17: +1, the
+                                    // truth self-join pins SHUFFLE_HASH
+                                    // — two co-partitioned exchanges
+                                    // replace a broadcast whose build
+                                    // side GROWS with the corpus)
     "t22_ppl_buckets" -> 14, // t16's bigram pipeline (4 count aggs + 3
                              // joins) + lang join + per-lang windows +
                              // bucket agg + sort, cold-cache ceiling
