@@ -125,7 +125,11 @@ object Dashboard {
       .select(col("event_id"), col("ts"), col("value"))
       .withColumn("cents", round(col("value") * 100).cast("long"))
     graft.operators.GlobalPrefix.withPrefix(
-      base, col("ts"), Seq(col("event_id")), col("cents"))
+      base, col("ts"), Seq(col("event_id")), col("cents"),
+      // the input is a bare parquet scan + projection: re-reading it for
+      // the two prefix passes is cheaper than writing + reading a
+      // per-invocation checkpoint copy of the whole event stream
+      checkpointInput = false)
   }
 
   def q6RollingSentiment(spark: SparkSession, dir: String): DataFrame = {

@@ -146,12 +146,14 @@ object Dedup {
 
   private[queries] def cachedShingles(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "shingles")(
-      // Cache layout (see TextOps.cachedWords note): partitioned by the
-      // shingle so the d2/d7 inverted-index self-joins on `sh` read both
-      // sides co-partitioned (no exchange) and every consumer map stage
-      // is parallel instead of the 1-partition AQE-coalesced layout.
-      shingles(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("sh")))
+      // Cache layout: deliberately NOT repartitioned. An sh-keyed layout
+      // (tried mid-r17) serves only the d2/d21 self-joins; the family's
+      // doc-keyed consumers (d7's rescore sides, p6/p10's per-doc
+      // aggregates, the sizes branches) each paid a full extra exchange
+      // against it — measured net +1.6 s over d2/d3/d6/d7/d10/d11/d12/
+      // d21/p6/p10 at sf0.1. The build's own output partitioning (df-cap
+      // aggregation) already spreads the frame for parallel map stages.
+      shingles(spark, dir))
 
   /** N-gram Jaccard near-dup: pairs sharing >= 1 shingle, scored
     * |A∩B| / |A∪B|, kept at >= 0.5. The pair join is an equi-join on the
@@ -168,15 +170,13 @@ object Dedup {
     // "trivially true equals predicate" trap — it resolved correctly in
     // round 1 but only via dataset-id disambiguation.
     val a = s.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    // SHUFFLE_HASH hint (r17 opt, guide §3.1): both sides are the
-    // session-cached shingle frame already partitioned by `sh`, so the
-    // hinted join runs with ZERO exchanges and a parallel per-partition
-    // hash build. Unhinted, the planner broadcast the ~10 MiB side —
-    // a single-threaded driver build per invocation here, and a
-    // strategy that cannot exist at real scale (both sides are the
-    // corpus; the df cap bounds per-partition build size).
+    // No join-strategy hint (r17: a SHUFFLE_HASH pin was tried and
+    // reverted — measured d2 0.63 -> 1.00 s): the planner broadcasts
+    // the df-capped side while its size estimate is under the
+    // threshold and falls back to a shuffled join beyond it, which is
+    // exactly the scale posture — pinning the shuffle locally only
+    // bought two corpus-sized exchanges.
     val b = s.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      .hint("shuffle_hash")
     val inter = a
       .join(b, col("a_sh") === col("b_sh") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
@@ -1103,11 +1103,12 @@ object Dedup {
 
   private def cachedWinnowFps(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "winnowFps")(
-      // cache layout (see TextOps.cachedWords note): partitioned by the
-      // fingerprint so d12's (doc_id, fp) distinct AND its fp self-join
-      // both ride the stored clustering without an exchange
-      winnowedFingerprints(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("fp")))
+      // Cache layout: deliberately NOT repartitioned. An fp-keyed layout
+      // (tried mid-r17) bought d12's self-join nothing measurable while
+      // d11's per-doc summary paid a full extra exchange against it
+      // (0.12 -> 0.40 s at sf0.1); the build's own distinct already
+      // leaves a parallel layout.
+      winnowedFingerprints(spark, dir))
 
   /** Windows in an n-token doc = n − (k-gram tail) − (window ramp-up):
     * derived from the constants so tuning either cannot silently
@@ -1438,9 +1439,8 @@ object Dedup {
     val s = cachedShingles(spark, dir)
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = s.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    // same co-partitioned SHUFFLE_HASH shape as ngramJaccard (d2)
+    // same unhinted planner-chosen join shape as ngramJaccard (d2)
     val b = s.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      .hint("shuffle_hash")
     val inter = a
       .join(b, col("a_sh") === col("b_sh") && col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
@@ -1511,14 +1511,23 @@ object Dedup {
             x => x.getField("word")),
           " ").cast("binary")).as("chash"),
         count(lit(1)).as("n_words"))
-    val df = chunks.groupBy(col("chash"))
-      .agg(countDistinct(col("doc_id")).as("ddf"))
-    chunks.join(df, "chash")
+    // r17 opt (guide §2.4): the old shape self-joined `chunks` against
+    // its own chash-grain ddf aggregate — the window+collect_list chunk
+    // subtree was planned (and computed) TWICE, plus a join exchange.
+    // One pass instead: reduce to (chash, doc_id) grain, read each
+    // chash's distinct-doc count as a COUNT window over that grain
+    // (each row IS one distinct doc), and fold back per doc. Values
+    // identical: k chunk rows per (chash, doc) carry the same ddf.
+    val byHash = Window.partitionBy(col("chash"))
+    chunks
+      .groupBy(col("chash"), col("doc_id"))
+      .agg(count(lit(1)).as("k"), sum(col("n_words")).as("w"))
+      .withColumn("ddf", count(lit(1)).over(byHash))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(col("n_words")).as("n_words"),
-        sum(when(col("ddf") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+        sum(col("k")).as("n_chunks"),
+        sum(col("w")).as("n_words"),
+        sum(when(col("ddf") > 1, col("k")).otherwise(0L)).as("n_shared_chunks"))
       .select(
         col("doc_id"), col("n_chunks"), col("n_words"),
         col("n_shared_chunks"),

@@ -356,8 +356,13 @@ object Extended {
     val spark2 = spark
     import spark2.implicits._
     val words = TextOps.cachedWords(spark, dir)
-    val candidates = words
-      .groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
+    // r17 opt (guide §2.3): exact candidate counts ride the cached
+    // (doc_id, word, tf) frame — the word-keyed aggregate shuffles
+    // pre-combined per-doc type rows instead of raw occurrences
+    // (Σ tf over docs = occurrence count, exactly). The sketch pass
+    // below stays on the occurrence stream — that IS the operator.
+    val candidates = TextOps.cachedTfidf(spark, dir)
+      .groupBy(col("word")).agg(sum(col("tf")).as("exact_n"))
       .orderBy(col("exact_n").desc, col("word"))
       .limit(CmsTopK)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

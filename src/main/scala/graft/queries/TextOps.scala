@@ -411,7 +411,17 @@ object TextOps {
     * transcendental emitted anywhere — computed from identical exact
     * integers in both engines, rounded to 6 dp.
     */
-  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfUnsorted(spark, dir).orderBy(col("doc_id"), col("word"))
+
+  /** t8's pipeline WITHOUT the output sort — what the session cache
+    * holds (r17 opt): every cached consumer (t24's per-doc ranking,
+    * p7/x19's frequency aggregates) re-keys or re-ranks anyway, so
+    * caching the sorted frame only baked a corpus range-exchange +
+    * sort into the warmup and handed consumers a range layout none of
+    * their keys can reuse. t8's registered query keeps its own sort.
+    */
+  private[queries] def tfidfUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val tf = cachedWords(spark, dir)
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -425,7 +435,6 @@ object TextOps {
           col("tf").cast("double") *
             log(col("n_docs").cast("double") / col("df").cast("double")),
           6).as("tfidf"))
-      .orderBy(col("doc_id"), col("word"))
   }
 
   /** Session-cached TF-IDF scores: t24 ranks them, and t8's tf agg

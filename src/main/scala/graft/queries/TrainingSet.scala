@@ -100,7 +100,10 @@ object TrainingSet {
         "neg_quality",
         -(col("stopword_ratio") + col("type_token_ratio")) / lit(2.0))
     val ranked = graft.operators.GlobalPrefix.withPrefix(
-      q, col("neg_quality"), Seq(col("doc_id")), col("n_tokens"))
+      q, col("neg_quality"), Seq(col("doc_id")), col("n_tokens"),
+      // input is a projection of the persisted quality cache — re-reads
+      // are cheap, a per-invocation checkpoint copy only churns storage
+      checkpointInput = false)
       .withColumnRenamed("prefix", "cum_tokens")
     // integer `div`, never double `/`+cast: above 2^53 tokens (real at
     // 100 TB) the double rounds and can disagree with DuckDB's `//`
@@ -140,7 +143,10 @@ object TrainingSet {
         "neg_quality",
         -(col("stopword_ratio") + col("type_token_ratio")) / lit(2.0))
     val ranked = graft.operators.GlobalPrefix.withPrefix(
-      q, col("neg_quality"), Seq(col("doc_id")), col("bpe_tokens"))
+      q, col("neg_quality"), Seq(col("doc_id")), col("bpe_tokens"),
+      // input is a docs-sized join of two persisted caches — cheap to
+      // re-evaluate, not worth a per-invocation checkpoint copy
+      checkpointInput = false)
       .withColumnRenamed("prefix", "cum_tokens")
     val budget = toks.agg(expr("sum(bpe_tokens) div 2").as("b"))
     ranked.crossJoin(broadcast(budget))
@@ -411,33 +417,53 @@ object TrainingSet {
     * per-doc mean is bit-identical cross-engine.
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val w = TextOps.cachedWords(spark, dir).select(col("doc_id"), col("word"))
-    val cfreq = w.groupBy(col("word")).agg(count(lit(1)).as("c_cnt"))
-    val ctot = cfreq.agg(sum(col("c_cnt")).as("c_total"))
-    val vocab = cfreq.agg(count(lit(1)).as("v"))
-    val tfreq = w.filter(col("doc_id") < TargetDocs)
-      .groupBy(col("word")).agg(count(lit(1)).as("t_cnt"))
-    val ttot = tfreq.agg(sum(col("t_cnt")).as("t_total"))
-    // per-WORD weight assembled over the vocab-sized count frames,
-    // then ONE corpus join instead of two (the t16 discipline): lr is
-    // a pure function of the word's counts, so the same expression on
-    // the same counts is bit-identical
-    val lrOf = cfreq
-      .join(tfreq, Seq("word"), "left")
-      .crossJoin(broadcast(ctot))
-      .crossJoin(broadcast(ttot))
-      .crossJoin(broadcast(vocab))
+    // r17 opt (guide §2.3 "aggregate before you shuffle"): every input
+    // here rides the session-cached (doc_id, word, tf) TF frame instead
+    // of raw word occurrences — the word-keyed frequency aggregates
+    // shuffle per-doc TYPE rows (pre-combined on the doc layout), and
+    // the final corpus pass weighs each type by tf instead of joining
+    // every occurrence. Values are bit-identical: c_cnt/t_cnt are the
+    // same exact integer counts (Σ tf over docs = occurrence count),
+    // and per doc Σ_type tf·lr = Σ_occurrence lr on the same longs.
+    val tf = TextOps.cachedTfidf(spark, dir)
+      .select(col("doc_id"), col("word"), col("tf"))
+    // ONE corpus aggregate for BOTH frequency tables (corpus + target
+    // as a conditional sum — r17, guide §2.3/§2.4: the separate cfreq/
+    // tfreq/ctot/ttot/vocab branches each re-scanned the corpus as an
+    // independent broadcast job, five 32-task corpus stages per run),
+    // lazily checkpointed so the scalar totals and the per-word weight
+    // read ONE vocab-sized materialization. Values are bit-identical:
+    // the conditional sum gives t_cnt = 0 where the old left join gave
+    // null, and (coalesce(null,0)+1) = (0+1).
+    val counts = tf.groupBy(col("word"))
+      .agg(
+        sum(col("tf")).as("c_cnt"),
+        sum(when(col("doc_id") < TargetDocs, col("tf")).otherwise(0L))
+          .as("t_cnt"))
+      .localCheckpoint(eager = false)
+    val stats = counts.agg(
+      sum(col("c_cnt")).as("c_total"),
+      sum(col("t_cnt")).as("t_total"),
+      count(lit(1)).as("v"))
+    // per-WORD weight assembled over the vocab-sized count frame, then
+    // ONE corpus join (the t16 discipline): lr is a pure function of
+    // the word's counts, so the same expression on the same counts is
+    // bit-identical
+    val lrOf = counts
+      .crossJoin(broadcast(stats))
       .withColumn(
         "lr",
         floor(log(
-          ((coalesce(col("t_cnt"), lit(0L)) + 1).cast("double")
+          ((col("t_cnt") + 1).cast("double")
             / (col("t_total") + col("v")).cast("double"))
             / (col("c_cnt").cast("double") / col("c_total").cast("double")))
           * lit(1e9)).cast("long"))
       .select(col("word"), col("lr"))
-    w.join(lrOf, "word")
+    tf.join(lrOf, "word")
       .groupBy(col("doc_id"))
-      .agg(sum(col("lr")).as("s"), count(lit(1)).as("n"))
+      .agg(
+        sum(col("lr") * col("tf")).as("s"),
+        sum(col("tf")).as("n"))
       .select(
         col("doc_id"),
         col("n").as("n_tokens"),
