@@ -1196,14 +1196,22 @@ object Dedup {
               array_sort(collect_list(struct(col("pos"), col("word")))),
               x => x.getField("word")),
             " ").cast("binary")).as("ph"))
-    val dfreq = paras
-      .groupBy(col("ph"))
-      .agg(countDistinct(col("doc_id")).as("ddf"))
-    paras.join(dfreq, Seq("ph"))
+    // r17 opt (d22's shape, guide §2.4): the old self-join against a
+    // ph-grain ddf aggregate computed the collect_list paragraph agg
+    // TWICE. One pass: reduce to (ph, doc_id) grain, read the distinct-
+    // doc count as a COUNT window over that grain, fold back per doc.
+    // Values identical: all k paragraph rows of a (ph, doc) pair carry
+    // the same ddf.
+    val byPh = Window.partitionBy(col("ph"))
+    paras
+      .groupBy(col("ph"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("ddf", count(lit(1)).over(byPh))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_paragraphs"),
-        sum(when(col("ddf") >= 2, 1L).otherwise(0L)).as("dup_paragraphs"))
+        sum(col("k")).as("n_paragraphs"),
+        sum(when(col("ddf") >= 2, col("k")).otherwise(0L))
+          .as("dup_paragraphs"))
       .select(
         col("doc_id"),
         col("n_paragraphs"),
@@ -1242,10 +1250,20 @@ object Dedup {
             x => x.getField("word")),
           " ").as("ptext"))
       .withColumn("ph", md5(col("ptext").cast("binary")))
-    val dfreq = paras
-      .groupBy(col("ph"))
-      .agg(countDistinct(col("doc_id")).as("ddf"))
-    paras.join(dfreq, Seq("ph"))
+    // r17 opt (d13's shape): ddf attached by two stacked windows over
+    // ONE paras computation — mark each (ph, doc) pair's first row,
+    // count the marks per ph — instead of a self-join against a
+    // ph-grain countDistinct aggregate that computed the collect_list
+    // paragraph agg twice. Both windows run off a single ph exchange
+    // (ph ⊆ (ph, doc_id) clustering). Values identical.
+    val firstOfDoc = row_number().over(
+      Window.partitionBy(col("ph"), col("doc_id")).orderBy(col("para_index")))
+    paras
+      .withColumn("rn", firstOfDoc)
+      .withColumn(
+        "ddf",
+        sum(when(col("rn") === 1, 1L).otherwise(0L))
+          .over(Window.partitionBy(col("ph"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_paragraphs"),

@@ -288,11 +288,12 @@ class PlanAuditSpec extends SparkSpec {
                               // broadcast-total branch)
     "d21_sketch_calibration" -> 11, // cand/est joins + truth inverted-
                                     // index join + decile agg + sort,
-                                    // cold-cache ceiling (r17: +1, the
-                                    // truth self-join pins SHUFFLE_HASH
-                                    // — two co-partitioned exchanges
-                                    // replace a broadcast whose build
-                                    // side GROWS with the corpus)
+                                    // cold-cache ceiling. 11 admits the
+                                    // planner's shuffled-join fallback
+                                    // for the truth self-join (its
+                                    // broadcast depends on a size
+                                    // estimate that can flip with the
+                                    // testdata SF)
     "t22_ppl_buckets" -> 14, // t16's bigram pipeline (4 count aggs + 3
                              // joins) + lang join + per-lang windows +
                              // bucket agg + sort, cold-cache ceiling
