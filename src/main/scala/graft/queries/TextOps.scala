@@ -1053,7 +1053,14 @@ object TextOps {
     val S = BpeSep
     val symsOf = (c: Column) => split(ltrim(rtrim(c, S), S), s"$S$S")
     val merges = cachedMerges(spark, dir)
-    val dw = cachedWords(spark, dir).select(col("word")).distinct()
+    // session-cached distinct-word table (r17 opt): the corpus-wide
+    // word distinct is tokenizer INPUT PREP shared by the encode (t25),
+    // the decode audit (t27) and their p22/p23 consumers — one
+    // vocab-sized copy per (session, dir) instead of one corpus
+    // exchange per invocation. The segmentation fold below (the
+    // tokenizer itself) stays uncached.
+    val dw = SessionCache.cached(spark, dir, "distinctWords")(
+      cachedWords(spark, dir).select(col("word")).distinct())
       .withColumn("seg0", regexp_replace(col("word"), "(.)", s"$S$$1$S"))
     val segf = merges.foldLeft(dw.withColumn("seg", col("seg0"))) {
       case (df, (_, a, b, _)) =>
