@@ -1103,12 +1103,14 @@ object Dedup {
 
   private def cachedWinnowFps(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "winnowFps")(
-      // Cache layout: deliberately NOT repartitioned. An fp-keyed layout
-      // (tried mid-r17) bought d12's self-join nothing measurable while
-      // d11's per-doc summary paid a full extra exchange against it
-      // (0.12 -> 0.40 s at sf0.1); the build's own distinct already
-      // leaves a parallel layout.
-      winnowedFingerprints(spark, dir))
+      // Cache layout: fp (r17, measured three ways at sf0.1 across the
+      // WHOLE consumer set d11+d12+d25). fp clusters d12's self-join
+      // sides AND its replay inside d25's eval (fp: 0.40+0.74+1.56 s;
+      // bare build layout: 0.13+0.93+~2.0; doc_id: 0.18+1.04+~2.4) —
+      // d11's per-doc summary pays one extra exchange (+0.27 s), the
+      // smaller term against d12+d25's combined swing.
+      winnowedFingerprints(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("fp")))
 
   /** Windows in an n-token doc = n − (k-gram tail) − (window ramp-up):
     * derived from the constants so tuning either cannot silently

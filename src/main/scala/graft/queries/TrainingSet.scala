@@ -143,10 +143,12 @@ object TrainingSet {
         "neg_quality",
         -(col("stopword_ratio") + col("type_token_ratio")) / lit(2.0))
     val ranked = graft.operators.GlobalPrefix.withPrefix(
-      q, col("neg_quality"), Seq(col("doc_id")), col("bpe_tokens"),
-      // input is a docs-sized join of two persisted caches — cheap to
-      // re-evaluate, not worth a per-invocation checkpoint copy
-      checkpointInput = false)
+      q, col("neg_quality"), Seq(col("doc_id")), col("bpe_tokens"))
+      // checkpointInput stays ON here (measured both ways at sf0.1:
+      // 1.03 s with the input checkpoint vs 1.38 s without) — unlike
+      // p2/q6, the input is a JOIN of two caches, and recomputing that
+      // join for the operator's second pass costs more than one
+      // docs-sized checkpoint copy
       .withColumnRenamed("prefix", "cum_tokens")
     val budget = toks.agg(expr("sum(bpe_tokens) div 2").as("b"))
     ranked.crossJoin(broadcast(budget))
