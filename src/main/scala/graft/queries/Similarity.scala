@@ -1965,7 +1965,15 @@ object Similarity {
     * count — the union is 6 bounded rows + a broadcast total.
     */
   def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
-    val ex = bruteForceTopK(spark, dir).select(col("q_id"), col("vec_id"))
+    // session-cached exact ground truth (r17 opt — the d25
+    // cachedTruthPairs discipline applied here): the eval consumes the
+    // exact top-k set TEN times (nine hit joins + the total), and each
+    // consumer embedded a full copy of s1's pipeline in the plan —
+    // ~1 s/invocation of pure driver-side ANALYSIS before any task ran
+    // (PhaseBench build phase). One persisted 50-row sliver; s1's
+    // registered query stays uncached.
+    val ex = SessionCache.cached(spark, dir, "s1TopkPairs")(
+      bruteForceTopK(spark, dir).select(col("q_id"), col("vec_id")))
     val variantDfs: Map[String, DataFrame] = Map(
       "s3_ivf_topk" -> ivfTopK(spark, dir),
       "s6_sq8_topk" -> sq8TopK(spark, dir),
