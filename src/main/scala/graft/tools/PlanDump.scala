@@ -46,7 +46,21 @@ object PlanDump {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        Files.writeString(Paths.get(outDir, s"$name$suffix.txt"), plan)
+        // Exchanges the query ITSELF spends (PlanAuditSpec's cache-
+        // boundary discipline): raw string counts over a formatted plan
+        // double-count shared cache builds, which every consumer's plan
+        // re-displays inside its InMemoryRelations.
+        def ex(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            ex(a.executedPlan)
+          case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 0
+          case e: org.apache.spark.sql.execution.exchange.Exchange =>
+            1 + e.children.map(ex).sum
+          case other => other.children.map(ex).sum
+        }
+        val header =
+          s"-- exchanges outside cache boundaries: ${ex(df.queryExecution.executedPlan)}\n"
+        Files.writeString(Paths.get(outDir, s"$name$suffix.txt"), header + plan)
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] $name FAILED: $e")
       }
