@@ -401,6 +401,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d13/d16/d22 compute their paragraph/chunk aggregate ONCE") {
+    // r17 opt: the document-frequency count attaches via COUNT windows
+    // over the aggregate's own (hash, doc) grain. The pre-r17 shape —
+    // a self-join against a hash-grain countDistinct — planned the
+    // corpus-sized collect_list subtree TWICE; a reintroduction would
+    // double the partial_collect_list count below. (These aggregates
+    // are not session-cached, so the plan string counts only the
+    // query's own spend.)
+    def nCollect(q: String) =
+      "partial_collect_list".r.findAllIn(plan(q)).length
+    assert(nCollect("d22_cdc_chunks") <= 1,
+      "d22's chunk aggregate must be computed once")
+    assert(nCollect("d13_paragraph_dedup") <= 1,
+      "d13's paragraph aggregate must be computed once")
+    // d16 legitimately has a second collect_list: the clean_text
+    // document reassembly in its final fold
+    assert(nCollect("d16_boilerplate_strip") <= 2,
+      "d16's paragraph aggregate must be computed once")
+  }
+
   test("q7 is ONE hash aggregate + projection — no join anywhere") {
     // the r6 bench flagged q7 at 5.5×; the flag was host contention
     // (cleared by the r7 interleaved bench), but the forensics belong
