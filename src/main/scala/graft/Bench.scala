@@ -129,6 +129,13 @@ object Bench {
     // whichever query touches a cold cache first absorbs its build and
     // per-query numbers shift with query order (round 2: d7 4.5 s vs
     // d3 0.75 s was cache-population order, not query cost).
+    //
+    // TIMING POLICY (r18): warming removes a frame's build cost from
+    // every timed number, so SessionCache.warmEntries admits ONLY
+    // frames consumed by ≥ 2 registered queries (pinned by
+    // WarmPolicySpec). Single-consumer intermediates must be in-query
+    // lazy localCheckpoints — computed once per execution, timed with
+    // their query.
     try graft.queries.SessionCache.warm(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] cache warmup failed: ${e.getMessage}")

@@ -48,16 +48,25 @@ object Dedup {
       build: => DataFrame): DataFrame =
     SessionCache.cached(spark, dir, name)(build)
 
-  /** Every session-cached frame this module owns — see SessionCache.warm. */
-  private[queries] def warmFrames(spark: SparkSession, dir: String): Seq[DataFrame] =
+  /** Every session-cached frame this module warms, NAMED — see
+    * SessionCache.warm for the admission rule (≥ 2 consuming
+    * registered queries, pinned by WarmPolicySpec). r18: the
+    * "jaccardTruthPairs" entry (d25's truth sliver) was removed — d25
+    * was its only consuming query, so warming it moved d2's band join
+    * out of every timed region; it is an in-query lazy localCheckpoint
+    * inside dedupEval now.
+    */
+  private[queries] def warmFrames(
+      spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
     Seq(
-      cachedShingles(spark, dir),
-      cached(spark, dir, "sigs")(minhashSignatures(spark, dir)),
-      cached(spark, dir, "simhashValues")(simhashValues(spark, dir)),
-      cached(spark, dir, "clusterLabels")(clusterLabels(spark, dir)),
-      cachedWinnowFps(spark, dir),
-      cachedTruthPairs(spark, dir),
-      cachedMarkedGrams(spark, dir))
+      "shingles" -> cachedShingles(spark, dir),
+      "sigs" -> cached(spark, dir, "sigs")(minhashSignatures(spark, dir)),
+      "simhashValues" ->
+        cached(spark, dir, "simhashValues")(simhashValues(spark, dir)),
+      "clusterLabels" ->
+        cached(spark, dir, "clusterLabels")(clusterLabels(spark, dir)),
+      "winnowFps" -> cachedWinnowFps(spark, dir),
+      "dedupMarkedGrams" -> cachedMarkedGrams(spark, dir))
 
   /** Shared d17/d19/d24 frame (r12, the t24/t25 memo discipline): one
     * occurrence row per duplicated k-gram — (doc_id, pos) of the
@@ -1256,8 +1265,11 @@ object Dedup {
     // ONE paras computation — mark each (ph, doc) pair's first row,
     // count the marks per ph — instead of a self-join against a
     // ph-grain countDistinct aggregate that computed the collect_list
-    // paragraph agg twice. Both windows run off a single ph exchange
-    // (ph ⊆ (ph, doc_id) clustering). Values identical.
+    // paragraph agg twice. Values identical. (r18 correction, ADVICE:
+    // the two windows need TWO exchanges — hash(ph, doc_id) then
+    // hash(ph); a hash on (ph, doc_id) does NOT satisfy clustering on
+    // ph alone. The rewrite's real win is the single collect_list
+    // computation, see d16_boilerplate_strip_after.txt Exchange 19.)
     val firstOfDoc = row_number().over(
       Window.partitionBy(col("ph"), col("doc_id")).orderBy(col("para_index")))
     paras
@@ -1585,29 +1597,50 @@ object Dedup {
     * and hits together (one evaluation of the method's pipeline per
     * row); output is 3 bounded rows.
     */
-  /** Session-cached d2 truth pairs for the d25 report — the eval
-    * consumes the sliver four times (three method hit joins + the
-    * total); one persisted copy instead of re-running d2's band join
-    * per consumer. d2's REGISTERED query stays uncached (the s2
-    * discipline: its bench number measures the computation).
-    */
-  private def cachedTruthPairs(spark: SparkSession, dir: String): DataFrame =
-    cached(spark, dir, "jaccardTruthPairs")(
-      ngramJaccard(spark, dir).select(col("a_id"), col("b_id")))
-
   def dedupEval(spark: SparkSession, dir: String): DataFrame = {
-    val truth = cachedTruthPairs(spark, dir)
-    val methods: Map[String, DataFrame] = Map(
-      "d3_minhash_lsh" -> minhashLsh(spark, dir),
-      "d6_simhash_neardup" -> simhashNearDup(spark, dir),
-      "d12_winnow_pairs" -> winnowPairs(spark, dir))
+    // r18 opt (the s18 discipline): the d2 truth pairs and each
+    // method pipeline are materialized once per eval execution via
+    // lazy localCheckpoint. The truth sliver was session-cached in
+    // r17 ("jaccardTruthPairs") — d25 is its ONLY consuming query, so
+    // the cache moved d2's band join into Bench's untimed warmup;
+    // reverted to an in-query checkpoint (the warmFrames
+    // ≥2-consuming-queries rule, WarmPolicySpec). Still computed once
+    // per execution, consumed four times (three hit joins + the
+    // total).
+    // CONCURRENT component materialization (guide §2.6 — see
+    // Similarity.retrievalEval for the measured rationale): under AQE
+    // the lazy checkpoint runs its stages at construction, so the four
+    // components are built from a thread pool to overlap their
+    // independent stage DAGs instead of running them back-to-back.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val truthF = Future {
+      ngramJaccard(spark, dir)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(eager = false)
+    }
+    val methodFs: Seq[(String, Future[DataFrame])] = Seq(
+      "d3_minhash_lsh" -> (() => minhashLsh(spark, dir)),
+      "d6_simhash_neardup" -> (() => simhashNearDup(spark, dir)),
+      "d12_winnow_pairs" -> (() => winnowPairs(spark, dir))
+    ).map { case (n, build) =>
+      n -> Future {
+        build()
+          .select(col("a_id"), col("b_id"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    val truth = Await.result(truthF, Duration.Inf)
+    val methods: Map[String, DataFrame] =
+      methodFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
     DedupEvalMethods.map { n =>
       // ONE evaluation of the method's pipeline per report row: a
       // broadcast left join marks hits in the same pass that counts
       // predictions (the two-branch form re-ran d6's whole banding
       // chain for each of its two aggregates — measured 3.5 s → 2 s
       // at sf0.1 from this alone)
-      methods(n).select(col("a_id"), col("b_id"))
+      methods(n)
         .join(
           broadcast(truth.withColumn("__t", lit(1))),
           Seq("a_id", "b_id"), "left")

@@ -670,7 +670,19 @@ object EventWindows {
     * per-user window over the RUNS frame (≤ one row per change, far
     * smaller than events). No global window, no self-join.
     */
-  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Versions(spark, dir).orderBy(col("user_id"), col("version"))
+
+  /** w21's version derivation WITHOUT the output sort — what w22's
+    * PIT join consumes (r18 opt, guide §2.4): w22 embedded the SORTED
+    * registered query, and the global orderBy's rangepartitioning
+    * Exchange + Sort survived in its plan (EliminateSorts does not
+    * look through the native as-of join node) only to be immediately
+    * re-shuffled hash(user_id) for the merge scan. w21's registered
+    * query keeps its own sort.
+    */
+  private[queries] def scd2Versions(
+      spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
@@ -698,7 +710,6 @@ object EventWindows {
         col("user_id"), col("version"), col("event_type"),
         col("valid_from_us"), col("valid_to_us"), col("is_current"),
         col("n_events"))
-      .orderBy(col("user_id"), col("version"))
   }
 
   /** w22 — point-in-time (PIT) dimension enrichment: join each
@@ -717,7 +728,7 @@ object EventWindows {
     * state (the w17 plan shape).
     */
   def pitEnrichment(spark: SparkSession, dir: String): DataFrame = {
-    val versions = scd2History(spark, dir)
+    val versions = scd2Versions(spark, dir)
       .select(
         col("user_id").as("v_user"), col("valid_from_us"), col("version"),
         col("event_type").as("state_type"), col("n_events").as("state_n"))

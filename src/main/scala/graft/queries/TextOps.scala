@@ -104,12 +104,20 @@ object TextOps {
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     }
 
-  /** Every session-cached frame this module owns — see SessionCache.warm. */
-  private[queries] def warmFrames(spark: SparkSession, dir: String): Seq[DataFrame] =
-    Seq(cachedWords(spark, dir), cachedQualityScore(spark, dir),
-      cachedTfidf(spark, dir), cachedBpeTokens(spark, dir),
-      cachedPplAssign(spark, dir), cachedNbFeats(spark, dir),
-      cachedNbWeights(spark, dir))
+  /** Every session-cached frame this module warms, NAMED — see
+    * SessionCache.warm for the admission rule (≥ 2 consuming
+    * registered queries, pinned by WarmPolicySpec).
+    */
+  private[queries] def warmFrames(
+      spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    Seq(
+      "words" -> cachedWords(spark, dir),
+      "qualityScore" -> cachedQualityScore(spark, dir),
+      "tfidf" -> cachedTfidf(spark, dir),
+      "bpeTokens" -> cachedBpeTokens(spark, dir),
+      "pplAssign" -> cachedPplAssign(spark, dir),
+      "nbFeats" -> cachedNbFeats(spark, dir),
+      "nbWeights" -> cachedNbWeights(spark, dir))
 
   /** F1/W4/A7 — sentence segmentation with ordered re-assembly:
     * group words into 10-word sentences, re-join in word order
@@ -412,17 +420,14 @@ object TextOps {
     * transcendental emitted anywhere — computed from identical exact
     * integers in both engines, rounded to 6 dp.
     */
-  def tfidf(spark: SparkSession, dir: String): DataFrame =
-    tfidfUnsorted(spark, dir).orderBy(col("doc_id"), col("word"))
-
-  /** t8's pipeline WITHOUT the output sort — what the session cache
-    * holds (r17 opt): every cached consumer (t24's per-doc ranking,
-    * p7/x19's frequency aggregates) re-keys or re-ranks anyway, so
-    * caching the sorted frame only baked a corpus range-exchange +
-    * sort into the warmup and handed consumers a range layout none of
-    * their keys can reuse. t8's registered query keeps its own sort.
+  /** Cache layout note (r17, corrected r18): caching the UNSORTED
+    * pipeline was tried — consumers re-key anyway — and REVERTED after
+    * t8 regressed 0.16 → 0.77 s: with the sorted frame cached, the
+    * CacheManager serves t8's whole registered plan by fragment match;
+    * the unsorted cache had no offsetting consumer win. The session
+    * cache holds THIS sorted frame.
     */
-  private[queries] def tfidfUnsorted(spark: SparkSession, dir: String): DataFrame = {
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val tf = cachedWords(spark, dir)
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -436,6 +441,7 @@ object TextOps {
           col("tf").cast("double") *
             log(col("n_docs").cast("double") / col("df").cast("double")),
           6).as("tfidf"))
+      .orderBy(col("doc_id"), col("word"))
   }
 
   /** Session-cached TF-IDF scores: t24 ranks them, and t8's tf agg

@@ -815,11 +815,32 @@ object TrainingSet {
     * Expand pass emits both report grains.
     */
   def releasePipeline(spark: SparkSession, dir: String): DataFrame = {
-    val survivors = Dedup.exactDedup(spark, dir)
-      .select(col("keep_id").as("doc_id"))
-    val qualityKept = TextOps.c4Filters(spark, dir)
-      .filter(col("keep")).select(col("doc_id"))
-    val contaminated = contamination(spark, dir).select(col("doc_id"))
+    // CONCURRENT gate materialization (guide §2.6 — see
+    // Similarity.retrievalEval for the measured rationale): the three
+    // gate slivers are independent doc_id projections; lazy
+    // localCheckpoints built from a thread pool overlap their stage
+    // DAGs and keep each gate's analysis separate, instead of one
+    // plan that runs them serially stage-by-stage.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val survivorsF = Future {
+      Dedup.exactDedup(spark, dir)
+        .select(col("keep_id").as("doc_id"))
+        .localCheckpoint(eager = false)
+    }
+    val qualityF = Future {
+      TextOps.c4Filters(spark, dir)
+        .filter(col("keep")).select(col("doc_id"))
+        .localCheckpoint(eager = false)
+    }
+    val contamF = Future {
+      contamination(spark, dir).select(col("doc_id"))
+        .localCheckpoint(eager = false)
+    }
+    val survivors = Await.result(survivorsF, Duration.Inf)
+    val qualityKept = Await.result(qualityF, Duration.Inf)
+    val contaminated = Await.result(contamF, Duration.Inf)
     val released = survivors
       .join(qualityKept, Seq("doc_id"))
       .filter(col("doc_id") >= BenchmarkDocs)
@@ -860,11 +881,27 @@ object TrainingSet {
     * projections.
     */
   def learnedReleasePipeline(spark: SparkSession, dir: String): DataFrame = {
-    val survivors = Dedup.exactDedup(spark, dir)
-      .select(col("keep_id").as("doc_id"))
-    val learnedKept = TextOps.qualityClassifier(spark, dir)
-      .filter(col("pred_head")).select(col("doc_id"))
-    val contaminated = contamination(spark, dir).select(col("doc_id"))
+    // same concurrent-gate shape as releasePipeline (guide §2.6)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val survivorsF = Future {
+      Dedup.exactDedup(spark, dir)
+        .select(col("keep_id").as("doc_id"))
+        .localCheckpoint(eager = false)
+    }
+    val learnedF = Future {
+      TextOps.qualityClassifier(spark, dir)
+        .filter(col("pred_head")).select(col("doc_id"))
+        .localCheckpoint(eager = false)
+    }
+    val contamF = Future {
+      contamination(spark, dir).select(col("doc_id"))
+        .localCheckpoint(eager = false)
+    }
+    val survivors = Await.result(survivorsF, Duration.Inf)
+    val learnedKept = Await.result(learnedF, Duration.Inf)
+    val contaminated = Await.result(contamF, Duration.Inf)
     val released = survivors
       .join(learnedKept, Seq("doc_id"))
       .filter(col("doc_id") >= BenchmarkDocs)

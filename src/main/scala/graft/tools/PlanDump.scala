@@ -49,17 +49,21 @@ object PlanDump {
         // Exchanges the query ITSELF spends (PlanAuditSpec's cache-
         // boundary discipline): raw string counts over a formatted plan
         // double-count shared cache builds, which every consumer's plan
-        // re-displays inside its InMemoryRelations.
+        // re-displays inside its InMemoryRelations. r18 (ADVICE): also
+        // recurse into subquery plans (a bloom/scalar subquery's
+        // exchanges are real spend), and say in the header that the
+        // count is taken from the PRE-AQE initial plan — a ceiling; AQE
+        // may replace some of these with broadcasts at runtime.
         def ex(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
             ex(a.executedPlan)
           case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 0
           case e: org.apache.spark.sql.execution.exchange.Exchange =>
-            1 + e.children.map(ex).sum
-          case other => other.children.map(ex).sum
+            1 + (e.children ++ e.subqueries).map(ex).sum
+          case other => (other.children ++ other.subqueries).map(ex).sum
         }
         val header =
-          s"-- exchanges outside cache boundaries: ${ex(df.queryExecution.executedPlan)}\n"
+          s"-- exchanges outside cache boundaries (pre-AQE initial plan, incl. subqueries): ${ex(df.queryExecution.executedPlan)}\n"
         Files.writeString(Paths.get(outDir, s"$name$suffix.txt"), header + plan)
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] $name FAILED: $e")

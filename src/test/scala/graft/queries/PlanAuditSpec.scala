@@ -228,8 +228,13 @@ class PlanAuditSpec extends SparkSpec {
                           // windows + span/doc aggs + token-count join + sort
     "s12_rrf_fusion" -> 9, // two retriever rankings + overlap agg + fusion
                            // full-outer (≤ NumQueries×TopK rows/side) + sort
-    "p16_release_pipeline" -> 14, // the whole funnel: dedup agg, quality join,
-                                  // contamination semi, shard ROLLUP + sort
+    "p16_release_pipeline" -> 7, // r18: the three gate slivers are lazy
+                                 // localCheckpoints (their own exchanges
+                                 // run at construction, §2.6 overlap);
+                                 // the registered plan's spend is the
+                                 // released joins + docs/quality joins +
+                                 // shard ROLLUP + sort (was 14 with the
+                                 // gates embedded)
     "w10_top_per_group" -> 3, // (type,day,user) agg + group-limit window
                               // repartition + output sort
     "w11_decayed_engagement" -> 4, // ref-day agg + its 1-row broadcast +
@@ -262,9 +267,14 @@ class PlanAuditSpec extends SparkSpec {
     "w21_scd2_history" -> 2, // ONE user exchange serves the event
                              // window + runs agg + runs window (same-
                              // prefix partitionings chain) + output sort
-    "w22_pit_enrichment" -> 5, // w21's 2 + the asof exec's two
-                               // requirement-placed user_id exchanges
-                               // + output sort
+    "w22_pit_enrichment" -> 3, // r18: w22 consumes the UNSORTED version
+                               // derivation (scd2Versions) — its user
+                               // exchange chains straight into the asof
+                               // exec's requirement (same key), so the
+                               // spend is the two asof-side exchanges +
+                               // output sort (was 5 embedding w21's
+                               // global orderBy, whose rangepartitioning
+                               // was immediately re-shuffled)
     "s22_filtered_topk" -> 4, // filter equi-join sides + top-k window
                               // + output sort (query side broadcast)
     "s23_ivf_filtered_topk" -> 6, // assign/filter join sides + probe
