@@ -482,8 +482,18 @@ object Extended {
     * hash compare also certifies the blocking is lossless.
     */
   def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    // r18 opt (guide §2.5 input skew): the customer file is a 1-split
+    // scan, so BOTH the broadcast build (explode + hash) and the probe
+    // stream (explode + join + levenshtein) ran as single ~300 ms
+    // tasks. A deterministic hash repartition on the key spreads the
+    // per-row work across the cores; the candidate volume itself was
+    // measured harmless (63k candidate rows → 15k lev-1 rows at sf0.1
+    // — the deletion-key blocking is ~4× over-generation, not the
+    // bottleneck the length-band refinement was proposed for).
     val c = customer(spark, dir)
       .select(col("c_custkey"), lower(col("c_name")).as("name"))
+      .repartition(
+        spark.sparkContext.defaultParallelism, col("c_custkey"))
     def delKeys(n: Column): Column =
       array_distinct(concat(
         array(n),

@@ -42,16 +42,20 @@ object Multimodal {
     * one row per "frame" with its own hash — the 1→k generator pattern.
     */
   def frameSlices(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
-      .withColumn("frame_index", explode(sequence(lit(0L), lit(3L))))
-      .select(
-        col("doc_id"),
-        col("frame_index"),
-        md5(expr(
-          "cast(substring(hx, cast(frame_index * 64 + 1 as int), 64) as binary)"))
-          .as("frame_hash"))
-      .orderBy(col("doc_id"), col("frame_index"))
+    // r18 opt: the m5 SortFirst shape (sort narrow, generate after;
+    // frame_index emits ascending within each doc)
+    graft.operators.SortFirst(
+      documents(spark, dir)
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("hx")),
+      col("doc_id")) { d =>
+      d.withColumn("frame_index", explode(sequence(lit(0L), lit(3L))))
+        .select(
+          col("doc_id"),
+          col("frame_index"),
+          md5(expr(
+            "cast(substring(hx, cast(frame_index * 64 + 1 as int), 64) as binary)"))
+            .as("frame_hash"))
+    }
 
   /** m5 window geometry, in hex chars (2 per byte): 32-byte windows
     * advancing 16 bytes — every interior boundary is covered by two
@@ -77,25 +81,32 @@ object Multimodal {
     * engines digest identical bytes (the m3 trick).
     */
   def overlapChunks(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
-      .withColumn("hl", length(col("hx")).cast("long"))
-      .withColumn(
-        "nc",
-        when(col("hl") <= ChunkHexWidth, 1L)
-          .otherwise(expr(
-            s"((hl - $ChunkHexWidth + ${ChunkHexStride - 1})" +
-              s" div $ChunkHexStride) + 1")))
-      .withColumn("chunk_index", explode(sequence(lit(0L), col("nc") - 1)))
-      .select(
-        col("doc_id"), col("chunk_index"),
-        expr(s"(chunk_index * $ChunkHexStride) div 2").as("start_byte"),
-        expr(s"least(chunk_index * $ChunkHexStride + $ChunkHexWidth, hl) div 2")
-          .as("end_byte"),
-        md5(expr(
-          s"cast(substring(hx, cast(chunk_index * $ChunkHexStride + 1 as int)," +
-            s" $ChunkHexWidth) as binary)")).as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_index"))
+    // r18 opt: sort the narrow doc frame FIRST, generate chunks after
+    // (operators.SortFirst — the orderBy's range sampling re-ran the
+    // whole hex+explode+md5 chain, single-task). Emitted order is
+    // unchanged: docs arrive in doc_id order and the generator emits
+    // chunk_index ascending within each doc.
+    graft.operators.SortFirst(
+      documents(spark, dir)
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("hx")),
+      col("doc_id")) { d =>
+      d.withColumn("hl", length(col("hx")).cast("long"))
+        .withColumn(
+          "nc",
+          when(col("hl") <= ChunkHexWidth, 1L)
+            .otherwise(expr(
+              s"((hl - $ChunkHexWidth + ${ChunkHexStride - 1})" +
+                s" div $ChunkHexStride) + 1")))
+        .withColumn("chunk_index", explode(sequence(lit(0L), col("nc") - 1)))
+        .select(
+          col("doc_id"), col("chunk_index"),
+          expr(s"(chunk_index * $ChunkHexStride) div 2").as("start_byte"),
+          expr(s"least(chunk_index * $ChunkHexStride + $ChunkHexWidth, hl) div 2")
+            .as("end_byte"),
+          md5(expr(
+            s"cast(substring(hx, cast(chunk_index * $ChunkHexStride + 1 as int)," +
+              s" $ChunkHexWidth) as binary)")).as("chunk_hash"))
+    }
 
   /** Frame-level containment dedup (m4) — the video near-dup pattern:
     * two media items sharing ≥ `MinSharedFrames` frame hashes evidence

@@ -265,7 +265,13 @@ object TextOps {
     * deterministic cross-engine.
     */
   def c4Filters(spark: SparkSession, dir: String): DataFrame = {
-    val bl = cachedWords(spark, dir)
+    // r18 opt (guide §2.3 "aggregate before you shuffle" — the p7/x19
+    // type-grain pattern): the blocklist flag is a per-doc MAX of a
+    // pure word predicate, so it reads the cached (doc, word, tf)
+    // TYPE frame instead of raw occurrences — Zipf-fewer rows scanned
+    // and one `isin` evaluation per distinct word per doc, identical
+    // booleans (max over types ≡ max over occurrences).
+    val bl = cachedTfidf(spark, dir)
       .groupBy(col("doc_id"))
       .agg(max(when(col("word").isin(Blocklist: _*), 1L).otherwise(0L))
         .as("bl"))
@@ -319,14 +325,25 @@ object TextOps {
     * branches of every rule on planted fixture docs.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val ws = cachedWords(spark, dir)
+    // r18 opt (guide §2.3 — the p7/x19 type-grain pattern): every
+    // word-level stat is tf-weightable, so the aggregate reads the
+    // cached (doc, word, tf) TYPE frame instead of raw occurrences:
+    //   count(1)            ≡ Σ tf            (exact longs)
+    //   Σ length(word)      ≡ Σ length·tf
+    //   Σ [word has a-z]    ≡ Σ tf over matching types
+    //   countDistinct(stop) ≡ Σ [type is stop] — (doc, word) is unique
+    //     per row, so the distinct-aggregate Expand (a second exchange
+    //     phase over every occurrence) disappears outright.
+    // Zipf-fewer rows scanned, one regex/isin evaluation per TYPE, and
+    // no Expand; values identical.
+    val ws = cachedTfidf(spark, dir)
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_words"),
-        sum(length(col("word"))).as("sum_len"),
-        sum(when(col("word").rlike("[a-z]"), 1L).otherwise(0L))
+        sum(col("tf")).as("n_words"),
+        sum(length(col("word")).cast("long") * col("tf")).as("sum_len"),
+        sum(when(col("word").rlike("[a-z]"), col("tf")).otherwise(0L))
           .as("n_alpha"),
-        countDistinct(when(col("word").isin(EnStop: _*), col("word")))
+        sum(when(col("word").isin(EnStop: _*), 1L).otherwise(0L))
           .as("n_stop_kinds"))
     val lines = split(col("text"), "\n", -1)
     val tx = documents(spark, dir)
@@ -703,8 +720,14 @@ object TextOps {
     * registered query.
     */
   def piiRedaction(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(
+    // r18 opt: sort the narrow (doc_id, text) frame FIRST, run the
+    // 6-regex battery after (see operators.SortFirst — the orderBy's
+    // range sampling was evaluating the whole projection twice, on one
+    // task). Same rows, same doc_id order.
+    graft.operators.SortFirst(
+      documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id")) { d =>
+      d.select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
           .cast("long").as("n_emails"),
@@ -717,8 +740,8 @@ object TextOps {
             regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
             lit(PhoneRe), lit("<PHONE>")),
           lit(Ipv4Re), lit("<IP>")).as("redacted"))
-      .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ips"))
-      .orderBy(col("doc_id"))
+        .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ips"))
+    }
 
   /** t15 — robust length-outlier detection, the Tukey/IQR fence every
     * data-quality gate applies before trusting distribution-sensitive
@@ -878,19 +901,24 @@ object TextOps {
     * query (`Round8cOpsSpec` — the t14 planted-PII discipline).
     */
   def pretokenCounts(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .withColumn(
+    // r18 opt: sort first, tokenize after (the t14 SortFirst shape —
+    // the pre-tokenizer regex ran twice under the orderBy's sampling)
+    graft.operators.SortFirst(
+      documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id")) { d =>
+      d.withColumn(
         "pts",
         regexp_extract_all(lower(col("text")), lit(PretokenPattern), lit(0)))
-      .select(
-        col("doc_id"),
-        size(col("pts")).cast("long").as("n_pretokens"),
-        size(array_distinct(col("pts"))).cast("long").as("n_distinct_pretokens"),
-        size(split(lower(col("text")), "\\s+")).cast("long").as("n_words"),
-        (size(col("pts")).cast("double") /
-          size(split(lower(col("text")), "\\s+")).cast("double"))
-          .as("fertility"))
-      .orderBy(col("doc_id"))
+        .select(
+          col("doc_id"),
+          size(col("pts")).cast("long").as("n_pretokens"),
+          size(array_distinct(col("pts"))).cast("long")
+            .as("n_distinct_pretokens"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_words"),
+          (size(col("pts")).cast("double") /
+            size(split(lower(col("text")), "\\s+")).cast("double"))
+            .as("fertility"))
+    }
 
   /** Number of BPE merge rounds t21 learns. Far below the corpus's
     * distinct-pair count at every SF (assert-guarded), so every round
@@ -1073,11 +1101,23 @@ object TextOps {
         df.withColumn(
           "seg", replace(col("seg"), lit(s"$S$a$S$S$b$S"), lit(s"$S$a$b$S")))
     }
-    val base = dw
+    // r18 opt: the 0-based dense rank by code point WITHOUT the last
+    // unpartitioned row_number window in src/main — id = |{distinct
+    // alphabet tokens strictly smaller}| via a triangular broadcast
+    // join (the GlobalPrefix offsets trick at alphabet grain). The
+    // frame is the CHARACTER alphabet (charset-bounded, ≤ ~100 rows on
+    // this corpus), so alphabet² comparisons are trivial at any scale
+    // while the old global sort funneled the rank through one task.
+    // Single-char strings order lexicographically ≡ by code point, so
+    // values are identical.
+    val alpha = dw
       .select(explode(symsOf(col("seg0"))).as("token")).distinct()
-      .withColumn(
-        "id",
-        row_number().over(Window.orderBy(col("token"))).cast("long") - 1L)
+    val base = alpha
+      .join(
+        broadcast(alpha.select(col("token").as("__t2"))),
+        col("__t2") < col("token"), "left")
+      .groupBy(col("token"))
+      .agg(count(col("__t2")).as("id"))
     val vocab = base
       .unionByName(merges.map { case (step, a, b, _) =>
         (a + b, MergeIdOffset + step)

@@ -83,14 +83,10 @@ class PlanAuditSpec extends SparkSpec {
       "warehouse sentence fixture (6 rows at any SF — the warehouse is " +
       "a bounded ETL fixture, not the corpus); the corpus-scale rolling " +
       "query is q6_rolling_sentiment, which is two-phase GlobalPrefix"),
-    "t25_bpe_encode" -> ("base-vocab id assignment ranks the DISTINCT " +
-      "CHARACTER alphabet (bounded by the script, not the corpus — a " +
-      "few hundred rows at any SF); ranking in-plan rather than on the " +
-      "driver keeps the tie order in UTF8String binary = code-point " +
-      "order, matching DuckDB where a driver-side Java sort would not " +
-      "for supplementary-plane characters"),
-    "t27_bpe_decode" -> ("t25's base-vocab alphabet ranking, shared via " +
-      "bpeVocabFrames — same bounded-alphabet argument")
+    // r18: t25/t27 left this whitelist — the base-vocab alphabet rank
+    // is a triangular broadcast join now (id = count of strictly-
+    // smaller distinct tokens), so NO query ranks through a global
+    // window anymore; the remaining entries are bounded ETL fixtures.
   )
 
   test("no unpartitioned windows anywhere in the registry (whitelist audited)") {
@@ -296,14 +292,19 @@ class PlanAuditSpec extends SparkSpec {
                               // spend is 2 shrinking aggs + a post-agg
                               // total window + sort (r8: was 11 with a
                               // broadcast-total branch)
-    "d21_sketch_calibration" -> 11, // cand/est joins + truth inverted-
+    "d21_sketch_calibration" -> 10, // cand/est joins + truth inverted-
                                     // index join + decile agg + sort,
-                                    // cold-cache ceiling. 11 admits the
-                                    // planner's shuffled-join fallback
-                                    // for the truth self-join (its
-                                    // broadcast depends on a size
-                                    // estimate that can flip with the
-                                    // testdata SF)
+                                    // cold-cache ceiling (re-tightened
+                                    // r18: measured 10 at sf0.001 and
+                                    // sf0.1). The cand⋈inter pair join
+                                    // plans as SMJ pre-AQE — both
+                                    // sides' size estimates are join-
+                                    // output guesses — and AQE
+                                    // converts it from the runtime
+                                    // sizes; a broadcast HINT would
+                                    // pin a scale hazard (candidate
+                                    // pairs grow with the corpus), so
+                                    // the planner's posture stands
     "t22_ppl_buckets" -> 14, // t16's bigram pipeline (4 count aggs + 3
                              // joins) + lang join + per-lang windows +
                              // bucket agg + sort, cold-cache ceiling

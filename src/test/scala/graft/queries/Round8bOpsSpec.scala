@@ -283,17 +283,36 @@ class Round8bOpsSpec extends SparkSpec {
       s"a LocalTableScan would mean driver-materialized rows:\n$plan")
   }
 
-  test("t19 plan: one words aggregate, a per-row text projection, 1:1 join") {
+  test("t19 plan: one type-grain aggregate, a per-row text projection, 1:1 join") {
     val plan = TextOps.gopherRules(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoop"), plan)
-    // the line/symbol counts must not explode rows: the only Generate
-    // is the shared words tokenizer's posexplode inside the session
-    // cache. Counted on the plan TREE, stopping at cache boundaries
-    // (r17: the cached-words build plan gained a repartition Exchange,
-    // so its AQE-wrapped subtree prints twice — initial + final plan —
-    // and a string count double-counts the cache's own Generate).
+    // cartesian/BNL audit counted on the plan TREE, stopping at cache
+    // boundaries (r18: t19's word stats ride the tfidf session cache,
+    // whose BUILD plan legitimately contains the 1-row n_docs
+    // crossJoin-broadcast — a string contains() would flag it)
+    def badJoinsOutsideCache(
+        p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        badJoinsOutsideCache(a.executedPlan)
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 0
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        1 + j.children.map(badJoinsOutsideCache).sum
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        1 + j.children.map(badJoinsOutsideCache).sum
+      case other => other.children.map(badJoinsOutsideCache).sum
+    }
+    assert(badJoinsOutsideCache(
+      TextOps.gopherRules(spark, dir).queryExecution.executedPlan) == 0, plan)
+    // the line/symbol counts must not explode rows: since r18 the word
+    // stats aggregate the cached (doc, word, tf) TYPE frame — the only
+    // Generate anywhere is the words posexplode inside the nested
+    // session-cache builds. Counted on the plan TREE, stopping at cache
+    // boundaries (r17: the cached-words build plan gained a repartition
+    // Exchange, so its AQE-wrapped subtree prints twice — initial +
+    // final plan — and a string count double-counts the cache's own
+    // Generate). The r18 shape also drops the countDistinct Expand:
+    // (doc, word) is unique per type row, so the stopword-kind count is
+    // a plain conditional sum.
     def generatesOutsideCache(
         p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -307,5 +326,7 @@ class Round8bOpsSpec extends SparkSpec {
       TextOps.gopherRules(spark, dir).queryExecution.executedPlan)
     assert(nGenerate <= 0,
       s"text-side counts must be array projections, not explodes:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"t19 stopword-kind count regressed to a distinct-aggregate Expand:\n$plan")
   }
 }
