@@ -30,4 +30,17 @@ object SortFirst {
     project(
       df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*))
   }
+
+  /** Materialize, then sort — for outputs whose computation sits
+    * DIRECTLY under the global orderBy with no shuffle boundary in
+    * between (the doc-keyed session-cache layouts removed those
+    * exchanges on purpose): the range partitioner's sampling pass
+    * re-runs everything from the last shuffle boundary, i.e. the whole
+    * per-doc aggregation/window, a second time. The lazy checkpoint
+    * materializes the output-sized frame once; the sampling pass
+    * re-reads persisted blocks. The recompute→storage trade of guide
+    * §5, applied at the output sort.
+    */
+  def checkpointedSort(df: DataFrame, keys: Column*): DataFrame =
+    df.localCheckpoint(eager = false).orderBy(keys: _*)
 }

@@ -112,6 +112,14 @@ object Dedup {
     * documents.
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    exactDedupFrame(spark, dir).orderBy(col("keep_id"))
+
+  /** d1's pipeline without the output sort — the p16/p26 gates consume
+    * THIS (they re-key on doc_id, so embedding the registered query's
+    * rangepartitioning sort in their checkpoints was pure waste).
+    */
+  private[queries] def exactDedupFrame(
+      spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
       .select(
         col("doc_id"),
@@ -119,7 +127,6 @@ object Dedup {
           .as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("keep_id"))
 
   /** Distinct 3-word shingles per document (the n-gram dedup unit).
     * lead() windows are per-doc partitions — parallel across docs;
@@ -458,13 +465,15 @@ object Dedup {
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    bitVotes(spark, dir)
-      .select(
-        col("doc_id"),
-        concat((0 until 60).map(b =>
-          when(col(s"v$b") >= 0, lit("1")).otherwise(lit("0"))): _*)
-          .as("simhash"))
-      .orderBy(col("doc_id"))
+    // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+    graft.operators.SortFirst.checkpointedSort(
+      bitVotes(spark, dir)
+        .select(
+          col("doc_id"),
+          concat((0 until 60).map(b =>
+            when(col(s"v$b") >= 0, lit("1")).otherwise(lit("0"))): _*)
+            .as("simhash")),
+      col("doc_id"))
 
   /** Corpus-size bound for the all-pairs d5 baseline, overridable via
     * `spark.conf.set("graft.dedup.maxAllPairsVectors", n)`. The
@@ -791,7 +800,8 @@ object Dedup {
         col("dup_shingles"),
         (col("dup_shingles").cast("double") / col("n_shingles").cast("double"))
           .as("dup_frac"))
-      .orderBy(col("doc_id"))
+      // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+      .transform(graft.operators.SortFirst.checkpointedSort(_, col("doc_id")))
   }
 
   /** d17 — maximal duplicated-span extraction: the positional sibling
@@ -815,7 +825,16 @@ object Dedup {
     * global order anywhere before the output sort. Linear in corpus
     * word count.
     */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+    graft.operators.SortFirst.checkpointedSort(
+      dupSpansFrame(spark, dir), col("doc_id"))
+
+  /** d17's pipeline without the output sort — what the marked-grams
+    * cache audit pins.
+    */
+  private[queries] def dupSpansFrame(
+      spark: SparkSession, dir: String): DataFrame = {
     val k = KGramWords
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // membership in the shared marked-grams frame IS the duplicated
@@ -853,7 +872,6 @@ object Dedup {
         coalesce(col("dup_words"), lit(0L)).as("dup_words"),
         (coalesce(col("dup_words"), lit(0L)).cast("double")
           / col("n_tokens").cast("double")).as("dup_frac"))
-      .orderBy(col("doc_id"))
   }
 
   /** d19 — duplicated-span REMOVAL with survivor exemption: the
@@ -913,7 +931,8 @@ object Dedup {
         (col("removed_words").cast("double") / col("n_tokens").cast("double"))
           .as("removed_frac"),
         col("clean_text"))
-      .orderBy(col("doc_id"))
+      // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+      .transform(graft.operators.SortFirst.checkpointedSort(_, col("doc_id")))
   }
 
   /** d24's minimum duplicated-span length, in words. Lee et al. 2022
@@ -1043,7 +1062,8 @@ object Dedup {
         (col("removed_words").cast("double") / col("n_tokens").cast("double"))
           .as("removed_frac"),
         col("clean_text"))
-      .orderBy(col("doc_id"))
+      // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+      .transform(graft.operators.SortFirst.checkpointedSort(_, col("doc_id")))
   }
 
   /** Winnowing parameters (Schleimer, Wilkerson & Aiken 2003, §4 —
@@ -1229,7 +1249,8 @@ object Dedup {
         col("dup_paragraphs"),
         (col("dup_paragraphs").cast("double") /
           col("n_paragraphs").cast("double")).as("dup_frac"))
-      .orderBy(col("doc_id"))
+      // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+      .transform(graft.operators.SortFirst.checkpointedSort(_, col("doc_id")))
   }
 
   /** d16 — line-level boilerplate REMOVAL (CCNet's line dedup /
@@ -1296,7 +1317,8 @@ object Dedup {
         col("removed_paragraphs"),
         col("clean_text"),
         length(col("clean_text")).cast("long").as("clean_chars"))
-      .orderBy(col("doc_id"))
+      // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+      .transform(graft.operators.SortFirst.checkpointedSort(_, col("doc_id")))
   }
 
   /** Alternating large-star/small-star contraction (Kiveris et al.
@@ -1468,6 +1490,16 @@ object Dedup {
     * nothing — spec'd.
     */
   def sketchCalibration(spark: SparkSession, dir: String): DataFrame = {
+    // r18: a candidate-doc semi-join pre-filter of the truth self-join
+    // (guide §3.2 — both sides cut to docs appearing in candMatches;
+    // values exactly unchanged) was tried in TWO forms and REVERTED on
+    // measurement at sf0.1: (a) live candMatches as the filter build —
+    // the broadcast re-evaluated the whole banding pipeline, 0.91 →
+    // 3.4 s; (b) candMatches lazily checkpointed once for both
+    // consumers — the checkpoint serialized the banding pipeline ahead
+    // of the (then tiny) self-join, 0.91 → 1.07 s. The full-corpus
+    // self-join (d2's shape, sharing its session caches) remains the
+    // measured winner; both A/Bs are in OPTIMIZATION_r18.md.
     val s = cachedShingles(spark, dir)
     val sizes = s.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = s.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
@@ -1565,7 +1597,8 @@ object Dedup {
         col("n_shared_chunks"),
         (col("n_shared_chunks").cast("double") /
           col("n_chunks").cast("double")).as("shared_frac"))
-      .orderBy(col("doc_id"))
+      // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+      .transform(graft.operators.SortFirst.checkpointedSort(_, col("doc_id")))
   }
 
   /** The d25 evaluation set: every APPROXIMATE pair-finding method

@@ -89,7 +89,8 @@ object EventWindows {
         min(col("tus")).as("session_start_us"),
         max(col("tus")).as("session_end_us"),
         count(lit(1)).as("n_events"))
-      .orderBy(col("user_id"), col("session_id"))
+      // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+      .transform(graft.operators.SortFirst.checkpointedSort(_, col("user_id"), col("session_id")))
   }
 
   /** w20 path geometry: a session's signature is its first `PathLen`
@@ -671,7 +672,15 @@ object EventWindows {
     * smaller than events). No global window, no self-join.
     */
   def scd2History(spark: SparkSession, dir: String): DataFrame =
-    scd2Versions(spark, dir).orderBy(col("user_id"), col("version"))
+    // r18 opt: lazy checkpoint BEFORE the output sort — the range
+    // partitioner samples its child to pick bounds, so the whole
+    // window+agg derivation ran twice (the t14 double-evaluation, here
+    // between the user exchange and the range exchange). The
+    // checkpoint materializes the runs-sized frame once; the sampling
+    // pass re-reads persisted blocks instead of recomputing.
+    scd2Versions(spark, dir)
+      .localCheckpoint(eager = false)
+      .orderBy(col("user_id"), col("version"))
 
   /** w21's version derivation WITHOUT the output sort — what w22's
     * PIT join consumes (r18 opt, guide §2.4): w22 embedded the SORTED

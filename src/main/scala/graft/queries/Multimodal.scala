@@ -41,21 +41,33 @@ object Multimodal {
   /** Frame sampling shape (m3): fixed-width byte slices of the content,
     * one row per "frame" with its own hash — the 1→k generator pattern.
     */
+  /** The m3 generator without any ordering/layout — what the m6 as-of
+    * consumes (it re-keys on doc_id anyway; embedding the registered
+    * query's sort only added a rangepartitioning Exchange the as-of
+    * immediately re-shuffled, the w21/w22 lesson).
+    */
+  private[queries] def frameSlicesRaw(
+      spark: SparkSession, dir: String): DataFrame =
+    frameGen(
+      documents(spark, dir)
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("hx")))
+
+  private def frameGen(d: DataFrame): DataFrame =
+    d.withColumn("frame_index", explode(sequence(lit(0L), lit(3L))))
+      .select(
+        col("doc_id"),
+        col("frame_index"),
+        md5(expr(
+          "cast(substring(hx, cast(frame_index * 64 + 1 as int), 64) as binary)"))
+          .as("frame_hash"))
+
   def frameSlices(spark: SparkSession, dir: String): DataFrame =
     // r18 opt: the m5 SortFirst shape (sort narrow, generate after;
     // frame_index emits ascending within each doc)
     graft.operators.SortFirst(
       documents(spark, dir)
         .select(col("doc_id"), hex(col("text").cast("binary")).as("hx")),
-      col("doc_id")) { d =>
-      d.withColumn("frame_index", explode(sequence(lit(0L), lit(3L))))
-        .select(
-          col("doc_id"),
-          col("frame_index"),
-          md5(expr(
-            "cast(substring(hx, cast(frame_index * 64 + 1 as int), 64) as binary)"))
-            .as("frame_hash"))
-    }
+      col("doc_id"))(frameGen)
 
   /** m5 window geometry, in hex chars (2 per byte): 32-byte windows
     * advancing 16 bytes — every interior boundary is covered by two
@@ -89,24 +101,34 @@ object Multimodal {
     graft.operators.SortFirst(
       documents(spark, dir)
         .select(col("doc_id"), hex(col("text").cast("binary")).as("hx")),
-      col("doc_id")) { d =>
-      d.withColumn("hl", length(col("hx")).cast("long"))
-        .withColumn(
-          "nc",
-          when(col("hl") <= ChunkHexWidth, 1L)
-            .otherwise(expr(
-              s"((hl - $ChunkHexWidth + ${ChunkHexStride - 1})" +
-                s" div $ChunkHexStride) + 1")))
-        .withColumn("chunk_index", explode(sequence(lit(0L), col("nc") - 1)))
-        .select(
-          col("doc_id"), col("chunk_index"),
-          expr(s"(chunk_index * $ChunkHexStride) div 2").as("start_byte"),
-          expr(s"least(chunk_index * $ChunkHexStride + $ChunkHexWidth, hl) div 2")
-            .as("end_byte"),
-          md5(expr(
-            s"cast(substring(hx, cast(chunk_index * $ChunkHexStride + 1 as int)," +
-              s" $ChunkHexWidth) as binary)")).as("chunk_hash"))
-    }
+      col("doc_id"))(chunkGen)
+
+  /** The m5 generator without any ordering/layout — what the m6 as-of
+    * consumes (see frameSlicesRaw).
+    */
+  private[queries] def overlapChunksRaw(
+      spark: SparkSession, dir: String): DataFrame =
+    chunkGen(
+      documents(spark, dir)
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("hx")))
+
+  private def chunkGen(d: DataFrame): DataFrame =
+    d.withColumn("hl", length(col("hx")).cast("long"))
+      .withColumn(
+        "nc",
+        when(col("hl") <= ChunkHexWidth, 1L)
+          .otherwise(expr(
+            s"((hl - $ChunkHexWidth + ${ChunkHexStride - 1})" +
+              s" div $ChunkHexStride) + 1")))
+      .withColumn("chunk_index", explode(sequence(lit(0L), col("nc") - 1)))
+      .select(
+        col("doc_id"), col("chunk_index"),
+        expr(s"(chunk_index * $ChunkHexStride) div 2").as("start_byte"),
+        expr(s"least(chunk_index * $ChunkHexStride + $ChunkHexWidth, hl) div 2")
+          .as("end_byte"),
+        md5(expr(
+          s"cast(substring(hx, cast(chunk_index * $ChunkHexStride + 1 as int)," +
+            s" $ChunkHexWidth) as binary)")).as("chunk_hash"))
 
   /** Frame-level containment dedup (m4) — the video near-dup pattern:
     * two media items sharing ≥ `MinSharedFrames` frame hashes evidence
@@ -153,9 +175,12 @@ object Multimodal {
     * placed by EnsureRequirements; no window state, no θ-join.
     */
   def avAlign(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = overlapChunks(spark, dir)
+    // r18 opt: consume the RAW generators — the as-of re-keys both
+    // sides on doc_id, so embedding the registered m5/m3 sorts only
+    // paid their range exchanges to throw the layout away
+    val chunks = overlapChunksRaw(spark, dir)
       .select(col("doc_id"), col("start_byte"), col("chunk_index"))
-    val frames = frameSlices(spark, dir)
+    val frames = frameSlicesRaw(spark, dir)
       .select(
         col("doc_id").as("f_doc"),
         (col("frame_index") * lit(FrameBytes)).as("frame_start"),

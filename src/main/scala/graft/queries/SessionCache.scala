@@ -18,8 +18,18 @@ object SessionCache {
   /** NOT computeIfAbsent: cache builds nest (clusterLabels → sigs →
     * shingles → words), and a mapping function that updates other
     * mappings violates the CHM contract (same-bin recursion throws
-    * "Recursive update"). Check-then-putIfAbsent instead — a racing
-    * duplicate build loses and unpersists, which is benign.
+    * "Recursive update"). Double-checked locking instead (r18): the old
+    * check-then-putIfAbsent let a RACING duplicate build lose and call
+    * `unpersist()` — but CacheManager.uncacheQuery matches by
+    * sameResult, so the loser's unpersist silently removed the
+    * WINNER's entry too: the frame stayed in planCache but was no
+    * longer cached, and every later consumer recomputed it (observed as
+    * nondeterministic cache-substitution loss under parallel test
+    * suites; reachable in production paths since the s18/d25/p16/p26
+    * compositions build components from a thread pool). The coarse
+    * lock is reentrant, so nested builds on one thread still work;
+    * builds only CONSTRUCT plans (materialization happens lazily,
+    * outside the lock), so the serialization cost is microseconds.
     */
   /** Optional access recorder for WarmPolicySpec: queries that hide a
     * cache behind an in-query localCheckpoint (s18/d25) consume it at
@@ -29,6 +39,14 @@ object SessionCache {
   @volatile private[queries] var accessLog:
       java.util.concurrent.ConcurrentLinkedQueue[String] = null
 
+  /** The already-persisted frame for a cache name, or null — lets
+    * WarmPolicySpec expand a recorded access into the warm caches
+    * nested inside that cache's build plan.
+    */
+  private[queries] def existing(
+      spark: SparkSession, dir: String, name: String): DataFrame =
+    planCache.get((spark, dir, name))
+
   def cached(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame = {
     val log = accessLog
@@ -36,10 +54,14 @@ object SessionCache {
     val key = (spark, dir, name)
     val existing = planCache.get(key)
     if (existing != null) existing
-    else {
-      val df = build.persist()
-      val prev = planCache.putIfAbsent(key, df)
-      if (prev != null) { df.unpersist(); prev } else df
+    else planCache.synchronized {
+      val again = planCache.get(key)
+      if (again != null) again
+      else {
+        val df = build.persist()
+        planCache.put(key, df)
+        df
+      }
     }
   }
 

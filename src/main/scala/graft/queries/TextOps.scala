@@ -126,6 +126,16 @@ object TextOps {
     * Shuffles (doc_id, sentence_index) groups — scales linearly.
     */
   def sentenceSplit(spark: SparkSession, dir: String): DataFrame =
+    // r18 opt: checkpointed output sort (operators.SortFirst scaladoc —
+    // the sentence agg rides the doc-keyed words layout with no shuffle
+    // boundary before the sort, so the range sampling re-ran it)
+    graft.operators.SortFirst.checkpointedSort(
+      sentenceSplitFrame(spark, dir),
+      col("doc_id"), col("sentence_index"))
+
+  /** t1's pipeline without the output sort — what the audits pin. */
+  private[queries] def sentenceSplitFrame(
+      spark: SparkSession, dir: String): DataFrame =
     cachedWords(spark, dir)
       .groupBy(
         col("doc_id"),
@@ -136,7 +146,6 @@ object TextOps {
             array_sort(collect_list(struct(col("pos"), col("word")))),
             x => x.getField("word")),
           " ").as("sentence"))
-      .orderBy(col("doc_id"), col("sentence_index"))
 
   /** W2 — running character offsets: each sentence's (start, end) span in
     * the newline-joined document text, end exclusive of the trailing
@@ -146,7 +155,18 @@ object TextOps {
     * window is per-document (parallel across docs), unlike Q6's global
     * window.
     */
-  def charOffsets(spark: SparkSession, dir: String): DataFrame = {
+  def charOffsets(spark: SparkSession, dir: String): DataFrame =
+    // r18 opt: checkpointed output sort (see sentenceSplit)
+    graft.operators.SortFirst.checkpointedSort(
+      charOffsetsFrame(spark, dir),
+      col("doc_id"), col("sentence_index"))
+
+  /** t2's pipeline without the output sort — t3's range join composes
+    * with THIS frame (it re-keys on doc_id, so the registered t2's
+    * sort/materialization would only be thrown away).
+    */
+  private[queries] def charOffsetsFrame(
+      spark: SparkSession, dir: String): DataFrame = {
     val w = Window
       .partitionBy(col("doc_id"))
       .orderBy(col("sentence_index"))
@@ -167,7 +187,6 @@ object TextOps {
       .select(
         col("doc_id"), col("sentence_index"), col("span_start"),
         col("span_end"))
-      .orderBy(col("doc_id"), col("sentence_index"))
   }
 
   /** J3 — entity-offset → sentence alignment as a range join: an entity
@@ -192,7 +211,7 @@ object TextOps {
             floor(col("n_chars") / 4).cast("long"),
             floor(col("n_chars") / 2).cast("long"),
             floor(col("n_chars") * 3 / 4).cast("long"))).as("begin_off"))
-    val spans = charOffsets(spark, dir)
+    val spans = charOffsetsFrame(spark, dir)
     probes
       .join(
         spans,
@@ -207,15 +226,19 @@ object TextOps {
     * a word-shaped BPE-ish token estimate (runs of letters/digits).
     */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(
+    // r18 opt: sort first, split after (the t14 SortFirst shape — the
+    // two per-row splits ran twice under the orderBy's sampling)
+    graft.operators.SortFirst(
+      documents(spark, dir).select(col("doc_id"), col("text")),
+      col("doc_id")) { d =>
+      d.select(
         col("doc_id"),
         size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"),
         size(filter(
           split(lower(col("text")), "[^a-z0-9]+"),
           w => w =!= "")).cast("long").as("n_word_tokens"),
         length(col("text")).cast("long").as("n_chars_text"))
-      .orderBy(col("doc_id"))
+    }
 
   /** Stopword lexicon shared with quality scoring / language ID. */
   val EnStop: Seq[String] =
@@ -264,7 +287,14 @@ object TextOps {
     * identically. Threshold comparisons are on exact IEEE ratios —
     * deterministic cross-engine.
     */
-  def c4Filters(spark: SparkSession, dir: String): DataFrame = {
+  def c4Filters(spark: SparkSession, dir: String): DataFrame =
+    c4FiltersFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** t12's pipeline without the output sort — the p16 gate consumes
+    * THIS (see Dedup.exactDedupFrame).
+    */
+  private[queries] def c4FiltersFrame(
+      spark: SparkSession, dir: String): DataFrame = {
     // r18 opt (guide §2.3 "aggregate before you shuffle" — the p7/x19
     // type-grain pattern): the blocklist flag is a per-doc MAX of a
     // pure word predicate, so it reads the cached (doc, word, tf)
@@ -287,7 +317,6 @@ object TextOps {
         flagLowDiv.as("flag_low_diversity"),
         flagBlock.as("flag_blocklist"),
         (!(flagShort || flagLowDiv || flagBlock)).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** t19 rule bounds — the Gopher repetition-free quality gates (Rae et
@@ -396,7 +425,16 @@ object TextOps {
     * per language, argmax with a fixed preference order for ties —
     * deterministic, engine-agnostic. One hash agg over the word rows.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+    graft.operators.SortFirst.checkpointedSort(
+      langIdFrame(spark, dir), col("doc_id"))
+
+  /** t6's pipeline without the output sort — t23's confusion matrix
+    * composes with THIS (it re-keys on doc_id).
+    */
+  private[queries] def langIdFrame(
+      spark: SparkSession, dir: String): DataFrame = {
     val hitCols = LangLexicons.map { case (lang, lex) =>
       sum(when(col("word").isin(lex: _*), 1L).otherwise(0L))
         .as(s"hits_$lang")
@@ -418,7 +456,6 @@ object TextOps {
       .select(
         (col("doc_id") +: LangLexicons.map(l => col(s"hits_${l._1}"))) :+
           predicted.as("predicted_lang"): _*)
-      .orderBy(col("doc_id"))
   }
 
   /** Document fingerprinting (training-data pipeline tier): md5 of the
@@ -488,14 +525,22 @@ object TextOps {
     * shuffle — the w10/w20 shape); output is 5 rows per doc, not the
     * doc×vocab matrix.
     */
-  def keywords(spark: SparkSession, dir: String): DataFrame = {
+  def keywords(spark: SparkSession, dir: String): DataFrame =
+    // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+    graft.operators.SortFirst.checkpointedSort(
+      keywordsFrame(spark, dir), col("doc_id"), col("rnk"))
+
+  /** t24's pipeline without the output sort — what the WindowGroupLimit
+    * audit pins.
+    */
+  private[queries] def keywordsFrame(
+      spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("word"))
     cachedTfidf(spark, dir)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= KeywordsPerDoc)
       .select(col("doc_id"), col("rnk"), col("word"), col("tfidf"))
-      .orderBy(col("doc_id"), col("rnk"))
   }
 
   /** Bigram frequency (n-gram generation tier): adjacent word pairs per
@@ -534,21 +579,22 @@ object TextOps {
     // Σ freq counts ≡ the words-frame row count: the total branch reads
     // the cache directly instead of re-running the word-keyed agg
     val total = w.agg(count(lit(1)).as("total"))
-    w.join(freq, "word")
-      .crossJoin(broadcast(total))
-      .withColumn(
-        "lq",
-        floor(
-          log(col("cnt").cast("double") / col("total").cast("double"))
-            * lit(1e9)).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("lq")).as("s"), count(lit(1)).as("n"))
-      .select(
-        col("doc_id"),
-        col("n").as("n_tokens"),
-        (col("s").cast("double") / (lit(1e9) * col("n").cast("double")))
-          .as("avg_logprob"))
-      .orderBy(col("doc_id"))
+    graft.operators.SortFirst.checkpointedSort(
+      w.join(freq, "word")
+        .crossJoin(broadcast(total))
+        .withColumn(
+          "lq",
+          floor(
+            log(col("cnt").cast("double") / col("total").cast("double"))
+              * lit(1e9)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("lq")).as("s"), count(lit(1)).as("n"))
+        .select(
+          col("doc_id"),
+          col("n").as("n_tokens"),
+          (col("s").cast("double") / (lit(1e9) * col("n").cast("double")))
+            .as("avg_logprob")),
+      col("doc_id"))
   }
 
   /** Interpolation weight for the t16 bigram LM: weight on the bigram
@@ -573,7 +619,17 @@ object TextOps {
     * total — hash-agg/hash-join linear pipeline, map-side combinable,
     * no window beyond the cached words' lead.
     */
-  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+    graft.operators.SortFirst.checkpointedSort(
+      bigramLogprobFrame(spark, dir), col("doc_id"))
+
+  /** t16's pipeline without the output sort/materialization — what
+    * t22/t26's label cache build composes with (it re-windows per
+    * lang, so the registered query's sort would be thrown away).
+    */
+  private[queries] def bigramLogprobFrame(
+      spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val bg = cachedWords(spark, dir)
       .withColumn("nxt", lead(col("word"), 1).over(w))
@@ -620,7 +676,6 @@ object TextOps {
         col("n").as("n_bigrams"),
         (col("s").cast("double") / (lit(1e9) * col("n").cast("double")))
           .as("avg_logprob"))
-      .orderBy(col("doc_id"))
   }
 
   /** t11 — within-document repetition metrics, the Gopher/MassiveText
@@ -651,7 +706,7 @@ object TextOps {
           .as("dup_bigram_frac"),
         (col("top_c").cast("double") / col("n_bigrams").cast("double"))
           .as("top_bigram_frac"))
-      .orderBy(col("doc_id"))
+      .transform(graft.operators.SortFirst.checkpointedSort(_, col("doc_id")))
   }
 
   /** t13 — per-document unigram (Shannon) entropy in nats:
@@ -675,15 +730,16 @@ object TextOps {
     val tot = cachedQualityScore(spark, dir)
       .select(col("doc_id"), col("n_tokens"))
     val p = col("c").cast("double") / col("n_tokens").cast("double")
-    tf.join(tot, "doc_id")
-      .withColumn("term", floor(p * log(p) * lit(1e9)).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n_tokens")).as("n_tokens"), sum(col("term")).as("s"))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        (-col("s").cast("double") / lit(1e9)).as("entropy_nats"))
-      .orderBy(col("doc_id"))
+    graft.operators.SortFirst.checkpointedSort(
+      tf.join(tot, "doc_id")
+        .withColumn("term", floor(p * log(p) * lit(1e9)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_tokens")).as("n_tokens"), sum(col("term")).as("s"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (-col("s").cast("double") / lit(1e9)).as("entropy_nats")),
+      col("doc_id"))
   }
 
   /** PII patterns shared by t14's Spark and oracle sides. Both engines'
@@ -1240,7 +1296,7 @@ object TextOps {
     val wRank = Window.partitionBy(col("lang"))
       .orderBy(col("avg_logprob").desc, col("doc_id"))
     val wLang = Window.partitionBy(col("lang"))
-    bigramLogprob(spark, dir)
+    bigramLogprobFrame(spark, dir)
       .join(documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("rnk", row_number().over(wRank).cast("long"))
       .withColumn("n_lang", count(lit(1)).over(wLang))
@@ -1278,7 +1334,7 @@ object TextOps {
     */
   def langConfusion(spark: SparkSession, dir: String): DataFrame = {
     val byDeclared = Window.partitionBy(col("declared_lang"))
-    langId(spark, dir)
+    langIdFrame(spark, dir)
       .select(col("doc_id"), col("predicted_lang"))
       .join(
         documents(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
@@ -1360,7 +1416,14 @@ object TextOps {
               * lit(1e9)).cast("long").as("wt"))
     }
 
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** t26's pipeline without the output sort — p26's gate consumes THIS
+    * (see Dedup.exactDedupFrame).
+    */
+  private[queries] def qualityClassifierFrame(
+      spark: SparkSession, dir: String): DataFrame = {
     // fastText's wordNgrams=2 feature space: unigrams ∪ bigrams. The
     // labels are BIGRAM-LM terciles, so unigram-only features cap the
     // recoverable signal (measured: 0.64 training accuracy unigram-only
@@ -1378,7 +1441,6 @@ object TextOps {
         (col("nb_score").cast("double")
           / (lit(1e9) * col("n_feats").cast("double"))).as("avg_nb"),
         (col("nb_score") > 0L).as("pred_head"))
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

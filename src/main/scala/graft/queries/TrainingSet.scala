@@ -386,7 +386,14 @@ object TrainingSet {
     * the containment probe is a broadcast semi-join — at 100 TB the
     * corpus streams, nothing shuffles by shingle.
     */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationFrame(spark, dir).orderBy(col("doc_id"))
+
+  /** p6's pipeline without the output sort — the p16/p26 gates consume
+    * THIS (see Dedup.exactDedupFrame).
+    */
+  private[queries] def contaminationFrame(
+      spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.cachedShingles(spark, dir)
     val bench = sh.filter(col("doc_id") < BenchmarkDocs)
       .select(col("sh")).distinct()
@@ -402,7 +409,6 @@ object TrainingSet {
         (coalesce(col("n_hit"), lit(0L)).cast("double")
           / col("n_sh").cast("double")).as("contaminated_frac"))
       .filter(col("contaminated_frac") >= ContaminationThreshold)
-      .orderBy(col("doc_id"))
   }
 
   val TargetDocs = 100L
@@ -418,7 +424,16 @@ object TrainingSet {
     * nano-units before the exact sum (the t10 discipline), so the
     * per-doc mean is bit-identical cross-engine.
     */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    // r18 opt: checkpointed output sort (operators.SortFirst scaladoc)
+    graft.operators.SortFirst.checkpointedSort(
+      dsirWeightsFrame(spark, dir), col("doc_id"))
+
+  /** p7's pipeline without the output sort — what the broadcast audit
+    * pins.
+    */
+  private[queries] def dsirWeightsFrame(
+      spark: SparkSession, dir: String): DataFrame = {
     // r17 opt (guide §2.3 "aggregate before you shuffle"): every input
     // here rides the session-cached (doc_id, word, tf) TF frame instead
     // of raw word occurrences — the word-keyed frequency aggregates
@@ -471,7 +486,6 @@ object TrainingSet {
         col("n").as("n_tokens"),
         (col("s").cast("double") / (lit(1e9) * col("n").cast("double")))
           .as("avg_llr"))
-      .orderBy(col("doc_id"))
   }
 
   /** p8 — quality-curriculum staging with epoch weighting, the
@@ -824,18 +838,22 @@ object TrainingSet {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // the gates consume the components' UNSORTED frames — embedding
+    // the registered queries froze their output rangepartitioning
+    // sorts into the checkpoints, paid for nothing (the composition
+    // re-keys on doc_id)
     val survivorsF = Future {
-      Dedup.exactDedup(spark, dir)
+      Dedup.exactDedupFrame(spark, dir)
         .select(col("keep_id").as("doc_id"))
         .localCheckpoint(eager = false)
     }
     val qualityF = Future {
-      TextOps.c4Filters(spark, dir)
+      TextOps.c4FiltersFrame(spark, dir)
         .filter(col("keep")).select(col("doc_id"))
         .localCheckpoint(eager = false)
     }
     val contamF = Future {
-      contamination(spark, dir).select(col("doc_id"))
+      contaminationFrame(spark, dir).select(col("doc_id"))
         .localCheckpoint(eager = false)
     }
     val survivors = Await.result(survivorsF, Duration.Inf)
@@ -886,17 +904,17 @@ object TrainingSet {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val survivorsF = Future {
-      Dedup.exactDedup(spark, dir)
+      Dedup.exactDedupFrame(spark, dir)
         .select(col("keep_id").as("doc_id"))
         .localCheckpoint(eager = false)
     }
     val learnedF = Future {
-      TextOps.qualityClassifier(spark, dir)
+      TextOps.qualityClassifierFrame(spark, dir)
         .filter(col("pred_head")).select(col("doc_id"))
         .localCheckpoint(eager = false)
     }
     val contamF = Future {
-      contamination(spark, dir).select(col("doc_id"))
+      contaminationFrame(spark, dir).select(col("doc_id"))
         .localCheckpoint(eager = false)
     }
     val survivors = Await.result(survivorsF, Duration.Inf)

@@ -127,7 +127,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("p7 joins 1-row totals via broadcast, never cartesian") {
-    val p = plan("p7_dsir_weights")
+    // r18: the registered query checkpoints its output before the sort;
+    // the join shapes are pinned on the exposed pre-checkpoint frame
+    // (the q6 audit discipline)
+    val p = TrainingSet.dsirWeightsFrame(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(p.contains("Broadcast"), "p7 totals are not broadcast")
     assert(!p.contains("CartesianProduct"), "p7 has a cartesian join")
   }
@@ -461,7 +465,9 @@ class PlanAuditSpec extends SparkSpec {
     // (session, dir) — the flag join (1:1 per gram, no fan-out) lives
     // inside the cached frame; each consumer's own plan must read the
     // cache, never rebuild the gram agg
-    val p = plan("d17_dup_spans")
+    // r18: pinned on the pre-checkpoint frame (the q6 audit discipline)
+    val p = Dedup.dupSpansFrame(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "d17 has a cartesian join")
     assert(p.contains("InMemoryTableScan"),
       "d17 no longer reads the shared marked-grams session cache")

@@ -301,7 +301,10 @@ class Round9OpsSpec extends SparkSpec {
     rows.groupBy(_._1).foreach { case (d, rs) =>
       assert(rs.length <= TextOps.KeywordsPerDoc, s"doc $d has ${rs.length}")
     }
-    val plan = TextOps.keywords(spark, dir)
+    // r18: the registered query checkpoints its output before the sort
+    // (operators.SortFirst scaladoc), so the rank machinery is pinned on
+    // the exposed pre-checkpoint frame (the q6 audit discipline)
+    val plan = TextOps.keywordsFrame(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       s"rnk <= 5 must push into a group limit:\n$plan")

@@ -26,7 +26,23 @@ import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableS
   */
 class WarmPolicySpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  /** A PRIVATE namespace for this spec's caches: a symlink to the
+    * sf0.001 testdata. Session caches key on (session, dir, name) and
+    * the CacheManager keys on plans (which embed the path, and Spark
+    * does not resolve symlinks), so the spec's cache-substitution walk
+    * sees ONLY entries built here, in warmEntries' deterministic order
+    * — parallel suites sharing the real sf0.001 namespace persist,
+    * race and unpersist their own frames, which made instance-identity
+    * counting flaky.
+    */
+  private val dir: String = {
+    val link = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "warmpolicy_sf0001")
+    if (!java.nio.file.Files.isSymbolicLink(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get("/root/testdata/sf0.001"))
+    link.toString
+  }
 
   /** Cache build-plan instances referenced by a physical plan,
     * recursing through AQE roots (which expose no children), subquery
@@ -74,9 +90,25 @@ class WarmPolicySpec extends SparkSpec {
     // non-warmed on-demand caches so substitution is complete) and
     // record which warmed caches each query reaches — via its resolved
     // plan, AND via construction-time SessionCache accesses (queries
-    // that materialize a component behind an in-query localCheckpoint,
-    // s18/d25, consume caches during construction where no plan walk
-    // can see them).
+    // that materialize a component behind an in-query localCheckpoint —
+    // s18, d25, the checkpointed output sorts — consume caches during
+    // construction where no plan walk of the final Sort(ExistingRDD)
+    // can see them). Each recorded access is expanded through the
+    // accessed cache's OWN build plan, so a query touching
+    // dedupMarkedGrams transitively counts as a words consumer.
+    def expand(name: String): Set[AnyRef] = {
+      val df = SessionCache.existing(spark, dir, name)
+      if (df == null) Set.empty
+      else df.queryExecution.withCachedData match {
+        case imr: InMemoryRelation =>
+          val seen = scala.collection.mutable.Set.empty[AnyRef]
+          seen.add(imr.cachedPlan)
+          cachesIn(imr.cachedPlan, seen)
+          seen.toSet
+        case _ => Set.empty
+      }
+    }
+    val expandMemo = scala.collection.mutable.Map.empty[String, Set[AnyRef]]
     val consumers = scala.collection.mutable.Map.empty[String, Set[String]]
       .withDefaultValue(Set.empty)
     val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -84,9 +116,12 @@ class WarmPolicySpec extends SparkSpec {
     try {
       for ((qname, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
         log.clear()
-        val reached = cachesIn(fn(spark, dir).queryExecution.withCachedData)
+        val planReached =
+          cachesIn(fn(spark, dir).queryExecution.withCachedData)
         val accessed = scala.jdk.CollectionConverters
           .CollectionHasAsScala(log).asScala.toSet
+        val reached = planReached ++
+          accessed.flatMap(n => expandMemo.getOrElseUpdate(n, expand(n)))
         for ((wname, key) <- warmKeys
             if reached.contains(key) || accessed.contains(wname))
           consumers(wname) = consumers(wname) + qname
